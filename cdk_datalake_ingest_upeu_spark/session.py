@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+Mirrors the session flags the reference enables for its transform job
+(AQE + skew join + coalesce partitions, Kryo — reference
+``artifacts/aws-glue/code/stage/light_transform.py:2009-2024``) and adds
+the flags needed for oracle-comparable, cast-tolerant semantics:
+
+- ``spark.sql.ansi.enabled=false``: the reference's transform functions
+  rely on "failed cast => NULL" (e.g. ``origin.cast(IntegerType())`` on
+  junk strings) which is non-ANSI behaviour; Spark 4 defaults ANSI on.
+- ``spark.sql.session.timeZone=UTC``: DuckDB timestamps are naive/UTC;
+  pinning the session TZ makes timestamp comparisons stable.
+
+At cluster scale the same builder applies; only ``master`` and the
+shuffle-partition count change (set ``SPARK_GRAFT_CPUS`` or pass
+``shuffle_partitions`` explicitly — rule of thumb: 2-3x total cores,
+and ~128MB-256MB per shuffle partition at 100 TB, i.e. raise it to
+hundreds of thousands for full-scale runs; AQE coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cdk_datalake_ingest_upeu_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = DEFAULT_CPUS
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )  # partition-level overwrite for incremental re-lands
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
