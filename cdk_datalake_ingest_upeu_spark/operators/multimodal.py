@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Convention: media payloads are opaque ``binary`` columns accompanied by
+a typed metadata struct. The Spark-side machinery — schemas,
+partition-size control, Arrow-batched ``mapInPandas`` transforms, batch
+shapes — is real and tested; the codec calls themselves are stubbed
+behind ``MEDIA_DECODERS`` (the runtime image carries no image/audio
+libraries) with a deterministic fake used for tests. Swapping in a real
+decoder is a one-line registry change; the distributed plumbing does not
+move.
+
+Scale notes: media rows are wide (MBs), so operators here repartition by
+byte budget, not row count (`partition_by_bytes`), and decode via
+``mapInPandas`` so one Python worker processes an Arrow batch at a time
+without materializing whole partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png, wav, mp4, ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _stub_image_decode(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode + feature-extract'.
+
+    Stands in for e.g. PIL decode + model embed. Produces an 8-dim
+    feature from byte statistics so tests have stable expectations.
+    Replace via ``register_decoder("image", real_fn)``.
+    """
+    if payload is None or len(payload) == 0:
+        return [0.0] * 8
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload[:16]) % 997),
+        float(min(payload)),
+        float(max(payload)),
+        float(n % 255),
+        float((payload[n // 2]) if n else 0),
+    ]
+
+
+MEDIA_DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "image": _stub_image_decode,
+}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes], list[float]]) -> None:
+    MEDIA_DECODERS[media_type] = fn
+
+
+def partition_by_bytes(
+    df: DataFrame, bytes_col: str = "payload", target_mb: int = 256
+) -> DataFrame:
+    """Repartition a media table so each partition holds ~target_mb of
+    payload — media partitions must be sized by bytes, not rows."""
+    total = df.agg(F.sum(F.length(F.col(bytes_col)))).first()[0] or 0
+    n = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
+    return df.repartition(n)
+
+
+def extract_image_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type: str = "image",
+) -> DataFrame:
+    """Arrow-batched decode+featurize via ``mapInPandas``.
+
+    The per-batch loop only touches one Arrow batch at a time; the
+    decoder registry keys on media_type.
+    """
+    decoder = MEDIA_DECODERS.get(media_type)
+    if decoder is None:
+        raise NotImplementedError(
+            f"no decoder registered for media_type={media_type!r}; "
+            "register one with register_decoder() (real codec libs are "
+            "not present in this runtime image)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype(
+                        "int64"
+                    ),
+                    "feature": payloads.map(decoder),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' plumbing: emits (doc_id, frame_index, frame_bytes)
+    rows. Real codecs would seek keyframes; the stub slices the payload
+    at fixed offsets — the fan-out shape (one row per sampled frame,
+    exploded JVM-side, no Python in the hot path) is the real part."""
+    payload = F.col(payload_col)
+    n_frames = F.least(
+        F.greatest((F.length(payload) / every_n_bytes).cast("int"), F.lit(1)),
+        F.lit(max_frames),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_frames - 1))
+    out = df.select(F.col(id_col), payload.alias("__p"), idx.alias("frame_index"))
+    frame = F.expr(f"substring(__p, frame_index * {every_n_bytes} + 1, {every_n_bytes})")
+    return out.select(id_col, "frame_index", frame.alias("frame_bytes"))

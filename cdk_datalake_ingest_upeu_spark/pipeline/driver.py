@@ -1,0 +1,173 @@
+"""End-to-end pipeline driver — replaces the reference's orchestration.
+
+The reference drives extract -> light-transform -> crawler through Step
+Functions Maps with per-job 30 s polling
+(``stacks/cdk_datalake_ingest_upeu_group_stack.py:288-566``). Inside one
+Spark application those become plain loops/thread pools over table
+specs; Spark actions are synchronous, so the polling layer disappears.
+
+``TableProcessor.process_table`` is the light-transform lifecycle
+(``light_transform.py:1423-1564``): read raw -> (empty? schema-only
+stage + warning) -> single-select transforms with severity thresholds ->
+latest-row dedup -> orderBy -> MERGE or overwrite -> compaction.
+
+``RunLog`` replaces the DynamoDB run-log records
+(``light_transform.py:278-339``) with a JSONL sink.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cdk_datalake_ingest_upeu_spark.config.models import ColumnSpec, TableSpec
+from cdk_datalake_ingest_upeu_spark.functions.engine import TransformationEngine
+from cdk_datalake_ingest_upeu_spark.functions.registry import spark_type_for
+from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable, dedup_latest
+
+
+class RunLog:
+    """Structured run log (JSONL)."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+
+    def record(self, **fields) -> None:
+        if not self.path:
+            return
+        fields.setdefault("ts", dt.datetime.now(dt.timezone.utc).isoformat())
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(fields) + "\n")
+
+
+@dataclass
+class ProcessOutcome:
+    table: str
+    status: str  # SUCCESS | WARNING | FAILED
+    rows_in: int = 0
+    rows_out: int = 0
+    warnings: int = 0
+    error: str = ""
+
+
+class TableProcessor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        stage_root: str,
+        run_log: RunLog | None = None,
+    ):
+        self.spark = spark
+        self.stage_root = os.fspath(stage_root)
+        self.engine = TransformationEngine()
+        self.run_log = run_log or RunLog(None)
+
+    def stage_table(self, spec: TableSpec, columns: list[ColumnSpec]) -> StageTable:
+        partition_cols = [c.name for c in columns if c.is_partition]
+        path = os.path.join(self.stage_root, spec.stage_table_name)
+        return StageTable(self.spark, path, partition_cols)
+
+    def empty_schema(self, columns: list[ColumnSpec]) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(c.name, spark_type_for(c.data_type), True)
+                for c in sorted(columns, key=lambda x: x.column_id)
+            ]
+        )
+
+    def process_table(
+        self,
+        raw_df: DataFrame,
+        spec: TableSpec,
+        columns: list[ColumnSpec],
+        *,
+        optimize: bool = False,
+    ) -> ProcessOutcome:
+        table = spec.stage_table_name
+        stage = self.stage_table(spec, columns)
+        try:
+            raw_df = raw_df.cache()
+            rows_in = raw_df.count()
+            if rows_in == 0:
+                # Empty source: materialize a schema-only stage table once,
+                # report WARNING (reference light_transform.py:1444-1462).
+                if not stage.exists():
+                    stage.write_empty(
+                        self.spark.createDataFrame([], self.empty_schema(columns))
+                    )
+                outcome = ProcessOutcome(table, "WARNING", 0, 0, 0, "no data to process")
+                self.run_log.record(table=table, status=outcome.status, detail=outcome.error)
+                return outcome
+
+            result = self.engine.apply(raw_df, columns)
+            id_cols = [c.name for c in columns if c.is_id]
+            date_cols = [c.name for c in columns if c.is_filter_date]
+            order_cols = [c.name for c in columns if c.is_order_by]
+
+            final = dedup_latest(result.df, id_cols, date_cols)
+            if order_cols:
+                final = final.orderBy(*order_cols)
+
+            if stage.exists() and spec.load_type in ("incremental", "between-date") and id_cols:
+                stage.merge(final, id_cols)
+            else:
+                stage.overwrite(final)
+            if optimize:
+                stage.optimize()
+
+            rows_out = stage.read().count()
+            status = "WARNING" if result.warnings else "SUCCESS"
+            outcome = ProcessOutcome(table, status, rows_in, rows_out, len(result.warnings))
+            self.run_log.record(
+                table=table,
+                status=status,
+                rows_in=rows_in,
+                rows_out=rows_out,
+                warnings=result.warnings,
+            )
+            return outcome
+        except Exception as exc:
+            self.run_log.record(table=table, status="FAILED", error=str(exc))
+            return ProcessOutcome(table, "FAILED", error=f"{exc}\n{traceback.format_exc()}")
+        finally:
+            raw_df.unpersist()
+
+
+class PipelineDriver:
+    """Process groups of tables (the reference's PROCESS_ID grouping) with
+    bounded concurrency and simple retries (Step Functions Map analog)."""
+
+    def __init__(
+        self,
+        processor: TableProcessor,
+        *,
+        max_parallel_tables: int = 4,
+        retries: int = 2,
+    ):
+        self.processor = processor
+        self.max_parallel_tables = max_parallel_tables
+        self.retries = retries
+
+    def run_group(
+        self,
+        jobs: list[tuple[DataFrame, TableSpec, list[ColumnSpec]]],
+    ) -> list[ProcessOutcome]:
+        def run_one(job):
+            raw_df, spec, columns = job
+            outcome = None
+            for _ in range(self.retries + 1):
+                outcome = self.processor.process_table(raw_df, spec, columns)
+                if outcome.status != "FAILED":
+                    return outcome
+            return outcome
+
+        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
+            return list(pool.map(run_one, jobs))

@@ -1,0 +1,116 @@
+"""Load-strategy planning (the reference's driver-side "optimizer").
+
+``determine_load_strategy`` re-implements the dispatch at
+``extract_data_spark.py:692-779``:
+
+- ``full`` + transactional (``SOURCE_TABLE_TYPE=='t'``) + PARTITION_COLUMN
+  -> *partitioned_full*: probe min/max, split into N contiguous integer
+  buckets (N=10 default, clamped to the range).
+- ``between-date`` with START/END -> *between_date*: split the datetime
+  span into N equal slices.
+- anything else -> *standard* single query.
+
+Load modes (INITIAL/NORMAL/RESET/REPROCESS) mirror
+``utils/extract_data_v2/models/load_mode.py:4-26``.
+
+In Spark the bucket/slice lists become ``predicates=[...]`` of one JDBC
+read (one source query per task) instead of a thread pool.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+from dataclasses import dataclass, field
+
+from cdk_datalake_ingest_upeu_spark.config.models import TableSpec
+from cdk_datalake_ingest_upeu_spark.plans.sqlgen import QueryGenerator
+
+DEFAULT_FULL_BUCKETS = 10  # reference extract_data_spark.py:713
+DEFAULT_INCREMENTAL_SPLITS = 3  # reference extract_data_spark.py:898
+MAX_BUCKETS = 30  # reference query_generator.py:132
+
+
+class LoadMode(str, enum.Enum):
+    INITIAL = "initial"  # full extract + seed watermark
+    NORMAL = "normal"  # incremental from last watermark
+    RESET = "reset"  # drop watermark, full extract
+    REPROCESS = "reprocess"  # re-run a past window without moving the watermark
+
+
+@dataclass
+class ExtractionPlan:
+    kind: str  # 'standard' | 'partitioned_full' | 'between_date'
+    queries: list[str] = field(default_factory=list)
+    predicates: list[str] | None = None  # for spark.read.jdbc(predicates=...)
+    partition_column: str = ""
+    min_val: int | None = None
+    max_val: int | None = None
+    num_splits: int = 1
+
+
+def _parse_dt(text: str) -> dt.datetime:
+    return dt.datetime(
+        year=int(text[:4]),
+        month=int(text[5:7]),
+        day=int(text[8:10]),
+        hour=int(text[11:13]),
+        minute=int(text[14:16]),
+        second=int(text[17:19]),
+    )
+
+
+def determine_load_strategy(
+    spec: TableSpec,
+    *,
+    min_max_probe=None,  # Callable[[str], tuple[int|None, int|None]]
+    num_buckets: int = DEFAULT_FULL_BUCKETS,
+    incremental_splits: int = DEFAULT_INCREMENTAL_SPLITS,
+    now: dt.datetime | None = None,
+) -> ExtractionPlan:
+    """Choose the extraction plan for a table.
+
+    ``min_max_probe`` runs the A1 bounds query against the source; tests
+    inject a parquet-backed probe so planning stays hermetic.
+    """
+    gen = QueryGenerator(spec)
+    num_buckets = min(num_buckets, MAX_BUCKETS)
+
+    if (
+        spec.load_type == "full"
+        and spec.source_table_type == "t"
+        and spec.partition_column
+        and min_max_probe is not None
+    ):
+        try:
+            min_val, max_val = min_max_probe(spec.partition_column)
+        except Exception:
+            min_val = max_val = None
+        if min_val is not None and max_val is not None:
+            bounds = gen.range_bucket_bounds(min_val, max_val, num_buckets)
+            return ExtractionPlan(
+                kind="partitioned_full",
+                queries=gen.partitioned_queries(
+                    spec.partition_column, min_val, max_val, num_buckets
+                ),
+                predicates=gen.range_bucket_predicates(
+                    spec.partition_column, min_val, max_val, num_buckets
+                ),
+                partition_column=spec.partition_column,
+                min_val=min_val,
+                max_val=max_val,
+                num_splits=len(bounds),
+            )
+        # fall through to standard on probe failure (reference :745-747)
+
+    if spec.load_type == "between-date" and spec.start_value and spec.end_value:
+        start = _parse_dt(spec.start_value.strip())
+        end = _parse_dt(spec.end_value.strip())
+        queries = gen.date_range_queries(
+            start, end, incremental_splits, spec.filter_data_type
+        )
+        return ExtractionPlan(
+            kind="between_date", queries=queries, num_splits=incremental_splits
+        )
+
+    return ExtractionPlan(kind="standard", queries=[gen.standard_query(now=now)])

@@ -1,0 +1,63 @@
+"""File sources & sinks for the raw zone.
+
+Raw-zone parity with the reference:
+
+- partitioned snappy-Parquet landing (S6, ``extract_data_spark.py:453-494``)
+- pipe-delimited, QUOTE_ALL csv.gz variant (S8,
+  ``query_executor.py:149-235`` / ``csv_formatter.py:10-49``)
+- schema-only materialization for empty extracts (S13,
+  ``extract_data_spark.py:790-795``)
+- partition-directory reads with optional cache (S4,
+  ``light_transform.py:1739-1784``)
+
+Spark's ``mode("overwrite")`` subsumes the reference's delete-prefix
+step (S12); retries around writes (S7) are unnecessary under Spark's
+task retry machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_raw_parquet(
+    spark: SparkSession, path: str, *, cache: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.cache() if cache else df
+
+
+def write_raw_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_gz(
+    df: DataFrame,
+    path: str,
+    *,
+    sep: str = "|",
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .option("compression", "gzip")
+        .option("header", str(header).lower())
+        .option("quoteAll", "true")  # reference QUOTE_ALL, csv_formatter.py:26
+        .csv(path, sep=sep)
+    )
+
+
+def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Schema-only DataFrame so downstream consumers see a stable schema."""
+    return spark.createDataFrame([], schema)

@@ -1,0 +1,127 @@
+"""Incremental ingestion: batch micro-runs and Structured Streaming.
+
+The reference's notion of streaming is watermark-driven batch micro-runs
+(I2: read last CONFIRMED mark, filter ``col > wm``, extract, save max as
+PENDING, confirm — ``incremental.py:257-309`` /
+``orchestrator.py:556-629``), with late/updated rows handled by
+re-extracting a trailing window and MERGE-upserting (I4).
+
+``IncrementalRunner`` reproduces exactly that on any DataFrame-producing
+source. ``stream_merge_ingest`` is the Spark-native upgrade path: a
+Structured Streaming file source whose ``foreachBatch`` performs the
+same dedup + MERGE per micro-batch, giving continuous ingestion with
+identical stage-table semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable, dedup_latest
+from cdk_datalake_ingest_upeu_spark.plans.strategy import LoadMode
+from cdk_datalake_ingest_upeu_spark.plans.watermark import WatermarkStore
+
+
+class IncrementalRunner:
+    def __init__(
+        self,
+        store: WatermarkStore,
+        *,
+        table: str,
+        column: str,
+    ):
+        self.store = store
+        self.table = table
+        self.column = column
+
+    def run(
+        self,
+        source: Callable[[], DataFrame],
+        sink: Callable[[DataFrame], None],
+        *,
+        mode: LoadMode = LoadMode.NORMAL,
+    ) -> int:
+        """One micro-run: filter above-watermark rows, land them, 2-phase
+        advance the mark. Returns rows ingested."""
+        if mode == LoadMode.RESET:
+            self.store.reset(self.table, self.column)
+
+        df = source()
+        wm = None
+        if mode in (LoadMode.NORMAL, LoadMode.REPROCESS):
+            wm = self.store.get(self.table, self.column)
+        if wm is not None:
+            df = df.filter(F.col(self.column) > F.lit(wm))
+
+        df = df.cache()
+        try:
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"), F.max(self.column).alias("mx")
+            ).first()
+            n, new_mark = stats["n"], stats["mx"]
+            if n == 0:
+                return 0
+            advance = mode != LoadMode.REPROCESS
+            if advance:
+                self.store.begin(self.table, self.column, _to_py(new_mark))
+            try:
+                sink(df)
+            except Exception:
+                if advance:
+                    self.store.rollback(self.table, self.column)
+                raise
+            if advance:
+                self.store.confirm(self.table, self.column)
+            return int(n)
+        finally:
+            df.unpersist()
+
+
+def _to_py(value):
+    try:
+        return value.item()  # numpy scalars from Arrow paths
+    except AttributeError:
+        return value
+
+
+def stream_merge_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    stage: StageTable,
+    *,
+    key_columns: list[str],
+    event_time_column: str,
+    watermark_delay: str = "10 minutes",
+    checkpoint_dir: str,
+    query_name: str = "stream_merge_ingest",
+):
+    """Continuous file ingestion with MERGE semantics per micro-batch.
+
+    Each micro-batch is deduplicated to the latest row per key (W1) and
+    MERGE-upserted into the stage table — the streaming equivalent of the
+    reference's trailing-window + MERGE late-data handling (I4). The
+    event-time watermark bounds streaming dedup state.
+    """
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        latest = dedup_latest(batch_df, key_columns, [event_time_column])
+        stage.merge(latest, key_columns)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark(event_time_column, watermark_delay)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
