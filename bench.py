@@ -1,0 +1,78 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+JSON line with per-query wall seconds.
+
+Queries cover each workload family: scan/agg (q1), joins (q3/q5/q10),
+window dedup (W1), MERGE upsert, the config-driven transform engine, the
+end-to-end stage pipeline, and the scale operators (exact/MinHash dedup,
+ANN, text features, windowed rollup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdk_datalake_ingest_upeu_spark import get_spark  # noqa: E402
+from cdk_datalake_ingest_upeu_spark.workloads import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "range_partition_union",
+    "window_dedup_latest",
+    "merge_upsert_current_state",
+    "transform_datemagic",
+    "transform_bytemagic_casts",
+    "stage_pipeline_e2e",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "text_features",
+    "dedup_exact_stats",
+    "dedup_minhash_pairs",
+    "ann_topk_bruteforce",
+]
+
+
+def _consume(df) -> int:
+    """Force full execution without collecting results to the driver."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+
+    # warm the JVM/session so the first query doesn't pay startup costs
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        _consume(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ def token_count_ws(text: Column) -> Column:
 
 def token_count_bpe(text: Column) -> Column:
     """Count of BPE-ish tokens via regexp extraction."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE)))
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -63,9 +63,15 @@ def digit_ratio(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(digits / n)
 
 
+def _isin_fn(words: list[str]):
+    """Single-arg lambda factory: F.filter treats 2-param callables as
+    (element, index), so the word list must be closed over, not defaulted."""
+    return lambda t: t.isin(words)
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     toks = ws_tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    hits = F.size(F.filter(toks, _isin_fn(STOPWORDS[lang])))
     total = F.size(toks)
     return F.when(total == 0, F.lit(0.0)).otherwise(hits / total)
 
@@ -96,7 +102,7 @@ def quality_score(text: Column, lang: str = "en") -> Column:
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = ws_tokens(F.lower(text))
     return {
-        lang: F.size(F.filter(toks, lambda t, ws=words: t.isin(ws)))
+        lang: F.size(F.filter(toks, _isin_fn(words)))
         for lang, words in STOPWORDS.items()
     }
 

@@ -1,0 +1,1105 @@
+"""Driver-facing workload catalog: every implemented operator as a
+(spark_query, oracle_sql) pair over the shared testdata tables.
+
+Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) ->
+DataFrame``; :data:`ORACLES` holds the DuckDB-equivalent ANSI SQL where
+the operator is SQL-expressible (hash-based ops like MinHash/SimHash and
+approximate ANN are rows-only by design). Aliases match column-for-column
+between both sides — the correctness gate hashes values after sorting
+columns by name.
+
+Rounding convention: floating aggregates are rounded (2-6 dp) on BOTH
+sides so double summation order can't flip the value hash; passthrough
+doubles are left exact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_datalake_ingest_upeu_spark.config.models import ColumnSpec, TableSpec
+from cdk_datalake_ingest_upeu_spark.functions.engine import TransformationEngine
+from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+)
+from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from cdk_datalake_ingest_upeu_spark.operators.stage_writer import (
+    StageTable,
+    dedup_latest,
+    merge_upsert,
+)
+from cdk_datalake_ingest_upeu_spark.operators.text import (
+    STOPWORDS,
+    digit_ratio,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from cdk_datalake_ingest_upeu_spark.pipeline.driver import TableProcessor
+from cdk_datalake_ingest_upeu_spark.plans.sqlgen import QueryGenerator
+from cdk_datalake_ingest_upeu_spark.plans.watermark import WatermarkStore
+from cdk_datalake_ingest_upeu_spark.sources.jdbc import ParquetTableSource
+from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+    IncrementalRunner,
+    stream_merge_ingest,
+)
+
+_WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/spark_graft_work")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prepare_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosecond parquet timestamps read as long; truncate to micros
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _prepare_session(spark: SparkSession) -> None:
+    """Session tweaks safe to apply on an externally-created session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # the events table carries TIMESTAMP(NANOS) parquet types Spark refuses
+    # by default; read them as long and convert (see _t)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _tmpdir(tag: str) -> str:
+    path = os.path.join(_WORKDIR, f"{tag}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# ===========================================================================
+# core relational queries (prove the DataFrame/SQL engine surface)
+# ===========================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + 8-agg groupBy (SURVEY A-class)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """Join customer⋈orders⋈lineitem + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Six-way join through region→nation→(customer,supplier)→orders→lineitem."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """Returned-item report: 4-way join + agg + deterministic top-20."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ===========================================================================
+# SQL-generation operators (P1-P7) executed through Spark SQL
+# ===========================================================================
+
+_PROJ_SPEC = TableSpec(
+    stage_table_name="orders_proj",
+    source_table="orders",
+    load_type="full",
+    columns="o_orderkey,o_custkey,o_totalprice,o_orderstatus",
+    id_column="o_orderkey",
+    filter_exp="o_totalprice > 150000",
+    filter_column="o_orderdate >= {0}",
+)
+
+
+def sqlgen_projection_filter(spark, sf_dir):
+    """P1/P2/P4: generated SELECT with id-aliasing + static filter, run by
+    Spark SQL over the same table the oracle sees."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    query = QueryGenerator(_PROJ_SPEC).standard_query()
+    return spark.sql(query)
+
+
+_PROJ_SQL = QueryGenerator(_PROJ_SPEC).standard_query()
+
+
+def sqlgen_dual_range_filter(spark, sf_dir):
+    """P6: dual-column null-guarded BETWEEN filter applied as a predicate."""
+    spec = TableSpec(
+        stage_table_name="li",
+        source_table="lineitem",
+        filter_column="l_quantity,l_extendedprice",
+    )
+    pred = QueryGenerator(spec).dual_range_predicate("10", "20000")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.expr(pred))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_DUAL_SQL = """
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE (l_quantity IS NOT NULL and l_quantity BETWEEN 10 AND 20000)
+   OR (l_extendedprice IS NOT NULL and l_extendedprice BETWEEN 10 AND 20000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def minmax_bounds(spark, sf_dir):
+    """A1: the partition-bounds probe (MIN/MAX excluding 0)."""
+    src = ParquetTableSource(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    lo, hi = src.min_max("l_orderkey")
+    return spark.createDataFrame(
+        [(int(lo), int(hi))], "min_val bigint, max_val bigint"
+    )
+
+
+_MINMAX_SQL = """
+SELECT min(l_orderkey) AS min_val, max(l_orderkey) AS max_val
+FROM lineitem WHERE l_orderkey <> 0
+"""
+
+
+def range_partition_union(spark, sf_dir):
+    """X1 invariant: union of the 10 generated range buckets == full scan."""
+    src = ParquetTableSource(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    lo, hi = src.min_max("l_orderkey")
+    spec = TableSpec(stage_table_name="li", source_table="lineitem")
+    preds = QueryGenerator(spec).range_bucket_predicates("l_orderkey", int(lo), int(hi), 10)
+    return src.read_predicates(preds).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_RANGE_UNION_SQL = """
+-- the bounds probe excludes key 0 (reference WHERE c <> 0), so rows with
+-- l_orderkey = 0 fall outside every generated bucket — by design
+SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_orderkey <> 0
+"""
+
+
+# ===========================================================================
+# window dedup / distinct / merge (W1, D1, S10)
+# ===========================================================================
+
+def window_dedup_latest(spark, sf_dir):
+    """W1: latest row per (user, event_type) via the stage dedup window."""
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_latest(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+_DEDUP_LATEST_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def distinct_flag_status(spark, sf_dir):
+    """D1: full-row distinct on a projection."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def merge_upsert_current_state(spark, sf_dir):
+    """S10 MERGE semantics: base snapshot upserted with a later batch;
+    result must equal the latest row per key overall."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00")
+    base = dedup_latest(ev.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"])
+    batch = dedup_latest(ev.filter(F.col("ts") >= cutoff), ["user_id"], ["ts", "event_id"])
+    merged = merge_upsert(base, batch, ["user_id"])
+    return merged.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+_MERGE_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ===========================================================================
+# transform-function workloads (§2.8) driven through the engine
+# ===========================================================================
+
+_ENGINE = TransformationEngine()
+
+
+def transform_datemagic(spark, sf_dir):
+    """fn_transform_DateMagic over mixed magic-serial / formatted-string /
+    junk inputs derived from l_shipdate."""
+    li = _t(spark, sf_dir, "lineitem")
+    magic = (F.datediff(F.col("l_shipdate"), F.lit("1900-01-01")) + 693596).cast("string")
+    as_str = F.date_format("l_shipdate", "yyyy-MM-dd")
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit("garbage"))
+        .when(F.col("l_linenumber") % 2 == 1, magic)
+        .otherwise(as_str)
+        .alias("input_str"),
+    )
+    cols = [
+        ColumnSpec("l_orderkey", 1, "string", "l_orderkey"),
+        ColumnSpec("l_linenumber", 2, "string", "l_linenumber"),
+        ColumnSpec("fecha", 3, "date", "fn_transform_DateMagic(input_str,yyyy-MM-dd,to_null)"),
+    ]
+    return _ENGINE.apply(src, cols).df
+
+
+_DATEMAGIC_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber % 7 = 0 THEN NULL ELSE CAST(l_shipdate AS DATE) END AS fecha
+FROM lineitem
+"""
+
+
+def transform_datetimemagic(spark, sf_dir):
+    """fn_transform_DatetimeMagic: magic day serial + HHMMSS -> timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        (F.datediff(F.col("ts").cast("date"), F.lit("1900-01-01")) + 693596).alias("day_magic"),
+        (F.hour("ts") * 10000 + F.minute("ts") * 100 + F.second("ts")).alias("hhmmss"),
+    )
+    cols = [
+        ColumnSpec("event_id", 1, "string", "event_id"),
+        ColumnSpec(
+            "fh", 2, "timestamp", "fn_transform_DatetimeMagic(day_magic,hhmmss,yyyy-MM-dd HH:mm:ss)"
+        ),
+    ]
+    return _ENGINE.apply(src, cols).df
+
+
+_DATETIMEMAGIC_SQL = """
+SELECT event_id, date_trunc('second', ts) AS fh FROM events
+"""
+
+
+def transform_case_status(spark, sf_dir):
+    """fn_transform_Case (unmatched keeps original), _with_default, and the
+    compound multi-column '&' form."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        ColumnSpec("o_orderkey", 1, "string", "o_orderkey"),
+        ColumnSpec("status_lbl", 2, "string", "fn_transform_Case(o_orderstatus,O->Open,F->Finished)"),
+        ColumnSpec(
+            "status_done", 3, "string", "fn_transform_Case_with_default(o_orderstatus,O|F->Done,$Other)"
+        ),
+        ColumnSpec(
+            "hot_flag",
+            4,
+            "string",
+            "fn_transform_Case_with_default(o_orderstatus&o_orderpriority,O&1-URGENT->HOT,$COLD)",
+        ),
+    ]
+    return _ENGINE.apply(orders, cols).df
+
+
+_CASE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN 'Open'
+            WHEN o_orderstatus = 'F' THEN 'Finished'
+            ELSE o_orderstatus END AS status_lbl,
+       CASE WHEN o_orderstatus IN ('O','F') THEN 'Done' ELSE 'Other' END AS status_done,
+       CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+            THEN 'HOT' ELSE 'COLD' END AS hot_flag
+FROM orders
+"""
+
+
+def transform_clearstring(spark, sf_dir):
+    """fn_transform_ClearString with $literal default and to-null form."""
+    cust = _t(spark, sf_dir, "customer")
+    mod5 = F.col("c_custkey") % 5
+    src = cust.select(
+        "c_custkey",
+        F.when(mod5 == 0, F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")))
+        .when(mod5 == 1, F.lit("None"))
+        .when(mod5 == 2, F.lit(""))
+        .when(mod5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("raw_name"),
+    )
+    cols = [
+        ColumnSpec("c_custkey", 1, "string", "c_custkey"),
+        ColumnSpec("cleared", 2, "string", "fn_transform_ClearString(raw_name,$MISSING)"),
+        ColumnSpec("cleared_null", 3, "string", "fn_transform_ClearString(raw_name)"),
+    ]
+    return _ENGINE.apply(src, cols).df
+
+
+_CLEARSTRING_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 IN (1,2,3) THEN 'MISSING' ELSE c_name END AS cleared,
+       CASE WHEN c_custkey % 5 IN (1,2,3) THEN NULL ELSE c_name END AS cleared_null
+FROM customer
+"""
+
+
+def transform_concat_period(spark, sf_dir):
+    """fn_transform_Concatenate / _ws and fn_transform_PeriodMagic."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("int"))
+        .otherwise(F.month("o_orderdate"))
+        .alias("mes"),
+        F.year("o_orderdate").alias("anyo"),
+    )
+    cols = [
+        ColumnSpec("o_orderkey", 1, "string", "o_orderkey"),
+        ColumnSpec("full_tag", 2, "string", "fn_transform_Concatenate(o_orderstatus,o_orderpriority)"),
+        ColumnSpec("tag_ws", 3, "string", "fn_transform_Concatenate_ws(o_orderstatus,o_orderpriority,-)"),
+        ColumnSpec("periodo", 4, "string", "fn_transform_PeriodMagic(mes,anyo)"),
+    ]
+    return _ENGINE.apply(src, cols).df
+
+
+_CONCAT_PERIOD_SQL = """
+SELECT o_orderkey,
+       o_orderstatus || '|' || o_orderpriority AS full_tag,
+       o_orderstatus || '-' || o_orderpriority AS tag_ws,
+       CASE WHEN o_orderkey % 11 = 0 THEN '190001'
+            ELSE CAST(year(o_orderdate) AS VARCHAR) ||
+                 lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') END AS periodo
+FROM orders
+"""
+
+
+def transform_bytemagic_casts(spark, sf_dir):
+    """fn_transform_ByteMagic + Integer/Double/Boolean/Numeric casts."""
+    li = _t(spark, sf_dir, "lineitem")
+    mod5 = F.col("l_linenumber") % 5
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(mod5 == 0, F.lit("T"))
+        .when(mod5 == 1, F.lit("F"))
+        .when(mod5 == 2, F.lit("0x54"))
+        .when(mod5 == 3, F.lit("0x46"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("flag_src"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("true")).otherwise(F.lit("0")).alias("bool_str"),
+        F.col("l_discount").cast("string").alias("disc_str"),
+    )
+    cols = [
+        ColumnSpec("l_orderkey", 1, "string", "l_orderkey"),
+        ColumnSpec("l_linenumber", 2, "string", "l_linenumber"),
+        ColumnSpec("flag", 3, "string", "fn_transform_ByteMagic(flag_src,$F)"),
+        ColumnSpec("qty_int", 4, "int", "fn_transform_Integer(l_linenumber)"),
+        ColumnSpec("price_dbl", 5, "double", "fn_transform_Double(price_str)"),
+        ColumnSpec("bool_col", 6, "boolean", "fn_transform_Boolean(bool_str)"),
+        ColumnSpec("disc_num", 7, "numeric(12,4)", "fn_transform_Numeric(disc_str)"),
+    ]
+    out = _ENGINE.apply(src, cols).df
+    return out.withColumn("disc_num", F.col("disc_num").cast("double"))
+
+
+_BYTEMAGIC_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE l_linenumber % 5
+            WHEN 0 THEN 'T' WHEN 1 THEN 'F' WHEN 2 THEN 'T' WHEN 3 THEN 'F'
+            ELSE 'F' END AS flag,
+       CAST(l_linenumber AS INTEGER) AS qty_int,
+       l_extendedprice AS price_dbl,
+       (l_linenumber % 2 = 0) AS bool_col,
+       CAST(CAST(l_discount AS DECIMAL(12,4)) AS DOUBLE) AS disc_num
+FROM lineitem
+"""
+
+
+# ===========================================================================
+# end-to-end stage pipeline (flagship)
+# ===========================================================================
+
+_E2E_COLUMNS = [
+    ColumnSpec("order_id", 1, "string", "o_orderkey", is_id=True, is_order_by=True),
+    ColumnSpec("customer_name", 2, "string", "fn_transform_ClearString(c_name,$UNKNOWN)"),
+    ColumnSpec(
+        "segment", 3, "string", "fn_transform_Case(c_mktsegment,BUILDING|AUTOMOBILE->B2C,MACHINERY->B2B)"
+    ),
+    ColumnSpec(
+        "status_lbl", 4, "string", "fn_transform_Case_with_default(o_orderstatus,O->Open,F|P->Closed,$NA)"
+    ),
+    ColumnSpec("periodo", 5, "string", "fn_transform_PeriodMagic(mes,anyo)"),
+    ColumnSpec("total_dbl", 6, "double", "fn_transform_Double(o_totalprice)"),
+    ColumnSpec("created_at", 7, "timestamp", "fn_transform_Datetime(o_orderdate)", is_filter_date=True),
+    ColumnSpec("tag", 8, "string", "fn_transform_Concatenate(o_orderstatus,c_mktsegment)"),
+]
+
+
+def _e2e_raw(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "c_name",
+            "c_mktsegment",
+            F.month("o_orderdate").alias("mes"),
+            F.year("o_orderdate").alias("anyo"),
+        )
+    )
+
+
+def stage_pipeline_e2e(spark, sf_dir):
+    """Full light-transform lifecycle: join-shaped raw -> config-driven
+    transforms -> dedup window -> orderBy -> stage write -> read back."""
+    raw = _e2e_raw(spark, sf_dir)
+    spec = TableSpec(stage_table_name="orders_stage", source_table="orders", load_type="full")
+    stage_root = _tmpdir("e2e")
+    try:
+        processor = TableProcessor(spark, stage_root)
+        outcome = processor.process_table(raw, spec, _E2E_COLUMNS)
+        assert outcome.status in ("SUCCESS", "WARNING"), outcome.error
+        result = processor.stage_table(spec, _E2E_COLUMNS).read()
+        # materialize before the tmp dir is cleaned
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
+    return result
+
+
+_E2E_SQL = """
+SELECT o_orderkey AS order_id,
+       c_name AS customer_name,
+       CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'B2C'
+            WHEN c_mktsegment = 'MACHINERY' THEN 'B2B'
+            ELSE c_mktsegment END AS segment,
+       CASE WHEN o_orderstatus = 'O' THEN 'Open'
+            WHEN o_orderstatus IN ('F','P') THEN 'Closed'
+            ELSE 'NA' END AS status_lbl,
+       CAST(year(o_orderdate) AS VARCHAR) ||
+           lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS periodo,
+       o_totalprice AS total_dbl,
+       o_orderdate AS created_at,
+       o_orderstatus || '|' || c_mktsegment AS tag
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ===========================================================================
+# incremental / streaming ingestion
+# ===========================================================================
+
+def incremental_watermark_2phase(spark, sf_dir):
+    """I2: two watermark-driven micro-runs land the full table exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("wm")
+    try:
+        store = WatermarkStore(os.path.join(work, "wm.json"), project="t")
+        runner = IncrementalRunner(store, table="events", column="ts")
+        land_dir = os.path.join(work, "landed")
+
+        state = {"first": True}
+
+        def sink(df):
+            df.write.mode("overwrite" if state["first"] else "append").parquet(land_dir)
+            state["first"] = False
+
+        cutoff = "2024-01-16 00:00:00"
+        runner.run(lambda: ev.filter(F.col("ts") <= cutoff), sink)
+        assert store.status("events", "ts") == "CONFIRMED"
+        runner.run(lambda: ev, sink)  # only rows above the stored mark land
+        out = spark.read.parquet(land_dir).select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_WATERMARK_SQL = """
+SELECT event_id, user_id, ts, event_type, value FROM events
+"""
+
+
+def streaming_merge_ingest_query(spark, sf_dir):
+    """Structured Streaming foreachBatch MERGE: stream the events table in,
+    stage ends at latest-per-user state."""
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("stream")
+    try:
+        src_dir = os.path.join(work, "in")
+        ev.write.mode("overwrite").parquet(src_dir)
+        stage = StageTable(spark, os.path.join(work, "stage"))
+        q = stream_merge_ingest(
+            spark,
+            src_dir,
+            ev.schema,
+            stage,
+            key_columns=["user_id"],
+            event_time_column="ts",
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name=f"ingest_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = stage.read().select("user_id", "event_id", "ts", "event_type", "value")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# same target state as the batch MERGE check
+_STREAM_SQL = _MERGE_SQL
+
+
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup (streaming-shaped agg, run on the batch table)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ===========================================================================
+# text analysis / dedup / similarity (training-data pipeline ops)
+# ===========================================================================
+
+def text_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality_score"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _dd_tokens(expr: str = "lower(trim(text))") -> str:
+    return f"string_split_regex({expr}, '\\s+')"
+
+
+_EN = "['" + "','".join(STOPWORDS["en"]) + "']"
+
+_TEXT_FEATURES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_dd_tokens()} END AS ltoks
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens_ws,
+         len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END AS digit_ratio,
+         CASE WHEN len(ltoks) = 0 THEN 0.0
+              ELSE len(list_filter(ltoks, x -> list_contains({_EN}, x))) * 1.0 / len(ltoks) END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE length(regexp_replace(trim(text), '\\s', '', 'g')) * 1.0 / len(toks) END AS mean_wl
+  FROM base
+)
+SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round((least(n_tokens_ws / 100.0, 1.0)
+              + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 1.0 ELSE 0.5 END)
+              + (1.0 - least(punct_ratio * 4, 1.0))
+              + (1.0 - least(digit_ratio * 4, 1.0))
+              + least(stopword_ratio * 4, 1.0)) / 5.0, 4) AS quality_score,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM feat
+"""
+
+
+def text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_count(lang: str) -> str:
+    words = "['" + "','".join(STOPWORDS[lang]) + "']"
+    return f"len(list_filter(ltoks, x -> list_contains({words}, x)))"
+
+
+_LANGID_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_dd_tokens()} END AS ltoks
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+         {_lang_count('en')} AS s_en, {_lang_count('es')} AS s_es,
+         {_lang_count('fr')} AS s_fr, {_lang_count('de')} AS s_de
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+            WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+            WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM scores
+"""
+
+
+def dedup_exact_stats(spark, sf_dir):
+    """Exact dedup accounting per source: docs vs distinct fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .withColumn("n_dups", F.col("n_docs") - F.col("n_unique"))
+        .orderBy("source")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique,
+       count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dups
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (rows-only: hash family not in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs >= 0.5 via inverted-index join."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS g FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only:
+    plane family generated from the seeded driver RNG)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.9).orderBy("id_a", "id_b")
+
+
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_bruteforce(emb, q, k=10).orderBy("query_id", "rank")
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def ann_topk_lsh(spark, sf_dir):
+    """Approximate ANN (rows-only; recall vs brute force asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_lsh(emb, q, k=10, dim=dim).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Binary-column frame sampling; compares sampled frame sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = sample_video_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_index", F.length("frame_bytes").alias("frame_len")
+    ).orderBy("doc_id", "frame_index")
+
+
+_FRAME_SQL = """
+WITH media AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, n, least(greatest(n // 64, 1), 8) AS n_frames FROM media
+)
+SELECT doc_id, unnest(range(n_frames))::INT AS frame_index,
+       least(64, n - unnest(range(n_frames)) * 64)::INT AS frame_len
+FROM f ORDER BY doc_id, frame_index
+"""
+
+
+def multimodal_image_features(spark, sf_dir):
+    """Arrow-batched stub decode via mapInPandas (rows-only; the decode is
+    a registered stub — the distributed plumbing is what's exercised)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_image_features(media)
+    return feats.select("doc_id", "n_bytes").orderBy("doc_id")
+
+
+_IMG_FEATURES_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# catalog
+# ===========================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "q10_returned_items": q10_returned_items,
+    "sqlgen_projection_filter": sqlgen_projection_filter,
+    "sqlgen_dual_range_filter": sqlgen_dual_range_filter,
+    "minmax_bounds": minmax_bounds,
+    "range_partition_union": range_partition_union,
+    "window_dedup_latest": window_dedup_latest,
+    "distinct_flag_status": distinct_flag_status,
+    "merge_upsert_current_state": merge_upsert_current_state,
+    "transform_datemagic": transform_datemagic,
+    "transform_datetimemagic": transform_datetimemagic,
+    "transform_case_status": transform_case_status,
+    "transform_clearstring": transform_clearstring,
+    "transform_concat_period": transform_concat_period,
+    "transform_bytemagic_casts": transform_bytemagic_casts,
+    "stage_pipeline_e2e": stage_pipeline_e2e,
+    "incremental_watermark_2phase": incremental_watermark_2phase,
+    "streaming_merge_ingest": streaming_merge_ingest_query,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_sessionization": events_sessionization,
+    "text_features": text_features,
+    "text_langid": text_langid,
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "embedding_neardup": embedding_neardup,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_features": multimodal_image_features,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_top_revenue_orders": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "sqlgen_projection_filter": _PROJ_SQL,
+    "sqlgen_dual_range_filter": _DUAL_SQL,
+    "minmax_bounds": _MINMAX_SQL,
+    "range_partition_union": _RANGE_UNION_SQL,
+    "window_dedup_latest": _DEDUP_LATEST_SQL,
+    "distinct_flag_status": _DISTINCT_SQL,
+    "merge_upsert_current_state": _MERGE_SQL,
+    "transform_datemagic": _DATEMAGIC_SQL,
+    "transform_datetimemagic": _DATETIMEMAGIC_SQL,
+    "transform_case_status": _CASE_SQL,
+    "transform_clearstring": _CLEARSTRING_SQL,
+    "transform_concat_period": _CONCAT_PERIOD_SQL,
+    "transform_bytemagic_casts": _BYTEMAGIC_SQL,
+    "stage_pipeline_e2e": _E2E_SQL,
+    "incremental_watermark_2phase": _WATERMARK_SQL,
+    "streaming_merge_ingest": _STREAM_SQL,
+    "events_hourly_rollup": _ROLLUP_SQL,
+    "events_sessionization": _SESSION_SQL,
+    "text_features": _TEXT_FEATURES_SQL,
+    "text_langid": _LANGID_SQL,
+    "dedup_exact_stats": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "ann_topk_bruteforce": _ANN_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_image_features": _IMG_FEATURES_SQL,
+    # rows-only (non-SQL-expressible hash families / approximate results):
+    # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
+}

@@ -1,0 +1,127 @@
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.config.models import ColumnSpec, TableSpec
+from cdk_datalake_ingest_upeu_spark.pipeline.driver import RunLog, TableProcessor
+from cdk_datalake_ingest_upeu_spark.plans.strategy import LoadMode
+from cdk_datalake_ingest_upeu_spark.plans.watermark import WatermarkStore
+from cdk_datalake_ingest_upeu_spark.streaming.incremental import IncrementalRunner
+
+COLS = [
+    ColumnSpec("id", 1, "int", "fn_transform_Integer(id)", is_id=True, is_order_by=True),
+    ColumnSpec("name", 2, "string", "fn_transform_ClearString(name,$NN)"),
+    ColumnSpec("updated", 3, "timestamp", "fn_transform_Datetime(updated)", is_filter_date=True),
+]
+
+
+def spec(load_type="full"):
+    return TableSpec(stage_table_name="t1", source_table="t1", load_type=load_type)
+
+
+def raw(spark, rows):
+    return spark.createDataFrame(rows, "id string, name string, updated string")
+
+
+def test_full_load_then_incremental_merge(spark, tmp_path):
+    p = TableProcessor(spark, os.path.join(tmp_path, "stage"))
+    r1 = raw(
+        spark,
+        [("1", "a", "2024-01-01 00:00:00"), ("2", "None", "2024-01-01 00:00:00")],
+    )
+    out = p.process_table(r1, spec("full"), COLS)
+    assert out.status == "SUCCESS" and out.rows_out == 2
+
+    stage = p.stage_table(spec(), COLS)
+    got = {r.id: r.name for r in stage.read().collect()}
+    assert got == {1: "a", 2: "NN"}  # ClearString default applied
+
+    # incremental batch updates id=2, inserts id=3
+    r2 = raw(spark, [("2", "bb", "2024-02-01 00:00:00"), ("3", "c", "2024-02-01 00:00:00")])
+    out2 = p.process_table(r2, spec("incremental"), COLS)
+    assert out2.status == "SUCCESS" and out2.rows_out == 3
+    got2 = {r.id: r.name for r in stage.read().collect()}
+    assert got2 == {1: "a", 2: "bb", 3: "c"}
+
+
+def test_dedup_window_keeps_latest_version(spark, tmp_path):
+    p = TableProcessor(spark, os.path.join(tmp_path, "stage"))
+    r1 = raw(
+        spark,
+        [
+            ("1", "old", "2024-01-01 00:00:00"),
+            ("1", "new", "2024-03-01 00:00:00"),
+        ],
+    )
+    out = p.process_table(r1, spec("full"), COLS)
+    assert out.rows_out == 1
+    got = p.stage_table(spec(), COLS).read().collect()
+    assert got[0].name == "new"
+
+
+def test_empty_source_creates_schema_only_stage(spark, tmp_path):
+    p = TableProcessor(spark, os.path.join(tmp_path, "stage"))
+    empty = raw(spark, []).limit(0)
+    out = p.process_table(empty, spec("full"), COLS)
+    assert out.status == "WARNING"
+    stage = p.stage_table(spec(), COLS)
+    got = stage.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "name", "updated"]
+
+
+def test_run_log_records(spark, tmp_path):
+    log_path = os.path.join(tmp_path, "log.jsonl")
+    p = TableProcessor(spark, os.path.join(tmp_path, "stage"), RunLog(log_path))
+    p.process_table(raw(spark, [("1", "a", "2024-01-01 00:00:00")]), spec(), COLS)
+    assert os.path.exists(log_path)
+    assert "SUCCESS" in open(log_path).read()
+
+
+def test_incremental_runner_watermark_flow(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id int, seq int"
+    )
+    store = WatermarkStore(os.path.join(tmp_path, "wm.json"))
+    runner = IncrementalRunner(store, table="ev", column="seq")
+    landed = []
+
+    n1 = runner.run(lambda: ev.filter(F.col("seq") <= 20), lambda df: landed.append(df.count()))
+    assert n1 == 2 and store.get("ev", "seq") == 20
+
+    # second run sees the full table but only ingests above the mark
+    n2 = runner.run(lambda: ev, lambda df: landed.append(df.count()))
+    assert n2 == 1 and store.get("ev", "seq") == 30
+
+    # nothing new -> no-op, mark unchanged
+    n3 = runner.run(lambda: ev, lambda df: landed.append(df.count()))
+    assert n3 == 0 and store.get("ev", "seq") == 30
+
+
+def test_incremental_runner_rolls_back_on_sink_failure(spark, tmp_path):
+    ev = spark.createDataFrame([(1, 10)], "id int, seq int")
+    store = WatermarkStore(os.path.join(tmp_path, "wm.json"))
+    runner = IncrementalRunner(store, table="ev", column="seq")
+
+    def bad_sink(df):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        runner.run(lambda: ev, bad_sink)
+    assert store.get("ev", "seq") is None  # rolled back
+
+    runner.run(lambda: ev, lambda df: None)
+    assert store.get("ev", "seq") == 10
+
+
+def test_incremental_runner_reset_mode(spark, tmp_path):
+    ev = spark.createDataFrame([(1, 10), (2, 20)], "id int, seq int")
+    store = WatermarkStore(os.path.join(tmp_path, "wm.json"))
+    runner = IncrementalRunner(store, table="ev", column="seq")
+    runner.run(lambda: ev, lambda df: None)
+    assert store.get("ev", "seq") == 20
+    # RESET re-ingests everything
+    n = runner.run(lambda: ev, lambda df: None, mode=LoadMode.RESET)
+    assert n == 2

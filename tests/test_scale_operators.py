@@ -1,0 +1,172 @@
+"""Tests for the training-data-pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+)
+from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from cdk_datalake_ingest_upeu_spark.operators.text import add_text_features
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("today", "tonight")  # one-token change
+FAR = "completely different content about spark query engines and shuffles"
+
+
+def docs_df(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, FAR),
+        (5, "  THE  quick brown fox jumps over the lazy dog near the old river bank today "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark):
+    out = exact_dedup(docs_df(spark))
+    ids = sorted(r.doc_id for r in out.collect())
+    # 2 and 5 (case/whitespace variant) collapse into 1
+    assert ids == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs_df(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert all(not (a == 4 or b == 4) for a, b in pairs)
+
+
+def test_minhash_dedup_keeps_min_id(spark):
+    out = sorted(r.doc_id for r in minhash_dedup(docs_df(spark), threshold=0.5).collect())
+    assert out == [1, 4]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # BASE has 15 tokens -> 13 distinct 3-gram shingles; NEAR changes the
+    # last token, altering only the final shingle -> 12 shared, union 14
+    expected = round(12 / 14, 6)
+    assert abs(pairs[(1, 3)] - expected) < 1e-6
+
+
+def test_simhash_identical_and_near(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash64(docs_df(spark)).collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    pairs = simhash_pairs(docs_df(spark), max_hamming=16).collect()
+    keys = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in keys
+    hams = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert hams[(1, 2)] == 0
+
+
+def emb_df(spark, n=60, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    vecs[1] = vecs[0] * 1.5  # same direction as 0 -> cosine 1
+    vecs[2] = vecs[0] + rng.standard_normal(dim).astype("float32") * 0.05
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup(spark):
+    emb = emb_df(spark)
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_near_dup_pairs(emb, dim=8, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.999999
+    assert (0, 2) in pairs
+
+
+def test_ann_bruteforce_exact_and_deterministic(spark):
+    emb = emb_df(spark)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_bruteforce(emb, q, k=3).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    # query 0's best neighbors: itself and the colinear vec 1 (cosine 1.0)
+    top0 = sorted(by_query[0])
+    assert top0[0][1] == 0 and top0[0][2] == 1.0
+    assert top0[1][1] == 1 and top0[1][2] == 1.0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = emb_df(spark, n=100)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = cosine_topk_lsh(emb, q, k=5, dim=8, n_planes=16, bands=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_text_features_shapes(spark):
+    out = add_text_features(docs_df(spark)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_tokens_ws == 15
+    assert by_id[1].fingerprint == by_id[2].fingerprint == by_id[5].fingerprint
+    assert by_id[1].lang_pred == "en"
+    assert 0.0 <= by_id[1].quality_score <= 1.0
+    assert by_id[1].stopword_ratio == pytest.approx(3 / 15)  # 'the' x3 of 15
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 300)), (2, bytearray(b"y" * 10))],
+        "doc_id long, payload binary",
+    )
+    frames = sample_video_frames(media, every_n_bytes=64, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(len(r.frame_bytes))
+    assert by_doc[1] == [64, 64, 64, 64]  # 300 // 64 = 4 frames
+    assert by_doc[2] == [10]  # short payload -> 1 truncated frame
+
+
+def test_multimodal_feature_extraction_stub(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in extract_image_features(media).collect()}
+    assert out[1].n_bytes == 3
+    assert len(out[1].feature) == 8
+    assert out[1].feature[0] == 3.0  # stub: first feature = byte length
+    assert out[2].n_bytes == 0
+
+
+def test_unknown_media_type_raises(spark):
+    media = spark.createDataFrame([(1, bytearray(b"a"))], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, media_type="audio")

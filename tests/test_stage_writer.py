@@ -1,0 +1,90 @@
+import os
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.stage_writer import (
+    StageTable,
+    dedup_latest,
+    merge_upsert,
+)
+
+
+def test_dedup_latest_keeps_newest(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "old"), (1, "2024-02-01", "new"), (2, "2024-01-15", "only")],
+        "id int, updated string, payload string",
+    )
+    out = dedup_latest(df, ["id"], ["updated"]).orderBy("id").collect()
+    assert [(r.id, r.payload) for r in out] == [(1, "new"), (2, "only")]
+
+
+def test_dedup_latest_noop_without_keys(spark):
+    df = spark.createDataFrame([(1,), (1,)], "id int")
+    assert dedup_latest(df, [], ["id"]).count() == 2
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    source = spark.createDataFrame([(2, "B"), (4, "D")], "id int, v string")
+    out = {r.id: r.v for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_stage_table_overwrite_and_merge(spark, tmp_path):
+    path = os.path.join(tmp_path, "tbl")
+    stage = StageTable(spark, path)
+    assert not stage.exists()
+
+    t0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    stage.overwrite(t0)
+    assert stage.exists()
+    assert stage.read().count() == 2
+
+    batch = spark.createDataFrame([(2, "B"), (3, "C")], "id int, v string")
+    stage.merge(batch, ["id"])
+    out = {r.id: r.v for r in stage.read().collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
+
+
+def test_stage_table_partitioned_merge_rewrites_only_touched(spark, tmp_path):
+    path = os.path.join(tmp_path, "ptbl")
+    stage = StageTable(spark, path, partition_columns=["dt"])
+    t0 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], "id int, v string, dt string"
+    )
+    stage.overwrite(t0)
+    # batch touches only partition d1
+    batch = spark.createDataFrame([(2, "B", "d1"), (9, "X", "d1")], "id int, v string, dt string")
+    stage.merge(batch, ["id"])
+    out = {r.id: (r.v, r.dt) for r in stage.read().collect()}
+    assert out == {1: ("a", "d1"), 2: ("B", "d1"), 9: ("X", "d1"), 3: ("c", "d2")}
+
+
+def test_stage_table_merge_on_missing_table_creates(spark, tmp_path):
+    path = os.path.join(tmp_path, "fresh")
+    stage = StageTable(spark, path)
+    stage.merge(spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    assert stage.read().count() == 1
+
+
+def test_write_empty_preserves_schema(spark, tmp_path):
+    path = os.path.join(tmp_path, "empty")
+    stage = StageTable(spark, path)
+    df = spark.createDataFrame([(1, 2.0)], "id int, v double")
+    stage.write_empty(df)
+    got = stage.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+def test_optimize_compacts_files(spark, tmp_path):
+    path = os.path.join(tmp_path, "opt")
+    stage = StageTable(spark, path)
+    stage.overwrite(spark.range(1000).repartition(16).withColumn("v", F.rand(42)))
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    stage.optimize(target_partitions=2)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after <= 2 < n_before
+    assert stage.read().count() == 1000

@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every QUERIES entry on Spark and its ORACLES SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and
+order-insensitive values. Usage:
+
+    python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdk_datalake_ingest_upeu_spark import get_spark  # noqa: E402
+from cdk_datalake_ingest_upeu_spark.workloads import ORACLES, QUERIES  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return norm_cell(v.item())
+        if isinstance(v, np.ndarray):
+            return tuple(norm_cell(x) for x in v.tolist())
+    except ImportError:
+        pass
+    return v
+
+
+def frame_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"no such query: {sorted(unknown)}; known: {sorted(QUERIES)}")
+        sys.exit(2)
+
+    spark = get_spark("oracle-compare")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        sql = ORACLES.get(name)
+        if sql is None:
+            print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.sql(sql)
+            o_cols = list(res.columns)
+            o_rows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+
+        sc, sr = frame_to_rows(s_cols, s_rows)
+        oc, orows = frame_to_rows(o_cols, o_rows)
+        if sc != oc:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ spark={sc} oracle={oc}")
+            continue
+        if len(sr) != len(orows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sr)} oracle={len(orows)}")
+            continue
+        bad = [(a, b) for a, b in zip(sr, orows) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ; first: ")
+            print("  spark :", bad[0][0])
+            print("  oracle:", bad[0][1])
+            continue
+        print(f"ok    {name}: {len(sr)} rows match")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
