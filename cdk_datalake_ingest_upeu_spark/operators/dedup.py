@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,6 +140,9 @@ def minhash_lsh_pairs(
     banded = sig.select("__id", "__shingles", F.explode(band_cols).alias("bb")).select(
         "__id", "__shingles", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
+    # the self-join below reads this subtree twice; materialize signatures
+    # once (at scale you'd checkpoint them to a table for the same reason)
+    banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -206,6 +211,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     exploded = base.select("__id", "__n", F.explode("__sh").alias("__g"))
+    # self-joined twice below: materialize the shingle pass once
+    exploded = exploded.persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
@@ -286,6 +293,8 @@ def simhash_pairs(
     banded = sigs.select("__id", "simhash", F.explode(block_arr).alias("bb")).select(
         "__id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval")
     )
+    # self-joined twice below: materialize the signature pass once
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -322,10 +331,53 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
-    """dot(vec, constant plane) as an unrolled codegen expression."""
+    """dot(vec, constant plane) as an unrolled codegen expression.
+
+    Only suitable for SMALL dim*n_planes products: unrolling 16 planes x
+    64 dims into one projection exceeds janino's 64KB method limit and
+    Spark silently falls back to interpreted eval. Use
+    :func:`_plane_sign_bits` for real embedding widths."""
     return sum(
         (vec[i] * float(w) for i, w in enumerate(plane)),
         F.lit(0.0),
+    )
+
+
+def _plane_sign_bits(planes: list[list[float]]):
+    """Arrow-batched Pandas UDF packing sign(dot(vec, plane_i)) for all
+    planes into one long (bit i = plane i), via a single numpy matmul
+    per batch — the vectorized path for embedding math. Requires
+    n_planes <= 62 and non-null vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = np.uint64(1) << np.arange(P.shape[1], dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (M @ P) > 0.0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(packed)
+
+    return sig
+
+
+def _band_bucket_structs(sig_col: Column, n_planes: int, bands: int) -> Column:
+    """Array of (band, bucket) structs extracted from the packed sign
+    bits by shift/mask — pure codegen, no per-plane expressions."""
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(sig_col, bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
     )
 
 
@@ -359,25 +411,23 @@ def embedding_near_dup_pairs(
     a 4-bit band catches a true pair with p≈0.66 per band — 4 bands
     push recall >98% while keeping buckets tiny on spread-out data.
     """
-    width = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col)
-    bits = [(_dot_literal(vec, p) > 0).cast("int") for p in planes]
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                sum(
-                    (bits[bi * width + r] * (2**r) for r in range(width)),
-                    F.lit(0),
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
+    tagged = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            vec.alias("__v"),
+            _plane_sign_bits(planes)(vec).alias("__sig"),
+        )
+        .select(
+            "__id",
+            "__v",
+            F.explode(_band_bucket_structs(F.col("__sig"), n_planes, bands)).alias("bb"),
+        )
+        .select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
-    tagged = df.select(
-        F.col(id_col).alias("__id"), vec.alias("__v"), F.explode(band_structs).alias("bb")
-    ).select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # self-joined twice below: materialize the signature pass once
+    tagged = tagged.persist()
 
     a, b = tagged.alias("a"), tagged.alias("b")
     return (

@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_upeu_spark.operators.dedup import (
-    _dot_literal,
+    _band_bucket_structs,
     _hyperplanes,
+    _plane_sign_bits,
     cosine,
 )
 
@@ -58,21 +59,30 @@ def cosine_topk_bruteforce(
     )
 
 
-def _band_tags(vec_col: str, planes: list[list[float]], bands: int):
+def _tag_bands(
+    df: DataFrame,
+    id_expr,
+    vec_col: str,
+    vec_alias: str,
+    planes: list[list[float]],
+    bands: int,
+):
+    """(id, vec, band, bucket) rows: packed sign bits via the vectorized
+    Pandas UDF, band buckets extracted by shift/mask (codegen)."""
     n_planes = len(planes)
-    width = n_planes // bands
-    vec = F.col(vec_col)
-    bits = [(_dot_literal(vec, p) > 0).cast("int") for p in planes]
-    return F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                sum((bits[bi * width + r] * (2**r) for r in range(width)), F.lit(0)).alias(
-                    "bucket"
-                ),
-            )
-            for bi in range(bands)
-        ]
+    return (
+        df.select(
+            id_expr,
+            F.col(vec_col).alias(vec_alias),
+            _plane_sign_bits(planes)(F.col(vec_col)).alias("__sig"),
+        )
+        .select(
+            "*", F.explode(_band_bucket_structs(F.col("__sig"), n_planes, bands)).alias("bb")
+        )
+        .drop("__sig")
+        .withColumn("band", F.col("bb.band"))
+        .withColumn("bucket", F.col("bb.bucket"))
+        .drop("bb")
     )
 
 
@@ -95,17 +105,10 @@ def cosine_topk_lsh(
     :func:`cosine_topk_bruteforce` (ranks are within retrieved set)."""
     planes = _hyperplanes(dim, n_planes, seed)
 
-    c_tag = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        F.explode(_band_tags(corpus_vec, planes, bands)).alias("bb"),
-    ).select("neighbor_id", "__cv", "bb.band", "bb.bucket")
-
-    q_tag = queries.select(
-        F.col(query_id),
-        F.col(query_vec).alias("__qv"),
-        F.explode(_band_tags(query_vec, planes, bands)).alias("bb"),
-    ).select(query_id, "__qv", "bb.band", "bb.bucket")
+    c_tag = _tag_bands(
+        corpus, F.col(corpus_id).alias("neighbor_id"), corpus_vec, "__cv", planes, bands
+    )
+    q_tag = _tag_bands(queries, F.col(query_id), query_vec, "__qv", planes, bands)
 
     candidates = (
         c_tag.join(F.broadcast(q_tag), on=["band", "bucket"])

@@ -131,16 +131,27 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), the dedup unit for MinHash /
-    Jaccard. Documents shorter than n words yield their full token join."""
+    Jaccard. Documents shorter than n words yield their full token join.
+
+    Built as zip_with over n shifted slices of the token array rather
+    than transform-over-sequence: expressions referenced inside a
+    higher-order-function lambda are re-evaluated per ELEMENT, so a
+    lambda touching the tokenization expr re-tokenizes the document for
+    every gram; the zip_with lambdas only touch their element vars."""
     toks = ws_tokens(normalized_text(text))
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(k == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    m = F.greatest(k - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(
+        k < n,
+        F.when(k == 0, F.array().cast("array<string>")).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        ),
+    ).otherwise(F.array_distinct(grams))
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
