@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "merge_upsert_current_state",
     "transform_datemagic",
     "transform_bytemagic_casts",
+    "transform_date_formats",
+    "sink_csv_gz_roundtrip",
+    "stage_partition_pruned_read",
     "stage_pipeline_e2e",
     "events_hourly_rollup",
     "events_sessionization",

@@ -15,6 +15,7 @@ doubles are left exact.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -59,6 +60,7 @@ from cdk_datalake_ingest_upeu_spark.operators.text import (
 from cdk_datalake_ingest_upeu_spark.pipeline.driver import TableProcessor
 from cdk_datalake_ingest_upeu_spark.plans.sqlgen import QueryGenerator
 from cdk_datalake_ingest_upeu_spark.plans.watermark import WatermarkStore
+from cdk_datalake_ingest_upeu_spark.sources.files import empty_frame, write_csv_gz
 from cdk_datalake_ingest_upeu_spark.sources.jdbc import ParquetTableSource
 from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
     IncrementalRunner,
@@ -87,8 +89,13 @@ def _prepare_session(spark: SparkSession) -> None:
 
 
 def _tmpdir(tag: str) -> str:
+    """Scratch dir for queries that materialize a stage table. Cleanup is
+    deferred to process exit so the query can return a LAZY DataFrame over
+    the written files — collecting to the driver just to outlive an
+    eagerly-deleted directory would be an anti-pattern at any scale."""
     path = os.path.join(_WORKDIR, f"{tag}-{uuid.uuid4().hex[:8]}")
     os.makedirs(path, exist_ok=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 
@@ -594,6 +601,105 @@ FROM lineitem
 """
 
 
+def transform_date_formats(spark, sf_dir):
+    """fn_transform_Date (format map + default) and
+    fn_transform_Date_to_String (date_format rendering)."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_iso"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("d_dirty"),
+    )
+    cols = [
+        ColumnSpec("o_orderkey", 1, "string", "o_orderkey"),
+        ColumnSpec("d_parsed", 2, "date", "fn_transform_Date(d_iso,yyyy-MM-dd)"),
+        ColumnSpec(
+            "d_defaulted", 3, "date", "fn_transform_Date(d_dirty,yyyy-MM-dd,1900-01-01)"
+        ),
+        ColumnSpec(
+            "period_str",
+            4,
+            "string",
+            "fn_transform_Date_to_String(fn_transform_Date(d_iso,yyyy-MM-dd),yyyyMM)",
+        ),
+    ]
+    return _ENGINE.apply(src, cols).df
+
+
+_DATE_FORMATS_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d_parsed,
+       CASE WHEN o_orderkey % 3 = 0 THEN DATE '1900-01-01'
+            ELSE CAST(o_orderdate AS DATE) END AS d_defaulted,
+       strftime(CAST(o_orderdate AS DATE), '%Y%m') AS period_str
+FROM orders
+"""
+
+
+def sink_csv_gz_roundtrip(spark, sf_dir):
+    """S8: pipe-delimited QUOTE_ALL csv.gz sink, read back typed."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_tmpdir("csvgz"), "orders_csv")
+    write_csv_gz(orders, path)
+    return spark.read.option("header", "true").schema(orders.schema).csv(path, sep="|")
+
+
+_CSV_GZ_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
+def empty_result_schema(spark, sf_dir):
+    """S13: zero-row source still materializes a typed stage table so
+    downstream readers see a stable schema."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("loaded_at", T.TimestampType()),
+        ]
+    )
+    stage = StageTable(spark, os.path.join(_tmpdir("empty"), "stage"))
+    stage.write_empty(empty_frame(spark, schema))
+    return stage.read()
+
+
+_EMPTY_SQL = """
+SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS name,
+       CAST(NULL AS TIMESTAMP) AS loaded_at WHERE 1 = 0
+"""
+
+
+def stage_partition_pruned_read(spark, sf_dir):
+    """I6 + partition pruning: stage table partitioned by period; reading
+    one period scans only that partition's files (PartitionFilters, not a
+    full-table scan — the property that keeps reprocessing cheap at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "periodo", F.date_format("o_orderdate", "yyyyMM")
+    )
+    stage = StageTable(
+        spark,
+        os.path.join(_tmpdir("partstage"), "orders_by_period"),
+        partition_columns=["periodo"],
+    )
+    stage.overwrite(orders)
+    # directory-partition columns read back type-inferred (199801 -> int);
+    # normalize to the declared string type
+    return stage.read().filter(F.col("periodo") == "199801").select(
+        "o_orderkey", "o_totalprice", F.col("periodo").cast("string").alias("periodo")
+    )
+
+
+_PART_PRUNED_SQL = """
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y%m') AS periodo
+FROM orders WHERE strftime(o_orderdate, '%Y%m') = '199801'
+"""
+
+
 # ===========================================================================
 # end-to-end stage pipeline (flagship)
 # ===========================================================================
@@ -638,16 +744,10 @@ def stage_pipeline_e2e(spark, sf_dir):
     raw = _e2e_raw(spark, sf_dir)
     spec = TableSpec(stage_table_name="orders_stage", source_table="orders", load_type="full")
     stage_root = _tmpdir("e2e")
-    try:
-        processor = TableProcessor(spark, stage_root)
-        outcome = processor.process_table(raw, spec, _E2E_COLUMNS)
-        assert outcome.status in ("SUCCESS", "WARNING"), outcome.error
-        result = processor.stage_table(spec, _E2E_COLUMNS).read()
-        # materialize before the tmp dir is cleaned
-        result = spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(stage_root, ignore_errors=True)
-    return result
+    processor = TableProcessor(spark, stage_root)
+    outcome = processor.process_table(raw, spec, _E2E_COLUMNS)
+    assert outcome.status in ("SUCCESS", "WARNING"), outcome.error
+    return processor.stage_table(spec, _E2E_COLUMNS).read()
 
 
 _E2E_SQL = """
@@ -676,27 +776,23 @@ def incremental_watermark_2phase(spark, sf_dir):
     """I2: two watermark-driven micro-runs land the full table exactly once."""
     ev = _t(spark, sf_dir, "events")
     work = _tmpdir("wm")
-    try:
-        store = WatermarkStore(os.path.join(work, "wm.json"), project="t")
-        runner = IncrementalRunner(store, table="events", column="ts")
-        land_dir = os.path.join(work, "landed")
+    store = WatermarkStore(os.path.join(work, "wm.json"), project="t")
+    runner = IncrementalRunner(store, table="events", column="ts")
+    land_dir = os.path.join(work, "landed")
 
-        state = {"first": True}
+    state = {"first": True}
 
-        def sink(df):
-            df.write.mode("overwrite" if state["first"] else "append").parquet(land_dir)
-            state["first"] = False
+    def sink(df):
+        df.write.mode("overwrite" if state["first"] else "append").parquet(land_dir)
+        state["first"] = False
 
-        cutoff = "2024-01-16 00:00:00"
-        runner.run(lambda: ev.filter(F.col("ts") <= cutoff), sink)
-        assert store.status("events", "ts") == "CONFIRMED"
-        runner.run(lambda: ev, sink)  # only rows above the stored mark land
-        out = spark.read.parquet(land_dir).select(
-            "event_id", "user_id", "ts", "event_type", "value"
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    cutoff = "2024-01-16 00:00:00"
+    runner.run(lambda: ev.filter(F.col("ts") <= cutoff), sink)
+    assert store.status("events", "ts") == "CONFIRMED"
+    runner.run(lambda: ev, sink)  # only rows above the stored mark land
+    return spark.read.parquet(land_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
 
 
 _WATERMARK_SQL = """
@@ -709,26 +805,22 @@ def streaming_merge_ingest_query(spark, sf_dir):
     stage ends at latest-per-user state."""
     ev = _t(spark, sf_dir, "events")
     work = _tmpdir("stream")
-    try:
-        src_dir = os.path.join(work, "in")
-        ev.write.mode("overwrite").parquet(src_dir)
-        stage = StageTable(spark, os.path.join(work, "stage"))
-        q = stream_merge_ingest(
-            spark,
-            src_dir,
-            ev.schema,
-            stage,
-            key_columns=["user_id"],
-            event_time_column="ts",
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            query_name=f"ingest_{uuid.uuid4().hex[:6]}",
-        )
-        q.processAllAvailable()
-        q.stop()
-        out = stage.read().select("user_id", "event_id", "ts", "event_type", "value")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "in")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stage = StageTable(spark, os.path.join(work, "stage"))
+    q = stream_merge_ingest(
+        spark,
+        src_dir,
+        ev.schema,
+        stage,
+        key_columns=["user_id"],
+        event_time_column="ts",
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"ingest_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stage.read().select("user_id", "event_id", "ts", "event_type", "value")
 
 
 # same target state as the batch MERGE check
@@ -1052,6 +1144,10 @@ QUERIES = {
     "transform_clearstring": transform_clearstring,
     "transform_concat_period": transform_concat_period,
     "transform_bytemagic_casts": transform_bytemagic_casts,
+    "transform_date_formats": transform_date_formats,
+    "sink_csv_gz_roundtrip": sink_csv_gz_roundtrip,
+    "empty_result_schema": empty_result_schema,
+    "stage_partition_pruned_read": stage_partition_pruned_read,
     "stage_pipeline_e2e": stage_pipeline_e2e,
     "incremental_watermark_2phase": incremental_watermark_2phase,
     "streaming_merge_ingest": streaming_merge_ingest_query,
@@ -1088,6 +1184,10 @@ ORACLES = {
     "transform_clearstring": _CLEARSTRING_SQL,
     "transform_concat_period": _CONCAT_PERIOD_SQL,
     "transform_bytemagic_casts": _BYTEMAGIC_SQL,
+    "transform_date_formats": _DATE_FORMATS_SQL,
+    "sink_csv_gz_roundtrip": _CSV_GZ_SQL,
+    "empty_result_schema": _EMPTY_SQL,
+    "stage_partition_pruned_read": _PART_PRUNED_SQL,
     "stage_pipeline_e2e": _E2E_SQL,
     "incremental_watermark_2phase": _WATERMARK_SQL,
     "streaming_merge_ingest": _STREAM_SQL,
