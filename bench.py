@@ -53,8 +53,19 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
-    # warm the JVM/session so the first query doesn't pay startup costs
-    spark.range(1000).count()
+    # Warm-up: run the suite once at the smoke scale factor so measured
+    # runs reflect steady-state query time, not one-time JVM/codegen/
+    # parquet-reader initialization. Different data files — only code
+    # paths are warmed, not the benchmark data.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in BENCH_QUERIES:
+            try:
+                _consume(QUERIES[name](spark, warm_dir))
+            except Exception:
+                pass
+    else:
+        spark.range(1000).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -106,6 +106,12 @@ class StageTable:
         return self.spark.read.format(self.fmt).load(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
+        if self.partition_columns:
+            # shuffle rows to their target partition first: without this,
+            # every write task emits a file into every partition dir
+            # (tasks x partitions small files); with it, each partition
+            # gets as few files as the writing tasks that own it
+            df = df.repartition(*[F.col(c) for c in self.partition_columns])
         writer = df.write.format(self.fmt).mode("overwrite")
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)

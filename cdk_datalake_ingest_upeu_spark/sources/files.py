@@ -61,3 +61,18 @@ def write_csv_gz(
 def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Schema-only DataFrame so downstream consumers see a stable schema."""
     return spark.createDataFrame([], schema)
+
+
+def dedupe_column_names(df: DataFrame) -> DataFrame:
+    """Rename duplicate column names to ``col``, ``col_1``, ``col_2``…
+    (reference D2, ``sql_server_extractor.py:362-382`` /
+    ``extract_data.py:430-463``): source queries with JOIN_EXPR or
+    expression projections can return repeated names, which Parquet
+    refuses to write."""
+    seen: dict[str, int] = {}
+    fixed: list[str] = []
+    for name in df.columns:
+        n = seen.get(name, 0)
+        seen[name] = n + 1
+        fixed.append(name if n == 0 else f"{name}_{n}")
+    return df.toDF(*fixed) if fixed != df.columns else df

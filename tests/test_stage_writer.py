@@ -88,3 +88,29 @@ def test_optimize_compacts_files(spark, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_after <= 2 < n_before
     assert stage.read().count() == 1000
+
+
+def test_register_creates_catalog_table(spark, tmp_path):
+    path = os.path.join(tmp_path, "reg")
+    stage = StageTable(spark, path)
+    stage.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"))
+    stage.register("reg_stage_tbl")
+    try:
+        got = spark.sql("SELECT id, name FROM reg_stage_tbl ORDER BY id").collect()
+        assert [(r.id, r.name) for r in got] == [(1, "a"), (2, "b")]
+        assert spark.catalog.tableExists("reg_stage_tbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS reg_stage_tbl")
+
+
+def test_dedupe_column_names(spark):
+    from cdk_datalake_ingest_upeu_spark.sources.files import dedupe_column_names
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int").toDF(
+        "id", "id", "v", "id"
+    )
+    fixed = dedupe_column_names(df)
+    assert fixed.columns == ["id", "id_1", "v", "id_2"]
+    # no duplicates -> untouched object
+    clean = spark.createDataFrame([(1,)], "x int")
+    assert dedupe_column_names(clean) is clean
