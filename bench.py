@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "dedup_exact_stats",
     "dedup_minhash_pairs",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "streaming_stateful_sessionization",
 ]
 
 

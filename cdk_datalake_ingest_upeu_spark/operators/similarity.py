@@ -19,6 +19,8 @@ Two paths, as the brief mandates:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,6 +116,97 @@ def cosine_topk_lsh(
         c_tag.join(F.broadcast(q_tag), on=["band", "bucket"])
         .select(query_id, "neighbor_id", "__cv", "__qv")
         .dropDuplicates([query_id, "neighbor_id"])
+    )
+    scored = candidates.select(
+        F.col(query_id),
+        F.col("neighbor_id"),
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the many-queries scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_centroids(vectors, k: int, iters: int = 8, seed: int = 42):
+    """Spherical k-means on a driver-side SAMPLE (bounded memory): a few
+    Lloyd iterations over unit vectors; deterministic via seed."""
+    V = np.asarray(vectors, dtype=np.float64)
+    V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), size=min(k, len(V)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (V @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = V[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    return C
+
+
+def _topn_centroid_udf(centroids, n: int):
+    """Pandas UDF: per vector, the ids of the n nearest centroids (one
+    numpy matmul per Arrow batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def topn(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+        sims = M @ C.T
+        order = np.argsort(-sims, axis=1)[:, :n]
+        return pd.Series(list(order.astype("int32")))
+
+    return topn
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are bucketed by nearest centroid (the
+    inverted file); each query probes its ``n_probe`` nearest centroids
+    and exact cosine re-ranks the candidates.
+
+    Scale shape: centroid TRAINING uses a bounded driver-side sample
+    (the only non-distributed step, standard for IVF); assignment and
+    search are one Pandas-UDF pass + one broadcast join on cluster_id —
+    cost tracks corpus/n_clusters * n_probe per query, not corpus size.
+    """
+    sample = [
+        r[0] for r in corpus.select(corpus_vec).limit(sample_size).collect()
+    ]
+    C = _kmeans_centroids(sample, n_clusters, seed=seed)
+
+    c_tag = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _topn_centroid_udf(C, 1)(F.col(corpus_vec))[0].alias("cluster_id"),
+    )
+    q_tag = queries.select(
+        F.col(query_id),
+        F.col(query_vec).alias("__qv"),
+        F.explode(_topn_centroid_udf(C, n_probe)(F.col(query_vec))).alias("cluster_id"),
+    )
+    candidates = c_tag.join(F.broadcast(q_tag), on="cluster_id").select(
+        query_id, "neighbor_id", "__cv", "__qv"
     )
     scored = candidates.select(
         F.col(query_id),

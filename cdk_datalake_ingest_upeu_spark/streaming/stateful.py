@@ -1,0 +1,126 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference has no Structured Streaming (SURVEY §2.9) — its
+"streaming" is watermark-driven batch micro-runs. This module is the
+Spark-native upgrade the brief mandates: arbitrary per-key state carried
+across micro-batches, with the same result as the batch operator when
+the stream is fully drained.
+
+Design for scale: state is per-key and tiny (three numbers per user for
+sessionization); the grouping shuffle is the only data movement per
+micro-batch, and the pandas function sees each key's batch slice as one
+Arrow block. At 1000 executors this is the standard pattern for
+continuous sessionization over event firehoses.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# (last event epoch-seconds, sessions so far, events so far)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_update(gap_seconds: float):
+    """Build the per-key update function: fold this batch's events (in
+    event-time order) into the carried (last_ts, n_sessions, n_events)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_epoch", "event_id"])
+            for ts in pdf["ts_epoch"]:
+                if last_ts is None or ts - last_ts > gap_seconds:
+                    n_sessions += 1
+                last_ts = float(ts)
+            n_events += len(pdf)
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return update
+
+
+def stateful_sessionization(
+    events_stream: DataFrame,
+    *,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Running (n_sessions, n_events) per user over an event stream.
+
+    Emits each key's CURRENT totals every micro-batch (update semantics);
+    exactness across batches requires per-user event-time order across
+    batch boundaries, which holds for time-ordered sources (file drops,
+    kafka per-key ordering).
+    """
+    prepared = events_stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("double").alias("ts_epoch"),
+        F.col(event_id_col).alias("event_id"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_update(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_sessionization(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    sink,
+    *,
+    checkpoint_dir: str,
+    gap_seconds: float = 1800.0,
+    max_files_per_trigger: int = 1,
+    query_name: str = "stateful_sessionization",
+):
+    """Drive the stateful operator over a file-source stream; each
+    micro-batch upserts the emitted running totals via ``sink(batch_df)``
+    (e.g. ``StageTable.merge`` on user_id)."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    out = stateful_sessionization(stream, gap_seconds=gap_seconds)
+    return (
+        out.writeStream.queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch_df, _id: sink(batch_df))
+        .start()
+    )

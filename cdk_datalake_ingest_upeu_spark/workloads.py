@@ -888,6 +888,59 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+def streaming_stateful_sessionization(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session state carried across 3 time-split micro-batches;
+    drained result equals the batch sessionization oracle."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        run_stateful_sessionization,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("sess")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+
+    # three chronological file drops -> three micro-batches, so state
+    # genuinely carries across batch boundaries (per-user event-time
+    # order holds because the split is by time range)
+    bounds = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    slices = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, part in enumerate(slices):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        # file-source ordering is by modification time; make it explicit
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stage = StageTable(spark, os.path.join(work, "totals"))
+    q = run_stateful_sessionization(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        ev.schema,
+        lambda batch: stage.merge(batch, ["user_id"]),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"sess_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stage.read().orderBy("user_id")
+
+
+# same target state as the batch sessionization
+_STATEFUL_SESSION_SQL = _SESSION_SQL
+
+
 # ===========================================================================
 # text analysis / dedup / similarity (training-data pipeline ops)
 # ===========================================================================
@@ -1082,6 +1135,18 @@ def ann_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, q, k=10, dim=dim).orderBy("query_id", "rank")
 
 
+def ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: sampled spherical-kmeans centroids, inverted-file
+    bucketing, n-probe search (rows-only; recall asserted in tests)."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_ivf(emb, q, k=10).orderBy("query_id", "rank")
+
+
 # ===========================================================================
 # multimodal plumbing
 # ===========================================================================
@@ -1153,6 +1218,7 @@ QUERIES = {
     "streaming_merge_ingest": streaming_merge_ingest_query,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionization": events_sessionization,
+    "streaming_stateful_sessionization": streaming_stateful_sessionization,
     "text_features": text_features,
     "text_langid": text_langid,
     "dedup_exact_stats": dedup_exact_stats,
@@ -1162,6 +1228,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_features": multimodal_image_features,
 }
@@ -1193,6 +1260,7 @@ ORACLES = {
     "streaming_merge_ingest": _STREAM_SQL,
     "events_hourly_rollup": _ROLLUP_SQL,
     "events_sessionization": _SESSION_SQL,
+    "streaming_stateful_sessionization": _STATEFUL_SESSION_SQL,
     "text_features": _TEXT_FEATURES_SQL,
     "text_langid": _LANGID_SQL,
     "dedup_exact_stats": _DEDUP_EXACT_SQL,

@@ -170,3 +170,65 @@ def test_unknown_media_type_raises(spark):
     media = spark.createDataFrame([(1, bytearray(b"a"))], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError):
         extract_image_features(media, media_type="audio")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import cosine_topk_ivf
+
+    emb = emb_df(spark, n=100)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = cosine_topk_ivf(emb, q, k=5, n_clusters=8, n_probe=3).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_stateful_sessionization_carries_state(spark, tmp_path):
+    """State must carry across micro-batches: one user whose events span
+    three file drops, gaps chosen so sessions split across batches."""
+    import os
+
+    from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        run_stateful_sessionization,
+    )
+
+    base = 1_700_000_000
+    # user 1: batch0 two events 10s apart (1 session); batch1 event +2h
+    # (new session); batch2 event +10s (same session) => 2 sessions, 4 events
+    # user 2: one event per batch, 2h apart => 3 sessions, 3 events
+    batches = [
+        [(1, base, 101), (1, base + 10, 102), (2, base, 201)],
+        [(1, base + 7300, 103), (2, base + 7200, 202)],
+        [(1, base + 7310, 104), (2, base + 14400, 203)],
+    ]
+    src = os.path.join(tmp_path, "src")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(u, float(ts), e) for u, ts, e in rows],
+            "user_id long, ts double, event_id long",
+        )
+        p = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+
+    stage = StageTable(spark, os.path.join(tmp_path, "totals"))
+    schema = spark.read.parquet(os.path.join(src, "b0")).schema
+    q = run_stateful_sessionization(
+        spark,
+        os.path.join(src, "b*"),
+        schema,
+        lambda b: stage.merge(b, ["user_id"]),
+        checkpoint_dir=os.path.join(tmp_path, "ckpt"),
+        query_name="sess_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in stage.read().collect()}
+    assert got == {1: (2, 4), 2: (3, 3)}
