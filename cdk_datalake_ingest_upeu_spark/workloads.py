@@ -20,6 +20,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from datetime import timedelta as dt_timedelta
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -941,6 +942,61 @@ def streaming_stateful_sessionization(spark, sf_dir):
 _STATEFUL_SESSION_SQL = _SESSION_SQL
 
 
+def streaming_watermarked_rollup(spark, sf_dir):
+    """withWatermark + tumbling window over a chronological 3-batch
+    stream; a far-future sentinel event advances the watermark so every
+    real window finalizes, then is filtered out — drained result equals
+    the batch hourly rollup."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        run_watermarked_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = _tmpdir("wmroll")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+
+    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    slices = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+        spark.createDataFrame(
+            [(hi + dt_timedelta(days=10), "__sentinel__", 0.0)],
+            ev.schema,
+        ),
+    ]
+    for i, part in enumerate(slices):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out_dir = os.path.join(work, "out")
+    q = run_watermarked_rollup(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        ev.schema,
+        out_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"wmroll_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_WATERMARKED_ROLLUP_SQL = _ROLLUP_SQL
+
+
 # ===========================================================================
 # text analysis / dedup / similarity (training-data pipeline ops)
 # ===========================================================================
@@ -1219,6 +1275,7 @@ QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionization": events_sessionization,
     "streaming_stateful_sessionization": streaming_stateful_sessionization,
+    "streaming_watermarked_rollup": streaming_watermarked_rollup,
     "text_features": text_features,
     "text_langid": text_langid,
     "dedup_exact_stats": dedup_exact_stats,
@@ -1261,6 +1318,7 @@ ORACLES = {
     "events_hourly_rollup": _ROLLUP_SQL,
     "events_sessionization": _SESSION_SQL,
     "streaming_stateful_sessionization": _STATEFUL_SESSION_SQL,
+    "streaming_watermarked_rollup": _WATERMARKED_ROLLUP_SQL,
     "text_features": _TEXT_FEATURES_SQL,
     "text_langid": _LANGID_SQL,
     "dedup_exact_stats": _DEDUP_EXACT_SQL,

@@ -232,3 +232,71 @@ def test_stateful_sessionization_carries_state(spark, tmp_path):
     q.stop()
     got = {r.user_id: (r.n_sessions, r.n_events) for r in stage.read().collect()}
     assert got == {1: (2, 4), 2: (3, 3)}
+
+
+def test_watermarked_rollup_drops_late_events(spark, tmp_path):
+    """Late data arriving AFTER its window's state was evicted must be
+    discarded. (Spark's guarantee is one-directional: a late row whose
+    window state is still live may be merged; once the watermark evicts
+    the window, later arrivals are dropped — so the eviction batch comes
+    before the late row here.)"""
+    import datetime as dt
+    import os
+
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        run_watermarked_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    batches = [
+        # batch0: two events in hour 0
+        [(t0, "click", 1.0), (t0 + dt.timedelta(minutes=5), "click", 1.0)],
+        # batch1: advances max event time to 6:30 -> watermark becomes 5:30
+        [(t0 + dt.timedelta(hours=6), "click", 1.0)],
+        # batch2: runs WITH watermark 5:30 -> hour-0 window evicted+emitted
+        [(t0 + dt.timedelta(hours=7), "click", 1.0)],
+        # batch3: a LATE hour-0 event (state already evicted -> dropped)
+        # plus the far-future sentinel that finalizes everything
+        [
+            (t0 + dt.timedelta(minutes=10), "click", 100.0),
+            (t0 + dt.timedelta(days=30), "__sentinel__", 0.0),
+        ],
+    ]
+    src = os.path.join(tmp_path, "src")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        p = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = os.path.join(tmp_path, "out")
+    q = run_watermarked_rollup(
+        spark,
+        os.path.join(src, "b*"),
+        spark.read.parquet(os.path.join(src, "b0")).schema,
+        out,
+        checkpoint_dir=os.path.join(tmp_path, "ckpt"),
+        watermark="1 hour",
+        query_name="wm_late_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+        if r.event_type != "__sentinel__"
+    }
+    hour0 = (t0.replace(minute=0), "click")
+    # late 100.0-value event NOT included: hour-0 bucket keeps 2 events, sum 2.0
+    assert rows[hour0] == (2, 2.0), rows
+    assert (t0.replace(minute=0) + dt.timedelta(hours=6), "click") in rows
+    assert (t0.replace(minute=0) + dt.timedelta(hours=7), "click") in rows
+    # the dropped late row must not re-open a duplicate hour-0 window
+    all_rows = spark.read.parquet(out).collect()
+    hour0_rows = [
+        r for r in all_rows
+        if r.bucket_start == t0.replace(minute=0) and r.event_type == "click"
+    ]
+    assert len(hour0_rows) == 1
