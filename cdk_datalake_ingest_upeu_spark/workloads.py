@@ -942,6 +942,59 @@ def streaming_stateful_sessionization(spark, sf_dir):
 _STATEFUL_SESSION_SQL = _SESSION_SQL
 
 
+_CFG_TABLES_CSV = (
+    "COLUMNS;LOAD_TYPE;PARTITION_MODE;PARTITION_COLUMN;DELAY_INCREMENTAL_INI;"
+    "DELAY_INCREMENTAL_END;FILTER_COLUMN;FILTER_DATA_TYPE;FILTER_EXP;ID_COLUMN;"
+    "JOIN_EXPR;PROCESS_ID;SOURCE_SCHEMA;SOURCE_TABLE;SOURCE_TABLE_TYPE;"
+    "STAGE_TABLE_NAME;JOB_EXTRACT_MAX_CAPACITY;STATUS;EXTRACTION_METADATA;PARTITION_FORMAT\n"
+    "*;full;NONE;;-2;0;;;;o_orderkey;;10;dbo;orders;m;ORDERS_CFG;2;A;;\n"
+)
+
+_CFG_COLUMNS_CSV = (
+    "COLUMN_NAME;COLUMN_ID;IS_FILTER_DATE;IS_ID;IS_ORDER_BY;IS_PARTITION;"
+    "NEW_DATA_TYPE;TABLE_NAME;TRANSFORMATION\n"
+    "order_id;1;;T;T;;int;ORDERS_CFG;fn_transform_Integer(o_orderkey)\n"
+    "status_lbl;2;;;;;string;ORDERS_CFG;"
+    "fn_transform_Case_with_default(o_orderstatus,O->Open,F|P->Closed,$NA)\n"
+    "total_usd;3;;;;;double;ORDERS_CFG;fn_transform_Double(o_totalprice)\n"
+    "prio_clean;4;;;;;string;ORDERS_CFG;fn_transform_ClearString(o_orderpriority,$UNKNOWN)\n"
+    "created_at;5;T;;;;timestamp;ORDERS_CFG;fn_transform_Datetime(o_orderdate)\n"
+)
+
+
+def config_csv_pipeline(spark, sf_dir):
+    """The reference's primary interface end-to-end: tables.csv +
+    columns.csv (reference header format, ';'-delimited) -> loader ->
+    TableSpec/ColumnSpec -> TableProcessor -> stage table."""
+    from cdk_datalake_ingest_upeu_spark.config import (
+        columns_for_table,
+        load_config_csv,
+        table_spec_for,
+    )
+
+    spec = table_spec_for(load_config_csv(_CFG_TABLES_CSV, is_text=True), "ORDERS_CFG")
+    cols = columns_for_table(load_config_csv(_CFG_COLUMNS_CSV, is_text=True), "ORDERS_CFG")
+    raw = _t(spark, sf_dir, "orders")
+    processor = TableProcessor(spark, _tmpdir("cfg"))
+    outcome = processor.process_table(raw, spec, cols)
+    assert outcome.status in ("SUCCESS", "WARNING"), outcome.error
+    return processor.stage_table(spec, cols).read()
+
+
+_CFG_PIPELINE_SQL = """
+SELECT CAST(o_orderkey AS INTEGER) AS order_id,
+       CASE WHEN o_orderstatus = 'O' THEN 'Open'
+            WHEN o_orderstatus IN ('F','P') THEN 'Closed'
+            ELSE 'NA' END AS status_lbl,
+       o_totalprice AS total_usd,
+       CASE WHEN trim(o_orderpriority) IN ('', 'None', 'NULL', 'null')
+                 OR o_orderpriority IS NULL
+            THEN 'UNKNOWN' ELSE trim(o_orderpriority) END AS prio_clean,
+       CAST(o_orderdate AS TIMESTAMP) AS created_at
+FROM orders
+"""
+
+
 def streaming_watermarked_rollup(spark, sf_dir):
     """withWatermark + tumbling window over a chronological 3-batch
     stream; a far-future sentinel event advances the watermark so every
@@ -1270,6 +1323,7 @@ QUERIES = {
     "empty_result_schema": empty_result_schema,
     "stage_partition_pruned_read": stage_partition_pruned_read,
     "stage_pipeline_e2e": stage_pipeline_e2e,
+    "config_csv_pipeline": config_csv_pipeline,
     "incremental_watermark_2phase": incremental_watermark_2phase,
     "streaming_merge_ingest": streaming_merge_ingest_query,
     "events_hourly_rollup": events_hourly_rollup,
@@ -1313,6 +1367,7 @@ ORACLES = {
     "empty_result_schema": _EMPTY_SQL,
     "stage_partition_pruned_read": _PART_PRUNED_SQL,
     "stage_pipeline_e2e": _E2E_SQL,
+    "config_csv_pipeline": _CFG_PIPELINE_SQL,
     "incremental_watermark_2phase": _WATERMARK_SQL,
     "streaming_merge_ingest": _STREAM_SQL,
     "events_hourly_rollup": _ROLLUP_SQL,
