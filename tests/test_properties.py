@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the parity-riskiest pieces:
+magic-date arithmetic, the expression parser's root-level splitting, and
+Spark-vs-driver DateMagic agreement over a bulk serial range."""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdk_datalake_ingest_upeu_spark.functions.dates import (
+    MAGIC_OFFSET,
+    date_to_magic,
+    magic_to_date,
+)
+from cdk_datalake_ingest_upeu_spark.functions.parser import ExpressionParser
+
+
+@given(st.dates(min_value=dt.date(1850, 1, 1), max_value=dt.date(2149, 12, 31)))
+def test_magic_date_roundtrip(d):
+    assert magic_to_date(date_to_magic(d)) == d
+
+
+@given(st.integers(min_value=MAGIC_OFFSET - 18262, max_value=MAGIC_OFFSET + 91311))
+def test_magic_serial_roundtrip_and_monotone(serial):
+    d = magic_to_date(serial)
+    assert date_to_magic(d) == serial
+    assert magic_to_date(serial + 1) == d + dt.timedelta(days=1)
+
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_LITERAL = st.from_regex(r"\$?[A-Za-z0-9 _.\-]{1,10}", fullmatch=True)
+
+
+def _expr_strategy():
+    """Random nested fn_transform-style call trees rendered to strings."""
+    leaf = st.one_of(_IDENT, _LITERAL)
+
+    def call(children):
+        return st.tuples(_IDENT, st.lists(children, min_size=1, max_size=4)).map(
+            lambda t: f"fn_{t[0]}({','.join(t[1])})"
+        )
+
+    return st.recursive(leaf, call, max_leaves=8)
+
+
+@given(st.lists(_expr_strategy(), min_size=1, max_size=5))
+def test_split_params_inverts_join(params):
+    """Joining param strings with ',' then splitting must round-trip, for
+    any nesting depth (no quotes involved)."""
+    joined = ",".join(params)
+    assert ExpressionParser.split_params(joined) == params
+
+
+@given(_expr_strategy())
+def test_parse_call_shape(expr):
+    parsed = ExpressionParser().parse(expr)
+    assert parsed is not None
+    if expr.startswith("fn_") and expr.endswith(")"):
+        assert parsed.kind == "call"
+        assert expr.startswith(parsed.name + "(")
+    else:
+        assert parsed.kind == "column"
+        assert parsed.name == expr
+
+
+@settings(deadline=None, max_examples=10)
+@given(st.data())
+def test_quoted_commas_do_not_split(data):
+    inner = data.draw(st.from_regex(r"[a-z, ()]{0,15}", fullmatch=True))
+    quoted = f'"{inner}"'
+    params = ["a", quoted, "b"]
+    assert ExpressionParser.split_params(",".join(params)) == params
+
+
+def test_spark_datemagic_agrees_with_driver_bulk(spark):
+    """One Spark job: fn_transform_DateMagic over 4000 serials spanning
+    1900..2109 must equal the driver-side magic_to_date for every row."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.config.models import ColumnSpec
+    from cdk_datalake_ingest_upeu_spark.functions.engine import TransformationEngine
+
+    serials = list(range(MAGIC_OFFSET, MAGIC_OFFSET + 76700, 19))  # ~210 years
+    src = spark.createDataFrame([(s,) for s in serials], "serial int").withColumn(
+        "serial_str", F.col("serial").cast("string")
+    )
+    cols = [
+        ColumnSpec("serial", 1, "int", "serial"),
+        ColumnSpec("fecha", 2, "date", "fn_transform_DateMagic(serial_str,yyyy-MM-dd,to_null)"),
+    ]
+    out = TransformationEngine().apply(src, cols).df
+    got = {r.serial: r.fecha for r in out.collect()}
+    for s in serials:
+        assert got[s] == magic_to_date(s), f"serial {s}: {got[s]} != {magic_to_date(s)}"
