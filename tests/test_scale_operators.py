@@ -300,3 +300,48 @@ def test_watermarked_rollup_drops_late_events(spark, tmp_path):
         if r.bucket_start == t0.replace(minute=0) and r.event_type == "click"
     ]
     assert len(hour0_rows) == 1
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.joins import salted_join, skew_stats
+
+    # 10k rows of hot key 1, a few of others
+    left = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame([(i, f"dim{i}") for i in range(50)], "k long, name string")
+
+    plain = spark.createDataFrame(
+        sorted((r.k, r.v, r.name) for r in left.join(right, "k").collect()),
+        "k long, v long, name string",
+    )
+    salted = spark.createDataFrame(
+        sorted((r.k, r.v, r.name) for r in salted_join(left, right, "k", buckets=8).collect()),
+        "k long, v long, name string",
+    )
+    assert plain.collect() == salted.collect()
+
+    # left join with an unmatched key keeps nulls
+    left2 = left.union(spark.createDataFrame([(999, -1)], "k long, v long"))
+    lj = {(r.k, r.v): r.name for r in salted_join(left2, right, "k", how="left").collect()}
+    assert lj[(999, -1)] is None
+
+    stats = skew_stats(left, "k", top=1).collect()[0]
+    # 9000 hot rows + 20 ids in [9000,10000) with id % 50 == 1
+    assert stats.k == 1 and stats.n_rows == 9_020 and stats.share > 0.85
+
+    # the hot key's rows spread over multiple salt buckets internally:
+    # count distinct shuffle keys produced for k=1
+    from cdk_datalake_ingest_upeu_spark.operators import joins as J
+
+    salted_keys = (
+        left.withColumn(
+            "s", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+        )
+        .filter(F.col("k") == 1)
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salted_keys == 8
