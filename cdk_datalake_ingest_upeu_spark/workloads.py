@@ -1016,6 +1016,46 @@ FROM orders
 """
 
 
+def pipeline_group_run(spark, sf_dir):
+    """PROCESS_ID group orchestration (Step-Functions Map analog): two
+    tables processed concurrently through the driver with retries; the
+    result is each stage table's landed row count."""
+    from cdk_datalake_ingest_upeu_spark.pipeline.driver import PipelineDriver
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    o_spec = TableSpec(stage_table_name="grp_orders", source_table="orders", load_type="full")
+    o_cols = [
+        ColumnSpec("order_id", 1, "int", "fn_transform_Integer(o_orderkey)", is_id=True),
+        ColumnSpec("total", 2, "double", "fn_transform_Double(o_totalprice)"),
+    ]
+    c_spec = TableSpec(stage_table_name="grp_customer", source_table="customer", load_type="full")
+    c_cols = [
+        ColumnSpec("cust_id", 1, "int", "fn_transform_Integer(c_custkey)", is_id=True),
+        ColumnSpec("segment", 2, "string", "c_mktsegment"),
+    ]
+    processor = TableProcessor(spark, _tmpdir("grp"))
+    outcomes = PipelineDriver(processor, max_parallel_tables=2).run_group(
+        [(orders, o_spec, o_cols), (cust, c_spec, c_cols)]
+    )
+    assert all(o.status in ("SUCCESS", "WARNING") for o in outcomes), outcomes
+    summary = [
+        (spec.stage_table_name, processor.stage_table(spec, cols).read().count())
+        for spec, cols in [(o_spec, o_cols), (c_spec, c_cols)]
+    ]
+    return spark.createDataFrame(summary, "stage_table string, n_rows long").orderBy(
+        "stage_table"
+    )
+
+
+_GROUP_RUN_SQL = """
+SELECT 'grp_customer' AS stage_table, count(*) AS n_rows FROM customer
+UNION ALL
+SELECT 'grp_orders', count(*) FROM orders
+ORDER BY stage_table
+"""
+
+
 def streaming_watermarked_rollup(spark, sf_dir):
     """withWatermark + tumbling window over a chronological 3-batch
     stream; a far-future sentinel event advances the watermark so every
@@ -1365,6 +1405,7 @@ QUERIES = {
     "stage_partition_pruned_read": stage_partition_pruned_read,
     "stage_pipeline_e2e": stage_pipeline_e2e,
     "config_csv_pipeline": config_csv_pipeline,
+    "pipeline_group_run": pipeline_group_run,
     "incremental_watermark_2phase": incremental_watermark_2phase,
     "streaming_merge_ingest": streaming_merge_ingest_query,
     "events_hourly_rollup": events_hourly_rollup,
@@ -1410,6 +1451,7 @@ ORACLES = {
     "stage_partition_pruned_read": _PART_PRUNED_SQL,
     "stage_pipeline_e2e": _E2E_SQL,
     "config_csv_pipeline": _CFG_PIPELINE_SQL,
+    "pipeline_group_run": _GROUP_RUN_SQL,
     "incremental_watermark_2phase": _WATERMARK_SQL,
     "streaming_merge_ingest": _STREAM_SQL,
     "events_hourly_rollup": _ROLLUP_SQL,
