@@ -370,6 +370,38 @@ FROM lineitem WHERE l_orderkey <> 0
 """
 
 
+def date_range_extract_union(spark, sf_dir):
+    """X2 invariant: union of 4 equal BETWEEN time slices == full scan.
+    The reference's inclusive BETWEEN can double-land boundary rows; the
+    per-result dropDuplicates (D1, extract_data_spark.py:798) absorbs
+    them — reproduced here."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    spec = TableSpec(
+        stage_table_name="ev", source_table="events", filter_column="ts"
+    )
+    gen = QueryGenerator(spec)
+    # literals render at second resolution (reference quirk): pad the end
+    # so the max-ts row's sub-second part isn't truncated out of range
+    queries = gen.date_range_queries(
+        bounds.lo, bounds.hi + dt_timedelta(seconds=1), 4
+    )
+    preds = [q.split(" WHERE ", 1)[1] for q in queries]
+    frames = [ev.filter(F.expr(p)) for p in preds]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(["event_id"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_DATE_RANGE_SQL = """
+SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value FROM events
+"""
+
+
 # ===========================================================================
 # window dedup / distinct / merge (W1, D1, S10)
 # ===========================================================================
@@ -1390,6 +1422,7 @@ QUERIES = {
     "sqlgen_dual_range_filter": sqlgen_dual_range_filter,
     "minmax_bounds": minmax_bounds,
     "range_partition_union": range_partition_union,
+    "date_range_extract_union": date_range_extract_union,
     "window_dedup_latest": window_dedup_latest,
     "distinct_flag_status": distinct_flag_status,
     "merge_upsert_current_state": merge_upsert_current_state,
@@ -1436,6 +1469,7 @@ ORACLES = {
     "sqlgen_dual_range_filter": _DUAL_SQL,
     "minmax_bounds": _MINMAX_SQL,
     "range_partition_union": _RANGE_UNION_SQL,
+    "date_range_extract_union": _DATE_RANGE_SQL,
     "window_dedup_latest": _DEDUP_LATEST_SQL,
     "distinct_flag_status": _DISTINCT_SQL,
     "merge_upsert_current_state": _MERGE_SQL,
