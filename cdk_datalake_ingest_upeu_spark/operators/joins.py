@@ -16,7 +16,7 @@ still fits comfortably per executor.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -65,3 +65,81 @@ def skew_stats(df: DataFrame, key: str | list[str], top: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc())
         .limit(top)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single most recent right row
+    with right_time <= left_time (direction='backward'; 'forward' takes
+    the earliest right row with right_time >= left_time), matched per
+    key. Spark has no native ASOF JOIN; the classic scalable encoding is
+    union + ordered window:
+
+      union both sides tagged by origin, sort within each key by time,
+      carry the latest right payload forward with last_value(ignorenulls)
+      over (partition by key order by time), keep left rows.
+
+    ONE shuffle on the key columns, no range-explosion, no per-row
+    probing — cost is a sort within key groups, same as any window. This
+    beats the naive inequality-join (which Catalyst can only plan as a
+    broadcast nested loop) at any scale where the right side isn't tiny.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_time]
+
+    lt = F.col(left_time)
+    l_tagged = left.select(
+        *keys,
+        lt.alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal time so an exact-time
+        # match is visible to the left row
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in payload
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *keys,
+        F.col("__t").alias(left_time),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_time],
+        *[F.col(f"__c_{c}").alias(c) for c in payload],
+    )
+    return out

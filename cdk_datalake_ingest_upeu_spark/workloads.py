@@ -402,6 +402,42 @@ SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value FROM events
 """
 
 
+def asof_join_last_purchase(spark, sf_dir):
+    """As-of join (beyond-reference op the brief names): each click event
+    paired with the user's most recent purchase at-or-before it. DuckDB's
+    native ASOF JOIN is the oracle."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="p_ts"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+_ASOF_SQL = """
+SELECT c.user_id, c.event_id, c.ts,
+       p.event_id AS purchase_id, round(p.value, 2) AS purchase_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+) p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
 # ===========================================================================
 # window dedup / distinct / merge (W1, D1, S10)
 # ===========================================================================
@@ -1423,6 +1459,7 @@ QUERIES = {
     "minmax_bounds": minmax_bounds,
     "range_partition_union": range_partition_union,
     "date_range_extract_union": date_range_extract_union,
+    "asof_join_last_purchase": asof_join_last_purchase,
     "window_dedup_latest": window_dedup_latest,
     "distinct_flag_status": distinct_flag_status,
     "merge_upsert_current_state": merge_upsert_current_state,
@@ -1470,6 +1507,7 @@ ORACLES = {
     "minmax_bounds": _MINMAX_SQL,
     "range_partition_union": _RANGE_UNION_SQL,
     "date_range_extract_union": _DATE_RANGE_SQL,
+    "asof_join_last_purchase": _ASOF_SQL,
     "window_dedup_latest": _DEDUP_LATEST_SQL,
     "distinct_flag_status": _DISTINCT_SQL,
     "merge_upsert_current_state": _MERGE_SQL,

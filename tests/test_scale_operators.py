@@ -345,3 +345,30 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
         .count()
     )
     assert salted_keys == 8
+
+
+def test_asof_join_directions_and_exact_time(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (2, 60, 3.0)], "k long, rt long, v double"
+    )
+    back = {r.tag: r.v for r in asof_join(
+        left, right, on="k", left_time="t", right_time="rt").collect()}
+    # exact-time match counts (t=100 sees rt=100); t=200 sees rt=150; no
+    # purchase at-or-before t=50 -> null
+    assert back == {"a": 1.0, "b": 2.0, "c": None}
+
+    fwd = {r.tag: r.v for r in asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        direction="forward").collect()}
+    # t=100 sees rt=100 (equal counts); t=200 has nothing later -> null;
+    # t=50 sees rt=60
+    assert fwd == {"a": 1.0, "b": None, "c": 3.0}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_time="t", right_time="rt", direction="nearest")
