@@ -138,20 +138,7 @@ def shingles(text: Column, n: int = 3) -> Column:
     higher-order-function lambda are re-evaluated per ELEMENT, so a
     lambda touching the tokenization expr re-tokenizes the document for
     every gram; the zip_with lambdas only touch their element vars."""
-    toks = ws_tokens(normalized_text(text))
-    k = F.size(toks)
-    m = F.greatest(k - (n - 1), F.lit(0))
-    grams = F.slice(toks, 1, m)
-    for i in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return F.when(
-        k < n,
-        F.when(k == 0, F.array().cast("array<string>")).otherwise(
-            F.array(F.concat_ws(" ", toks))
-        ),
-    ).otherwise(F.array_distinct(grams))
+    return F.array_distinct(word_grams(text, n))
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -168,3 +155,54 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def word_grams(text: Column, n: int = 3) -> Column:
+    """POSITIONAL word n-grams (duplicates kept, order preserved) — the
+    winnowing unit. Same zip_with construction as :func:`shingles`
+    (which is the distinct set of these)."""
+    toks = ws_tokens(normalized_text(text))
+    k = F.size(toks)
+    m = F.greatest(k - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(
+        k < n,
+        F.when(k == 0, F.array().cast("array<string>")).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        ),
+    ).otherwise(grams)
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    w: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS/rolling-hash family): hash
+    the positional k-grams, then keep the MIN hash of every w-hash
+    window; the distinct set of window-minima is the fingerprint set.
+    Guarantees a shared fingerprint for any match of length >= w+k-1
+    tokens, at ~2/(w+1) selection density.
+
+    Built as staged projections so each lambda only touches an ATTRIBUTE
+    column (expressions inside HOF lambdas re-evaluate per element)."""
+    hashed = df.withColumn(
+        "__wg_hashes",
+        F.transform(word_grams(F.col(text_col), k), lambda g: F.xxhash64(g)),
+    )
+    n_h = F.size(F.col("__wg_hashes"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_h - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("__wg_hashes"), i, w)),
+    )
+    return hashed.withColumn(
+        out_col,
+        F.when(n_h == 0, F.array().cast("array<long>")).otherwise(F.array_distinct(mins)),
+    ).drop("__wg_hashes")

@@ -196,6 +196,73 @@ LIMIT 10
 """
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + multi-predicate filter + single agg —
+    the pushdown showcase (every predicate reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: groupBy-HAVING feeding a semi-join — the
+    aggregate-then-filter-parent pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 def q5_region_revenue(spark, sf_dir):
     """Six-way join through region→nation→(customer,supplier)→orders→lineitem."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1293,6 +1360,19 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints (rows-only: hash
+    family is Spark's xxhash64). Returns per-doc fingerprint counts."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import with_winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_winnow_fingerprints(docs)
+        .select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
 def dedup_exact_corpus(spark, sf_dir):
     """Exact dedup as a corpus FILTER: keep the min doc_id per normalized
     text; returns the surviving documents (id + source)."""
@@ -1453,6 +1533,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "q10_returned_items": q10_returned_items,
     "sqlgen_projection_filter": sqlgen_projection_filter,
     "sqlgen_dual_range_filter": sqlgen_dual_range_filter,
@@ -1484,6 +1566,7 @@ QUERIES = {
     "streaming_watermarked_rollup": streaming_watermarked_rollup,
     "text_features": text_features,
     "text_langid": text_langid,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_exact_corpus": dedup_exact_corpus,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1501,6 +1584,8 @@ ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "q3_top_revenue_orders": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q18_large_volume_customers": _Q18_SQL,
     "q10_returned_items": _Q10_SQL,
     "sqlgen_projection_filter": _PROJ_SQL,
     "sqlgen_dual_range_filter": _DUAL_SQL,

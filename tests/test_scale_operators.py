@@ -372,3 +372,31 @@ def test_asof_join_directions_and_exact_time(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         asof_join(left, right, on="k", left_time="t", right_time="rt", direction="nearest")
+
+
+def test_winnow_fingerprints_detect_shifted_overlap(spark):
+    """Winnowing property: identical docs -> identical fingerprint sets;
+    a doc embedded in extra surrounding text still SHARES most
+    fingerprints (position-robust, unlike positional hashing)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import with_winnow_fingerprints
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, core),
+            (2, core),
+            (3, "intro words first then " + core + " and trailing words after"),
+            (4, "totally unrelated content with different vocabulary entirely here"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in with_winnow_fingerprints(docs).collect()
+    }
+    assert fps[1] == fps[2] and len(fps[1]) > 0
+    overlap = len(fps[1] & fps[3]) / len(fps[1])
+    assert overlap >= 0.5, f"shifted overlap too low: {overlap}"
+    assert not (fps[1] & fps[4])
+    assert fps[5] == set()
