@@ -1432,7 +1432,12 @@ ORDER BY id_a, id_b
 
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only:
-    plane family generated from the seeded driver RNG)."""
+    plane family generated from the seeded driver RNG).
+
+    The synthetic embeddings are random (max pair cosine ~0.51 at
+    sf0.01), so 0 pairs at threshold 0.9 is the CORRECT answer here;
+    detection on genuine near-dups is asserted in
+    tests/test_scale_operators.py::test_embedding_near_dup."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return embedding_near_dup_pairs(emb, dim=dim, threshold=0.9).orderBy("id_a", "id_b")
