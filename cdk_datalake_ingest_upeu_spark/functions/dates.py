@@ -109,3 +109,49 @@ class PartitionPathFormatter:
     @staticmethod
     def extract_partition_values(path: str) -> dict[str, str]:
         return dict(re.findall(r"(\w+)=([^/]+)", path))
+
+
+# The 8 DATE_PROCESS formats the reference accepts, tried in order
+# (``light_transform.py:1641-1651``).
+DATE_PROCESS_FORMATS = [
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M:%SZ",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%d",
+    "%Y%m%d",
+    "%Y%m%d%H%M%S",
+]
+
+
+def parse_date_process(value: str | None) -> dt.datetime | None:
+    """Parse a DATE_PROCESS reprocessing argument against the accepted
+    formats (``light_transform.py:1637-1679``). Blank or unparseable
+    values return None — the caller falls back to "now", matching the
+    reference's warning-and-continue behavior."""
+    if not value or not value.strip():
+        return None
+    text = value.strip()
+    for fmt in DATE_PROCESS_FORMATS:
+        try:
+            return dt.datetime.strptime(text, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def raw_partition_path(
+    base_dir: str,
+    partition_format: str | None,
+    *,
+    date_process: str | None = None,
+    now: dt.datetime | None = None,
+) -> str:
+    """Raw-zone partition directory for a load: DATE_PROCESS targets a
+    past partition for reprocessing, else the current time is used
+    (``light_transform.py:1633-1704``). Reading exactly one partition
+    directory is what keeps reprocessing O(partition), not O(table)."""
+    when = parse_date_process(date_process) or now or dt.datetime.now()
+    fmt = partition_format or "year={YYYY}/month={MM}/day={DD}"
+    return f"{base_dir.rstrip('/')}/{PartitionPathFormatter(fmt).format_path(when)}"

@@ -68,3 +68,39 @@ def test_partition_value_extraction():
         "team/src/ep/tbl/year=2025/month=08/day=13/"
     )
     assert vals == {"year": "2025", "month": "08", "day": "13"}
+
+
+def test_parse_date_process_all_formats():
+    from cdk_datalake_ingest_upeu_spark.functions.dates import parse_date_process
+
+    expect = dt.datetime(2025, 10, 17, 14, 30, 0)
+    assert parse_date_process("2025-10-17 14:30:00") == expect
+    assert parse_date_process("2025-10-17 14:30") == expect
+    assert parse_date_process("2025-10-17T14:30:00") == expect
+    assert parse_date_process("2025-10-17T14:30:00Z") == expect
+    assert parse_date_process("2025-10-17T14:30:00.123456") == expect.replace(
+        microsecond=123456
+    )
+    assert parse_date_process("2025-10-17") == dt.datetime(2025, 10, 17)
+    assert parse_date_process("20251017") == dt.datetime(2025, 10, 17)
+    assert parse_date_process("20251017143000") == expect
+    # invalid / blank -> None (caller falls back to now)
+    assert parse_date_process("17/10/2025") is None
+    assert parse_date_process("") is None
+    assert parse_date_process(None) is None
+
+
+def test_raw_partition_path_targets_reprocess_date():
+    from cdk_datalake_ingest_upeu_spark.functions.dates import raw_partition_path
+
+    p = raw_partition_path(
+        "/lake/raw/team/src/ep/tbl",
+        "year={YYYY}/month={MM}/day={DD}/hour={HH}",
+        date_process="2025-10-17T14:30:00Z",
+    )
+    assert p == "/lake/raw/team/src/ep/tbl/year=2025/month=10/day=17/hour=14"
+    # bad DATE_PROCESS falls back to `now`
+    p2 = raw_partition_path(
+        "/lake/raw/t", None, date_process="nonsense", now=dt.datetime(2024, 2, 29)
+    )
+    assert p2 == "/lake/raw/t/year=2024/month=02/day=29"
