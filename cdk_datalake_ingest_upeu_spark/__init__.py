@@ -24,3 +24,18 @@ capabilities of the reference metadata-driven ELT system
 __version__ = "0.1.0"
 
 from cdk_datalake_ingest_upeu_spark.session import get_spark  # noqa: F401
+from cdk_datalake_ingest_upeu_spark.config import (  # noqa: F401,E402
+    ColumnSpec,
+    EndpointSpec,
+    TableSpec,
+    columns_for_table,
+    endpoint_for,
+    load_config_csv,
+    table_spec_for,
+)
+from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable  # noqa: F401,E402
+from cdk_datalake_ingest_upeu_spark.pipeline.driver import (  # noqa: F401,E402
+    PipelineDriver,
+    RunLog,
+    TableProcessor,
+)
