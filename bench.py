@@ -24,7 +24,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_volume_customers",
+    "asof_join_last_purchase",
     "range_partition_union",
     "window_dedup_latest",
     "merge_upsert_current_state",
@@ -34,10 +37,13 @@ BENCH_QUERIES = [
     "sink_csv_gz_roundtrip",
     "stage_partition_pruned_read",
     "stage_pipeline_e2e",
+    "config_csv_pipeline",
     "events_hourly_rollup",
     "events_sessionization",
     "text_features",
+    "text_winnow_fingerprints",
     "dedup_exact_stats",
+    "dedup_exact_corpus",
     "dedup_minhash_pairs",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
