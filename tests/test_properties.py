@@ -28,7 +28,12 @@ def test_magic_serial_roundtrip_and_monotone(serial):
 
 
 _IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
-_LITERAL = st.from_regex(r"\$?[A-Za-z0-9 _.\-]{1,10}", fullmatch=True)
+# no leading/trailing whitespace: the splitter strips params (reference
+# sanitization), so whitespace-padded literals can't round-trip exactly —
+# and never occur in shipped configs
+_LITERAL = st.from_regex(
+    r"\$?[A-Za-z0-9_.\-]([A-Za-z0-9 _.\-]{0,8}[A-Za-z0-9_.\-])?", fullmatch=True
+)
 
 
 def _expr_strategy():

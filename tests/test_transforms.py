@@ -6,8 +6,11 @@ and default-value conventions.
 """
 
 import datetime as dt
+import os
 
 import pytest
+
+from pyspark.sql import types as T
 
 from cdk_datalake_ingest_upeu_spark.config.models import ColumnSpec
 from cdk_datalake_ingest_upeu_spark.functions.engine import (
@@ -214,3 +217,42 @@ def test_blank_transformation_is_typed_null(spark):
     res = E.apply(df, [ColumnSpec("id", 1, "int", "id"), ColumnSpec("empty", 2, "double", "")])
     assert res.df.schema["empty"].dataType.typeName() == "double"
     assert res.df.collect()[0]["empty"] is None
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/artifacts/configuration/csv"),
+    reason="reference csvs absent",
+)
+def test_every_shipped_transform_expression_compiles(spark):
+    """Parity sweep: every TRANSFORMATION expression in the reference's
+    actual columns.csv must parse and compile to a Catalyst expression
+    with zero engine errors (source columns stubbed as strings, the
+    reference's all-string raw zone)."""
+    from cdk_datalake_ingest_upeu_spark.config import (
+        columns_for_table,
+        load_config_csv,
+    )
+
+    ref = "/root/reference/artifacts/configuration/csv"
+    tables = load_config_csv(os.path.join(ref, "tables.csv"))
+    columns = load_config_csv(os.path.join(ref, "columns.csv"))
+    table_names = sorted(
+        {r["TABLE_NAME"] for r in columns if r.get("TABLE_NAME")}
+    )
+    assert len(table_names) >= 30
+
+    engine = TransformationEngine()
+    total_cols = 0
+    for name in table_names:
+        cols = columns_for_table(columns, name)
+        if not cols:
+            continue
+        src_names = [c.name for c in cols]
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in src_names])
+        df = spark.createDataFrame([tuple("1" for _ in src_names)], schema)
+        res = engine.apply(df, cols)
+        assert res.errors == [], f"{name}: {res.errors}"
+        # the compiled plan must actually execute too
+        assert res.df.count() == 1
+        total_cols += len(cols)
+    assert total_cols >= 600  # the shipped config carries ~690 expressions
