@@ -114,3 +114,25 @@ def test_dedupe_column_names(spark):
     # no duplicates -> untouched object
     clean = spark.createDataFrame([(1,)], "x int")
     assert dedupe_column_names(clean) is clean
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import re
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import write_bucketed_table
+
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    right = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 7).alias("w"))
+    try:
+        write_bucketed_table(left, "bk_left", ["k"], num_buckets=4)
+        write_bucketed_table(right, "bk_right", ["k"], num_buckets=4)
+        # disable broadcast so only bucketing can remove the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
