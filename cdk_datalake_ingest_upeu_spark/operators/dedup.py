@@ -74,11 +74,19 @@ def exact_dup_groups(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _lane_hash_fn(seed: int):
+    """One-arg lambda factory: a two-parameter lambda (even via a default
+    arg, ``lambda s, i=i:``) is treated by F.transform as
+    (element, INDEX) — the seed must be closed over, not defaulted,
+    or every lane hashes the array position instead of the lane seed."""
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
 def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     """Array of ``num_hashes`` min-hashes. Hash family h_i(s) =
     xxhash64(i, s) — independent 64-bit hashes per seed lane, all JVM-side."""
     lanes = [
-        F.array_min(F.transform(shingle_arr, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        F.array_min(F.transform(shingle_arr, _lane_hash_fn(i)))
         for i in range(num_hashes)
     ]
     return F.array(*lanes)
