@@ -338,19 +338,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes.tolist()
 
 
-def _dot_literal(vec: Column, plane: list[float]) -> Column:
-    """dot(vec, constant plane) as an unrolled codegen expression.
-
-    Only suitable for SMALL dim*n_planes products: unrolling 16 planes x
-    64 dims into one projection exceeds janino's 64KB method limit and
-    Spark silently falls back to interpreted eval. Use
-    :func:`_plane_sign_bits` for real embedding widths."""
-    return sum(
-        (vec[i] * float(w) for i, w in enumerate(plane)),
-        F.lit(0.0),
-    )
-
-
 def _plane_sign_bits(planes: list[list[float]]):
     """Arrow-batched Pandas UDF packing sign(dot(vec, plane_i)) for all
     planes into one long (bit i = plane i), via a single numpy matmul
