@@ -125,3 +125,21 @@ def test_incremental_runner_reset_mode(spark, tmp_path):
     # RESET re-ingests everything
     n = runner.run(lambda: ev, lambda df: None, mode=LoadMode.RESET)
     assert n == 2
+
+
+def test_incremental_runner_reprocess_keeps_watermark(spark, tmp_path):
+    """REPROCESS re-lands rows above the mark WITHOUT advancing it, so
+    the next NORMAL run sees the same window again (reference I3)."""
+    store = WatermarkStore(os.path.join(tmp_path, "wm.json"))
+    runner = IncrementalRunner(store, table="ev", column="seq")
+    ev1 = spark.createDataFrame([(1, 10), (2, 20)], "id int, seq int")
+    runner.run(lambda: ev1, lambda df: None)
+    assert store.get("ev", "seq") == 20
+
+    ev2 = spark.createDataFrame([(1, 10), (2, 20), (3, 25), (4, 30)], "id int, seq int")
+    n = runner.run(lambda: ev2, lambda df: None, mode=LoadMode.REPROCESS)
+    assert n == 2  # rows above the mark land again
+    assert store.get("ev", "seq") == 20  # mark unchanged
+
+    n2 = runner.run(lambda: ev2, lambda df: None)  # NORMAL advances
+    assert n2 == 2 and store.get("ev", "seq") == 30
