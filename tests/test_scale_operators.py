@@ -400,3 +400,19 @@ def test_winnow_fingerprints_detect_shifted_overlap(spark):
     assert overlap >= 0.5, f"shifted overlap too low: {overlap}"
     assert not (fps[1] & fps[4])
     assert fps[5] == set()
+
+
+def test_partition_by_bytes_sizes_by_payload(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import partition_by_bytes
+
+    media = spark.createDataFrame(
+        [(i, bytearray(b"x" * 1_000_000)) for i in range(12)],
+        "doc_id long, payload binary",
+    )
+    # 12e6 bytes of payload at 4 MiB target -> int(12e6/4Mi)+1 = 3 partitions
+    out = partition_by_bytes(media, target_mb=4)
+    assert out.rdd.getNumPartitions() == 3
+    assert out.count() == 12
+    # empty table -> 1 partition, no crash
+    empty = media.limit(0)
+    assert partition_by_bytes(empty, target_mb=4).rdd.getNumPartitions() == 1
