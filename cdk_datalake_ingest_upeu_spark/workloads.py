@@ -81,12 +81,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _prepare_session(spark: SparkSession) -> None:
-    """Session tweaks safe to apply on an externally-created session."""
+    """Session tweaks safe to apply on an externally-created session
+    (all runtime-settable — the driver may hand us a plain session)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     # the events table carries TIMESTAMP(NANOS) parquet types Spark refuses
     # by default; read them as long and convert (see _t)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
 
 class _stream_shuffle_partitions:
