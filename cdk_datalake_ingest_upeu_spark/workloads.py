@@ -407,6 +407,7 @@ ORDER BY l_returnflag
 
 def minmax_bounds(spark, sf_dir):
     """A1: the partition-bounds probe (MIN/MAX excluding 0)."""
+    _prepare_session(spark)
     src = ParquetTableSource(spark, os.path.join(sf_dir, "lineitem.parquet"))
     lo, hi = src.min_max("l_orderkey")
     return spark.createDataFrame(
@@ -422,6 +423,7 @@ FROM lineitem WHERE l_orderkey <> 0
 
 def range_partition_union(spark, sf_dir):
     """X1 invariant: union of the 10 generated range buckets == full scan."""
+    _prepare_session(spark)
     src = ParquetTableSource(spark, os.path.join(sf_dir, "lineitem.parquet"))
     lo, hi = src.min_max("l_orderkey")
     spec = TableSpec(stage_table_name="li", source_table="lineitem")
