@@ -190,8 +190,16 @@ def cosine_topk_ivf(
     search are one Pandas-UDF pass + one broadcast join on cluster_id —
     cost tracks corpus/n_clusters * n_probe per query, not corpus size.
     """
+    # ordered sample: a bare limit() takes whatever partitions answer
+    # first, so centroids would vary with file layout; ordering by id
+    # makes training deterministic for a given corpus
     sample = [
-        r[0] for r in corpus.select(corpus_vec).limit(sample_size).collect()
+        r[0]
+        for r in corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample_size)
+        .select(corpus_vec)
+        .collect()
     ]
     C = _kmeans_centroids(sample, n_clusters, seed=seed)
 
