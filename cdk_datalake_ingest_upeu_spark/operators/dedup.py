@@ -443,3 +443,22 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop embedding near-duplicates (cosine >= threshold), keeping the
+    smallest id per duplicate cluster — same min-id policy as
+    :func:`minhash_dedup`, over :func:`embedding_near_dup_pairs`."""
+    pairs = embedding_near_dup_pairs(
+        df, vec_col, id_col, dim=dim, threshold=threshold, **lsh_kwargs
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

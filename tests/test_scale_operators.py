@@ -416,3 +416,12 @@ def test_partition_by_bytes_sizes_by_payload(spark):
     # empty table -> 1 partition, no crash
     empty = media.limit(0)
     assert partition_by_bytes(empty, target_mb=4).rdd.getNumPartitions() == 1
+
+
+def test_embedding_dedup_keeps_min_id(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import embedding_dedup
+
+    emb = emb_df(spark)  # vec 1 colinear with 0; vec 2 near 0
+    kept = sorted(r.vec_id for r in embedding_dedup(emb, dim=8, threshold=0.95).collect())
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert len(kept) == emb.count() - 2
