@@ -1450,6 +1450,34 @@ def embedding_neardup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, dim=dim, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def embedding_label_stats(spark, sf_dir):
+    """Per-label embedding stats via Catalyst array math (F.aggregate
+    dot products, no UDF): count and average L2 norm per class."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        emb.select("label", F.sqrt(sq_sum).alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("l2"), 6).alias("avg_l2_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMB_LABEL_SQL = """
+SELECT label, count(*) AS n_vectors,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6)
+           AS avg_l2_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
 def ann_topk_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -1585,6 +1613,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_neardup": embedding_neardup,
+    "embedding_label_stats": embedding_label_stats,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -1633,6 +1662,7 @@ ORACLES = {
     "dedup_exact_corpus": _DEDUP_CORPUS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "ann_topk_bruteforce": _ANN_SQL,
+    "embedding_label_stats": _EMB_LABEL_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
