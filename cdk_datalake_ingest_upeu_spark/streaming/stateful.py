@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,10 +32,11 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# (last event epoch-seconds, sessions so far, events so far)
+# (last event epoch-microseconds, sessions so far, events so far) —
+# integer micros so the gap comparison is exact (no FP64 epoch rounding)
 _SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("last_ts", T.LongType()),
         T.StructField("n_sessions", T.LongType()),
         T.StructField("n_events", T.LongType()),
     ]
@@ -43,7 +45,12 @@ _SESSION_STATE_SCHEMA = T.StructType(
 
 def _session_update(gap_seconds: float):
     """Build the per-key update function: fold this batch's events (in
-    event-time order) into the carried (last_ts, n_sessions, n_events)."""
+    event-time order) into the carried (last_ts, n_sessions, n_events).
+
+    The fold is vectorized: prepend the carried ``last_ts``, diff the
+    epoch-microsecond array, and count gaps — no per-row Python loop
+    (the whole batch slice is one numpy pass)."""
+    gap_us = int(round(gap_seconds * 1_000_000))
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -53,12 +60,17 @@ def _session_update(gap_seconds: float):
         else:
             last_ts, n_sessions, n_events = None, 0, 0
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts_epoch", "event_id"])
-            for ts in pdf["ts_epoch"]:
-                if last_ts is None or ts - last_ts > gap_seconds:
-                    n_sessions += 1
-                last_ts = float(ts)
-            n_events += len(pdf)
+            ts = pdf["ts_epoch"].to_numpy(dtype="int64")
+            if last_ts is None:
+                n_sessions += 1 + int((np.diff(ts) > gap_us).sum())
+            else:
+                full = np.concatenate(([last_ts], ts))
+                n_sessions += int((np.diff(full) > gap_us).sum())
+            last_ts = int(ts[-1])
+            n_events += ts.size
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
@@ -82,9 +94,11 @@ def stateful_sessionization(
     batch boundaries, which holds for time-ordered sources (file drops,
     kafka per-key ordering).
     """
+    # cast-to-timestamp first so numeric epoch-second sources work too;
+    # unix_micros keeps the gap math in exact integer microseconds
     prepared = events_stream.select(
         F.col(user_col).alias("user_id"),
-        F.col(ts_col).cast("double").alias("ts_epoch"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_epoch"),
         F.col(event_id_col).alias("event_id"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
