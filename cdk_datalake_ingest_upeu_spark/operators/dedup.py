@@ -34,7 +34,24 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdk_datalake_ingest_upeu_spark.operators.text import normalized_text, shingles, ws_tokens
+from cdk_datalake_ingest_upeu_spark.operators.text import (
+    normalized_text,
+    shingle_hashes,
+    shingles,
+    ws_tokens,
+)
+
+
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """A small input (one parquet file under the open-cost threshold =
+    ONE split) would serialize the CPU-heavy shingle/signature passes on
+    a single task; round-robin repartition up to the session's default
+    parallelism first. No-op when the scan already has enough splits —
+    the 100 TB case — so big inputs pay no extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -82,14 +99,60 @@ def _lane_hash_fn(seed: int):
     return lambda s: F.xxhash64(F.lit(seed), s)
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """Array of ``num_hashes`` min-hashes. Hash family h_i(s) =
-    xxhash64(i, s) — independent 64-bit hashes per seed lane, all JVM-side."""
+def minhash_signature(hashed_arr: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` min-hashes over an array of PRE-HASHED
+    64-bit shingle values, h_i(x) = xxhash64(i, x) — all JVM-side.
+    Callers must stage the string-hash pass as an attribute column (HOF
+    lambdas re-evaluate referenced expressions per element). NOTE: the
+    hot path uses :func:`_minhash_lanes_udf` instead — ``num_hashes``
+    HOF passes evaluate per element in the JVM and measure ~10× slower
+    than one Arrow/numpy batch; this stays as the UDF-free reference."""
     lanes = [
-        F.array_min(F.transform(shingle_arr, _lane_hash_fn(i)))
+        F.array_min(F.transform(hashed_arr, _lane_hash_fn(i)))
         for i in range(num_hashes)
     ]
     return F.array(*lanes)
+
+
+_EMPTY_LANE = np.int64(2**63 - 1)  # signature sentinel for shingle-less docs
+
+
+def _minhash_lanes_udf(num_hashes: int):
+    """Arrow-batched Pandas UDF: ``num_hashes`` min-hash lanes from an
+    array of pre-hashed 64-bit shingle values, one numpy pass per lane
+    over the CONCATENATED batch (``np.minimum.reduceat`` at row
+    boundaries — vectorized across rows, no per-row Python). Lane family:
+    multiply-shift-xor over the base hash with fixed odd multipliers —
+    deterministic across runs/executors. Docs with no shingles get a
+    constant sentinel signature (they all bucket together, like the
+    null-lane behavior of the expression path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(0x9E3779B9)
+    mult = (rng.integers(1, 2**62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    offs = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def lanes(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        out = np.full((n, num_hashes), _EMPTY_LANE, dtype=np.int64)
+        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if a.size])
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            sub = np.empty((int(nz.sum()), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                v = flat * mult[i] + offs[i]  # uint64 wrap-around
+                v ^= v >> np.uint64(33)
+                # min in the uint64 order, stored reinterpreted — any
+                # consistent total order is a valid min-hash
+                sub[:, i] = np.minimum.reduceat(v, starts).view(np.int64)
+            out[nz] = sub
+        return pd.Series(list(out))
+
+    return lanes
 
 
 def with_minhash(
@@ -99,10 +162,11 @@ def with_minhash(
     shingle_n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    sh = shingles(F.col(text_col), shingle_n)
-    return df.select(
-        "*", sh.alias("__shingles")
-    ).withColumn("__minhash", minhash_signature(F.col("__shingles"), num_hashes))
+    return (
+        df.withColumn("__sh_hashes", shingle_hashes(F.col(text_col), shingle_n))
+        .withColumn("__minhash", _minhash_lanes_udf(num_hashes)(F.col("__sh_hashes")))
+        .drop("__sh_hashes")
+    )
 
 
 def _band_rows(num_hashes: int, bands: int) -> int:
@@ -121,17 +185,37 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_band_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
 
     banding: signature split into ``bands`` bands of ``num_hashes/bands``
-    rows; a pair is a candidate iff some band hashes equal. The band
-    groupBy keys are (band_index, hash-of-band), so bucket skew stays
-    bounded; verification computes true Jaccard on the shingle sets.
+    rows; a pair is a candidate iff some band hashes equal. Verification
+    computes true Jaccard on the shingle sets.
+
+    ``max_band_bucket`` bounds bucket fan-out: a band bucket with m
+    members yields m² candidates in the self-join, and a mega-cluster of
+    near-identical documents collides in EVERY band — quadratic on one
+    key at corpus scale. Buckets larger than the cap are star-linked
+    instead (every member paired with the bucket's min id), m pairs per
+    bucket. Star-linking keeps :func:`minhash_dedup` exact for such
+    buckets — every member still pairs with the cluster minimum, which
+    is all the min-id canonical policy needs — while non-min×non-min
+    pairs inside oversized buckets go unreported by the pairs API
+    (standard candidate-capping trade-off; ``None`` disables).
     """
     rows = _band_rows(num_hashes, bands)
-    sig = with_minhash(df, text_col, shingle_n=shingle_n, num_hashes=num_hashes).select(
-        F.col(id_col).alias("__id"), "__shingles", "__minhash"
+    # the expensive column pass is shingling; work entirely in hash
+    # space (64-bit gram hashes — identity is all dedup needs), compute
+    # the shingle-hash sets ONCE and reuse the cached relation for both
+    # the signature derivation and the final-verification fetch (at
+    # scale: a checkpointed signature table plays this role)
+    shing = _parallelize_scan(df).select(
+        F.col(id_col).alias("__id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("__shingles"),
+    ).persist()
+    sig = shing.select(
+        "__id", _minhash_lanes_udf(num_hashes)(F.col("__shingles")).alias("__minhash")
     )
 
     band_cols = F.array(
@@ -145,36 +229,60 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("__id", "__shingles", F.explode(band_cols).alias("bb")).select(
-        "__id", "__shingles", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    # band on (id, band, bhash) ONLY — carrying the shingle arrays here
+    # would duplicate every document's set ``bands`` times through the
+    # explode and shuffle it twice per candidate in the self-join
+    banded = sig.select("__id", F.explode(band_cols).alias("bb")).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
-    # the self-join below reads this subtree twice; materialize signatures
-    # once (at scale you'd checkpoint them to a table for the same reason)
+    # read 3× below (bucket stats, self-join ×2, star pass); narrow rows
     banded = banded.persist()
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    if max_band_bucket is not None:
+        # oversized buckets are few by construction — partial-agg groupBy,
+        # then broadcast joins (cheaper than a window sort over all rows)
+        bstats = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bsz"), F.min("__id").alias("__bmin"))
+            .filter(F.col("__bsz") > max_band_bucket)
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
+        small = banded.join(F.broadcast(bstats.select("band", "bhash")), ["band", "bhash"], "left_anti")
+    else:
+        small = banded
+    a = small.alias("a")
+    b = small.alias("b")
+    candidates = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bhash") == F.col("b.bhash"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+    )
+    if max_band_bucket is not None:
+        star = (
+            banded.join(F.broadcast(bstats), ["band", "bhash"])
+            .filter(F.col("__id") != F.col("__bmin"))
+            .select(F.col("__bmin").alias("id_a"), F.col("__id").alias("id_b"))
         )
-        .dropDuplicates(["id_a", "id_b"])
+        candidates = candidates.unionByName(star)
+    candidates = candidates.dropDuplicates(["id_a", "id_b"])
+
+    # fetch shingle sets for the (deduped, few) candidates only
+    paired = candidates.join(
+        shing.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        shing.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("sh_b")),
+        "id_b",
     )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (
-        candidates.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -207,6 +315,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inverted index.
 
@@ -214,30 +323,97 @@ def ngram_jaccard_pairs(
     shingle (inverted-index join): only documents SHARING a shingle meet,
     and the per-pair shared-shingle count IS the intersection size, so
     Jaccard = inter / (|A| + |B| - inter) without re-touching the sets.
+
+    ``max_shingle_df`` caps the posting-list length: a corpus-frequent
+    shingle ("of the and") with m postings would otherwise put an m²
+    candidate group on one join key — the classic inverted-index scale
+    killer. Shingles with document frequency > cap are excluded from the
+    index. The reported Jaccard values stay exact: per document we know
+    how many hot shingles it lost (``__hot``), so
+    ``inter + least(hot_a, hot_b)`` is a sound upper bound on the true
+    intersection; candidates clearing the threshold on that bound are
+    kept, and only pairs where BOTH sides lost hot shingles get their
+    true Jaccard re-computed from the full sets (a tiny join against the
+    base — if one side has no hot shingles the counted intersection is
+    already exact). The one approximation is standard df-cap semantics:
+    a pair sharing ONLY hot shingles never meets in the index and is
+    missed; near-dup pairs at real thresholds share many rarer shingles
+    (and all-boilerplate exact dups belong to :func:`exact_dedup`).
+    ``max_shingle_df=None`` disables the cap for fully exact results.
     """
-    base = df.select(
+    base = _parallelize_scan(df).select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
+    # reused by the inverted index and (for capped hot pairs) verification
+    base = base.persist()
     exploded = base.select("__id", "__n", F.explode("__sh").alias("__g"))
-    # self-joined twice below: materialize the shingle pass once
-    exploded = exploded.persist()
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
+
+    if max_shingle_df is not None:
+        # hot shingles are few by construction (≤ total_postings / cap)
+        hot = (
+            exploded.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__g")
+        )
+        hot_per_doc = (
+            exploded.join(F.broadcast(hot), "__g", "left_semi")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__hot"))
+        )
+        kept = (
+            exploded.join(F.broadcast(hot), "__g", "left_anti")
+            .join(hot_per_doc, "__id", "left")
+            .withColumn("__hot", F.coalesce("__hot", F.lit(0)))
+        )
+    else:
+        kept = exploded.withColumn("__hot", F.lit(0))
+
+    # self-joined twice below: materialize the (capped) index once
+    kept = kept.persist()
+    a, b = kept.alias("a"), kept.alias("b")
+    counted = (
         a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.col("a.__n").alias("n_a"),
             F.col("b.__n").alias("n_b"),
+            F.col("a.__hot").alias("hot_a"),
+            F.col("b.__hot").alias("hot_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    ub_inter = F.col("inter") + F.least("hot_a", "hot_b")
+    ub_jac = ub_inter / (F.col("n_a") + F.col("n_b") - ub_inter)
+    surv = counted.filter(ub_jac >= threshold)
+
+    # both-hot pairs: intersection may include hot shingles — recompute
+    # exactly from the full sets (few rows; joins against the persisted base)
+    jac_exact = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    clean = surv.filter(F.least("hot_a", "hot_b") == 0).select(
+        "id_a", "id_b", F.round(jac_exact, 6).alias("jaccard")
     )
+    hot_pairs = surv.filter(F.least("hot_a", "hot_b") > 0).select("id_a", "id_b")
+    sets = base.select("__id", "__sh")
+    verified = (
+        hot_pairs.join(
+            sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+        )
+        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(F.col("uni") == 0, F.lit(0.0)).otherwise(F.col("inter") / F.col("uni")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return clean.unionByName(verified).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +424,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash per document over whitespace tokens of the
     normalized text. Majority vote per bit via explode + 64 conditional
     sums (one shuffle on the doc id)."""
-    toks = df.select(
+    toks = _parallelize_scan(df).select(
         F.col(id_col).alias("__id"),
         F.explode_outer(ws_tokens(normalized_text(F.col(text_col)))).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))

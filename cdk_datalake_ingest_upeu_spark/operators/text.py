@@ -141,6 +141,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_grams(text, n))
 
 
+def gram_hashes(text: Column, n: int = 3) -> Column:
+    """POSITIONAL word n-gram 64-bit hashes — :func:`word_grams` without
+    ever building the gram STRINGS: tokens are hashed once
+    (``transform`` evaluates its input array once per row), then
+    consecutive token hashes are folded with ``xxhash64`` over shifted
+    slices — long math, no per-gram string concat/alloc. Used by hash-
+    space dedup (MinHash), where only gram identity matters."""
+    toks = ws_tokens(normalized_text(text))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    k = F.size(th)
+    m = F.greatest(k - (n - 1), F.lit(0))
+    grams = F.slice(th, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(th, i + 1, m), lambda a, b: F.xxhash64(a, b))
+    whole = F.aggregate(th, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x))
+    return F.when(
+        k < n,
+        F.when(k == 0, F.array().cast("array<long>")).otherwise(F.array(whole)),
+    ).otherwise(grams)
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram hash set — :func:`shingles` in hash space
+    (64-bit collisions are negligible for set semantics)."""
+    return F.array_distinct(gram_hashes(text, n))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append the standard text-analysis feature columns."""
     t = F.col(text_col)

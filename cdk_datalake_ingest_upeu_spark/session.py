@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # split small parquet files across cores: with the 128MB/4MB
+        # defaults a <=128MB table scans as ONE task, serializing every
+        # narrow CPU-heavy pass downstream. minPartitionNum asks for at
+        # least one split per core; openCostInBytes must drop too or the
+        # 4MB floor re-merges the splits. No-ops at 100 TB (splits are
+        # already plentiful and capped by maxPartitionBytes).
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        .config("spark.sql.files.openCostInBytes", "131072")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config(

@@ -122,8 +122,9 @@ def run_stateful_sessionization(
     query_name: str = "stateful_sessionization",
 ):
     """Drive the stateful operator over a file-source stream; each
-    micro-batch upserts the emitted running totals via ``sink(batch_df)``
-    (e.g. ``StageTable.merge`` on user_id)."""
+    micro-batch hands the emitted running totals to
+    ``sink(batch_df, batch_id)`` (e.g. ``StageTable.merge`` on user_id,
+    or an append tagged with the batch id for read-time latest-wins)."""
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -135,7 +136,7 @@ def run_stateful_sessionization(
         out.writeStream.queryName(query_name)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda batch_df, _id: sink(batch_df))
+        .foreachBatch(lambda batch_df, batch_id: sink(batch_df, batch_id))
         .start()
     )
 

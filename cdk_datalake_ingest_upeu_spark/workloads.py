@@ -92,6 +92,11 @@ def _prepare_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # small-file scans must still split across cores (see session.py)
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism)
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", "131072")
 
 
 class _stream_shuffle_partitions:
@@ -1062,7 +1067,9 @@ def streaming_stateful_sessionization(spark, sf_dir):
         run_stateful_sessionization,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # cache the source once: the bounds probe and all three slice writes
+    # re-read it otherwise
+    ev = _t(spark, sf_dir, "events").persist()
     work = _tmpdir("sess")
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
@@ -1089,19 +1096,37 @@ def streaming_stateful_sessionization(spark, sf_dir):
             for f in files:
                 os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
 
-    stage = StageTable(spark, os.path.join(work, "totals"))
+    # sink: append each update-mode emission tagged with its batch id and
+    # take the LATEST emission per key on read — the standard idempotent
+    # streaming-upsert pattern without a per-batch table rewrite (the
+    # MERGE sink path is exercised by streaming_merge_ingest)
+    out_dir = os.path.join(work, "totals")
+
+    def _append(batch_df, batch_id):
+        batch_df.withColumn("__b", F.lit(int(batch_id))).write.mode("append").parquet(
+            out_dir
+        )
+
     with _stream_shuffle_partitions(spark, 8):
         q = run_stateful_sessionization(
             spark,
             os.path.join(src_dir, "batch_*"),
             ev.schema,
-            lambda batch: stage.merge(batch, ["user_id"]),
+            _append,
             checkpoint_dir=os.path.join(work, "ckpt"),
             query_name=f"sess_{uuid.uuid4().hex[:6]}",
         )
         q.processAllAvailable()
         q.stop()
-    return stage.read().orderBy("user_id")
+    ev.unpersist()
+    w = Window.partitionBy("user_id").orderBy(F.col("__b").desc())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+        .orderBy("user_id")
+    )
 
 
 # same target state as the batch sessionization

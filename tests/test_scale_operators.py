@@ -75,6 +75,47 @@ def test_ngram_jaccard_exact_values(spark):
     assert abs(pairs[(1, 3)] - expected) < 1e-6
 
 
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    """A shingle shared by 1k docs must not create a 1k² candidate bucket.
+    With the df cap active, results on pairs sharing rare shingles are
+    IDENTICAL to the uncapped run (the planted near-dup pair survives
+    with its exact value), and the hot-only crowd yields no pairs."""
+    common = "lorem ipsum dolor sit amet"  # every doc: hot shingles
+    rows = [(i, f"{common} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(1000)]
+    # planted near-dup pair with many rare shared shingles
+    tail = " ".join(f"tok{j}" for j in range(30))
+    rows += [(2000, f"alpha {tail}"), (2001, f"beta {tail}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    }
+    assert (2000, 2001) in capped
+    assert capped == exact
+
+
+def test_minhash_mega_bucket_star_linked(spark):
+    """A cluster of near-identical docs larger than max_band_bucket must
+    still dedup to its min id (star-linking), with candidate fan-out
+    linear in the cluster size instead of quadratic."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import minhash_dedup as md
+
+    text = "identical boilerplate page repeated across the whole mirror set " * 3
+    rows = [(i, text) for i in range(100, 300)] + [(1, "totally unrelated single document")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, max_band_bucket=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # star pairs only: every member links to min id 100, fan-out O(m) not O(m²)
+    assert got == {(100, i) for i in range(101, 300)}
+    kept = sorted(r.doc_id for r in md(docs, threshold=0.7, max_band_bucket=16).collect())
+    assert kept == [1, 100]
+
+
 def test_simhash_identical_and_near(spark):
     sigs = {r.doc_id: r.simhash for r in simhash64(docs_df(spark)).collect()}
     assert sigs[1] == sigs[2] == sigs[5]
@@ -224,7 +265,7 @@ def test_stateful_sessionization_carries_state(spark, tmp_path):
         spark,
         os.path.join(src, "b*"),
         schema,
-        lambda b: stage.merge(b, ["user_id"]),
+        lambda b, _i: stage.merge(b, ["user_id"]),
         checkpoint_dir=os.path.join(tmp_path, "ckpt"),
         query_name="sess_test",
     )
