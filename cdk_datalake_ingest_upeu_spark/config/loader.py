@@ -62,17 +62,26 @@ def table_spec_for(
     """Find + normalize a table spec, applying LOAD_TYPE defaulting.
 
     Defaulting (reference ``extract_data_spark.py:188-205``): blank
-    LOAD_TYPE becomes ``incremental`` for transactional tables
-    (``SOURCE_TABLE_TYPE=='t'``) else ``full``; FORCE_FULL_LOAD turns
+    LOAD_TYPE on a transactional table (``SOURCE_TABLE_TYPE=='t'``)
+    becomes ``days_off`` with ``NUM_DAYS=10`` on the ``SALESFORCE_ING``
+    endpoint (a trailing re-extract window — the API has no reliable
+    incremental cursor) and ``incremental`` on every other endpoint;
+    non-transactional tables default to ``full``. FORCE_FULL_LOAD turns
     ``incremental`` into ``full``.
     """
     for row in tables_rows:
         if (row.get("STAGE_TABLE_NAME", "") or "").upper() == table_name.upper():
             spec = TableSpec.from_row(row)
             if not spec.load_type:
-                spec.load_type = (
-                    "incremental" if spec.source_table_type == "t" else "full"
-                )
+                if spec.source_table_type == "t":
+                    if endpoint_name == "SALESFORCE_ING":
+                        spec.load_type = "days_off"
+                        if not (spec.num_days or "").strip():
+                            spec.num_days = "10"
+                    else:
+                        spec.load_type = "incremental"
+                else:
+                    spec.load_type = "full"
             if force_full_load and spec.load_type == "incremental":
                 spec.load_type = "full"
             return spec

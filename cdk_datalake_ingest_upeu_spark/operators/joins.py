@@ -55,13 +55,14 @@ def salted_join(
 
 def skew_stats(df: DataFrame, key: str | list[str], top: int = 10) -> DataFrame:
     """Per-key row counts + share of total, descending — the diagnostic
-    you run before deciding a key needs salting."""
+    you run before deciding a key needs salting. One action: the total
+    comes from a window sum over the per-key aggregate (tiny relation),
+    not a second scan of the input."""
     keys = [key] if isinstance(key, str) else list(key)
-    total = df.count()
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        counts.withColumn("share", F.round(F.col("n_rows") / total, 6))
         .orderBy(F.col("n_rows").desc())
         .limit(top)
     )
@@ -75,11 +76,14 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    suffix: str = "_right",
 ) -> DataFrame:
     """As-of join: for each left row, the single most recent right row
     with right_time <= left_time (direction='backward'; 'forward' takes
     the earliest right row with right_time >= left_time), matched per
-    key. Spark has no native ASOF JOIN; the classic scalable encoding is
+    key. Right payload columns whose names collide with left columns are
+    renamed ``<name><suffix>`` in the output (a double collision raises).
+    Spark has no native ASOF JOIN; the classic scalable encoding is
     union + ordered window:
 
       union both sides tagged by origin, sort within each key by time,
@@ -95,6 +99,18 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_time]
+
+    # uniquify right payload names that collide with left output columns
+    left_cols = set(left.columns)
+    out_name = {}
+    for c in payload:
+        name = f"{c}{suffix}" if c in left_cols else c
+        if name != c and (name in left_cols or name in payload):
+            raise ValueError(
+                f"asof_join: right column {c!r} collides with a left column "
+                f"and the suffixed name {name!r} collides too - rename inputs"
+            )
+        out_name[c] = name
 
     lt = F.col(left_time)
     l_tagged = left.select(
@@ -140,6 +156,6 @@ def asof_join(
         *keys,
         F.col("__t").alias(left_time),
         *[F.col(c) for c in left.columns if c not in keys and c != left_time],
-        *[F.col(f"__c_{c}").alias(c) for c in payload],
+        *[F.col(f"__c_{c}").alias(out_name[c]) for c in payload],
     )
     return out

@@ -56,6 +56,29 @@ class ProcessOutcome:
     rows_out: int = 0
     warnings: int = 0
     error: str = ""
+    retryable: bool = False  # FAILED only: transient (re-run may succeed)
+
+
+# Deterministic failures: re-running the identical Spark job cannot
+# change the outcome, so the driver must not burn retries (and cluster
+# time) on them. Everything else — executor loss, I/O, throttling — is
+# presumed transient.
+def _is_retryable(exc: BaseException) -> bool:
+    from cdk_datalake_ingest_upeu_spark.functions.engine import TransformError
+
+    deterministic: tuple[type[BaseException], ...] = (
+        TransformError,
+        ValueError,
+        KeyError,
+        TypeError,
+    )
+    try:
+        from pyspark.errors import AnalysisException, ParseException
+
+        deterministic = deterministic + (AnalysisException, ParseException)
+    except ImportError:  # pragma: no cover - pyspark always present here
+        pass
+    return not isinstance(exc, deterministic)
 
 
 class TableProcessor:
@@ -116,7 +139,17 @@ class TableProcessor:
             if order_cols:
                 final = final.orderBy(*order_cols)
 
-            if stage.exists() and spec.load_type in ("incremental", "between-date") and id_cols:
+            # days_off joins the MERGE set deliberately: its trailing
+            # NUM_DAYS window re-extracts overlapping data every run, so
+            # upsert is the only semantics that preserves older rows (the
+            # reference's stage writer, light_transform.py:1554, merges
+            # only incremental/between-date — overwriting a days_off
+            # table with a 10-day slice would drop its history)
+            if (
+                stage.exists()
+                and spec.load_type in ("incremental", "between-date", "days_off")
+                and id_cols
+            ):
                 stage.merge(final, id_cols)
             else:
                 stage.overwrite(final)
@@ -136,7 +169,12 @@ class TableProcessor:
             return outcome
         except Exception as exc:
             self.run_log.record(table=table, status="FAILED", error=str(exc))
-            return ProcessOutcome(table, "FAILED", error=f"{exc}\n{traceback.format_exc()}")
+            return ProcessOutcome(
+                table,
+                "FAILED",
+                error=f"{exc}\n{traceback.format_exc()}",
+                retryable=_is_retryable(exc),
+            )
         finally:
             raw_df.unpersist()
 
@@ -166,6 +204,10 @@ class PipelineDriver:
             for _ in range(self.retries + 1):
                 outcome = self.processor.process_table(raw_df, spec, columns)
                 if outcome.status != "FAILED":
+                    return outcome
+                if not outcome.retryable:
+                    # deterministic failure (bad transform expression,
+                    # missing column): identical re-runs cannot succeed
                     return outcome
             return outcome
 

@@ -159,18 +159,17 @@ class QueryGenerator:
             for start, end in self.range_bucket_bounds(min_val, max_val, num_buckets)
         ]
 
-    def date_range_queries(
+    def date_range_predicates(
         self,
         start: dt.datetime,
         end: dt.datetime,
         splits: int,
         dialect_type: str = "",
     ) -> list[str]:
-        """X2: split a datetime span into equal BETWEEN slices
-        (``extract_data_spark.py:739-771``)."""
+        """The BETWEEN-slice WHERE fragments alone — feed to JDBC
+        ``predicates=[...]`` or push down onto a parquet replica."""
         delta = (end - start) / splits
         out = []
-        base = f"select {self.projection()} from {self.from_clause()}"
         for i in range(splits):
             lo = start + delta * i
             hi = start + delta * (i + 1)
@@ -181,5 +180,20 @@ class QueryGenerator:
                 hi_r = self.render_date_literal(hi_s, dialect_type)
             else:
                 lo_r, hi_r = f"'{lo_s}'", f"'{hi_s}'"
-            out.append(f"{base} WHERE {self.dual_range_predicate(lo_r, hi_r)}")
+            out.append(self.dual_range_predicate(lo_r, hi_r))
         return out
+
+    def date_range_queries(
+        self,
+        start: dt.datetime,
+        end: dt.datetime,
+        splits: int,
+        dialect_type: str = "",
+    ) -> list[str]:
+        """X2: split a datetime span into equal BETWEEN slices
+        (``extract_data_spark.py:739-771``)."""
+        base = f"select {self.projection()} from {self.from_clause()}"
+        return [
+            f"{base} WHERE {pred}"
+            for pred in self.date_range_predicates(start, end, splits, dialect_type)
+        ]

@@ -8,6 +8,9 @@
   buckets (N=10 default, clamped to the range).
 - ``between-date`` with START/END -> *between_date*: split the datetime
   span into N equal slices.
+- ``days_off`` (SALESFORCE_ING transactional default, NUM_DAYS=10,
+  ``extract_data_spark.py:188-205``) -> one trailing NUM_DAYS BETWEEN
+  window re-extracted idempotently each run.
 - anything else -> *standard* single query.
 
 Load modes (INITIAL/NORMAL/RESET/REPROCESS) mirror
@@ -40,7 +43,7 @@ class LoadMode(str, enum.Enum):
 
 @dataclass
 class ExtractionPlan:
-    kind: str  # 'standard' | 'partitioned_full' | 'between_date'
+    kind: str  # 'standard' | 'partitioned_full' | 'between_date' | 'days_off'
     queries: list[str] = field(default_factory=list)
     predicates: list[str] | None = None  # for spark.read.jdbc(predicates=...)
     partition_column: str = ""
@@ -102,6 +105,22 @@ def determine_load_strategy(
                 num_splits=len(bounds),
             )
         # fall through to standard on probe failure (reference :745-747)
+
+    if spec.load_type == "days_off" and spec.filter_column.strip():
+        # trailing re-extract window: pull the last NUM_DAYS days each run
+        # (reference defaults SALESFORCE_ING transactional tables to
+        # days_off/NUM_DAYS=10, extract_data_spark.py:188-205 — the
+        # source has no reliable incremental cursor, so a fixed lookback
+        # re-extracted idempotently into the MERGE stage replaces it)
+        n_days = int(str(spec.num_days or "10").strip() or "10")
+        end = now or dt.datetime.now(dt.timezone.utc)
+        start = end - dt.timedelta(days=n_days)
+        return ExtractionPlan(
+            kind="days_off",
+            queries=gen.date_range_queries(start, end, 1, spec.filter_data_type),
+            predicates=gen.date_range_predicates(start, end, 1, spec.filter_data_type),
+            num_splits=1,
+        )
 
     if spec.load_type == "between-date" and spec.start_value and spec.end_value:
         start = _parse_dt(spec.start_value.strip())

@@ -481,6 +481,118 @@ SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value FROM events
 """
 
 
+def days_off_window_extract(spark, sf_dir):
+    """I1 days_off strategy: trailing NUM_DAYS re-extract window planned
+    by determine_load_strategy (reference defaults SALESFORCE_ING
+    transactional tables to days_off/NUM_DAYS=10,
+    extract_data_spark.py:188-205) and pushed down onto the parquet
+    replica. ``now`` is pinned to just past max(ts) for determinism."""
+    from cdk_datalake_ingest_upeu_spark.plans.strategy import determine_load_strategy
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("ts").alias("hi")).first().hi
+    spec = TableSpec(
+        stage_table_name="ev",
+        source_table="events",
+        source_table_type="t",
+        load_type="days_off",
+        num_days="10",
+        filter_column="ts",
+    )
+    plan = determine_load_strategy(spec, now=hi + dt_timedelta(seconds=1))
+    # events.ts is TIMESTAMP(NANOS) parquet (read as long raw — see _t),
+    # so apply the generated predicate to the converted frame
+    out = ev.filter(F.expr(plan.predicates[0]))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_DAYS_OFF_SQL = """
+-- same trailing window: now = max(ts) floored to the second + 1s, window
+-- = [now - 10 days, now]; literals render at second resolution
+WITH b AS (
+  SELECT date_trunc('second', max(ts)) + INTERVAL 1 SECOND AS hi FROM events
+)
+SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events, b
+WHERE ts IS NOT NULL AND ts BETWEEN b.hi - INTERVAL 10 DAY AND b.hi
+"""
+
+
+def sqlgen_incremental_delay_window(spark, sf_dir):
+    """P5 end-to-end on the hottest reference path: an INCREMENTAL
+    extract whose templated ``{0}``/``{1}`` FILTER_COLUMN receives the
+    delay-window limits (P8, delay_incremental_ini=-2 months) and runs
+    against the parquet replica (reference extract_data_spark.py:670-685).
+    ``now`` is pinned for determinism; limits render as YYYYMM ints."""
+    import datetime as dt
+
+    _prepare_session(spark)
+    spec = TableSpec(
+        stage_table_name="ord",
+        source_table="orders",
+        source_table_type="t",
+        load_type="incremental",
+        filter_exp="o_orderstatus <> 'X'",
+        filter_column="CAST(date_format(o_orderdate, 'yyyyMM') AS INT) BETWEEN {0} AND {1}",
+        delay_incremental_ini="-2",
+    )
+    where = QueryGenerator(spec).where_clause(now=dt.datetime(1998, 8, 15))
+    src = ParquetTableSource(spark, os.path.join(sf_dir, "orders.parquet"))
+    return src.read_predicates([where]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_INCR_DELAY_SQL = """
+-- delay_window_limits("-2", now=1998-08-15) -> ['199806', '199808']
+SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderstatus <> 'X'
+  AND CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199806 AND 199808
+"""
+
+
+def sqlgen_bigint_dialect_range(spark, sf_dir):
+    """P7's portable dialect branch: BIGINT date literals (epoch
+    seconds, reference extract_data_spark.py:626-651) rendered into the
+    X2 BETWEEN slices and applied to an epoch-seconds expression."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    spec = TableSpec(
+        stage_table_name="ev",
+        source_table="events",
+        filter_column="unix_timestamp(ts)",
+        filter_data_type="BIGINT",
+    )
+    preds = QueryGenerator(spec).date_range_predicates(
+        dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20), 2, "BIGINT"
+    )
+    out = ev.filter(F.expr(preds[0])).unionByName(ev.filter(F.expr(preds[1])))
+    return out.dropDuplicates(["event_id"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_BIGINT_DIALECT_SQL = """
+-- the BIGINT dialect renders epoch-second integers; BETWEEN slice
+-- boundaries are inclusive and the mid-boundary row (if any) dedups
+SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value
+FROM events
+WHERE epoch(ts) BETWEEN epoch(TIMESTAMP '2024-01-10 00:00:00')
+                    AND epoch(TIMESTAMP '2024-01-20 00:00:00')
+"""
+
+
 def asof_join_last_purchase(spark, sf_dir):
     """As-of join (beyond-reference op the brief names): each click event
     paired with the user's most recent purchase at-or-before it. DuckDB's
@@ -1609,6 +1721,9 @@ QUERIES = {
     "minmax_bounds": minmax_bounds,
     "range_partition_union": range_partition_union,
     "date_range_extract_union": date_range_extract_union,
+    "days_off_window_extract": days_off_window_extract,
+    "sqlgen_incremental_delay_window": sqlgen_incremental_delay_window,
+    "sqlgen_bigint_dialect_range": sqlgen_bigint_dialect_range,
     "asof_join_last_purchase": asof_join_last_purchase,
     "window_dedup_latest": window_dedup_latest,
     "distinct_flag_status": distinct_flag_status,
@@ -1661,6 +1776,9 @@ ORACLES = {
     "minmax_bounds": _MINMAX_SQL,
     "range_partition_union": _RANGE_UNION_SQL,
     "date_range_extract_union": _DATE_RANGE_SQL,
+    "days_off_window_extract": _DAYS_OFF_SQL,
+    "sqlgen_incremental_delay_window": _INCR_DELAY_SQL,
+    "sqlgen_bigint_dialect_range": _BIGINT_DIALECT_SQL,
     "asof_join_last_purchase": _ASOF_SQL,
     "window_dedup_latest": _DEDUP_LATEST_SQL,
     "distinct_flag_status": _DISTINCT_SQL,

@@ -52,6 +52,49 @@ def test_table_spec_parsing_and_quirks():
     assert spec2.load_type == "full"
 
 
+def test_days_off_defaulting_on_salesforce_endpoint():
+    """Blank LOAD_TYPE + SOURCE_TABLE_TYPE='t' + SALESFORCE_ING endpoint
+    defaults to days_off with NUM_DAYS=10 (extract_data_spark.py:188-205);
+    other endpoints keep the incremental default."""
+    rows = load_config_csv(TABLES_CSV, is_text=True)
+    spec = table_spec_for(rows, "ventas", endpoint_name="SALESFORCE_ING")
+    assert spec.load_type == "days_off"
+    assert spec.num_days == "10"
+    # non-transactional tables stay full regardless of endpoint
+    spec2 = table_spec_for(rows, "clientes", endpoint_name="SALESFORCE_ING")
+    assert spec2.load_type == "full"
+    # any other endpoint: incremental
+    spec3 = table_spec_for(rows, "ventas", endpoint_name="PEUPEU")
+    assert spec3.load_type == "incremental"
+
+
+def test_days_off_strategy_builds_trailing_window():
+    import datetime as dt
+
+    from cdk_datalake_ingest_upeu_spark.config.models import TableSpec
+    from cdk_datalake_ingest_upeu_spark.plans.strategy import determine_load_strategy
+
+    spec = TableSpec(
+        stage_table_name="T",
+        source_table="t",
+        source_table_type="t",
+        load_type="days_off",
+        num_days="10",
+        filter_column="modified_at",
+    )
+    plan = determine_load_strategy(spec, now=dt.datetime(2024, 3, 15, 12, 0, 0))
+    assert plan.kind == "days_off"
+    assert plan.num_splits == 1 and len(plan.queries) == 1
+    assert (
+        plan.predicates[0]
+        == "modified_at is not null and modified_at BETWEEN "
+        "'2024-03-05 12:00:00' AND '2024-03-15 12:00:00'"
+    )
+    # no filter column -> falls through to the standard single query
+    spec.filter_column = ""
+    assert determine_load_strategy(spec, now=dt.datetime(2024, 3, 15)).kind == "standard"
+
+
 def test_force_full_load_override():
     rows = load_config_csv(TABLES_CSV, is_text=True)
     spec = table_spec_for(rows, "ventas", force_full_load=True)

@@ -80,6 +80,43 @@ def test_run_log_records(spark, tmp_path):
     assert "SUCCESS" in open(log_path).read()
 
 
+def test_driver_does_not_retry_deterministic_failures(spark, tmp_path):
+    """A bad transform expression fails identically every run; the group
+    driver must not re-run the full Spark job for it. Transient failures
+    still get retried."""
+    from cdk_datalake_ingest_upeu_spark.pipeline.driver import PipelineDriver
+
+    p = TableProcessor(spark, os.path.join(tmp_path, "stage"))
+    calls = {"n": 0}
+    orig = p.process_table
+
+    def counting(raw_df, spec_, columns, **kw):
+        calls["n"] += 1
+        return orig(raw_df, spec_, columns, **kw)
+
+    p.process_table = counting
+    bad_cols = [ColumnSpec("id", 1, "int", "fn_transform_NoSuchFunction(id)", is_id=True)]
+    driver = PipelineDriver(p, retries=2)
+    out = driver.run_group([(raw(spark, [("1", "a", "2024-01-01 00:00:00")]), spec(), bad_cols)])
+    assert out[0].status == "FAILED" and not out[0].retryable
+    assert calls["n"] == 1  # no retry burned on a deterministic error
+
+    # transient failure (generic RuntimeError) retries up to the limit
+    def flaky(raw_df, spec_, columns, **kw):
+        calls["n"] += 1
+        raise_if = calls["n"] < 3
+        if raise_if:
+            from cdk_datalake_ingest_upeu_spark.pipeline.driver import ProcessOutcome
+
+            return ProcessOutcome("t1", "FAILED", error="boom", retryable=True)
+        return orig(raw_df, spec_, columns, **kw)
+
+    calls["n"] = 0
+    p.process_table = flaky
+    out2 = driver.run_group([(raw(spark, [("1", "a", "2024-01-01 00:00:00")]), spec(), COLS)])
+    assert out2[0].status == "SUCCESS" and calls["n"] == 3
+
+
 def test_incremental_runner_watermark_flow(spark, tmp_path):
     ev = spark.createDataFrame(
         [(1, 10), (2, 20), (3, 30)], "id int, seq int"

@@ -415,6 +415,27 @@ def test_asof_join_directions_and_exact_time(spark):
         asof_join(left, right, on="k", left_time="t", right_time="rt", direction="nearest")
 
 
+def test_asof_join_payload_collision_uniquified(spark):
+    """A right payload column named like a left column must come out
+    suffixed, not silently collide; a double collision raises."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 50, "R")], "k long, rt long, v string")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert set(out.columns) == {"k", "t", "v", "v_right"}
+    row = out.collect()[0]
+    assert row.v == "L" and row.v_right == "R"
+
+    import pytest as _pytest
+
+    clash = spark.createDataFrame(
+        [(1, 50, "R", "X")], "k long, rt long, v string, v_right string"
+    )
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(left, clash, on="k", left_time="t", right_time="rt")
+
+
 def test_winnow_fingerprints_detect_shifted_overlap(spark):
     """Winnowing property: identical docs -> identical fingerprint sets;
     a doc embedded in extra surrounding text still SHARES most
