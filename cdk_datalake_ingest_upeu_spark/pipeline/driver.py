@@ -21,6 +21,7 @@ import datetime as dt
 import json
 import os
 import traceback
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -33,19 +34,90 @@ from cdk_datalake_ingest_upeu_spark.functions.registry import spark_type_for
 from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable, dedup_latest
 
 
+def _process_type_for(status: str) -> str:
+    """Status -> ops process-type label (light_transform.py:423-432)."""
+    status = status.upper()
+    if status == "RUNNING":
+        return "incremental"
+    if status == "SUCCESS":
+        return "completed"
+    if status == "WARNING":
+        return "incremental_with_warnings"
+    return "error_handling"
+
+
+def _truncate_context(data, max_length: int = 1000, _depth: int = 0):
+    """Bound context payload size (light_transform.py:387-421): strings
+    clipped, dicts capped at 10 keys, lists at 10 items."""
+    if isinstance(data, str):
+        return data[:max_length] + "...[TRUNCATED]" if len(data) > max_length else data
+    if isinstance(data, dict):
+        out = {k: _truncate_context(v, 500, _depth + 1) for k, v in list(data.items())[:10]}
+        if len(data) > 10:
+            out["_truncated_items"] = f"...and {len(data) - 10} more items"
+        return out
+    if isinstance(data, (list, tuple)):
+        out = [_truncate_context(v, 500, _depth + 1) for v in data[:10]]
+        if len(data) > 10:
+            out.append(f"...and {len(data) - 10} more items")
+        return out
+    return data
+
+
 class RunLog:
-    """Structured run log (JSONL)."""
+    """Structured run log (JSONL sink replacing the reference's DynamoDB
+    table, field structure per ``light_transform.py:278-339``): every
+    record carries PROCESS_ID (team-datasource-endpoint-table), a
+    run-stable PROCESS_GUID, STATUS, PROCESS_TYPE, and a size-bounded
+    CONTEXT — the fields the reference's ops alerting keys on."""
 
-    def __init__(self, path: str | None):
+    def __init__(
+        self,
+        path: str | None,
+        *,
+        team: str = "",
+        data_source: str = "",
+        endpoint_name: str = "",
+        environment: str = "",
+        resource_name: str = "",
+    ):
         self.path = path
+        self.team = team
+        self.data_source = data_source
+        self.endpoint_name = endpoint_name
+        self.environment = environment
+        self.resource_name = resource_name
+        self.process_guid = uuid.uuid4().hex
 
-    def record(self, **fields) -> None:
+    def record(self, *, table: str = "", status: str = "", context=None, **fields) -> str:
+        """Append one structured record; returns its PROCESS_ID."""
+        process_id = "-".join(
+            p for p in (self.team, self.data_source, self.endpoint_name, table) if p
+        ).lower()
         if not self.path:
-            return
-        fields.setdefault("ts", dt.datetime.now(dt.timezone.utc).isoformat())
+            return process_id
+        now = dt.datetime.now(dt.timezone.utc)
+        rec = {
+            "PROCESS_ID": process_id,
+            "PROCESS_GUID": self.process_guid,
+            "DATE_SYSTEM": now.strftime("%Y%m%d_%H%M%S_%f"),
+            "RESOURCE_NAME": self.resource_name or "unknown_job",
+            "RESOURCE_TYPE": "spark_job",
+            "STATUS": (status or "").upper(),
+            "PROCESS_TYPE": _process_type_for(status or ""),
+            "CONTEXT": _truncate_context(context or {}),
+            "TEAM": self.team,
+            "DATASOURCE": self.data_source,
+            "ENDPOINT_NAME": self.endpoint_name,
+            "TABLE_NAME": table,
+            "ENVIRONMENT": self.environment,
+            "LOG_CREATED_AT": now.strftime("%Y-%m-%d %H:%M:%S"),
+            **{k.upper(): v for k, v in fields.items()},
+        }
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "a", encoding="utf-8") as fh:
-            fh.write(json.dumps(fields) + "\n")
+            fh.write(json.dumps(rec) + "\n")
+        return process_id
 
 
 @dataclass
@@ -127,7 +199,7 @@ class TableProcessor:
                         self.spark.createDataFrame([], self.empty_schema(columns))
                     )
                 outcome = ProcessOutcome(table, "WARNING", 0, 0, 0, "no data to process")
-                self.run_log.record(table=table, status=outcome.status, detail=outcome.error)
+                self.run_log.record(table=table, status=outcome.status, message=outcome.error)
                 return outcome
 
             result = self.engine.apply(raw_df, columns)
@@ -162,13 +234,16 @@ class TableProcessor:
             self.run_log.record(
                 table=table,
                 status=status,
-                rows_in=rows_in,
-                rows_out=rows_out,
-                warnings=result.warnings,
+                context={
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "warnings": result.warnings,
+                    "load_type": spec.load_type,
+                },
             )
             return outcome
         except Exception as exc:
-            self.run_log.record(table=table, status="FAILED", error=str(exc))
+            self.run_log.record(table=table, status="FAILED", message=str(exc))
             return ProcessOutcome(
                 table,
                 "FAILED",

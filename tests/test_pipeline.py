@@ -73,11 +73,36 @@ def test_empty_source_creates_schema_only_stage(spark, tmp_path):
 
 
 def test_run_log_records(spark, tmp_path):
+    """Structured record parity with the reference's DynamoDB log
+    (light_transform.py:278-339): PROCESS_ID from
+    team-datasource-endpoint-table, STATUS/PROCESS_TYPE mapping, bounded
+    CONTEXT."""
+    import json
+
     log_path = os.path.join(tmp_path, "log.jsonl")
-    p = TableProcessor(spark, os.path.join(tmp_path, "stage"), RunLog(log_path))
+    log = RunLog(
+        log_path,
+        team="bi",
+        data_source="erp",
+        endpoint_name="PEUPEU",
+        environment="DEV",
+        resource_name="stage_job",
+    )
+    p = TableProcessor(spark, os.path.join(tmp_path, "stage"), log)
     p.process_table(raw(spark, [("1", "a", "2024-01-01 00:00:00")]), spec(), COLS)
-    assert os.path.exists(log_path)
-    assert "SUCCESS" in open(log_path).read()
+    rec = json.loads(open(log_path).read().splitlines()[-1])
+    assert rec["PROCESS_ID"] == "bi-erp-peupeu-t1"
+    assert rec["STATUS"] == "SUCCESS" and rec["PROCESS_TYPE"] == "completed"
+    assert rec["CONTEXT"]["rows_in"] == 1 and rec["TABLE_NAME"] == "t1"
+    assert rec["RESOURCE_NAME"] == "stage_job" and rec["ENVIRONMENT"] == "DEV"
+    assert len(rec["PROCESS_GUID"]) == 32
+
+    # oversized context is truncated, not rejected
+    pid = log.record(table="t1", status="FAILED", context={"blob": "x" * 5000})
+    assert pid == "bi-erp-peupeu-t1"
+    rec2 = json.loads(open(log_path).read().splitlines()[-1])
+    assert rec2["CONTEXT"]["blob"].endswith("...[TRUNCATED]")
+    assert rec2["PROCESS_TYPE"] == "error_handling"
 
 
 def test_driver_does_not_retry_deterministic_failures(spark, tmp_path):
