@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "dedup_exact_stats",
     "dedup_exact_corpus",
     "dedup_minhash_pairs",
+    "corpus_language_stats",
+    "topk_ngrams",
+    "sample_hash_deterministic",
+    "pack_documents_stats",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "streaming_stateful_sessionization",

@@ -563,6 +563,21 @@ def cosine(vec_a: Column, vec_b: Column) -> Column:
     return dot / (norm_a * norm_b)
 
 
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Drop SimHash near-duplicates, keeping the smallest id per cluster
+    — same min-id policy as :func:`minhash_dedup`, over
+    :func:`simhash_pairs`."""
+    pairs = simhash_pairs(df, text_col, id_col, max_hamming=max_hamming)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

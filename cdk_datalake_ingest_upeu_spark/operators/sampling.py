@@ -1,0 +1,89 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be REPRODUCIBLE: the same row lands in the same
+split on every run, on any cluster size, with no RNG state to ship.
+Everything here derives from a hash of the row's stable key — the
+standard technique for train/validation/test splits and fractional
+corpus sampling in large-scale dataset construction (and the reason
+``df.sample``'s per-partition RNG is not used: its output changes with
+partitioning).
+
+All expressions are ``pyspark.sql.functions`` built-ins (md5 + string
+ops, whole-stage codegen): a sample is a FILTER pushed to the scan — no
+shuffle, no UDF, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 1e6 buckets give ppm-resolution fractions; md5's first 8 hex chars
+# (32 bits) are uniform far beyond that
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, *, seed: str = "", buckets: int = _BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from a row key: first 32 bits of
+    md5(key || seed). Identical across engines that agree on md5 hex
+    (the DuckDB oracle computes the same bucket with
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT``)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(seed)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_col``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(hash_bucket(F.col(key_col), seed=seed) < int(fraction * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    *,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-label deterministic sampling (class rebalancing: e.g. keep 5%
+    of English, 100% of low-resource languages). Labels absent from
+    ``fractions`` get ``default_fraction``."""
+    bucket = hash_bucket(F.col(key_col), seed=seed)
+    threshold = F.lit(int(default_fraction * _BUCKETS))
+    for label, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {label!r} must be in [0,1], got {frac}")
+        threshold = F.when(
+            F.col(label_col) == label, F.lit(int(frac * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    test_fraction: float = 0.1,
+    validation_fraction: float = 0.0,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a train/validation/test split column — the same row is in
+    the same split forever (append-only corpora never leak test rows
+    into training as the corpus grows)."""
+    if test_fraction + validation_fraction > 1.0:
+        raise ValueError("test_fraction + validation_fraction must be <= 1")
+    bucket = hash_bucket(F.col(key_col), seed=seed)
+    test_hi = int(test_fraction * _BUCKETS)
+    val_hi = test_hi + int(validation_fraction * _BUCKETS)
+    return df.withColumn(
+        out_col,
+        F.when(bucket < test_hi, F.lit("test"))
+        .when(bucket < val_hi, F.lit("validation"))
+        .otherwise(F.lit("train")),
+    )

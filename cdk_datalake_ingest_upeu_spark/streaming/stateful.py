@@ -141,6 +141,46 @@ def run_stateful_sessionization(
     )
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    key_cols: list[str] | tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+    query_name: str = "streaming_dedup",
+):
+    """Streaming deduplication: emit the FIRST arrival of each key, drop
+    re-deliveries (``dropDuplicatesWithinWatermark``) — the standard
+    guard for at-least-once upstreams (Kafka redeliveries, retried file
+    drops). Unlike plain ``dropDuplicates`` on a stream, per-key state is
+    EVICTED once the watermark passes the key's first-seen event time, so
+    state is bounded by the redelivery horizon instead of growing with
+    the stream. Rows pass through immediately (dedup is a stateful
+    filter, not an aggregation — no window finalization wait)."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return (
+        deduped.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
 def run_watermarked_rollup(
     spark: SparkSession,
     source_dir: str,

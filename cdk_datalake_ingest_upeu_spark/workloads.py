@@ -32,7 +32,14 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_dedup,
     simhash_pairs,
+)
+from cdk_datalake_ingest_upeu_spark.operators.packing import pack_documents, pack_stats
+from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    with_split,
 )
 from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
     extract_image_features,
@@ -54,6 +61,7 @@ from cdk_datalake_ingest_upeu_spark.operators.text import (
     lang_id,
     punct_ratio,
     quality_score,
+    shingles,
     stopword_ratio,
     token_count_bpe,
     token_count_ws,
@@ -1484,6 +1492,264 @@ FROM scores
 """
 
 
+def corpus_language_stats(spark, sf_dir):
+    """Corpus composition rollup by PREDICTED language: doc counts, mean
+    quality, token volume — the triage query run before sampling a
+    training mix. Pure codegen expressions + one small groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            lang_id(t).alias("lang_pred"),
+            quality_score(t).alias("q"),
+            token_count_ws(t).alias("nt"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("nt").alias("total_tokens"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+_LANG_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_dd_tokens()} END AS ltoks
+  FROM documents
+), feat AS (
+  SELECT doc_id, len(toks) AS n_tokens_ws,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END AS digit_ratio,
+         CASE WHEN len(ltoks) = 0 THEN 0.0
+              ELSE len(list_filter(ltoks, x -> list_contains({_EN}, x))) * 1.0 / len(ltoks) END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE length(regexp_replace(trim(text), '\\s', '', 'g')) * 1.0 / len(toks) END AS mean_wl,
+         {_lang_count('en')} AS s_en, {_lang_count('es')} AS s_es,
+         {_lang_count('fr')} AS s_fr, {_lang_count('de')} AS s_de
+  FROM base
+), scored AS (
+  SELECT round((least(n_tokens_ws / 100.0, 1.0)
+               + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 1.0 ELSE 0.5 END)
+               + (1.0 - least(punct_ratio * 4, 1.0))
+               + (1.0 - least(digit_ratio * 4, 1.0))
+               + least(stopword_ratio * 4, 1.0)) / 5.0, 4) AS q,
+         n_tokens_ws,
+         CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+              WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+              WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+              WHEN s_de > 0 THEN 'de'
+              ELSE 'unknown' END AS lang_pred
+  FROM feat
+)
+SELECT lang_pred, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+       sum(n_tokens_ws) AS total_tokens
+FROM scored GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def topk_ngrams(spark, sf_dir):
+    """Top-20 word 3-grams by document frequency (corpus boilerplate /
+    contamination probe). Distinct shingles per doc -> explode ->
+    groupBy; at 100 TB the groupBy is the only shuffle and carries
+    (gram, 1) pairs, with map-side partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(20)
+    )
+
+
+_TOPK_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)])) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS doc_freq FROM sh
+GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
+"""
+
+
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic 10% corpus sample keyed on doc_id (md5-bucket
+    filter — reproducible on any cluster layout, unlike df.sample's
+    per-partition RNG). The filter is a scan-side predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_sample(docs, "doc_id", 0.10, seed="r2")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+_SAMPLE_HASH_SQL = """
+-- same bucket: first 8 hex chars of md5(key || seed) mod 1e6 < 100000
+SELECT count(*) AS n_rows, sum(doc_id) AS id_sum,
+       min(doc_id) AS id_min, max(doc_id) AS id_max
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 8))::BIGINT % 1000000 < 100000
+"""
+
+
+def sample_stratified_lang(spark, sf_dir):
+    """Stratified deterministic sampling: rebalance a corpus by keeping
+    100% of low-resource languages and 20% of English."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs,
+        "lang",
+        {"en": 0.20, "de": 1.0, "fr": 1.0},
+        "doc_id",
+        default_fraction=0.5,
+        seed="mix",
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+_SAMPLE_STRAT_SQL = """
+WITH bucketed AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 1000000 AS b
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum FROM bucketed
+WHERE b < (CASE lang WHEN 'en' THEN 200000 WHEN 'de' THEN 1000000
+                     WHEN 'fr' THEN 1000000 ELSE 500000 END)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def train_test_split_counts(spark, sf_dir):
+    """Stable train/validation/test assignment (10% test, 10%
+    validation): the same row is in the same split forever, so growing
+    an append-only corpus never leaks test rows into training."""
+    docs = _t(spark, sf_dir, "documents")
+    out = with_split(docs, "doc_id", test_fraction=0.1, validation_fraction=0.1, seed="v1")
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = """
+WITH bucketed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT % 1000000 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 100000 THEN 'test'
+            WHEN b < 200000 THEN 'validation'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs, sum(doc_id) AS id_sum
+FROM bucketed GROUP BY 1 ORDER BY 1
+"""
+
+
+def pack_documents_stats(spark, sf_dir):
+    """Sequence packing (LLM pretraining batcher): greedy
+    first-fit-sequential packing of documents into 512-token budgets,
+    deterministic across cluster layouts (rows-only: the per-group fold
+    is not SQL-expressible; invariants are unit-gated in
+    test_scale_operators)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_ws(F.col("text"))
+    )
+    packed = pack_documents(
+        docs, token_budget=512, tokens_col="n_tokens", id_col="doc_id", n_groups=16
+    )
+    return pack_stats(packed, tokens_col="n_tokens")
+
+
+def streaming_dedup_events(spark, sf_dir):
+    """Streaming deduplication (dropDuplicatesWithinWatermark): the
+    events table plus a deterministic 20% re-delivery, streamed in 3
+    chronological drops; the drained output equals the duplicate-free
+    batch aggregate (the oracle never sees the duplicates)."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import run_streaming_dedup
+
+    ev = _t(spark, sf_dir, "events").persist()
+    dup = hash_sample(ev, "event_id", 0.20, seed="redeliver")
+    full = ev.unionByName(dup)
+
+    work = _tmpdir("sdedup")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span = (bounds.hi - bounds.lo) / 3
+    cuts = [bounds.lo + span, bounds.lo + 2 * span]
+    slices = [
+        full.filter(F.col("ts") <= cuts[0]),
+        full.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        full.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, part in enumerate(slices):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out_dir = os.path.join(work, "deduped")
+    with _stream_shuffle_partitions(spark, 8):
+        q = run_streaming_dedup(
+            spark,
+            os.path.join(src_dir, "batch_*"),
+            ev.schema,
+            out_dir,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            key_cols=["event_id"],
+            watermark="48 hours",
+            query_name=f"sdedup_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+    ev.unpersist()
+    return spark.read.parquet(out_dir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_STREAM_DEDUP_SQL = """
+-- the 20% re-delivered duplicates must all be dropped: the drained
+-- stream equals the plain duplicate-free aggregate
+SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+"""
+
+
+def dedup_simhash_corpus(spark, sf_dir):
+    """SimHash corpus filter (min-id canonical per near-dup cluster) —
+    completes the dedup-family surface (rows-only like the pair op:
+    DuckDB lacks the hash family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_hamming=3).select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )
+
+
 def dedup_exact_stats(spark, sf_dir):
     """Exact dedup accounting per source: docs vs distinct fingerprints."""
     docs = _t(spark, sf_dir, "documents")
@@ -1755,6 +2021,14 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash_corpus": dedup_simhash_corpus,
+    "corpus_language_stats": corpus_language_stats,
+    "topk_ngrams": topk_ngrams,
+    "sample_hash_deterministic": sample_hash_deterministic,
+    "sample_stratified_lang": sample_stratified_lang,
+    "train_test_split_counts": train_test_split_counts,
+    "pack_documents_stats": pack_documents_stats,
+    "streaming_dedup_events": streaming_dedup_events,
     "embedding_neardup": embedding_neardup,
     "embedding_label_stats": embedding_label_stats,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -1807,6 +2081,12 @@ ORACLES = {
     "dedup_exact_stats": _DEDUP_EXACT_SQL,
     "dedup_exact_corpus": _DEDUP_CORPUS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "corpus_language_stats": _LANG_STATS_SQL,
+    "topk_ngrams": _TOPK_NGRAMS_SQL,
+    "sample_hash_deterministic": _SAMPLE_HASH_SQL,
+    "sample_stratified_lang": _SAMPLE_STRAT_SQL,
+    "train_test_split_counts": _SPLIT_SQL,
+    "streaming_dedup_events": _STREAM_DEDUP_SQL,
     "ann_topk_bruteforce": _ANN_SQL,
     "embedding_label_stats": _EMB_LABEL_SQL,
     "multimodal_frame_sample": _FRAME_SQL,

@@ -228,6 +228,118 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
+def test_hash_sample_deterministic_and_proportional(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+        with_split,
+    )
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.1, seed="s").collect()}
+    b = {r.k for r in hash_sample(df.repartition(7), "k", 0.1, seed="s").collect()}
+    assert a == b  # layout-independent
+    assert 800 <= len(a) <= 1200  # ~10%
+    # different seed -> different (mostly disjoint) sample
+    c = {r.k for r in hash_sample(df, "k", 0.1, seed="t").collect()}
+    assert len(a & c) < len(a) * 0.3
+    # nested fractions: a 5% sample is a subset of the 10% sample
+    d = {r.k for r in hash_sample(df, "k", 0.05, seed="s").collect()}
+    assert d <= a
+
+    lab = df.withColumn("lab", (F.col("k") % 2 == 0).cast("string"))
+    strat = stratified_hash_sample(lab, "lab", {"true": 1.0}, "k", default_fraction=0.1)
+    got = {r.lab: r.cnt for r in strat.groupBy("lab").agg(F.count("*").alias("cnt")).collect()}
+    assert got["true"] == 5000 and 350 <= got["false"] <= 650
+
+    split = with_split(df, "k", test_fraction=0.1, validation_fraction=0.1)
+    counts = {r.split: r.cnt for r in split.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 10_000
+    assert 800 <= counts["test"] <= 1200 and 800 <= counts["validation"] <= 1200
+
+
+def test_pack_documents_invariants(spark):
+    """Every doc packed exactly once; no multi-doc pack exceeds the
+    budget; oversize docs isolated; assignment is layout-independent."""
+    from cdk_datalake_ingest_upeu_spark.operators.packing import pack_documents
+
+    rows = [(i, 1 + (i * 37) % 300) for i in range(500)] + [(9001, 900)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    packed = pack_documents(
+        docs, token_budget=512, tokens_col="n_tokens", id_col="doc_id", n_groups=8
+    )
+    rows_out = packed.collect()
+    assert sorted(r.doc_id for r in rows_out) == sorted(r[0] for r in rows)
+    sums = {}
+    counts = {}
+    for r in rows_out:
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_tokens
+        counts[r.pack_id] = counts.get(r.pack_id, 0) + 1
+    for pid, s in sums.items():
+        assert s <= 512 or counts[pid] == 1
+    over = [r for r in rows_out if r.doc_id == 9001][0]
+    assert over.oversize and counts[over.pack_id] == 1
+    # determinism across physical layouts
+    again = pack_documents(
+        docs.repartition(13), token_budget=512, tokens_col="n_tokens",
+        id_col="doc_id", n_groups=8,
+    )
+    assert {(r.doc_id, r.pack_id) for r in again.collect()} == {
+        (r.doc_id, r.pack_id) for r in rows_out
+    }
+
+
+def test_simhash_dedup_keeps_min_id(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import simhash_dedup
+
+    kept = sorted(r.doc_id for r in simhash_dedup(docs_df(spark), max_hamming=3).collect())
+    # 1/2/5 are identical after normalization; 3 is a near-dup of 1
+    assert kept == [1, 4]
+
+
+def test_streaming_dedup_drops_cross_batch_redelivery(spark, tmp_path):
+    """A key re-delivered in a LATER micro-batch (within the watermark
+    horizon) must be dropped; fresh keys pass through."""
+    import os
+
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import run_streaming_dedup
+
+    base = 1_700_000_000
+    batches = [
+        [(1, base, 1.0), (2, base + 10, 2.0)],
+        [(1, base, 1.0), (3, base + 1200, 3.0)],  # event 1 re-delivered
+        [(2, base + 10, 2.0), (4, base + 2400, 4.0)],  # event 2 re-delivered
+    ]
+    src = os.path.join(tmp_path, "src")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(e, float(ts), v) for e, ts, v in rows],
+            "event_id long, ts double, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        p = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+
+    out = os.path.join(tmp_path, "out")
+    schema = spark.read.parquet(os.path.join(src, "b0")).schema
+    q = run_streaming_dedup(
+        spark,
+        os.path.join(src, "b*"),
+        schema,
+        out,
+        checkpoint_dir=os.path.join(tmp_path, "ckpt"),
+        key_cols=["event_id"],
+        watermark="6 hours",
+        query_name="sdedup_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4]
+
+
 def test_stateful_sessionization_carries_state(spark, tmp_path):
     """State must carry across micro-batches: one user whose events span
     three file drops, gaps chosen so sessions split across batches."""
