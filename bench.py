@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q4_late_shipment_priority",
+    "q13_customer_order_histogram",
+    "q19_disjunctive_pushdown",
+    "q21_waiting_suppliers",
     "asof_join_last_purchase",
     "range_partition_union",
     "window_dedup_latest",

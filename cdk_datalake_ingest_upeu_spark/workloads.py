@@ -362,6 +362,287 @@ LIMIT 20
 """
 
 
+def q4_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery → LEFT SEMI join. The semi join
+    keeps only the orders key-match probe (no lineitem payload crosses
+    the shuffle) and dedups matches on the build side — the plan a
+    correlated EXISTS should compile to."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_customer_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (orders
+    per customer, then customers per order-count). The outer join keeps
+    zero-order customers; both groupBys reduce before shuffling."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_suppliers(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate revenue per supplier, keep ALL rows at
+    the global max (rank-of-aggregate). A window max over an unpartitioned
+    frame after the agg touches only 100 supplier rows — the heavy shuffle
+    happens once, on l_suppkey, with map-side partial sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group-average subquery → aggregate
+    once per part, broadcast the (tiny) per-part averages back onto the
+    fact scan. Avoids the naive re-scan-per-row the correlation implies."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li_part = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    avg_qty = li_part.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return li_part.join(
+        F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
+        li_part.l_partkey == F.col("a_partkey"),
+    ).filter(F.col("l_quantity") < F.col("half_avg")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_small
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey
+                      AND l2.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'))
+"""
+
+
+def q19_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape: OR of conjunctive predicate groups across a join.
+    The common conjuncts (quantity/size floors) are factored so the data
+    source still receives pushable predicates despite the OR."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.filter(F.col("l_quantity") <= 30)
+        .join(F.broadcast(part.filter(F.col("p_size") <= 15)), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: one semi + one anti self-join on the fact table.
+    Suppliers whose line shipped >90 days after order placement on a
+    multi-supplier order where NO other supplier shipped late. Both
+    existence probes shuffle only (orderkey, suppkey) pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+
+    with_order = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    late = with_order.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    keys = li.select("l_orderkey", "l_suppkey").distinct()
+    other = keys.selectExpr("l_orderkey AS o2_orderkey", "l_suppkey AS o2_suppkey")
+    # another supplier participates in the order
+    has_other = late.join(
+        other,
+        (late.l_orderkey == F.col("o2_orderkey"))
+        & (late.l_suppkey != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    late_keys = late.selectExpr("l_orderkey AS x_orderkey", "l_suppkey AS x_suppkey").distinct()
+    # ... and no OTHER supplier was late on the same order
+    sole_late = has_other.join(
+        late_keys,
+        (has_other.l_orderkey == F.col("x_orderkey"))
+        & (has_other.l_suppkey != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: anti join (customers with no RECENT orders)
+    against a scalar-subquery threshold (above-average positive
+    balance). The average is a one-row broadcast; the anti join probes
+    orders with only the custkey column after the date filter prunes."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ===========================================================================
 # SQL-generation operators (P1-P7) executed through Spark SQL
 # ===========================================================================
@@ -1982,6 +2263,13 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q10_returned_items": q10_returned_items,
+    "q4_late_shipment_priority": q4_late_shipment_priority,
+    "q13_customer_order_histogram": q13_customer_order_histogram,
+    "q15_top_suppliers": q15_top_suppliers,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_customers": q22_idle_customers,
     "sqlgen_projection_filter": sqlgen_projection_filter,
     "sqlgen_dual_range_filter": sqlgen_dual_range_filter,
     "minmax_bounds": minmax_bounds,
@@ -2045,6 +2333,13 @@ ORACLES = {
     "q6_forecast_revenue": _Q6_SQL,
     "q18_large_volume_customers": _Q18_SQL,
     "q10_returned_items": _Q10_SQL,
+    "q4_late_shipment_priority": _Q4_SQL,
+    "q13_customer_order_histogram": _Q13_SQL,
+    "q15_top_suppliers": _Q15_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q19_disjunctive_pushdown": _Q19_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "q22_idle_customers": _Q22_SQL,
     "sqlgen_projection_filter": _PROJ_SQL,
     "sqlgen_dual_range_filter": _DUAL_SQL,
     "minmax_bounds": _MINMAX_SQL,
