@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "topk_ngrams",
     "sample_hash_deterministic",
     "pack_documents_stats",
+    "text_repetition_stats",
+    "decontaminate_against_benchmark",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "streaming_stateful_sessionization",

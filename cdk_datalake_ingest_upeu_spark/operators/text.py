@@ -204,6 +204,75 @@ def word_grams(text: Column, n: int = 3) -> Column:
     ).otherwise(grams)
 
 
+def add_repetition_features(
+    df: DataFrame, text_col: str = "text", *, n: int = 3
+) -> DataFrame:
+    """Within-document repetition: ``1 - distinct/total`` positional word
+    n-grams (the Gopher-family quality signal — templated or looping text
+    repeats its own n-grams). 0.0 for documents with no grams.
+
+    Staged projection: the gram array is materialized ONCE per row, then
+    both sizes read the attribute column (referencing the gram expression
+    twice would evaluate the whole tokenize+zip pipeline twice)."""
+    staged = df.withColumn("__rep_grams", word_grams(F.col(text_col), n))
+    total = F.size(F.col("__rep_grams"))
+    distinct = F.size(F.array_distinct(F.col("__rep_grams")))
+    return staged.withColumn(
+        f"repetition_{n}gram",
+        F.when(total == 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - distinct / total, 4)
+        ),
+    ).drop("__rep_grams")
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct word
+    n-grams that also appear in a benchmark/eval set. Training documents
+    with high overlap leak the benchmark and inflate eval scores; the
+    standard guard is an n-gram overlap scan of the full corpus.
+
+    100 TB shape: the benchmark side is tiny (eval sets are thousands of
+    docs) — its distinct gram set is BROADCAST with a hit flag, so the
+    corpus side is ONE scan (the shingle pipeline evaluates once per
+    row), a broadcast left-outer probe per gram, and a per-doc
+    count/sum that partially aggregates map-side — the shuffle carries
+    one (doc_id, n_grams, n_hits) row per doc per partition, not grams.
+    Docs with zero grams (empty text) produce no explode rows and are
+    absent from the result. Returns (id, n_grams, n_hits,
+    contamination).
+
+    Gram identity lives in 64-bit hash space (:func:`shingle_hashes`):
+    no gram strings are ever built, the broadcast is 8 bytes per bench
+    gram, and the join key is a long (collisions are negligible for
+    overlap counting)."""
+    bench_grams = (
+        benchmark.select(F.explode(shingle_hashes(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("__bhit", F.lit(1))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__bhit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("n_hits") / F.col("n_grams"), 4)
+        )
+    )
+
+
 def with_winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -544,44 +544,48 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 
 
 
 def q21_waiting_suppliers(spark, sf_dir):
-    """TPC-H Q21 shape: one semi + one anti self-join on the fact table.
-    Suppliers whose line shipped >90 days after order placement on a
-    multi-supplier order where NO other supplier shipped late. Both
-    existence probes shuffle only (orderkey, suppkey) pairs."""
+    """TPC-H Q21 semantics: suppliers whose lines shipped >90 days after
+    order placement on a multi-supplier order where NO other supplier
+    shipped late.
+
+    The textbook encoding is one semi + one anti self-join — three scans
+    of the fact table and three shuffles. Both existence probes are
+    per-ORDER quantifiers, so they collapse into ONE aggregation: join
+    lineitem to orders on orderkey, group by the same key (co-partitioned
+    — no second exchange), and derive 'another supplier exists' /
+    'no other late supplier' from per-order supplier sets. One fact scan,
+    one shuffle, then broadcast dims."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
 
-    with_order = li.join(
-        orders.select("o_orderkey", "o_orderdate"),
-        li.l_orderkey == F.col("o_orderkey"),
-    )
-    late = with_order.filter(
+    late_flag = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    keys = li.select("l_orderkey", "l_suppkey").distinct()
-    other = keys.selectExpr("l_orderkey AS o2_orderkey", "l_suppkey AS o2_suppkey")
-    # another supplier participates in the order
-    has_other = late.join(
-        other,
-        (late.l_orderkey == F.col("o2_orderkey"))
-        & (late.l_suppkey != F.col("o2_suppkey")),
-        "left_semi",
+    ).cast("int")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn("__late", late_flag)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("__late") == 1, F.col("l_suppkey")))
+            ).alias("late_supp"),
+            F.sum("__late").alias("n_late_rows"),
+        )
     )
-    late_keys = late.selectExpr("l_orderkey AS x_orderkey", "l_suppkey AS x_suppkey").distinct()
-    # ... and no OTHER supplier was late on the same order
-    sole_late = has_other.join(
-        late_keys,
-        (has_other.l_orderkey == F.col("x_orderkey"))
-        & (has_other.l_suppkey != F.col("x_suppkey")),
-        "left_anti",
-    )
+    sole_late = per_order.filter(
+        (F.size("late_supp") == 1) & (F.col("n_supp") > 1)
+    ).select(F.col("late_supp")[0].alias("l_suppkey"), "n_late_rows")
     return (
         sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
@@ -2067,6 +2071,114 @@ def text_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def text_repetition_stats(spark, sf_dir):
+    """Within-document repetition rollup by source (Gopher-family quality
+    signal: templated/looping text repeats its own 3-grams). One scan,
+    one small groupBy; the gram array is materialized once per row."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import add_repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = add_repetition_features(docs, n=3)
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("repetition_3gram"), 4).alias("avg_rep"),
+            F.max("repetition_3gram").alias("max_rep"),
+            F.sum((F.col("repetition_3gram") > 0.01).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(tk) = 0 THEN []
+              ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)] END AS g
+  FROM toks
+), rep AS (
+  SELECT doc_id, source,
+         CASE WHEN len(g) = 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) END AS r
+  FROM grams
+)
+SELECT source, count(*) AS n_docs, round(avg(r), 4) AS avg_rep, max(r) AS max_rep,
+       sum(CASE WHEN r > 0.01 THEN 1 ELSE 0 END) AS n_repetitive
+FROM rep GROUP BY source ORDER BY source
+"""
+
+
+def decontaminate_against_benchmark(spark, sf_dir):
+    """Benchmark decontamination: a deterministic 10% hash split of the
+    corpus plays the eval set; every remaining document's distinct
+    5-grams are probed against the BROADCAST benchmark gram set. Rollup
+    by source: docs checked, contaminated (>=50% overlap), total gram
+    hits, mean contamination."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+    from cdk_datalake_ingest_upeu_spark.operators.text import contamination_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), seed="bench")
+    bench = docs.filter(b < 100_000)
+    corpus = docs.filter(b >= 100_000)
+    stats = contamination_stats(corpus, bench, n=5)
+    src = docs.select("doc_id", "source")
+    return (
+        stats.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("contamination") >= 0.5).cast("long")).alias("n_contaminated"),
+            F.sum("n_hits").alias("total_hits"),
+            F.round(F.avg("contamination"), 4).alias("avg_contamination"),
+        )
+        .orderBy("source")
+    )
+
+
+_DECONTAM_SQL = """
+WITH bucketed AS (
+  SELECT doc_id, source, text,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'bench'), 1, 8))::BIGINT % 1000000 AS b
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, b,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') END AS tk
+  FROM bucketed
+), grams AS (
+  SELECT doc_id, source, b,
+         CASE WHEN len(tk) = 0 THEN []
+              ELSE list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, greatest(len(tk) - 4, 1) + 1)]) END AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE b < 100000
+), corpus AS (
+  SELECT doc_id, source, g FROM grams WHERE b >= 100000 AND len(g) > 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(g) AS gram FROM corpus) dg
+  WHERE gram IN (SELECT gram FROM bench)
+  GROUP BY doc_id
+), scored AS (
+  SELECT c.doc_id, c.source, len(c.g) AS n_grams, coalesce(h.n_hits, 0) AS n_hits,
+         round(coalesce(h.n_hits, 0) * 1.0 / len(c.g), 4) AS contamination
+  FROM corpus c LEFT JOIN hits h USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
+       sum(n_hits) AS total_hits,
+       round(avg(contamination), 4) AS avg_contamination
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def dedup_exact_corpus(spark, sf_dir):
     """Exact dedup as a corpus FILTER: keep the min doc_id per normalized
     text; returns the surviving documents (id + source)."""
@@ -2313,6 +2425,8 @@ QUERIES = {
     "corpus_language_stats": corpus_language_stats,
     "topk_ngrams": topk_ngrams,
     "sample_hash_deterministic": sample_hash_deterministic,
+    "text_repetition_stats": text_repetition_stats,
+    "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "sample_stratified_lang": sample_stratified_lang,
     "train_test_split_counts": train_test_split_counts,
     "pack_documents_stats": pack_documents_stats,
@@ -2379,6 +2493,8 @@ ORACLES = {
     "corpus_language_stats": _LANG_STATS_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "sample_hash_deterministic": _SAMPLE_HASH_SQL,
+    "text_repetition_stats": _REPETITION_SQL,
+    "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
     "train_test_split_counts": _SPLIT_SQL,
     "streaming_dedup_events": _STREAM_DEDUP_SQL,

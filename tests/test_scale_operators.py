@@ -289,6 +289,42 @@ def test_pack_documents_invariants(spark):
     }
 
 
+def test_repetition_ratio_planted(spark):
+    """A document that repeats a phrase scores high; unique prose scores
+    0; short/empty docs are 0 (no grams)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import add_repetition_features
+
+    loop = " ".join(["buy cheap pills now"] * 10)  # heavy 3-gram repetition
+    rows = [(1, BASE), (2, loop), (3, ""), (4, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.repetition_3gram
+        for r in add_repetition_features(df, n=3).collect()
+    }
+    assert got[1] == 0.0  # BASE repeats 'the' but no 3-gram
+    assert got[2] > 0.8  # 40 tokens, only a handful of distinct grams
+    assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_contamination_stats_planted(spark):
+    """A corpus doc equal to a benchmark doc is ~100% contaminated; a
+    half-overlapping doc is partial; disjoint text is 0."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import contamination_stats
+
+    bench = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    half = BASE + " entirely novel continuation that the benchmark never saw at all"
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, half), (3, FAR)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contamination)
+        for r in contamination_stats(corpus, bench, n=5).collect()
+    }
+    assert got[1][2] == 1.0
+    assert 0.0 < got[2][2] < 1.0
+    assert got[3] == (got[3][0], 0, 0.0)
+
+
 def test_simhash_dedup_keeps_min_id(spark):
     from cdk_datalake_ingest_upeu_spark.operators.dedup import simhash_dedup
 
