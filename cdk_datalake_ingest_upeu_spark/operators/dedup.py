@@ -193,8 +193,18 @@ def minhash_lsh_pairs(
     rows; a pair is a candidate iff some band hashes equal. Verification
     computes true Jaccard on the shingle sets.
 
+    Candidate generation is ONE aggregation, not a self-join: band rows
+    group on (band, bhash) into a sorted id list, and the i<j pairs are
+    emitted by a JVM-side HOF projection over each bucket's array. The
+    classic banded SELF-join moves every band row through the exchange
+    twice and needs separate bucket-stat/anti-join/star passes to cap
+    fan-out; the aggregation form shuffles each band row once and the
+    cap is a branch in the same projection. Per-bucket pair fan-out is
+    m², but that equals the candidate count itself — the work is
+    inherent, only the exchanges were not.
+
     ``max_band_bucket`` bounds bucket fan-out: a band bucket with m
-    members yields m² candidates in the self-join, and a mega-cluster of
+    members yields m² candidates, and a mega-cluster of
     near-identical documents collides in EVERY band — quadratic on one
     key at corpus scale. Buckets larger than the cap are star-linked
     instead (every member paired with the bucket's min id), m pairs per
@@ -231,43 +241,41 @@ def minhash_lsh_pairs(
     )
     # band on (id, band, bhash) ONLY — carrying the shingle arrays here
     # would duplicate every document's set ``bands`` times through the
-    # explode and shuffle it twice per candidate in the self-join
+    # explode and the grouping shuffle
     banded = sig.select("__id", F.explode(band_cols).alias("bb")).select(
         "__id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
-    # read 3× below (bucket stats, self-join ×2, star pass); narrow rows
-    banded = banded.persist()
-
-    if max_band_bucket is not None:
-        # oversized buckets are few by construction — partial-agg groupBy,
-        # then broadcast joins (cheaper than a window sort over all rows)
-        bstats = (
-            banded.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("__bsz"), F.min("__id").alias("__bmin"))
-            .filter(F.col("__bsz") > max_band_bucket)
+    # one exchange: each bucket becomes a sorted id array (a bucket holds
+    # m ids — even a million-doc exact-dup cluster is ~8 MB, and such
+    # clusters belong to exact_dedup upstream anyway)
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all i<j pairs, generated inside the row (two-arg HOF lambda is
+    # (element, index) — intended here); slice is 1-based and clamps at
+    # the array end
+    all_pairs = F.flatten(
+        F.expr(
+            "transform(ids, (x, i) -> transform("
+            "slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b)))"
         )
-        small = banded.join(F.broadcast(bstats.select("band", "bhash")), ["band", "bhash"], "left_anti")
-    else:
-        small = banded
-    a = small.alias("a")
-    b = small.alias("b")
-    candidates = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bhash") == F.col("b.bhash"))
-        & (F.col("a.__id") < F.col("b.__id")),
-    ).select(
-        F.col("a.__id").alias("id_a"),
-        F.col("b.__id").alias("id_b"),
     )
     if max_band_bucket is not None:
-        star = (
-            banded.join(F.broadcast(bstats), ["band", "bhash"])
-            .filter(F.col("__id") != F.col("__bmin"))
-            .select(F.col("__bmin").alias("id_a"), F.col("__id").alias("id_b"))
+        star_pairs = F.expr(
+            "transform(slice(ids, 2, size(ids)), y -> struct(ids[0] AS id_a, y AS id_b))"
         )
-        candidates = candidates.unionByName(star)
-    candidates = candidates.dropDuplicates(["id_a", "id_b"])
+        pair_col = F.when(F.size("ids") <= max_band_bucket, all_pairs).otherwise(
+            star_pairs
+        )
+    else:
+        pair_col = all_pairs
+    candidates = (
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     # fetch shingle sets for the (deduped, few) candidates only
     paired = candidates.join(

@@ -58,6 +58,48 @@ def write_csv_gz(
     )
 
 
+def parquet_column_bounds(path: str, column: str):
+    """(min, max) of ``column`` from parquet FOOTER statistics — zero
+    data scanned. The scale answer to a bounds probe over immutable
+    files: footers are KB-sized regardless of data volume, so this is
+    O(#files) metadata reads where a scan is O(rows). The reference
+    issues ``SELECT MIN(id), MAX(id)`` against the source DB to plan
+    chunked extracts (A1, ``sql_server_extractor.py``); over already
+    -landed parquet the footer answers the same question for free.
+
+    Returns ``None`` if any row group lacks min/max stats (caller falls
+    back to a scan); values come back in parquet's physical terms (e.g.
+    ``pd.Timestamp`` for timestamp columns, raw ints for int64).
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    if not files:
+        return None
+    lo = hi = None
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        if column not in names:
+            return None
+        ci = names[column]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Schema-only DataFrame so downstream consumers see a stable schema."""
     return spark.createDataFrame([], schema)

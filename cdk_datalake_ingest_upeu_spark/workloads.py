@@ -1472,30 +1472,49 @@ def streaming_stateful_sessionization(spark, sf_dir):
         run_stateful_sessionization,
     )
 
-    # cache the source once: the bounds probe and all three slice writes
-    # re-read it otherwise
-    ev = _t(spark, sf_dir, "events").persist()
+    ev = _t(spark, sf_dir, "events")
     work = _tmpdir("sess")
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
 
-    # three chronological file drops -> three micro-batches, so state
-    # genuinely carries across batch boundaries (per-user event-time
-    # order holds because the split is by time range)
-    bounds = ev.select(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).collect()[0]
-    lo, hi = bounds.lo, bounds.hi
+    # time bounds from the parquet FOOTER (no scan — see
+    # sources/files.py:parquet_column_bounds); stats are nanosecond
+    # timestamps, truncated to micros exactly like _t's column cast
+    import pandas as pd
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import parquet_column_bounds
+
+    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
+    if stats is not None:
+        lo, hi = (pd.Timestamp(v).floor("us").to_pydatetime() for v in stats)
+    else:  # pragma: no cover - driver data always carries stats
+        b = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        lo, hi = b.lo, b.hi
     span = (hi - lo) / 3
     cuts = [lo + span, lo + 2 * span]
-    slices = [
-        ev.filter(F.col("ts") <= cuts[0]),
-        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
-        ev.filter(F.col("ts") > cuts[1]),
-    ]
-    for i, part in enumerate(slices):
+
+    # three chronological file drops -> three micro-batches, so state
+    # genuinely carries across batch boundaries (per-user event-time
+    # order holds because the split is by time range). ONE write job:
+    # partitionBy splits the slices, coalesce(1) keeps one file per
+    # slice; the partition dirs are then renamed to plain batch dirs so
+    # the stream source doesn't see a partition column.
+    staged = os.path.join(work, "staged")
+    (
+        ev.withColumn(
+            "__slice",
+            F.when(F.col("ts") <= cuts[0], 0)
+            .when(F.col("ts") <= cuts[1], 1)
+            .otherwise(2),
+        )
+        .coalesce(1)
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    for i in range(3):
         p = os.path.join(src_dir, f"batch_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(p)
+        os.rename(os.path.join(staged, f"__slice={i}"), p)
         # file-source ordering is by modification time; make it explicit
         for root, _dirs, files in os.walk(p):
             for f in files:
@@ -1523,7 +1542,6 @@ def streaming_stateful_sessionization(spark, sf_dir):
         )
         q.processAllAvailable()
         q.stop()
-    ev.unpersist()
     w = Window.partitionBy("user_id").orderBy(F.col("__b").desc())
     return (
         spark.read.parquet(out_dir)

@@ -136,3 +136,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_parquet_column_bounds_matches_scan():
+    """Footer-stats bounds equal a full-scan MIN/MAX (no data read)."""
+    import duckdb
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import parquet_column_bounds
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = parquet_column_bounds(path, "event_id")
+    lo, hi = duckdb.sql(
+        f"SELECT min(event_id), max(event_id) FROM '{path}'"
+    ).fetchone()
+    assert got == (lo, hi)
+    assert parquet_column_bounds(path, "no_such_column") is None
