@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q13_customer_order_histogram",
     "q19_disjunctive_pushdown",
     "q21_waiting_suppliers",
+    "q8_market_share",
+    "q16_supplier_variety",
     "asof_join_last_purchase",
     "range_partition_union",
     "window_dedup_latest",

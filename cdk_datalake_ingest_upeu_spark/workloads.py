@@ -647,6 +647,341 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (two-nation shipping volume by year). The nation
+    filter is pushed INTO the dimension sides before the fact join:
+    supplier and customer are each pre-joined (broadcast) to their
+    nation and filtered to the two nations of interest, so the
+    lineitem⋈orders shuffle — the only big exchange — moves just the
+    qualifying slice."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    nations = ("NATION_1", "NATION_2")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold to
+    AMERICA-region customers, by order year. The share is a conditional
+    aggregate over ONE joined relation (no second pass); every dimension
+    ships broadcast and the part/region filters cut the fact before the
+    orders shuffle."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation_r = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation_r), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "2000-01-01")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .select("l_orderkey", "volume", "supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT year(o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (product profit by supplier nation and year),
+    adapted: the synthetic schema has no partsupp, so profit is the
+    discounted price (the ps_supplycost term is dropped). Part-name
+    filter cuts the fact early via a broadcast semi-shaped join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("amount", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .select("l_orderkey", "nation", "amount")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION OF THE
+    GLOBAL aggregate — the having-vs-global-scalar decorrelation. The
+    global total is an aggregate of the (already tiny) per-part rollup,
+    broadcast back via a cross join; the fact table is scanned once."""
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_rev")
+        )
+    )
+    per_part = per_part.persist()  # scanned by both the total and the filter
+    total = per_part.agg(F.sum("part_rev").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev") > 0.0006 * F.col("__total"))
+        .select("l_partkey", "part_rev")
+        .orderBy(F.col("part_rev").desc(), "l_partkey")
+    )
+
+
+_Q11_SQL = """
+WITH pp AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_rev FROM pp
+WHERE part_rev > 0.0006 * (SELECT sum(part_rev) FROM pp)
+ORDER BY part_rev DESC, l_partkey
+"""
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: monthly percentage of revenue from PROMO-type
+    parts — conditional-aggregate ratio over one broadcast-joined scan."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("l_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+        .orderBy("l_month")
+    )
+
+
+_Q14_SQL = """
+SELECT month(l_shipdate)::INT AS l_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_month
+ORDER BY l_month
+"""
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, EXCLUDING a correlated supplier set (NOT IN → broadcast
+    anti-join). The distinct pass and the count share one shuffle on the
+    group keys."""
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 4, 9, 14, 23)).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 9, 14, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: nested existence — suppliers that moved more
+    than a threshold quantity of some ECONOMY part in 1997. The inner
+    rollup groups on (suppkey, partkey); the outer probe is a LEFT SEMI
+    join, so supplier rows are filtered without duplication."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 60
+)
+ORDER BY s_name
+"""
+
+
 # ===========================================================================
 # SQL-generation operators (P1-P7) executed through Spark SQL
 # ===========================================================================
@@ -2400,6 +2735,13 @@ QUERIES = {
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q11_revenue_concentration": q11_revenue_concentration,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_excess_shippers": q20_excess_shippers,
     "sqlgen_projection_filter": sqlgen_projection_filter,
     "sqlgen_dual_range_filter": sqlgen_dual_range_filter,
     "minmax_bounds": minmax_bounds,
@@ -2472,6 +2814,13 @@ ORACLES = {
     "q19_disjunctive_pushdown": _Q19_SQL,
     "q21_waiting_suppliers": _Q21_SQL,
     "q22_idle_customers": _Q22_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q9_profit_by_nation_year": _Q9_SQL,
+    "q11_revenue_concentration": _Q11_SQL,
+    "q14_promo_revenue_share": _Q14_SQL,
+    "q16_supplier_variety": _Q16_SQL,
+    "q20_excess_shippers": _Q20_SQL,
     "sqlgen_projection_filter": _PROJ_SQL,
     "sqlgen_dual_range_filter": _DUAL_SQL,
     "minmax_bounds": _MINMAX_SQL,
