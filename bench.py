@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q16_supplier_variety",
     "asof_join_last_purchase",
+    "interval_join_clicks_before_purchase",
     "range_partition_union",
     "window_dedup_latest",
     "merge_upsert_current_state",

@@ -159,3 +159,62 @@ def asof_join(
         *[F.col(f"__c_{c}").alias(out_name[c]) for c in payload],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    *,
+    lower: str = "-1 hours",
+    upper: str = "0 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: pair each left row with the right rows
+    sharing its key whose ``right_time`` lies in
+    ``[left_time + lower, left_time + upper]`` (bounds are SQL interval
+    strings, inclusive).
+
+    Scale shape: ONE shuffle on the equality keys — the range predicate
+    rides along as a join condition evaluated inside the same sort-merge
+    pass, never as a post-join filter over an exploded product. On
+    STREAMING inputs this is Spark's stream-stream join: give both
+    sides a watermark and the time bounds let the state store evict
+    rows older than ``watermark + |lower|`` (without the bounds the
+    join state would grow forever).
+
+    The reference has no range join (its extracts are point/range
+    predicates pushed to the source DB — ``extract_data_spark.py``
+    BETWEEN filters); this is the Spark-native generalization. Key
+    columns are coalesced; all non-key names must be disjoint between
+    the two sides (raise early rather than silently shadow).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"interval_join requires disjoint non-key columns; rename {sorted(clash)}"
+        )
+    # qualified aliases so both sides may derive from the SAME source
+    # relation (the common case: two event-type slices of one table)
+    la, ra = left.alias("__ij_l"), right.alias("__ij_r")
+    lcol = lambda c: F.col(f"__ij_l.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"__ij_r.{c}")  # noqa: E731
+    cond = None
+    for k in keys:
+        c = lcol(k) == rcol(k)
+        cond = c if cond is None else cond & c
+    lo = lcol(left_time) + F.expr(f"INTERVAL {lower}")
+    hi = lcol(left_time) + F.expr(f"INTERVAL {upper}")
+    cond = cond & (rcol(right_time) >= lo) & (rcol(right_time) <= hi)
+    joined = la.join(ra, cond, how)
+    # single output column per key (both sides carry it post-join;
+    # coalesce keeps outer-join rows keyed)
+    out = joined.select(
+        *[F.coalesce(lcol(k), rcol(k)).alias(k) for k in keys],
+        *[lcol(c) for c in left.columns if c not in keys],
+        *[rcol(c) for c in right.columns if c not in keys],
+    )
+    return out

@@ -127,6 +127,57 @@ class _stream_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _stage_event_drops(spark, sf_dir, work, df=None, n_drops=3):
+    """Stage the events table (or a derived ``df`` over the same time
+    range) as ``n_drops`` chronological one-file parquet drops under
+    ``work/in/batch_i`` — a deterministic stand-in for a stream source.
+    Returns the source glob.
+
+    Cheap by construction: the time cuts come from the parquet FOOTER
+    (no scan — ``parquet_column_bounds``), and all drops are written in
+    ONE job via ``partitionBy`` + directory renames instead of one job
+    per slice. File-source ordering is by modification time, pinned
+    explicitly."""
+    import pandas as pd
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import parquet_column_bounds
+
+    if df is None:
+        df = _t(spark, sf_dir, "events")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
+    if stats is not None:
+        lo, hi = (pd.Timestamp(v).floor("us").to_pydatetime() for v in stats)
+    else:  # pragma: no cover - driver data always carries stats
+        b = df.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        lo, hi = b.lo, b.hi
+    span = (hi - lo) / n_drops
+    cuts = [lo + span * (i + 1) for i in range(n_drops - 1)]
+    slice_col = F.lit(n_drops - 1)
+    for i in reversed(range(n_drops - 1)):
+        slice_col = F.when(F.col("ts") <= cuts[i], i).otherwise(slice_col)
+    staged = os.path.join(work, "staged")
+    (
+        df.withColumn("__slice", slice_col)
+        .coalesce(1)
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    for i in range(n_drops):
+        p = os.path.join(src_dir, f"batch_{i}")
+        sdir = os.path.join(staged, f"__slice={i}")
+        if os.path.isdir(sdir):
+            os.rename(sdir, p)
+        else:  # a drop with no rows still needs a (empty) directory
+            os.makedirs(p, exist_ok=True)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    return os.path.join(src_dir, "batch_*")
+
+
 def _tmpdir(tag: str) -> str:
     """Scratch dir for queries that materialize a stage table. Cleanup is
     deferred to process exit so the query can return a LAZY DataFrame over
@@ -1809,51 +1860,10 @@ def streaming_stateful_sessionization(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     work = _tmpdir("sess")
-    src_dir = os.path.join(work, "in")
-    os.makedirs(src_dir, exist_ok=True)
-
-    # time bounds from the parquet FOOTER (no scan — see
-    # sources/files.py:parquet_column_bounds); stats are nanosecond
-    # timestamps, truncated to micros exactly like _t's column cast
-    import pandas as pd
-
-    from cdk_datalake_ingest_upeu_spark.sources.files import parquet_column_bounds
-
-    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
-    if stats is not None:
-        lo, hi = (pd.Timestamp(v).floor("us").to_pydatetime() for v in stats)
-    else:  # pragma: no cover - driver data always carries stats
-        b = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-        lo, hi = b.lo, b.hi
-    span = (hi - lo) / 3
-    cuts = [lo + span, lo + 2 * span]
-
     # three chronological file drops -> three micro-batches, so state
     # genuinely carries across batch boundaries (per-user event-time
-    # order holds because the split is by time range). ONE write job:
-    # partitionBy splits the slices, coalesce(1) keeps one file per
-    # slice; the partition dirs are then renamed to plain batch dirs so
-    # the stream source doesn't see a partition column.
-    staged = os.path.join(work, "staged")
-    (
-        ev.withColumn(
-            "__slice",
-            F.when(F.col("ts") <= cuts[0], 0)
-            .when(F.col("ts") <= cuts[1], 1)
-            .otherwise(2),
-        )
-        .coalesce(1)
-        .write.partitionBy("__slice")
-        .mode("overwrite")
-        .parquet(staged)
-    )
-    for i in range(3):
-        p = os.path.join(src_dir, f"batch_{i}")
-        os.rename(os.path.join(staged, f"__slice={i}"), p)
-        # file-source ordering is by modification time; make it explicit
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    # order holds because the split is by time range)
+    src_glob = _stage_event_drops(spark, sf_dir, work)
 
     # sink: append each update-mode emission tagged with its batch id and
     # take the LATEST emission per key on read — the standard idempotent
@@ -1869,7 +1879,7 @@ def streaming_stateful_sessionization(spark, sf_dir):
     with _stream_shuffle_partitions(spark, 8):
         q = run_stateful_sessionization(
             spark,
-            os.path.join(src_dir, "batch_*"),
+            src_glob,
             ev.schema,
             _append,
             checkpoint_dir=os.path.join(work, "ckpt"),
@@ -2318,6 +2328,85 @@ def pack_documents_stats(spark, sf_dir):
     return pack_stats(packed, tokens_col="n_tokens")
 
 
+def interval_join_clicks_before_purchase(spark, sf_dir):
+    """Batch interval join (``operators/joins.py:interval_join``): every
+    click by the same user in the hour BEFORE each purchase, rolled up
+    per user. One shuffle on user_id; the time bounds ride inside the
+    join pass (never a post-join filter over a full per-user product)."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    j = interval_join(
+        purchases, clicks, "user_id", "p_ts", "c_ts", lower="-1 hours", upper="0 seconds"
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_id").alias("n_clicks"),
+            F.round(F.sum("c_value"), 2).alias("clicked_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT user_id, count(*) AS n_pairs, count(DISTINCT c_id) AS n_clicks,
+       round(sum(c_value), 2) AS clicked_value
+FROM (SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts AS c_ts, event_id AS c_id, value AS c_value
+      FROM events WHERE event_type = 'click') c USING (user_id)
+WHERE c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def streaming_interval_join(spark, sf_dir):
+    """STREAM-stream interval join (``streaming/joins.py``): the events
+    table replayed as 3 chronological drops; purchase and click slices
+    of the stream join on user_id with a [-1h, 0] event-time bound,
+    watermarked on both sides so join state stays bounded. Drained
+    output equals the batch interval join (same oracle)."""
+    from cdk_datalake_ingest_upeu_spark.streaming.joins import run_stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("sij")
+    src_glob = _stage_event_drops(spark, sf_dir, work)
+    out_dir = os.path.join(work, "joined")
+    with _stream_shuffle_partitions(spark, 8):
+        q = run_stream_interval_join(
+            spark,
+            src_glob,
+            ev.schema,
+            out_dir,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name=f"sij_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("r_id").alias("n_clicks"),
+            F.round(F.sum("r_value"), 2).alias("clicked_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def streaming_dedup_events(spark, sf_dir):
     """Streaming deduplication (dropDuplicatesWithinWatermark): the
     events table plus a deterministic 20% re-delivery, streamed in 3
@@ -2325,33 +2414,18 @@ def streaming_dedup_events(spark, sf_dir):
     batch aggregate (the oracle never sees the duplicates)."""
     from cdk_datalake_ingest_upeu_spark.streaming.stateful import run_streaming_dedup
 
-    ev = _t(spark, sf_dir, "events").persist()
+    ev = _t(spark, sf_dir, "events")
     dup = hash_sample(ev, "event_id", 0.20, seed="redeliver")
     full = ev.unionByName(dup)
 
     work = _tmpdir("sdedup")
-    src_dir = os.path.join(work, "in")
-    os.makedirs(src_dir, exist_ok=True)
-    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    span = (bounds.hi - bounds.lo) / 3
-    cuts = [bounds.lo + span, bounds.lo + 2 * span]
-    slices = [
-        full.filter(F.col("ts") <= cuts[0]),
-        full.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
-        full.filter(F.col("ts") > cuts[1]),
-    ]
-    for i, part in enumerate(slices):
-        p = os.path.join(src_dir, f"batch_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(p)
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    src_glob = _stage_event_drops(spark, sf_dir, work, df=full)
 
     out_dir = os.path.join(work, "deduped")
     with _stream_shuffle_partitions(spark, 8):
         q = run_streaming_dedup(
             spark,
-            os.path.join(src_dir, "batch_*"),
+            src_glob,
             ev.schema,
             out_dir,
             checkpoint_dir=os.path.join(work, "ckpt"),
@@ -2361,7 +2435,6 @@ def streaming_dedup_events(spark, sf_dir):
         )
         q.processAllAvailable()
         q.stop()
-    ev.unpersist()
     return spark.read.parquet(out_dir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_events"),
@@ -2790,6 +2863,8 @@ QUERIES = {
     "sample_stratified_lang": sample_stratified_lang,
     "train_test_split_counts": train_test_split_counts,
     "pack_documents_stats": pack_documents_stats,
+    "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
+    "streaming_interval_join": streaming_interval_join,
     "streaming_dedup_events": streaming_dedup_events,
     "embedding_neardup": embedding_neardup,
     "embedding_label_stats": embedding_label_stats,
@@ -2864,6 +2939,8 @@ ORACLES = {
     "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
     "train_test_split_counts": _SPLIT_SQL,
+    "interval_join_clicks_before_purchase": _INTERVAL_JOIN_SQL,
+    "streaming_interval_join": _INTERVAL_JOIN_SQL,
     "streaming_dedup_events": _STREAM_DEDUP_SQL,
     "ann_topk_bruteforce": _ANN_SQL,
     "embedding_label_stats": _EMB_LABEL_SQL,

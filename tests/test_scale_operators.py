@@ -635,3 +635,40 @@ def test_embedding_dedup_keeps_min_id(spark):
     kept = sorted(r.vec_id for r in embedding_dedup(emb, dim=8, threshold=0.95).collect())
     assert 0 in kept and 1 not in kept and 2 not in kept
     assert len(kept) == emb.count() - 2
+
+
+def test_interval_join_bounds_and_self_derivation(spark):
+    """Inclusive bounds; both sides derived from ONE relation (the
+    ambiguous-lineage case); collision on non-key names raises."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "L", 100),
+        (1, t0 - dt.timedelta(minutes=60), "R", 1),   # exactly -1h: included
+        (1, t0 - dt.timedelta(minutes=61), "R", 2),   # outside
+        (1, t0, "R", 3),                              # exactly 0: included
+        (1, t0 + dt.timedelta(seconds=1), "R", 4),    # future: excluded
+        (2, t0 - dt.timedelta(minutes=5), "R", 5),    # other key
+    ]
+    base = spark.createDataFrame(rows, "k int, t timestamp, side string, v int")
+    left = base.filter(F.col("side") == "L").select("k", F.col("t").alias("lt"))
+    right = base.filter(F.col("side") == "R").select(
+        "k", F.col("t").alias("rt"), "v"
+    )
+    got = interval_join(left, right, "k", "lt", "rt", lower="-1 hours").collect()
+    assert sorted(r.v for r in got) == [1, 3]
+
+    outer = interval_join(
+        left, right, "k", "lt", "rt", lower="-1 hours", how="full_outer"
+    )
+    assert {r.k for r in outer.collect()} == {1, 2}  # key survives both sides
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_join(
+            left.withColumnRenamed("lt", "v"), right, "k", "v", "rt"
+        )
