@@ -273,6 +273,56 @@ def contamination_stats(
     )
 
 
+PII_PATTERNS: dict[str, str] = {
+    # redaction order matters: specific → general, so an email's local
+    # part is never half-eaten by the phone pattern first. Patterns are
+    # RE2-safe (no backrefs/lookaround) so the same strings drive both
+    # Spark (java.util.regex) and DuckDB (RE2) identically.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d().\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Scrub personally-identifiable strings from a text column before
+    it enters a training corpus: each pattern kind is counted and then
+    replaced with a typed placeholder (``[PII:email]`` …), sequentially
+    in ``patterns`` order. Counts are taken on the text as it stands
+    BEFORE that kind's replacement, so overlapping kinds never double
+    count (an IP inside an already-redacted email is gone by the time
+    the ipv4 pass runs).
+
+    100 TB shape: pure codegen — a chain of ``regexp_count`` /
+    ``regexp_replace`` projections, zero shuffle, zero Python. Adds
+    ``n_pii_<kind>`` counters and writes the scrubbed text to
+    ``out_col`` (default: in place)."""
+    pats = patterns or PII_PATTERNS
+    out_name = out_col or text_col
+    cur = F.col(text_col)
+    result = df
+    counters = []
+    for kind, pat in pats.items():
+        cname = f"n_pii_{kind}"
+        counters.append(cname)
+        result = result.withColumn(cname, F.regexp_count(cur, F.lit(pat)))
+        # stage the replacement as a real column so each regex pass runs
+        # once (chained F.regexp_replace expressions nest otherwise)
+        result = result.withColumn(
+            f"__red_{kind}", F.regexp_replace(cur, pat, f"[PII:{kind}]")
+        )
+        cur = F.col(f"__red_{kind}")
+    result = result.withColumn(out_name, cur)
+    return result.drop(*[f"__red_{k}" for k in pats])
+
+
 def with_winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

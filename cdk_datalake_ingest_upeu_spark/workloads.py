@@ -2497,6 +2497,172 @@ def text_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus (``operators/text.py:redact_pii``).
+    The synthetic corpus carries no PII, so deterministic markers are
+    planted first (email / phone / IP keyed off doc_id) — then the
+    redactor must find ALL of them and the scrubbed-text checksum must
+    match the oracle's. Zero-shuffle codegen until the final rollup."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "t",
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did, F.lit("@example.com now")
+            ),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            did % 13 == 0,
+            F.concat(F.col("text"), F.lit(" from 10.0.3."), (did % 255).cast("string")),
+        )
+        .otherwise(F.col("text")),
+    )
+    red = redact_pii(planted, "t")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pii_email").alias("n_email"),
+            F.sum("n_pii_phone").alias("n_phone"),
+            F.sum("n_pii_ipv4").alias("n_ip"),
+            F.sum(
+                (
+                    (F.col("n_pii_email") + F.col("n_pii_phone") + F.col("n_pii_ipv4"))
+                    > 0
+                ).cast("long")
+            ).alias("n_docs_with_pii"),
+            F.sum(F.length("t")).alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_SQL = """
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id || '@example.com now'
+              WHEN doc_id % 11 = 0
+              THEN text || ' call +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              WHEN doc_id % 13 = 0
+              THEN text || ' from 10.0.3.' || (doc_id % 255)
+              ELSE text END AS t
+  FROM documents
+), s1 AS (
+  SELECT source,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII:email]', 'g') AS t
+  FROM planted
+), s2 AS (
+  SELECT source, n_email,
+         len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+         regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII:ssn]', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT source, n_email, n_ssn,
+         len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+         regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII:ipv4]', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT source, n_email, n_ssn, n_ip,
+         len(regexp_extract_all(t, '\\+?\\d[\\d().\\- ]{7,}\\d')) AS n_phone,
+         regexp_replace(t, '\\+?\\d[\\d().\\- ]{7,}\\d', '[PII:phone]', 'g') AS t
+  FROM s3
+)
+SELECT source, count(*) AS n_docs, sum(n_email) AS n_email, sum(n_phone) AS n_phone,
+       sum(n_ip) AS n_ip,
+       sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+       sum(len(t)) AS redacted_chars
+FROM s4 GROUP BY source ORDER BY source
+"""
+
+
+def corpus_quality_filter(spark, sf_dir):
+    """Composite quality gate (Gopher-style rules): per-document flags
+    — too short, out-of-band mean word length, too few stopwords — and
+    the per-source pass rate. Flags are independent codegen expressions
+    over ONE scan; the rollup is the only shuffle."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        mean_word_length,
+        stopword_ratio,
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    flagged = docs.select(
+        "source",
+        (token_count_ws(t) < 20).cast("int").alias("too_short"),
+        (~mean_word_length(t).between(3.0, 12.0)).cast("int").alias("bad_wordlen"),
+        (stopword_ratio(t) < 0.05).cast("int").alias("low_stopword"),
+    ).withColumn(
+        "passed",
+        (
+            (F.col("too_short") == 0)
+            & (F.col("bad_wordlen") == 0)
+            & (F.col("low_stopword") == 0)
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passed").alias("n_pass"),
+            F.sum("too_short").alias("n_too_short"),
+            F.sum("bad_wordlen").alias("n_bad_wordlen"),
+            F.sum("low_stopword").alias("n_low_stopword"),
+            F.round(F.avg("passed"), 4).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_FILTER_SQL = """
+WITH toks AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), feat AS (
+  SELECT source, len(tk) AS n_tok,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE list_sum([len(x) for x in tk]) * 1.0 / len(tk) END AS mwl,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE len([x for x in tk
+                        if lower(x) IN ('the','of','and','to','in','is','that','it','was','for')])
+                   * 1.0 / len(tk) END AS swr
+  FROM toks
+), flags AS (
+  SELECT source,
+         CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS too_short,
+         CASE WHEN mwl BETWEEN 3.0 AND 12.0 THEN 0 ELSE 1 END AS bad_wordlen,
+         CASE WHEN swr < 0.05 THEN 1 ELSE 0 END AS low_stopword
+  FROM feat
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
+                THEN 1 ELSE 0 END) AS n_pass,
+       sum(too_short) AS n_too_short,
+       sum(bad_wordlen) AS n_bad_wordlen,
+       sum(low_stopword) AS n_low_stopword,
+       round(avg(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
+                      THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
 def text_repetition_stats(spark, sf_dir):
     """Within-document repetition rollup by source (Gopher-family quality
     signal: templated/looping text repeats its own 3-grams). One scan,
@@ -2859,6 +3025,8 @@ QUERIES = {
     "topk_ngrams": topk_ngrams,
     "sample_hash_deterministic": sample_hash_deterministic,
     "text_repetition_stats": text_repetition_stats,
+    "text_pii_redaction": text_pii_redaction,
+    "corpus_quality_filter": corpus_quality_filter,
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "sample_stratified_lang": sample_stratified_lang,
     "train_test_split_counts": train_test_split_counts,
@@ -2936,6 +3104,8 @@ ORACLES = {
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "sample_hash_deterministic": _SAMPLE_HASH_SQL,
     "text_repetition_stats": _REPETITION_SQL,
+    "text_pii_redaction": _PII_SQL,
+    "corpus_quality_filter": _QUALITY_FILTER_SQL,
     "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
     "train_test_split_counts": _SPLIT_SQL,

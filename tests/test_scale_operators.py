@@ -672,3 +672,24 @@ def test_interval_join_bounds_and_self_derivation(spark):
         interval_join(
             left.withColumnRenamed("lt", "v"), right, "k", "v", "rt"
         )
+
+
+def test_redact_pii_kinds_and_no_double_count(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.user+x@test.org or call +1 (555) 010-2233 from 10.0.0.7"),
+        (2, "ssn 123-45-6789 plain prose"),
+        (3, "no identifiers here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = got[1]
+    assert (r1.n_pii_email, r1.n_pii_phone, r1.n_pii_ipv4, r1.n_pii_ssn) == (1, 1, 1, 0)
+    assert "[PII:email]" in r1.text and "[PII:phone]" in r1.text and "[PII:ipv4]" in r1.text
+    assert "@" not in r1.text and "555" not in r1.text
+    r2 = got[2]
+    # the SSN must be claimed by the ssn pattern, not later eaten as a phone
+    assert r2.n_pii_ssn == 1 and r2.n_pii_phone == 0
+    assert got[3].text == "no identifiers here"
+    assert (got[3].n_pii_email, got[3].n_pii_phone) == (0, 0)
