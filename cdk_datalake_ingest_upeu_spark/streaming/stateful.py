@@ -236,3 +236,210 @@ def run_watermarked_rollup(
         .option("path", out_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface depends on pyspark version
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+class TopKProcessor(StatefulProcessor):
+    """Running per-key top-k (value, id) via ``transformWithStateInPandas``
+    — the Spark 4 successor to ``applyInPandasWithState`` with TYPED state
+    primitives (this uses a ValueState holding the top-k arrays; the same
+    handle also offers ListState/MapState and timers).
+
+    Per batch the key's slice is merged with the carried top-k and cut
+    back to k — state is O(k) per key forever, and each batch emits the
+    key's CURRENT top-k rollup (update semantics). Ties break on the
+    lower id, so the fold is deterministic under any arrival order —
+    the drained stream equals the batch window top-k exactly."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.topk = handle.getValueState("topk", "vals array<double>, ids array<long>")
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self.topk.exists():
+            cur = self.topk.get()
+            vals = np.asarray(cur[0], dtype="float64")
+            ids = np.asarray(cur[1], dtype="int64")
+        else:
+            vals = np.empty(0, dtype="float64")
+            ids = np.empty(0, dtype="int64")
+        for pdf in rows:
+            vals = np.concatenate([vals, pdf["value"].to_numpy(dtype="float64")])
+            ids = np.concatenate([ids, pdf["event_id"].to_numpy(dtype="int64")])
+        order = np.lexsort((ids, -vals))[: self.k]
+        vals, ids = vals[order], ids[order]
+        self.topk.update((vals.tolist(), ids.tolist()))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "topk_sum": [round(float(vals.sum()), 2)],
+                "n_topk": [int(vals.size)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_streaming_topk(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    sink,
+    *,
+    checkpoint_dir: str,
+    k: int = 3,
+    event_type: str = "purchase",
+    max_files_per_trigger: int = 1,
+    query_name: str = "streaming_topk",
+):
+    """Drive :class:`TopKProcessor` over a file-source stream; each
+    micro-batch hands the per-key rollups to ``sink(batch_df, batch_id)``."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    out = (
+        stream.filter(F.col("event_type") == event_type)
+        .select("user_id", "value", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TopKProcessor(k),
+            outputStructType="user_id long, topk_sum double, n_topk int",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return (
+        out.writeStream.queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch_df, batch_id: sink(batch_df, batch_id))
+        .start()
+    )
+
+
+def _tws_runtime_available() -> bool:
+    """``transformWithStateInPandas`` ships its own protobuf-based Python
+    driver worker; without the ``protobuf`` package the worker crashes at
+    init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). This image has
+    no protobuf (and no network to install it) — same class of runtime
+    constraint as the missing Delta jars, handled the same way: the
+    TWS path is written and gated, the applyInPandasWithState twin runs
+    everywhere."""
+    try:  # pragma: no cover - depends on image
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TOPK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("topk_sum", T.DoubleType()),
+        T.StructField("n_topk", T.IntegerType()),
+    ]
+)
+
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _topk_update(k: int):
+    """applyInPandasWithState twin of :class:`TopKProcessor` — identical
+    merge-and-cut fold, portable state encoding (two arrays)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            cur = state.get
+            vals = np.asarray(cur[0], dtype="float64")
+            ids = np.asarray(cur[1], dtype="int64")
+        else:
+            vals = np.empty(0, dtype="float64")
+            ids = np.empty(0, dtype="int64")
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vals = np.concatenate([vals, pdf["value"].to_numpy(dtype="float64")])
+            ids = np.concatenate([ids, pdf["event_id"].to_numpy(dtype="int64")])
+        order = np.lexsort((ids, -vals))[:k]
+        vals, ids = vals[order], ids[order]
+        state.update((vals.tolist(), ids.tolist()))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "topk_sum": [round(float(vals.sum()), 2)],
+                "n_topk": [int(vals.size)],
+            }
+        )
+
+    return update
+
+
+def run_streaming_topk_applyinpandas(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    sink,
+    *,
+    checkpoint_dir: str,
+    k: int = 3,
+    event_type: str = "purchase",
+    max_files_per_trigger: int = 1,
+    query_name: str = "streaming_topk",
+):
+    """Portable driver for the running top-k: same fold as
+    :func:`run_streaming_topk`, expressed with ``applyInPandasWithState``
+    (runs on any pyspark ≥3.4 image; no protobuf requirement)."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    out = (
+        stream.filter(F.col("event_type") == event_type)
+        .select("user_id", "value", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _topk_update(k),
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        out.writeStream.queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch_df, batch_id: sink(batch_df, batch_id))
+        .start()
+    )

@@ -2328,6 +2328,41 @@ def pack_documents_stats(spark, sf_dir):
     return pack_stats(packed, tokens_col="n_tokens")
 
 
+def events_value_quantiles(spark, sf_dir):
+    """EXACT continuous-interpolation percentiles per event type
+    (``F.percentile`` — the exact aggregate, not approx_percentile), all
+    four cut points from ONE percentile pass per group. At 100 TB you'd
+    flip the same query to ``approx_percentile`` (t-digest, mergeable,
+    bounded memory); the exact form is the oracle-checkable baseline."""
+    ev = _t(spark, sf_dir, "events")
+    qs = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), qs.alias("__qs"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("__qs")[0], 4).alias("p25"),
+            F.round(F.col("__qs")[1], 4).alias("p50"),
+            F.round(F.col("__qs")[2], 4).alias("p75"),
+            F.round(F.col("__qs")[3], 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def interval_join_clicks_before_purchase(spark, sf_dir):
     """Batch interval join (``operators/joins.py:interval_join``): every
     click by the same user in the hour BEFORE each purchase, rolled up
@@ -2405,6 +2440,68 @@ def streaming_interval_join(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def streaming_topk_state(spark, sf_dir):
+    """Running per-user top-3 purchase values as custom streaming state,
+    drained over 3 chronological drops; latest emission per user equals
+    the batch window top-k. Two interchangeable drivers in
+    ``streaming/stateful.py``: the Spark 4 ``transformWithStateInPandas``
+    :class:`TopKProcessor` (typed ValueState) when its protobuf runtime
+    exists, else the ``applyInPandasWithState`` twin — identical fold,
+    identical results."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        _tws_runtime_available,
+        run_streaming_topk,
+        run_streaming_topk_applyinpandas,
+    )
+
+    runner = (
+        run_streaming_topk
+        if _tws_runtime_available()
+        else run_streaming_topk_applyinpandas
+    )
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("topk")
+    src_glob = _stage_event_drops(spark, sf_dir, work)
+    out_dir = os.path.join(work, "totals")
+
+    def _append(batch_df, batch_id):
+        batch_df.withColumn("__b", F.lit(int(batch_id))).write.mode("append").parquet(
+            out_dir
+        )
+
+    with _stream_shuffle_partitions(spark, 8):
+        q = runner(
+            spark,
+            src_glob,
+            ev.schema,
+            _append,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            k=3,
+            query_name=f"topk_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+    w = Window.partitionBy("user_id").orderBy(F.col("__b").desc())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "topk_sum", "n_topk")
+        .orderBy("user_id")
+    )
+
+
+_TOPK_SQL = """
+WITH p AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, round(sum(value), 2) AS topk_sum, count(*)::INT AS n_topk
+FROM p WHERE rn <= 3 GROUP BY user_id ORDER BY user_id
+"""
 
 
 def streaming_dedup_events(spark, sf_dir):
@@ -3031,8 +3128,10 @@ QUERIES = {
     "sample_stratified_lang": sample_stratified_lang,
     "train_test_split_counts": train_test_split_counts,
     "pack_documents_stats": pack_documents_stats,
+    "events_value_quantiles": events_value_quantiles,
     "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_topk_state": streaming_topk_state,
     "streaming_dedup_events": streaming_dedup_events,
     "embedding_neardup": embedding_neardup,
     "embedding_label_stats": embedding_label_stats,
@@ -3109,8 +3208,10 @@ ORACLES = {
     "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
     "train_test_split_counts": _SPLIT_SQL,
+    "events_value_quantiles": _QUANTILES_SQL,
     "interval_join_clicks_before_purchase": _INTERVAL_JOIN_SQL,
     "streaming_interval_join": _INTERVAL_JOIN_SQL,
+    "streaming_topk_state": _TOPK_SQL,
     "streaming_dedup_events": _STREAM_DEDUP_SQL,
     "ann_topk_bruteforce": _ANN_SQL,
     "embedding_label_stats": _EMB_LABEL_SQL,

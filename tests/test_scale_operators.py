@@ -693,3 +693,52 @@ def test_redact_pii_kinds_and_no_double_count(spark):
     assert r2.n_pii_ssn == 1 and r2.n_pii_phone == 0
     assert got[3].text == "no identifiers here"
     assert (got[3].n_pii_email, got[3].n_pii_phone) == (0, 0)
+
+
+def test_streaming_topk_fold_matches_across_batch_splits():
+    """The merge-and-cut fold gives the same top-k whether rows arrive
+    in one batch or split across two (state carry is associative)."""
+    import pandas as _pd
+
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import _topk_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rows = [(5.0, 1), (9.0, 2), (9.0, 3), (1.0, 4), (7.0, 5)]
+
+    def run(batches):
+        st, upd = FakeState(), _topk_update(3)
+        out = None
+        for b in batches:
+            pdf = _pd.DataFrame(b, columns=["value", "event_id"])
+            out = list(upd((7,), [pdf], st))[-1]
+        return (out["topk_sum"][0], out["n_topk"][0], st._v)
+
+    one = run([rows])
+    split = run([rows[:2], rows[2:]])
+    assert one == split
+    assert one[0] == 25.0 and one[1] == 3
+    assert one[2][1] == [2, 3, 5]  # tie on 9.0 broken by lower id
+
+
+def test_tws_api_surface_present():
+    """pyspark 4 ships transformWithStateInPandas; whether it can RUN
+    depends on the protobuf runtime (gated, like the Delta jars)."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        TopKProcessor,
+    )
+
+    assert HAS_TRANSFORM_WITH_STATE
+    assert callable(getattr(TopKProcessor(3), "handleInputRows"))
