@@ -2328,6 +2328,103 @@ def pack_documents_stats(spark, sf_dir):
     return pack_stats(packed, tokens_col="n_tokens")
 
 
+def events_rolling_window(spark, sf_dir):
+    """Time-RANGE window: each purchase's trailing-7-day spend per user
+    (``rangeBetween`` over integer microseconds — exact, no FP epoch),
+    rolled up to the user's peak. One shuffle on user_id shared by the
+    window sort and nothing else."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-seven_days_us, 0)
+    )
+    rolled = ev.select(
+        "user_id", F.round(F.sum("value").over(w), 2).alias("roll7")
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(F.max("roll7").alias("peak_roll7"), F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("user_id")
+    )
+
+
+_ROLLING_SQL = """
+WITH rolled AS (
+  SELECT user_id,
+         round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+         ), 2) AS roll7
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, max(roll7) AS peak_roll7, count(*) AS n_purchases
+FROM rolled GROUP BY user_id ORDER BY user_id
+"""
+
+
+def orders_priority_rollup(spark, sf_dir):
+    """ROLLUP (hierarchical grouping sets) over status → priority with
+    grouping_id disambiguation — subtotals and grand total in ONE
+    aggregation pass (Spark expands the sets map-side; no second scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       grouping(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+"""
+
+
+def events_pivot_by_type(spark, sf_dir):
+    """PIVOT: per-user spend matrix across event types. The pivot values
+    are PINNED (no discovery pass — an unpinned pivot scans twice), so
+    this is one shuffle and a conditional aggregate per cell."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("user_id")
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def events_value_quantiles(spark, sf_dir):
     """EXACT continuous-interpolation percentiles per event type
     (``F.percentile`` — the exact aggregate, not approx_percentile), all
@@ -3128,6 +3225,9 @@ QUERIES = {
     "sample_stratified_lang": sample_stratified_lang,
     "train_test_split_counts": train_test_split_counts,
     "pack_documents_stats": pack_documents_stats,
+    "events_rolling_window": events_rolling_window,
+    "orders_priority_rollup": orders_priority_rollup,
+    "events_pivot_by_type": events_pivot_by_type,
     "events_value_quantiles": events_value_quantiles,
     "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
     "streaming_interval_join": streaming_interval_join,
@@ -3208,6 +3308,9 @@ ORACLES = {
     "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
     "train_test_split_counts": _SPLIT_SQL,
+    "events_rolling_window": _ROLLING_SQL,
+    "orders_priority_rollup": _ROLLUP_SQL,
+    "events_pivot_by_type": _PIVOT_SQL,
     "events_value_quantiles": _QUANTILES_SQL,
     "interval_join_clicks_before_purchase": _INTERVAL_JOIN_SQL,
     "streaming_interval_join": _INTERVAL_JOIN_SQL,
