@@ -2328,6 +2328,31 @@ def pack_documents_stats(spark, sf_dir):
     return pack_stats(packed, tokens_col="n_tokens")
 
 
+def embedding_kmeans_stats(spark, sf_dir):
+    """Distributed spherical k-means (``operators/clustering.py``):
+    3 Lloyd's iterations, each ONE mapInPandas pass over the corpus
+    emitting k partial sums per partition, driver-reduced — the corpus
+    never shuffles. Rows-only oracle (iterative algorithm, not
+    SQL-expressible); cluster-recovery quality is unit-gated on planted
+    Gaussians."""
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C, _hist = kmeans_fit(emb, k=8, iters=3)
+    return (
+        kmeans_assign(emb, C)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def events_rolling_window(spark, sf_dir):
     """Time-RANGE window: each purchase's trailing-7-day spend per user
     (``rangeBetween`` over integer microseconds — exact, no FP epoch),
@@ -3225,6 +3250,7 @@ QUERIES = {
     "sample_stratified_lang": sample_stratified_lang,
     "train_test_split_counts": train_test_split_counts,
     "pack_documents_stats": pack_documents_stats,
+    "embedding_kmeans_stats": embedding_kmeans_stats,
     "events_rolling_window": events_rolling_window,
     "orders_priority_rollup": orders_priority_rollup,
     "events_pivot_by_type": events_pivot_by_type,

@@ -742,3 +742,34 @@ def test_tws_api_surface_present():
 
     assert HAS_TRANSFORM_WITH_STATE
     assert callable(getattr(TopKProcessor(3), "handleInputRows"))
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """4 well-separated direction clusters -> 4 pure k-means clusters,
+    monotone inertia, and deterministic refit."""
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = _np.random.default_rng(7)
+    dirs = _np.eye(4, 16) * 10.0
+    rows = []
+    for i in range(400):
+        g = i % 4
+        v = dirs[g] + rng.normal(0, 0.3, 16)
+        rows.append((i, [float(x) for x in v], g))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    C, hist = kmeans_fit(df, k=4, iters=4)
+    assert hist == sorted(hist, reverse=True)  # inertia non-increasing
+    got = kmeans_assign(df, C).groupBy("cluster", "label").count().collect()
+    # purity: each cluster maps to exactly one planted label
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, set()).add(r.label)
+    assert len(by_cluster) == 4
+    assert all(len(v) == 1 for v in by_cluster.values())
+    C2, hist2 = kmeans_fit(df, k=4, iters=4)
+    assert _np.allclose(C, C2) and hist == hist2
