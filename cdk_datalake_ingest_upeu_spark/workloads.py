@@ -1612,6 +1612,97 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+def sink_json_gz_roundtrip(spark, sf_dir):
+    """JSON-lines (gzip) sink + typed read-back — the interchange format
+    the reference's raw zone lacks but a lake ingests daily. Timestamps
+    round-trip through ISO strings; the explicit read schema keeps type
+    inference out of the contract (inference costs an extra full scan
+    at 100 TB and can flip types between drops)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(_tmpdir("jsongz"), "events_json")
+    ev.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(ev.schema).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_GZ_SQL = """
+SELECT event_type, count(*) AS n, sum(user_id) AS sum_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def sink_orc_roundtrip(spark, sf_dir):
+    """ORC sink + read-back with predicate pushdown: the second columnar
+    format Spark ships natively (zlib, column stats). The read applies a
+    filter that must reach the ORC reader as a search argument."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    path = os.path.join(_tmpdir("orc"), "lineitem_orc")
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+_ORC_SQL = """
+SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def stage_schema_evolution(spark, sf_dir):
+    """Schema evolution across landing generations: an early drop
+    without a column and a later drop with it, read as one relation via
+    ``mergeSchema`` (missing columns null-filled). The reference handles
+    this by recreating the crawler table; a lake must read both
+    generations in place."""
+    orders = _t(spark, sf_dir, "orders")
+    old_gen = orders.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_gen = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = _tmpdir("evo")
+    old_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=0"))
+    new_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=0"), os.path.join(base, "gen=1")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("priority")
+    )
+
+
+_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN o_orderpriority
+            ELSE '<pre-schema>' END AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY priority ORDER BY priority
+"""
+
+
 def empty_result_schema(spark, sf_dir):
     """S13: zero-row source still materializes a typed stage table so
     downstream readers see a stable schema."""
@@ -3220,6 +3311,9 @@ QUERIES = {
     "transform_bytemagic_casts": transform_bytemagic_casts,
     "transform_date_formats": transform_date_formats,
     "sink_csv_gz_roundtrip": sink_csv_gz_roundtrip,
+    "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
+    "sink_orc_roundtrip": sink_orc_roundtrip,
+    "stage_schema_evolution": stage_schema_evolution,
     "empty_result_schema": empty_result_schema,
     "stage_partition_pruned_read": stage_partition_pruned_read,
     "stage_pipeline_e2e": stage_pipeline_e2e,
@@ -3309,6 +3403,9 @@ ORACLES = {
     "transform_bytemagic_casts": _BYTEMAGIC_SQL,
     "transform_date_formats": _DATE_FORMATS_SQL,
     "sink_csv_gz_roundtrip": _CSV_GZ_SQL,
+    "sink_json_gz_roundtrip": _JSON_GZ_SQL,
+    "sink_orc_roundtrip": _ORC_SQL,
+    "stage_schema_evolution": _EVOLUTION_SQL,
     "empty_result_schema": _EMPTY_SQL,
     "stage_partition_pruned_read": _PART_PRUNED_SQL,
     "stage_pipeline_e2e": _E2E_SQL,
