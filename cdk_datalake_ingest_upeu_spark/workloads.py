@@ -622,7 +622,11 @@ def q21_waiting_suppliers(spark, sf_dir):
         .withColumn("__late", late_flag)
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
+            # size(collect_set) not countDistinct: mixing a DISTINCT
+            # aggregate with plain ones forces Catalyst's Expand plan
+            # (3× the agg input); the set is being built anyway
+            # (measured 2.17s -> 1.51s at sf0.1)
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
             F.array_sort(
                 F.collect_set(F.when(F.col("__late") == 1, F.col("l_suppkey")))
             ).alias("late_supp"),
