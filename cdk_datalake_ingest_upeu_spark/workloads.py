@@ -3025,16 +3025,26 @@ def decontaminate_against_benchmark(spark, sf_dir):
     corpus plays the eval set; every remaining document's distinct
     5-grams are probed against the BROADCAST benchmark gram set. Rollup
     by source: docs checked, contaminated (>=50% overlap), total gram
-    hits, mean contamination."""
+    hits, mean contamination. The shingle pass — the expensive column
+    pipeline — is staged ONCE and persisted; both the bench set and the
+    corpus probe read the cached gram arrays (hashed=True)."""
     from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
-    from cdk_datalake_ingest_upeu_spark.operators.text import contamination_stats
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        contamination_stats,
+        shingle_hashes,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    b = hash_bucket(F.col("doc_id"), seed="bench")
-    bench = docs.filter(b < 100_000)
-    corpus = docs.filter(b >= 100_000)
-    stats = contamination_stats(corpus, bench, n=5)
-    src = docs.select("doc_id", "source")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("doc_id"), seed="bench").alias("__b"),
+        shingle_hashes(F.col("text"), 5).alias("__g"),
+    ).persist()
+    bench = staged.filter(F.col("__b") < 100_000)
+    corpus = staged.filter(F.col("__b") >= 100_000)
+    stats = contamination_stats(corpus, bench, text_col="__g", n=5, hashed=True)
+    src = staged.select("doc_id", "source")
     return (
         stats.join(src, "doc_id")
         .groupBy("source")
