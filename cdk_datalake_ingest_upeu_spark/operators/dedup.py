@@ -661,3 +661,77 @@ def embedding_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Connected components over duplicate pairs (exact clusters)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Exact duplicate CLUSTERS from a pair list: (node, component)
+    where component is the minimum id reachable through any pair chain.
+
+    Single-pass min-id over pairs (what ``minhash_dedup`` uses) is exact
+    for star-shaped clusters but leaves chains (a-b, b-c: c maps to b,
+    not a) unsettled; this operator iterates label propagation to a
+    fixpoint, so transitive near-dup chains collapse to one canonical
+    id.
+
+    Scale shape — the standard iterative label propagation: edges are
+    symmetrized ONCE and persisted; each round is one join + one
+    groupBy(min) keyed the same way, and convergence needs
+    O(log(longest chain)) rounds, not O(chain). The only driver-side
+    value per round is the count of changed labels (the convergence
+    test). ``max_iters`` bounds the loop for adversarial paths
+    (real dup-cluster diameters are tiny; 10 rounds covers chains to
+    2^10 under doubling)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node"), F.col("label").alias("component"))
+    finally:
+        edges.unpersist()

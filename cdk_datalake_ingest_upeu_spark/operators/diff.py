@@ -1,0 +1,67 @@
+"""Snapshot diff — change-data capture between two landed generations.
+
+The reference re-extracts and overwrites; it never answers "what
+changed between yesterday's landing and today's". A lake needs that
+constantly (audit, incremental downstream refresh, late-arriving-fact
+checks), and it is cheap to compute in place: ONE full-outer join on
+the business key, with payload equality decided by a 64-bit row hash so
+the comparison is a single long per side instead of N column
+comparisons carried through the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-status diff of two snapshots sharing a business key.
+
+    Returns one row per key present in either side with ``status`` in
+    ``inserted`` (new only), ``deleted`` (old only), ``updated`` (both,
+    payload hash differs), ``unchanged`` — plus the key columns. Payload
+    identity is ``xxhash64`` over ``compare_cols`` (default: the non-key
+    columns present in BOTH snapshots, in new's column order, so schema
+    evolution on either side doesn't silently flip everything to
+    updated).
+
+    Scale shape: one shuffle on the key for the full-outer join; the
+    hashes are computed scan-side, so the exchange carries
+    (key, 8 bytes) per side regardless of row width."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c not in keys and c in old.columns
+        ]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.xxhash64(*compare_cols).alias("__oh"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        F.xxhash64(*compare_cols).alias("__nh"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("inserted"))
+        .when(F.col("__nh").isNull(), F.lit("deleted"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+    )

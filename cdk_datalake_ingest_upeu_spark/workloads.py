@@ -1707,6 +1707,61 @@ FROM orders GROUP BY priority ORDER BY priority
 """
 
 
+def stage_snapshot_diff(spark, sf_dir):
+    """CDC between two landing generations (``operators/diff.py``):
+    yesterday = orders before 1999; today = orders before 2000 minus a
+    deterministic delete slice, with a deterministic price update slice.
+    One full-outer join on the key; payloads compared as 64-bit row
+    hashes computed scan-side."""
+    from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1999-01-01")
+    new = (
+        orders.filter(F.col("o_orderdate") < "2000-01-01")
+        .filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    diff = snapshot_diff(
+        old, new, "o_orderkey", compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("status")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 17 <> 0
+), d AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS k,
+         CASE WHEN old.o_orderkey IS NULL THEN 'inserted'
+              WHEN new.o_orderkey IS NULL THEN 'deleted'
+              WHEN old.o_totalprice <> new.o_totalprice
+                   OR old.o_orderstatus <> new.o_orderstatus THEN 'updated'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT status, count(*) AS n_rows, sum(k) AS key_sum
+FROM d GROUP BY status ORDER BY status
+"""
+
+
 def empty_result_schema(spark, sf_dir):
     """S13: zero-row source still materializes a typed stage table so
     downstream readers see a stable schema."""
@@ -2233,6 +2288,82 @@ SELECT doc_id,
             ELSE 'unknown' END AS lang_pred
 FROM scores
 """
+
+
+def corpus_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage: build the top-1000 token vocabulary by
+    DOCUMENT frequency (ties broken by token for determinism), then the
+    out-of-vocabulary token rate per source. The exploded token relation
+    is staged once and persisted; the vocab flows back as a BROADCAST
+    hit-flag join (at 100 TB: a vocab table is KBs — always the
+    broadcast side)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    ).persist()
+    vocab = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(1000)
+        .select("tok")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.avg(F.when(F.col("__hit").isNull(), 1.0).otherwise(0.0)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+  ) ORDER BY df DESC, tok LIMIT 1000
+)
+SELECT source, count(*) AS n_tokens,
+       sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS n_oov,
+       round(avg(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+def dedup_cluster_components(spark, sf_dir):
+    """Exact duplicate clusters: MinHash pairs → iterative min-label
+    propagation to a FIXPOINT (``operators/dedup.py:
+    connected_components``), so transitive chains collapse to one
+    canonical id (single-pass min-id only settles stars). Output:
+    cluster-size histogram. Rows-only (hash-family input)."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )
 
 
 def corpus_language_stats(spark, sf_dir):
@@ -3348,6 +3479,9 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_corpus": dedup_simhash_corpus,
+    "dedup_cluster_components": dedup_cluster_components,
+    "corpus_vocab_coverage": corpus_vocab_coverage,
+    "stage_snapshot_diff": stage_snapshot_diff,
     "corpus_language_stats": corpus_language_stats,
     "topk_ngrams": topk_ngrams,
     "sample_hash_deterministic": sample_hash_deterministic,
@@ -3437,6 +3571,8 @@ ORACLES = {
     "dedup_exact_corpus": _DEDUP_CORPUS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "corpus_language_stats": _LANG_STATS_SQL,
+    "corpus_vocab_coverage": _VOCAB_SQL,
+    "stage_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "sample_hash_deterministic": _SAMPLE_HASH_SQL,
     "text_repetition_stats": _REPETITION_SQL,

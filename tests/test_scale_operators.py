@@ -773,3 +773,35 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert all(len(v) == 1 for v in by_cluster.values())
     C2, hist2 = kmeans_fit(df, k=4, iters=4)
     assert _np.allclose(C, C2) and hist == hist2
+
+
+def test_connected_components_chains_stars_singletons(spark):
+    """A 4-chain, a star, and an isolated pair each collapse to their
+    minimum id — including the chain case single-pass min-id misses."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+            (10, 11), (10, 12), (10, 13),    # star at 10
+            (20, 21),                        # pair
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {k for k, v in got.items() if v == 1} == {1, 2, 3, 4}
+    assert {k for k, v in got.items() if v == 10} == {10, 11, 12, 13}
+    assert {k for k, v in got.items() if v == 20} == {20, 21}
+
+
+def test_snapshot_diff_statuses(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 33.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "deleted", 2: "unchanged", 3: "updated", 4: "inserted"}
