@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "config_csv_pipeline",
     "events_hourly_rollup",
     "events_sessionization",
+    "events_value_quantiles",
+    "events_rolling_window",
+    "events_pivot_by_type",
+    "orders_priority_rollup",
+    "stage_snapshot_diff",
     "text_features",
     "text_winnow_fingerprints",
     "dedup_exact_stats",
@@ -57,7 +62,11 @@ BENCH_QUERIES = [
     "sample_hash_deterministic",
     "pack_documents_stats",
     "text_repetition_stats",
+    "text_pii_redaction",
+    "corpus_quality_filter",
+    "corpus_vocab_coverage",
     "decontaminate_against_benchmark",
+    "embedding_kmeans_stats",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "streaming_stateful_sessionization",

@@ -97,3 +97,47 @@ def test_spark_datemagic_agrees_with_driver_bulk(spark):
     got = {r.serial: r.fecha for r in out.collect()}
     for s in serials:
         assert got[s] == magic_to_date(s), f"serial {s}: {got[s]} != {magic_to_date(s)}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=500),    # seconds offset
+            st.booleans(),                              # left/right side
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_interval_join_equals_bruteforce(spark, rows):
+    """interval_join == filter over the full per-key product for random
+    event layouts (inclusive [-60s, 0] bounds)."""
+    import datetime as dt_
+
+    from cdk_datalake_ingest_upeu_spark.operators.joins import interval_join
+
+    t0 = dt_.datetime(2024, 1, 1)
+    left_rows, right_rows = [], []
+    for i, (k, off, is_left) in enumerate(rows):
+        (left_rows if is_left else right_rows).append(
+            (k, t0 + dt_.timedelta(seconds=off), i)
+        )
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(left_rows, "k int, lt timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "k int, rt timestamp, rid long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "k", "lt", "rt", lower="-60 seconds", upper="0 seconds"
+        ).collect()
+    }
+    expect = {
+        (lid, rid)
+        for (lk, lt, lid) in left_rows
+        for (rk, rt, rid) in right_rows
+        if lk == rk and lt - dt_.timedelta(seconds=60) <= rt <= lt
+    }
+    assert got == expect
