@@ -3,7 +3,12 @@ from cdk_datalake_ingest_upeu_spark.operators.stage_writer import (  # noqa: F40
     dedup_latest,
     merge_upsert,
 )
+from cdk_datalake_ingest_upeu_spark.operators.clustering import (  # noqa: F401
+    kmeans_assign,
+    kmeans_fit,
+)
 from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
     exact_dup_groups,
@@ -13,8 +18,18 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     simhash64,
     simhash_pairs,
 )
+from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff  # noqa: F401
+from cdk_datalake_ingest_upeu_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    interval_join,
+    salted_join,
+)
 from cdk_datalake_ingest_upeu_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     cosine_topk_lsh,
 )
-from cdk_datalake_ingest_upeu_spark.operators.text import add_text_features  # noqa: F401
+from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
+    add_text_features,
+    contamination_stats,
+    redact_pii,
+)
