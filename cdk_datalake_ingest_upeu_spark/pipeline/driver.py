@@ -256,7 +256,14 @@ class TableProcessor:
 
 class PipelineDriver:
     """Process groups of tables (the reference's PROCESS_ID grouping) with
-    bounded concurrency and simple retries (Step Functions Map analog)."""
+    bounded concurrency and simple retries (Step Functions Map analog).
+
+    ``on_alert`` is the SNS-notification analog (reference
+    ``light_transform.py:434-481``): called once per table whose final
+    outcome is FAILED — after retries are exhausted, never per attempt —
+    with the ProcessOutcome. Alert failures are swallowed (an alerting
+    outage must not fail the pipeline, same stance as the reference's
+    try/except around SNS publish)."""
 
     def __init__(
         self,
@@ -264,10 +271,12 @@ class PipelineDriver:
         *,
         max_parallel_tables: int = 4,
         retries: int = 2,
+        on_alert=None,
     ):
         self.processor = processor
         self.max_parallel_tables = max_parallel_tables
         self.retries = retries
+        self.on_alert = on_alert
 
     def run_group(
         self,
@@ -283,7 +292,12 @@ class PipelineDriver:
                 if not outcome.retryable:
                     # deterministic failure (bad transform expression,
                     # missing column): identical re-runs cannot succeed
-                    return outcome
+                    break
+            if self.on_alert is not None:
+                try:
+                    self.on_alert(outcome)
+                except Exception:  # noqa: BLE001 - alerting must not fail the run
+                    pass
             return outcome
 
         with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:

@@ -205,3 +205,34 @@ def test_incremental_runner_reprocess_keeps_watermark(spark, tmp_path):
 
     n2 = runner.run(lambda: ev2, lambda df: None)  # NORMAL advances
     assert n2 == 2 and store.get("ev", "seq") == 30
+
+
+def test_on_alert_fires_once_per_failed_table(spark, tmp_path):
+    """The SNS analog: one alert per FAILED final outcome (not per retry
+    attempt), none for successes, and an alert exception never fails the
+    run."""
+    import os as _os
+
+    from cdk_datalake_ingest_upeu_spark.pipeline.driver import PipelineDriver
+
+    alerts = []
+
+    def boom_alert(outcome):
+        alerts.append(outcome.table)
+        raise RuntimeError("alert channel down")
+
+    p = TableProcessor(spark, _os.path.join(tmp_path, "stage"))
+    bad_cols = [
+        ColumnSpec("id", 1, "int", "fn_transform_NoSuchFunction(id)", is_id=True)
+    ]
+    driver = PipelineDriver(p, max_parallel_tables=2, retries=1, on_alert=boom_alert)
+    rows = [("1", "a", "2024-01-01 00:00:00")]
+    good = TableSpec(stage_table_name="good_t", source_table="good_t", load_type="full")
+    bad = TableSpec(stage_table_name="bad_t", source_table="bad_t", load_type="full")
+    outcomes = driver.run_group(
+        [(raw(spark, rows), good, COLS), (raw(spark, rows), bad, bad_cols)]
+    )
+    by_status = {o.table: o.status for o in outcomes}
+    assert by_status["good_t"] == "SUCCESS"
+    assert by_status["bad_t"] == "FAILED"
+    assert alerts == ["bad_t"]
