@@ -2684,6 +2684,95 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel: click → view → purchase per user, each stage
+    gated on happening strictly AFTER the previous stage's FIRST hit.
+    One groupBy(user) computes all three stage timestamps as conditional
+    MIN aggregates over a single scan — no joins, no window sorts —
+    then one tiny count rollup."""
+    ev = _t(spark, sf_dir, "events")
+    first_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first_click.alias("t_click"),
+        F.collect_list(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("__views"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__buys"),
+    )
+    t_view = F.array_min(F.filter("__views", lambda t: t > F.col("t_click")))
+    staged = per_user.withColumn("t_view", t_view)
+    t_buy = F.array_min(F.filter("__buys", lambda t: t > F.col("t_view")))
+    staged = staged.withColumn("t_buy", t_buy)
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_clicked"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed_after"),
+        F.sum(F.col("t_buy").isNotNull().cast("long")).alias("n_purchased_after"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT p.user_id, p.t_click,
+         min(CASE WHEN e.event_type = 'view' AND e.ts > p.t_click THEN e.ts END) AS t_view
+  FROM per_user p LEFT JOIN events e USING (user_id)
+  GROUP BY p.user_id, p.t_click
+), b AS (
+  SELECT v.user_id, v.t_click, v.t_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t_view THEN e.ts END) AS t_buy
+  FROM v LEFT JOIN events e USING (user_id)
+  GROUP BY v.user_id, v.t_click, v.t_view
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS n_clicked,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed_after,
+       sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased_after
+FROM b
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by FIRST-seen week, then
+    the distinct-user count per (cohort, weeks-since-first). Two
+    shuffles total — the first-seen min per user, then the cohort
+    rollup on already-distinct (user, week) pairs."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    user_weeks = ev.select("user_id", week.alias("wk")).distinct()
+    firsts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        user_weeks.join(firsts, "user_id")
+        .withColumn(
+            "weeks_since", F.datediff(F.col("wk"), F.col("cohort")).cast("int") / 7
+        )
+        .withColumn("weeks_since", F.col("weeks_since").cast("int"))
+        .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), firsts AS (
+  SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cohort, wk) // 7)::INT AS weeks_since,
+       count(DISTINCT user_id) AS n_users
+FROM uw JOIN firsts USING (user_id)
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
 def events_value_quantiles(spark, sf_dir):
     """EXACT continuous-interpolation percentiles per event type
     (``F.percentile`` — the exact aggregate, not approx_percentile), all
@@ -3504,6 +3593,8 @@ QUERIES = {
     "events_rolling_window": events_rolling_window,
     "orders_priority_rollup": orders_priority_rollup,
     "events_pivot_by_type": events_pivot_by_type,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
     "events_value_quantiles": events_value_quantiles,
     "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
     "streaming_interval_join": streaming_interval_join,
@@ -3592,6 +3683,8 @@ ORACLES = {
     "events_rolling_window": _ROLLING_SQL,
     "orders_priority_rollup": _ROLLUP_SQL,
     "events_pivot_by_type": _PIVOT_SQL,
+    "events_funnel": _FUNNEL_SQL,
+    "events_retention_cohorts": _RETENTION_SQL,
     "events_value_quantiles": _QUANTILES_SQL,
     "interval_join_clicks_before_purchase": _INTERVAL_JOIN_SQL,
     "streaming_interval_join": _INTERVAL_JOIN_SQL,
