@@ -141,3 +141,36 @@ def write_bucketed_table(
     if sort_columns:
         writer = writer.sortBy(*sort_columns)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_columns: list[str],
+    *,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster the data layout on ``cluster_columns`` before
+    writing: ``repartitionByRange`` + within-partition sort gives each
+    output file a narrow, near-disjoint min/max envelope on the cluster
+    key, so later filtered reads skip whole files/row-groups on footer
+    statistics (the single-column analog of Z-ordering, with no table
+    format required — plain parquet + stats).
+
+    At 100 TB this is the data-layout lever that makes point/range
+    lookups on a non-partition column cheap: partition directories
+    handle the coarse key (date), range clustering handles the fine one
+    (id, user, period). Verified by ``parquet_column_bounds`` per file
+    in tests."""
+    parts = (
+        df.repartitionByRange(num_files, *cluster_columns)
+        if num_files
+        else df.repartitionByRange(*cluster_columns)
+    )
+    (
+        parts.sortWithinPartitions(*cluster_columns)
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .parquet(path)
+    )

@@ -151,3 +151,31 @@ def test_parquet_column_bounds_matches_scan():
     ).fetchone()
     assert got == (lo, hi)
     assert parquet_column_bounds(path, "no_such_column") is None
+
+
+def test_range_clustered_write_gives_disjoint_file_envelopes(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions -> per-file min/max
+    envelopes that don't overlap, so a filtered read can skip files on
+    footer stats alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import write_range_clustered
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ["k"], num_files=8)
+    envelopes = []
+    for f in glob.glob(out + "/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        st = meta.row_group(0).column(0).statistics
+        lo, hi = st.min, st.max
+        for rg in range(meta.num_row_groups):
+            s = meta.row_group(rg).column(0).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        envelopes.append((lo, hi))
+    envelopes.sort()
+    assert len(envelopes) == 8
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(envelopes, envelopes[1:]):
+        assert a_hi < b_lo  # strictly disjoint
