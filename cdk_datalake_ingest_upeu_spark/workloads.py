@@ -2647,7 +2647,7 @@ def orders_priority_rollup(spark, sf_dir):
     )
 
 
-_ROLLUP_SQL = """
+_PRIORITY_ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, '<all>') AS status,
        coalesce(o_orderpriority, '<all>') AS priority,
        grouping(o_orderstatus, o_orderpriority) AS gid,
@@ -3681,7 +3681,7 @@ ORACLES = {
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
     "train_test_split_counts": _SPLIT_SQL,
     "events_rolling_window": _ROLLING_SQL,
-    "orders_priority_rollup": _ROLLUP_SQL,
+    "orders_priority_rollup": _PRIORITY_ROLLUP_SQL,
     "events_pivot_by_type": _PIVOT_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_retention_cohorts": _RETENTION_SQL,
