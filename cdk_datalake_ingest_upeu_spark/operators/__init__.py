@@ -19,6 +19,10 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff  # noqa: F401
+from cdk_datalake_ingest_upeu_spark.operators.scd import (  # noqa: F401
+    scd2_history,
+    scd2_upsert,
+)
 from cdk_datalake_ingest_upeu_spark.operators.joins import (  # noqa: F401
     asof_join,
     interval_join,

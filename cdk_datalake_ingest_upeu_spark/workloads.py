@@ -3508,6 +3508,39 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents ORDER BY doc
 """
 
 
+def scd2_user_event_history(spark, sf_dir):
+    """SCD type-2 history from the events changelog: per user, collapse
+    consecutive same-type events into version runs with validity
+    intervals. Extends the reference's current-state MERGE
+    (light_transform.py:1363-1409) with the history the warehouse side
+    needs; plan is ONE exchange reused by both window passes
+    (operators/scd.py)."""
+    from cdk_datalake_ingest_upeu_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak_cols="event_id"
+    ).orderBy("user_id", "valid_from")
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), starts AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM ordered WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
+FROM starts
+ORDER BY user_id, valid_from
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3579,6 +3612,7 @@ QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "corpus_vocab_coverage": corpus_vocab_coverage,
     "stage_snapshot_diff": stage_snapshot_diff,
+    "scd2_user_event_history": scd2_user_event_history,
     "corpus_language_stats": corpus_language_stats,
     "topk_ngrams": topk_ngrams,
     "sample_hash_deterministic": sample_hash_deterministic,
@@ -3672,6 +3706,7 @@ ORACLES = {
     "corpus_language_stats": _LANG_STATS_SQL,
     "corpus_vocab_coverage": _VOCAB_SQL,
     "stage_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "scd2_user_event_history": _SCD2_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "sample_hash_deterministic": _SAMPLE_HASH_SQL,
     "text_repetition_stats": _REPETITION_SQL,
