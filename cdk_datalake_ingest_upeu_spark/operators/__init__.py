@@ -12,11 +12,14 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     exact_dedup,
     exact_dup_groups,
+    fingerprint_index,
+    incremental_exact_dedup,
     minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,
+    updated_fingerprint_index,
 )
 from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff  # noqa: F401
 from cdk_datalake_ingest_upeu_spark.operators.scd import (  # noqa: F401

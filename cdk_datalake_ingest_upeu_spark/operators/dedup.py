@@ -87,6 +87,68 @@ def exact_dup_groups(
     )
 
 
+def fingerprint_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the historical dedup index: one row per distinct normalized
+    fingerprint with its canonical (min) id — the artifact an ingest
+    pipeline persists between crawl batches."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return df.groupBy(fp.alias("fingerprint")).agg(
+        F.min(id_col).alias("canonical_id")
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against history without touching historical
+    docs: drop batch rows whose fingerprint is already in ``index``
+    (from :func:`fingerprint_index`), then keep min-id per fingerprint
+    within the batch. Returns the surviving batch rows.
+
+    This is the steady-state shape of corpus dedup at 100 TB: the full
+    corpus is never re-deduped; each crawl batch (small) anti-joins the
+    persisted index (huge). Both sides shuffle on the 16-byte
+    fingerprint; store the index bucketed by fingerprint and only the
+    batch side shuffles. Union the survivors' fingerprints back into
+    the index (:func:`updated_fingerprint_index`) to close the loop."""
+    fp = F.md5(normalized_text(F.col(text_col))).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    in_batch = (
+        batch.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = in_batch.join(
+        index.select(F.col("fingerprint").alias("__fp")),
+        on="__fp",
+        how="left_anti",
+    )
+    return survivors.drop("__fp")
+
+
+def updated_fingerprint_index(
+    index: DataFrame,
+    survivors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New index generation = old index ∪ the surviving batch docs'
+    fingerprints. Survivors are already distinct per fingerprint and
+    disjoint from the index, so this is a shuffle-free union."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return index.unionByName(
+        survivors.select(
+            fp.alias("fingerprint"), F.col(id_col).alias("canonical_id")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

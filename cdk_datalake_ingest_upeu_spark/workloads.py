@@ -3541,6 +3541,45 @@ ORDER BY user_id, valid_from
 """
 
 
+def dedup_incremental_batch(spark, sf_dir):
+    """Steady-state corpus dedup: even doc_ids play the deduped history
+    (persisted fingerprint index), odd doc_ids are the new crawl batch;
+    the batch anti-joins the index, then dedups within itself
+    (operators/dedup.py incremental_exact_dedup)."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = fingerprint_index(hist)
+    return (
+        incremental_exact_dedup(batch, idx)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_INCR_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+), hist AS (
+  SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, source, f,
+         row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id % 2 = 1
+)
+SELECT doc_id, source FROM batch
+WHERE rn = 1 AND f NOT IN (SELECT f FROM hist)
+ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3610,6 +3649,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_corpus": dedup_simhash_corpus,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_incremental_batch": dedup_incremental_batch,
     "corpus_vocab_coverage": corpus_vocab_coverage,
     "stage_snapshot_diff": stage_snapshot_diff,
     "scd2_user_event_history": scd2_user_event_history,
@@ -3703,6 +3743,7 @@ ORACLES = {
     "dedup_exact_stats": _DEDUP_EXACT_SQL,
     "dedup_exact_corpus": _DEDUP_CORPUS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "corpus_language_stats": _LANG_STATS_SQL,
     "corpus_vocab_coverage": _VOCAB_SQL,
     "stage_snapshot_diff": _SNAPSHOT_DIFF_SQL,

@@ -805,3 +805,32 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "deleted", 2: "unchanged", 3: "updated", 4: "inserted"}
+
+
+def test_incremental_dedup_against_index(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_exact_dedup,
+        updated_fingerprint_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "ALPHA   beta"),   # dup of history (normalized) -> dropped
+            (13, "epsilon zeta"),   # new -> kept
+            (15, "epsilon  ZETA"),  # in-batch dup of 13 -> dropped
+            (17, "eta theta"),      # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    idx = fingerprint_index(hist)
+    out = incremental_exact_dedup(batch, idx)
+    assert sorted(r.doc_id for r in out.collect()) == [13, 17]
+
+    idx2 = updated_fingerprint_index(idx, out)
+    assert idx2.count() == 4
+    # re-running the same batch against the updated index drops everything
+    assert incremental_exact_dedup(batch, idx2).count() == 0
