@@ -37,6 +37,7 @@ from cdk_datalake_ingest_upeu_spark.operators.similarity import (  # noqa: F401
 )
 from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
     add_text_features,
+    chunk_documents,
     contamination_stats,
     redact_pii,
 )

@@ -330,6 +330,60 @@ def redact_pii(
     return result.drop(*[f"__red_{k}" for k in pats])
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap —
+    the context-window packing precursor for LLM training corpora.
+
+    Windows start every ``chunk_size - overlap`` tokens; a start is
+    emitted while it still contributes at least one new token, so the
+    final chunk always reaches the document's end and a short document
+    yields exactly one chunk. Output: one row per chunk with
+    ``chunk_id`` (0-based), ``chunk_start`` (token offset),
+    ``n_chunk_tokens`` and the chunk text.
+
+    Scale shape: pure JVM expressions (split once per document in its
+    own projection, then explode over a ``sequence`` of starts +
+    ``slice``) — no Python, no shuffle; chunking 100 TB is a map-only
+    pass that parallelizes with the scan."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    base = df.select(
+        F.col(id_col),
+        ws_tokens(normalized_text(F.col(text_col))).alias("__tk"),
+    ).withColumn("__n", F.size("__tk"))
+    # explode AFTER the tokens column is materialized in the row so the
+    # split runs once per document, not once per chunk
+    starts = base.withColumn(
+        "chunk_start",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("__n") - F.lit(overlap + 1), F.lit(0)),
+                F.lit(step),
+            )
+        ),
+    )
+    return starts.select(
+        id_col,
+        (F.col("chunk_start") / F.lit(step)).cast("int").alias("chunk_id"),
+        "chunk_start",
+        F.least(
+            F.lit(chunk_size), F.col("__n") - F.col("chunk_start")
+        ).cast("int").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("__tk", F.col("chunk_start") + F.lit(1), F.lit(chunk_size)),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def with_winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

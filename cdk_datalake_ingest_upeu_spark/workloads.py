@@ -3580,6 +3580,44 @@ ORDER BY doc_id
 """
 
 
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking of the corpus (64-token chunks,
+    16-token overlap) — map-only JVM pass (operators/text.py
+    chunk_documents). Chunk text returned as md5 so the compare payload
+    stays narrow while still pinning exact content."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=64, overlap=16)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')
+         END AS tk
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(range(0, greatest(len(tk) - 16, 1), 48)) AS chunk_start
+  FROM toks
+)
+SELECT doc_id, (chunk_start // 48)::INT AS chunk_id,
+       least(64, n - chunk_start)::INT AS n_chunk_tokens,
+       md5(array_to_string(tk[chunk_start + 1 : chunk_start + 64], ' ')) AS chunk_hash
+FROM st ORDER BY doc_id, chunk_id
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3658,6 +3696,7 @@ QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redaction": text_pii_redaction,
+    "text_chunk_windows": text_chunk_windows,
     "corpus_quality_filter": corpus_quality_filter,
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "sample_stratified_lang": sample_stratified_lang,
@@ -3752,6 +3791,7 @@ ORACLES = {
     "sample_hash_deterministic": _SAMPLE_HASH_SQL,
     "text_repetition_stats": _REPETITION_SQL,
     "text_pii_redaction": _PII_SQL,
+    "text_chunk_windows": _CHUNK_SQL,
     "corpus_quality_filter": _QUALITY_FILTER_SQL,
     "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,

@@ -834,3 +834,35 @@ def test_incremental_dedup_against_index(spark):
     assert idx2.count() == 4
     # re-running the same batch against the updated index drops everything
     assert incremental_exact_dedup(batch, idx2).count() == 0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=64, overlap=16)
+    rows = {
+        (r.doc_id, r.chunk_id): r for r in out.collect()
+    }
+    # doc 1: starts 0, 48, 96 — last chunk reaches token 150
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    assert rows[(1, 0)].chunk_start == 0 and rows[(1, 0)].n_chunk_tokens == 64
+    assert rows[(1, 2)].chunk_start == 96 and rows[(1, 2)].n_chunk_tokens == 54
+    # consecutive chunks overlap by exactly 16 tokens
+    c0 = rows[(1, 0)].chunk_text.split(" ")
+    c1 = rows[(1, 1)].chunk_text.split(" ")
+    assert c0[-16:] == c1[:16]
+    # full coverage, order preserved
+    merged = c0 + c1[16:] + rows[(1, 2)].chunk_text.split(" ")[16:]
+    assert merged == words.split(" ")
+    # short doc -> one whole chunk; empty doc -> one empty chunk
+    assert rows[(2, 0)].n_chunk_tokens == 2
+    assert rows[(3, 0)].n_chunk_tokens == 0 and rows[(3, 0)].chunk_text == ""
+    # no Python, no shuffle: map-only plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
