@@ -22,6 +22,9 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     updated_fingerprint_index,
 )
 from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff  # noqa: F401
+from cdk_datalake_ingest_upeu_spark.operators.profile import (  # noqa: F401
+    profile_table,
+)
 from cdk_datalake_ingest_upeu_spark.operators.scd import (  # noqa: F401
     scd2_history,
     scd2_upsert,

@@ -1,0 +1,93 @@
+"""Column-level table profiling — the ingest-side data-quality probe.
+
+The reference samples each extracted table's bounds via scalar probes
+(MIN/MAX watermark queries, COUNT gates — extract_data_spark.py's
+bounds query and the DynamoDB run-log counts); a lake also needs the
+per-column profile of what actually landed: null rates, cardinalities,
+value ranges. Two plans, picked by ``exact``:
+
+- ``exact=True``: one aggregate branch PER COLUMN, unioned. Exact
+  distinct counts without the Catalyst ``Expand`` multiplier a single
+  multi-``count_distinct`` aggregate would plan (Expand replicates
+  every input row once per DISTINCT aggregate — ×n_cols row volume at
+  100 TB). Each branch's scan reads exactly one column (columnar
+  pruning), so total I/O ≈ one full-width scan and the branches run as
+  independent stages of one job.
+- ``exact=False``: ONE pass with ``approx_count_distinct`` (HLL) per
+  column — no Expand, single scan, cardinalities within ``rsd``; the
+  right default at 100 TB when exact distinct counts aren't worth a
+  per-column pass.
+
+Values are reported as strings so heterogeneous columns stack into one
+result relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PROFILE_COLS = [
+    "column_name",
+    "n_rows",
+    "n_nulls",
+    "n_distinct",
+    "min_value",
+    "max_value",
+]
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per profiled column: name, row/null/distinct counts and
+    min/max rendered as strings. See module docstring for the two
+    physical plans."""
+    cols = cols or df.columns
+    if exact:
+        parts = [
+            df.select(F.col(c).alias("__v"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("__v").isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct("__v").alias("n_distinct"),
+                F.min("__v").cast("string").alias("min_value"),
+                F.max("__v").cast("string").alias("max_value"),
+            )
+            .select(F.lit(c).alias("column_name"), *_PROFILE_COLS[1:])
+            for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"__dist_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__rows_{c}").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select(
+        *[F.col(f"p.{f}").alias(f) for f in _PROFILE_COLS]
+    )

@@ -3618,6 +3618,51 @@ FROM st ORDER BY doc_id, chunk_id
 """
 
 
+def profile_events_table(spark, sf_dir):
+    """Exact per-column profile of the landed events table (null rate,
+    cardinality, min/max) — the post-landing data-quality probe
+    (operators/profile.py). ``value`` is profiled as decimal(9,2) so
+    the string rendering is format-stable across engines."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(9,2)")
+    )
+    return profile_table(
+        ev, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).orderBy("column_name")
+
+
+_PROFILE_SQL = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type, value::DECIMAL(9,2) AS value
+  FROM events
+)
+SELECT 'event_id' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       min(event_id)::VARCHAR AS min_value, max(event_id)::VARCHAR AS max_value
+FROM ev
+UNION ALL
+SELECT 'ts', count(*),
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT ts), min(ts)::VARCHAR, max(ts)::VARCHAR FROM ev
+UNION ALL
+SELECT 'user_id', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM ev
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT event_type), min(event_type)::VARCHAR, max(event_type)::VARCHAR FROM ev
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT value), min(value)::VARCHAR, max(value)::VARCHAR FROM ev
+ORDER BY column_name
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3691,6 +3736,7 @@ QUERIES = {
     "corpus_vocab_coverage": corpus_vocab_coverage,
     "stage_snapshot_diff": stage_snapshot_diff,
     "scd2_user_event_history": scd2_user_event_history,
+    "profile_events_table": profile_events_table,
     "corpus_language_stats": corpus_language_stats,
     "topk_ngrams": topk_ngrams,
     "sample_hash_deterministic": sample_hash_deterministic,
@@ -3787,6 +3833,7 @@ ORACLES = {
     "corpus_vocab_coverage": _VOCAB_SQL,
     "stage_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "scd2_user_event_history": _SCD2_SQL,
+    "profile_events_table": _PROFILE_SQL,
     "topk_ngrams": _TOPK_NGRAMS_SQL,
     "sample_hash_deterministic": _SAMPLE_HASH_SQL,
     "text_repetition_stats": _REPETITION_SQL,

@@ -866,3 +866,30 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # no Python, no shuffle: map-only plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_profile_table_exact_and_approx(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", 2.5), (4, None, 2.5)],
+        "k long, s string, v double",
+    )
+    exact = {r.column_name: r for r in profile_table(df).collect()}
+    assert exact["k"].n_rows == 4 and exact["k"].n_nulls == 0
+    assert exact["k"].n_distinct == 4
+    assert exact["k"].min_value == "1" and exact["k"].max_value == "4"
+    assert exact["s"].n_nulls == 1 and exact["s"].n_distinct == 2
+    assert exact["v"].n_nulls == 1 and exact["v"].n_distinct == 2
+    # no Expand in any per-column branch (the point of the union plan)
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    approx = {r.column_name: r for r in profile_table(df, exact=False).collect()}
+    assert approx.keys() == exact.keys()
+    for c in exact:
+        assert approx[c].n_rows == exact[c].n_rows
+        assert approx[c].n_nulls == exact[c].n_nulls
+        assert approx[c].min_value == exact[c].min_value
+        # tiny cardinalities are exact under HLL too
+        assert approx[c].n_distinct == exact[c].n_distinct
