@@ -25,6 +25,10 @@ from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff  # noqa:
 from cdk_datalake_ingest_upeu_spark.operators.profile import (  # noqa: F401
     profile_table,
 )
+from cdk_datalake_ingest_upeu_spark.operators.sketches import (  # noqa: F401
+    daily_sketches,
+    rollup_sketches,
+)
 from cdk_datalake_ingest_upeu_spark.operators.scd import (  # noqa: F401
     scd2_history,
     scd2_upsert,

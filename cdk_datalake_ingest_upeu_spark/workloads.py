@@ -3663,6 +3663,28 @@ ORDER BY column_name
 """
 
 
+def sketch_weekly_rollup(spark, sf_dir):
+    """Weekly distinct-user + value-quantile estimates merged from
+    persisted per-day DataSketches (operators/sketches.py). Rows-only:
+    sketch estimates aren't SQL-reproducible in DuckDB; the accuracy
+    and merge-consistency bounds are pinned by unit tests instead."""
+    from cdk_datalake_ingest_upeu_spark.operators.sketches import (
+        daily_sketches,
+        rollup_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = daily_sketches(ev, "user_id", "value")
+    weekly = rollup_sketches(daily, F.date_trunc("week", "day"))
+    return weekly.select(
+        F.col("grain").alias("week"),
+        "n_rows",
+        "est_distinct",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+    ).orderBy("week")
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3737,6 +3759,7 @@ QUERIES = {
     "stage_snapshot_diff": stage_snapshot_diff,
     "scd2_user_event_history": scd2_user_event_history,
     "profile_events_table": profile_events_table,
+    "sketch_weekly_rollup": sketch_weekly_rollup,
     "corpus_language_stats": corpus_language_stats,
     "topk_ngrams": topk_ngrams,
     "sample_hash_deterministic": sample_hash_deterministic,

@@ -893,3 +893,42 @@ def test_profile_table_exact_and_approx(spark):
         assert approx[c].min_value == exact[c].min_value
         # tiny cardinalities are exact under HLL too
         assert approx[c].n_distinct == exact[c].n_distinct
+
+
+def test_sketch_rollup_accuracy_and_merge_consistency(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sketches import (
+        daily_sketches,
+        rollup_sketches,
+    )
+
+    from cdk_datalake_ingest_upeu_spark.workloads import _t
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    daily = daily_sketches(ev, "user_id", "value").cache()
+    weekly = rollup_sketches(daily, F.date_trunc("week", "day"))
+
+    exact = (
+        ev.withColumn("week", F.date_trunc("week", "ts"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count_distinct("user_id").alias("d_exact"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        )
+    )
+    j = weekly.join(exact, weekly.grain == exact.week).collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.n_rows == r.n_exact  # row counts merge exactly
+        assert abs(r.est_distinct - r.d_exact) / r.d_exact < 0.05
+        assert abs(r.p50 - r.p50_exact) / abs(r.p50_exact) < 0.05
+        assert abs(r.p95 - r.p95_exact) / abs(r.p95_exact) < 0.05
+
+    # merge consistency: union-of-daily == one sketch over everything
+    total = rollup_sketches(daily, F.lit(1)).collect()[0]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d")
+    ).collect()[0]
+    assert total.est_distinct == direct.d
+    daily.unpersist()
