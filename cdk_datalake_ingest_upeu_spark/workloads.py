@@ -3685,6 +3685,36 @@ def sketch_weekly_rollup(spark, sf_dir):
     ).orderBy("week")
 
 
+def events_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events ``props`` JSON
+    column with an explicit schema (``from_json`` — one parse per row,
+    JVM-side, vs N ``get_json_object`` re-parses) and aggregate the
+    extracted field per event type."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("p.k"), 4).alias("avg_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.sum(F.col("p.k").isNull().cast("long")).alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+       min(CAST(props->>'k' AS INT)) AS min_k,
+       max(CAST(props->>'k' AS INT)) AS max_k,
+       CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3741,6 +3771,7 @@ QUERIES = {
     "incremental_watermark_2phase": incremental_watermark_2phase,
     "streaming_merge_ingest": streaming_merge_ingest_query,
     "events_hourly_rollup": events_hourly_rollup,
+    "events_json_props": events_json_props,
     "events_sessionization": events_sessionization,
     "streaming_stateful_sessionization": streaming_stateful_sessionization,
     "streaming_watermarked_rollup": streaming_watermarked_rollup,
@@ -3843,6 +3874,7 @@ ORACLES = {
     "incremental_watermark_2phase": _WATERMARK_SQL,
     "streaming_merge_ingest": _STREAM_SQL,
     "events_hourly_rollup": _ROLLUP_SQL,
+    "events_json_props": _JSON_PROPS_SQL,
     "events_sessionization": _SESSION_SQL,
     "streaming_stateful_sessionization": _STATEFUL_SESSION_SQL,
     "streaming_watermarked_rollup": _WATERMARKED_ROLLUP_SQL,
