@@ -78,6 +78,28 @@ def _consume(df) -> int:
     return df.count()
 
 
+def _prev_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r*.json next to this file, for the round-over-round
+    subtotal (the query list grows each round, which makes bare totals
+    incomparable)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            return os.path.basename(best), json.load(f).get("queries", {})
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -105,17 +127,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _prev_bench()
+    if prev is not None:
+        prev_name, prev_q = prev
+        common = sorted(set(timings) & set(prev_q))
+        out["common_with_prev"] = {
+            "prev_file": prev_name,
+            "n_queries": len(common),
+            "total": round(sum(timings[q] for q in common), 3),
+            "prev_total": round(sum(prev_q[q] for q in common), 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_upeu_spark.operators.scratch import scratch_persist
 from cdk_datalake_ingest_upeu_spark.operators.text import (
     normalized_text,
     shingle_hashes,
@@ -282,10 +283,12 @@ def minhash_lsh_pairs(
     # the shingle-hash sets ONCE and reuse the cached relation for both
     # the signature derivation and the final-verification fetch (at
     # scale: a checkpointed signature table plays this role)
-    shing = _parallelize_scan(df).select(
-        F.col(id_col).alias("__id"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("__shingles"),
-    ).persist()
+    shing = scratch_persist(
+        _parallelize_scan(df).select(
+            F.col(id_col).alias("__id"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("__shingles"),
+        )
+    )
     sig = shing.select(
         "__id", _minhash_lanes_udf(num_hashes)(F.col("__shingles")).alias("__minhash")
     )
@@ -415,7 +418,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     # reused by the inverted index and (for capped hot pairs) verification
-    base = base.persist()
+    base = scratch_persist(base)
     exploded = base.select("__id", "__n", F.explode("__sh").alias("__g"))
 
     if max_shingle_df is not None:
@@ -440,7 +443,7 @@ def ngram_jaccard_pairs(
         kept = exploded.withColumn("__hot", F.lit(0))
 
     # self-joined twice below: materialize the (capped) index once
-    kept = kept.persist()
+    kept = scratch_persist(kept)
     a, b = kept.alias("a"), kept.alias("b")
     counted = (
         a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
@@ -548,7 +551,7 @@ def simhash_pairs(
         "__id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval")
     )
     # self-joined twice below: materialize the signature pass once
-    banded = banded.persist()
+    banded = scratch_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -622,15 +625,28 @@ def _band_bucket_structs(sig_col: Column, n_planes: int, bands: int) -> Column:
     )
 
 
+def _cosine_batch(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    dot = np.einsum("ij,ij->i", A, B)
+    return pd.Series(dot / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)))
+
+
 def cosine(vec_a: Column, vec_b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(F.aggregate(vec_a, F.lit(0.0), lambda a, x: a + x.cast("double") ** 2))
-    norm_b = F.sqrt(F.aggregate(vec_b, F.lit(0.0), lambda a, x: a + x.cast("double") ** 2))
-    return dot / (norm_a * norm_b)
+    """Row-wise cosine similarity via ONE numpy matmul per Arrow batch.
+
+    This was originally a ``zip_with`` + three ``F.aggregate`` folds;
+    higher-order-function lambdas evaluate per ELEMENT without codegen,
+    so scoring 16k candidate pairs x 64 dims meant millions of
+    interpreted evals — the dominant cost of every ANN/near-dup scorer
+    (measured ~0.9 s for a 2k-row corpus in round 2). The Arrow path is
+    the same pattern as :func:`_plane_sign_bits`: stack the batch,
+    one vectorized einsum + two norms."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf("double")(_cosine_batch)(vec_a, vec_b)
 
 
 def simhash_dedup(
@@ -683,7 +699,7 @@ def embedding_near_dup_pairs(
         .select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     # self-joined twice below: materialize the signature pass once
-    tagged = tagged.persist()
+    tagged = scratch_persist(tagged)
 
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
@@ -747,12 +763,15 @@ def connected_components(
 
     Scale shape — the standard iterative label propagation: edges are
     symmetrized ONCE and persisted; each round is one join + one
-    groupBy(min) keyed the same way, and convergence needs
-    O(log(longest chain)) rounds, not O(chain). The only driver-side
-    value per round is the count of changed labels (the convergence
-    test). ``max_iters`` bounds the loop for adversarial paths
-    (real dup-cluster diameters are tiny; 10 rounds covers chains to
-    2^10 under doubling)."""
+    groupBy(min) keyed the same way. Plain neighbor-min propagation
+    moves the minimum ONE hop per round, so convergence needs
+    O(component diameter) rounds (pointer-jumping variants get
+    O(log n) at the cost of mutating the edge set each round — dup
+    clusters in practice are stars/short chains, so the simple kernel
+    wins). The only driver-side value per round is the count of
+    changed labels (the convergence test). ``max_iters`` bounds the
+    loop; if labels are still moving when it is exhausted the operator
+    RAISES rather than silently returning split components."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -794,6 +813,24 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(F.col("node"), F.col("label").alias("component"))
+        else:
+            # loop exhausted max_iters while labels were still moving:
+            # plain neighbor-min propagation spreads the minimum ONE hop
+            # per round (O(diameter), not O(log)), so silently returning
+            # here would hand back SPLIT components.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds; the pair graph contains a chain longer than "
+                "max_iters — raise max_iters (rounds needed = component "
+                "diameter)"
+            )
+        # materialize before unpersisting: the returned plan must not
+        # re-run the iteration when the caller finally collects it, and
+        # the persisted labels frame must not outlive the call
+        out = labels.select(
+            F.col("node"), F.col("label").alias("component")
+        ).localCheckpoint(eager=True)
+        labels.unpersist()
+        return out
     finally:
         edges.unpersist()

@@ -39,6 +39,13 @@ def snapshot_diff(
         compare_cols = [
             c for c in new.columns if c not in keys and c in old.columns
         ]
+    if not compare_cols:
+        # zero-arg xxhash64 is an unhelpful analysis error; and with no
+        # shared payload there is nothing to call "updated"
+        raise ValueError(
+            "snapshot_diff: no comparable payload columns — the snapshots "
+            "share only key columns; pass compare_cols explicitly"
+        )
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         F.xxhash64(*compare_cols).alias("__oh"),
@@ -49,7 +56,9 @@ def snapshot_diff(
     )
     cond = None
     for k in keys:
-        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        # null-safe: a null key must match itself, not report as
+        # deleted+inserted
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else cond & c
     joined = o.join(n, cond, "full_outer")
     status = (

@@ -190,17 +190,40 @@ def cosine_topk_ivf(
     search are one Pandas-UDF pass + one broadcast join on cluster_id —
     cost tracks corpus/n_clusters * n_probe per query, not corpus size.
     """
-    # ordered sample: a bare limit() takes whatever partitions answer
-    # first, so centroids would vary with file layout; ordering by id
-    # makes training deterministic for a given corpus
-    sample = [
-        r[0]
-        for r in corpus.select(corpus_id, corpus_vec)
+    # scan-side deterministic sample: a bare limit() takes whatever
+    # partitions answer first (layout-dependent), and orderBy(id).limit
+    # is a full-corpus sort-probe to fetch a few thousand rows — wrong
+    # shape at 100x. Instead a hash_bucket FILTER (pushed to the scan,
+    # no global order) selects ~2x sample_size rows; only that small
+    # set is id-sorted for a deterministic tie-break/truncation.
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+
+    n_corpus = corpus.count()
+    want = min(sample_size, n_corpus)
+    cut = (
+        1_000_000
+        if n_corpus <= 2 * sample_size
+        else int(2 * sample_size / n_corpus * 1_000_000)
+    )
+    sampled = (
+        corpus.select(corpus_id, corpus_vec)
+        .filter(hash_bucket(F.col(corpus_id), seed="ivf") < cut)
         .orderBy(corpus_id)
         .limit(sample_size)
         .select(corpus_vec)
         .collect()
-    ]
+    )
+    if len(sampled) < want:
+        # hash shortfall (possible only on pathological key sets): fall
+        # back to the exact ordered sample rather than train on too few
+        sampled = (
+            corpus.select(corpus_id, corpus_vec)
+            .orderBy(corpus_id)
+            .limit(sample_size)
+            .select(corpus_vec)
+            .collect()
+        )
+    sample = [r[0] for r in sampled]
     C = _kmeans_centroids(sample, n_clusters, seed=seed)
 
     c_tag = corpus.select(

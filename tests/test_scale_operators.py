@@ -794,6 +794,23 @@ def test_connected_components_chains_stars_singletons(spark):
     assert {k for k, v in got.items() if v == 20} == {20, 21}
 
 
+def test_connected_components_raises_instead_of_splitting(spark):
+    """Neighbor-min propagation is O(diameter): a chain longer than
+    max_iters must RAISE, not silently return split components."""
+    import pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1)
+    # and a sufficient budget settles the same chain exactly
+    got = {r.node: r.component for r in connected_components(chain, max_iters=6).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_snapshot_diff_statuses(spark):
     from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff
 
@@ -805,6 +822,23 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "deleted", 2: "unchanged", 3: "updated", 4: "inserted"}
+
+
+def test_snapshot_diff_edge_cases(spark):
+    """Key-only snapshots raise a clear error; null keys match
+    null-safely instead of reporting deleted+inserted."""
+    import pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff
+
+    key_only = spark.createDataFrame([(1,), (2,)], "k long")
+    with pytest.raises(ValueError, match="no comparable payload"):
+        snapshot_diff(key_only, key_only, "k")
+
+    old = spark.createDataFrame([(None, 1.0), (7, 2.0)], "k long, v double")
+    new = spark.createDataFrame([(None, 1.0), (7, 9.0)], "k long, v double")
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {None: "unchanged", 7: "updated"}
 
 
 def test_incremental_dedup_against_index(spark):
@@ -919,11 +953,29 @@ def test_sketch_rollup_accuracy_and_merge_consistency(spark):
     )
     j = weekly.join(exact, weekly.grain == exact.week).collect()
     assert len(j) > 0
+    # KLL guarantees RANK error (<~2% at default k, 99% confidence), not
+    # VALUE error — on a heavy-tailed week the p95 VALUE can sit several
+    # percent off while the rank is well within bound, and sketch-merge
+    # order makes the value run-to-run unstable.  Assert the estimate's
+    # empirical rank in the exact data instead, with the 1/n rank
+    # granularity of a small week added to the sketch bound.
+    import bisect
+
+    vals_by_week = {
+        r.week: sorted(r.vals)
+        for r in ev.withColumn("week", F.date_trunc("week", "ts"))
+        .groupBy("week")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
     for r in j:
         assert r.n_rows == r.n_exact  # row counts merge exactly
         assert abs(r.est_distinct - r.d_exact) / r.d_exact < 0.05
-        assert abs(r.p50 - r.p50_exact) / abs(r.p50_exact) < 0.05
-        assert abs(r.p95 - r.p95_exact) / abs(r.p95_exact) < 0.05
+        vals = vals_by_week[r.week]
+        eps = 0.03 + 1.0 / len(vals)
+        for q, est in ((0.50, r.p50), (0.95, r.p95)):
+            rank = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(rank - q) <= eps, (r.week, q, est, rank)
 
     # merge consistency: union-of-daily == one sketch over everything
     total = rollup_sketches(daily, F.lit(1)).collect()[0]
