@@ -95,7 +95,10 @@ def _prev_bench() -> tuple[str, dict] | None:
         return None
     try:
         with open(best) as f:
-            return os.path.basename(best), json.load(f).get("queries", {})
+            d = json.load(f)
+        # the driver records our JSON line under a "parsed" wrapper
+        q = d.get("queries") or d.get("parsed", {}).get("queries") or {}
+        return os.path.basename(best), q
     except Exception:
         return None
 

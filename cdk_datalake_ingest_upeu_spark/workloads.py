@@ -3016,10 +3016,8 @@ def dedup_simhash_corpus(spark, sf_dir):
     DuckDB lacks the hash family)."""
     docs = _t(spark, sf_dir, "documents")
     return finalize(
-        simhash_dedup(docs, max_hamming=3)
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
-    )
+        simhash_dedup(docs, max_hamming=3).select("doc_id", "lang", "source")
+    ).orderBy("doc_id")
 
 
 def dedup_exact_stats(spark, sf_dir):
@@ -3366,18 +3364,21 @@ SELECT doc_id, source FROM (
 def dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (rows-only: hash family not in DuckDB)."""
     docs = _t(spark, sf_dir, "documents")
-    return finalize(minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b"))
+    # finalize BEFORE the cosmetic sort: materializing an ordered frame
+    # forces the sort (count() alone lets the optimizer drop it), and
+    # sorting the checkpointed pair set (small) is free by comparison
+    return finalize(minhash_lsh_pairs(docs, threshold=0.5)).orderBy("id_a", "id_b")
 
 
 def dedup_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return finalize(simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b"))
+    return finalize(simhash_pairs(docs, max_hamming=3)).orderBy("id_a", "id_b")
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.5 via inverted-index join."""
     docs = _t(spark, sf_dir, "documents")
-    return finalize(ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b"))
+    return finalize(ngram_jaccard_pairs(docs, threshold=0.5)).orderBy("id_a", "id_b")
 
 
 _JACCARD_SQL = """
@@ -3412,8 +3413,8 @@ def embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return finalize(
-        embedding_near_dup_pairs(emb, dim=dim, threshold=0.9).orderBy("id_a", "id_b")
-    )
+        embedding_near_dup_pairs(emb, dim=dim, threshold=0.9)
+    ).orderBy("id_a", "id_b")
 
 
 def embedding_label_stats(spark, sf_dir):
@@ -3738,6 +3739,110 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Built-in session windows (``F.session_window``, 30-minute gap):
+    the declarative complement to the ``applyInPandasWithState``
+    sessionizer — Catalyst plans it as ONE aggregation with
+    session-merge logic fused in, no Python state handler. A gap
+    STRICTLY greater than the gap duration starts a new session (the
+    boundary case is pinned in tests); ``session_end`` is last event +
+    gap. Same operator works
+    under ``readStream`` with a watermark (the batch form is the
+    oracle-checkable one)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def bucketed_join_segment_revenue(spark, sf_dir):
+    """Co-located join via bucketed layout (operators/bucketing.py):
+    both sides land hash-bucketed + sorted on the join key, so the join
+    plans as SortMergeJoin with NO Exchange on either side (asserted in
+    tests/test_scale_operators.py). At 100 TB: shuffle the fact table
+    ONCE at landing, never per query. The reference delegates all joins
+    to the source RDBMS (SURVEY §2.3); this is the lake-side layout
+    that replaces that at scale."""
+    from cdk_datalake_ingest_upeu_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    work = _tmpdir("bucketed")
+    tag = uuid.uuid4().hex[:8]
+    to, tc = f"b_orders_{tag}", f"b_customer_{tag}"
+    write_bucketed(
+        o, to, bucket_cols="custkey", n_buckets=8,
+        external_path=os.path.join(work, "orders"),
+    )
+    write_bucketed(
+        c, tc, bucket_cols="custkey", n_buckets=8,
+        external_path=os.path.join(work, "customer"),
+    )
+    try:
+        j = bucketed_join(spark, to, tc, on="custkey")
+        return finalize(
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3798,6 +3903,9 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_features": multimodal_image_features,
+    # --- new in round 3 (rotate into the window next round) ---
+    "events_session_window": events_session_window,
+    "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -3941,6 +4049,8 @@ ORACLES = {
     "embedding_label_stats": _EMB_LABEL_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
+    "events_session_window": _SESSION_WINDOW_SQL,
+    "bucketed_join_segment_revenue": _BUCKETED_JOIN_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

@@ -984,3 +984,73 @@ def test_sketch_rollup_accuracy_and_merge_consistency(spark):
     ).collect()[0]
     assert total.est_distinct == direct.d
     daily.unpersist()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key => SortMergeJoin with
+    NO Exchange (and no per-task Sort of the streamed side) — the
+    shuffle-once-at-landing layout contract."""
+    from cdk_datalake_ingest_upeu_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_bkt_l", bucket_cols="k", n_buckets=4,
+                   external_path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_r", bucket_cols="k", n_buckets=4,
+                   external_path=str(tmp_path / "r"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "t_bkt_l", "t_bkt_r", on="k")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # un-bucketed side is rejected, not silently re-shuffled
+        spark.range(5).write.mode("overwrite").option(
+            "path", str(tmp_path / "plain")
+        ).saveAsTable("t_plain")
+        with pytest.raises(ValueError, match="not bucketed"):
+            bucketed_join(spark, "t_bkt_l", "t_plain", on="k")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("t_bkt_l", "t_bkt_r", "t_plain"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_session_window_gap_semantics(spark):
+    """Spark's session window is INCLUSIVE at the boundary: a gap
+    exactly equal to the duration still extends the session; only a
+    strictly larger gap splits. Pinned so the DuckDB oracle's
+    strict-> condition stays faithful to Spark's."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=29, seconds=59)),  # same session
+        (1, t0 + dt.timedelta(minutes=59, seconds=59)),  # still chained
+        (1, t0 + dt.timedelta(minutes=89, seconds=59)),  # chained again
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=30)),              # boundary => extends
+        (2, t0 + dt.timedelta(minutes=60, seconds=1)),   # > gap => splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert sorted(per_user[1]) == [4]      # one chained session of 4
+    assert sorted(per_user[2]) == [1, 2]   # inclusive boundary, strict split
