@@ -238,6 +238,63 @@ def run_watermarked_rollup(
     )
 
 
+def run_streaming_session_window(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    max_files_per_trigger: int = 1,
+    query_name: str = "session_window_stream",
+):
+    """Streaming sessionization via the BUILT-IN ``session_window`` —
+    the declarative twin of :func:`run_stateful_sessionization`: no
+    Python state handler, Catalyst's session-merge aggregation carries
+    the state. Sessions finalize (append to the sink, state dropped)
+    once the watermark passes their end; gap-boundary semantics match
+    the batch form (inclusive — pinned in tests).
+
+    State at scale: one (key, open-session) row bounded by the
+    watermark horizon — same shape as the hand-rolled processor, but
+    JVM-side and mergeable across micro-batches for free.
+    """
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(key_col, F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4 arbitrary-state API)
 # ---------------------------------------------------------------------------

@@ -2224,6 +2224,101 @@ def streaming_watermarked_rollup(spark, sf_dir):
 _WATERMARKED_ROLLUP_SQL = _ROLLUP_SQL
 
 
+def streaming_session_window(spark, sf_dir):
+    """Streaming twin of ``events_session_window`` via the built-in
+    ``session_window`` aggregation (streaming/stateful.py) — checked
+    against the SAME DuckDB oracle as the batch form. Three
+    chronological drops + a far-future sentinel per user advance the
+    watermark past every real session so the appended sink holds the
+    complete drained result."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        run_streaming_session_window,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    work = _tmpdir("sesswin")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+
+    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    sentinel_ts = hi + dt_timedelta(days=10)
+    slices = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+        spark.createDataFrame([(-1, sentinel_ts, 0.0)], ev.schema),
+    ]
+    for i, part in enumerate(slices):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out_dir = os.path.join(work, "out")
+    with _stream_shuffle_partitions(spark, 8):
+        q = run_streaming_session_window(
+            spark,
+            os.path.join(src_dir, "batch_*"),
+            ev.schema,
+            out_dir,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name=f"sesswin_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+_STREAMING_SESSION_WINDOW_SQL = None  # assigned after _SESSION_WINDOW_SQL below
+
+
+def stage_dynamic_partition_overwrite(spark, sf_dir):
+    """REPROCESS semantics on a partitioned stage table (reference I3/I6:
+    re-land one day without touching the rest): initial land partitions
+    events by day, then a corrected frame for the EARLIEST day (value
+    doubled) overwrites IN PLACE. ``partitionOverwriteMode=dynamic``
+    replaces only partitions present in the incoming frame — under
+    static mode the second write would wipe every other day, which the
+    oracle (expected final state across ALL days) would catch."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = os.path.join(_tmpdir("dynpart"), "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    target_day = ev.agg(F.min("day")).collect()[0][0]
+    fixed = (
+        ev.filter(F.col("day") == F.lit(target_day))
+        .withColumn("value", F.col("value") * 2)
+    )
+    fixed.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+_DYN_PART_SQL = """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) =
+                               (SELECT min(CAST(ts AS DATE)) FROM events)
+                          THEN value * 2 ELSE value END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY day ORDER BY day
+"""
+
+
 # ===========================================================================
 # text analysis / dedup / similarity (training-data pipeline ops)
 # ===========================================================================
@@ -3788,6 +3883,9 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
+# the streaming twin drains to the same state the batch form computes
+_STREAMING_SESSION_WINDOW_SQL = _SESSION_WINDOW_SQL
+
 
 def bucketed_join_segment_revenue(spark, sf_dir):
     """Co-located join via bucketed layout (operators/bucketing.py):
@@ -4092,6 +4190,8 @@ QUERIES = {
     "corpus_mixture_sample": corpus_mixture_sample,
     "text_quality_classifier": text_quality_classifier,
     "embedding_quantize_stats": embedding_quantize_stats,
+    "streaming_session_window": streaming_session_window,
+    "stage_dynamic_partition_overwrite": stage_dynamic_partition_overwrite,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4240,6 +4340,8 @@ ORACLES = {
     "corpus_mixture_sample": _MIXTURE_SQL,
     "text_quality_classifier": _QUALITY_CLASSIFIER_SQL,
     "embedding_quantize_stats": _QUANTIZE_SQL,
+    "streaming_session_window": _STREAMING_SESSION_WINDOW_SQL,
+    "stage_dynamic_partition_overwrite": _DYN_PART_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }
