@@ -834,3 +834,139 @@ def connected_components(
         return out
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, minhash) — the persistable near-dup index artifact.
+
+    At 32 lanes a signature is 256 bytes/doc regardless of document
+    size: the steady-state pipeline stores THIS (plus the band table),
+    never historical shingle sets or text. Computing it is the only
+    pass over the raw batch."""
+    sigs = with_minhash(df, text_col, shingle_n=shingle_n, num_hashes=num_hashes)
+    return sigs.select(
+        F.col(id_col).alias("doc_id"), F.col("__minhash").alias("minhash")
+    )
+
+
+def minhash_band_table(
+    sigs: DataFrame, *, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, bhash) LSH probe rows for a signature table —
+    store bucketed by (band, bhash) so an incoming batch's probe join
+    shuffles only the batch side."""
+    rows = _band_rows(num_hashes, bands)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("minhash")[b * rows + r] for r in range(rows)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+
+
+def _lane_agreement_batch(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series((A == B).mean(axis=1))
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Lane-agreement estimator of Jaccard between two minhash
+    signatures (unbiased, granularity 1/num_hashes) — one numpy
+    comparison per Arrow batch. This is what lets history candidates be
+    verified WITHOUT ever re-reading historical text."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf("double")(_lane_agreement_batch)(sig_a, sig_b)
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    hist_sigs: DataFrame,
+    hist_bands: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_band_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup dedup of a NEW crawl batch against persisted history —
+    the steady-state shape of :func:`minhash_dedup` at 100 TB: the
+    corpus is never re-banded; the batch probes the stored band table
+    and verifies candidates against stored SIGNATURES via
+    :func:`estimated_jaccard` (exact shingle Jaccard would need
+    historical text; the 1/num_hashes-granular estimate is the standard
+    index-only trade-off). Batch-internal near-dups then collapse via
+    the exact-verified :func:`minhash_dedup` min-id policy.
+
+    Hot-bucket note: because the index only ever contains SURVIVORS,
+    historical mega-clusters are already collapsed to one canonical
+    representative — the band-probe join cannot fan out m_hist-fold.
+    Close the loop by unioning the survivors' signature/band rows into
+    the stored tables (same pattern as
+    :func:`updated_fingerprint_index`)."""
+    b_sigs = scratch_persist(
+        minhash_signature_table(
+            batch, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
+        )
+    )
+    b_bands = minhash_band_table(b_sigs, num_hashes=num_hashes, bands=bands)
+    cand = (
+        b_bands.join(
+            hist_bands.select(
+                F.col("doc_id").alias("hist_id"), "band", "bhash"
+            ),
+            ["band", "bhash"],
+        )
+        .select(F.col("doc_id").alias("batch_id"), "hist_id")
+        .distinct()
+    )
+    dup_vs_hist = (
+        cand.join(
+            b_sigs.select(F.col("doc_id").alias("batch_id"), F.col("minhash").alias("sig_b")),
+            "batch_id",
+        )
+        .join(
+            hist_sigs.select(F.col("doc_id").alias("hist_id"), F.col("minhash").alias("sig_h")),
+            "hist_id",
+        )
+        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_b"), F.col("sig_h")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    fresh = batch.join(dup_vs_hist, id_col, "left_anti")
+    return minhash_dedup(
+        fresh,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_band_bucket=max_band_bucket,
+    )

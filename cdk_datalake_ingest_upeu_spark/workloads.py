@@ -3942,6 +3942,30 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def dedup_incremental_minhash(spark, sf_dir):
+    """Steady-state NEAR-dup dedup (the fuzzy twin of
+    dedup_incremental_batch): even doc_ids play the deduped history —
+    persisted as 256-byte signatures + band probe rows, never text —
+    odd doc_ids are the new crawl batch. Batch probes the band table,
+    verifies against stored signatures by lane agreement, then
+    collapses its own near-dups. Rows-only (hash family)."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_table,
+        minhash_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    hist_sigs = minhash_signature_table(hist)
+    hist_bands = minhash_band_table(hist_sigs)
+    out = incremental_minhash_dedup(
+        batch, hist_sigs, hist_bands, threshold=0.5
+    )
+    return finalize(out.select("doc_id", "source")).orderBy("doc_id")
+
+
 def corpus_mixture_sample(spark, sf_dir):
     """Training-mixture construction with temperature smoothing: target
     share per source ∝ tokens^0.5 (tau=0.5 — the standard knob that
@@ -4192,6 +4216,7 @@ QUERIES = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "streaming_session_window": streaming_session_window,
     "stage_dynamic_partition_overwrite": stage_dynamic_partition_overwrite,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,

@@ -1096,3 +1096,37 @@ def test_mixture_sample_budget_and_smoothing(spark, sf_dir):
     # equal the global rate (smoothing reweights)
     fracs = [r.frac for r in out.values()]
     assert all(0 < f <= 1.0 for f in fracs)
+
+
+def test_incremental_minhash_dedup(spark):
+    """Batch near-dups of HISTORY drop via signature-only verification;
+    batch-internal near-dups collapse to min id; novel docs survive."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_table,
+        minhash_signature_table,
+    )
+
+    hist = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (11, NEAR),                # near-dup of history doc 0 -> dropped
+            (13, FAR),                 # novel -> kept
+            (15, FAR + " extra tail"), # in-batch near-dup of 13 -> dropped
+            (17, "entirely novel text about watermark state and session gaps"),
+        ],
+        "doc_id long, text string",
+    )
+    hist_sigs = minhash_signature_table(hist)
+    hist_bands = minhash_band_table(hist_sigs)
+    out = incremental_minhash_dedup(
+        batch, hist_sigs, hist_bands, threshold=0.5
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [13, 17]
+    # re-probing the surviving batch against an index updated with its
+    # own signatures drops everything (closure property)
+    surv_sigs = minhash_signature_table(out)
+    sigs2 = hist_sigs.unionByName(surv_sigs)
+    bands2 = hist_bands.unionByName(minhash_band_table(surv_sigs))
+    again = incremental_minhash_dedup(batch, sigs2, bands2, threshold=0.5)
+    assert again.count() == 0
