@@ -31,21 +31,23 @@ def write_bucketed(
     bucket_cols: str | list[str],
     n_buckets: int,
     external_path: str | None = None,
-    sort: bool = True,
+    sort: bool | list[str] = True,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) catalog table.
 
     ``sortBy`` matters as much as ``bucketBy``: sorted buckets let the
     join skip its per-task sort, so the whole join degenerates to a
-    streaming merge of pre-sorted files.
+    streaming merge of pre-sorted files. ``sort`` may be a column list
+    to sort buckets by something other than the bucket key (e.g. bucket
+    by id, sort by event time).
     """
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     w = df.write.mode(mode).bucketBy(n_buckets, *cols)
     if sort:
-        w = w.sortBy(*cols)
+        w = w.sortBy(*(cols if sort is True else list(sort)))
     if external_path is not None:
         w = w.option("path", external_path)
     w.saveAsTable(table)

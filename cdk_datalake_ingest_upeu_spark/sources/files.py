@@ -129,18 +129,19 @@ def write_bucketed_table(
     sort_columns: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) catalog table.
+    """Thin alias over :func:`operators.bucketing.write_bucketed` (the
+    canonical bucketed-layout writer, which also supports external
+    paths and pairs with the bucket-spec-checked ``bucketed_join``)."""
+    from cdk_datalake_ingest_upeu_spark.operators.bucketing import write_bucketed
 
-    Two tables bucketed on their join key with the same bucket count
-    join WITHOUT a shuffle — the exchange disappears from the plan
-    because rows are already co-located by bucket. At 100 TB this is the
-    difference between re-shuffling the fact table on every join and
-    paying the layout cost once at write time. Requires saveAsTable
-    (bucketing metadata lives in the catalog, not in plain parquet)."""
-    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_columns)
-    if sort_columns:
-        writer = writer.sortBy(*sort_columns)
-    writer.format("parquet").saveAsTable(table_name)
+    write_bucketed(
+        df,
+        table_name,
+        bucket_cols=bucket_columns,
+        n_buckets=num_buckets,
+        sort=sort_columns if sort_columns else True,
+        mode=mode,
+    )
 
 
 def write_range_clustered(
@@ -170,6 +171,82 @@ def write_range_clustered(
     )
     (
         parts.sortWithinPartitions(*cluster_columns)
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def zorder_value(
+    df: DataFrame, columns: list[str], *, bits_per_col: int | None = None
+):
+    """Z-order (Morton) key over ``columns`` as a Column expression.
+
+    Each column is linearly binned into ``2^bits_per_col`` buckets
+    between its min and max (one O(1) bounds probe per column), then
+    the bucket bits are interleaved — pure shift/mask expressions,
+    whole-stage codegen, no UDF. Linear binning favors roughly uniform
+    keys; for heavily skewed keys, pre-transform (log, rank-bucket)
+    before clustering.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(columns)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns; use range clustering for 1")
+    if bits_per_col is None:
+        bits_per_col = min(16, 62 // n)
+    buckets = (1 << bits_per_col) - 1
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(columns)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(columns)],
+    ).collect()[0]
+    binned = []
+    for i, c in enumerate(columns):
+        lo = float(bounds[f"lo_{i}"])
+        hi = float(bounds[f"hi_{i}"])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(buckets),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * buckets),
+        ).cast("long")
+        binned.append(b)
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for i, b in enumerate(binned):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * n + i
+                )
+            )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_columns: list[str],
+    *,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column Z-order layout: range-partition + sort on the
+    interleaved Morton key so every output file covers a small
+    HYPER-RECTANGLE of the cluster-column space — filtered reads on ANY
+    clustered column (not just the first, which is all a lexicographic
+    sort gives) skip most files on footer min/max stats. The
+    plain-parquet analog of Delta/Iceberg OPTIMIZE ZORDER; at 100 TB
+    this is how point lookups on two+ non-partition columns stay
+    O(files-touched), not O(corpus)."""
+    z = zorder_value(df, cluster_columns)
+    parts = (
+        df.withColumn("__z", z).repartitionByRange(num_files, "__z")
+        if num_files
+        else df.withColumn("__z", z).repartitionByRange("__z")
+    )
+    (
+        parts.sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode(mode)
         .option("compression", "snappy")
         .parquet(path)

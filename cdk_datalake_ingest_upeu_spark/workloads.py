@@ -3942,6 +3942,38 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def stage_zorder_pruned_read(spark, sf_dir):
+    """Z-order layout end-to-end (sources/files.write_zorder_clustered):
+    events land Morton-clustered on (user_id, value), then a
+    two-column range predicate reads back — each file covers a small
+    hyper-rectangle so footer stats skip most files on BOTH columns
+    (locality asserted in tests/test_stage_writer.py); the oracle
+    checks the result equals the unclustered scan."""
+    from cdk_datalake_ingest_upeu_spark.sources.files import write_zorder_clustered
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = os.path.join(_tmpdir("zorder"), "events_z")
+    write_zorder_clustered(ev, path, ["user_id", "value"], num_files=32)
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").between(100, 300) & F.col("value").between(10.0, 60.0)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+_ZORDER_SQL = """
+SELECT count(*) AS n_events, min(event_id) AS min_event,
+       max(event_id) AS max_event,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 60.0
+"""
+
+
 def dedup_incremental_minhash(spark, sf_dir):
     """Steady-state NEAR-dup dedup (the fuzzy twin of
     dedup_incremental_batch): even doc_ids play the deduped history —
@@ -4217,6 +4249,7 @@ QUERIES = {
     "streaming_session_window": streaming_session_window,
     "stage_dynamic_partition_overwrite": stage_dynamic_partition_overwrite,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "stage_zorder_pruned_read": stage_zorder_pruned_read,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4367,6 +4400,7 @@ ORACLES = {
     "embedding_quantize_stats": _QUANTIZE_SQL,
     "streaming_session_window": _STREAMING_SESSION_WINDOW_SQL,
     "stage_dynamic_partition_overwrite": _DYN_PART_SQL,
+    "stage_zorder_pruned_read": _ZORDER_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

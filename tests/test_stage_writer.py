@@ -179,3 +179,54 @@ def test_range_clustered_write_gives_disjoint_file_envelopes(spark, tmp_path):
     assert len(envelopes) == 8
     for (a_lo, a_hi), (b_lo, b_hi) in zip(envelopes, envelopes[1:]):
         assert a_hi < b_lo  # strictly disjoint
+
+
+def test_zorder_write_gives_locality_on_both_columns(spark, tmp_path):
+    """Z-order layout: every file covers a small hyper-rectangle, so
+    BOTH clustered columns get tight per-file min/max envelopes — a
+    lexicographic sort would leave the second column's envelopes
+    spanning the full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import write_zorder_clustered
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("a"),
+        ((F.col("id") * 48271) % 1000).alias("b"),
+    )
+    out = str(tmp_path / "zorder")
+    write_zorder_clustered(df, out, ["a", "b"], num_files=16)
+
+    def envelopes(col):
+        spans = []
+        for f in glob.glob(out + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [c for c in range(md.num_columns)
+                     if md.row_group(i).column(c).path_in_schema == col][0]
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [c for c in range(md.num_columns)
+                     if md.row_group(i).column(c).path_in_schema == col][0]
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+        return spans
+
+    for col in ("a", "b"):
+        spans = envelopes(col)
+        assert len(spans) >= 8
+        avg_width = sum(hi - lo for lo, hi in spans) / len(spans)
+        # each file covers a small slab of the 0..999 range on BOTH axes
+        assert avg_width < 600, (col, avg_width)
+        # a point predicate touches a minority of files
+        hits = sum(1 for lo, hi in spans if lo <= 500 <= hi)
+        assert hits <= len(spans) // 2, (col, hits)
