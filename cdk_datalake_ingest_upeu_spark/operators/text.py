@@ -413,3 +413,76 @@ def with_winnow_fingerprints(
         out_col,
         F.when(n_h == 0, F.array().cast("array<long>")).otherwise(F.array_distinct(mins)),
     ).drop("__wg_hashes")
+
+
+# ---------------------------------------------------------------------------
+# vocab-based token-id encoding (the step before sequence packing)
+# ---------------------------------------------------------------------------
+
+def build_vocab(
+    df, text_col: str = "text", *, size: int = 1000, min_df: int = 1
+):
+    """Top-``size`` tokens by DOCUMENT frequency (ties broken by token
+    for determinism), assigned ids 1..size by (df desc, token) rank; id
+    0 is reserved for <unk>. One explode + one aggregation; the result
+    is K rows — always the broadcast side downstream."""
+    from pyspark.sql import Window, functions as F
+
+    toks = df.select(
+        F.col(text_col).alias("__t"), F.monotonically_increasing_id().alias("__d")
+    ).select("__d", F.explode(ws_tokens(F.lower(F.col("__t")))).alias("token"))
+    dfreq = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    return (
+        dfreq.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= size)
+        .select("token", "token_id", "df")
+    )
+
+
+def encode_tokens(
+    df,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    unk_id: int = 0,
+):
+    """Encode each document as an array of vocab ids (order-preserving;
+    out-of-vocab tokens become ``unk_id``).
+
+    Shape: posexplode keeps token position through the broadcast vocab
+    join, and collect_list reassembles under a per-doc sort — the
+    exchange carries (doc, pos, int) triples, never strings, and the
+    vocab never leaves the broadcast side. At 100 TB the alternative —
+    a map literal in a UDF — ships the vocab into every Python worker;
+    this stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    joined = pos.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    ids = joined.select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+    )
+    return (
+        ids.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tid"))
+            ).alias("__ps")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__ps"), lambda s: s["tid"]).alias("token_ids"),
+        )
+    )

@@ -3942,6 +3942,56 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def corpus_token_encoding(spark, sf_dir):
+    """Vocab-based token-id encoding (operators/text.py build_vocab +
+    encode_tokens) — the step between cleaning and sequence packing:
+    top-1000-token vocab by document frequency, every document encoded
+    as an id array with <unk>=0. The oracle checks order-insensitive
+    per-doc invariants (length, unk count, id checksum); the
+    order-PRESERVING property is unit-pinned."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, size=1000)
+    enc = encode_tokens(docs, vocab)
+    return (
+        enc.select(
+            "doc_id",
+            F.size("token_ids").alias("n_ids"),
+            F.size(F.filter("token_ids", lambda t: t == 0)).alias("n_unk"),
+            F.aggregate(
+                "token_ids", F.lit(0).cast("long"), lambda a, t: a + t
+            ).alias("ids_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKEN_ENCODING_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), vocab AS (
+  SELECT token, token_id FROM (
+    SELECT token, row_number() OVER (ORDER BY df DESC, token) AS token_id
+    FROM dfreq
+  ) WHERE token_id <= 1000
+), enc AS (
+  SELECT t.doc_id, coalesce(v.token_id, 0) AS tid
+  FROM toks t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id, count(*) AS n_ids,
+       sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_unk,
+       sum(tid) AS ids_checksum
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def stage_zorder_pruned_read(spark, sf_dir):
     """Z-order layout end-to-end (sources/files.write_zorder_clustered):
     events land Morton-clustered on (user_id, value), then a
@@ -4250,6 +4300,7 @@ QUERIES = {
     "stage_dynamic_partition_overwrite": stage_dynamic_partition_overwrite,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "stage_zorder_pruned_read": stage_zorder_pruned_read,
+    "corpus_token_encoding": corpus_token_encoding,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4401,6 +4452,7 @@ ORACLES = {
     "streaming_session_window": _STREAMING_SESSION_WINDOW_SQL,
     "stage_dynamic_partition_overwrite": _DYN_PART_SQL,
     "stage_zorder_pruned_read": _ZORDER_SQL,
+    "corpus_token_encoding": _TOKEN_ENCODING_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

@@ -1130,3 +1130,28 @@ def test_incremental_minhash_dedup(spark):
     bands2 = hist_bands.unionByName(minhash_band_table(surv_sigs))
     again = incremental_minhash_dedup(batch, sigs2, bands2, threshold=0.5)
     assert again.count() == 0
+
+
+def test_token_encoding_order_preserving(spark):
+    """encode_tokens keeps token ORDER through the explode/join/regroup
+    round-trip, ranks vocab by (df desc, token), and maps OOV to 0."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a b c"),
+            (2, "a b rare"),
+            (3, "a zz"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r.token: r.token_id for r in build_vocab(docs, size=2).collect()}
+    # df: a=3, b=2, c=1, rare=1, zz=1 -> top-2 = a(1), b(2)
+    assert vocab == {"a": 1, "b": 2}
+    enc = {r.doc_id: r.token_ids for r in encode_tokens(docs, build_vocab(docs, size=2)).collect()}
+    assert enc[1] == [2, 1, 2, 0]   # b a b c -> order preserved, c -> unk
+    assert enc[2] == [1, 2, 0]
+    assert enc[3] == [1, 0]
