@@ -70,6 +70,16 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "streaming_stateful_sessionization",
+    # new in round 3
+    "events_session_window",
+    "bucketed_join_segment_revenue",
+    "corpus_mixture_sample",
+    "text_quality_classifier",
+    "embedding_quantize_stats",
+    "stage_zorder_pruned_read",
+    "stage_dynamic_partition_overwrite",
+    "dedup_incremental_minhash",
+    "corpus_token_encoding",
 ]
 
 

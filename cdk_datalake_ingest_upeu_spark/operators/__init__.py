@@ -48,3 +48,26 @@ from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
     contamination_stats,
     redact_pii,
 )
+from cdk_datalake_ingest_upeu_spark.operators.bucketing import (  # noqa: F401
+    bucketed_join,
+    write_bucketed,
+)
+from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
+    estimated_jaccard,
+    incremental_minhash_dedup,
+    minhash_band_table,
+    minhash_signature_table,
+)
+from cdk_datalake_ingest_upeu_spark.operators.quantization import (  # noqa: F401
+    quantization_error,
+    quantization_report,
+)
+from cdk_datalake_ingest_upeu_spark.operators.scratch import (  # noqa: F401
+    finalize,
+    release_scratch,
+    scratch_persist,
+)
+from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
+    build_vocab,
+    encode_tokens,
+)
