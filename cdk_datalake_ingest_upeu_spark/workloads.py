@@ -4040,7 +4040,10 @@ def dedup_incremental_minhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    hist_sigs = minhash_signature_table(hist)
+    # in production these are READ from storage; built here, the
+    # signature pass must not recompute for the band table and the
+    # verification join both
+    hist_sigs = scratch_persist(minhash_signature_table(hist))
     hist_bands = minhash_band_table(hist_sigs)
     out = incremental_minhash_dedup(
         batch, hist_sigs, hist_bands, threshold=0.5
