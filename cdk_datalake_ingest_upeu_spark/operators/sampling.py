@@ -76,9 +76,35 @@ def with_split(
     """Append a train/validation/test split column — the same row is in
     the same split forever (append-only corpora never leak test rows
     into training as the corpus grows)."""
+    return group_split(
+        df,
+        F.col(key_col),
+        test_fraction=test_fraction,
+        validation_fraction=validation_fraction,
+        seed=seed,
+        out_col=out_col,
+    )
+
+
+def group_split(
+    df: DataFrame,
+    group_key: Column,
+    *,
+    test_fraction: float = 0.1,
+    validation_fraction: float = 0.0,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Split keyed on an arbitrary LEAKAGE-GROUP expression: every row
+    sharing ``group_key`` lands in the same split. Keying on a doc id
+    silently leaks — a near/exact duplicate of a test document trains
+    the model on its own eval set. Key on the dedup-cluster canonical
+    instead: the exact-dup fingerprint (``md5`` of normalized text), or
+    the near-dup component id from ``connected_components``. Still a
+    pure scan-side expression — no shuffle, no split table to store."""
     if test_fraction + validation_fraction > 1.0:
         raise ValueError("test_fraction + validation_fraction must be <= 1")
-    bucket = hash_bucket(F.col(key_col), seed=seed)
+    bucket = hash_bucket(group_key, seed=seed)
     test_hi = int(test_fraction * _BUCKETS)
     val_hi = test_hi + int(validation_fraction * _BUCKETS)
     return df.withColumn(

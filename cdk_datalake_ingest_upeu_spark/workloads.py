@@ -3942,6 +3942,63 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def leakage_safe_split_counts(spark, sf_dir):
+    """Dedup-aware train/val/test split (operators/sampling.group_split):
+    the split key is the exact-dup FINGERPRINT, not the doc id, so
+    byte-identical (normalized) duplicates can never straddle splits —
+    the eval-leakage failure mode of id-keyed splits. Output pins the
+    invariant: max_splits_per_group must be 1. (For NEAR-dup safety,
+    key on the connected-components canonical instead — same operator,
+    different group expression.)"""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    tagged = group_split(
+        docs, fp, test_fraction=0.1, validation_fraction=0.1, seed="lsafe"
+    ).withColumn("fp", fp)
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_groups"),
+    )
+    straddle = (
+        tagged.groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("max_splits_per_group"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddle))
+        .select("split", "n_docs", "n_groups", "max_splits_per_group")
+        .orderBy("split")
+    )
+
+
+_LEAKAGE_SPLIT_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), tagged AS (
+  SELECT doc_id, fp,
+         CASE WHEN b < 100000 THEN 'test'
+              WHEN b < 200000 THEN 'validation'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id, fp,
+           ('0x' || substr(md5(fp || 'lsafe'), 1, 8))::BIGINT % 1000000 AS b
+    FROM fp
+  )
+), per_split AS (
+  SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_groups
+  FROM tagged GROUP BY split
+), straddle AS (
+  SELECT max(k) AS max_splits_per_group
+  FROM (SELECT fp, count(DISTINCT split) AS k FROM tagged GROUP BY fp)
+)
+SELECT split, n_docs, n_groups, max_splits_per_group
+FROM per_split, straddle ORDER BY split
+"""
+
+
 def corpus_token_encoding(spark, sf_dir):
     """Vocab-based token-id encoding (operators/text.py build_vocab +
     encode_tokens) — the step between cleaning and sequence packing:
@@ -4304,6 +4361,7 @@ QUERIES = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "stage_zorder_pruned_read": stage_zorder_pruned_read,
     "corpus_token_encoding": corpus_token_encoding,
+    "leakage_safe_split_counts": leakage_safe_split_counts,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4456,6 +4514,7 @@ ORACLES = {
     "stage_dynamic_partition_overwrite": _DYN_PART_SQL,
     "stage_zorder_pruned_read": _ZORDER_SQL,
     "corpus_token_encoding": _TOKEN_ENCODING_SQL,
+    "leakage_safe_split_counts": _LEAKAGE_SPLIT_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

@@ -1155,3 +1155,22 @@ def test_token_encoding_order_preserving(spark):
     assert enc[1] == [2, 1, 2, 0]   # b a b c -> order preserved, c -> unk
     assert enc[2] == [1, 2, 0]
     assert enc[3] == [1, 0]
+
+
+def test_group_split_keeps_dups_together(spark):
+    """Fingerprint-keyed split: exact dups (including whitespace/case
+    variants) always share a split; id-keyed splits don't guarantee it."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import group_split
+    from cdk_datalake_ingest_upeu_spark.operators.text import fingerprint
+
+    rows = [(i, BASE if i % 3 == 0 else f"unique doc {i}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tagged = group_split(
+        docs, fingerprint(F.col("text")), test_fraction=0.3, seed="t"
+    )
+    dup_splits = {
+        r.split for r in tagged.filter(F.col("doc_id") % 3 == 0).collect()
+    }
+    assert len(dup_splits) == 1  # all 100 copies of BASE in ONE split
+    # both splits are populated overall
+    assert tagged.select("split").distinct().count() == 2
