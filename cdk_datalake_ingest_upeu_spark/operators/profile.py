@@ -91,3 +91,47 @@ def profile_table(
     return one.select(F.explode(structs).alias("p")).select(
         *[F.col(f"p.{f}").alias(f) for f in _PROFILE_COLS]
     )
+
+
+def profile_drift(old_profile: DataFrame, new_profile: DataFrame) -> DataFrame:
+    """Per-column drift between two :func:`profile_table` outputs — the
+    data-quality monitor a lake runs between landing generations (the
+    reference's run-log severity checks only count transform failures;
+    this catches silent upstream shifts: a column going nullable, a
+    cardinality collapse, bounds walking).
+
+    Inputs are KB-scale (one row per column) regardless of the
+    underlying table size — the heavy scans already happened once per
+    generation inside ``profile_table`` — so the join is trivially
+    broadcast and the full-outer keeps columns that appeared or
+    vanished visible."""
+    o = old_profile.select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("n_nulls_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_value").alias("min_old"),
+        F.col("max_value").alias("max_old"),
+    )
+    n = new_profile.select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("n_nulls_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_value").alias("min_new"),
+        F.col("max_value").alias("max_new"),
+    )
+    j = o.join(n, "column_name", "full_outer")
+    return j.select(
+        "column_name",
+        "n_rows_old",
+        "n_rows_new",
+        F.round(F.col("n_nulls_old") / F.col("n_rows_old"), 6).alias("null_rate_old"),
+        F.round(F.col("n_nulls_new") / F.col("n_rows_new"), 6).alias("null_rate_new"),
+        "n_distinct_old",
+        "n_distinct_new",
+        (
+            ~F.col("min_old").eqNullSafe(F.col("min_new"))
+            | ~F.col("max_old").eqNullSafe(F.col("max_new"))
+        ).alias("bounds_changed"),
+    ).orderBy("column_name")

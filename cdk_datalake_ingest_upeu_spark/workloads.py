@@ -3783,6 +3783,58 @@ ORDER BY column_name
 """
 
 
+def profile_drift_generations(spark, sf_dir):
+    """Cross-generation data-quality drift (operators/profile.py
+    profile_drift): two landing generations (even/odd event_id halves
+    stand in for yesterday/today) are profiled once each, then the
+    KB-scale profiles join to surface null-rate movement, cardinality
+    shifts, and bounds changes per column."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(9,2)")
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    old = profile_table(ev.filter(F.col("event_id") % 2 == 0), cols)
+    new = profile_table(ev.filter(F.col("event_id") % 2 == 1), cols)
+    return profile_drift(old, new)
+
+
+def _profile_half_sql(half: str, pred: str) -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    blocks = []
+    for c in cols:
+        blocks.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value "
+            f"FROM ev WHERE {pred}"
+        )
+    return f"{half} AS (" + " UNION ALL ".join(blocks) + ")"
+
+
+_PROFILE_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type, value::DECIMAL(9,2) AS value
+  FROM events
+),
+{_profile_half_sql("po", "event_id % 2 = 0")},
+{_profile_half_sql("pn", "event_id % 2 = 1")}
+SELECT po.column_name,
+       po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+       round(po.n_nulls * 1.0 / po.n_rows, 6) AS null_rate_old,
+       round(pn.n_nulls * 1.0 / pn.n_rows, 6) AS null_rate_new,
+       po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+       (po.min_value IS DISTINCT FROM pn.min_value
+        OR po.max_value IS DISTINCT FROM pn.max_value) AS bounds_changed
+FROM po JOIN pn USING (column_name) ORDER BY column_name
+"""
+
+
 def sketch_weekly_rollup(spark, sf_dir):
     """Weekly distinct-user + value-quantile estimates merged from
     persisted per-day DataSketches (operators/sketches.py). Rows-only:
@@ -4362,6 +4414,7 @@ QUERIES = {
     "stage_zorder_pruned_read": stage_zorder_pruned_read,
     "corpus_token_encoding": corpus_token_encoding,
     "leakage_safe_split_counts": leakage_safe_split_counts,
+    "profile_drift_generations": profile_drift_generations,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4515,6 +4568,7 @@ ORACLES = {
     "stage_zorder_pruned_read": _ZORDER_SQL,
     "corpus_token_encoding": _TOKEN_ENCODING_SQL,
     "leakage_safe_split_counts": _LEAKAGE_SPLIT_SQL,
+    "profile_drift_generations": _PROFILE_DRIFT_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }
