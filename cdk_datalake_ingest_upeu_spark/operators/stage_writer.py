@@ -190,6 +190,60 @@ class StageTable:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- change-feed apply (CDC with deletes) --------------------------------
+
+    def apply_change_feed(
+        self,
+        feed: DataFrame,
+        key_columns: list[str],
+        *,
+        op_column: str = "op",
+        seq_column: str,
+    ) -> None:
+        """Apply an insert/update/delete change feed: the LATEST op per
+        key (ordered by ``seq_column``) wins; ``D`` removes the key,
+        anything else upserts the row. The reference's MERGE is
+        upsert-only (``light_transform.py:1382-1392``) — rows deleted at
+        the source survive in the stage zone forever; this closes that
+        gap. Feed metadata columns (op, seq) are stripped before the
+        upsert so the stage schema stays payload-only.
+
+        Parquet path: one in-batch dedup window, one MERGE, then one
+        anti-join rewrite for the deletes. With Delta installed this is
+        a single ``MERGE`` with ``whenMatchedDelete`` — same semantics,
+        one commit."""
+        latest = dedup_latest(feed, key_columns, [seq_column])
+        if self.fmt == "delta" and _HAS_DELTA:  # pragma: no cover
+            cond = " AND ".join(f"old.{k} = new.{k}" for k in key_columns)
+            payload = [
+                c for c in latest.columns if c not in (op_column, seq_column)
+            ]
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("old")
+                .merge(latest.alias("new"), cond)
+                .whenMatchedDelete(condition=f"new.{op_column} = 'D'")
+                .whenMatchedUpdate(
+                    condition=f"new.{op_column} <> 'D'",
+                    set={c: f"new.{c}" for c in payload},
+                )
+                .whenNotMatchedInsert(
+                    condition=f"new.{op_column} <> 'D'",
+                    values={c: f"new.{c}" for c in payload},
+                )
+                .execute()
+            )
+            return
+        upserts = latest.filter(F.col(op_column) != "D").drop(
+            op_column, seq_column
+        )
+        deletes = latest.filter(F.col(op_column) == "D").select(*key_columns)
+        self.merge(upserts, key_columns)
+        if deletes.take(1):
+            # AQE picks broadcast for the (typically tiny) delete set
+            kept = self.read().join(deletes, key_columns, "left_anti")
+            self._checkpointed_overwrite(kept, dynamic=False)
+
     # -- maintenance ---------------------------------------------------------
 
     def optimize(self, target_partitions: int | None = None) -> None:

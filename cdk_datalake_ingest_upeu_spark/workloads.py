@@ -3994,6 +3994,55 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def stage_change_feed_apply(spark, sf_dir):
+    """CDC apply with DELETES (StageTable.apply_change_feed): the
+    reference's MERGE is upsert-only, so source deletes live forever in
+    the stage zone. A deterministic I/U/D feed derived from the
+    customer table (key%10: 0 -> delete, 1|2 -> balance update,
+    3 -> new inserted key) lands on an initial full snapshot; the
+    oracle recomputes the expected final state from scratch."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    stage = StageTable(spark, os.path.join(_tmpdir("cdc"), "cust"))
+    stage.overwrite(cust)
+    mod = F.col("c_custkey") % 10
+    updates = (
+        cust.filter(mod.isin(1, 2))
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = cust.filter(mod == 0).withColumn("op", F.lit("D"))
+    inserts = (
+        cust.filter(mod == 3)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW CUSTOMER").alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .withColumn("op", F.lit("I"))
+    )
+    feed = (
+        updates.unionByName(deletes).unionByName(inserts).withColumn("seq", F.lit(1))
+    )
+    stage.apply_change_feed(feed, ["c_custkey"], seq_column="seq")
+    return (
+        stage.read()
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+_CHANGE_FEED_SQL = """
+SELECT c_custkey,
+       round(CASE WHEN c_custkey % 10 IN (1, 2)
+                  THEN round(c_acctbal + 100, 2)
+                  ELSE c_acctbal END, 2) AS acctbal
+FROM customer WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 10 = 3
+ORDER BY c_custkey
+"""
+
+
 def leakage_safe_split_counts(spark, sf_dir):
     """Dedup-aware train/val/test split (operators/sampling.group_split):
     the split key is the exact-dup FINGERPRINT, not the doc id, so
@@ -4009,16 +4058,24 @@ def leakage_safe_split_counts(spark, sf_dir):
     tagged = group_split(
         docs, fp, test_fraction=0.1, validation_fraction=0.1, seed="lsafe"
     ).withColumn("fp", fp)
-    per_split = tagged.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fp").alias("n_groups"),
+    # ONE corpus scan + ONE corpus-sized shuffle: pre-aggregate to
+    # (split, fp) — everything downstream (per-split rollup, straddle
+    # check) runs on that already-tiny relation instead of re-scanning
+    # and re-shuffling documents per aggregate (plan audit: was 2 scans
+    # / 7 exchanges with two countDistinct branches)
+    groups = scratch_persist(
+        tagged.groupBy("split", "fp").agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_split = groups.groupBy("split").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
     )
     straddle = (
-        tagged.groupBy("fp")
-        .agg(F.countDistinct("split").alias("k"))
+        groups.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("k"))
         .agg(F.max("k").alias("max_splits_per_group"))
     )
-    return (
+    return finalize(
         per_split.crossJoin(F.broadcast(straddle))
         .select("split", "n_docs", "n_groups", "max_splits_per_group")
         .orderBy("split")
@@ -4415,6 +4472,7 @@ QUERIES = {
     "corpus_token_encoding": corpus_token_encoding,
     "leakage_safe_split_counts": leakage_safe_split_counts,
     "profile_drift_generations": profile_drift_generations,
+    "stage_change_feed_apply": stage_change_feed_apply,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4569,6 +4627,7 @@ ORACLES = {
     "corpus_token_encoding": _TOKEN_ENCODING_SQL,
     "leakage_safe_split_counts": _LEAKAGE_SPLIT_SQL,
     "profile_drift_generations": _PROFILE_DRIFT_SQL,
+    "stage_change_feed_apply": _CHANGE_FEED_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

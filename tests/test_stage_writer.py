@@ -230,3 +230,29 @@ def test_zorder_write_gives_locality_on_both_columns(spark, tmp_path):
         # a point predicate touches a minority of files
         hits = sum(1 for lo, hi in spans if lo <= 500 <= hi)
         assert hits <= len(spans) // 2, (col, hits)
+
+
+def test_apply_change_feed_iud_semantics(spark, tmp_path):
+    """Latest op per key wins: delete removes, update replaces, insert
+    adds, and a U-after-D within one feed resurrects the key."""
+    from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable
+
+    stage = StageTable(spark, str(tmp_path / "cdc"))
+    stage.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        )
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, 0.0, "D", 1),    # delete 1
+            (2, 25.0, "U", 1),   # update 2
+            (4, 40.0, "I", 1),   # insert 4
+            (3, 0.0, "D", 1),    # delete 3 ...
+            (3, 33.0, "U", 2),   # ... but a later update wins
+        ],
+        "k long, v double, op string, seq int",
+    )
+    stage.apply_change_feed(feed, ["k"], seq_column="seq")
+    got = {r.k: r.v for r in stage.read().collect()}
+    assert got == {2: 25.0, 3: 33.0, 4: 40.0}
