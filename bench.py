@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "stage_dynamic_partition_overwrite",
     "dedup_incremental_minhash",
     "corpus_token_encoding",
+    "leakage_safe_split_counts",
+    "profile_drift_generations",
+    "stage_change_feed_apply",
 ]
 
 

@@ -2737,6 +2737,78 @@ FROM rolled GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — independent (not hierarchical) grouping
+    combinations in ONE aggregation pass: by event_type, by day, and the
+    grand total. Spark expands the sets map-side (one scan, one
+    shuffle); the naive alternative is three scans unioned."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.createOrReplaceTempView("__ev_gs")
+    out = spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(day AS STRING), '<all>') AS day,
+               grouping_id() AS gid,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        ORDER BY gid, event_type, day
+        """
+    )
+    return out
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+       grouping(event_type, CAST(ts AS DATE)) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+ORDER BY gid, event_type, day
+"""
+
+
+def set_ops_customer_activity(spark, sf_dir):
+    """Set operations the reference cannot express (SURVEY §2.7 notes no
+    UNION/INTERSECT/EXCEPT exist — partitioned extracts union only by
+    directory layout): customers with orders INTERSECT recent buyers,
+    EXCEPT churned, via Spark's set operators (planned as semi/anti
+    joins — no distinct-on-full-rows materialization)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    old_only = orders.filter(F.col("o_orderdate") < "1995-01-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # recent buyers who never bought before 1995
+    survivors = cust.intersect(recent).subtract(old_only)
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+_SET_OPS_SQL = """
+WITH recent AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+old_only AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01'),
+surv AS (
+  SELECT c_custkey FROM customer
+  INTERSECT
+  SELECT c_custkey FROM recent
+  EXCEPT
+  SELECT c_custkey FROM old_only
+)
+SELECT count(*) AS n_customers, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM surv
+"""
+
+
 def orders_priority_rollup(spark, sf_dir):
     """ROLLUP (hierarchical grouping sets) over status → priority with
     grouping_id disambiguation — subtotals and grand total in ONE
@@ -4473,6 +4545,8 @@ QUERIES = {
     "leakage_safe_split_counts": leakage_safe_split_counts,
     "profile_drift_generations": profile_drift_generations,
     "stage_change_feed_apply": stage_change_feed_apply,
+    "events_grouping_sets": events_grouping_sets,
+    "set_ops_customer_activity": set_ops_customer_activity,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4628,6 +4702,8 @@ ORACLES = {
     "leakage_safe_split_counts": _LEAKAGE_SPLIT_SQL,
     "profile_drift_generations": _PROFILE_DRIFT_SQL,
     "stage_change_feed_apply": _CHANGE_FEED_SQL,
+    "events_grouping_sets": _GROUPING_SETS_SQL,
+    "set_ops_customer_activity": _SET_OPS_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }
