@@ -125,3 +125,49 @@ def stream_merge_ingest(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_change_feed_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    stage: StageTable,
+    *,
+    key_columns: list[str],
+    op_column: str = "op",
+    seq_column: str,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str,
+    query_name: str = "stream_change_feed",
+):
+    """Continuous CDC ingestion: each micro-batch of an
+    insert/update/delete feed is applied through
+    ``StageTable.apply_change_feed`` — latest op per key within the
+    batch wins, deletes remove keys, and ops arriving in LATER batches
+    override earlier state (cross-batch ordering comes from the feed's
+    arrival order, the standard CDC-stream contract). The streaming
+    twin of the batch ``stage_change_feed_apply`` query, drained
+    against the same oracle."""
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        stage.apply_change_feed(
+            batch_df,
+            key_columns,
+            op_column=op_column,
+            seq_column=seq_column,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

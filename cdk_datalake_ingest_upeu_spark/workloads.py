@@ -4115,6 +4115,84 @@ ORDER BY c_custkey
 """
 
 
+def streaming_change_feed_ingest(spark, sf_dir):
+    """Streaming CDC twin of ``stage_change_feed_apply``
+    (streaming/incremental.stream_change_feed_ingest): two
+    chronological feed drops — batch 0 updates (+100 for key%10 in
+    1,2) and deletes (%10 in 0,4); batch 1 inserts (%10=3 as new keys)
+    and RESURRECTS %10=4 with +500 — so cross-batch override (a later
+    micro-batch re-inserting a deleted key) is exercised. Drained state
+    checked against a from-scratch oracle."""
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_change_feed_ingest,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    work = _tmpdir("cdcstream")
+    stage = StageTable(spark, os.path.join(work, "stage"))
+    stage.overwrite(cust)
+    mod = F.col("c_custkey") % 10
+    batch0 = (
+        cust.filter(mod.isin(1, 2))
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .withColumn("op", F.lit("U"))
+        .unionByName(cust.filter(mod.isin(0, 4)).withColumn("op", F.lit("D")))
+    )
+    batch1 = (
+        cust.filter(mod == 3)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW CUSTOMER").alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            cust.filter(mod == 4)
+            .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 500, 2))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, part in enumerate([batch0, batch1]):
+        feed = part.withColumn("seq", F.lit(1))
+        p = os.path.join(src_dir, f"batch_{i}")
+        feed.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    feed_schema = batch0.withColumn("seq", F.lit(1)).schema
+    q = stream_change_feed_ingest(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        feed_schema,
+        stage,
+        key_columns=["c_custkey"],
+        seq_column="seq",
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"cdc_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        stage.read()
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+_STREAM_CHANGE_FEED_SQL = """
+SELECT c_custkey,
+       round(CASE WHEN c_custkey % 10 IN (1, 2) THEN round(c_acctbal + 100, 2)
+                  WHEN c_custkey % 10 = 4 THEN round(c_acctbal + 500, 2)
+                  ELSE c_acctbal END, 2) AS acctbal
+FROM customer WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 10 = 3
+ORDER BY c_custkey
+"""
+
+
 def leakage_safe_split_counts(spark, sf_dir):
     """Dedup-aware train/val/test split (operators/sampling.group_split):
     the split key is the exact-dup FINGERPRINT, not the doc id, so
@@ -4547,6 +4625,7 @@ QUERIES = {
     "stage_change_feed_apply": stage_change_feed_apply,
     "events_grouping_sets": events_grouping_sets,
     "set_ops_customer_activity": set_ops_customer_activity,
+    "streaming_change_feed_ingest": streaming_change_feed_ingest,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4704,6 +4783,7 @@ ORACLES = {
     "stage_change_feed_apply": _CHANGE_FEED_SQL,
     "events_grouping_sets": _GROUPING_SETS_SQL,
     "set_ops_customer_activity": _SET_OPS_SQL,
+    "streaming_change_feed_ingest": _STREAM_CHANGE_FEED_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }
