@@ -1174,3 +1174,32 @@ def test_group_split_keeps_dups_together(spark):
     assert len(dup_splits) == 1  # all 100 copies of BASE in ONE split
     # both splits are populated overall
     assert tagged.select("split").distinct().count() == 2
+
+
+def test_ann_on_quantized_vectors_keeps_recall(spark):
+    """Operational claim behind int8 storage: top-k neighbors computed
+    on DEQUANTIZED vectors match full-precision top-k with high recall
+    — the error report's numbers translate to retrieval quality."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    emb = emb_df(spark, n=120)
+
+    @pandas_udf("array<float>")
+    def roundtrip(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        scale = np.abs(M).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)[:, None]
+        q = np.floor(M / safe + 0.5)
+        return pd.Series(list((q * safe).astype(np.float32)))
+
+    quant = emb.select("vec_id", roundtrip(F.col("embedding")).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(quant, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8 round-trip degraded top-k recall to {recall}"
