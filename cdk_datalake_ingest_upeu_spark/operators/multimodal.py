@@ -143,3 +143,62 @@ def sample_video_frames(
     out = df.select(F.col(id_col), payload.alias("__p"), idx.alias("frame_index"))
     frame = F.expr(f"substring(__p, frame_index * {every_n_bytes} + 1, {every_n_bytes})")
     return out.select(id_col, "frame_index", frame.alias("frame_bytes"))
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("energy", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_bytes: int = 512,
+) -> DataFrame:
+    """Windowed 'energy' profile of an audio payload via ``mapInPandas``.
+
+    Stub decode (no audio libs in this runtime image): the payload's
+    raw bytes are treated as unsigned samples and each fixed
+    ``window_bytes`` window reports its RMS — one numpy pass per Arrow
+    batch, deterministic, so tests have exact expectations. A real
+    pipeline swaps the byte view for a codec decode (soundfile/ffmpeg)
+    and keeps the identical batch shape: one row in, one
+    (id, n_bytes, n_windows, energy[]) row out, media-sized partitions
+    via :func:`partition_by_bytes`."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, nwin, energy = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = b if b is not None else b""
+                a = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                n = a.size
+                # empty payload = one silent window (keeps the schema
+                # contract "every row has >= 1 window")
+                k = max(1, -(-n // window_bytes))
+                profile = []
+                for w in range(k):
+                    seg = a[w * window_bytes : (w + 1) * window_bytes]
+                    profile.append(float(np.sqrt((seg * seg).mean())) if seg.size else 0.0)
+                ids.append(int(i))
+                nbytes.append(n)
+                nwin.append(k)
+                energy.append(profile)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "n_windows": pd.Series(nwin, dtype="int32"),
+                    "energy": energy,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -3700,6 +3700,29 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents ORDER BY doc
 """
 
 
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio-payload plumbing (operators/multimodal.py
+    extract_audio_features): windowed RMS energy profile per payload
+    via one numpy pass per Arrow batch. The oracle checks the
+    structural outputs (byte count, window count); the energy math is
+    pinned exactly by unit test on crafted payloads."""
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_audio_features(media, window_bytes=256)
+    return feats.select("doc_id", "n_bytes", "n_windows").orderBy("doc_id")
+
+
+_AUDIO_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS n_windows
+FROM documents ORDER BY doc_id
+"""
+
+
 def scd2_user_event_history(spark, sf_dir):
     """SCD type-2 history from the events changelog: per user, collapse
     consecutive same-type events into version runs with validity
@@ -4626,6 +4649,7 @@ QUERIES = {
     "events_grouping_sets": events_grouping_sets,
     "set_ops_customer_activity": set_ops_customer_activity,
     "streaming_change_feed_ingest": streaming_change_feed_ingest,
+    "multimodal_audio_energy": multimodal_audio_energy,
     # --- round-2 driver-green block (rotated behind the window) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4784,6 +4808,7 @@ ORACLES = {
     "events_grouping_sets": _GROUPING_SETS_SQL,
     "set_ops_customer_activity": _SET_OPS_SQL,
     "streaming_change_feed_ingest": _STREAM_CHANGE_FEED_SQL,
+    "multimodal_audio_energy": _AUDIO_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
 }

@@ -1203,3 +1203,28 @@ def test_ann_on_quantized_vectors_keeps_recall(spark):
     approx = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(quant, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"int8 round-trip degraded top-k recall to {recall}"
+
+
+def test_audio_energy_windows_exact(spark):
+    """Windowed RMS over known byte payloads: exact values, ceil window
+    count, one silent window for an empty payload."""
+    import math
+
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, bytearray([10] * 4)),          # one window, rms = 10
+        (2, bytearray([3] * 4 + [4] * 4)), # two windows at window=4: rms 3, 4
+        (3, bytearray(b"")),               # empty -> one silent window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in extract_audio_features(df, window_bytes=4).collect()
+    }
+    assert got[1].n_windows == 1 and math.isclose(got[1].energy[0], 10.0)
+    assert got[2].n_windows == 2
+    assert math.isclose(got[2].energy[0], 3.0) and math.isclose(got[2].energy[1], 4.0)
+    assert got[3].n_windows == 1 and got[3].energy == [0.0] and got[3].n_bytes == 0
