@@ -628,10 +628,37 @@ def _band_bucket_structs(sig_col: Column, n_planes: int, bands: int) -> Column:
 def _cosine_batch(a: "pd.Series", b: "pd.Series") -> "pd.Series":
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy()).astype(np.float64)
-    B = np.stack(b.to_numpy()).astype(np.float64)
-    dot = np.einsum("ij,ij->i", A, B)
-    return pd.Series(dot / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)))
+    # NULL vectors (or ragged lengths within the batch) would make
+    # np.stack raise and fail the whole task; propagate NULL per row
+    # instead, matching the zip_with expression this path replaced
+    valid = np.fromiter(
+        (
+            x is not None and y is not None and len(x) == len(y)
+            for x, y in zip(a.to_numpy(), b.to_numpy())
+        ),
+        dtype=bool,
+        count=len(a),
+    )
+    out = np.full(len(a), np.nan)
+    if valid.any():
+        av, bv = a.to_numpy()[valid], b.to_numpy()[valid]
+        if len({len(x) for x in av}) == 1:
+            A = np.stack(av).astype(np.float64)
+            B = np.stack(bv).astype(np.float64)
+            dot = np.einsum("ij,ij->i", A, B)
+            out[valid] = dot / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+        else:  # mixed dims in one batch: per-row fallback (rare)
+            vals = [
+                float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))
+                for x, y in (
+                    (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+                    for x, y in zip(av, bv)
+                )
+            ]
+            out[valid] = vals
+    return pd.Series(out).where(pd.Series(valid), None)
 
 
 def cosine(vec_a: Column, vec_b: Column) -> Column:
@@ -886,9 +913,29 @@ def minhash_band_table(
 def _lane_agreement_batch(a: "pd.Series", b: "pd.Series") -> "pd.Series":
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
-    return pd.Series((A == B).mean(axis=1))
+    # same NULL/ragged guard as _cosine_batch: propagate NULL per row
+    # rather than failing the whole task on np.stack
+    valid = np.fromiter(
+        (
+            x is not None and y is not None and len(x) == len(y)
+            for x, y in zip(a.to_numpy(), b.to_numpy())
+        ),
+        dtype=bool,
+        count=len(a),
+    )
+    out = np.full(len(a), np.nan)
+    if valid.any():
+        av, bv = a.to_numpy()[valid], b.to_numpy()[valid]
+        if len({len(x) for x in av}) == 1:
+            A = np.stack(av)
+            B = np.stack(bv)
+            out[valid] = (A == B).mean(axis=1)
+        else:  # mixed signature widths in one batch (rare)
+            out[valid] = [
+                float(np.mean(np.asarray(x) == np.asarray(y)))
+                for x, y in zip(av, bv)
+            ]
+    return pd.Series(out).where(pd.Series(valid), None)
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:

@@ -61,10 +61,21 @@ def quantization_report(
     tiny aggregation — no shuffle of the vectors themselves."""
     q = df.withColumn("__q", quantization_error(F.col(vec_col)))
     keys = [group_col] if group_col else []
+
+    # Order-independent means: per-row round to 6 places (absorbs the
+    # ~1e-16 numpy-pairwise vs sequential list_sum drift in rmse), then
+    # an exact decimal sum so partition order can't flip the text that
+    # the correctness gate hashes.  DuckDB twin:
+    #   CAST(sum(CAST(round(x, 6) AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+    def _mean6(col: Column) -> Column:
+        return F.sum(F.round(col, 6).cast("decimal(18,9)")).cast(
+            "double"
+        ) / F.count(F.lit(1))
+
     agg = q.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("__q.scale"), 6).alias("avg_scale"),
-        F.round(F.avg("__q.rmse"), 6).alias("avg_rmse"),
+        _mean6(F.col("__q.scale")).alias("avg_scale"),
+        _mean6(F.col("__q.rmse")).alias("avg_rmse"),
         F.round(F.max("__q.max_err"), 6).alias("worst_abs_err"),
     )
     return agg.orderBy(*keys) if keys else agg

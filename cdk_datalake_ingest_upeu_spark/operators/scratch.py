@@ -22,22 +22,41 @@ harness wrappers force materialization.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_SCRATCH: list[DataFrame] = []
+# Per-thread registry: the pipeline driver fans queries out on a thread
+# pool, and a process-global list would let one thread's finalize()
+# unpersist another thread's scratch relations mid-flight.  Within one
+# thread the contract is build-then-finalize sequentially: finalize()
+# releases EVERYTHING the thread has registered, so interleaving the
+# construction of two plans before finalizing either releases the first
+# plan's scratch early (a recompute cost, not a correctness bug).
+_LOCAL = threading.local()
+
+
+def _frames() -> list[DataFrame]:
+    frames = getattr(_LOCAL, "frames", None)
+    if frames is None:
+        frames = _LOCAL.frames = []
+    return frames
 
 
 def scratch_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` plus registration for later release."""
+    """``df.persist()`` plus registration for later release (on the
+    calling thread's registry — see module note)."""
     out = df.persist()
-    _SCRATCH.append(out)
+    _frames().append(out)
     return out
 
 
 def release_scratch() -> None:
-    """Unpersist every tracked scratch relation (idempotent)."""
-    while _SCRATCH:
-        _SCRATCH.pop().unpersist()
+    """Unpersist every scratch relation tracked by THIS thread
+    (idempotent)."""
+    frames = _frames()
+    while frames:
+        frames.pop().unpersist()
 
 
 def finalize(result: DataFrame) -> DataFrame:

@@ -203,8 +203,21 @@ def zorder_value(
     ).collect()[0]
     binned = []
     for i, c in enumerate(columns):
-        lo = float(bounds[f"lo_{i}"])
-        hi = float(bounds[f"hi_{i}"])
+        raw_lo, raw_hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        if raw_lo is None or raw_hi is None:
+            raise ValueError(
+                f"zorder column {c!r} has no bounds (empty frame or "
+                "all-NULL column) — nothing to cluster on"
+            )
+        try:
+            lo, hi = float(raw_lo), float(raw_hi)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"zorder column {c!r} is non-numeric "
+                f"({type(raw_lo).__name__}); cast dates/timestamps to "
+                "epoch numbers (or strings to a rank bucket) before "
+                "clustering"
+            ) from None
         span = (hi - lo) or 1.0
         b = F.least(
             F.lit(buckets),

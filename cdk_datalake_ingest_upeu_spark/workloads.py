@@ -98,6 +98,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _stable_rate(col):
+    """Order-independent mean of a double expression.
+
+    ``avg(double)`` sums in partition order, and a group total near a
+    rounding boundary flips the k-th digit between engines (the r3
+    hash-red class).  Summing per-value ``decimal(18,9)`` casts is exact
+    and order-independent; the final double division is then IEEE-
+    identical on both engines.  DuckDB twin::
+
+        CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+    """
+    return F.sum(col.cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))
+
+
 def _prepare_session(spark: SparkSession) -> None:
     """Session tweaks safe to apply on an externally-created session
     (all runtime-settable — the driver may hand us a plain session)."""
@@ -1661,7 +1675,7 @@ def sink_json_gz_roundtrip(spark, sf_dir):
 
 
 _JSON_GZ_SQL = """
-SELECT event_type, count(*) AS n, sum(user_id) AS sum_users,
+SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -1780,7 +1794,7 @@ WITH old AS (
               ELSE 'unchanged' END AS status
   FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
 )
-SELECT status, count(*) AS n_rows, sum(k) AS key_sum
+SELECT status, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
 FROM d GROUP BY status ORDER BY status
 """
 
@@ -2440,8 +2454,8 @@ def corpus_vocab_coverage(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_oov"),
-            F.round(
-                F.avg(F.when(F.col("__hit").isNull(), 1.0).otherwise(0.0)), 6
+            _stable_rate(
+                F.when(F.col("__hit").isNull(), 1.0).otherwise(0.0)
             ).alias("oov_rate"),
         )
         .orderBy("source")
@@ -2459,8 +2473,9 @@ WITH toks AS (
   ) ORDER BY df DESC, tok LIMIT 1000
 )
 SELECT source, count(*) AS n_tokens,
-       sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS n_oov,
-       round(avg(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+       CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CAST(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END
+                     AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS oov_rate
 FROM toks GROUP BY source ORDER BY source
 """
 
@@ -2502,7 +2517,7 @@ def corpus_language_stats(spark, sf_dir):
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            _stable_rate(F.col("q")).alias("avg_quality"),
             F.sum("nt").alias("total_tokens"),
         )
         .orderBy("lang_pred")
@@ -2542,8 +2557,9 @@ WITH base AS (
               ELSE 'unknown' END AS lang_pred
   FROM feat
 )
-SELECT lang_pred, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
-       sum(n_tokens_ws) AS total_tokens
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(CAST(q AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_quality,
+       CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens
 FROM scored GROUP BY lang_pred ORDER BY lang_pred
 """
 
@@ -2594,7 +2610,7 @@ def sample_hash_deterministic(spark, sf_dir):
 
 _SAMPLE_HASH_SQL = """
 -- same bucket: first 8 hex chars of md5(key || seed) mod 1e6 < 100000
-SELECT count(*) AS n_rows, sum(doc_id) AS id_sum,
+SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
        min(doc_id) AS id_min, max(doc_id) AS id_max
 FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 8))::BIGINT % 1000000 < 100000
@@ -2626,7 +2642,7 @@ WITH bucketed AS (
          ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 1000000 AS b
   FROM documents
 )
-SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum FROM bucketed
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM bucketed
 WHERE b < (CASE lang WHEN 'en' THEN 200000 WHEN 'de' THEN 1000000
                      WHEN 'fr' THEN 1000000 ELSE 500000 END)
 GROUP BY lang ORDER BY lang
@@ -2655,7 +2671,7 @@ WITH bucketed AS (
 SELECT CASE WHEN b < 100000 THEN 'test'
             WHEN b < 200000 THEN 'validation'
             ELSE 'train' END AS split,
-       count(*) AS n_docs, sum(doc_id) AS id_sum
+       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM bucketed GROUP BY 1 ORDER BY 1
 """
 
@@ -2872,25 +2888,34 @@ FROM events GROUP BY user_id ORDER BY user_id
 def events_funnel(spark, sf_dir):
     """Ordered funnel: click → view → purchase per user, each stage
     gated on happening strictly AFTER the previous stage's FIRST hit.
-    One groupBy(user) computes all three stage timestamps as conditional
-    MIN aggregates over a single scan — no joins, no window sorts —
-    then one tiny count rollup."""
+
+    Three unordered window MINs over the same ``partitionBy(user_id)``
+    spec — ONE exchange, constant per-row state, and crucially no
+    per-user arrays: the previous ``collect_list`` formulation buffered
+    every view/purchase timestamp per user through the shuffle, which a
+    single bot-grade hot user turns into an OOM row at 100x. Each MIN
+    references the previous stage's window column, so the planner
+    stacks three Window nodes on one sort."""
     ev = _t(spark, sf_dir, "events")
-    first_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
-    per_user = ev.groupBy("user_id").agg(
-        first_click.alias("t_click"),
-        F.collect_list(
-            F.when(F.col("event_type") == "view", F.col("ts"))
-        ).alias("__views"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("__buys"),
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.withColumn("t_click", F.min(F.when(et == "click", ts)).over(w))
+        .withColumn(
+            "t_view",
+            F.min(F.when((et == "view") & (ts > F.col("t_click")), ts)).over(w),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(F.when((et == "purchase") & (ts > F.col("t_view")), ts)).over(w),
+        )
     )
-    t_view = F.array_min(F.filter("__views", lambda t: t > F.col("t_click")))
-    staged = per_user.withColumn("t_view", t_view)
-    t_buy = F.array_min(F.filter("__buys", lambda t: t > F.col("t_view")))
-    staged = staged.withColumn("t_buy", t_buy)
-    return staged.agg(
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_click").alias("t_click"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_buy").alias("t_buy"),
+    )
+    return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_clicked"),
         F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed_after"),
@@ -2915,9 +2940,9 @@ WITH per_user AS (
   GROUP BY v.user_id, v.t_click, v.t_view
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS n_clicked,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed_after,
-       sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased_after
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed_after,
+       CAST(sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after
 FROM b
 """
 
@@ -3308,10 +3333,12 @@ WITH planted AS (
          regexp_replace(t, '\\+?\\d[\\d().\\- ]{7,}\\d', '[PII:phone]', 'g') AS t
   FROM s3
 )
-SELECT source, count(*) AS n_docs, sum(n_email) AS n_email, sum(n_phone) AS n_phone,
-       sum(n_ip) AS n_ip,
-       sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
-       sum(len(t)) AS redacted_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(sum(len(t)) AS BIGINT) AS redacted_chars
 FROM s4 GROUP BY source ORDER BY source
 """
 
@@ -3350,7 +3377,7 @@ def corpus_quality_filter(spark, sf_dir):
             F.sum("too_short").alias("n_too_short"),
             F.sum("bad_wordlen").alias("n_bad_wordlen"),
             F.sum("low_stopword").alias("n_low_stopword"),
-            F.round(F.avg("passed"), 4).alias("pass_rate"),
+            _stable_rate(F.col("passed").cast("double")).alias("pass_rate"),
         )
         .orderBy("source")
     )
@@ -3379,13 +3406,14 @@ WITH toks AS (
   FROM feat
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
-                THEN 1 ELSE 0 END) AS n_pass,
-       sum(too_short) AS n_too_short,
-       sum(bad_wordlen) AS n_bad_wordlen,
-       sum(low_stopword) AS n_low_stopword,
-       round(avg(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
-                      THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+       CAST(sum(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(too_short) AS BIGINT) AS n_too_short,
+       CAST(sum(bad_wordlen) AS BIGINT) AS n_bad_wordlen,
+       CAST(sum(low_stopword) AS BIGINT) AS n_low_stopword,
+       CAST(sum(CAST(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
+                          THEN 1.0 ELSE 0.0 END AS DECIMAL(18,9))) AS DOUBLE)
+           / count(*) AS pass_rate
 FROM flags GROUP BY source ORDER BY source
 """
 
@@ -3402,7 +3430,7 @@ def text_repetition_stats(spark, sf_dir):
         rep.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("repetition_3gram"), 4).alias("avg_rep"),
+            _stable_rate(F.col("repetition_3gram")).alias("avg_rep"),
             F.max("repetition_3gram").alias("max_rep"),
             F.sum((F.col("repetition_3gram") > 0.01).cast("long")).alias("n_repetitive"),
         )
@@ -3427,8 +3455,10 @@ WITH toks AS (
               ELSE round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) END AS r
   FROM grams
 )
-SELECT source, count(*) AS n_docs, round(avg(r), 4) AS avg_rep, max(r) AS max_rep,
-       sum(CASE WHEN r > 0.01 THEN 1 ELSE 0 END) AS n_repetitive
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(r AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_rep,
+       max(r) AS max_rep,
+       CAST(sum(CASE WHEN r > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
 FROM rep GROUP BY source ORDER BY source
 """
 
@@ -3467,7 +3497,7 @@ def decontaminate_against_benchmark(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum((F.col("contamination") >= 0.5).cast("long")).alias("n_contaminated"),
             F.sum("n_hits").alias("total_hits"),
-            F.round(F.avg("contamination"), 4).alias("avg_contamination"),
+            _stable_rate(F.col("contamination")).alias("avg_contamination"),
         )
         .orderBy("source")
     )
@@ -3503,9 +3533,9 @@ WITH bucketed AS (
   FROM corpus c LEFT JOIN hits h USING (doc_id)
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
-       sum(n_hits) AS total_hits,
-       round(avg(contamination), 4) AS avg_contamination
+       CAST(sum(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       CAST(sum(CAST(contamination AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_contamination
 FROM scored GROUP BY source ORDER BY source
 """
 
@@ -3571,18 +3601,47 @@ ORDER BY id_a, id_b
 
 
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only:
-    plane family generated from the seeded driver RNG).
+    """Embedding-cosine near-dup pairs via hyperplane LSH.
 
     The synthetic embeddings are random (max pair cosine ~0.51 at
-    sf0.01), so 0 pairs at threshold 0.9 is the CORRECT answer here;
-    detection on genuine near-dups is asserted in
-    tests/test_scale_operators.py::test_embedding_near_dup."""
+    sf0.01), so the corpus alone yields 0 pairs at threshold 0.9 — a
+    vacuous driver row. Deterministic near-dups are PLANTED instead:
+    every 50th vector gets a copy at ``vec_id + 1_000_000`` with a
+    small per-element multiplicative tilt (cosine ≈ 0.9999, far above
+    both the 0.9 threshold and the ~0.51 random background), so the
+    expected pair set is exactly the planted (id, id+1e6) pairs and the
+    oracle is plain SQL — the LSH path must find every one of them."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return finalize(
-        embedding_near_dup_pairs(emb, dim=dim, threshold=0.9)
-    ).orderBy("id_a", "id_b")
+    planted = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x * (1.0 + 0.01 * ((i % 5).cast("double") - 2.0))
+                ).cast("float"),
+            ),
+        )
+    )
+    out = embedding_near_dup_pairs(
+        emb.unionByName(planted), dim=dim, threshold=0.9
+    )
+    # cosine stays internal: it is numpy-computed and not exactly
+    # reproducible in the oracle; the pair identity is the contract
+    return finalize(out.select("id_a", "id_b")).orderBy("id_a", "id_b")
+
+
+_NEARDUP_SQL = """
+-- ground truth for the planted near-dups: each 50th vector and its
+-- tilted copy; random-pair cosine tops out ~0.51, far below the 0.9
+-- threshold, so these ARE the only true pairs
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+FROM embeddings WHERE vec_id % 50 = 0
+ORDER BY id_a, id_b
+"""
 
 
 def embedding_label_stats(spark, sf_dir):
@@ -4325,8 +4384,8 @@ WITH toks AS (
   FROM toks t LEFT JOIN vocab v USING (token)
 )
 SELECT doc_id, count(*) AS n_ids,
-       sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_unk,
-       sum(tid) AS ids_checksum
+       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       CAST(sum(tid) AS BIGINT) AS ids_checksum
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -4411,7 +4470,10 @@ def corpus_mixture_sample(spark, sf_dir):
         "w", F.pow(F.col("src_tokens").cast("double"), F.lit(0.5))
     )
     tot = weighted.agg(
-        F.sum("w").alias("w_tot"), F.sum("src_tokens").alias("tok_tot")
+        # decimal-stable: the 5-double sum order must not flip frac's
+        # 4th digit between engines (same convention as _stable_rate)
+        F.sum(F.col("w").cast("decimal(18,9)")).cast("double").alias("w_tot"),
+        F.sum("src_tokens").alias("tok_tot"),
     )
     frac = (
         weighted.crossJoin(F.broadcast(tot))
@@ -4454,7 +4516,8 @@ WITH toks AS (
 ), w AS (
   SELECT source, src_tokens, pow(src_tokens * 1.0, 0.5) AS w FROM per_src
 ), tot AS (
-  SELECT sum(w) AS w_tot, sum(src_tokens) AS tok_tot FROM w
+  SELECT CAST(sum(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS w_tot,
+         sum(src_tokens) AS tok_tot FROM w
 ), frac AS (
   SELECT source,
          round(least(1.0, (w / w_tot * 0.3 * tok_tot) / src_tokens), 4) AS frac
@@ -4465,7 +4528,7 @@ WITH toks AS (
   WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 1000000
         < CAST(round(f.frac * 1000) AS BIGINT) * 1000
 )
-SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens, frac
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, frac
 FROM kept GROUP BY source, frac ORDER BY source
 """
 
@@ -4494,7 +4557,7 @@ def text_quality_classifier(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
-            F.round(F.avg("score"), 6).alias("avg_score"),
+            _stable_rate(F.col("score")).alias("avg_score"),
         )
         .orderBy("source")
     )
@@ -4525,8 +4588,8 @@ WITH base AS (
   FROM feat
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
-       round(avg(score), 6) AS avg_score
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_score
 FROM scored GROUP BY source ORDER BY source
 """
 
@@ -4548,8 +4611,11 @@ def embedding_quantize_stats(spark, sf_dir):
 _QUANTIZE_SQL = """
 WITH q AS (
   SELECT label,
-         list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale,
-         embedding AS v
+         -- DOUBLE[] up front: the parquet column is float32, and
+         -- float32 round-off in max_err's text never matches the numpy
+         -- float64 path on the Spark side
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+         embedding::DOUBLE[] AS v
   FROM embeddings
 ), err AS (
   SELECT label, scale,
@@ -4565,8 +4631,8 @@ WITH q AS (
   FROM err
 )
 SELECT label, count(*) AS n_vecs,
-       round(avg(scale), 6) AS avg_scale,
-       round(avg(rmse), 6) AS avg_rmse,
+       CAST(sum(CAST(round(scale, 6) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_scale,
+       CAST(sum(CAST(round(rmse, 6) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_rmse,
        round(max(max_err), 6) AS worst_abs_err
 FROM stats GROUP BY label ORDER BY label
 """
@@ -4577,62 +4643,13 @@ FROM stats GROUP BY label ORDER BY label
 # ===========================================================================
 
 # Insertion order matters: the driver's correctness harness checks the FIRST
-# 50 entries.  Round 2 checked q1_pricing_summary..streaming_merge_ingest
-# (all green except sink_json_gz_roundtrip, fixed this round); those 50 now
-# rotate to the back so the LLM-pipeline family (never driver-checked) takes
-# the round-3 window.
+# 50 entries.  Round-4 window = the 17 round-3 queries that have never had a
+# driver row + the 11 r3 hash-reds fixed this round + sink_json_gz_roundtrip
+# (fixed r3, rotated out before verification) + embedding_neardup (planted
+# pairs + new oracle) + the 20 oldest r1-checked TPC-H queries as padding.
+# The r3-green LLM block rotates behind the window.
 QUERIES = {
-    "events_hourly_rollup": events_hourly_rollup,
-    "events_json_props": events_json_props,
-    "events_sessionization": events_sessionization,
-    "streaming_stateful_sessionization": streaming_stateful_sessionization,
-    "streaming_watermarked_rollup": streaming_watermarked_rollup,
-    "text_features": text_features,
-    "text_langid": text_langid,
-    "text_winnow_fingerprints": text_winnow_fingerprints,
-    "dedup_exact_stats": dedup_exact_stats,
-    "dedup_exact_corpus": dedup_exact_corpus,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash_corpus": dedup_simhash_corpus,
-    "dedup_cluster_components": dedup_cluster_components,
-    "dedup_incremental_batch": dedup_incremental_batch,
-    "corpus_vocab_coverage": corpus_vocab_coverage,
-    "stage_snapshot_diff": stage_snapshot_diff,
-    "scd2_user_event_history": scd2_user_event_history,
-    "profile_events_table": profile_events_table,
-    "sketch_weekly_rollup": sketch_weekly_rollup,
-    "corpus_language_stats": corpus_language_stats,
-    "topk_ngrams": topk_ngrams,
-    "sample_hash_deterministic": sample_hash_deterministic,
-    "text_repetition_stats": text_repetition_stats,
-    "text_pii_redaction": text_pii_redaction,
-    "text_chunk_windows": text_chunk_windows,
-    "corpus_quality_filter": corpus_quality_filter,
-    "decontaminate_against_benchmark": decontaminate_against_benchmark,
-    "sample_stratified_lang": sample_stratified_lang,
-    "train_test_split_counts": train_test_split_counts,
-    "pack_documents_stats": pack_documents_stats,
-    "embedding_kmeans_stats": embedding_kmeans_stats,
-    "events_rolling_window": events_rolling_window,
-    "orders_priority_rollup": orders_priority_rollup,
-    "events_pivot_by_type": events_pivot_by_type,
-    "events_funnel": events_funnel,
-    "events_retention_cohorts": events_retention_cohorts,
-    "events_value_quantiles": events_value_quantiles,
-    "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
-    "streaming_interval_join": streaming_interval_join,
-    "streaming_topk_state": streaming_topk_state,
-    "streaming_dedup_events": streaming_dedup_events,
-    "embedding_neardup": embedding_neardup,
-    "embedding_label_stats": embedding_label_stats,
-    "ann_topk_bruteforce": ann_topk_bruteforce,
-    "ann_topk_lsh": ann_topk_lsh,
-    "ann_topk_ivf": ann_topk_ivf,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_image_features": multimodal_image_features,
-    # --- new in round 3 (rotate into the window next round) ---
+    # --- round-4 window: 17 never-checked round-3 queries ---
     "events_session_window": events_session_window,
     "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
     "corpus_mixture_sample": corpus_mixture_sample,
@@ -4650,7 +4667,22 @@ QUERIES = {
     "set_ops_customer_activity": set_ops_customer_activity,
     "streaming_change_feed_ingest": streaming_change_feed_ingest,
     "multimodal_audio_energy": multimodal_audio_energy,
-    # --- round-2 driver-green block (rotated behind the window) ---
+    # --- the 11 r3 hash-reds (oracle SQL fixed this round) +
+    # sink_json (fixed r3, unverified) + embedding_neardup (planted) ---
+    "corpus_vocab_coverage": corpus_vocab_coverage,
+    "stage_snapshot_diff": stage_snapshot_diff,
+    "corpus_language_stats": corpus_language_stats,
+    "sample_hash_deterministic": sample_hash_deterministic,
+    "text_repetition_stats": text_repetition_stats,
+    "text_pii_redaction": text_pii_redaction,
+    "corpus_quality_filter": corpus_quality_filter,
+    "decontaminate_against_benchmark": decontaminate_against_benchmark,
+    "sample_stratified_lang": sample_stratified_lang,
+    "train_test_split_counts": train_test_split_counts,
+    "events_funnel": events_funnel,
+    "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
+    "embedding_neardup": embedding_neardup,
+    # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -4671,6 +4703,45 @@ QUERIES = {
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q16_supplier_variety": q16_supplier_variety,
     "q20_excess_shippers": q20_excess_shippers,
+    # --- behind the window: r3-green rows and r1/r2-green residue ---
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_json_props": events_json_props,
+    "events_sessionization": events_sessionization,
+    "streaming_stateful_sessionization": streaming_stateful_sessionization,
+    "streaming_watermarked_rollup": streaming_watermarked_rollup,
+    "text_features": text_features,
+    "text_langid": text_langid,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_exact_corpus": dedup_exact_corpus,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash_corpus": dedup_simhash_corpus,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "scd2_user_event_history": scd2_user_event_history,
+    "profile_events_table": profile_events_table,
+    "sketch_weekly_rollup": sketch_weekly_rollup,
+    "topk_ngrams": topk_ngrams,
+    "text_chunk_windows": text_chunk_windows,
+    "pack_documents_stats": pack_documents_stats,
+    "embedding_kmeans_stats": embedding_kmeans_stats,
+    "events_rolling_window": events_rolling_window,
+    "orders_priority_rollup": orders_priority_rollup,
+    "events_pivot_by_type": events_pivot_by_type,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_value_quantiles": events_value_quantiles,
+    "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_topk_state": streaming_topk_state,
+    "streaming_dedup_events": streaming_dedup_events,
+    "embedding_label_stats": embedding_label_stats,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_features": multimodal_image_features,
     "sqlgen_projection_filter": sqlgen_projection_filter,
     "sqlgen_dual_range_filter": sqlgen_dual_range_filter,
     "minmax_bounds": minmax_bounds,
@@ -4691,7 +4762,6 @@ QUERIES = {
     "transform_bytemagic_casts": transform_bytemagic_casts,
     "transform_date_formats": transform_date_formats,
     "sink_csv_gz_roundtrip": sink_csv_gz_roundtrip,
-    "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "stage_schema_evolution": stage_schema_evolution,
     "empty_result_schema": empty_result_schema,
@@ -4791,6 +4861,7 @@ ORACLES = {
     "streaming_dedup_events": _STREAM_DEDUP_SQL,
     "ann_topk_bruteforce": _ANN_SQL,
     "embedding_label_stats": _EMB_LABEL_SQL,
+    "embedding_neardup": _NEARDUP_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

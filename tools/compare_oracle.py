@@ -2,7 +2,11 @@
 
 Runs every QUERIES entry on Spark and its ORACLES SQL on DuckDB over the
 same parquet tables, then compares row count, column names, and
-order-insensitive values. Usage:
+order-insensitive EXACT value text (floats by repr, no rounding — the
+driver hashes value text, so this tool must fail wherever the driver
+would). Oracle columns typed HUGEINT are rejected outright: DuckDB
+promotes integer sums to int128, whose driver-side text differs from
+Spark's BIGINT (the r3 11-query hash-red class). Usage:
 
     python tools/compare_oracle.py [sf_dir] [query ...]
 """
@@ -10,6 +14,7 @@ order-insensitive values. Usage:
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import os
 import sys
@@ -33,7 +38,14 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        # exact text, NOT rounded: the driver hashes value text, so a
+        # summation-order flip in the 9th digit must FAIL here too (the
+        # r3 lesson: 9-digit rounding hid 11 driver hash-reds)
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # strict text compare: Decimal("1.50") == Decimal("1.5") in
+        # Python but the driver hashes the text, where scale shows
+        return str(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
@@ -92,10 +104,25 @@ def main():
         try:
             res = con.sql(sql)
             o_cols = list(res.columns)
+            o_types = [str(t) for t in res.types]
             o_rows = res.fetchall()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+
+        # DuckDB sum(INTEGER-family) returns HUGEINT (int128); the
+        # driver-side conversion stringifies it differently from Spark's
+        # BIGINT and the value hash fails even when numbers agree.  Ban
+        # it outright: CAST(sum(...) AS BIGINT) in the oracle SQL.
+        huge = [c for c, t in zip(o_cols, o_types) if "HUGEINT" in t.upper()]
+        if huge:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: oracle column(s) {huge} typed HUGEINT — "
+                "wrap in CAST(... AS BIGINT) (sum() over integers "
+                "promotes to int128 in DuckDB)"
+            )
             continue
 
         sc, sr = frame_to_rows(s_cols, s_rows)
