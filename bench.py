@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "leakage_safe_split_counts",
     "profile_drift_generations",
     "stage_change_feed_apply",
+    # new in round 4
+    "events_funnel",
+    "embedding_neardup",
+    "stage_change_feed_apply_evolution",
+    "ann_topk_int8",
+    "corpus_pipeline_e2e",
+    "skew_salted_join_segment",
 ]
 
 

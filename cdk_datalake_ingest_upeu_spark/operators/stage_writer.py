@@ -57,7 +57,13 @@ def dedup_latest(df: DataFrame, id_columns: list[str], date_columns: list[str]) 
     )
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, key_columns: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_columns: list[str],
+    *,
+    evolve_schema: bool = False,
+) -> DataFrame:
     """Upsert semantics of Delta MERGE ``whenMatchedUpdateAll /
     whenNotMatchedInsertAll`` (reference ``light_transform.py:1382-1392``)
     as a pure DataFrame expression.
@@ -66,7 +72,19 @@ def merge_upsert(target: DataFrame, source: DataFrame, key_columns: list[str]) -
     rows are kept; all source rows are inserted. The source must be
     unique per key (run :func:`dedup_latest` first — same order of
     operations as the reference: transform -> window dedup -> merge).
+
+    With ``evolve_schema=True``, source columns absent from the target
+    are ADDED to the result (existing target rows null-backfilled) —
+    the Delta ``schema.autoMerge`` analog for the source-added-a-column
+    drift the reference handles by defensive string casts. Default
+    False keeps the strict contract: extra source columns are dropped.
     """
+    if evolve_schema:
+        for field in source.schema.fields:
+            if field.name not in target.columns:
+                target = target.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
     cols = target.columns
     keep = target.alias("t").join(
         source.select(*key_columns).dropDuplicates(key_columns).alias("s"),
@@ -124,12 +142,27 @@ class StageTable:
 
     # -- MERGE (upsert) ------------------------------------------------------
 
-    def merge(self, source: DataFrame, key_columns: list[str]) -> None:
-        """Delta-style MERGE upsert of ``source`` into this table."""
+    def merge(
+        self,
+        source: DataFrame,
+        key_columns: list[str],
+        *,
+        evolve_schema: bool = False,
+    ) -> None:
+        """Delta-style MERGE upsert of ``source`` into this table.
+
+        ``evolve_schema=True`` lets source-added columns widen the table
+        schema (existing rows null-backfilled), mirroring Delta's
+        ``schema.autoMerge``; the parquet path rewrites with the widened
+        schema, which the MERGE rewrite pays for anyway."""
         if not self.exists():
             self.overwrite(source)
             return
         if self.fmt == "delta" and _HAS_DELTA:  # pragma: no cover
+            if evolve_schema:
+                self.spark.conf.set(
+                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
+                )
             cond = " AND ".join(f"old.{k} = new.{k}" for k in key_columns)
             (
                 DeltaTable.forPath(self.spark, self.path)
@@ -140,9 +173,17 @@ class StageTable:
                 .execute()
             )
             return
-        self._merge_parquet(source.dropDuplicates(), key_columns)
+        self._merge_parquet(
+            source.dropDuplicates(), key_columns, evolve_schema=evolve_schema
+        )
 
-    def _merge_parquet(self, source: DataFrame, key_columns: list[str]) -> None:
+    def _merge_parquet(
+        self,
+        source: DataFrame,
+        key_columns: list[str],
+        *,
+        evolve_schema: bool = False,
+    ) -> None:
         target = self.read()
         if self.partition_columns:
             # Rewrite only the partitions the batch touches: restrict the
@@ -161,10 +202,14 @@ class StageTable:
                     term = t if term is None else (term & t)
                 pred = term if pred is None else (pred | term)
             affected_target = target.filter(pred)
-            merged = merge_upsert(affected_target, source, key_columns)
+            merged = merge_upsert(
+                affected_target, source, key_columns, evolve_schema=evolve_schema
+            )
             self._checkpointed_overwrite(merged, dynamic=True)
         else:
-            merged = merge_upsert(target, source, key_columns)
+            merged = merge_upsert(
+                target, source, key_columns, evolve_schema=evolve_schema
+            )
             self._checkpointed_overwrite(merged, dynamic=False)
 
     def _checkpointed_overwrite(self, df: DataFrame, *, dynamic: bool) -> None:
@@ -199,6 +244,7 @@ class StageTable:
         *,
         op_column: str = "op",
         seq_column: str,
+        evolve_schema: bool = False,
     ) -> None:
         """Apply an insert/update/delete change feed: the LATEST op per
         key (ordered by ``seq_column``) wins; ``D`` removes the key,
@@ -214,6 +260,10 @@ class StageTable:
         one commit."""
         latest = dedup_latest(feed, key_columns, [seq_column])
         if self.fmt == "delta" and _HAS_DELTA:  # pragma: no cover
+            if evolve_schema:
+                self.spark.conf.set(
+                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
+                )
             cond = " AND ".join(f"old.{k} = new.{k}" for k in key_columns)
             payload = [
                 c for c in latest.columns if c not in (op_column, seq_column)
@@ -238,7 +288,7 @@ class StageTable:
             op_column, seq_column
         )
         deletes = latest.filter(F.col(op_column) == "D").select(*key_columns)
-        self.merge(upserts, key_columns)
+        self.merge(upserts, key_columns, evolve_schema=evolve_schema)
         if deletes.take(1):
             # AQE picks broadcast for the (typically tiny) delete set
             kept = self.read().join(deletes, key_columns, "left_anti")

@@ -3062,6 +3062,42 @@ ORDER BY user_id
 """
 
 
+def skew_salted_join_segment(spark, sf_dir):
+    """Salted skew join as a driver-checked query (was unit-only):
+    the events fact joins the customer dim through
+    ``operators/joins.salted_join`` — each hot user's rows spread over 8
+    salt buckets, the (tiny) dim replicated 8x — then revenue rolls up
+    by market segment. The salt must be invisible in the result: the
+    oracle is the PLAIN join. At 100 TB this is the explicit tool for
+    bot-grade hot keys that AQE's skew splitting can't touch (e.g. when
+    the hot side feeds a groupBy, which AQE never splits)."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    j = salted_join(ev, dim, "user_id", buckets=8)
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def streaming_interval_join(spark, sf_dir):
     """STREAM-stream interval join (``streaming/joins.py``): the events
     table replayed as 3 chronological drops; purchase and click slices
@@ -3540,6 +3576,88 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def corpus_pipeline_e2e(spark, sf_dir):
+    """The pretraining-corpus build as ONE composed plan — exact dedup
+    (min doc_id per normalized text), the Gopher-style quality gate,
+    deterministic hash split — finishing in per-split accounting. This
+    is the composition a real pipeline runs nightly; expressing it as a
+    single DataFrame chain means Catalyst sees the whole lineage: the
+    dedup window, the quality filters, and the split predicate all
+    evaluate inside one scan->window->filter pipeline, and only the
+    final 3-row rollup shuffles. Every stage is SQL-expressible, so the
+    composition itself is oracle-checked end-to-end."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import exact_dedup
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        mean_word_length,
+        stopword_ratio,
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    kept = (
+        exact_dedup(docs)
+        .withColumn("n_tok", token_count_ws(t))
+        .filter(
+            (F.col("n_tok") >= 20)
+            & mean_word_length(t).between(3.0, 12.0)
+            & (stopword_ratio(t) >= 0.05)
+        )
+    )
+    split = with_split(
+        kept, "doc_id", test_fraction=0.1, validation_fraction=0.1, seed="v1"
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+_PIPELINE_E2E_SQL = """
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+        PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM dedup
+), feat AS (
+  SELECT doc_id, len(tk) AS n_tok,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE list_sum([len(x) for x in tk]) * 1.0 / len(tk) END AS mwl,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE len([x for x in tk
+                        if lower(x) IN ('the','of','and','to','in','is','that','it','was','for')])
+                   * 1.0 / len(tk) END AS swr
+  FROM toks
+), kept AS (
+  SELECT doc_id, n_tok FROM feat
+  WHERE n_tok >= 20 AND mwl BETWEEN 3.0 AND 12.0 AND swr >= 0.05
+), bucketed AS (
+  SELECT doc_id, n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT % 1000000 AS b
+  FROM kept
+)
+SELECT CASE WHEN b < 100000 THEN 'test'
+            WHEN b < 200000 THEN 'validation'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM bucketed GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_exact_corpus(spark, sf_dir):
     """Exact dedup as a corpus FILTER: keep the min doc_id per normalized
     text; returns the surviving documents (id + source)."""
@@ -3717,6 +3835,56 @@ def ann_topk_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return cosine_topk_ivf(emb, q, k=10).orderBy("query_id", "rank")
+
+
+def ann_topk_int8(spark, sf_dir):
+    """ANN over the int8-quantized store (operators/quantization.py):
+    vectors are held as (scale, codes array<tinyint>) — 4x smaller than
+    float32 — decoded at the scan by a pure ``transform`` expression
+    (codegen, no UDF), then brute-force top-k exactly as the float
+    baseline. Quantization uses explicit ``floor(x+0.5)``, so the
+    DuckDB oracle reproduces the codes — and therefore the neighbor
+    sets — bit-for-bit; at 100 TB this is the path that keeps the
+    embedding scan at a quarter of the bytes."""
+    from cdk_datalake_ingest_upeu_spark.operators.quantization import (
+        dequantize,
+        quantize_vec,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    store = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qe"))
+    deq = store.select("vec_id", dequantize(F.col("qe")).alias("embedding"))
+    q = deq.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_bruteforce(deq, q, k=10).orderBy("query_id", "rank")
+
+
+_ANN_INT8_SQL = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+), deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+         END AS dv
+  FROM c
+), q AS (
+  SELECT vec_id AS query_id, dv AS qv FROM deq WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         round(list_cosine_similarity(d.dv, q.qv), 6) AS cosine
+  FROM deq d CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
 
 
 # ===========================================================================
@@ -4193,6 +4361,72 @@ SELECT c_custkey,
 FROM customer WHERE c_custkey % 10 <> 0
 UNION ALL
 SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 10 = 3
+ORDER BY c_custkey
+"""
+
+
+def stage_change_feed_apply_evolution(spark, sf_dir):
+    """CDC apply under SCHEMA DRIFT: the source added a column
+    (``c_segment``) after the stage snapshot landed, so the change feed
+    carries it but the stage does not. ``apply_change_feed(...,
+    evolve_schema=True)`` widens the stage schema during the MERGE —
+    update/insert rows carry their segment, every untouched row is
+    null-backfilled — the Delta ``schema.autoMerge`` semantics on the
+    plain-parquet path (the reference instead recreates the crawler
+    table and casts defensively, ``light_transform.py``). Same I/U/D
+    feed shape as ``stage_change_feed_apply``."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    stage = StageTable(spark, os.path.join(_tmpdir("cdcevo"), "cust"))
+    stage.overwrite(cust)
+    mod = F.col("c_custkey") % 10
+    seg = F.concat(F.lit("S"), (F.col("c_custkey") % 3).cast("string"))
+    updates = (
+        cust.filter(mod.isin(1, 2))
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .withColumn("c_segment", seg)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        cust.filter(mod == 0)
+        .withColumn("c_segment", F.lit(None).cast("string"))
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = (
+        cust.filter(mod == 3)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW CUSTOMER").alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .withColumn("c_segment", seg)
+        .withColumn("op", F.lit("I"))
+    )
+    feed = (
+        updates.unionByName(deletes).unionByName(inserts).withColumn("seq", F.lit(1))
+    )
+    stage.apply_change_feed(feed, ["c_custkey"], seq_column="seq", evolve_schema=True)
+    return (
+        stage.read()
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "c_segment",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_CHANGE_FEED_EVOLUTION_SQL = """
+SELECT c_custkey,
+       round(CASE WHEN c_custkey % 10 IN (1, 2)
+                  THEN round(c_acctbal + 100, 2)
+                  ELSE c_acctbal END, 2) AS acctbal,
+       CASE WHEN c_custkey % 10 IN (1, 2)
+            THEN 'S' || (c_custkey % 3) ELSE NULL END AS c_segment
+FROM customer WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 0.0, 'S' || ((c_custkey + 1000000) % 3)
+FROM customer WHERE c_custkey % 10 = 3
 ORDER BY c_custkey
 """
 
@@ -4682,6 +4916,11 @@ QUERIES = {
     "events_funnel": events_funnel,
     "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
     "embedding_neardup": embedding_neardup,
+    # --- new in round 4 (inside the window from day one) ---
+    "stage_change_feed_apply_evolution": stage_change_feed_apply_evolution,
+    "ann_topk_int8": ann_topk_int8,
+    "corpus_pipeline_e2e": corpus_pipeline_e2e,
+    "skew_salted_join_segment": skew_salted_join_segment,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4699,11 +4938,11 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q11_revenue_concentration": q11_revenue_concentration,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q16_supplier_variety": q16_supplier_variety,
     "q20_excess_shippers": q20_excess_shippers,
-    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "events_hourly_rollup": events_hourly_rollup,
     "events_json_props": events_json_props,
     "events_sessionization": events_sessionization,
@@ -4862,6 +5101,10 @@ ORACLES = {
     "ann_topk_bruteforce": _ANN_SQL,
     "embedding_label_stats": _EMB_LABEL_SQL,
     "embedding_neardup": _NEARDUP_SQL,
+    "stage_change_feed_apply_evolution": _CHANGE_FEED_EVOLUTION_SQL,
+    "ann_topk_int8": _ANN_INT8_SQL,
+    "corpus_pipeline_e2e": _PIPELINE_E2E_SQL,
+    "skew_salted_join_segment": _SALTED_JOIN_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

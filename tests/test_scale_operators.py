@@ -1228,3 +1228,64 @@ def test_audio_energy_windows_exact(spark):
     assert got[2].n_windows == 2
     assert math.isclose(got[2].energy[0], 3.0) and math.isclose(got[2].energy[1], 4.0)
     assert got[3].n_windows == 1 and got[3].energy == [0.0] and got[3].n_bytes == 0
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.quantization import (
+        dequantize,
+        quantize_vec,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5, 127.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        df.select(
+            "vec_id",
+            "embedding",
+            quantize_vec(F.col("embedding")).alias("qe"),
+        )
+        .select("vec_id", "embedding", "qe.scale", "qe.codes",
+                dequantize(F.col("qe")).alias("deq"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    r0, r1 = out
+    assert all(-127 <= c <= 127 for c in r0.codes)
+    assert r0.scale == 1.0  # max|v| = 127
+    # reconstruction error bounded by scale/2 per element
+    assert all(
+        abs(orig - rec) <= r0.scale / 2 + 1e-9
+        for orig, rec in zip(r0.embedding, r0.deq)
+    )
+    # all-zero vector: scale 0, codes 0, exact reconstruction
+    assert r1.scale == 0.0 and all(c == 0 for c in r1.codes)
+    assert all(v == 0.0 for v in r1.deq)
+
+
+def test_cosine_null_and_ragged_vectors_yield_null(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import cosine
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),
+            (1, None, [1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0], [1.0, 0.0]),  # ragged pair
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    rows = {r.i: r.c for r in df.select("i", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert rows[0] == pytest.approx(1.0)
+    assert rows[1] is None and rows[2] is None
+
+
+def test_zorder_bounds_errors(spark):
+    from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
+
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="no bounds"):
+        zorder_value(empty, ["x", "y"])
+    strings = spark.createDataFrame([("a", "b")], "x string, y string")
+    with pytest.raises(ValueError, match="non-numeric"):
+        zorder_value(strings, ["x", "y"])

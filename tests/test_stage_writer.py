@@ -256,3 +256,38 @@ def test_apply_change_feed_iud_semantics(spark, tmp_path):
     stage.apply_change_feed(feed, ["k"], seq_column="seq")
     got = {r.k: r.v for r in stage.read().collect()}
     assert got == {2: 25.0, 3: 33.0, 4: 40.0}
+
+
+def test_merge_upsert_evolve_schema(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    source = spark.createDataFrame(
+        [(2, "B", "x"), (3, "C", "y")], "id int, v string, extra string"
+    )
+    # default: strict contract, extra source column dropped
+    strict = merge_upsert(target, source, ["id"])
+    assert strict.columns == ["id", "v"]
+    # evolve: column added, untouched target rows null-backfilled
+    out = {
+        r.id: (r.v, r.extra)
+        for r in merge_upsert(target, source, ["id"], evolve_schema=True).collect()
+    }
+    assert out == {1: ("a", None), 2: ("B", "x"), 3: ("C", "y")}
+
+
+def test_apply_change_feed_schema_evolution(spark, tmp_path):
+    path = os.path.join(tmp_path, "cdc_evo")
+    stage = StageTable(spark, path)
+    stage.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id int, bal double")
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, 25.0, "gold", "U", 1),
+            (3, None, None, "D", 1),
+            (4, 40.0, "new", "I", 1),
+        ],
+        "id int, bal double, segment string, op string, seq int",
+    )
+    stage.apply_change_feed(feed, ["id"], seq_column="seq", evolve_schema=True)
+    out = {r.id: (r.bal, r.segment) for r in stage.read().collect()}
+    assert out == {1: (10.0, None), 2: (25.0, "gold"), 4: (40.0, "new")}
