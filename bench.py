@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "ann_topk_int8",
     "corpus_pipeline_e2e",
     "skew_salted_join_segment",
+    "export_training_shards",
+    "curriculum_quality_quartiles",
 ]
 
 

@@ -80,9 +80,22 @@ def kmeans_fit(
     per-iteration inertia list. Empty clusters keep their previous
     centroid (standard Lloyd's fallback)."""
     vecs = df.select(id_col, vec_col)
+    # seed from the k smallest hash-bucket values (repo-standard
+    # scan-side pattern, cf. operators/sampling.hash_bucket): a
+    # deterministic pseudo-random draw — unlike the k lowest ids, which
+    # a sorted-by-source corpus makes all one cluster.  Plans as
+    # TakeOrdered: per-partition heap of k, only k rows per partition
+    # reach the driver; no global sort.
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+
     first = [
         np.asarray(r[0], dtype=np.float64)
-        for r in vecs.orderBy(id_col).limit(k).select(vec_col).collect()
+        for r in vecs.orderBy(
+            hash_bucket(F.col(id_col), seed="kmeans"), F.col(id_col)
+        )
+        .limit(k)
+        .select(vec_col)
+        .collect()
     ]
     C = np.stack(first)
     C = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)

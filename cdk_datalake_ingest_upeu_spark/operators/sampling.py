@@ -113,3 +113,51 @@ def group_split(
         .when(bucket < val_hi, F.lit("validation"))
         .otherwise(F.lit("train")),
     )
+
+
+def exact_quantile_bounds(
+    df: DataFrame, col: str, n_buckets: int
+) -> tuple[list[float], int]:
+    """Exact rank-quantile boundaries for a LOW-CARDINALITY column.
+
+    A global ``ntile`` needs a total sort — at 100 TB that is one
+    WindowExec partition holding the corpus. When the column has few
+    distinct values (e.g. a quality score rounded to 4 dp: <= 10k
+    values), exact quantiles cost ONE small groupBy: the value
+    histogram shuffles only (value, count) pairs, and the cumulative
+    walk happens on the driver over O(distinct-values) rows. Boundary i
+    is the smallest value whose cumulative count reaches
+    ``ceil(total * i / n_buckets)``.
+
+    Returns (boundaries ascending, total row count).
+    """
+    import math
+
+    hist = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(col)
+        .collect()
+    )
+    total = sum(r["__c"] for r in hist)
+    targets = [
+        math.ceil(total * i / n_buckets) for i in range(1, n_buckets)
+    ]
+    bounds: list[float] = []
+    cum, idx = 0, 0
+    for r in hist:
+        cum += r["__c"]
+        while idx < len(targets) and cum >= targets[idx]:
+            bounds.append(r[col])
+            idx += 1
+    return bounds, total
+
+
+def quantile_bucket(col: Column, bounds: list[float]) -> Column:
+    """Bucket index in [0, len(bounds)] from :func:`exact_quantile_bounds`
+    boundaries — bucket = #{b : value > b}, a pure codegen comparison
+    chain broadcast in the plan (no join, no sort)."""
+    out = F.lit(0)
+    for b in bounds:
+        out = out + (col > F.lit(b)).cast("int")
+    return out

@@ -3658,6 +3658,140 @@ FROM bucketed GROUP BY 1 ORDER BY 1
 """
 
 
+def export_training_shards(spark, sf_dir):
+    """Sharded training-data export with a verifiable manifest: every
+    document lands in a deterministic shard (md5-bucket of doc_id — the
+    same row reaches the same shard on any cluster layout), the writer
+    partitions by shard with ``maxRecordsPerFile`` bounding file sizes
+    (the trainer's data-loader contract), and the returned manifest
+    (per-shard doc/token/id-checksum rollup) is computed FROM THE
+    READ-BACK files so the export itself is what's checked. One
+    shuffle: the repartition that gives each shard a single writer."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    sharded = docs.withColumn(
+        "shard", (hash_bucket(F.col("doc_id"), seed="shard") % 16).cast("int")
+    )
+    path = os.path.join(_tmpdir("shards"), "export")
+    (
+        sharded.repartition(F.col("shard"))
+        .write.partitionBy("shard")
+        .option("maxRecordsPerFile", 4096)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+_EXPORT_SHARDS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+              % 1000000 % 16 AS INTEGER) AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM t GROUP BY shard ORDER BY shard
+"""
+
+
+def curriculum_quality_quartiles(spark, sf_dir):
+    """Curriculum bucketing by EXACT rank quantiles of the quality score
+    — without the global sort an ``ntile`` would plan (one WindowExec
+    partition holding the corpus at 100 TB). The score is rounded to
+    4 dp, so its value histogram is <= 10k rows: ONE small groupBy +
+    an O(distinct-values) driver walk yields exact boundaries
+    (``operators/sampling.exact_quantile_bounds``), and assignment is a
+    3-comparison codegen chain at the scan. The scored projection is
+    staged once and persisted (histogram pass + rollup pass)."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        exact_quantile_bounds,
+        quantile_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = scratch_persist(
+        docs.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            token_count_ws(F.col("text")).alias("n_tok"),
+        )
+    )
+    bounds, _total = exact_quantile_bounds(scored, "q", 4)
+    return finalize(
+        scored.withColumn(
+            "quartile", quantile_bucket(F.col("q"), bounds).cast("int")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("quartile")
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_dd_tokens()} END AS ltoks
+  FROM documents
+), feat AS (
+  SELECT doc_id, len(toks) AS n_tokens_ws,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END AS digit_ratio,
+         CASE WHEN len(ltoks) = 0 THEN 0.0
+              ELSE len(list_filter(ltoks, x -> list_contains({_EN}, x))) * 1.0 / len(ltoks) END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE length(regexp_replace(trim(text), '\\s', '', 'g')) * 1.0 / len(toks) END AS mean_wl
+  FROM base
+), scored AS (
+  SELECT doc_id, n_tokens_ws AS n_tok,
+         round((least(n_tokens_ws / 100.0, 1.0)
+               + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 1.0 ELSE 0.5 END)
+               + (1.0 - least(punct_ratio * 4, 1.0))
+               + (1.0 - least(digit_ratio * 4, 1.0))
+               + least(stopword_ratio * 4, 1.0)) / 5.0, 4) AS q
+  FROM feat
+), hist AS (
+  SELECT q, count(*) AS c FROM scored GROUP BY q
+), cum AS (
+  SELECT q, sum(c) OVER (ORDER BY q) AS cumc FROM hist
+), tot AS (
+  SELECT count(*) AS n FROM scored
+), bounds AS (
+  SELECT i, min(q) AS b
+  FROM cum, tot, (SELECT unnest([1, 2, 3]) AS i) t
+  WHERE cumc >= ceil(n * i / 4.0)
+  GROUP BY i
+)
+SELECT CAST((SELECT count(*) FROM bounds WHERE s.q > b) AS INTEGER) AS quartile,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(q) AS min_q, max(q) AS max_q
+FROM scored s GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_exact_corpus(spark, sf_dir):
     """Exact dedup as a corpus FILTER: keep the min doc_id per normalized
     text; returns the surviving documents (id + source)."""
@@ -4921,6 +5055,8 @@ QUERIES = {
     "ann_topk_int8": ann_topk_int8,
     "corpus_pipeline_e2e": corpus_pipeline_e2e,
     "skew_salted_join_segment": skew_salted_join_segment,
+    "export_training_shards": export_training_shards,
+    "curriculum_quality_quartiles": curriculum_quality_quartiles,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -4936,9 +5072,9 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
     "q7_nation_volume": q7_nation_volume,
+    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
-    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q11_revenue_concentration": q11_revenue_concentration,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q16_supplier_variety": q16_supplier_variety,
@@ -5105,6 +5241,8 @@ ORACLES = {
     "ann_topk_int8": _ANN_INT8_SQL,
     "corpus_pipeline_e2e": _PIPELINE_E2E_SQL,
     "skew_salted_join_segment": _SALTED_JOIN_SQL,
+    "export_training_shards": _EXPORT_SHARDS_SQL,
+    "curriculum_quality_quartiles": _CURRICULUM_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

@@ -1289,3 +1289,30 @@ def test_zorder_bounds_errors(spark):
     strings = spark.createDataFrame([("a", "b")], "x string, y string")
     with pytest.raises(ValueError, match="non-numeric"):
         zorder_value(strings, ["x", "y"])
+
+
+def test_exact_quantile_bounds_and_bucket(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        exact_quantile_bounds,
+        quantile_bucket,
+    )
+
+    # 12 rows over 4 distinct values: quartile targets at ranks 3/6/9
+    vals = [0.1] * 3 + [0.2] * 3 + [0.3] * 3 + [0.4] * 3
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, q double")
+    bounds, total = exact_quantile_bounds(df, "q", 4)
+    assert total == 12
+    assert bounds == [0.1, 0.2, 0.3]  # smallest value reaching cum >= 3/6/9
+    out = {
+        r.q: r.b
+        for r in df.select("q", quantile_bucket(F.col("q"), bounds).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert out == {0.1: 0, 0.2: 1, 0.3: 2, 0.4: 3}
+    # skewed: one value holds most mass -> it absorbs several quartiles
+    skew = spark.createDataFrame(
+        [(i, 0.5) for i in range(10)] + [(10, 0.9), (11, 1.0)], "id long, q double"
+    )
+    b2, t2 = exact_quantile_bounds(skew, "q", 4)
+    assert t2 == 12 and b2 == [0.5, 0.5, 0.5]
