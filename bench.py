@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "skew_salted_join_segment",
     "export_training_shards",
     "curriculum_quality_quartiles",
+    "stage_dpp_pruned_join",
 ]
 
 

@@ -3098,6 +3098,47 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stage_dpp_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning end-to-end: events land partitioned by
+    day, then join a dim whose filter (Mondays only) is NOT known at
+    plan time — Spark builds the runtime subquery that prunes fact
+    partitions before the scan (``dynamicpruningexpression`` in the
+    plan, asserted in tests/test_stage_writer.py). This is the
+    mechanism that turns a 100 TB date-partitioned fact scan into only
+    the days the dim selects, with zero user-side predicate plumbing —
+    the runtime complement of the STATIC pruning in
+    ``stage_partition_pruned_read``."""
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(_tmpdir("dpp"), "events_by_day")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = fact.select("day").distinct().filter(F.dayofweek("day") == 2)
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+_DPP_SQL = """
+WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
+SELECT day, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e WHERE isodow(day) = 1
+GROUP BY day ORDER BY day
+"""
+
+
 def streaming_interval_join(spark, sf_dir):
     """STREAM-stream interval join (``streaming/joins.py``): the events
     table replayed as 3 chronological drops; purchase and click slices
@@ -5057,6 +5098,7 @@ QUERIES = {
     "skew_salted_join_segment": skew_salted_join_segment,
     "export_training_shards": export_training_shards,
     "curriculum_quality_quartiles": curriculum_quality_quartiles,
+    "stage_dpp_pruned_join": stage_dpp_pruned_join,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -5071,8 +5113,8 @@ QUERIES = {
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
-    "q7_nation_volume": q7_nation_volume,
     # --- behind the window: r3-green rows and r1/r2-green residue ---
+    "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q11_revenue_concentration": q11_revenue_concentration,
@@ -5243,6 +5285,7 @@ ORACLES = {
     "skew_salted_join_segment": _SALTED_JOIN_SQL,
     "export_training_shards": _EXPORT_SHARDS_SQL,
     "curriculum_quality_quartiles": _CURRICULUM_SQL,
+    "stage_dpp_pruned_join": _DPP_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

@@ -1316,3 +1316,14 @@ def test_exact_quantile_bounds_and_bucket(spark):
     )
     b2, t2 = exact_quantile_bounds(skew, "q", 4)
     assert t2 == 12 and b2 == [0.5, 0.5, 0.5]
+
+
+def test_funnel_plan_has_no_arrays(spark):
+    """events_funnel must never buffer per-user timestamp arrays through
+    the shuffle (the r3 OOM-row scale killer): window MINs only."""
+    from cdk_datalake_ingest_upeu_spark.workloads import events_funnel
+
+    df = events_funnel(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert plan.count("Exchange") <= 2  # user_id window + final global agg

@@ -291,3 +291,19 @@ def test_apply_change_feed_schema_evolution(spark, tmp_path):
     stage.apply_change_feed(feed, ["id"], seq_column="seq", evolve_schema=True)
     out = {r.id: (r.bal, r.segment) for r in stage.read().collect()}
     assert out == {1: (10.0, None), 2: (25.0, "gold"), 4: (40.0, "new")}
+
+
+def test_dpp_join_plans_runtime_pruning(spark, tmp_path):
+    """The partitioned-fact x filtered-dim join must carry a dynamic
+    partition pruning subquery into the fact scan — the runtime scan
+    reduction stage_dpp_pruned_join exists to demonstrate."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("day"), (F.col("id") * 1.0).alias("v")
+    )
+    path = os.path.join(tmp_path, "fact")
+    df.repartition(F.col("day")).write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = fact.select("day").distinct().filter(F.col("day") % 3 == 0)
+    j = fact.join(dim, "day").groupBy("day").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
