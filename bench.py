@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "export_training_shards",
     "curriculum_quality_quartiles",
     "stage_dpp_pruned_join",
+    "stage_retention_prune",
 ]
 
 

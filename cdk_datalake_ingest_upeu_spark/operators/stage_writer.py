@@ -307,6 +307,44 @@ class StageTable:
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
         self._checkpointed_overwrite(df.coalesce(n), dynamic=False)
 
+    def drop_partitions(self, column: str, *, before: str) -> int:
+        """Partition-level retention (TTL): remove every partition of
+        ``column`` whose value sorts strictly below ``before``.
+
+        This is a METADATA operation — whole partition directories are
+        unlinked; no row is ever read or rewritten, which is the only
+        viable shape for expiring days out of a 100 TB date-partitioned
+        table (a filtered rewrite would scan everything to delete 1%).
+        Values compare as their directory strings, so ISO dates and
+        zero-padded numerics order correctly. Returns the number of
+        partitions dropped. With Delta this is
+        ``DELETE WHERE column < before`` + VACUUM (file-level under the
+        same transaction log).
+        """
+        if column not in self.partition_columns:
+            raise ValueError(
+                f"{column!r} is not a partition column of this table "
+                f"(partitioned by {self.partition_columns})"
+            )
+        if self.fmt == "delta" and _HAS_DELTA:  # pragma: no cover
+            self.spark.sql(
+                f"DELETE FROM delta.`{self.path}` WHERE {column} < '{before}'"
+            )
+            return -1  # Delta tracks removal in the log, not dir counts
+        prefix = f"{column}="
+        dropped = 0
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith(prefix):
+                continue
+            # partition dir values are URL-encoded by the writer; the
+            # raw string compare matches what Spark wrote for ISO dates
+            # and plain numerics, the supported TTL key shapes
+            value = name[len(prefix):]
+            if value < before:
+                shutil.rmtree(os.path.join(self.path, name))
+                dropped += 1
+        return dropped
+
     def register(self, table_name: str) -> None:
         """Catalog registration — replaces the Glue crawler (reference S14,
         ``crawler_stage.py:393-479``)."""

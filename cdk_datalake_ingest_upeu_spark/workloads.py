@@ -3098,6 +3098,43 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stage_retention_prune(spark, sf_dir):
+    """Partition TTL (``StageTable.drop_partitions``): events land
+    day-partitioned, then every partition before the cutoff is expired
+    as a METADATA operation — directories unlinked, zero rows read or
+    rewritten (the only viable shape for expiring days out of a 100 TB
+    fact; a filtered rewrite scans everything to delete a sliver). The
+    result aggregates what SURVIVES on disk, so the oracle checks the
+    physical retention, not just a filter expression."""
+    ev = _t(spark, sf_dir, "events")
+    stage = StageTable(
+        spark,
+        os.path.join(_tmpdir("ttl"), "events_by_day"),
+        partition_columns=["day"],
+    )
+    stage.overwrite(ev.withColumn("day", F.to_date("ts")))
+    cutoff = "2024-01-10"
+    stage.drop_partitions("day", before=cutoff)
+    return (
+        stage.read()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+_RETENTION_PRUNE_SQL = """
+WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
+SELECT day, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e WHERE day >= DATE '2024-01-10'
+GROUP BY day ORDER BY day
+"""
+
+
 def stage_dpp_pruned_join(spark, sf_dir):
     """Dynamic partition pruning end-to-end: events land partitioned by
     day, then join a dim whose filter (Mondays only) is NOT known at
@@ -5099,6 +5136,7 @@ QUERIES = {
     "export_training_shards": export_training_shards,
     "curriculum_quality_quartiles": curriculum_quality_quartiles,
     "stage_dpp_pruned_join": stage_dpp_pruned_join,
+    "stage_retention_prune": stage_retention_prune,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -5112,8 +5150,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
     "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_idle_customers": q22_idle_customers,
     # --- behind the window: r3-green rows and r1/r2-green residue ---
+    "q22_idle_customers": q22_idle_customers,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
@@ -5286,6 +5324,7 @@ ORACLES = {
     "export_training_shards": _EXPORT_SHARDS_SQL,
     "curriculum_quality_quartiles": _CURRICULUM_SQL,
     "stage_dpp_pruned_join": _DPP_SQL,
+    "stage_retention_prune": _RETENTION_PRUNE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

@@ -307,3 +307,25 @@ def test_dpp_join_plans_runtime_pruning(spark, tmp_path):
     j = fact.join(dim, "day").groupBy("day").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_drop_partitions_is_metadata_only(spark, tmp_path):
+    path = os.path.join(tmp_path, "ttl")
+    stage = StageTable(spark, path, partition_columns=["day"])
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for i in range(40) for d in (5, 10, 15, 20)],
+        "id long, day string",
+    )
+    stage.overwrite(df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a partition column"):
+        stage.drop_partitions("id", before="x")
+    dropped = stage.drop_partitions("day", before="2024-01-12")
+    assert dropped == 2  # 05 and 10 expired
+    # partition-column inference reads the ISO dir names back as dates
+    left = sorted(str(r.day) for r in stage.read().select("day").distinct().collect())
+    assert left == ["2024-01-15", "2024-01-20"]
+    assert stage.read().count() == 80
+    # idempotent: nothing left below the cutoff
+    assert stage.drop_partitions("day", before="2024-01-12") == 0
