@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "curriculum_quality_quartiles",
     "stage_dpp_pruned_join",
     "stage_retention_prune",
+    "sample_capped_per_source",
+    "events_anomaly_zscore",
 ]
 
 

@@ -15,7 +15,7 @@ shuffle, no UDF, no driver involvement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 1e6 buckets give ppm-resolution fractions; md5's first 8 hex chars
@@ -161,3 +161,34 @@ def quantile_bucket(col: Column, bounds: list[float]) -> Column:
     for b in bounds:
         out = out + (col > F.lit(b)).cast("int")
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-group row cap — the domain-cap rule of corpus
+    construction (no single source may dominate the mixture).
+
+    Rows within a group are ranked by their hash bucket (a stable
+    pseudo-random order — NOT insertion or id order, which would bias
+    the kept set toward early crawls), ties broken by key; the first
+    ``cap`` survive. One shuffle on ``group_col``. At corpus scale the
+    group key is the registrable domain — high cardinality, so window
+    partitions stay balanced; a handful of mega-domains is exactly the
+    case the cap exists to clip.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), seed=seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -3736,6 +3736,95 @@ FROM bucketed GROUP BY 1 ORDER BY 1
 """
 
 
+def sample_capped_per_source(spark, sf_dir):
+    """Per-source document cap (``operators/sampling.cap_per_group``) —
+    the domain-cap rule: no source contributes more than N docs, and
+    the kept set is a stable pseudo-random draw (hash order), not the
+    earliest crawls. Output is the per-source survivor accounting, with
+    an id checksum so the oracle verifies WHICH rows survived, not just
+    how many."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", cap=20, seed="domcap")
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_CAP_PER_SOURCE_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, row_number() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'domcap'), 1, 8))::BIGINT
+               % 1000000, doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 20
+GROUP BY source ORDER BY source
+"""
+
+
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection over the event stream: daily counts per
+    event type, z-scored against that type's own mean/stddev, flagged
+    at |z| >= 1.5. The variance comes from EXACT integer window sums
+    (sum n, sum n² over the per-type partition) so both engines derive
+    bit-identical doubles — `stddev_samp` would sum doubles in
+    partition order and flip the hash. Two shuffles total, and the
+    second operates on the daily rollup (days x types rows — KB-scale
+    even on a 100 TB raw stream)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    cnt = F.count(F.lit(1)).over(w)
+    mean = F.sum("n_events").over(w) / cnt
+    meansq = F.sum(F.col("n_events") * F.col("n_events")).over(w) / cnt
+    std = F.sqrt(F.greatest(meansq - mean * mean, F.lit(0.0)))
+    z = F.when(std != 0.0, (F.col("n_events") - mean) / std)
+    return (
+        daily.withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 1.5)
+        .select("event_type", "day", "n_events", "z")
+        .orderBy("event_type", "day")
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, n_events,
+         CASE WHEN sqrt(greatest(
+                  CAST(sum(n_events * n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT)
+                  - (CAST(sum(n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT))
+                    * (CAST(sum(n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT)),
+                  0.0)) <> 0.0
+              THEN (n_events - CAST(sum(n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT))
+                   / sqrt(greatest(
+                       CAST(sum(n_events * n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT)
+                       - (CAST(sum(n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT))
+                         * (CAST(sum(n_events) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT)),
+                       0.0))
+              ELSE NULL END AS z
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, day, n_events, z FROM scored
+WHERE abs(z) >= 1.5
+ORDER BY event_type, day
+"""
+
+
 def export_training_shards(spark, sf_dir):
     """Sharded training-data export with a verifiable manifest: every
     document lands in a deterministic shard (md5-bucket of doc_id — the
@@ -5137,6 +5226,8 @@ QUERIES = {
     "curriculum_quality_quartiles": curriculum_quality_quartiles,
     "stage_dpp_pruned_join": stage_dpp_pruned_join,
     "stage_retention_prune": stage_retention_prune,
+    "sample_capped_per_source": sample_capped_per_source,
+    "events_anomaly_zscore": events_anomaly_zscore,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -5148,9 +5239,9 @@ QUERIES = {
     "q13_customer_order_histogram": q13_customer_order_histogram,
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
     "q21_waiting_suppliers": q21_waiting_suppliers,
-    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q22_idle_customers": q22_idle_customers,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -5325,6 +5416,8 @@ ORACLES = {
     "curriculum_quality_quartiles": _CURRICULUM_SQL,
     "stage_dpp_pruned_join": _DPP_SQL,
     "stage_retention_prune": _RETENTION_PRUNE_SQL,
+    "sample_capped_per_source": _CAP_PER_SOURCE_SQL,
+    "events_anomaly_zscore": _ANOMALY_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,

@@ -1327,3 +1327,25 @@ def test_funnel_plan_has_no_arrays(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
     assert plan.count("Exchange") <= 2  # user_id window + final global agg
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(60)], "id long, g string"
+    )
+    out = cap_per_group(df, "g", "id", cap=10, seed="t")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    # deterministic: same kept set on re-run
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in cap_per_group(df, "g", "id", cap=10, seed="t").collect())
+    assert ids1 == ids2
+    # different seed -> (almost surely) different draw from the big group
+    ids3 = sorted(r.id for r in cap_per_group(df, "g", "id", cap=10, seed="u").collect())
+    assert ids1 != ids3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap must be"):
+        cap_per_group(df, "g", "id", cap=0)
