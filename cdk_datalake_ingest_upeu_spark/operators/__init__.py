@@ -59,8 +59,19 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     minhash_signature_table,
 )
 from cdk_datalake_ingest_upeu_spark.operators.quantization import (  # noqa: F401
+    dequantize,
     quantization_error,
     quantization_report,
+    quantize_vec,
+)
+from cdk_datalake_ingest_upeu_spark.operators.sampling import (  # noqa: F401
+    cap_per_group,
+    exact_quantile_bounds,
+    hash_bucket,
+    hash_sample,
+    quantile_bucket,
+    stratified_hash_sample,
+    with_split,
 )
 from cdk_datalake_ingest_upeu_spark.operators.scratch import (  # noqa: F401
     finalize,

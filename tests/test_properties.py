@@ -141,3 +141,34 @@ def test_interval_join_equals_bruteforce(spark, rows):
         if lk == rk and lt - dt_.timedelta(seconds=60) <= rt <= lt
     }
     assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=80
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_quantile_bounds_rank_property(spark, vals, k):
+    """Boundary i must be the SMALLEST value whose cumulative count
+    reaches ceil(total * i / k) — checked against a brute-force rank
+    walk on arbitrary multisets (ties, skew, tiny inputs)."""
+    import math
+
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        exact_quantile_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, q double"
+    )
+    bounds, total = exact_quantile_bounds(df, "q", k)
+    assert total == len(vals)
+    ordered = sorted(vals)
+    for i, b in enumerate(bounds, start=1):
+        target = math.ceil(total * i / k)
+        below = sum(1 for v in ordered if v <= b)
+        strictly_below = sum(1 for v in ordered if v < b)
+        assert below >= target          # b reaches the rank target
+        assert strictly_below < target  # and is the smallest such value
