@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "stage_retention_prune",
     "sample_capped_per_source",
     "events_anomaly_zscore",
+    "stage_compaction_roundtrip",
+    "stage_catalog_sql_read",
 ]
 
 

@@ -3098,6 +3098,74 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stage_compaction_roundtrip(spark, sf_dir):
+    """S11 as a driver-checked row: land orders as 64 deliberately-small
+    files, compact to exactly 4 via ``StageTable.optimize`` (the
+    OPTIMIZE analog — with Delta installed the same call is real
+    OPTIMIZE+VACUUM), and return the post-compaction file count
+    alongside the data rollup. The oracle pins n_files=4, so a
+    compaction that stops coalescing (or corrupts rows) goes red —
+    small-file pileup is the #1 operational decay of a streaming lake
+    at 100 TB."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    stage = StageTable(spark, os.path.join(_tmpdir("compact"), "orders"))
+    stage.overwrite(orders.repartition(64))
+    stage.optimize(target_partitions=4)
+    n_files = len(
+        [f for f in os.listdir(stage.path) if f.endswith(".parquet")]
+    )
+    return (
+        stage.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .withColumn("n_files", F.lit(n_files))
+        .orderBy("o_orderstatus")
+    )
+
+
+_COMPACTION_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       4 AS n_files
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def stage_catalog_sql_read(spark, sf_dir):
+    """S14 as a driver-checked row: a landed stage table is registered
+    in the session catalog (``CREATE TABLE ... USING ... LOCATION`` —
+    the Glue-crawler replacement) and then queried through plain
+    ``spark.sql`` BY NAME, which is the contract downstream consumers
+    actually use. Unique table name per run so re-registration cannot
+    silently point at a stale path."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    stage = StageTable(spark, os.path.join(_tmpdir("catalog"), "customer"))
+    stage.overwrite(cust)
+    name = f"stage_customer_{uuid.uuid4().hex[:8]}"
+    stage.register(name)
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment AS segment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM {name} GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+_CATALOG_SQL = """
+SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def stage_retention_prune(spark, sf_dir):
     """Partition TTL (``StageTable.drop_partitions``): events land
     day-partitioned, then every partition before the cutoff is expired
@@ -5234,6 +5302,8 @@ QUERIES = {
     "stage_retention_prune": stage_retention_prune,
     "sample_capped_per_source": sample_capped_per_source,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "stage_compaction_roundtrip": stage_compaction_roundtrip,
+    "stage_catalog_sql_read": stage_catalog_sql_read,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -5243,9 +5313,9 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q4_late_shipment_priority": q4_late_shipment_priority,
     "q13_customer_order_histogram": q13_customer_order_histogram,
+    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
@@ -5424,6 +5494,8 @@ ORACLES = {
     "stage_retention_prune": _RETENTION_PRUNE_SQL,
     "sample_capped_per_source": _CAP_PER_SOURCE_SQL,
     "events_anomaly_zscore": _ANOMALY_SQL,
+    "stage_compaction_roundtrip": _COMPACTION_SQL,
+    "stage_catalog_sql_read": _CATALOG_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
