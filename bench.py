@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",
     "stage_compaction_roundtrip",
     "stage_catalog_sql_read",
+    "streaming_anomaly_zscore",
 ]
 
 

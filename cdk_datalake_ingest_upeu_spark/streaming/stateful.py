@@ -500,3 +500,82 @@ def run_streaming_topk_applyinpandas(
         .foreachBatch(lambda batch_df, batch_id: sink(batch_df, batch_id))
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# running volume z-score (streaming anomaly detection)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_STATE_SCHEMA = "cnt long, s long, s2 long"
+ZSCORE_OUTPUT_SCHEMA = "event_type string, day date, n_events long, z double"
+
+
+def _zscore_update():
+    """Per-type running (count, sum, sum-of-squares) over daily volumes;
+    each arriving day is z-scored against the PRIOR days' exact integer
+    sums before being folded in. Integer state means the derived
+    mean/std doubles are bit-identical to the batch/oracle computation
+    — no float accumulation order anywhere."""
+    import math
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        cnt, s, s2 = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("day")
+        out = []
+        for day, n in zip(rows["day"], rows["n_events"]):
+            n = int(n)
+            z = None
+            if cnt >= 2:
+                mean = s / cnt
+                var = s2 / cnt - mean * mean
+                std = math.sqrt(max(var, 0.0))
+                if std != 0.0:
+                    z = (n - mean) / std
+            out.append((key[0], day, n, z))
+            cnt, s, s2 = cnt + 1, s + n, s2 + n * n
+        state.update((cnt, s, s2))
+        yield pd.DataFrame(out, columns=["event_type", "day", "n_events", "z"])
+
+    return update
+
+
+def run_running_zscore(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    query_name: str = "running_zscore",
+):
+    """Streaming anomaly detector over a daily-rollup feed: per
+    event_type, three integers of state (count / sum / sum-of-squares
+    of prior days); each day is scored as it arrives. The state is
+    O(1) per key forever — the streaming twin of the batch
+    ``events_anomaly_zscore`` window, with identical arithmetic."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    prepared = stream.select("event_type", "day", "n_events")
+    out = prepared.groupBy("event_type").applyInPandasWithState(
+        _zscore_update(),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

@@ -3098,6 +3098,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def streaming_anomaly_zscore(spark, sf_dir):
+    """Streaming twin of ``events_anomaly_zscore``
+    (streaming/stateful.run_running_zscore): the daily rollup replays
+    as 2 chronological drops (day-aligned by construction — the slice
+    key IS the day), and a 3-integer-per-type state scores each
+    arriving day against the PRIOR days only. Emits every day with its
+    z (NULL until 2 prior days exist); the oracle is a prior-days
+    window over exact integer sums, so streaming-vs-batch arithmetic
+    parity is what the hash checks."""
+    from cdk_datalake_ingest_upeu_spark.streaming.stateful import (
+        run_running_zscore,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    feed = daily.withColumn("ts", F.col("day").cast("timestamp"))
+    work = _tmpdir("zstream")
+    src_glob = _stage_event_drops(spark, sf_dir, work, df=feed, n_drops=2)
+    out_dir = os.path.join(work, "scored")
+    with _stream_shuffle_partitions(spark, 8):
+        q = run_running_zscore(
+            spark,
+            src_glob,
+            feed.schema,
+            out_dir,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name=f"zscore_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_type", "day", "n_events", "z")
+        .orderBy("event_type", "day")
+    )
+
+
+_STREAM_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, n_events,
+         count(*) OVER wp AS cnt,
+         CAST(sum(n_events) OVER wp AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) OVER wp AS BIGINT) AS s2
+  FROM daily
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       CASE WHEN cnt >= 2
+                 AND sqrt(greatest(s2 * 1.0 / cnt - (s * 1.0 / cnt) * (s * 1.0 / cnt), 0.0)) <> 0.0
+            THEN (n_events - s * 1.0 / cnt)
+                 / sqrt(greatest(s2 * 1.0 / cnt - (s * 1.0 / cnt) * (s * 1.0 / cnt), 0.0))
+            ELSE NULL END AS z
+FROM scored ORDER BY event_type, day
+"""
+
+
 def stage_compaction_roundtrip(spark, sf_dir):
     """S11 as a driver-checked row: land orders as 64 deliberately-small
     files, compact to exactly 4 via ``StageTable.optimize`` (the
@@ -5304,6 +5366,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "stage_compaction_roundtrip": stage_compaction_roundtrip,
     "stage_catalog_sql_read": stage_catalog_sql_read,
+    "streaming_anomaly_zscore": streaming_anomaly_zscore,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -5312,8 +5375,8 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q10_returned_items": q10_returned_items,
     "q4_late_shipment_priority": q4_late_shipment_priority,
-    "q13_customer_order_histogram": q13_customer_order_histogram,
     # --- behind the window: r3-green rows and r1/r2-green residue ---
+    "q13_customer_order_histogram": q13_customer_order_histogram,
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
@@ -5496,6 +5559,7 @@ ORACLES = {
     "events_anomaly_zscore": _ANOMALY_SQL,
     "stage_compaction_roundtrip": _COMPACTION_SQL,
     "stage_catalog_sql_read": _CATALOG_SQL,
+    "streaming_anomaly_zscore": _STREAM_ANOMALY_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
