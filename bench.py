@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "stage_compaction_roundtrip",
     "stage_catalog_sql_read",
     "streaming_anomaly_zscore",
+    "load_mode_lifecycle",
 ]
 
 

@@ -1946,6 +1946,57 @@ SELECT event_id, user_id, ts, event_type, value FROM events
 """
 
 
+def load_mode_lifecycle(spark, sf_dir):
+    """I3 as a driver row: the four load modes exercised in sequence on
+    one watermark store, with per-phase ingest counts the oracle can
+    recompute from the data alone.
+
+    INITIAL lands the history slice and seeds the mark; REPROCESS lands
+    the newer rows but must NOT advance the mark; NORMAL then lands the
+    SAME rows again (proving reprocess left the mark in place) and
+    advances; RESET drops the mark and re-lands everything. The row
+    counts (n_reprocess == n_normal, n_reset == total) encode the
+    contract, and n_distinct_landed confirms nothing was lost across
+    the four appends."""
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("modes")
+    store = WatermarkStore(os.path.join(work, "wm.json"), project="t")
+    runner = IncrementalRunner(store, table="events", column="ts")
+    land_dir = os.path.join(work, "landed")
+    state = {"first": True}
+
+    def sink(df):
+        df.write.mode("overwrite" if state["first"] else "append").parquet(land_dir)
+        state["first"] = False
+
+    from cdk_datalake_ingest_upeu_spark.plans.strategy import LoadMode
+
+    cutoff = "2024-01-16 00:00:00"
+    n_initial = runner.run(
+        lambda: ev.filter(F.col("ts") <= cutoff), sink, mode=LoadMode.INITIAL
+    )
+    n_reprocess = runner.run(lambda: ev, sink, mode=LoadMode.REPROCESS)
+    n_normal = runner.run(lambda: ev, sink, mode=LoadMode.NORMAL)
+    n_reset = runner.run(lambda: ev, sink, mode=LoadMode.RESET)
+    n_distinct = (
+        spark.read.parquet(land_dir).select("event_id").distinct().count()
+    )
+    return spark.createDataFrame(
+        [(n_initial, n_reprocess, n_normal, n_reset, n_distinct)],
+        "n_initial long, n_reprocess long, n_normal long, n_reset long, n_distinct_landed long",
+    )
+
+
+_LOAD_MODE_SQL = """
+SELECT CAST(sum(CASE WHEN ts <= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_initial,
+       CAST(count(*) - sum(CASE WHEN ts <= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_reprocess,
+       CAST(count(*) - sum(CASE WHEN ts <= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_normal,
+       count(*) AS n_reset,
+       count(*) AS n_distinct_landed
+FROM events
+"""
+
+
 def streaming_merge_ingest_query(spark, sf_dir):
     """Structured Streaming foreachBatch MERGE: stream the events table in,
     stage ends at latest-per-user state."""
@@ -5367,6 +5418,7 @@ QUERIES = {
     "stage_compaction_roundtrip": stage_compaction_roundtrip,
     "stage_catalog_sql_read": stage_catalog_sql_read,
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
+    "load_mode_lifecycle": load_mode_lifecycle,
     # --- padding: oldest r1-checked TPC-H block ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -5374,8 +5426,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q10_returned_items": q10_returned_items,
-    "q4_late_shipment_priority": q4_late_shipment_priority,
     # --- behind the window: r3-green rows and r1/r2-green residue ---
+    "q4_late_shipment_priority": q4_late_shipment_priority,
     "q13_customer_order_histogram": q13_customer_order_histogram,
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -5560,6 +5612,7 @@ ORACLES = {
     "stage_compaction_roundtrip": _COMPACTION_SQL,
     "stage_catalog_sql_read": _CATALOG_SQL,
     "streaming_anomaly_zscore": _STREAM_ANOMALY_SQL,
+    "load_mode_lifecycle": _LOAD_MODE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_image_features": _IMG_FEATURES_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
