@@ -79,6 +79,17 @@ from cdk_datalake_ingest_upeu_spark.operators.scratch import (  # noqa: F401
     scratch_persist,
 )
 from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
+    bm25_topk,
+    bpe_merge_candidates,
     build_vocab,
     encode_tokens,
+    unigram_logprob_features,
+    unigram_token_logprobs,
+)
+from cdk_datalake_ingest_upeu_spark.operators.clustering import (  # noqa: F401
+    pca_fit,
+    pca_project,
+)
+from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
+    semantic_neardup_pairs,
 )

@@ -141,3 +141,104 @@ def kmeans_assign(
         return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
 
     return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (moment-sketch reduction)
+
+_PCA_PARTIAL_SCHEMA = "n long, sum_vec array<double>, gram array<double>"
+
+
+def _pca_partial_gen(vec_col: str):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        G = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if s is None:
+                d = X.shape[1]
+                s = np.zeros(d, dtype=np.float64)
+                G = np.zeros((d, d), dtype=np.float64)
+            n += len(X)
+            s += X.sum(axis=0)
+            G += X.T @ X
+        if n:
+            yield pd.DataFrame({"n": [n], "sum_vec": [s], "gram": [G.ravel()]})
+
+    return gen
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", *, k: int = 8):
+    """Distributed PCA via a single-pass moment sketch.
+
+    The covariance of an n x d embedding table factors into the three
+    mergeable moments ``(n, sum(x), sum(x x^T))`` — so the whole fit is
+    ONE ``mapInPandas`` pass emitting a (1 + d + d*d)-double partial per
+    partition (a d=1024 partial is 8 MB; d=64 is 33 KB), reduced on the
+    driver in O(partitions * d^2) independent of corpus size, then a
+    d x d ``eigh``. No shuffle: the n-row relation never moves, exactly
+    the :func:`kmeans_fit` partial-sum shape. At 100 TB this is the
+    only PCA formulation that works — covariance assembly IS the
+    scalable part; the d x d eigendecomposition was never distributed
+    in any engine.
+
+    Beyond-reference surface (the reference has no linear algebra);
+    standard method, cf. the tall-skinny Gram-matrix reduction in
+    public Spark MLlib (``RowMatrix.computeGramianMatrix``).
+
+    Returns ``(components, eigenvalues, evr, mean)``: ``components`` is
+    a k x d numpy array (rows = principal axes, descending variance),
+    ``eigenvalues`` the top-k covariance eigenvalues, ``evr`` the
+    explained-variance ratios, ``mean`` the column means.
+    """
+    partials = df.select(vec_col).mapInPandas(
+        _pca_partial_gen(vec_col), schema=_PCA_PARTIAL_SCHEMA
+    ).toPandas()
+    if not len(partials):
+        raise ValueError("pca_fit: empty input")
+    n = int(partials["n"].sum())
+    s = np.sum(np.stack(partials["sum_vec"].to_numpy()), axis=0)
+    d = s.shape[0]
+    G = np.sum(np.stack(partials["gram"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    # unbiased covariance from raw moments
+    cov = (G - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    eigenvalues = np.maximum(evals[order], 0.0)
+    components = evecs[:, order].T.copy()
+    # sign convention: largest-|loading| coordinate positive, so the fit
+    # is deterministic (eigh sign is otherwise arbitrary)
+    for row in components:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1
+    total_var = max(float(np.trace(cov)), 1e-300)
+    evr = eigenvalues / total_var
+    return components, eigenvalues, evr, mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project each vector onto the fitted principal axes — one
+    centered Arrow-batch matmul per partition, no shuffle (the k x d
+    component matrix ships with the task closure, broadcast-equivalent)."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64) - mu
+        return pd.Series(list(X @ W.T))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

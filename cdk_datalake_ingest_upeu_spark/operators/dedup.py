@@ -1017,3 +1017,60 @@ def incremental_minhash_dedup(
         threshold=threshold,
         max_band_bucket=max_band_bucket,
     )
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    threshold: float = 0.98,
+    iters: int = 3,
+) -> DataFrame:
+    """Semantic near-duplicate pairs via cluster-bucketed exact verify
+    (the SemDeDup recipe, Abbas et al. 2023, arXiv:2303.09540: k-means
+    the embedding space, then compare only within a cluster).
+
+    Scale shape: k-means is the shuffle-free partial-sum fit
+    (operators/clustering.py); assignment is one Arrow matmul per
+    partition; the O(n^2) pair space then collapses to per-cluster
+    cells with the CLUSTER ID as the only join key. In production k is
+    chosen ~n/1000 so cells hold ~10^3 vectors and the within-cell
+    self-join is bounded; compared to hyperplane LSH
+    (:func:`embedding_near_dup_pairs`) the buckets are data-adaptive —
+    dense regions split instead of flooding one bucket.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    centroids, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    tagged = scratch_persist(
+        kmeans_assign(df.select(id_col, vec_col), centroids, vec_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col("cluster"),
+        )
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("va"),
+            F.col("b.__v").alias("vb"),
+        )
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -486,3 +486,167 @@ def encode_tokens(
             F.transform(F.col("__ps"), lambda s: s["tid"]).alias("token_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model statistics (unigram LM, BM25, BPE merge mining)
+
+def unigram_token_logprobs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-grain unigram log-probabilities: one exploded-token pass
+    plus a vocab-sized count table (always KB-MB — the BROADCAST side)
+    that flows back onto the token stream. Each log-probability is
+    rounded to ``decimal(18,9)`` at TOKEN grain, so any downstream sum
+    is exact and order-independent; callers must divide exactly once
+    (decimal -> double) and never re-round a computed double back to
+    decimal (shortest-repr vs exact-binary rounding diverges between
+    engines at the boundary).
+
+    Returns ``(id_col, tok, lp)``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))  # 1 row
+    lp = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.log(F.col("cnt") / F.col("total")).cast("decimal(18,9)").alias("lp"),
+        )
+    )
+    return toks.join(F.broadcast(lp), "tok").select(id_col, "tok", "lp")
+
+
+def unigram_logprob_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram language-model score: the mean log-probability
+    of the document's tokens under the corpus's own unigram distribution
+    — the classic cheap perplexity proxy for quality filtering (low
+    score = rare-token soup / noise; cf. the CCNet-style LM filters
+    used in public training-data pipelines). One shuffle keyed by the
+    document id over :func:`unigram_token_logprobs`.
+
+    Returns ``(id_col, n_tokens, avg_logprob)``.
+    """
+    return (
+        unigram_token_logprobs(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms
+    (Robertson-Sparck Jones idf, the standard Okapi formula) — the
+    lexical-retrieval baseline every RAG / decontamination pipeline
+    needs next to the ANN family (operators/similarity.py).
+
+    Scale shape: corpus statistics (N, avgdl, per-term df) reduce to a
+    handful of rows and broadcast back; the candidate set is only the
+    documents containing >= 1 query term (an early filter on the
+    exploded tokens, pushed before any join); the one real shuffle
+    groups (doc, term) term frequencies. Per-term score contributions
+    are ``decimal(18,9)``-rounded before the per-doc sum so the total
+    is order-independent. Ties break by ``id_col`` for a deterministic
+    result set.
+
+    Returns the top-k ``(id_col, score)`` by descending score.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),  # sum(long)/count: exact, order-free
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(query_terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                / (F.col("dft") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(18,9)"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("contrib").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", *, top_n: int = 20
+) -> DataFrame:
+    """First-iteration BPE merge mining: corpus-weighted adjacent
+    character-pair frequencies within whitespace-pretokenized words —
+    the statistic a byte-pair-encoding tokenizer trainer greedily
+    merges on (Sennrich et al. 2016).
+
+    Scale shape: the corpus collapses to a DISTINCT-WORD count table
+    first (vocab-sized, regardless of corpus bytes), and the character
+    pairs explode from that small relation — so a 100 TB corpus does
+    one token shuffle to build word counts and then KB-scale work,
+    instead of exploding character pairs from every occurrence. Pure
+    integer counts: hash-stable by construction.
+
+    Returns the top-``top_n`` ``(pair, freq)`` by descending frequency.
+    """
+    words = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(top_n)
+    )

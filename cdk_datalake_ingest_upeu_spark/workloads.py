@@ -5360,6 +5360,228 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def corpus_unigram_logprob(spark, sf_dir):
+    """Per-source unigram-LM quality score: mean token log-probability
+    under the corpus's own unigram distribution (operators/text.py
+    unigram_token_logprobs — the cheap perplexity proxy for quality
+    filtering). The vocab-sized logprob table rides the broadcast side;
+    logprobs are decimal(18,9)-rounded at TOKEN grain and summed
+    exactly, with a single decimal->double division at the end — no
+    double is ever re-rounded to decimal (shortest-repr vs exact-binary
+    rounding diverges between engines at the boundary)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        unigram_token_logprobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok_lp = unigram_token_logprobs(docs)
+    return (
+        tok_lp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+_UNIGRAM_LP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+), lp AS (
+  SELECT tok, CAST(ln(cnt / total) AS DECIMAL(18,9)) AS lp FROM counts, tot
+)
+SELECT d.source, count(DISTINCT t.doc_id) AS n_docs, count(*) AS n_tokens,
+       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+FROM toks t JOIN lp USING (tok) JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def text_bm25_topk(spark, sf_dir):
+    """Top-10 documents by BM25 for the query bag {spark, join, stream}
+    (operators/text.py bm25_topk). Corpus stats (N, avgdl, df) reduce
+    to broadcast scalars; candidates are filtered to term-matching docs
+    before any join; per-term contributions are decimal(18,9)-rounded
+    before the per-doc sum. Deterministic tiebreak on doc_id."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=10)
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'join', 'stream') GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS dft FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS DECIMAL(18,9)) AS contrib
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def bpe_merge_pairs(spark, sf_dir):
+    """Top-20 first-iteration BPE merge candidates: corpus-weighted
+    adjacent character-pair counts within words (operators/text.py
+    bpe_merge_candidates). The corpus collapses to a vocab-sized word
+    count table before pairs explode — pure integer counts."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=20)
+
+
+_BPE_MERGE_SQL = """
+WITH words AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+  ) GROUP BY word HAVING length(word) >= 2
+), pairs AS (
+  SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair, wc
+  FROM words
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 20
+"""
+
+
+def embedding_norm_outliers(spark, sf_dir):
+    """L2-norm outlier probe over the embedding table: the 5 largest-
+    and 5 smallest-norm vectors (degenerate or blown-up embeddings are
+    the first thing a similarity pipeline quarantines). The norm is a
+    sequential double fold over the array — deterministic on both
+    engines — rounded to 6 dp; ties break on vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    normed = emb.select(
+        "vec_id", "label", F.round(norm, 6).alias("norm")
+    )
+    top = normed.orderBy(F.col("norm").desc(), "vec_id").limit(5)
+    bottom = normed.orderBy(F.col("norm").asc(), "vec_id").limit(5)
+    return top.unionAll(bottom).orderBy(F.col("norm").desc(), "vec_id")
+
+
+_NORM_OUTLIERS_SQL = """
+WITH normed AS (
+  SELECT vec_id, label,
+         round(sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')), 6) AS norm
+  FROM embeddings
+)
+SELECT * FROM (
+  (SELECT * FROM normed ORDER BY norm DESC, vec_id LIMIT 5)
+  UNION ALL
+  (SELECT * FROM normed ORDER BY norm ASC, vec_id LIMIT 5)
+) ORDER BY norm DESC, vec_id
+"""
+
+
+def semantic_neardup_planted(spark, sf_dir):
+    """Semantic near-dup detection (SemDeDup recipe: k-means buckets +
+    within-cluster exact cosine, operators/dedup.py
+    semantic_neardup_pairs) over the embeddings table with 10 planted
+    perturbed copies — the positive path the driver can see (a random
+    corpus alone yields zero pairs, which proves nothing). Rows-only:
+    k-means assignment is not SQL-expressible; the planted copies
+    guarantee >= 10 found pairs, pinned exactly by the unit test."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        semantic_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic element-wise perturbation (~0.4% direction change):
+    # no randomness, survives resume/replay
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") * (F.lit(1.0) + F.lit(0.004) * ((i % 7) - 3))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    pairs = semantic_neardup_pairs(
+        emb.unionAll(copies), k=8, threshold=0.99, iters=3
+    )
+    return finalize(
+        pairs.filter(F.col("id_b") >= 1000000).orderBy("id_a", "id_b")
+    )
+
+
+def embedding_pca_variance(spark, sf_dir):
+    """Distributed PCA over the embedding table (operators/clustering.py
+    pca_fit: one mapInPandas moment-sketch pass + driver-side d x d
+    eigh), self-validated by a second distributed pass: each vector is
+    projected (pca_project) and the per-component sample variance of
+    the projections is recomputed — it must equal the eigenvalue.
+    Rows-only: eigendecomposition is not SQL-expressible; the
+    agreement columns make the row self-checking."""
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    comps, evals, evr, mean = pca_fit(emb, k=k)
+    proj = pca_project(emb, comps, mean)
+    pvar = proj.agg(
+        *[
+            F.var_samp(F.col("pca")[j]).alias(f"v{j}")
+            for j in range(k)
+        ]
+    ).collect()[0]
+    rows = []
+    cum = 0.0
+    for j in range(k):
+        cum += float(evr[j])
+        rows.append(
+            (
+                j,
+                round(float(evals[j]), 6),
+                round(float(evr[j]), 6),
+                round(cum, 6),
+                round(float(pvar[f"v{j}"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_variance_ratio double, "
+        "cum_evr double, projected_variance double",
+    )
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -5368,8 +5590,10 @@ FROM stats GROUP BY label ORDER BY label
 # 50 entries.  Round-4 window = the 17 round-3 queries that have never had a
 # driver row + the 11 r3 hash-reds fixed this round + sink_json_gz_roundtrip
 # (fixed r3, rotated out before verification) + embedding_neardup (planted
-# pairs + new oracle) + the 20 oldest r1-checked TPC-H queries as padding.
-# The r3-green LLM block rotates behind the window.
+# pairs + new oracle) + the round-4-new queries (including the six added
+# late in the round: unigram LM, BM25, BPE merges, norm outliers, semantic
+# dedup, PCA — in place of the TPC-H padding, which is r1-green and rotates
+# behind).  The r3-green LLM block stays behind the window.
 QUERIES = {
     # --- round-4 window: 17 never-checked round-3 queries ---
     "events_session_window": events_session_window,
@@ -5419,14 +5643,20 @@ QUERIES = {
     "stage_catalog_sql_read": stage_catalog_sql_read,
     "streaming_anomaly_zscore": streaming_anomaly_zscore,
     "load_mode_lifecycle": load_mode_lifecycle,
-    # --- padding: oldest r1-checked TPC-H block ---
+    # --- round-4 late additions (LM stats / retrieval / PCA family) ---
+    "corpus_unigram_logprob": corpus_unigram_logprob,
+    "text_bm25_topk": text_bm25_topk,
+    "bpe_merge_pairs": bpe_merge_pairs,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "semantic_neardup_planted": semantic_neardup_planted,
+    "embedding_pca_variance": embedding_pca_variance,
+    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q10_returned_items": q10_returned_items,
-    # --- behind the window: r3-green rows and r1/r2-green residue ---
     "q4_late_shipment_priority": q4_late_shipment_priority,
     "q13_customer_order_histogram": q13_customer_order_histogram,
     "q15_top_suppliers": q15_top_suppliers,
@@ -5631,6 +5861,12 @@ ORACLES = {
     "set_ops_customer_activity": _SET_OPS_SQL,
     "streaming_change_feed_ingest": _STREAM_CHANGE_FEED_SQL,
     "multimodal_audio_energy": _AUDIO_SQL,
+    "corpus_unigram_logprob": _UNIGRAM_LP_SQL,
+    "text_bm25_topk": _BM25_SQL,
+    "bpe_merge_pairs": _BPE_MERGE_SQL,
+    "embedding_norm_outliers": _NORM_OUTLIERS_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
-    # dedup_minhash_pairs, dedup_simhash_pairs, embedding_neardup, ann_topk_lsh
+    # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
+    # semantic_neardup_planted (k-means buckets), embedding_pca_variance
+    # (eigendecomposition; self-validating projected-variance columns)
 }

@@ -1349,3 +1349,134 @@ def test_cap_per_group_deterministic_and_capped(spark):
 
     with _pytest.raises(ValueError, match="cap must be"):
         cap_per_group(df, "g", "id", cap=0)
+
+
+def test_pca_recovers_planted_low_rank(spark):
+    """Rank-2 planted data (plus tiny isotropic noise): the top-2
+    eigenvalues dominate, explained-variance ratios sum near 1, the
+    projected-variance agrees with the eigenvalues, and the fit is
+    deterministic across refits."""
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = _np.random.default_rng(11)
+    d = 16
+    a, b = _np.zeros(d), _np.zeros(d)
+    a[0] = 3.0
+    b[1] = 1.5
+    rows = []
+    for i in range(600):
+        v = rng.normal() * a + rng.normal() * b + rng.normal(0, 0.01, d)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comps, evals, evr, mean = pca_fit(df, k=4)
+    assert evr[0] > evr[1] > evr[2]
+    assert float(evr[0] + evr[1]) > 0.99
+    # axis recovery: top component aligned with the planted direction
+    assert abs(comps[0][0]) > 0.99
+    assert abs(comps[1][1]) > 0.99
+    # projection variance equals the eigenvalue (same data, same moments)
+    from pyspark.sql import functions as F
+
+    proj = pca_project(df, comps, mean)
+    pv = proj.agg(
+        F.var_samp(F.col("pca")[0]).alias("v0"),
+        F.var_samp(F.col("pca")[1]).alias("v1"),
+    ).collect()[0]
+    assert abs(pv["v0"] - float(evals[0])) / float(evals[0]) < 1e-6
+    assert abs(pv["v1"] - float(evals[1])) / float(evals[1]) < 1e-6
+    comps2, evals2, _, _ = pca_fit(df, k=4)
+    assert _np.allclose(comps, comps2) and _np.allclose(evals, evals2)
+
+
+def test_semantic_neardup_finds_planted_copies(spark):
+    """Planted near-copies (tiny deterministic perturbation) are found
+    with exactly their planted partner; far-apart random vectors are
+    not paired at threshold 0.99."""
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        semantic_neardup_pairs,
+    )
+
+    rng = _np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        v = rng.normal(0, 1, 16)
+        rows.append((i, [float(x) for x in v]))
+        if i < 6:  # plant a barely-perturbed copy
+            w = v * (1.0 + 0.001 * ((_np.arange(16) % 5) - 2))
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_neardup_pairs(df, k=4, threshold=0.99, iters=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, 1000 + i) for i in range(6)}
+    assert planted <= got
+    # nothing else at 0.99 on 16-dim standard normals (cos ~ N(0, 1/16))
+    assert got == planted
+
+
+def test_unigram_logprob_exact_small_corpus(spark):
+    """Hand-checked 3-doc corpus: logprobs are ln(count/total) rounded
+    to 9 dp at token grain; per-doc mean is the exact decimal sum over
+    a single division."""
+    import math
+
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        unigram_logprob_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    # counts: a=3, b=3, c=1, total=7
+    got = {r.doc_id: r for r in unigram_logprob_features(df).collect()}
+    lp = {t: round(math.log(c / 7), 9) for t, c in {"a": 3, "b": 3, "c": 1}.items()}
+    assert got[1].n_tokens == 3
+    assert abs(got[1].avg_logprob - (2 * lp["a"] + lp["b"]) / 3) < 1e-12
+    assert abs(got[3].avg_logprob - (lp["b"] + lp["c"]) / 2) < 1e-12
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """A doc saturated with the query term outranks a diluted one; docs
+    without any query term never appear; k respected."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark row row row row row row row"),
+            (3, "row scan table"),
+            (4, "join join spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(df, ["spark", "join"], k=3).collect()
+    assert [r.doc_id for r in got][0] in (1, 4)  # term-dense docs lead
+    assert {r.doc_id for r in got} <= {1, 2, 4}
+    assert len(got) == 3
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bpe_merge_candidates_weighted_counts(spark):
+    """Pair counts are word-frequency weighted: 'aa' appearing in a
+    word used 3x counts 3; single-char words are excluded."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aab aab aab x"), (2, "ab x y")],
+        "doc_id long, text string",
+    )
+    got = {r.pair: r.freq for r in bpe_merge_candidates(df).collect()}
+    # 'aab' x3 contributes aa:3, ab:3; 'ab' x1 contributes ab:1
+    assert got["aa"] == 3
+    assert got["ab"] == 4
+    assert "x" not in got and "y" not in got
