@@ -568,13 +568,20 @@ def bm25_topk(
 
     Returns the top-k ``(id_col, score)`` by descending score.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # document length is a map-side array size — exploding and
+    # re-grouping the full token stream would shuffle the corpus on
+    # doc id for a number the scan already knows (caught by plan audit:
+    # this was the only corpus-sized exchange in the query)
+    dl = df.select(
+        F.col(id_col),
+        F.size(ws_tokens(F.lower(F.col(text_col)))).alias("dl"),
+    ).filter(F.col("dl") > 0)
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),  # sum(long)/count: exact, order-free
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
     )
     tf = (
         toks.filter(F.col("tok").isin(list(query_terms)))

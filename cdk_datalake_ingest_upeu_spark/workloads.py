@@ -5375,14 +5375,23 @@ def corpus_unigram_logprob(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     tok_lp = unigram_token_logprobs(docs)
+    # n_docs from the doc-grain scan, not countDistinct over the token
+    # stream: the distinct expand would shuffle the exploded corpus
+    # TWICE on (source, doc_id) then (source) — plan-audit finding
+    n_docs = (
+        docs.filter(F.trim("text") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     return (
         tok_lp.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_tokens"),
             (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
         )
+        .join(n_docs, "source")
+        .select("source", "n_docs", "n_tokens", "avg_logprob")
         .orderBy("source")
     )
 
@@ -5397,11 +5406,17 @@ WITH toks AS (
   SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
 ), lp AS (
   SELECT tok, CAST(ln(cnt / total) AS DECIMAL(18,9)) AS lp FROM counts, tot
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents WHERE trim(text) <> ''
+  GROUP BY source
+), agg AS (
+  SELECT d.source, count(*) AS n_tokens,
+         CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+  FROM toks t JOIN lp USING (tok) JOIN documents d USING (doc_id)
+  GROUP BY d.source
 )
-SELECT d.source, count(DISTINCT t.doc_id) AS n_docs, count(*) AS n_tokens,
-       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
-FROM toks t JOIN lp USING (tok) JOIN documents d USING (doc_id)
-GROUP BY d.source ORDER BY d.source
+SELECT source, n_docs, n_tokens, avg_logprob
+FROM agg JOIN nd USING (source) ORDER BY source
 """
 
 
@@ -5422,7 +5437,8 @@ WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''
 ), dl AS (
-  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+  FROM documents WHERE trim(text) <> ''
 ), corpus AS (
   SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
 ), tf AS (
