@@ -5360,6 +5360,118 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def copurchase_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order (the classic item-item signal behind co-view / co-cite /
+    co-purchase recommenders). The self-join keys ONLY on the order id,
+    so pair fan-out per order is C(basket, 2) — bounded by basket size,
+    not corpus size; a production run caps pathological baskets first
+    (operators/sampling.cap_per_group on the order key) exactly like
+    the n-gram inverted index caps df. Pure integer counts;
+    deterministic tiebreak (count desc, part_a, part_b)."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+_COPURCHASE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+
+def events_transition_bigrams(spark, sf_dir):
+    """Per-user event-type transition counts (the Markov bigram table
+    behind next-action modeling / funnel discovery): lead() over each
+    user's time-ordered stream, then one integer groupBy. ONE exchange
+    on user_id feeds both the window and (via partial aggregation) the
+    count; event_id breaks timestamp ties so the sequence — and the
+    result — is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n_transitions DESC, from_type, to_type
+"""
+
+
+def events_value_histogram(spark, sf_dir):
+    """Fixed-bin histogram of the event value distribution (the
+    data-profiling primitive behind drift monitors and equi-width
+    sketches): bin = clamp(floor(value/50), 0..9). The bin expression
+    is scan-side codegen; the only shuffle carries (bin, partial count)
+    pairs — 10 rows per partition regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return (
+        ev.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("lo", (F.col("bin") * 50).cast("int"))
+        .withColumn(
+            "hi",
+            F.when(F.col("bin") == 9, F.lit(None).cast("int")).otherwise(
+                (F.col("bin") * 50 + 50).cast("int")
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+_VALUE_HISTOGRAM_SQL = """
+SELECT bin, count(*) AS n_events,
+       CAST(bin * 50 AS INT) AS lo,
+       CAST(CASE WHEN bin = 9 THEN NULL ELSE bin * 50 + 50 END AS INT) AS hi
+FROM (
+  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin
+  FROM events
+)
+GROUP BY bin ORDER BY bin
+"""
+
+
 def corpus_unigram_logprob(spark, sf_dir):
     """Per-source unigram-LM quality score: mean token log-probability
     under the corpus's own unigram distribution (operators/text.py
@@ -5666,7 +5778,11 @@ QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "semantic_neardup_planted": semantic_neardup_planted,
     "embedding_pca_variance": embedding_pca_variance,
-    # --- behind the window: r3-green rows and r1/r2-green residue ---
+    # --- behind the window: round-4 late extras (r5 window candidates,
+    # locally comparator-checked this round) then r1-r3-green residue ---
+    "copurchase_part_pairs": copurchase_part_pairs,
+    "events_transition_bigrams": events_transition_bigrams,
+    "events_value_histogram": events_value_histogram,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -5881,6 +5997,9 @@ ORACLES = {
     "text_bm25_topk": _BM25_SQL,
     "bpe_merge_pairs": _BPE_MERGE_SQL,
     "embedding_norm_outliers": _NORM_OUTLIERS_SQL,
+    "copurchase_part_pairs": _COPURCHASE_SQL,
+    "events_transition_bigrams": _TRANSITION_SQL,
+    "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
     # semantic_neardup_planted (k-means buckets), embedding_pca_variance
