@@ -5407,10 +5407,12 @@ ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 def events_transition_bigrams(spark, sf_dir):
     """Per-user event-type transition counts (the Markov bigram table
     behind next-action modeling / funnel discovery): lead() over each
-    user's time-ordered stream, then one integer groupBy. ONE exchange
-    on user_id feeds both the window and (via partial aggregation) the
-    count; event_id breaks timestamp ties so the sequence — and the
-    result — is deterministic."""
+    user's time-ordered stream, then one integer groupBy. The corpus
+    crosses one exchange (user_id, for the window); the count's
+    exchange carries only map-side-combined (from, to, n) partials —
+    K^2 rows per partition for K event types. event_id breaks
+    timestamp ties so the sequence — and the result — is
+    deterministic."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (

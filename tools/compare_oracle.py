@@ -71,8 +71,13 @@ def frame_to_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    report_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--report="):
+            report_path = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     unknown = only - set(QUERIES)
     if unknown:
         print(f"no such query: {sorted(unknown)}; known: {sorted(QUERIES)}")
@@ -86,6 +91,7 @@ def main():
         )
 
     failures = []
+    report = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -95,10 +101,12 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            report[name] = {"status": "spark_error", "err": str(exc)[:300]}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         sql = ORACLES.get(name)
         if sql is None:
+            report[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
             print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
@@ -108,6 +116,7 @@ def main():
             o_rows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            report[name] = {"status": "duckdb_error", "err": str(exc)[:300]}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -118,6 +127,7 @@ def main():
         huge = [c for c, t in zip(o_cols, o_types) if "HUGEINT" in t.upper()]
         if huge:
             failures.append(name)
+            report[name] = {"status": "hugeint", "cols": huge}
             print(
                 f"FAIL  {name}: oracle column(s) {huge} typed HUGEINT — "
                 "wrap in CAST(... AS BIGINT) (sum() over integers "
@@ -129,21 +139,42 @@ def main():
         oc, orows = frame_to_rows(o_cols, o_rows)
         if sc != oc:
             failures.append(name)
+            report[name] = {"status": "schema_mismatch", "spark": sc, "oracle": oc}
             print(f"FAIL  {name}: columns differ spark={sc} oracle={oc}")
             continue
         if len(sr) != len(orows):
             failures.append(name)
+            report[name] = {"status": "rowcount_mismatch", "spark_rows": len(sr), "oracle_rows": len(orows)}
             print(f"FAIL  {name}: rowcount spark={len(sr)} oracle={len(orows)}")
             continue
         bad = [(a, b) for a, b in zip(sr, orows) if a != b]
         if bad:
             failures.append(name)
+            report[name] = {"status": "value_mismatch", "n_bad": len(bad), "n_rows": len(sr)}
             print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ; first: ")
             print("  spark :", bad[0][0])
             print("  oracle:", bad[0][1])
             continue
+        report[name] = {"status": "match", "rows": len(sr)}
         print(f"ok    {name}: {len(sr)} rows match")
 
+    if report_path:
+        import json
+
+        with open(report_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(report),
+                    "n_match": sum(1 for v in report.values() if v["status"] == "match"),
+                    "n_rows_only": sum(1 for v in report.values() if v["status"] == "rows_only"),
+                    "n_fail": len(failures),
+                    "queries": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
