@@ -93,3 +93,9 @@ from cdk_datalake_ingest_upeu_spark.operators.clustering import (  # noqa: F401
 from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     semantic_neardup_pairs,
 )
+from cdk_datalake_ingest_upeu_spark.operators.expectations import (  # noqa: F401
+    Expectation,
+    ExpectationFailure,
+    check_expectations,
+    expectations_report,
+)

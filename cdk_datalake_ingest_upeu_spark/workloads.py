@@ -5360,6 +5360,72 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def expectations_report_events(spark, sf_dir):
+    """Declarative table-grain data-quality contract over the landed
+    events table (operators/expectations.py — the dbt-tests slot next
+    to the reference's transform-grain severity gate): six rules, ONE
+    aggregation pass, one report row per rule. The value-ceiling rule
+    is warn-severity and deliberately tight so the report exercises
+    its failure path (passed=false) without aborting."""
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+        expectations_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        Expectation("event_id_not_null", "event_id", "not_null"),
+        Expectation("event_id_unique", "event_id", "unique"),
+        Expectation(
+            "event_type_accepted",
+            "event_type",
+            "accepted_values",
+            {"values": ["click", "view", "purchase", "signup", "error"]},
+        ),
+        Expectation("props_json_shape", "props", "matches_regex", {"pattern": r"^\{"}),
+        Expectation("user_id_not_null", "user_id", "not_null"),
+        Expectation(
+            "value_under_250", "value", "between", {"lo": 0.0, "hi": 250.0},
+            severity="warn",
+        ),
+    ]
+    return expectations_report(ev, rules)
+
+
+_EXPECTATIONS_SQL = """
+WITH r AS (
+  SELECT 'event_id_not_null' AS rule, 'event_id' AS "column", 'not_null' AS kind,
+         'error' AS severity,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM events
+  UNION ALL
+  SELECT 'event_id_unique', 'event_id', 'unique', 'error',
+         count(event_id) - count(DISTINCT event_id) FROM events
+  UNION ALL
+  SELECT 'event_type_accepted', 'event_type', 'accepted_values', 'error',
+         CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                        AND event_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'props_json_shape', 'props', 'matches_regex', 'error',
+         CAST(sum(CASE WHEN NOT regexp_matches(props, '^\\{') AND props IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'user_id_not_null', 'user_id', 'not_null', 'error',
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value_under_250', 'value', 'between', 'warn',
+         CAST(sum(CASE WHEN (value < 0.0 OR value > 250.0) AND value IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT rule, "column", kind, severity, n_violations, n_violations = 0 AS passed
+FROM r ORDER BY rule
+"""
+
+
 def copurchase_part_pairs(spark, sf_dir):
     """Market-basket co-occurrence: top-20 part pairs appearing in the
     same order (the classic item-item signal behind co-view / co-cite /
@@ -5785,6 +5851,7 @@ QUERIES = {
     "copurchase_part_pairs": copurchase_part_pairs,
     "events_transition_bigrams": events_transition_bigrams,
     "events_value_histogram": events_value_histogram,
+    "expectations_report_events": expectations_report_events,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6002,6 +6069,7 @@ ORACLES = {
     "copurchase_part_pairs": _COPURCHASE_SQL,
     "events_transition_bigrams": _TRANSITION_SQL,
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
+    "expectations_report_events": _EXPECTATIONS_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
     # semantic_neardup_planted (k-means buckets), embedding_pca_variance

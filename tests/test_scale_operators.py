@@ -1480,3 +1480,61 @@ def test_bpe_merge_candidates_weighted_counts(spark):
     assert got["aa"] == 3
     assert got["ab"] == 4
     assert "x" not in got and "y" not in got
+
+
+def test_expectations_single_pass_and_severity(spark):
+    """All rule kinds evaluated correctly in one pass; check_expectations
+    raises on error-severity violations, tolerates warn-severity, and
+    rejects malformed rule sets."""
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+        ExpectationFailure,
+        check_expectations,
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 10.0, "{}"),
+            (2, "view", 600.0, "{}"),     # between violation
+            (2, "zap", None, "x"),        # dup id, bad type, bad regex
+            (None, "click", 5.0, None),   # null id; NULL type/props don't violate
+        ],
+        "id long, typ string, value double, props string",
+    )
+    rules = [
+        Expectation("id_not_null", "id", "not_null"),
+        Expectation("id_unique", "id", "unique"),
+        Expectation("typ_ok", "typ", "accepted_values", {"values": ["click", "view"]}),
+        Expectation("value_range", "value", "between", {"lo": 0.0, "hi": 500.0}, severity="warn"),
+        Expectation("props_shape", "props", "matches_regex", {"pattern": r"^\{"}),
+    ]
+    got = {r.rule: (r.n_violations, r.passed) for r in expectations_report(df, rules).collect()}
+    assert got == {
+        "id_not_null": (1, False),
+        "id_unique": (1, False),     # 3 non-null ids, 2 distinct
+        "typ_ok": (1, False),
+        "value_range": (1, False),
+        "props_shape": (1, False),
+    }
+    with _pytest.raises(ExpectationFailure) as ei:
+        check_expectations(df, rules)
+    failed = dict(ei.value.failures)
+    assert "value_range" not in failed  # warn severity never aborts
+    assert set(failed) == {"id_not_null", "id_unique", "typ_ok", "props_shape"}
+
+    # clean table + warn-only violation -> returns the report
+    ok = check_expectations(
+        df.filter("id = 1"),
+        [Expectation("v", "value", "between", {"lo": 0.0, "hi": 5.0}, severity="warn")],
+    ).collect()
+    assert len(ok) == 1 and ok[0].n_violations == 1 and not ok[0].passed
+
+    with _pytest.raises(ValueError):
+        expectations_report(df, [])
+    with _pytest.raises(ValueError):
+        expectations_report(df, [rules[0], rules[0]])
+    with _pytest.raises(ValueError):
+        expectations_report(df, [Expectation("x", "id", "nope")])
