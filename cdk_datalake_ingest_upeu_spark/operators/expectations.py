@@ -52,8 +52,11 @@ class Expectation:
     """One declarative rule.
 
     kind: not_null | unique | accepted_values | between | matches_regex
+    | foreign_key
     params: accepted_values -> {"values": [...]}; between -> {"lo": x,
-    "hi": y} (inclusive); matches_regex -> {"pattern": "..."}.
+    "hi": y} (inclusive); matches_regex -> {"pattern": "..."};
+    foreign_key -> {"ref": DataFrame, "ref_col": str} (NULLs are not
+    violations — pair with not_null to ban them).
     severity: "error" aborts in check_expectations; "warn" only reports.
     """
 
@@ -80,8 +83,24 @@ def _violation_expr(rule: Expectation) -> Column:
     raise ValueError(f"unknown expectation kind: {rule.kind!r}")
 
 
+def _rule_struct(r: Expectation, count_col: Column) -> Column:
+    return F.struct(
+        F.lit(r.name).alias("rule"),
+        F.lit(r.column).alias("column"),
+        F.lit(r.kind).alias("kind"),
+        F.lit(r.severity).alias("severity"),
+        F.coalesce(count_col, F.lit(0)).alias("n_violations"),
+    )
+
+
 def expectations_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
-    """Evaluate every rule in ONE aggregation pass.
+    """Evaluate every rule over ONE aggregation pass per relation.
+
+    Single-table rules (not_null / unique / accepted_values / between /
+    matches_regex) share one scan. Each ``foreign_key`` rule is a
+    LEFT ANTI join against its reference relation — at warehouse scale
+    the dimension is the broadcast side, so the fact still crosses no
+    exchange; its violation count unions into the same report.
 
     Returns one row per rule: (rule, column, kind, severity,
     n_violations, passed), ordered by rule name.
@@ -94,36 +113,42 @@ def expectations_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             raise ValueError(f"duplicate expectation name: {r.name!r}")
         seen.add(r.name)
 
-    aggs = []
-    for r in rules:
-        if r.kind == "unique":
-            aggs.append(
-                (F.count(r.column) - F.countDistinct(r.column)).alias(r.name)
-            )
-        else:
-            aggs.append(
-                F.sum(_violation_expr(r).cast("long")).alias(r.name)
-            )
-    counts = df.agg(*aggs)
+    scan_rules = [r for r in rules if r.kind != "foreign_key"]
+    fk_rules = [r for r in rules if r.kind == "foreign_key"]
 
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(r.name).alias("rule"),
-                F.lit(r.column).alias("column"),
-                F.lit(r.kind).alias("kind"),
-                F.lit(r.severity).alias("severity"),
-                F.coalesce(F.col(r.name), F.lit(0)).alias("n_violations"),
+    parts = []
+    if scan_rules:
+        aggs = []
+        for r in scan_rules:
+            if r.kind == "unique":
+                aggs.append(
+                    (F.count(r.column) - F.countDistinct(r.column)).alias(r.name)
+                )
+            else:
+                aggs.append(F.sum(_violation_expr(r).cast("long")).alias(r.name))
+        counts = df.agg(*aggs)
+        rows = F.array(*[_rule_struct(r, F.col(r.name)) for r in scan_rules])
+        parts.append(counts.select(F.explode(rows).alias("r")).select("r.*"))
+
+    for r in fk_rules:
+        ref = r.params["ref"]
+        ref_col = r.params.get("ref_col", r.column)
+        orphans = (
+            df.select(F.col(r.column).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .join(
+                ref.select(F.col(ref_col).alias("__k")).distinct(),
+                "__k",
+                "left_anti",
             )
-            for r in rules
-        ]
-    )
-    return (
-        counts.select(F.explode(rows).alias("r"))
-        .select("r.*")
-        .withColumn("passed", F.col("n_violations") == 0)
-        .orderBy("rule")
-    )
+            .agg(F.count(F.lit(1)).alias(r.name))
+        )
+        parts.append(orphans.select(_rule_struct(r, F.col(r.name)).alias("r")).select("r.*"))
+
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionAll(p)
+    return report.withColumn("passed", F.col("n_violations") == 0).orderBy("rule")
 
 
 def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:

@@ -5360,20 +5360,106 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def streaming_quarantine_ingest(spark, sf_dir):
+    """Dead-letter-queue streaming ingestion
+    (streaming/incremental.stream_quarantine_ingest): events stream in;
+    rows violating any per-row expectation (value ceiling, event-type
+    allowlist) are routed to a quarantine sink tagged with the failed
+    rule names, clean rows to the good sink — the keep-flowing
+    alternative to the reference's abort-on-threshold severity gate.
+    The result is the per-(sink, failed_rules) census of both sinks'
+    files on disk; the oracle recomputes it from the raw table."""
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+    )
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_quarantine_ingest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("quarantine")
+    src_dir = os.path.join(work, "in")
+    ev.write.mode("overwrite").parquet(src_dir)
+    good_dir = os.path.join(work, "good")
+    quar_dir = os.path.join(work, "bad")
+    rules = [
+        Expectation(
+            "type_allowed",
+            "event_type",
+            "accepted_values",
+            {"values": ["click", "view", "purchase", "signup"]},
+        ),
+        Expectation("value_under_250", "value", "between", {"lo": 0.0, "hi": 250.0}),
+    ]
+    q = stream_quarantine_ingest(
+        spark,
+        src_dir,
+        ev.schema,
+        rules,
+        good_dir=good_dir,
+        quarantine_dir=quar_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"quarantine_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    good = spark.read.parquet(good_dir).select(
+        F.lit("good").alias("sink"), F.lit("").alias("failed_rules")
+    )
+    bad = spark.read.parquet(quar_dir).select(
+        F.lit("quarantine").alias("sink"), "failed_rules"
+    )
+    return (
+        good.unionByName(bad)
+        .groupBy("sink", "failed_rules")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("sink", "failed_rules")
+    )
+
+
+_QUARANTINE_SQL = """
+WITH tagged AS (
+  SELECT CASE
+           WHEN event_type NOT IN ('click','view','purchase','signup')
+                AND event_type IS NOT NULL
+           THEN 'type_allowed' ELSE NULL END AS f1,
+         CASE
+           WHEN (value < 0.0 OR value > 250.0) AND value IS NOT NULL
+           THEN 'value_under_250' ELSE NULL END AS f2
+  FROM events
+), named AS (
+  SELECT CASE WHEN f1 IS NULL AND f2 IS NULL THEN 'good' ELSE 'quarantine' END AS sink,
+         concat_ws(',', f1, f2) AS failed_rules
+  FROM tagged
+)
+SELECT sink, failed_rules, count(*) AS n_rows
+FROM named GROUP BY sink, failed_rules ORDER BY sink, failed_rules
+"""
+
+
 def expectations_report_events(spark, sf_dir):
     """Declarative table-grain data-quality contract over the landed
     events table (operators/expectations.py — the dbt-tests slot next
     to the reference's transform-grain severity gate): six rules, ONE
-    aggregation pass, one report row per rule. The value-ceiling rule
-    is warn-severity and deliberately tight so the report exercises
-    its failure path (passed=false) without aborting."""
+    aggregation pass plus one broadcast anti-join for the
+    referential-integrity rule, one report row per rule. The
+    value-ceiling rule is warn-severity and deliberately tight so the
+    report exercises its failure path (passed=false) without
+    aborting."""
     from cdk_datalake_ingest_upeu_spark.operators.expectations import (
         Expectation,
         expectations_report,
     )
 
     ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
     rules = [
+        Expectation(
+            "user_id_fk_customer",
+            "user_id",
+            "foreign_key",
+            {"ref": cust, "ref_col": "c_custkey"},
+        ),
         Expectation("event_id_not_null", "event_id", "not_null"),
         Expectation("event_id_unique", "event_id", "unique"),
         Expectation(
@@ -5418,6 +5504,12 @@ WITH r AS (
   UNION ALL
   SELECT 'value_under_250', 'value', 'between', 'warn',
          CAST(sum(CASE WHEN (value < 0.0 OR value > 250.0) AND value IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'user_id_fk_customer', 'user_id', 'foreign_key', 'error',
+         CAST(sum(CASE WHEN user_id IS NOT NULL
+                        AND user_id NOT IN (SELECT c_custkey FROM customer)
                        THEN 1 ELSE 0 END) AS BIGINT)
   FROM events
 )
@@ -5852,6 +5944,7 @@ QUERIES = {
     "events_transition_bigrams": events_transition_bigrams,
     "events_value_histogram": events_value_histogram,
     "expectations_report_events": expectations_report_events,
+    "streaming_quarantine_ingest": streaming_quarantine_ingest,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6070,6 +6163,7 @@ ORACLES = {
     "events_transition_bigrams": _TRANSITION_SQL,
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     "expectations_report_events": _EXPECTATIONS_SQL,
+    "streaming_quarantine_ingest": _QUARANTINE_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
     # semantic_neardup_planted (k-means buckets), embedding_pca_variance

@@ -1538,3 +1538,90 @@ def test_expectations_single_pass_and_severity(spark):
         expectations_report(df, [rules[0], rules[0]])
     with _pytest.raises(ValueError):
         expectations_report(df, [Expectation("x", "id", "nope")])
+
+
+def test_expectations_foreign_key_orphans(spark):
+    """FK rule counts orphan keys via anti-join; NULLs are not
+    violations; a clean FK passes."""
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+        expectations_report,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 99), (4, 99), (5, None)],
+        "id long, dim_id long",
+    )
+    dim = spark.createDataFrame([(10,), (11,), (12,)], "k long")
+    got = {
+        r.rule: (r.n_violations, r.passed)
+        for r in expectations_report(
+            fact,
+            [
+                Expectation("fk", "dim_id", "foreign_key", {"ref": dim, "ref_col": "k"}),
+                Expectation("dim_not_null", "dim_id", "not_null", severity="warn"),
+            ],
+        ).collect()
+    }
+    assert got == {"fk": (2, False), "dim_not_null": (1, False)}
+    clean = expectations_report(
+        fact.filter("dim_id < 50"),
+        [Expectation("fk", "dim_id", "foreign_key", {"ref": dim, "ref_col": "k"})],
+    ).collect()
+    assert clean[0].n_violations == 0 and clean[0].passed
+
+
+def test_stream_quarantine_routing(spark, tmp_path):
+    """Rows violating any per-row rule land in quarantine tagged with
+    the failed rule names (in rule order); clean rows in good; nothing
+    lost; table-grain rules are rejected up front."""
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+    )
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_quarantine_ingest,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 10.0),
+            (2, "bad", 10.0),      # rule 1
+            (3, "ok", 999.0),      # rule 2
+            (4, "bad", 999.0),     # both
+            (5, None, None),       # NULLs violate nothing here
+        ],
+        "id long, typ string, value double",
+    )
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    rules = [
+        Expectation("typ_ok", "typ", "accepted_values", {"values": ["ok"]}),
+        Expectation("val_ok", "value", "between", {"lo": 0.0, "hi": 100.0}),
+    ]
+    q = stream_quarantine_ingest(
+        spark, src, df.schema, rules,
+        good_dir=str(tmp_path / "good"),
+        quarantine_dir=str(tmp_path / "bad"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="quarantine_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    good = {r.id for r in spark.read.parquet(str(tmp_path / "good")).collect()}
+    bad = {
+        r.id: r.failed_rules
+        for r in spark.read.parquet(str(tmp_path / "bad")).collect()
+    }
+    assert good == {1, 5}
+    assert bad == {2: "typ_ok", 3: "val_ok", 4: "typ_ok,val_ok"}
+
+    with _pytest.raises(ValueError):
+        stream_quarantine_ingest(
+            spark, src, df.schema,
+            [Expectation("u", "id", "unique")],
+            good_dir=str(tmp_path / "g2"),
+            quarantine_dir=str(tmp_path / "b2"),
+            checkpoint_dir=str(tmp_path / "c2"),
+        )
