@@ -79,3 +79,50 @@ def test_plan_shape(spark, name, max_shuffles, arrow_ok):
         f"{max_shuffles} — a new exchange crept in; justify it (raise "
         "the budget with an explanation) or remove it\n" + plan[:2000]
     )
+
+
+@pytest.mark.parametrize(
+    "name,table,expect_cols,expect_pushed",
+    [
+        # q6: 4 columns of 16, range filters pushed to the parquet reader
+        ("q6_forecast_revenue", "lineitem",
+         ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+         ["GreaterThan", "LessThan"]),
+        # rollup: 3 columns of 6, nothing else read
+        ("events_hourly_rollup", "events", ["ts", "event_type", "value"], []),
+        # features: 2 columns of 5 — a scan reading `lang`/`source`/
+        # `n_chars` for a text-feature projection would be wrong
+        ("text_features", "documents", ["doc_id", "text"], []),
+    ],
+)
+def test_scan_pruning_and_pushdown(spark, name, table, expect_cols, expect_pushed):
+    """Column pruning and predicate pushdown must reach the parquet
+    scan: the FileScan must read EXACTLY the needed columns, and
+    pushable range predicates must appear in PushedFilters. A scan
+    reading all columns for a narrow projection multiplies scan bytes
+    at 100 TB by the table's width."""
+    df = QUERIES[name](spark, SF)
+    # formatted mode prints full (untruncated) Output/PushedFilters blocks
+    jvm = spark.sparkContext._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    blocks = re.split(r"\n\n", plan)
+    scan_block = None
+    for b in blocks:
+        if "Scan parquet" in b and f"{table}.parquet" in b:
+            scan_block = b
+            break
+    assert scan_block is not None, f"{name}: no parquet scan of {table} found"
+    out = re.search(r"Output \[\d+\]: \[([^\]]*)\]", scan_block).group(1)
+    got_cols = sorted(c.strip().split("#")[0] for c in out.split(",") if c.strip())
+    assert got_cols == sorted(expect_cols), (
+        f"{name}: scan reads {got_cols}, expected exactly {sorted(expect_cols)}"
+    )
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan_block)
+    pushed_txt = pushed.group(1) if pushed else ""
+    for marker in expect_pushed:
+        assert marker in pushed_txt, (
+            f"{name}: expected a {marker} filter pushed to the scan; "
+            f"PushedFilters=[{pushed_txt[:200]}]"
+        )
