@@ -86,6 +86,10 @@ from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
     unigram_logprob_features,
     unigram_token_logprobs,
 )
+from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
+    bpe_encode,
+    train_bpe,
+)
 from cdk_datalake_ingest_upeu_spark.operators.clustering import (  # noqa: F401
     pca_fit,
     pca_project,

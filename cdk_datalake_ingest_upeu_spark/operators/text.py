@@ -1,10 +1,13 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All operators are pure ``pyspark.sql.functions`` column expressions —
-no Python UDFs — so they run inside whole-stage codegen and scale
-linearly with input splits (a 100 TB ``documents`` table is one
-embarrassingly-parallel scan; no shuffle is introduced by any function
-here).
+The feature/fingerprint/shingle operators are pure
+``pyspark.sql.functions`` column expressions — no Python UDFs — so
+they run inside whole-stage codegen and scale linearly with input
+splits (a 100 TB ``documents`` table is one embarrassingly-parallel
+scan; no shuffle is introduced by those functions). The sole Python
+boundary in this module is :func:`bpe_encode`'s Arrow-batched
+segmenter, which runs over the DISTINCT-WORD relation (vocab-sized),
+never the corpus.
 
 Beyond-reference surface mandated by the build brief: language ID
 (stopword-overlap heuristic), quality scoring (length / punctuation /
@@ -14,6 +17,7 @@ and document fingerprinting (normalized-text digest).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -656,4 +660,117 @@ def bpe_merge_candidates(
         .agg(F.sum("wc").alias("freq"))
         .orderBy(F.col("freq").desc(), "pair")
         .limit(top_n)
+    )
+
+
+def train_bpe(
+    df: DataFrame, text_col: str = "text", *, num_merges: int = 50
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges (Sennrich et al. 2016) on the
+    corpus's word-count table.
+
+    The DISTRIBUTED step is the reduction of the corpus to distinct
+    word counts — one shuffle, after which the statistics are
+    vocab-sized (~10M rows max for web-scale corpora, MBs) regardless
+    of corpus bytes. The merge loop itself then runs driver-local over
+    those counts, exactly like every production BPE trainer (they all
+    train on the aggregated word-count table, not the raw stream) and
+    like this repo's other driver-reduce steps (k-means partials, PCA
+    moments). Returns the ordered merge list.
+    """
+    rows = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    # segmentations: word -> (list of symbols, count)
+    segs = {r["word"]: (list(r["word"]), int(r["wc"])) for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, (parts, wc) in segs.items():
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc
+        if not counts:
+            break
+        # deterministic: max count, ties by pair text
+        (a, b), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for word, (parts, wc) in segs.items():
+            if a not in parts:
+                continue
+            out = []
+            i = 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            segs[word] = (out, wc)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment each document with a trained merge list.
+
+    Scale shape: the merge loop runs ONCE PER DISTINCT WORD — the
+    corpus collapses to its vocabulary (one shuffle), an Arrow-batched
+    UDF segments that vocab-sized relation, and the word->segments map
+    broadcasts back onto the token stream where per-doc arrays
+    reassemble under the posexplode/regroup pattern of
+    :func:`encode_tokens`. The merge list ships in the task closure
+    (KBs). Returns (id_col, bpe_tokens array<string>, n_bpe_tokens).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = list(merges)
+
+    @pandas_udf("array<string>")
+    def segment(words: pd.Series) -> pd.Series:
+        ranks = {p: i for i, p in enumerate(merge_list)}
+
+        def seg(w):
+            parts = list(w)
+            while len(parts) > 1:
+                best_i, best_rank = -1, len(ranks)
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and r < best_rank:
+                        best_i, best_rank = i, r
+                if best_i < 0:
+                    break
+                parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+            return parts
+
+        return words.map(seg)
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+    )
+    vocab = pos.select("word").distinct().withColumn("segs", segment(F.col("word")))
+    joined = pos.join(F.broadcast(vocab), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "segs"))).alias("__ps"))
+        .select(
+            id_col,
+            F.flatten(
+                F.transform(F.col("__ps"), lambda s: s["segs"])
+            ).alias("bpe_tokens"),
+        )
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
     )

@@ -5360,6 +5360,46 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def corpus_bpe_encode(spark, sf_dir):
+    """End-to-end BPE tokenization (operators/text.py train_bpe +
+    bpe_encode): merges trained on the corpus's word-count table (the
+    distributed part is the count reduction; the merge loop is
+    vocab-local, like every production trainer), then every document
+    segmented via the distinct-word relation and a broadcast map-back.
+    Reports per-source subword/word token totals and the compression
+    ratio. Rows-only: iterative merge training is not SQL-expressible;
+    the merge rules and segmentation are pinned exactly by the unit
+    test (classic low/lower/lowest corpus)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bpe_encode,
+        token_count_ws,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=20)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(
+            docs.select(
+                "doc_id", "source", token_count_ws(F.col("text")).alias("n_ws")
+            ),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_ws").alias("n_ws_tokens"),
+        )
+        .withColumn(
+            "subwords_per_word",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4),
+        )
+        .orderBy("source")
+    )
+
+
 def streaming_quarantine_ingest(spark, sf_dir):
     """Dead-letter-queue streaming ingestion
     (streaming/incremental.stream_quarantine_ingest): events stream in;
@@ -5945,6 +5985,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "expectations_report_events": expectations_report_events,
     "streaming_quarantine_ingest": streaming_quarantine_ingest,
+    "corpus_bpe_encode": corpus_bpe_encode,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,

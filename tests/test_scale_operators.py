@@ -1625,3 +1625,25 @@ def test_stream_quarantine_routing(spark, tmp_path):
             quarantine_dir=str(tmp_path / "b2"),
             checkpoint_dir=str(tmp_path / "c2"),
         )
+
+
+def test_bpe_train_and_encode_classic_corpus(spark):
+    """The low/lower/lowest corpus: merges follow greedy pair frequency
+    with deterministic tie-breaks, training stops when no pair repeats,
+    and encoding applies merges in rank order per distinct word."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lowest")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, num_merges=10)
+    # (l,o) x5 -> (lo,w) x5 -> (low,e) x2, then every pair is unique
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e")]
+    got = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    assert got[1].bpe_tokens == ["low", "low", "low"]
+    assert got[2].bpe_tokens == ["lowe", "r", "lowe", "s", "t"]
+    assert got[2].n_bpe_tokens == 5
