@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "embedding_norm_outliers",
     "semantic_neardup_planted",
     "embedding_pca_variance",
+    "copurchase_part_pairs",
+    "events_transition_bigrams",
+    "events_value_histogram",
+    "expectations_report_events",
+    "streaming_quarantine_ingest",
+    "corpus_bpe_encode",
 ]
 
 
