@@ -249,6 +249,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     max_band_bucket: int = 64,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
 
@@ -282,13 +283,21 @@ def minhash_lsh_pairs(
     # space (64-bit gram hashes — identity is all dedup needs), compute
     # the shingle-hash sets ONCE and reuse the cached relation for both
     # the signature derivation and the final-verification fetch (at
-    # scale: a checkpointed signature table plays this role)
-    shing = scratch_persist(
-        _parallelize_scan(df).select(
-            F.col(id_col).alias("__id"),
-            shingle_hashes(F.col(text_col), shingle_n).alias("__shingles"),
+    # scale: a checkpointed signature table plays this role).  A caller
+    # that already holds the (id_col, __shingles) relation — the
+    # incremental path, which shingled the batch for its history probe —
+    # passes it via ``shingle_df`` and the text is never re-shingled.
+    if shingle_df is not None:
+        shing = shingle_df.select(
+            F.col(id_col).alias("__id"), F.col("__shingles")
         )
-    )
+    else:
+        shing = scratch_persist(
+            _parallelize_scan(df).select(
+                F.col(id_col).alias("__id"),
+                shingle_hashes(F.col(text_col), shingle_n).alias("__shingles"),
+            )
+        )
     sig = shing.select(
         "__id", _minhash_lanes_udf(num_hashes)(F.col("__shingles")).alias("__minhash")
     )
@@ -976,9 +985,21 @@ def incremental_minhash_dedup(
     Close the loop by unioning the survivors' signature/band rows into
     the stored tables (same pattern as
     :func:`updated_fingerprint_index`)."""
+    # shingle the batch text exactly ONCE: the same persisted relation
+    # feeds the signature derivation for the history probe AND (filtered
+    # to survivors) the exact-Jaccard verify of the within-batch dedup —
+    # previously the final minhash_dedup re-shingled the fresh docs, a
+    # second full pass over batch text
+    b_shing = scratch_persist(
+        _parallelize_scan(batch).select(
+            F.col(id_col),
+            shingle_hashes(F.col(text_col), shingle_n).alias("__shingles"),
+        )
+    )
     b_sigs = scratch_persist(
-        minhash_signature_table(
-            batch, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
+        b_shing.select(
+            F.col(id_col).alias("doc_id"),
+            _minhash_lanes_udf(num_hashes)(F.col("__shingles")).alias("minhash"),
         )
     )
     b_bands = minhash_band_table(b_sigs, num_hashes=num_hashes, bands=bands)
@@ -1007,6 +1028,7 @@ def incremental_minhash_dedup(
         .distinct()
     )
     fresh = batch.join(dup_vs_hist, id_col, "left_anti")
+    fresh_shing = b_shing.join(dup_vs_hist, id_col, "left_anti")
     return minhash_dedup(
         fresh,
         text_col,
@@ -1016,6 +1038,7 @@ def incremental_minhash_dedup(
         bands=bands,
         threshold=threshold,
         max_band_bucket=max_band_bucket,
+        shingle_df=fresh_shing,
     )
 
 
