@@ -157,7 +157,16 @@ def _pca_partial_gen(vec_col: str):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vals = [v for v in pdf[vec_col].to_numpy() if v is not None]
+            if not vals:  # all-NULL batch: skip, don't np.stack-crash
+                continue
+            dims = {len(v) for v in vals}
+            if len(dims) > 1:
+                raise ValueError(
+                    f"pca: ragged vector lengths {sorted(dims)} in column "
+                    f"{vec_col!r} — fix the embedding column upstream"
+                )
+            X = np.stack(vals).astype(np.float64)
             if s is None:
                 d = X.shape[1]
                 s = np.zeros(d, dtype=np.float64)
@@ -198,7 +207,7 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", *, k: int = 8):
         _pca_partial_gen(vec_col), schema=_PCA_PARTIAL_SCHEMA
     ).toPandas()
     if not len(partials):
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_fit: empty input (no non-NULL vectors)")
     n = int(partials["n"].sum())
     s = np.sum(np.stack(partials["sum_vec"].to_numpy()), axis=0)
     d = s.shape[0]

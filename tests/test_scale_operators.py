@@ -1647,3 +1647,31 @@ def test_bpe_train_and_encode_classic_corpus(spark):
     assert got[1].bpe_tokens == ["low", "low", "low"]
     assert got[2].bpe_tokens == ["lowe", "r", "lowe", "s", "t"]
     assert got[2].n_bpe_tokens == 5
+
+
+def test_pca_null_and_ragged_guards(spark):
+    """NULL vectors are skipped (not a stack crash); ragged lengths and
+    all-NULL inputs raise clear errors."""
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import pca_fit
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    comps, evals, evr, mean = pca_fit(good, k=2)
+    assert len(evals) == 2  # fit succeeded on the 3 non-NULL rows
+
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        pca_fit(allnull, k=2)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="ragged"):
+        pca_fit(ragged, k=2)
