@@ -5978,8 +5978,10 @@ QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "semantic_neardup_planted": semantic_neardup_planted,
     "embedding_pca_variance": embedding_pca_variance,
-    # --- behind the window: round-4 late extras (r5 window candidates,
-    # locally comparator-checked this round) then r1-r3-green residue ---
+    # --- behind the window: round-4 late extras — these LEAD the r5
+    # rotation (locally comparator-checked this round, see
+    # CORRECTNESS_LOCAL_r04.json, but no driver row yet) — then
+    # r1-r3-green residue ---
     "copurchase_part_pairs": copurchase_part_pairs,
     "events_transition_bigrams": events_transition_bigrams,
     "events_value_histogram": events_value_histogram,
