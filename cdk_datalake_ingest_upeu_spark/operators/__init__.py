@@ -103,3 +103,7 @@ from cdk_datalake_ingest_upeu_spark.operators.expectations import (  # noqa: F40
     check_expectations,
     expectations_report,
 )
+from cdk_datalake_ingest_upeu_spark.operators.rollup import (  # noqa: F401
+    additive_merge,
+    rollup_partial,
+)

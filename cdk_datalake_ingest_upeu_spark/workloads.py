@@ -5360,6 +5360,47 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def incremental_rollup_maintenance(spark, sf_dir):
+    """Materialized-rollup maintenance (operators/rollup.py): the daily
+    per-event-type rollup is maintained across three landing batches —
+    each refresh aggregates ONLY the new batch into a KB-scale partial
+    and additively merges it into the stored rollup (written to disk and
+    read back between refreshes, as a real artifact would be). History
+    is never re-read; the oracle recomputes the final state from
+    scratch, proving the three merges equal the one-shot aggregate.
+    Sums ride decimal(12,2) so they are exact and merge-stable."""
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import (
+        additive_merge,
+        rollup_partial,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    work = _tmpdir("rollup")
+    stored = None
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        partial = rollup_partial(
+            batch,
+            ["day", "event_type"],
+            sum_cols={"value": "CAST(value AS DECIMAL(12,2))"},
+            min_cols={"value": "value"},
+            max_cols={"value": "value"},
+        )
+        merged = additive_merge(stored, partial, ["day", "event_type"])
+        path = os.path.join(work, f"gen{i}")
+        merged.write.mode("overwrite").parquet(path)
+        stored = spark.read.parquet(path)
+    return stored.orderBy("day", "event_type")
+
+
+_INCR_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_rows,
+       sum(CAST(value AS DECIMAL(12,2))) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
 def corpus_bpe_encode(spark, sf_dir):
     """End-to-end BPE tokenization (operators/text.py train_bpe +
     bpe_encode): merges trained on the corpus's word-count table (the
@@ -5988,6 +6029,7 @@ QUERIES = {
     "expectations_report_events": expectations_report_events,
     "streaming_quarantine_ingest": streaming_quarantine_ingest,
     "corpus_bpe_encode": corpus_bpe_encode,
+    "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6207,6 +6249,7 @@ ORACLES = {
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     "expectations_report_events": _EXPECTATIONS_SQL,
     "streaming_quarantine_ingest": _QUARANTINE_SQL,
+    "incremental_rollup_maintenance": _INCR_ROLLUP_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
     # semantic_neardup_planted (k-means buckets), embedding_pca_variance

@@ -1675,3 +1675,50 @@ def test_pca_null_and_ragged_guards(spark):
     ).coalesce(1)
     with _pytest.raises(Exception, match="ragged"):
         pca_fit(ragged, k=2)
+
+
+def test_additive_merge_semantics(spark):
+    """Counts/sums add, mins/maxes fold, unseen groups insert from
+    either side, first load passes through, and schema drift or a
+    non-reaggregatable column raises."""
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import (
+        additive_merge,
+        rollup_partial,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 2.0), ("c", 7.0)], "k string, v double"
+    )
+    kw = dict(
+        sum_cols={"v": "CAST(v AS DECIMAL(10,2))"},
+        min_cols={"v": "v"},
+        max_cols={"v": "v"},
+    )
+    p1 = rollup_partial(b1, ["k"], **kw)
+    assert additive_merge(None, p1, ["k"]) is p1  # first load
+    merged = additive_merge(p1, rollup_partial(b2, ["k"], **kw), ["k"])
+    got = {r.k: r for r in merged.collect()}
+    assert got["a"].n_rows == 3 and float(got["a"].sum_v) == 6.0
+    assert got["a"].min_v == 1.0 and got["a"].max_v == 3.0  # 2.0 inside range
+    assert got["b"].n_rows == 1  # only in stored side
+    assert got["c"].n_rows == 1 and float(got["c"].sum_v) == 7.0  # new group
+    # merging equals one-shot aggregation over the union
+    oneshot = {
+        r.k: r for r in rollup_partial(b1.unionAll(b2), ["k"], **kw).collect()
+    }
+    for k in ("a", "b", "c"):
+        assert got[k].n_rows == oneshot[k].n_rows
+        assert got[k].sum_v == oneshot[k].sum_v
+        assert got[k].min_v == oneshot[k].min_v
+        assert got[k].max_v == oneshot[k].max_v
+
+    with _pytest.raises(ValueError, match="drift"):
+        additive_merge(p1.drop("min_v"), p1, ["k"])
+    bad = p1.withColumnRenamed("sum_v", "avg_v")
+    with _pytest.raises(ValueError, match="re-aggregatable"):
+        additive_merge(bad, bad, ["k"])
