@@ -238,3 +238,74 @@ def stream_quarantine_ingest(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_rollup_maintenance_reader(rollup_dir: str):
+    """Path of the current readable rollup generation (follows LATEST)."""
+    import os
+
+    with open(os.path.join(rollup_dir, "LATEST")) as f:
+        return f.read().strip()
+
+
+def stream_rollup_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    keys: list[str],
+    rollup_dir: str,
+    checkpoint_dir: str,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    max_files_per_trigger: int | None = None,
+    query_name: str = "stream_rollup_maintenance",
+):
+    """Continuous materialized-rollup maintenance: each micro-batch is
+    aggregated to a KB-scale re-aggregatable partial (count/sum/min/max
+    — ``partial_fn`` is :func:`operators.rollup.rollup_partial` bound to
+    the metric spec) and additively merged into the stored rollup. The
+    alternative — a streaming full aggregation — holds every group in
+    state forever; the additive-merge form keeps state ON DISK in the
+    rollup artifact itself and each refresh costs the new batch plus a
+    rollup-sized join. Generations alternate between two directories so
+    a crash mid-write never corrupts the readable rollup (the same
+    parquet-MERGE double-buffer the stage writer uses; with Delta the
+    merge is one additive MERGE statement and the buffer disappears)."""
+    import os
+
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import additive_merge
+
+    gens = [os.path.join(rollup_dir, "a"), os.path.join(rollup_dir, "b")]
+
+    marker = os.path.join(rollup_dir, "LATEST")
+    os.makedirs(rollup_dir, exist_ok=True)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        stored, cur = None, None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                cur = f.read().strip()
+            stored = spark.read.parquet(cur)
+        # write the generation the marker does NOT point to — never the
+        # one being lazily read (epoch parity is unsafe: skipped empty
+        # batches advance epoch_id without advancing the marker)
+        nxt = gens[1] if cur == gens[0] else gens[0]
+        merged = additive_merge(stored, partial_fn(batch_df), keys)
+        merged.write.mode("overwrite").parquet(nxt)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt)
+        os.replace(tmp, marker)  # atomic promote: readers never see a torn state
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -5401,6 +5401,53 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type
 """
 
 
+def streaming_rollup_maintenance(spark, sf_dir):
+    """Streaming twin of ``incremental_rollup_maintenance``
+    (streaming/incremental.stream_rollup_maintenance): events stream in
+    file-by-file; each micro-batch merges its KB-scale partial into the
+    on-disk rollup under a crash-safe double-buffer with an atomic
+    LATEST promote. Drained state equals the from-scratch aggregate —
+    the same oracle as the batch twin."""
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import rollup_partial
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_rollup_maintenance,
+        stream_rollup_maintenance_reader,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    work = _tmpdir("rollupstream")
+    src_dir = os.path.join(work, "in")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    def partial_fn(batch):
+        return rollup_partial(
+            batch,
+            ["day", "event_type"],
+            sum_cols={"value": "CAST(value AS DECIMAL(12,2))"},
+            min_cols={"value": "value"},
+            max_cols={"value": "value"},
+        )
+
+    rollup_dir = os.path.join(work, "rollup")
+    q = stream_rollup_maintenance(
+        spark,
+        src_dir,
+        ev.schema,
+        keys=["day", "event_type"],
+        rollup_dir=rollup_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        partial_fn=partial_fn,
+        max_files_per_trigger=2,
+        query_name=f"rollup_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(stream_rollup_maintenance_reader(rollup_dir))
+        .orderBy("day", "event_type")
+    )
+
+
 def corpus_bpe_encode(spark, sf_dir):
     """End-to-end BPE tokenization (operators/text.py train_bpe +
     bpe_encode): merges trained on the corpus's word-count table (the
@@ -6030,6 +6077,7 @@ QUERIES = {
     "streaming_quarantine_ingest": streaming_quarantine_ingest,
     "corpus_bpe_encode": corpus_bpe_encode,
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
+    "streaming_rollup_maintenance": streaming_rollup_maintenance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6250,6 +6298,7 @@ ORACLES = {
     "expectations_report_events": _EXPECTATIONS_SQL,
     "streaming_quarantine_ingest": _QUARANTINE_SQL,
     "incremental_rollup_maintenance": _INCR_ROLLUP_SQL,
+    "streaming_rollup_maintenance": _INCR_ROLLUP_SQL,
     # rows-only (non-SQL-expressible hash families / approximate results):
     # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
     # semantic_neardup_planted (k-means buckets), embedding_pca_variance

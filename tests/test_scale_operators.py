@@ -1722,3 +1722,47 @@ def test_additive_merge_semantics(spark):
     bad = p1.withColumnRenamed("sum_v", "avg_v")
     with _pytest.raises(ValueError, match="re-aggregatable"):
         additive_merge(bad, bad, ["k"])
+
+
+def test_stream_rollup_double_buffer(spark, tmp_path):
+    """Streaming rollup maintenance: multiple micro-batches merge to
+    the same state as a one-shot aggregate; the LATEST marker points at
+    a complete generation; empty batches don't corrupt the buffer."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import rollup_partial
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_rollup_maintenance,
+        stream_rollup_maintenance_reader,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("c", 5.0)],
+        "k string, v double",
+    )
+    src = str(tmp_path / "in")
+    df.repartition(3).write.parquet(src)
+
+    def partial_fn(batch):
+        return rollup_partial(
+            batch, ["k"], sum_cols={"v": "CAST(v AS DECIMAL(10,2))"},
+            min_cols={"v": "v"}, max_cols={"v": "v"},
+        )
+
+    rollup_dir = str(tmp_path / "rollup")
+    q = stream_rollup_maintenance(
+        spark, src, df.schema, keys=["k"], rollup_dir=rollup_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), partial_fn=partial_fn,
+        max_files_per_trigger=1, query_name="rollup_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.k: r
+        for r in spark.read.parquet(
+            stream_rollup_maintenance_reader(rollup_dir)
+        ).collect()
+    }
+    assert got["a"].n_rows == 3 and float(got["a"].sum_v) == 7.0
+    assert got["a"].min_v == 1.0 and got["a"].max_v == 4.0
+    assert got["b"].n_rows == 1 and got["c"].n_rows == 1
