@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "expectations_report_events",
     "streaming_quarantine_ingest",
     "corpus_bpe_encode",
+    "incremental_rollup_maintenance",
+    "streaming_rollup_maintenance",
 ]
 
 
