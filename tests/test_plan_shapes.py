@@ -126,3 +126,24 @@ def test_scan_pruning_and_pushdown(spark, name, table, expect_cols, expect_pushe
             f"{name}: expected a {marker} filter pushed to the scan; "
             f"PushedFilters=[{pushed_txt[:200]}]"
         )
+
+
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        # every dim join (region/nation/customer/supplier) must broadcast;
+        # a SortMergeJoin against a KB-scale dim shuffles the fact for nothing
+        ("q5_region_revenue", 4),
+        ("q10_returned_items", 3),
+    ],
+)
+def test_dim_joins_broadcast(spark, name, min_bhj):
+    plan = _executed_plan(QUERIES[name](spark, SF))
+    bhj = plan.count("BroadcastHashJoin")
+    smj = plan.count("SortMergeJoin")
+    assert bhj >= min_bhj, f"{name}: only {bhj} broadcast joins (expected >= {min_bhj})"
+    assert smj == 0, (
+        f"{name}: {smj} SortMergeJoin(s) against dimension tables — the "
+        "dim side fits in a broadcast; a sort-merge shuffles the fact "
+        "table for nothing"
+    )
