@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "corpus_bpe_encode",
     "incremental_rollup_maintenance",
     "streaming_rollup_maintenance",
+    "ann_incremental_probe",
 ]
 
 

@@ -40,7 +40,10 @@ from cdk_datalake_ingest_upeu_spark.operators.joins import (  # noqa: F401
 )
 from cdk_datalake_ingest_upeu_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    ivf_index_build,
+    ivf_index_probe,
 )
 from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
     add_text_features,

@@ -167,28 +167,24 @@ def _topn_centroid_udf(centroids, n: int):
     return topn
 
 
-def cosine_topk_ivf(
+def ivf_index_build(
     corpus: DataFrame,
-    queries: DataFrame,
     *,
-    k: int = 10,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-    query_id: str = "query_id",
-    query_vec: str = "query_vec",
     n_clusters: int = 16,
-    n_probe: int = 4,
     sample_size: int = 4096,
     seed: int = 42,
-) -> DataFrame:
-    """IVF ANN: corpus vectors are bucketed by nearest centroid (the
-    inverted file); each query probes its ``n_probe`` nearest centroids
-    and exact cosine re-ranks the candidates.
+):
+    """Build the PERSISTABLE inverted-file index: ``(centroids,
+    index_df)`` where index_df = (corpus_id, corpus_vec, cluster_id).
 
-    Scale shape: centroid TRAINING uses a bounded driver-side sample
-    (the only non-distributed step, standard for IVF); assignment and
-    search are one Pandas-UDF pass + one broadcast join on cluster_id —
-    cost tracks corpus/n_clusters * n_probe per query, not corpus size.
+    Write the index ``partitionBy("cluster_id")`` and the steady-state
+    probe becomes a PARTITION-PRUNED read: :func:`ivf_index_probe`
+    filters the scan to the probed cells, so each query batch touches
+    ~n_probe/n_clusters of the index ON DISK — the ANN twin of the
+    persisted minhash signature index (operators/dedup.py): the corpus
+    is vectorized once, then never re-read whole.
     """
     # scan-side deterministic sample: a bare limit() takes whatever
     # partitions answer first (layout-dependent), and orderBy(id).limit
@@ -225,16 +221,47 @@ def cosine_topk_ivf(
         )
     sample = [r[0] for r in sampled]
     C = _kmeans_centroids(sample, n_clusters, seed=seed)
-
-    c_tag = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
+    index = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
         _topn_centroid_udf(C, 1)(F.col(corpus_vec))[0].alias("cluster_id"),
     )
+    return C, index
+
+
+def ivf_index_probe(
+    index: DataFrame,
+    centroids,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a stored IVF index: each query explodes to its ``n_probe``
+    nearest centroids, the index SCAN is pre-filtered to exactly those
+    cells (an ``isin`` over <= n_queries*n_probe ints — with the index
+    partitioned by cluster_id this is partition pruning, the disk-level
+    version of the inverted file), and exact cosine re-ranks inside the
+    probed cells. The cell-id collect is driver-side but bounded by the
+    query batch, which is the broadcast side by construction."""
     q_tag = queries.select(
         F.col(query_id),
         F.col(query_vec).alias("__qv"),
-        F.explode(_topn_centroid_udf(C, n_probe)(F.col(query_vec))).alias("cluster_id"),
+        F.explode(_topn_centroid_udf(centroids, n_probe)(F.col(query_vec))).alias(
+            "cluster_id"
+        ),
+    )
+    probed = sorted(
+        r["cluster_id"] for r in q_tag.select("cluster_id").distinct().collect()
+    )
+    c_tag = index.filter(F.col("cluster_id").isin(probed)).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        "cluster_id",
     )
     candidates = c_tag.join(F.broadcast(q_tag), on="cluster_id").select(
         query_id, "neighbor_id", "__cv", "__qv"
@@ -248,3 +275,49 @@ def cosine_topk_ivf(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are bucketed by nearest centroid (the
+    inverted file); each query probes its ``n_probe`` nearest centroids
+    and exact cosine re-ranks the candidates. One-shot composition of
+    :func:`ivf_index_build` + :func:`ivf_index_probe`; the steady-state
+    deployment stores the index and probes it incrementally.
+
+    Scale shape: centroid TRAINING uses a bounded driver-side sample
+    (the only non-distributed step, standard for IVF); assignment and
+    search are one Pandas-UDF pass + one broadcast join on cluster_id —
+    cost tracks corpus/n_clusters * n_probe per query, not corpus size.
+    """
+    C, index = ivf_index_build(
+        corpus,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        n_clusters=n_clusters,
+        sample_size=sample_size,
+        seed=seed,
+    )
+    return ivf_index_probe(
+        index,
+        C,
+        queries,
+        k=k,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+        n_probe=n_probe,
+    )

@@ -5360,6 +5360,33 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def ann_incremental_probe(spark, sf_dir):
+    """Steady-state ANN: the IVF index is BUILT ONCE and stored as
+    parquet partitioned by cluster_id (operators/similarity.py
+    ivf_index_build); the query batch then probes the STORED index —
+    the scan is partition-pruned to the probed cells, so the corpus is
+    never re-vectorized or re-read whole (the ANN twin of the persisted
+    minhash signature index). Rows-only: IVF is approximate; the recall
+    floor and the partition-pruned scan shape are unit-pinned."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _tmpdir("ivfindex")
+    C, index = ivf_index_build(emb, n_clusters=16, sample_size=4096)
+    idx_path = os.path.join(work, "index")
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_index_probe(stored, C, queries, k=10, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def incremental_rollup_maintenance(spark, sf_dir):
     """Materialized-rollup maintenance (operators/rollup.py): the daily
     per-event-type rollup is maintained across three landing batches —
@@ -6078,6 +6105,7 @@ QUERIES = {
     "corpus_bpe_encode": corpus_bpe_encode,
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "streaming_rollup_maintenance": streaming_rollup_maintenance,
+    "ann_incremental_probe": ann_incremental_probe,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,

@@ -1766,3 +1766,52 @@ def test_stream_rollup_double_buffer(spark, tmp_path):
     assert got["a"].n_rows == 3 and float(got["a"].sum_v) == 7.0
     assert got["a"].min_v == 1.0 and got["a"].max_v == 4.0
     assert got["b"].n_rows == 1 and got["c"].n_rows == 1
+
+
+def test_ivf_stored_index_probe_recall_and_pruning(spark, tmp_path):
+    """A stored IVF index probed from disk: recall vs brute force stays
+    above the floor, results equal the one-shot cosine_topk_ivf, and
+    the probe's index scan carries partition filters (the pruned-cells
+    read is the point of storing the inverted file)."""
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    rng = _np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(800)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 5").select(
+        corpus.vec_id.alias("query_id"), corpus.embedding.alias("query_vec")
+    )
+    C, index = ivf_index_build(corpus, n_clusters=8, sample_size=800)
+    path = str(tmp_path / "ivf")
+    index.write.partitionBy("cluster_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    probed = ivf_index_probe(stored, C, queries, k=5, n_probe=3)
+    oneshot = cosine_topk_ivf(
+        corpus, queries, k=5, n_clusters=8, n_probe=3, sample_size=800
+    )
+    a = {(r.query_id, r.rank): r.neighbor_id for r in probed.collect()}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in oneshot.collect()}
+    assert a == b  # stored-index probe == one-shot composition
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    }
+    hits = sum(1 for key, nid in a.items() if exact.get(key[0:1] + (key[1],)) == nid or nid in
+               {v for kk, v in exact.items() if kk[0] == key[0]})
+    assert hits / len(a) >= 0.6  # recall floor at n_probe=3/8 cells
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cluster_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "probe scan is not partition-pruned on cluster_id"
