@@ -222,14 +222,23 @@ def stream_quarantine_ingest(
     )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        # foreachBatch is at-least-once: a failed/retried epoch re-runs
+        # with the SAME epoch_id. Append-mode writes would duplicate the
+        # whole batch; overwriting a per-epoch partition directory makes
+        # the retry idempotent (readers of the sink root see an `epoch`
+        # partition column they can ignore or audit by).
         tagged = batch_df.withColumn("__failed", tagged_col)
         bad = tagged.filter(F.size("__failed") > 0).withColumn(
             "failed_rules", F.array_join("__failed", ",")
         )
-        bad.drop("__failed").write.mode("append").parquet(quarantine_dir)
+        bad.drop("__failed").write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"epoch={epoch_id}")
+        )
         tagged.filter(F.size("__failed") == 0).drop("__failed").write.mode(
-            "append"
-        ).parquet(good_dir)
+            "overwrite"
+        ).parquet(os.path.join(good_dir, f"epoch={epoch_id}"))
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
@@ -241,11 +250,12 @@ def stream_quarantine_ingest(
 
 
 def stream_rollup_maintenance_reader(rollup_dir: str):
-    """Path of the current readable rollup generation (follows LATEST)."""
+    """Path of the current readable rollup generation (follows LATEST;
+    the marker's second line is the last-applied epoch id)."""
     import os
 
     with open(os.path.join(rollup_dir, "LATEST")) as f:
-        return f.read().strip()
+        return f.read().strip().split("\n")[0]
 
 
 def stream_rollup_maintenance(
@@ -283,10 +293,16 @@ def stream_rollup_maintenance(
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        stored, cur = None, None
+        stored, cur, applied = None, None, -1
         if os.path.exists(marker):
             with open(marker) as f:
-                cur = f.read().strip()
+                cur, applied_txt = f.read().strip().split("\n")
+            applied = int(applied_txt)
+            # exactly-once under at-least-once retries: if this epoch's
+            # merge already promoted (the retry boundary fell after the
+            # marker rename), re-merging would double-count the batch
+            if epoch_id <= applied:
+                return
             stored = spark.read.parquet(cur)
         # write the generation the marker does NOT point to — never the
         # one being lazily read (epoch parity is unsafe: skipped empty
@@ -296,7 +312,7 @@ def stream_rollup_maintenance(
         merged.write.mode("overwrite").parquet(nxt)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            f.write(nxt)
+            f.write(f"{nxt}\n{epoch_id}")
         os.replace(tmp, marker)  # atomic promote: readers never see a torn state
 
     reader = spark.readStream.schema(schema)

@@ -1815,3 +1815,41 @@ def test_ivf_stored_index_probe_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cluster_id" in plan.split(
         "PartitionFilters"
     )[1][:200], "probe scan is not partition-pruned on cluster_id"
+
+
+def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
+    """Re-delivering an already-applied epoch (the at-least-once retry
+    where the failure fell after the marker promote) must not
+    double-count: the handler skips epochs <= the marker's applied id."""
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import rollup_partial
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_rollup_maintenance,
+        stream_rollup_maintenance_reader,
+    )
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+
+    def partial_fn(batch):
+        return rollup_partial(batch, ["k"], sum_cols={"v": "CAST(v AS DECIMAL(10,2))"})
+
+    rollup_dir = str(tmp_path / "rollup")
+    q = stream_rollup_maintenance(
+        spark, src, df.schema, keys=["k"], rollup_dir=rollup_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), partial_fn=partial_fn,
+        query_name="rollup_replay_test",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # restart against the SAME checkpoint and source: no new files, and
+    # any re-delivered epoch must be skipped by the applied-id guard
+    q2 = stream_rollup_maintenance(
+        spark, src, df.schema, keys=["k"], rollup_dir=rollup_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), partial_fn=partial_fn,
+        query_name="rollup_replay_test2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(stream_rollup_maintenance_reader(rollup_dir)).collect()
+    assert len(got) == 1 and got[0].n_rows == 2 and float(got[0].sum_v) == 3.0
