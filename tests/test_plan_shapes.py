@@ -52,6 +52,8 @@ BUDGETS = [
     ("text_bm25_topk", 5, False),          # 0 corpus-sized after the dl fix
     ("bpe_merge_pairs", 2, False),
     ("embedding_norm_outliers", 0, False),  # two TakeOrdered, no exchange at all
+    ("expectations_report_events", 4, False),  # one-pass rules; unique's distinct + FK anti-join
+    ("incremental_rollup_maintenance", 1, False),  # returned plan reads the final artifact + sorts
 ]
 
 
