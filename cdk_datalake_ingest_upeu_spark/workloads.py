@@ -6327,8 +6327,15 @@ ORACLES = {
     "streaming_quarantine_ingest": _QUARANTINE_SQL,
     "incremental_rollup_maintenance": _INCR_ROLLUP_SQL,
     "streaming_rollup_maintenance": _INCR_ROLLUP_SQL,
-    # rows-only (non-SQL-expressible hash families / approximate results):
-    # dedup_minhash_pairs, dedup_simhash_pairs, ann_topk_lsh,
+    # rows-only (non-SQL-expressible hash families / approximate /
+    # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
+    # dedup_simhash_corpus, dedup_cluster_components,
+    # dedup_incremental_minhash, text_winnow_fingerprints,
+    # sketch_weekly_rollup, pack_documents_stats, embedding_kmeans_stats,
+    # ann_topk_lsh, ann_topk_ivf, ann_incremental_probe (approximate
+    # IVF; recall floors + partition-pruning plan-asserted in units),
     # semantic_neardup_planted (k-means buckets), embedding_pca_variance
-    # (eigendecomposition; self-validating projected-variance columns)
+    # (eigendecomposition; self-validating projected-variance columns),
+    # corpus_bpe_encode (iterative merge training; segmentation pinned
+    # by the low/lower/lowest unit test)
 }
