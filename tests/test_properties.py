@@ -172,3 +172,76 @@ def test_exact_quantile_bounds_rank_property(spark, vals, k):
         strictly_below = sum(1 for v in ordered if v < b)
         assert below >= target          # b reaches the rank target
         assert strictly_below < target  # and is the smallest such value
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.decimals(
+                min_value=-1000, max_value=1000, places=2, allow_nan=False
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_additive_merge_equals_oneshot_any_partition(spark, rows, n_batches):
+    """PROPERTY: merging the partials of ANY partition of a dataset, in
+    order, equals the one-shot aggregate — the algebraic-aggregate
+    invariant incremental rollup maintenance rests on."""
+    from cdk_datalake_ingest_upeu_spark.operators.rollup import (
+        additive_merge,
+        rollup_partial,
+    )
+
+    data = [(k, float(v)) for k, v in rows]
+    df = spark.createDataFrame(data, "k string, v double")
+    kw = dict(
+        sum_cols={"v": "CAST(v AS DECIMAL(12,2))"},
+        min_cols={"v": "v"},
+        max_cols={"v": "v"},
+    )
+    oneshot = {r.k: r for r in rollup_partial(df, ["k"], **kw).collect()}
+
+    merged = None
+    for i in range(n_batches):
+        batch = df.filter(f"pmod(hash(k, v), {n_batches}) = {i}")
+        if not batch.take(1):
+            continue
+        merged = additive_merge(merged, rollup_partial(batch, ["k"], **kw), ["k"])
+    got = {r.k: r for r in merged.collect()}
+    assert set(got) == set(oneshot)
+    for k in got:
+        assert got[k].n_rows == oneshot[k].n_rows
+        assert got[k].sum_v == oneshot[k].sum_v
+        assert got[k].min_v == oneshot[k].min_v
+        assert got[k].max_v == oneshot[k].max_v
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.from_regex(r"[a-z]{1,8}", fullmatch=True), min_size=1, max_size=15
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+def test_bpe_encoding_is_lossless(spark, words, num_merges):
+    """PROPERTY: BPE segmentation is lossless — concatenating a word's
+    segments reproduces the word exactly, for merges trained on any
+    corpus at any merge budget."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, num_merges=num_merges)
+    got = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    for i, w in enumerate(words):
+        assert "".join(got[i]) == w
+        assert len(got[i]) >= 1
