@@ -74,6 +74,7 @@ from cdk_datalake_ingest_upeu_spark.operators.sampling import (  # noqa: F401
     hash_sample,
     quantile_bucket,
     stratified_hash_sample,
+    weighted_hash_sample,
     with_split,
 )
 from cdk_datalake_ingest_upeu_spark.operators.scratch import (  # noqa: F401

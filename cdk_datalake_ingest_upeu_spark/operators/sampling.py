@@ -192,3 +192,46 @@ def cap_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    n: int,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size ``n``
+    (Efraimidis-Spirakis A-ES, Inf. Process. Lett. 2006): each row
+    draws u = hash-uniform(0,1) from its key and ranks by u^(1/w) —
+    the top-n ranks ARE a weighted sample. The training-data use: a
+    quality- or token-count-weighted corpus draw that is reproducible
+    across runs and cluster layouts, because the "randomness" is the
+    row's own key hash.
+
+    Scale shape: the rank key is a scan-side expression and top-n plans
+    as TakeOrdered (per-partition heap of n, no global sort). Weights
+    must be > 0; ties (identical keys) break on the key hash text.
+    DuckDB twin of the rank key::
+
+        pow(((('0x' || substr(md5(key || seed), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0), 1.0 / w)
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # +0.5 keeps u strictly inside (0,1): u=0 would collapse every
+    # weight to rank 0 and u=1 to rank 1
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    rank = F.pow(u, F.lit(1.0) / weight)
+    return (
+        df.withColumn("__wr", rank)
+        .orderBy(F.col("__wr").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__wr")
+    )

@@ -5360,6 +5360,36 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def sample_weighted_quality(spark, sf_dir):
+    """Quality-weighted corpus draw (operators/sampling.py
+    weighted_hash_sample — Efraimidis-Spirakis with the row's own key
+    hash as the deterministic uniform): the 25 documents sampled
+    without replacement with probability proportional to
+    (n_chars + 1). Reproducible across runs and layouts; the rank key
+    is scan-side and top-n plans as TakeOrdered."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = weighted_hash_sample(
+        docs, "doc_id", F.col("n_chars") + F.lit(1.0), 25, seed="wq"
+    )
+    return picked.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         pow(((('0x' || substr(md5(doc_id::VARCHAR || 'wq'), 1, 8))::BIGINT + 0.5)
+              / 4294967296.0), 1.0 / (n_chars + 1.0)) AS wr
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked
+ORDER BY wr DESC, doc_id LIMIT 25
+"""
+
+
 def ann_incremental_probe(spark, sf_dir):
     """Steady-state ANN: the IVF index is BUILT ONCE and stored as
     parquet partitioned by cluster_id (operators/similarity.py
@@ -6106,6 +6136,7 @@ QUERIES = {
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "streaming_rollup_maintenance": streaming_rollup_maintenance,
     "ann_incremental_probe": ann_incremental_probe,
+    "sample_weighted_quality": sample_weighted_quality,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6327,6 +6358,7 @@ ORACLES = {
     "streaming_quarantine_ingest": _QUARANTINE_SQL,
     "incremental_rollup_maintenance": _INCR_ROLLUP_SQL,
     "streaming_rollup_maintenance": _INCR_ROLLUP_SQL,
+    "sample_weighted_quality": _WEIGHTED_SAMPLE_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
     # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
     # dedup_simhash_corpus, dedup_cluster_components,

@@ -1853,3 +1853,40 @@ def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
     q2.stop()
     got = spark.read.parquet(stream_rollup_maintenance_reader(rollup_dir)).collect()
     assert len(got) == 1 and got[0].n_rows == 2 and float(got[0].sum_v) == 3.0
+
+
+def test_weighted_hash_sample_bias_and_determinism(spark):
+    """Heavily-weighted rows are selected far more often (A-ES bias),
+    the draw is deterministic for a fixed seed, and n/validation guards
+    hold."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    # 20 heavy rows (w=50) among 480 light rows (w=1)
+    df = spark.createDataFrame(
+        [(i, 50.0 if i < 20 else 1.0) for i in range(500)],
+        "id long, w double",
+    )
+    picked = {
+        r.id for r in weighted_hash_sample(df, "id", F.col("w"), 50).collect()
+    }
+    assert len(picked) == 50
+    heavy_hits = sum(1 for i in picked if i < 20)
+    # E[heavy] ~ 17/20 under A-ES here; uniform sampling would give 2.
+    assert heavy_hits >= 10
+    again = {
+        r.id for r in weighted_hash_sample(df, "id", F.col("w"), 50).collect()
+    }
+    assert picked == again  # deterministic
+    other = {
+        r.id
+        for r in weighted_hash_sample(df, "id", F.col("w"), 50, seed="x").collect()
+    }
+    assert other != picked  # seed actually varies the draw
+    with _pytest.raises(ValueError):
+        weighted_hash_sample(df, "id", F.col("w"), 0)
