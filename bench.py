@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "incremental_rollup_maintenance",
     "streaming_rollup_maintenance",
     "ann_incremental_probe",
+    "sample_weighted_quality",
 ]
 
 
