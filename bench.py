@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "streaming_rollup_maintenance",
     "ann_incremental_probe",
     "sample_weighted_quality",
+    "events_gapfill_hourly",
 ]
 
 

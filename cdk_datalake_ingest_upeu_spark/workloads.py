@@ -5360,6 +5360,73 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def events_gapfill_hourly(spark, sf_dir):
+    """Time-series gap filling: the hourly rollup joined onto a dense
+    hour-spine x event-type grid, missing buckets filled with zeros —
+    the resampling step every downstream forecaster/monitor needs
+    (a gap in a rollup otherwise reads as 'no data' instead of 'zero
+    events'). Scale shape: the spine is generated from the 2-row
+    min/max aggregate via sequence() (time-range-sized, always the
+    broadcast side with the distinct-type list); the only corpus-sized
+    work is the rollup itself, and the gap-fill join runs at rollup
+    grain."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+    )
+    hourly = scratch_persist(hourly)
+    bounds = hourly.agg(
+        F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("bucket_start")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return finalize(
+        grid.join(hourly, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(
+                F.col("sum_value"), F.lit(0).cast("decimal(22,2)")
+            ).alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(bucket_start) AS mn, max(bucket_start) AS mx FROM hourly
+), spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start FROM b
+), grid AS (
+  SELECT bucket_start, event_type
+  FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+)
+SELECT g.bucket_start, g.event_type,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(sum_value, CAST(0 AS DECIMAL(12,2))) AS sum_value
+FROM grid g LEFT JOIN hourly USING (bucket_start, event_type)
+ORDER BY g.bucket_start, g.event_type
+"""
+
+
 def sample_weighted_quality(spark, sf_dir):
     """Quality-weighted corpus draw (operators/sampling.py
     weighted_hash_sample — Efraimidis-Spirakis with the row's own key
@@ -6137,6 +6204,7 @@ QUERIES = {
     "streaming_rollup_maintenance": streaming_rollup_maintenance,
     "ann_incremental_probe": ann_incremental_probe,
     "sample_weighted_quality": sample_weighted_quality,
+    "events_gapfill_hourly": events_gapfill_hourly,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6359,6 +6427,7 @@ ORACLES = {
     "incremental_rollup_maintenance": _INCR_ROLLUP_SQL,
     "streaming_rollup_maintenance": _INCR_ROLLUP_SQL,
     "sample_weighted_quality": _WEIGHTED_SAMPLE_SQL,
+    "events_gapfill_hourly": _GAPFILL_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
     # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
     # dedup_simhash_corpus, dedup_cluster_components,
