@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ann_incremental_probe",
     "sample_weighted_quality",
     "events_gapfill_hourly",
+    "scd2_point_in_time_enrich",
 ]
 
 

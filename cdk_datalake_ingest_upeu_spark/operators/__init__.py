@@ -31,6 +31,7 @@ from cdk_datalake_ingest_upeu_spark.operators.sketches import (  # noqa: F401
 )
 from cdk_datalake_ingest_upeu_spark.operators.scd import (  # noqa: F401
     scd2_history,
+    scd2_point_in_time_join,
     scd2_upsert,
 )
 from cdk_datalake_ingest_upeu_spark.operators.joins import (  # noqa: F401

@@ -144,3 +144,51 @@ def scd2_upsert(
         F.lit(True).alias("is_current"),
     )
     return hist.unionByName(kept).unionByName(closed).unionByName(opened)
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of) join of facts onto an SCD2 history: each
+    fact row picks up the dimension version whose validity interval
+    contains its timestamp (``valid_from <= ts < valid_to``, open
+    current versions match everything at or after their start). Facts
+    preceding the key's first version keep NULL attributes under the
+    default left join — the honest answer, not a silent drop.
+
+    Scale shape: the join keys on the DIMENSION KEY equality (one
+    exchange per side, or none if the history rides a broadcast — it
+    is version-count-sized, not fact-sized); the interval test rides
+    INSIDE the keyed join as a residual predicate, so there is no range
+    explosion — each fact matches at most one version by construction
+    (SCD2 intervals per key are disjoint). The classic wrong plan — a
+    theta-join on the range alone — is O(facts x versions); this is
+    the same bounds-in-the-key-join shape as operators/joins.py
+    interval_join.
+    """
+    keys = _as_list(key_cols)
+    h = history.alias("h")
+    f = facts.alias("f")
+    cond = None
+    for k in keys:
+        eq = F.col(f"f.{k}") == F.col(f"h.{k}")
+        cond = eq if cond is None else cond & eq
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        cond
+        & (ts >= F.col(f"h.{valid_from}"))
+        & (F.col(f"h.{valid_to}").isNull() | (ts < F.col(f"h.{valid_to}")))
+    )
+    hist_cols = [
+        F.col(f"h.{c}") for c in history.columns if c not in keys
+    ]
+    return f.join(h, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns], *hist_cols
+    )

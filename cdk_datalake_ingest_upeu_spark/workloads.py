@@ -5360,6 +5360,61 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def scd2_point_in_time_enrich(spark, sf_dir):
+    """Point-in-time enrichment (operators/scd.py
+    scd2_point_in_time_join): odd-event_id events play the dimension
+    changelog (SCD2-collapsed into version runs), even-id events are
+    the facts — each fact picks up the version VALID AT ITS TIMESTAMP
+    (facts before the user's first version keep NULLs, the honest
+    left-join answer). The interval test rides inside the user-keyed
+    join, so each fact matches at most one version and there is no
+    range explosion."""
+    from cdk_datalake_ingest_upeu_spark.operators.scd import (
+        scd2_history,
+        scd2_point_in_time_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.filter(F.col("event_id") % 2 == 1),
+        "user_id",
+        "event_type",
+        "ts",
+        tiebreak_cols="event_id",
+    ).select("user_id", F.col("event_type").alias("dim_type"), "valid_from", "valid_to")
+    facts = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2_point_in_time_join(facts, hist, "user_id", "ts").select(
+        "event_id", "user_id", "dim_type", "valid_from"
+    ).orderBy("event_id")
+
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT user_id, event_type, ts, event_id FROM events WHERE event_id % 2 = 1
+), ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM dim
+), starts AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM ordered WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+), hist AS (
+  SELECT user_id, event_type AS dim_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM starts
+)
+SELECT f.event_id, f.user_id, h.dim_type, h.valid_from
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0) f
+LEFT JOIN hist h
+  ON f.user_id = h.user_id AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+ORDER BY f.event_id
+"""
+
+
 def events_gapfill_hourly(spark, sf_dir):
     """Time-series gap filling: the hourly rollup joined onto a dense
     hour-spine x event-type grid, missing buckets filled with zeros —
@@ -6205,6 +6260,7 @@ QUERIES = {
     "ann_incremental_probe": ann_incremental_probe,
     "sample_weighted_quality": sample_weighted_quality,
     "events_gapfill_hourly": events_gapfill_hourly,
+    "scd2_point_in_time_enrich": scd2_point_in_time_enrich,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6428,6 +6484,7 @@ ORACLES = {
     "streaming_rollup_maintenance": _INCR_ROLLUP_SQL,
     "sample_weighted_quality": _WEIGHTED_SAMPLE_SQL,
     "events_gapfill_hourly": _GAPFILL_SQL,
+    "scd2_point_in_time_enrich": _PIT_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
     # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
     # dedup_simhash_corpus, dedup_cluster_components,

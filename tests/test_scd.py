@@ -100,3 +100,44 @@ def test_scd2_upsert_roundtrip_matches_rebuild(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in full.collect()
     }
+
+
+def test_point_in_time_join_picks_containing_version(spark):
+    """Each fact lands in the version whose interval contains it; facts
+    before the first version keep NULLs; current (open) versions match
+    everything at or after their start; boundaries: valid_from
+    inclusive, valid_to exclusive."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cdk_datalake_ingest_upeu_spark.operators.scd import (
+        scd2_point_in_time_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20),
+            (1, "silver", 20, 40),
+            (1, "gold", 40, None),
+            (2, "trial", 100, None),
+        ],
+        "user_id long, tier string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 20), (4, 1, 39), (5, 1, 40),
+         (6, 1, 999), (7, 2, 99), (8, 2, 100)],
+        "fact_id long, user_id long, ts long",
+    )
+    got = {
+        r.fact_id: r.tier
+        for r in scd2_point_in_time_join(facts, hist, "user_id", "ts").collect()
+    }
+    assert got == {
+        1: None,        # before first version
+        2: "bronze",    # valid_from inclusive
+        3: "silver",    # valid_to exclusive / next valid_from inclusive
+        4: "silver",
+        5: "gold",
+        6: "gold",      # open current version
+        7: None,
+        8: "trial",
+    }
