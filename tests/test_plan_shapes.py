@@ -54,6 +54,9 @@ BUDGETS = [
     ("embedding_norm_outliers", 0, False),  # two TakeOrdered, no exchange at all
     ("expectations_report_events", 4, False),  # one-pass rules; unique's distinct + FK anti-join
     ("incremental_rollup_maintenance", 1, False),  # returned plan reads the final artifact + sorts
+    ("sample_weighted_quality", 0, False),  # scan-side A-ES rank key, TakeOrdered
+    ("scd2_point_in_time_enrich", 2, False),  # keyed join both sides; interval is residual
+    ("events_gapfill_hourly", 0, False),  # post-finalize plan: checkpointed grid read + sort
 ]
 
 
