@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "sample_weighted_quality",
     "events_gapfill_hourly",
     "scd2_point_in_time_enrich",
+    "vocab_typo_pairs",
 ]
 
 

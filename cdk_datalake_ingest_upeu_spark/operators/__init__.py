@@ -93,6 +93,7 @@ from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
 )
 from cdk_datalake_ingest_upeu_spark.operators.text import (  # noqa: F401
     bpe_encode,
+    edit_distance_pairs,
     train_bpe,
 )
 from cdk_datalake_ingest_upeu_spark.operators.clustering import (  # noqa: F401

@@ -774,3 +774,54 @@ def bpe_encode(
         )
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, text_col: str = "text", *, max_len: int = 24
+) -> DataFrame:
+    """Typo-pairs over the corpus vocabulary: all DISTINCT word pairs at
+    Levenshtein distance <= 1, found by deletion-neighborhood blocking
+    (the SymSpell recipe, public domain: two words are within one edit
+    iff they share a single-deletion variant — substitution deletes the
+    same position on both sides, insert/delete makes one word a variant
+    of the other). The all-pairs formulation is O(V^2) levenshtein
+    calls; blocking is O(V * len) variant rows and an equi-join, with
+    the exact distance check only on candidates.
+
+    Scale shape: everything runs at VOCAB scale — the corpus collapses
+    to distinct words first (one shuffle), variants explode from that
+    small relation, and the blocking join keys on the variant string.
+    ``max_len`` caps pathological tokens (URLs, DNA strings) whose
+    variant fan-out is unbounded. Returns (word_a, word_b, dist) with
+    word_a < word_b.
+    """
+    words = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .distinct()
+        .filter(F.length("word") <= max_len)
+    )
+    variants = words.select(
+        "word",
+        F.explode(
+            F.array_union(
+                F.array(F.col("word")),
+                F.expr(
+                    "transform(sequence(1, length(word)), i -> "
+                    "concat(substring(word, 1, i - 1), "
+                    "substring(word, i + 1, length(word))))"
+                ),
+            )
+        ).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("word_a", "word_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -5360,6 +5360,45 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def vocab_typo_pairs(spark, sf_dir):
+    """Typo-tolerant vocabulary matching (operators/text.py
+    edit_distance_pairs): all distinct word pairs at Levenshtein
+    distance <= 1, found by SymSpell deletion-neighborhood blocking —
+    vocab-scale work only. The synthetic vocabulary contains no natural
+    typos, so a misspelled crawl fragment is planted on BOTH sides
+    (otherwise the row proves nothing — the embedding_neardup lesson).
+    The oracle uses a DIFFERENT algorithm (brute-force all-pairs
+    levenshtein in DuckDB), so agreement proves the blocking is
+    complete, not just self-consistent."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    planted = spark.createDataFrame(
+        [("tabl spak qury joinn streem windw",)], "text string"
+    )
+    return edit_distance_pairs(docs.unionAll(planted)).orderBy(
+        "word_a", "word_b"
+    )
+
+
+_TYPO_PAIRS_SQL = """
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT 'tabl spak qury joinn streem windw'
+), w AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM corpus WHERE trim(text) <> ''
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS INT) AS dist
+FROM w a JOIN w b
+  ON a.word < b.word AND levenshtein(a.word, b.word) <= 1
+ORDER BY word_a, word_b
+"""
+
+
 def scd2_point_in_time_enrich(spark, sf_dir):
     """Point-in-time enrichment (operators/scd.py
     scd2_point_in_time_join): odd-event_id events play the dimension
@@ -6261,6 +6300,7 @@ QUERIES = {
     "sample_weighted_quality": sample_weighted_quality,
     "events_gapfill_hourly": events_gapfill_hourly,
     "scd2_point_in_time_enrich": scd2_point_in_time_enrich,
+    "vocab_typo_pairs": vocab_typo_pairs,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6485,6 +6525,7 @@ ORACLES = {
     "sample_weighted_quality": _WEIGHTED_SAMPLE_SQL,
     "events_gapfill_hourly": _GAPFILL_SQL,
     "scd2_point_in_time_enrich": _PIT_SQL,
+    "vocab_typo_pairs": _TYPO_PAIRS_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
     # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
     # dedup_simhash_corpus, dedup_cluster_components,

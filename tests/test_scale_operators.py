@@ -1890,3 +1890,33 @@ def test_weighted_hash_sample_bias_and_determinism(spark):
     assert other != picked  # seed actually varies the draw
     with _pytest.raises(ValueError):
         weighted_hash_sample(df, "id", F.col("w"), 0)
+
+
+def test_edit_distance_pairs_blocking_is_complete(spark):
+    """Deletion blocking finds EVERY pair at distance <= 1 (substitute /
+    insert / delete), rejects distance-2 pairs that share a deletion
+    variant, and caps pathological long tokens."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat bat"),        # substitution
+            (2, "cart cat"),       # insertion
+            (3, "ca cat"),         # deletion
+            (4, "ab ba"),          # distance 2 but shares variants
+            (5, "x" * 30 + " " + "x" * 29),  # over max_len: excluded
+            (6, "unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.word_a, r.word_b): r.dist
+        for r in edit_distance_pairs(df, max_len=24).collect()
+    }
+    assert got[("bat", "cat")] == 1
+    assert got[("cart", "cat")] == 1
+    assert got[("ca", "cat")] == 1
+    assert ("ab", "ba") not in got          # distance 2 rejected
+    assert all("x" * 29 not in p for pair in got for p in pair)  # capped
