@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "events_gapfill_hourly",
     "scd2_point_in_time_enrich",
     "vocab_typo_pairs",
+    "events_unpivot_daily",
 ]
 
 

@@ -5360,6 +5360,46 @@ FROM stats GROUP BY label ORDER BY label
 """
 
 
+def events_unpivot_daily(spark, sf_dir):
+    """Wide-to-long reshaping: the pivoted per-day type counts melted
+    back to (day, metric, n) rows via DataFrame.unpivot — the melt/
+    UNPIVOT surface consumers use to feed generic metric stores. Both
+    reshapes are metadata-only on the rollup (map-side Expand, no extra
+    shuffle beyond the rollup's own aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+    return (
+        wide.unpivot(
+            "day",
+            ["click", "view", "purchase", "signup", "error"],
+            "metric",
+            "n",
+        )
+        .orderBy("day", "metric")
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+  FROM events GROUP BY day
+)
+SELECT day, metric, n
+FROM wide UNPIVOT (n FOR metric IN (click, view, purchase, signup, error))
+ORDER BY day, metric
+"""
+
+
 def vocab_typo_pairs(spark, sf_dir):
     """Typo-tolerant vocabulary matching (operators/text.py
     edit_distance_pairs): all distinct word pairs at Levenshtein
@@ -6301,6 +6341,7 @@ QUERIES = {
     "events_gapfill_hourly": events_gapfill_hourly,
     "scd2_point_in_time_enrich": scd2_point_in_time_enrich,
     "vocab_typo_pairs": vocab_typo_pairs,
+    "events_unpivot_daily": events_unpivot_daily,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6526,6 +6567,7 @@ ORACLES = {
     "events_gapfill_hourly": _GAPFILL_SQL,
     "scd2_point_in_time_enrich": _PIT_SQL,
     "vocab_typo_pairs": _TYPO_PAIRS_SQL,
+    "events_unpivot_daily": _UNPIVOT_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
     # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
     # dedup_simhash_corpus, dedup_cluster_components,
