@@ -57,6 +57,10 @@ BUDGETS = [
     ("sample_weighted_quality", 0, False),  # scan-side A-ES rank key, TakeOrdered
     ("scd2_point_in_time_enrich", 2, False),  # keyed join both sides; interval is residual
     ("events_gapfill_hourly", 0, False),  # post-finalize plan: checkpointed grid read + sort
+    ("vocab_typo_pairs", 6, False),  # all vocab-scale: distinct words, variant join, pair distinct
+    ("events_unpivot_daily", 3, False),  # pivot agg + Expand melt + sort; no extra corpus shuffle
+    ("events_grouping_sets", 2, False),  # one scan, map-side Expand for the sets
+    ("set_ops_customer_activity", 2, False),  # INTERSECT/EXCEPT as semi/anti joins
 ]
 
 

@@ -245,3 +245,54 @@ def test_bpe_encoding_is_lossless(spark, words, num_merges):
     for i, w in enumerate(words):
         assert "".join(got[i]) == w
         assert len(got[i]) >= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.one_of(st.none(), st.sampled_from(["ok", "warn", "bad"])),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False, width=32
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_expectations_counts_match_python_ground_truth(spark, rows):
+    """PROPERTY: every rule kind's violation count equals a plain-Python
+    recount over the same rows — NULL semantics included (NULL never
+    violates accepted_values/between; it does violate not_null; unique
+    counts only non-NULL duplicates)."""
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+        expectations_report,
+    )
+
+    data = [(i, a, b, float(c) if c is not None else None)
+            for i, (a, b, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, a long, b string, c double")
+    rules = [
+        Expectation("a_not_null", "a", "not_null"),
+        Expectation("a_unique", "a", "unique"),
+        Expectation("b_ok", "b", "accepted_values", {"values": ["ok", "warn"]}),
+        Expectation("c_range", "c", "between", {"lo": -10.0, "hi": 10.0}),
+    ]
+    got = {r.rule: r.n_violations for r in expectations_report(df, rules).collect()}
+
+    a_vals = [a for _, a, _, _ in data]
+    non_null_a = [a for a in a_vals if a is not None]
+    expect = {
+        "a_not_null": sum(1 for a in a_vals if a is None),
+        "a_unique": len(non_null_a) - len(set(non_null_a)),
+        "b_ok": sum(1 for _, _, b, _ in data if b is not None and b not in ("ok", "warn")),
+        "c_range": sum(
+            1 for _, _, _, c in data if c is not None and (c < -10.0 or c > 10.0)
+        ),
+    }
+    assert got == expect
