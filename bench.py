@@ -1,11 +1,15 @@
 """Headline benchmark: runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
-JSON line with per-query wall seconds.
+compact JSON line (top-40 timings + other_total — the driver keeps only
+the last 2000 chars of stdout), with full per-query timings written to
+``BENCH_FULL.json``.
 
 Queries cover each workload family: scan/agg (q1), joins (q3/q5/q10),
 window dedup (W1), MERGE upsert, the config-driven transform engine, the
-end-to-end stage pipeline, and the scale operators (exact/MinHash dedup,
-ANN, text features, windowed rollup).
+end-to-end stage pipeline, the scale operators (dedup families, ANN +
+stored IVF index, text/LM analysis, BPE, sampling, expectations), and
+the streaming twins (stateful sessionization, CDC, quarantine, rollup
+maintenance).
 """
 
 from __future__ import annotations
