@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "scd2_point_in_time_enrich",
     "vocab_typo_pairs",
     "events_unpivot_daily",
+    "multimodal_image_resize",
 ]
 
 

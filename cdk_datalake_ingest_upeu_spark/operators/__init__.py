@@ -113,3 +113,6 @@ from cdk_datalake_ingest_upeu_spark.operators.rollup import (  # noqa: F401
     additive_merge,
     rollup_partial,
 )
+from cdk_datalake_ingest_upeu_spark.operators.multimodal import (  # noqa: F401
+    resize_images,
+)

@@ -202,3 +202,103 @@ def extract_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+RESIZE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def _stub_image_resize(
+    payload: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int
+) -> bytes:
+    """Deterministic fake nearest-neighbor resample: the payload is read
+    as a row-major src_w x src_h byte 'image' (cycled when short) and
+    the dst grid samples it. Stands in for PIL/libvips resize; replace
+    via ``register_decoder("image_resize", real_fn)`` — the Spark-side
+    plumbing (schemas, byte-budget partitioning, Arrow batching) does
+    not move."""
+    if not payload:
+        return bytes(dst_w * dst_h)
+    n = len(payload)
+    out = bytearray(dst_w * dst_h)
+    for i in range(dst_h):
+        si = (i * src_h) // dst_h
+        row = si * src_w
+        for j in range(dst_w):
+            sj = (j * src_w) // dst_w
+            out[i * dst_w + j] = payload[(row + sj) % n]
+    return bytes(out)
+
+
+def resize_images(
+    df: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width_col: str | None = None,
+    height_col: str | None = None,
+    target_partition_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Batch image resize over a binary media column: one Arrow batch
+    at a time through ``mapInPandas``, byte-budget repartitioned first
+    (media rows are wide — row-count partitioning OOMs on wide rows).
+    Source dimensions come from metadata columns when present, else
+    from a square-ish estimate of the payload length. The resample
+    itself is the registered ``image_resize`` codec (stubbed
+    deterministically in this image — no PIL/libvips available);
+    outputs carry the new payload plus before/after byte counts so the
+    pipeline's data-loss accounting is queryable."""
+    fn = MEDIA_DECODERS.get("image_resize", _stub_image_resize)
+
+    cols = [id_col, payload_col]
+    if width_col:
+        cols.append(width_col)
+    if height_col:
+        cols.append(height_col)
+    work = partition_by_bytes(
+        df.select(*cols), payload_col, target_partition_bytes
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                n_in = 0 if p is None else len(p)
+                # NULL metadata arrives as NaN in the Arrow batch (a
+                # truthy float!) — pd.notna is the correct presence test
+                if (
+                    width_col
+                    and height_col
+                    and pd.notna(r[width_col])
+                    and pd.notna(r[height_col])
+                ):
+                    sw, sh = int(r[width_col]), int(r[height_col])
+                else:
+                    sw = max(1, int(n_in ** 0.5))
+                    sh = max(1, (n_in + sw - 1) // sw)
+                rp = fn(bytes(p) if p is not None else b"", sw, sh, dst_w, dst_h)
+                out_rows.append(
+                    (int(r[id_col]), rp, dst_w, dst_h, n_in, len(rp))
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "doc_id", "payload", "width", "height",
+                    "n_bytes_in", "n_bytes_out",
+                ],
+            )
+
+    return work.mapInPandas(run, schema=RESIZE_OUTPUT_SCHEMA)

@@ -5400,6 +5400,34 @@ ORDER BY day, metric
 """
 
 
+def multimodal_image_resize(spark, sf_dir):
+    """Batch image-resize plumbing (operators/multimodal.py
+    resize_images): binary payloads through byte-budget partitioning and
+    an Arrow mapInPandas resample to a fixed 16x16 target. The codec is
+    the registered deterministic stub (no image libs in this runtime;
+    the nearest-neighbor math is pinned exactly by unit test); the
+    oracle checks the structural contract — per-doc input bytes and the
+    fixed output geometry — like the other multimodal rows."""
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = resize_images(media, 16, 16)
+    return out.select(
+        "doc_id", "width", "height", "n_bytes_in", "n_bytes_out"
+    ).orderBy("doc_id")
+
+
+_RESIZE_SQL = """
+SELECT doc_id, 16 AS width, 16 AS height,
+       octet_length(encode(text)) AS n_bytes_in,
+       CAST(256 AS BIGINT) AS n_bytes_out
+FROM documents ORDER BY doc_id
+"""
+
+
 def vocab_typo_pairs(spark, sf_dir):
     """Typo-tolerant vocabulary matching (operators/text.py
     edit_distance_pairs): all distinct word pairs at Levenshtein
@@ -6342,6 +6370,7 @@ QUERIES = {
     "scd2_point_in_time_enrich": scd2_point_in_time_enrich,
     "vocab_typo_pairs": vocab_typo_pairs,
     "events_unpivot_daily": events_unpivot_daily,
+    "multimodal_image_resize": multimodal_image_resize,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -6568,6 +6597,7 @@ ORACLES = {
     "scd2_point_in_time_enrich": _PIT_SQL,
     "vocab_typo_pairs": _TYPO_PAIRS_SQL,
     "events_unpivot_daily": _UNPIVOT_SQL,
+    "multimodal_image_resize": _RESIZE_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
     # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
     # dedup_simhash_corpus, dedup_cluster_components,

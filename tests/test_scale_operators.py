@@ -1920,3 +1920,34 @@ def test_edit_distance_pairs_blocking_is_complete(spark):
     assert got[("ca", "cat")] == 1
     assert ("ab", "ba") not in got          # distance 2 rejected
     assert all("x" * 29 not in p for pair in got for p in pair)  # capped
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """The stub resample is exact nearest-neighbor on the byte grid:
+    identity at same size, correct corner selection when downscaling,
+    block expansion when upscaling; empty payloads produce zeroed
+    output; metadata dims are honored when present."""
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rows = [
+        (1, bytes([1, 2, 3, 4]), 2, 2),   # 2x2 image
+        (2, b"", None, None),              # empty
+        (3, bytes(range(16)), 4, 4),       # 4x4 image
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, w int, h int"
+    )
+    got = {
+        r.doc_id: r
+        for r in resize_images(
+            df, 2, 2, width_col="w", height_col="h"
+        ).collect()
+    }
+    assert bytes(got[1].payload) == bytes([1, 2, 3, 4])  # identity
+    assert bytes(got[2].payload) == bytes(4) and got[2].n_bytes_in == 0
+    # 4x4 -> 2x2 nearest-neighbor picks (0,0),(0,2),(2,0),(2,2)
+    assert bytes(got[3].payload) == bytes([0, 2, 8, 10])
+    assert all(r.width == 2 and r.height == 2 and r.n_bytes_out == 4
+               for r in got.values())
