@@ -296,3 +296,82 @@ def test_expectations_counts_match_python_ground_truth(spark, rows):
         ),
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=96),   # hour offset
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=0, max_value=99, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gapfill_is_dense_and_total_preserving(spark, rows):
+    """PROPERTY of the gap-fill shape: the filled grid is DENSE (every
+    hour in [min,max] x every type), zero rows appear exactly where the
+    rollup had no bucket, and totals are preserved."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    base = _dt.datetime(2024, 3, 1)
+    data = [
+        (base + _dt.timedelta(hours=h), t, float(v)) for h, t, v in rows
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, event_type string, value double")
+    hourly = df.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = df.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    filled = grid.join(hourly, ["h", "event_type"], "left").select(
+        "h", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    got = filled.collect()
+    hours = sorted({h for h, _, _ in ((r.h, r.event_type, r.n) for r in got)})
+    n_types = types.count()
+    span = int((max(hours) - min(hours)).total_seconds() // 3600) + 1
+    assert len(got) == span * n_types          # dense grid
+    assert sum(r.n for r in got) == len(data)  # totals preserved
+    assert all(r.n >= 0 for r in got)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=12),
+    st.lists(st.integers(min_value=-5, max_value=60), min_size=1, max_size=15),
+)
+def test_pit_join_total_and_unique(spark, version_starts, fact_times):
+    """PROPERTY: against any SCD2 history (distinct starts, contiguous
+    intervals), a PIT join returns EXACTLY one row per fact, and the
+    matched version is the floor of the fact's ts among starts."""
+    from cdk_datalake_ingest_upeu_spark.operators.scd import (
+        scd2_point_in_time_join,
+    )
+
+    starts = sorted(set(version_starts))
+    hist_rows = []
+    for i, s in enumerate(starts):
+        nxt = starts[i + 1] if i + 1 < len(starts) else None
+        hist_rows.append((1, f"v{i}", s, nxt))
+    hist = spark.createDataFrame(
+        hist_rows, "k long, ver string, valid_from long, valid_to long"
+    )
+    facts = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(fact_times)],
+        "fact_id long, k long, ts long",
+    )
+    got = {r.fact_id: r.ver for r in scd2_point_in_time_join(facts, hist, "k", "ts").collect()}
+    assert len(got) == len(fact_times)  # exactly one row per fact
+    for i, t in enumerate(fact_times):
+        eligible = [j for j, s in enumerate(starts) if s <= t]
+        expect = f"v{eligible[-1]}" if eligible else None
+        assert got[i] == expect
