@@ -375,3 +375,45 @@ def test_pit_join_total_and_unique(spark, version_starts, fact_times):
         eligible = [j for j, s in enumerate(starts) if s <= t]
         expect = f"v{eligible[-1]}" if eligible else None
         assert got[i] == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from([0.5, 1.0, 2.0, 3.5, 10.0, 50.0]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_exact_aes_formula(spark, rows, n):
+    """PROPERTY: the selected set equals a Python recompute of the A-ES
+    rank u^(1/w) from the same md5-derived uniform — the Spark
+    expression implements the formula exactly, not just directionally."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    data = [(k, float(w)) for k, w in rows]
+    df = spark.createDataFrame(data, "id long, w double")
+    got = {
+        r.id for r in weighted_hash_sample(df, "id", F.col("w"), n).collect()
+    }
+
+    def rank(k, w):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return u ** (1.0 / w)
+
+    expect = {
+        k for k, _ in sorted(data, key=lambda t: (-rank(*t), t[0]))[: min(n, len(data))]
+    }
+    assert got == expect
