@@ -1021,6 +1021,131 @@ LIMIT 20
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated min-cost supplier per part.
+
+    The test schema has no ``partsupp`` table, so the part⋈supplier
+    cost relation is DERIVED from lineitem (min observed unit price per
+    (part, supplier) pair). The query keeps Q2's signature pieces: a
+    four-dimension join (part⋈supplier⋈nation⋈region, all broadcast),
+    the correlated ``MIN(supplycost)`` subquery — expressed as ONE
+    window over the part key instead of a self-join, so the whole
+    correlation costs a single shuffle on ``l_partkey`` — and a
+    deterministic top-20 on a total ordering.
+
+    100 TB shape: the only wide shuffle is the (partkey, suppkey)
+    rollup of lineitem; dimensions broadcast; the window rides the
+    rollup's partitioning modulo one exchange on partkey.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    cand = ps.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost,
+         min(supplycost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'LARGE' AND p_size <= 10 AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM cand WHERE supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: orders⋈lineitem fact-fact join + dual
+    conditional counts per class. The test schema has no
+    ``l_shipmode``/``l_commitdate``, so the class column is
+    ``l_linestatus`` and the window is shipdate-year 1997; the
+    signature pieces — the big-big equi-join on the order key and the
+    two ``sum(CASE …)`` counts — are unchanged.
+
+    100 TB shape: one shuffle join on ``l_orderkey`` (AQE picks
+    sort-merge vs shuffled-hash by size), then a tiny groupBy on a
+    2-value class column with map-side partial aggregation.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 def q20_excess_shippers(spark, sf_dir):
     """TPC-H Q20 shape: nested existence — suppliers that moved more
     than a threshold quantity of some ECONOMY part in 1997. The inner
@@ -6372,6 +6497,8 @@ QUERIES = {
     "events_unpivot_daily": events_unpivot_daily,
     "multimodal_image_resize": multimodal_image_resize,
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_priority_shipping": q12_priority_shipping,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -6462,6 +6589,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q12_priority_shipping": _Q12_SQL,
     "q3_top_revenue_orders": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "q6_forecast_revenue": _Q6_SQL,

@@ -32,6 +32,9 @@ SF = "/root/testdata/sf0.001"
 # (query, max_shuffle_exchanges, arrow_allowed)
 BUDGETS = [
     ("q1_pricing_summary", 2, False),
+    ("q2_min_cost_supplier", 2, False),    # ps rollup + partkey window; dims broadcast
+    ("q12_priority_shipping", 3, False),   # AQE broadcasts orders at this SF (2); +1 if SMJ
+
     ("events_hourly_rollup", 2, False),
     ("events_funnel", 2, False),           # de-arrayed r4: windows, no collect_list
     ("events_sessionization", 2, False),
