@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "vocab_typo_pairs",
     "events_unpivot_daily",
     "multimodal_image_resize",
+    "q2_min_cost_supplier",
+    "q12_priority_shipping",
+    "dedup_cluster_jaccard",
 ]
 
 

@@ -2678,6 +2678,63 @@ def dedup_cluster_components(spark, sf_dir):
     )
 
 
+def dedup_cluster_jaccard(spark, sf_dir):
+    """Duplicate clusters over EXACT n-gram-Jaccard pairs: the same
+    fixpoint label propagation as :func:`dedup_cluster_components`, but
+    fed by the SQL-expressible pair generator so the component operator
+    itself gets a full DuckDB oracle (a recursive transitive-closure
+    CTE) instead of a rows-only check. Output: cluster-size histogram
+    over documents that participate in at least one >= 0.5 pair."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return finalize(
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(F.col("sz").alias("size"), "n_components")
+        .orderBy("size")
+    )
+
+
+_CLUSTER_JACCARD_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u WHERE d.v <> r.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+), sizes AS (
+  SELECT component, count(*) AS sz FROM comp GROUP BY component
+)
+SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz ORDER BY size
+"""
+
+
 def corpus_language_stats(spark, sf_dir):
     """Corpus composition rollup by PREDICTED language: doc counts, mean
     quality, token volume — the triage query run before sampling a
@@ -6339,9 +6396,15 @@ def semantic_neardup_planted(spark, sf_dir):
     within-cluster exact cosine, operators/dedup.py
     semantic_neardup_pairs) over the embeddings table with 10 planted
     perturbed copies — the positive path the driver can see (a random
-    corpus alone yields zero pairs, which proves nothing). Rows-only:
-    k-means assignment is not SQL-expressible; the planted copies
-    guarantee >= 10 found pairs, pinned exactly by the unit test."""
+    corpus alone yields zero pairs, which proves nothing).
+
+    Fully oracled: the pair IDs (not the cosine values, whose last bits
+    depend on summation order) are compared against DuckDB's exact
+    all-pairs ``list_cosine_similarity`` scan — the clustering is
+    approximate in general, but planted copies sit at cosine ~0.99997
+    against a 0.99 threshold and land in their original's cluster, so
+    the found set equals the exact set and any bucketing or scoring
+    regression shows up as a driver hash mismatch."""
     from cdk_datalake_ingest_upeu_spark.operators.dedup import (
         semantic_neardup_pairs,
     )
@@ -6362,8 +6425,33 @@ def semantic_neardup_planted(spark, sf_dir):
         emb.unionAll(copies), k=8, threshold=0.99, iters=3
     )
     return finalize(
-        pairs.filter(F.col("id_b") >= 1000000).orderBy("id_a", "id_b")
+        pairs.filter(F.col("id_b") >= 1000000)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
+
+
+_SEMANTIC_NEARDUP_SQL = """
+WITH copies AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list(CAST(e::DOUBLE * (1.0 + 0.004 * (((i - 1) % 7) - 3)) AS FLOAT)
+              ORDER BY i) AS embedding
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < 10
+  )
+  GROUP BY vec_id
+), uni AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding FROM copies
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM uni a JOIN uni b ON a.vec_id < b.vec_id AND b.vec_id >= 1000000
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+ORDER BY id_a, id_b
+"""
 
 
 def embedding_pca_variance(spark, sf_dir):
@@ -6533,6 +6621,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_corpus": dedup_simhash_corpus,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_cluster_jaccard": dedup_cluster_jaccard,
     "dedup_incremental_batch": dedup_incremental_batch,
     "scd2_user_event_history": scd2_user_event_history,
     "profile_events_table": profile_events_table,
@@ -6650,6 +6739,8 @@ ORACLES = {
     "dedup_exact_stats": _DEDUP_EXACT_SQL,
     "dedup_exact_corpus": _DEDUP_CORPUS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_cluster_jaccard": _CLUSTER_JACCARD_SQL,
+    "semantic_neardup_planted": _SEMANTIC_NEARDUP_SQL,
     "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "corpus_language_stats": _LANG_STATS_SQL,
     "corpus_vocab_coverage": _VOCAB_SQL,
