@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "q12_priority_shipping",
     "dedup_cluster_jaccard",
+    "dedup_paragraph_corpus",
+    "corpus_filter_attrition",
 ]
 
 

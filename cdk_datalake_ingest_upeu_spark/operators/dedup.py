@@ -1097,3 +1097,67 @@ def semantic_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Sub-document exact dedup (Dolma/CCNet paragraph-dedup recipe):
+    split each document into paragraph units, keep only the FIRST
+    occurrence of each unit corpus-wide — ordered by (id, position) —
+    and reassemble surviving text per document.
+
+    The unit is a fixed ``window_tokens`` aligned token window (the
+    corpora this repo tests on have no newlines); on real data swap the
+    splitter for split-on-blank-line — the plan is identical.
+
+    Returns (id, n_chunks, n_kept, text_dedup) per input document that
+    has at least one token.
+
+    Scale shape: explode is map-side; the single corpus-sized shuffle
+    is the first-occurrence window keyed on the unit TEXT — the shuffle
+    must carry the text anyway for reassembly, and keying on a
+    fingerprint instead would collision-merge distinct units. The
+    reassembly groupBy carries document-bounded arrays only.
+    """
+    tk = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_chunks = F.ceil(F.size(F.col("__tk")) / F.lit(window_tokens)).cast("int")
+    chunks = F.when(
+        F.size(F.col("__tk")) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("__tk"), i * window_tokens + 1, window_tokens), " "
+            ),
+        )
+    )
+    exploded = df.select(F.col(id_col), tk.alias("__tk")).select(
+        id_col, F.posexplode(chunks).alias("pos", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    kept = exploded.withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept") == 1, F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )

@@ -2735,6 +2735,116 @@ FROM sizes GROUP BY sz ORDER BY size
 """
 
 
+def dedup_paragraph_corpus(spark, sf_dir):
+    """Sub-document exact dedup (the Dolma/CCNet paragraph-dedup
+    recipe): split every document into paragraph units, keep only the
+    FIRST occurrence of each unit corpus-wide (and within a document),
+    and reassemble the surviving text. The synthetic corpus has no
+    newlines, so the unit is a fixed 20-token aligned window; on real
+    data the splitter is split-on-blank-line with the same plan.
+
+    Scale shape documented on ``operators/dedup.py paragraph_dedup``:
+    one corpus-sized shuffle (the first-occurrence window keyed on the
+    unit text — the shuffle must carry the text anyway for reassembly);
+    the reassembly groupBy holds document-bounded arrays only."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "doc_id", "text", window_tokens=20).orderBy(
+        "doc_id"
+    )
+
+
+_PARAGRAPH_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         [array_to_string(tk[(i - 1) * 20 + 1:(i - 1) * 20 + 20], ' ')
+          for i in range(1, CAST(ceil(len(tk) / 20.0) AS INT) + 1)] AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) AS pos FROM ch
+), keep AS (
+  SELECT doc_id, pos, chunk,
+         CASE WHEN row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM ex
+)
+SELECT doc_id, count(*) AS n_chunks, CAST(sum(kept) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' ' ORDER BY pos), '')
+           AS text_dedup
+FROM keep GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def corpus_filter_attrition(spark, sf_dir):
+    """Filter-cascade attrition report (C4/Gopher-style observability):
+    the same three quality rules as :func:`corpus_quality_filter`
+    applied as an ORDERED cascade, reporting survivors after each
+    stage — the first artifact a pipeline operator reads when a corpus
+    shrinks unexpectedly. One scan, one 1-row aggregate, unpivoted to a
+    4-row funnel map-side; no corpus-sized shuffle at all."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        mean_word_length,
+        stopword_ratio,
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    ok1 = token_count_ws(t) >= 20
+    ok2 = mean_word_length(t).between(3.0, 12.0)
+    ok3 = stopword_ratio(t) >= 0.05
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(ok1.cast("long")).alias("n1"),
+        F.sum((ok1 & ok2).cast("long")).alias("n2"),
+        F.sum((ok1 & ok2 & ok3).cast("long")).alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(4, 0, 'ingest', n0, 1, 'min_length', n1, "
+        "2, 'word_length', n2, 3, 'stopword', n3) AS (stage_idx, stage, n_surviving)"
+    ).orderBy("stage_idx")
+
+
+_FILTER_ATTRITION_SQL = """
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), feat AS (
+  SELECT len(tk) AS n_tok,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE list_sum([len(x) for x in tk]) * 1.0 / len(tk) END AS mwl,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE len([x for x in tk
+                        if lower(x) IN ('the','of','and','to','in','is','that','it','was','for')])
+                   * 1.0 / len(tk) END AS swr
+  FROM toks
+), agg AS (
+  SELECT count(*) AS n0,
+         CAST(sum(CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN n_tok >= 20 AND mwl BETWEEN 3.0 AND 12.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN n_tok >= 20 AND mwl BETWEEN 3.0 AND 12.0
+                            AND swr >= 0.05
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM feat
+)
+SELECT stage_idx, stage, n_surviving FROM (
+  SELECT 0 AS stage_idx, 'ingest' AS stage, n0 AS n_surviving FROM agg
+  UNION ALL SELECT 1, 'min_length', n1 FROM agg
+  UNION ALL SELECT 2, 'word_length', n2 FROM agg
+  UNION ALL SELECT 3, 'stopword', n3 FROM agg
+) ORDER BY stage_idx
+"""
+
+
 def corpus_language_stats(spark, sf_dir):
     """Corpus composition rollup by PREDICTED language: doc counts, mean
     quality, token volume — the triage query run before sampling a
@@ -6622,6 +6732,8 @@ QUERIES = {
     "dedup_simhash_corpus": dedup_simhash_corpus,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_cluster_jaccard": dedup_cluster_jaccard,
+    "dedup_paragraph_corpus": dedup_paragraph_corpus,
+    "corpus_filter_attrition": corpus_filter_attrition,
     "dedup_incremental_batch": dedup_incremental_batch,
     "scd2_user_event_history": scd2_user_event_history,
     "profile_events_table": profile_events_table,
@@ -6741,6 +6853,8 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_cluster_jaccard": _CLUSTER_JACCARD_SQL,
     "semantic_neardup_planted": _SEMANTIC_NEARDUP_SQL,
+    "dedup_paragraph_corpus": _PARAGRAPH_DEDUP_SQL,
+    "corpus_filter_attrition": _FILTER_ATTRITION_SQL,
     "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "corpus_language_stats": _LANG_STATS_SQL,
     "corpus_vocab_coverage": _VOCAB_SQL,

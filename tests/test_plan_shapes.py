@@ -62,6 +62,8 @@ BUDGETS = [
     ("events_gapfill_hourly", 0, False),  # post-finalize plan: checkpointed grid read + sort
     ("vocab_typo_pairs", 6, False),  # all vocab-scale: distinct words, variant join, pair distinct
     ("events_unpivot_daily", 3, False),  # pivot agg + Expand melt + sort; no extra corpus shuffle
+    ("dedup_paragraph_corpus", 3, False),  # chunk window + doc regroup + sort
+    ("corpus_filter_attrition", 1, False),  # 1-row agg; funnel unpivots map-side
     ("events_grouping_sets", 2, False),  # one scan, map-side Expand for the sets
     ("set_ops_customer_activity", 2, False),  # INTERSECT/EXCEPT as semi/anti joins
 ]

@@ -1951,3 +1951,29 @@ def test_resize_images_nearest_neighbor_exact(spark):
     assert bytes(got[3].payload) == bytes([0, 2, 8, 10])
     assert all(r.width == 2 and r.height == 2 and r.n_bytes_out == 4
                for r in got.values())
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import paragraph_dedup
+
+    w1 = " ".join(f"a{i}" for i in range(20))   # window shared by docs 1 and 2
+    w2 = " ".join(f"b{i}" for i in range(20))
+    w3 = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        (1, f"{w1} {w2}"),          # both windows first occurrences
+        (2, f"{w1} {w3}"),          # w1 already seen in doc 1 -> dropped
+        (3, f"{w3} {w3}"),          # intra-doc repeat AND seen in doc 2
+        (4, "short tail"),          # sub-window doc: one 2-token unit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text", window_tokens=20).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == f"{w1} {w2}"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == w3          # w1 deduped away
+    assert out[3]["n_chunks"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["text_dedup"] == ""          # everything seen earlier
+    assert out[4]["n_chunks"] == 1 and out[4]["n_kept"] == 1
