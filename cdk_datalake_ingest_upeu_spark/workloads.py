@@ -6227,28 +6227,33 @@ FROM r ORDER BY rule
 def copurchase_part_pairs(spark, sf_dir):
     """Market-basket co-occurrence: top-20 part pairs appearing in the
     same order (the classic item-item signal behind co-view / co-cite /
-    co-purchase recommenders). The self-join keys ONLY on the order id,
-    so pair fan-out per order is C(basket, 2) — bounded by basket size,
-    not corpus size; a production run caps pathological baskets first
-    (operators/sampling.cap_per_group on the order key) exactly like
-    the n-gram inverted index caps df. Pure integer counts;
-    deterministic tiebreak (count desc, part_a, part_b)."""
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    co-purchase recommenders). Instead of a self-join on the order id —
+    which shuffles the item relation twice and joins — the basket is
+    assembled ONCE (one shuffle on the order key) and the C(basket, 2)
+    pair expansion happens map-side over the basket array, which is
+    bounded by basket size, not corpus size; a production run caps
+    pathological baskets first (operators/sampling.cap_per_group on the
+    order key) exactly like the n-gram inverted index caps df. Pure
+    integer counts; deterministic tiebreak (count desc, part_a,
+    part_b)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = items.alias("a"), items.alias("b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.size(F.col("parts")) - (i + 1)
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")

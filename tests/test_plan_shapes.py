@@ -49,7 +49,7 @@ BUDGETS = [
     ("text_quality_classifier", 2, False),
     ("events_transition_bigrams", 3, False),
     ("events_value_histogram", 2, False),
-    ("copurchase_part_pairs", 3, False),
+    ("copurchase_part_pairs", 2, False),   # basket rewrite: one shuffle + pair agg
     ("topk_ngrams", 1, False),
     ("corpus_unigram_logprob", 6, False),  # 1 corpus-sized; rest vocab/doc-grain
     ("text_bm25_topk", 5, False),          # 0 corpus-sized after the dl fix
