@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q12_priority_shipping",
     "dedup_cluster_jaccard",
     "dedup_paragraph_corpus",
+    "dedup_incremental_paragraph",
     "corpus_filter_attrition",
 ]
 

@@ -1099,31 +1099,17 @@ def semantic_neardup_pairs(
     )
 
 
-def paragraph_dedup(
+def paragraph_chunks(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     window_tokens: int = 20,
 ) -> DataFrame:
-    """Sub-document exact dedup (Dolma/CCNet paragraph-dedup recipe):
-    split each document into paragraph units, keep only the FIRST
-    occurrence of each unit corpus-wide — ordered by (id, position) —
-    and reassemble surviving text per document.
-
-    The unit is a fixed ``window_tokens`` aligned token window (the
-    corpora this repo tests on have no newlines); on real data swap the
-    splitter for split-on-blank-line — the plan is identical.
-
-    Returns (id, n_chunks, n_kept, text_dedup) per input document that
-    has at least one token.
-
-    Scale shape: explode is map-side; the single corpus-sized shuffle
-    is the first-occurrence window keyed on the unit TEXT — the shuffle
-    must carry the text anyway for reassembly, and keying on a
-    fingerprint instead would collision-merge distinct units. The
-    reassembly groupBy carries document-bounded arrays only.
-    """
+    """(id, pos, chunk) paragraph units of each document: fixed
+    ``window_tokens`` aligned token windows (map-side split + explode,
+    no shuffle). Shared by :func:`paragraph_dedup` and by callers
+    building a persisted seen-chunk index for incremental mode."""
     tk = F.when(
         F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -1138,11 +1124,57 @@ def paragraph_dedup(
             ),
         )
     )
-    exploded = df.select(F.col(id_col), tk.alias("__tk")).select(
+    return df.select(F.col(id_col), tk.alias("__tk")).select(
         id_col, F.posexplode(chunks).alias("pos", "chunk")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window_tokens: int = 20,
+    seen: DataFrame | None = None,
+) -> DataFrame:
+    """Sub-document exact dedup (Dolma/CCNet paragraph-dedup recipe):
+    split each document into paragraph units, keep only the FIRST
+    occurrence of each unit corpus-wide — ordered by (id, position) —
+    and reassemble surviving text per document.
+
+    The unit is a fixed ``window_tokens`` aligned token window (the
+    corpora this repo tests on have no newlines); on real data swap the
+    splitter for split-on-blank-line — the plan is identical.
+
+    Returns (id, n_chunks, n_kept, text_dedup) per input document that
+    has at least one token.
+
+    ``seen`` is the INCREMENTAL mode: a relation with a ``chunk``
+    column holding units already landed in previous batches (in
+    production a stored index table, exactly like
+    :func:`incremental_dedup`'s fingerprint index). Units present in
+    ``seen`` are dropped unconditionally; first-occurrence then applies
+    within the batch only. The index side is never window-scanned —
+    it enters as one anti-join, and only the NEW batch shuffles.
+
+    Scale shape: explode is map-side; the single corpus-sized shuffle
+    is the first-occurrence window keyed on the unit TEXT — the shuffle
+    must carry the text anyway for reassembly, and keying on a
+    fingerprint instead would collision-merge distinct units. The
+    reassembly groupBy carries document-bounded arrays only.
+    """
+    exploded = paragraph_chunks(
+        df, id_col, text_col, window_tokens=window_tokens
+    )
     w = Window.partitionBy("chunk").orderBy(id_col, "pos")
-    kept = exploded.withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
+    fresh = F.row_number().over(w) == 1
+    if seen is not None:
+        idx = seen.select(F.col("chunk").alias("__seen_chunk")).distinct()
+        exploded = exploded.join(
+            idx, exploded.chunk == idx.__seen_chunk, "left"
+        )
+        fresh = fresh & F.col("__seen_chunk").isNull()
+    kept = exploded.withColumn("kept", fresh.cast("int"))
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("kept").alias("n_kept"),

@@ -2782,6 +2782,61 @@ FROM keep GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dedup_incremental_paragraph(spark, sf_dir):
+    """Paragraph dedup in INCREMENTAL mode — the production corpus
+    refresh: docs < 250 are the already-landed history (in production a
+    stored chunk-index table), docs >= 250 are the new batch. Batch
+    units present in the index drop unconditionally; first-occurrence
+    then applies within the batch. The index enters as ONE anti-join
+    side — history text is never window-scanned or re-shuffled; only
+    the new batch pays the first-occurrence shuffle (same contract as
+    ``dedup_incremental_batch`` at document grain)."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        paragraph_chunks,
+        paragraph_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    index = paragraph_chunks(history, "doc_id", "text", window_tokens=20).select(
+        "chunk"
+    )
+    return paragraph_dedup(
+        batch, "doc_id", "text", window_tokens=20, seen=index
+    ).orderBy("doc_id")
+
+
+_INCR_PARAGRAPH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         [array_to_string(tk[(i - 1) * 20 + 1:(i - 1) * 20 + 20], ' ')
+          for i in range(1, CAST(ceil(len(tk) / 20.0) AS INT) + 1)] AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) AS pos FROM ch
+), seen AS (
+  SELECT DISTINCT chunk FROM ex WHERE doc_id < 250
+), keep AS (
+  SELECT doc_id, pos, chunk,
+         CASE WHEN chunk NOT IN (SELECT chunk FROM seen)
+                   AND row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM ex WHERE doc_id >= 250
+)
+SELECT doc_id, count(*) AS n_chunks, CAST(sum(kept) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' ' ORDER BY pos), '')
+           AS text_dedup
+FROM keep GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_filter_attrition(spark, sf_dir):
     """Filter-cascade attrition report (C4/Gopher-style observability):
     the same three quality rules as :func:`corpus_quality_filter`
@@ -6738,6 +6793,7 @@ QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_cluster_jaccard": dedup_cluster_jaccard,
     "dedup_paragraph_corpus": dedup_paragraph_corpus,
+    "dedup_incremental_paragraph": dedup_incremental_paragraph,
     "corpus_filter_attrition": corpus_filter_attrition,
     "dedup_incremental_batch": dedup_incremental_batch,
     "scd2_user_event_history": scd2_user_event_history,
@@ -6859,6 +6915,7 @@ ORACLES = {
     "dedup_cluster_jaccard": _CLUSTER_JACCARD_SQL,
     "semantic_neardup_planted": _SEMANTIC_NEARDUP_SQL,
     "dedup_paragraph_corpus": _PARAGRAPH_DEDUP_SQL,
+    "dedup_incremental_paragraph": _INCR_PARAGRAPH_SQL,
     "corpus_filter_attrition": _FILTER_ATTRITION_SQL,
     "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "corpus_language_stats": _LANG_STATS_SQL,

@@ -63,6 +63,7 @@ BUDGETS = [
     ("vocab_typo_pairs", 6, False),  # all vocab-scale: distinct words, variant join, pair distinct
     ("events_unpivot_daily", 3, False),  # pivot agg + Expand melt + sort; no extra corpus shuffle
     ("dedup_paragraph_corpus", 3, False),  # chunk window + doc regroup + sort
+    ("dedup_incremental_paragraph", 4, False),  # + index anti-join side; window reuses join partitioning
     ("corpus_filter_attrition", 1, False),  # 1-row agg; funnel unpivots map-side
     ("events_grouping_sets", 2, False),  # one scan, map-side Expand for the sets
     ("set_ops_customer_activity", 2, False),  # INTERSECT/EXCEPT as semi/anti joins

@@ -1977,3 +1977,25 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out[3]["n_chunks"] == 2 and out[3]["n_kept"] == 0
     assert out[3]["text_dedup"] == ""          # everything seen earlier
     assert out[4]["n_chunks"] == 1 and out[4]["n_kept"] == 1
+
+
+def test_paragraph_dedup_incremental_index_wins(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        paragraph_chunks,
+        paragraph_dedup,
+    )
+
+    w1 = " ".join(f"a{i}" for i in range(20))
+    w2 = " ".join(f"b{i}" for i in range(20))
+    history = spark.createDataFrame([(1, w1)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, f"{w1} {w2}"), (11, w2)], "doc_id long, text string"
+    )
+    idx = paragraph_chunks(history).select("chunk")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(batch, seen=idx, window_tokens=20).collect()
+    }
+    # w1 is in the index -> dropped from doc 10; w2 first occurs in doc 10
+    assert out[10]["n_kept"] == 1 and out[10]["text_dedup"] == w2
+    assert out[11]["n_kept"] == 0 and out[11]["text_dedup"] == ""
