@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "dedup_cluster_jaccard",
     "dedup_paragraph_corpus",
     "dedup_incremental_paragraph",
+    "streaming_paragraph_dedup",
     "corpus_filter_attrition",
 ]
 

@@ -325,3 +325,93 @@ def stream_rollup_maintenance(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_paragraph_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    max_files_per_trigger: int = 1,
+    query_name: str = "stream_paragraph_dedup",
+):
+    """Continuous paragraph-grain dedup: every arriving micro-batch of
+    documents is deduped against the persisted seen-chunk index
+    (operators/dedup.paragraph_dedup ``seen=``), the surviving per-doc
+    text lands in ``out_dir``, and the batch's KEPT chunks are appended
+    to the index — so any unit landed by an earlier batch is dropped
+    from all later ones. The streaming twin of
+    ``dedup_incremental_paragraph``.
+
+    Idempotent under foreachBatch's at-least-once retries: both sinks
+    are per-epoch overwrite partition directories, and the seen index
+    for epoch N reads only partitions with epoch < N — a half-written
+    epoch-N index from a failed attempt is invisible to its own retry.
+
+    Scale shape: per micro-batch cost is the batch-sized
+    first-occurrence shuffle plus one join against the index; the index
+    carries one row per UNIQUE unit ever kept (the canonical chunk
+    set), never full history text.
+    """
+    import glob as _glob
+    import os as _os
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import paragraph_dedup
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        seen = None
+        prior = [
+            p
+            for p in _glob.glob(_os.path.join(index_dir, "epoch=*"))
+            if int(_os.path.basename(p).split("=", 1)[1]) < epoch_id
+        ]
+        if prior:
+            seen = spark.read.parquet(*prior)
+        result = paragraph_dedup(
+            batch_df,
+            id_col,
+            text_col,
+            window_tokens=window_tokens,
+            seen=seen,
+        ).localCheckpoint(eager=True)  # compute ONCE; both sinks reuse it
+        result.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        # kept chunks = units of the batch's surviving text; re-chunking
+        # the deduped output is exact — every unit is exactly
+        # window_tokens long except a document's final one, which stays
+        # final, so concatenated survivors re-split on the same
+        # boundaries
+        from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+            paragraph_chunks,
+        )
+
+        paragraph_chunks(
+            result.filter(F.col("n_kept") > 0).select(
+                F.col(id_col), F.col("text_dedup").alias(text_col)
+            ),
+            id_col,
+            text_col,
+            window_tokens=window_tokens,
+        ).select("chunk").distinct().write.mode("overwrite").parquet(
+            _os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("latestFirst", "false").parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

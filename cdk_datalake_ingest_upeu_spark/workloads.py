@@ -2837,6 +2837,50 @@ FROM keep GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def streaming_paragraph_dedup(spark, sf_dir):
+    """Streaming twin of ``dedup_incremental_paragraph``
+    (streaming/incremental.stream_paragraph_dedup): documents arrive as
+    two chronological file drops (doc_id < 250, then the rest); each
+    micro-batch dedups against the persisted seen-chunk index and
+    appends its kept units to it. Because epoch order equals ascending
+    doc_id ranges, the drained union of per-epoch outputs must equal
+    the one-shot batch dedup of the WHOLE corpus — the same oracle as
+    ``dedup_paragraph_corpus``."""
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_paragraph_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _tmpdir("pdstream")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)]
+    ):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    q = stream_paragraph_dedup(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        docs.schema,
+        out_dir=os.path.join(work, "out"),
+        index_dir=os.path.join(work, "index"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        window_tokens=20,
+        query_name=f"pd_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(os.path.join(work, "out"))
+        .select("doc_id", "n_chunks", "n_kept", "text_dedup")
+        .orderBy("doc_id")
+    )
+
+
 def corpus_filter_attrition(spark, sf_dir):
     """Filter-cascade attrition report (C4/Gopher-style observability):
     the same three quality rules as :func:`corpus_quality_filter`
@@ -6794,6 +6838,7 @@ QUERIES = {
     "dedup_cluster_jaccard": dedup_cluster_jaccard,
     "dedup_paragraph_corpus": dedup_paragraph_corpus,
     "dedup_incremental_paragraph": dedup_incremental_paragraph,
+    "streaming_paragraph_dedup": streaming_paragraph_dedup,
     "corpus_filter_attrition": corpus_filter_attrition,
     "dedup_incremental_batch": dedup_incremental_batch,
     "scd2_user_event_history": scd2_user_event_history,
@@ -6916,6 +6961,7 @@ ORACLES = {
     "semantic_neardup_planted": _SEMANTIC_NEARDUP_SQL,
     "dedup_paragraph_corpus": _PARAGRAPH_DEDUP_SQL,
     "dedup_incremental_paragraph": _INCR_PARAGRAPH_SQL,
+    "streaming_paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "corpus_filter_attrition": _FILTER_ATTRITION_SQL,
     "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "corpus_language_stats": _LANG_STATS_SQL,
