@@ -395,6 +395,7 @@ def with_winnow_fingerprints(
     k: int = 3,
     w: int = 4,
     out_col: str = "fingerprints",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (MOSS/rolling-hash family): hash
     the positional k-grams, then keep the MIN hash of every w-hash
@@ -402,11 +403,25 @@ def with_winnow_fingerprints(
     Guarantees a shared fingerprint for any match of length >= w+k-1
     tokens, at ~2/(w+1) selection density.
 
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5"`` (top 60 bits of the standardized MD5 as a BIGINT — a few
+    times costlier per gram, but reproducible by ANY engine, which is
+    what makes the fingerprint set checkable against a SQL oracle and
+    portable across storage systems).
+
     Built as staged projections so each lambda only touches an ATTRIBUTE
     column (expressions inside HOF lambdas re-evaluate per element)."""
+    if hash_fn == "xxhash64":
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: use 'xxhash64' or 'md5'")
     hashed = df.withColumn(
         "__wg_hashes",
-        F.transform(word_grams(F.col(text_col), k), lambda g: F.xxhash64(g)),
+        F.transform(word_grams(F.col(text_col), k), gram_hash),
     )
     n_h = F.size(F.col("__wg_hashes"))
     mins = F.transform(

@@ -3923,16 +3923,48 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def text_winnow_fingerprints(spark, sf_dir):
-    """Winnowing (rolling-hash) document fingerprints (rows-only: hash
-    family is Spark's xxhash64). Returns per-doc fingerprint counts."""
+    """Winnowing (rolling-hash) document fingerprints, per-doc counts.
+
+    Runs the operator with ``hash_fn="md5"`` — the standardized-hash
+    mode — so the fingerprint SET is engine-reproducible and this row
+    is FULLY oracled (DuckDB recomputes md5 grams, window minima, and
+    distinct counts); the xxhash64 default stays the production fast
+    path with an identical plan."""
     from cdk_datalake_ingest_upeu_spark.operators.text import with_winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        with_winnow_fingerprints(docs)
+        with_winnow_fingerprints(docs, hash_fn="md5")
         .select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
         .orderBy("doc_id")
     )
+
+
+_WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         [array_to_string(tk[i:i+2], ' ')
+          for i in range(1, greatest(len(tk) - 2, 0) + 1)] AS gs
+  FROM toks
+), hashes AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) for g in gs] AS hs
+  FROM grams
+), mins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []
+              ELSE [list_min(hs[i:i+3]) for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+         END AS m
+  FROM hashes
+)
+SELECT doc_id, len(list_distinct(m)) AS n_fingerprints
+FROM mins ORDER BY doc_id
+"""
 
 
 def text_pii_redaction(spark, sf_dir):
@@ -6974,6 +7006,7 @@ ORACLES = {
     "text_repetition_stats": _REPETITION_SQL,
     "text_pii_redaction": _PII_SQL,
     "text_chunk_windows": _CHUNK_SQL,
+    "text_winnow_fingerprints": _WINNOW_SQL,
     "corpus_quality_filter": _QUALITY_FILTER_SQL,
     "decontaminate_against_benchmark": _DECONTAM_SQL,
     "sample_stratified_lang": _SAMPLE_STRAT_SQL,
