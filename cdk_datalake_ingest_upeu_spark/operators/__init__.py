@@ -116,3 +116,17 @@ from cdk_datalake_ingest_upeu_spark.operators.rollup import (  # noqa: F401
 from cdk_datalake_ingest_upeu_spark.operators.multimodal import (  # noqa: F401
     resize_images,
 )
+from cdk_datalake_ingest_upeu_spark.operators.bloom import (  # noqa: F401
+    BloomFilter,
+    bloom_build,
+    bloom_load,
+    bloom_semi_join,
+)
+from cdk_datalake_ingest_upeu_spark.operators.indexing import (  # noqa: F401
+    assign_global_ids,
+    with_shard,
+)
+from cdk_datalake_ingest_upeu_spark.operators.sketches import (  # noqa: F401
+    cms_daily,
+    cms_estimate,
+)

@@ -78,3 +78,51 @@ def rollup_sketches(
             F.expr(f"kll_sketch_get_quantile_double(__k, {q}d)"),
         )
     return merged.drop("__ks", "__k")
+
+
+def cms_daily(
+    df: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    *,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One Count-Min sketch per day over ``item_col`` — the mergeable
+    frequency summary completing the sketch family (HLL = distincts,
+    KLL = quantiles, CMS = per-item counts). Same contract as
+    daily_sketches: one shuffle on the day key with map-side partial
+    merge; the per-day binary is a few KB at eps=1e-4 regardless of
+    input size, so any coarser-grain frequency question is answered
+    from kilobytes."""
+    return (
+        df.withColumn("day", F.date_trunc("day", ts_col))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_min_sketch(
+                item_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("cms_sketch"),
+        )
+    )
+
+
+def cms_estimate(daily: DataFrame, items: list[str]) -> dict[str, int]:
+    """Merge the daily CMS binaries (driver-side: sketches are KB-scale
+    and Spark ships no cms_merge aggregate) and point-query the given
+    items. Guarantees: estimate >= true count, and with probability
+    ``confidence``, estimate <= true + eps * total_items."""
+    rows = daily.select("cms_sketch").collect()
+    spark = daily.sparkSession
+    jvm_cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for r in rows:
+        sk = jvm_cms.readFrom(bytes(r.cms_sketch))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        return {i: 0 for i in items}
+    return {i: int(merged.estimateCount(i)) for i in items}

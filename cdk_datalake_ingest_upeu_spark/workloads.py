@@ -6743,6 +6743,135 @@ def embedding_pca_variance(spark, sf_dir):
     )
 
 
+def bloom_semi_join_lineitems(spark, sf_dir):
+    """Explicit, persistable Bloom-filter semi-join (operators/bloom.py):
+    the urgent-order key set aggregates into a bit array via one
+    bit_or groupBy (≤ n_bits/64 shuffle rows per map task), and the
+    lineitem probe evaluates might_contain() scan-side — BEFORE the
+    semi-join exchange — so only (probably) matching rows shuffle. The
+    exact semi-join afterwards removes the ~0.05% false positives, so
+    the result is exact and the filter is purely a shuffle pruner. At
+    100 TB this is Spark's runtime bloom-join filtering made explicit
+    and persistable (build once from the authoritative side, prune
+    every later probe batch). Oracle: the plain IN-subquery."""
+    from cdk_datalake_ingest_upeu_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem")
+    kept = bloom_semi_join(
+        li, urgent, probe_key="l_orderkey", build_key="o_orderkey",
+        n_bits=1 << 17,
+    )
+    return (
+        kept.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_BLOOM_SEMI_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def global_ids_documents(spark, sf_dir):
+    """Contiguous global row ids + fixed-size shard assignment
+    (operators/indexing.py assign_global_ids): range-partition on the
+    sort key, then monotonically_increasing_id's per-partition offsets
+    plus a collected O(n_partitions) offset array make the rank global
+    — NO empty-partition window (row_number over a global ORDER BY is
+    a one-task plan at scale; this is one range exchange plus a
+    KB-size driver probe). Oracle: DuckDB's row_number over the same
+    total order."""
+    from cdk_datalake_ingest_upeu_spark.operators.indexing import (
+        assign_global_ids,
+        with_shard,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ids = assign_global_ids(docs, "doc_id", num_partitions=8)
+    sharded = with_shard(ids, shard_size=64)
+    return finalize(
+        sharded.select("doc_id", "source", "global_id", "shard_id").orderBy(
+            "doc_id"
+        )
+    )
+
+
+_GLOBAL_IDS_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY doc_id) - 1 AS global_id,
+       CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 64) AS BIGINT)
+           AS shard_id
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def cms_event_type_totals(spark, sf_dir):
+    """Count-Min-Sketch frequency rollup (operators/sketches.py
+    cms_daily/cms_estimate), completing the mergeable-sketch family
+    (HLL distincts, KLL quantiles, CMS per-item counts). Per-day
+    sketches aggregate with map-side partial merge — a few KB per day
+    regardless of input size — and merge driver-side to answer
+    point-frequency questions without rescanning the raw data. The
+    CMS guarantee (estimate >= exact, and <= exact + eps·N w.p.
+    confidence) ships as self-checking boolean columns so the DuckDB
+    oracle (exact counts + literal TRUE) hash-verifies it."""
+    from cdk_datalake_ingest_upeu_spark.operators.sketches import (
+        cms_daily,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = cms_daily(ev, "event_type", "ts", eps=0.0001)
+    exact_rows = sorted(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: r.event_type,
+    )
+    total = sum(r.n for r in exact_rows)
+    est = cms_estimate(daily, [r.event_type for r in exact_rows])
+    out = [
+        (
+            r.event_type,
+            r.n,
+            est[r.event_type] >= r.n,
+            est[r.event_type] <= r.n + int(0.0001 * total) + 1,
+        )
+        for r in exact_rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_exact long, cms_ge_exact boolean, "
+        "cms_within_eps boolean",
+    )
+
+
+_CMS_TOTALS_SQL = """
+SELECT event_type, count(*) AS n_exact,
+       TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -6811,6 +6940,11 @@ QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "semantic_neardup_planted": semantic_neardup_planted,
     "embedding_pca_variance": embedding_pca_variance,
+    # --- post-window round-4 additions: local-sweep evidence this round,
+    # rotate into the driver window next round ---
+    "bloom_semi_join_lineitems": bloom_semi_join_lineitems,
+    "global_ids_documents": global_ids_documents,
+    "cms_event_type_totals": cms_event_type_totals,
     # --- behind the window: round-4 late extras — these LEAD the r5
     # rotation (locally comparator-checked this round, see
     # CORRECTNESS_LOCAL_r04.json, but no driver row yet) — then
@@ -7061,6 +7195,9 @@ ORACLES = {
     "bpe_merge_pairs": _BPE_MERGE_SQL,
     "embedding_norm_outliers": _NORM_OUTLIERS_SQL,
     "copurchase_part_pairs": _COPURCHASE_SQL,
+    "bloom_semi_join_lineitems": _BLOOM_SEMI_SQL,
+    "global_ids_documents": _GLOBAL_IDS_SQL,
+    "cms_event_type_totals": _CMS_TOTALS_SQL,
     "events_transition_bigrams": _TRANSITION_SQL,
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     "expectations_report_events": _EXPECTATIONS_SQL,

@@ -1,0 +1,110 @@
+"""Bloom filter build/probe: no false negatives, bounded false
+positives, literal- and join-mode probe agreement, persistence
+round-trip, and exact semi-join equivalence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_load,
+    bloom_semi_join,
+)
+
+
+@pytest.fixture(scope="module")
+def member_keys(spark):
+    # 1000 member keys 0..999; probes extend to 20k so ~19k non-members
+    return spark.range(1000).select(F.col("id").alias("k"))
+
+
+@pytest.fixture(scope="module")
+def bf(spark, member_keys):
+    return bloom_build(member_keys, "k", n_bits=1 << 14, n_hashes=5)
+
+
+def test_no_false_negatives(spark, member_keys, bf):
+    n = member_keys.filter(bf.might_contain(F.col("k"))).count()
+    assert n == 1000
+
+
+def test_false_positive_rate_bounded(spark, bf):
+    probes = spark.range(1000, 20000).select(F.col("id").alias("k"))
+    fp = probes.filter(bf.might_contain(F.col("k"))).count()
+    # m/n = 16.4, k = 5 -> theoretical fpr ~0.06%; allow 10x headroom
+    assert fp / 19000 < 0.006, fp
+
+
+def test_join_mode_agrees_with_literal(spark, member_keys, bf):
+    probes = spark.range(0, 5000).select(F.col("id").alias("k"))
+    lit_keys = {
+        r.k for r in probes.filter(bf.might_contain(F.col("k"))).collect()
+    }
+    join_keys = {
+        r.k
+        for r in bf.prefilter_join(probes, F.col("k"), spark).collect()
+    }
+    assert lit_keys == join_keys
+
+
+def test_bit63_round_trip(spark):
+    # a key whose bucket lands on bit 63 makes the word negative as a
+    # signed long; getbit must still see it (two's complement)
+    keys = spark.range(0, 3000).select(F.col("id").alias("k"))
+    small = bloom_build(keys, "k", n_bits=64, n_hashes=1)
+    # 3000 keys over 64 bits: every bit set, incl. 63 -> word == -1
+    assert small.words == [-1]
+    assert keys.filter(small.might_contain(F.col("k"))).count() == 3000
+
+
+def test_persistence_round_trip(spark, bf, tmp_path):
+    path = os.path.join(str(tmp_path), "bf.parquet")
+    bf.to_df(spark).write.mode("overwrite").parquet(path)
+    loaded = bloom_load(spark.read.parquet(path))
+    assert loaded.n_bits == bf.n_bits
+    assert loaded.seeds == bf.seeds
+    assert loaded.words == bf.words
+
+
+def test_semi_join_exact(spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    got = bloom_semi_join(
+        lineitem,
+        urgent,
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+        n_bits=1 << 16,
+    ).count()
+    want = lineitem.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "leftsemi",
+    ).count()
+    assert got == want
+
+
+def test_inexact_superset_and_prunes(spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    total = lineitem.count()
+    exact = lineitem.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "leftsemi",
+    ).count()
+    approx = bloom_semi_join(
+        lineitem,
+        urgent,
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+        n_bits=1 << 16,
+        exact=False,
+    ).count()
+    assert exact <= approx  # no false negatives
+    assert approx < total  # and it actually prunes

@@ -67,6 +67,9 @@ BUDGETS = [
     ("corpus_filter_attrition", 1, False),  # 1-row agg; funnel unpivots map-side
     ("events_grouping_sets", 2, False),  # one scan, map-side Expand for the sets
     ("set_ops_customer_activity", 2, False),  # INTERSECT/EXCEPT as semi/anti joins
+    ("bloom_semi_join_lineitems", 4, False),  # key distinct + final agg + sort; bloom probe is scan-side
+    ("global_ids_documents", 0, False),   # finalized: checkpoint scan; range exchange paid once upstream
+    ("cms_event_type_totals", 0, False),  # driver-assembled KB result; sketches aggregated upstream
 ]
 
 
