@@ -23,6 +23,7 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
 )
 from cdk_datalake_ingest_upeu_spark.operators.diff import snapshot_diff  # noqa: F401
 from cdk_datalake_ingest_upeu_spark.operators.profile import (  # noqa: F401
+    dataset_checksum,
     profile_table,
 )
 from cdk_datalake_ingest_upeu_spark.operators.sketches import (  # noqa: F401
@@ -58,6 +59,7 @@ from cdk_datalake_ingest_upeu_spark.operators.bucketing import (  # noqa: F401
 )
 from cdk_datalake_ingest_upeu_spark.operators.dedup import (  # noqa: F401
     estimated_jaccard,
+    ngram_containment_pairs,
     incremental_minhash_dedup,
     minhash_band_table,
     minhash_signature_table,
@@ -120,6 +122,7 @@ from cdk_datalake_ingest_upeu_spark.operators.bloom import (  # noqa: F401
     BloomFilter,
     bloom_build,
     bloom_load,
+    bloom_merge,
     bloom_semi_join,
 )
 from cdk_datalake_ingest_upeu_spark.operators.indexing import (  # noqa: F401

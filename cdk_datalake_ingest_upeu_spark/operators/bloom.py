@@ -168,6 +168,24 @@ def bloom_build(
     return BloomFilter(words=words, n_bits=n_bits, seeds=seeds)
 
 
+def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """OR two filters built with identical parameters — the incremental
+    maintenance op: yesterday's persisted filter ∪ today's batch filter,
+    without ever re-reading yesterday's keys. Python's | on signed
+    64-bit values is two's-complement-correct, so words with bit 63 set
+    (negative longs) merge exactly."""
+    if a.n_bits != b.n_bits or a.seeds != b.seeds:
+        raise ValueError(
+            "bloom_merge requires identical n_bits and seeds: "
+            f"{a.n_bits}/{a.seeds} vs {b.n_bits}/{b.seeds}"
+        )
+    return BloomFilter(
+        words=[x | y for x, y in zip(a.words, b.words)],
+        n_bits=a.n_bits,
+        seeds=list(a.seeds),
+    )
+
+
 def bloom_load(df: DataFrame) -> BloomFilter:
     """Rehydrate a filter persisted with :meth:`BloomFilter.to_df`."""
     row = df.collect()[0]

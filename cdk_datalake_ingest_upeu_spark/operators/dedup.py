@@ -498,6 +498,101 @@ def ngram_jaccard_pairs(
     return clean.unionByName(verified).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 256,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT instead of Jaccard.
+
+    C(A→B) = |A∩B| / |A| — "how much of A appears in B". Jaccard misses
+    subset documents (a paragraph quoted whole inside a much longer
+    page scores |A|/|B| ≈ 0 on Jaccard but 1.0 on containment), and
+    subset inclusions are a large share of real web-corpus duplication
+    (Broder 1997 defines both resemblance and containment for exactly
+    this reason). Output: (id_a, id_b, cont_a_in_b, cont_b_in_a,
+    containment) for pairs whose LARGER directed containment clears the
+    threshold; containment = max direction = inter / min(|A|, |B|).
+
+    Scale shape is identical to :func:`ngram_jaccard_pairs` (same
+    inverted-index join, same df-cap with the same upper-bound-then-
+    verify discipline for pairs where both sides lost hot shingles) —
+    only the acceptance formula changes: the bound uses min(n_a, n_b)
+    as denominator, which is exact, so no extra machinery."""
+    base = _parallelize_scan(df).select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    base = scratch_persist(base)
+    exploded = base.select("__id", "__n", F.explode("__sh").alias("__g"))
+
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__g")
+        )
+        hot_per_doc = (
+            exploded.join(F.broadcast(hot), "__g", "left_semi")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__hot"))
+        )
+        kept = (
+            exploded.join(F.broadcast(hot), "__g", "left_anti")
+            .join(hot_per_doc, "__id", "left")
+            .withColumn("__hot", F.coalesce("__hot", F.lit(0)))
+        )
+    else:
+        kept = exploded.withColumn("__hot", F.lit(0))
+
+    kept = scratch_persist(kept)
+    a, b = kept.alias("a"), kept.alias("b")
+    counted = (
+        a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+            F.col("a.__hot").alias("hot_a"),
+            F.col("b.__hot").alias("hot_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ub_inter = F.col("inter") + F.least("hot_a", "hot_b")
+    surv = counted.filter(ub_inter / F.least("n_a", "n_b") >= threshold)
+
+    def _conts(inter):
+        return [
+            F.round(inter / F.col("n_a"), 6).alias("cont_a_in_b"),
+            F.round(inter / F.col("n_b"), 6).alias("cont_b_in_a"),
+            F.round(inter / F.least("n_a", "n_b"), 6).alias("containment"),
+        ]
+
+    clean = surv.filter(F.least("hot_a", "hot_b") == 0).select(
+        "id_a", "id_b", *_conts(F.col("inter"))
+    )
+    hot_pairs = surv.filter(F.least("hot_a", "hot_b") > 0).select(
+        "id_a", "id_b", "n_a", "n_b"
+    )
+    sets = base.select("__id", "__sh")
+    verified = (
+        hot_pairs.join(
+            sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+        )
+        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn("true_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select("id_a", "id_b", *_conts(F.col("true_inter")))
+    )
+    out = clean.unionByName(verified)
+    return out.filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

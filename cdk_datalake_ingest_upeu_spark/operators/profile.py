@@ -135,3 +135,40 @@ def profile_drift(old_profile: DataFrame, new_profile: DataFrame) -> DataFrame:
             | ~F.col("max_old").eqNullSafe(F.col("max_new"))
         ).alias("bounds_changed"),
     ).orderBy("column_name")
+
+
+def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum of a row multiset: one row of
+    (n_rows, checksum).
+
+    Verifies two pipeline runs produced IDENTICAL data without sorting,
+    shuffling, or moving anything: each row hashes to the first 48 bits
+    of a portable md5 over its canonicalized columns, and the hashes SUM
+    (decimal(38,0), overflow-safe past 1e12 rows x 48-bit values). Sum
+    is commutative, so the checksum is independent of row order and
+    partitioning, and the whole operator is a map-side partial aggregate
+    — zero exchange of data rows at any scale.
+
+    Canonicalization: columns cast to string, NULL replaced by a
+    sentinel (concat_ws silently drops NULLs — ('a', NULL) must not
+    collide with ('a',)), joined with an \\x1f separator. md5-over-text
+    is the same portable-hash convention as the sampling oracles: any
+    engine reproduces it. Caveat: float columns hash their TEXT — cast
+    or round floats explicitly before checksumming across engines with
+    different float formatting.
+    """
+    use_cols = cols or df.columns
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in use_cols
+        ],
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    )

@@ -6872,6 +6872,80 @@ ORDER BY event_type
 """
 
 
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric (containment) near-dup pairs
+    (operators/dedup.py ngram_containment_pairs): C(A→B) = |A∩B|/|A|
+    catches subset documents — a paragraph quoted whole inside a longer
+    page — that symmetric Jaccard scores near zero. Same inverted-index
+    join and df-cap as the Jaccard operator; only the acceptance
+    formula differs. Oracle: DuckDB recomputes the shingle sets and
+    both directed containments exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(docs, threshold=0.6)
+    return finalize(pairs.orderBy("id_a", "id_b"))
+
+
+_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS g FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(count(*) * 1.0 / any_value(a.n), 6) AS cont_a_in_b,
+       round(count(*) * 1.0 / any_value(b.n), 6) AS cont_b_in_a,
+       round(count(*) * 1.0 / least(any_value(a.n), any_value(b.n)), 6)
+           AS containment
+FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) * 1.0 / least(any_value(a.n), any_value(b.n)) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def corpus_checksum(spark, sf_dir):
+    """Order-insensitive dataset checksum (operators/profile.py
+    dataset_checksum): per-row portable md5-prefix values SUM into one
+    decimal — commutative, so the result is independent of row order
+    and partitioning, and the plan is a map-side partial aggregate with
+    zero data-row exchange. The reproducibility gate for a pipeline
+    re-run at any scale: two runs landed identical row multisets iff
+    (n_rows, checksum) match. Oracle: DuckDB reproduces the md5-prefix
+    sum exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        dataset_checksum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_checksum(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+_CHECKSUM_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(('0x' || substr(md5(
+           concat_ws(chr(31),
+               coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+               coalesce(text, chr(0) || 'null'),
+               coalesce(lang, chr(0) || 'null'),
+               coalesce(source, chr(0) || 'null'),
+               coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null'))
+       ), 1, 12))::BIGINT) AS DECIMAL(38,0)) AS checksum
+FROM documents
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -6945,6 +7019,8 @@ QUERIES = {
     "bloom_semi_join_lineitems": bloom_semi_join_lineitems,
     "global_ids_documents": global_ids_documents,
     "cms_event_type_totals": cms_event_type_totals,
+    "dedup_ngram_containment": dedup_ngram_containment,
+    "corpus_checksum": corpus_checksum,
     # --- behind the window: round-4 late extras — these LEAD the r5
     # rotation (locally comparator-checked this round, see
     # CORRECTNESS_LOCAL_r04.json, but no driver row yet) — then
@@ -7198,6 +7274,8 @@ ORACLES = {
     "bloom_semi_join_lineitems": _BLOOM_SEMI_SQL,
     "global_ids_documents": _GLOBAL_IDS_SQL,
     "cms_event_type_totals": _CMS_TOTALS_SQL,
+    "dedup_ngram_containment": _CONTAINMENT_SQL,
+    "corpus_checksum": _CHECKSUM_SQL,
     "events_transition_bigrams": _TRANSITION_SQL,
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     "expectations_report_events": _EXPECTATIONS_SQL,

@@ -108,3 +108,31 @@ def test_inexact_superset_and_prunes(spark, sf_dir):
     ).count()
     assert exact <= approx  # no false negatives
     assert approx < total  # and it actually prunes
+
+
+def test_bloom_merge_union(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.bloom import bloom_merge
+
+    a_keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    b_keys = spark.range(500, 1000).select(F.col("id").alias("k"))
+    a = bloom_build(a_keys, "k", n_bits=1 << 13, n_hashes=4)
+    b = bloom_build(b_keys, "k", n_bits=1 << 13, n_hashes=4)
+    merged = bloom_merge(a, b)
+    both = spark.range(0, 1000).select(F.col("id").alias("k"))
+    # no false negatives on the union
+    assert both.filter(merged.might_contain(F.col("k"))).count() == 1000
+    # merged == filter built directly over the union (bitwise identical)
+    direct = bloom_build(both, "k", n_bits=1 << 13, n_hashes=4)
+    assert merged.words == direct.words
+
+
+def test_bloom_merge_rejects_mismatched_params(spark):
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.bloom import bloom_merge
+
+    keys = spark.range(10).select(F.col("id").alias("k"))
+    a = bloom_build(keys, "k", n_bits=1 << 10)
+    b = bloom_build(keys, "k", n_bits=1 << 11)
+    with _pytest.raises(ValueError):
+        bloom_merge(a, b)

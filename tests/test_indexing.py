@@ -100,3 +100,52 @@ def test_cms_guarantees_and_merge_consistency(spark, sf_dir):
 def test_cms_empty(spark):
     df = spark.createDataFrame([], "event_type string, ts timestamp")
     assert cms_estimate(cms_daily(df, "event_type", "ts"), ["x"]) == {"x": 0}
+
+
+def test_dataset_checksum_order_and_partition_invariant(spark, sf_dir):
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        dataset_checksum,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cols = ["doc_id", "text", "lang", "source"]
+    base = dataset_checksum(docs, cols).collect()[0]
+    shuffled = dataset_checksum(
+        docs.repartition(17).orderBy(F.rand(7)), cols
+    ).collect()[0]
+    assert (base.n_rows, base.checksum) == (shuffled.n_rows, shuffled.checksum)
+    # any single-row mutation must change the checksum
+    mutated = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == docs.select(F.min("doc_id")).collect()[0][0],
+               F.lit("zz")).otherwise(F.col("lang")),
+    )
+    assert dataset_checksum(mutated, cols).collect()[0].checksum != base.checksum
+
+
+def test_ngram_containment_subset_document(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
+
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    subset = " ".join(f"w{i}" for i in range(40, 80))  # contained run
+    other = " ".join(f"x{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, subset), (3, other)], "doc_id long, text string"
+    )
+    try:
+        rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    finally:
+        release_scratch()
+    pairs = {(r.id_a, r.id_b): r for r in rows}
+    # the subset doc is fully contained in the long doc: max-direction
+    # containment 1.0 even though Jaccard is only ~0.19
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.containment == 1.0
+    assert r.cont_b_in_a == 1.0  # B (subset) inside A
+    assert r.cont_a_in_b < 0.25
+    # the unrelated doc pairs with nothing
+    assert not any(3 in p for p in pairs)

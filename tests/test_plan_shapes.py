@@ -70,6 +70,8 @@ BUDGETS = [
     ("bloom_semi_join_lineitems", 4, False),  # key distinct + final agg + sort; bloom probe is scan-side
     ("global_ids_documents", 0, False),   # finalized: checkpoint scan; range exchange paid once upstream
     ("cms_event_type_totals", 0, False),  # driver-assembled KB result; sketches aggregated upstream
+    ("dedup_ngram_containment", 0, False),  # finalized: checkpoint scan; index join paid upstream
+    ("corpus_checksum", 1, False),  # map-side partial sum -> single-partition final agg
 ]
 
 
