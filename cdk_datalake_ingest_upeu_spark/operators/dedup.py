@@ -695,18 +695,32 @@ def _plane_sign_bits(planes: list[list[float]]):
     """Arrow-batched Pandas UDF packing sign(dot(vec, plane_i)) for all
     planes into one long (bit i = plane i), via a single numpy matmul
     per batch — the vectorized path for embedding math. Requires
-    n_planes <= 62 and non-null vectors."""
+    n_planes <= 62; NULL or wrong-length vectors propagate NULL per row
+    (same guard as :func:`_cosine_batch` — np.stack over a batch with a
+    None would otherwise fail the whole task)."""
     from pyspark.sql.functions import pandas_udf
 
     P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    dim = P.shape[0]
     weights = np.uint64(1) << np.arange(P.shape[1], dtype=np.uint64)
 
     @pandas_udf("long")
     def sig(v: pd.Series) -> pd.Series:
-        M = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (M @ P) > 0.0
-        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-        return pd.Series(packed)
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        arr = v.to_numpy()
+        valid = np.fromiter(
+            (x is not None and len(x) == dim for x in arr),
+            dtype=bool,
+            count=len(arr),
+        )
+        out = pd.Series([None] * len(arr), dtype="object")
+        if valid.any():
+            M = np.stack(arr[valid]).astype(np.float64)  # (batch, dim)
+            bits = (M @ P) > 0.0
+            packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            out[valid] = packed
+        return out
 
     return sig
 

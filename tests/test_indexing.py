@@ -149,3 +149,20 @@ def test_ngram_containment_subset_document(spark):
     assert r.cont_a_in_b < 0.25
     # the unrelated doc pairs with nothing
     assert not any(3 in p for p in pairs)
+
+
+def test_hyperplane_sig_null_guard(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        _hyperplanes,
+        _plane_sign_bits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None), (3, [1.0])],
+        "id long, v array<double>",
+    )
+    sig = _plane_sign_bits(_hyperplanes(3, 8, 42))
+    rows = {r.id: r.s for r in df.select("id", sig("v").alias("s")).collect()}
+    assert rows[1] is not None  # valid vector gets a signature
+    assert rows[2] is None  # NULL vector propagates NULL, no task failure
+    assert rows[3] is None  # wrong-length vector likewise
