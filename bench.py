@@ -132,6 +132,12 @@ BENCH_QUERIES = [
     "dedup_incremental_paragraph",
     "streaming_paragraph_dedup",
     "corpus_filter_attrition",
+    "bloom_semi_join_lineitems",
+    "global_ids_documents",
+    "cms_event_type_totals",
+    "dedup_ngram_containment",
+    "corpus_checksum",
+    "streaming_bloom_dedup",
 ]
 
 

@@ -92,13 +92,20 @@ class BloomFilter:
         return spark.createDataFrame(rows, "word_idx int, word long")
 
     def prefilter_join(
-        self, probe: DataFrame, key: Column, spark: SparkSession
+        self,
+        probe: DataFrame,
+        key: Column,
+        spark: SparkSession,
+        *,
+        negate: bool = False,
     ) -> DataFrame:
         """Join-mode probe for filters too large to inline as a plan
         literal: one broadcast hash join per hash function on
         ``word_idx`` (keeps row identity — no explode/regroup), then a
         codegen bit test. A probe row survives only if every hash's
-        word exists AND has the bit set."""
+        word exists AND has the bit set; ``negate=True`` keeps the
+        complement (rows definitely NOT in the filter — the novel-row
+        side of a dedup)."""
         words = self.words_df(spark)
         out = probe
         conds = []
@@ -119,6 +126,8 @@ class BloomFilter:
         keep = conds[0]
         for c in conds[1:]:
             keep = keep & c
+        if negate:
+            keep = ~keep
         drop = [c for i in range(len(self.seeds)) for c in (f"__bf_idx{i}", f"__bf_w{i}")]
         return out.filter(keep).drop(*drop)
 

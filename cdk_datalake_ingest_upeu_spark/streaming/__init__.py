@@ -13,3 +13,6 @@ from cdk_datalake_ingest_upeu_spark.streaming.stateful import (  # noqa: F401
     run_streaming_topk_applyinpandas,
     run_watermarked_rollup,
 )
+from cdk_datalake_ingest_upeu_spark.streaming.bloom_dedup import (  # noqa: F401
+    stream_bloom_dedup,
+)

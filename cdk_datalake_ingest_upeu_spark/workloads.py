@@ -6932,6 +6932,63 @@ def corpus_checksum(spark, sf_dir):
     )
 
 
+def streaming_bloom_dedup(spark, sf_dir):
+    """Streaming dedup with a PERSISTED Bloom filter
+    (streaming/bloom_dedup.py): unlike dropDuplicatesWithinWatermark
+    (streaming_dedup_events), whose state store evicts keys past the
+    watermark horizon, the filter remembers every key ever seen in a
+    fixed-size bit array — unbounded-horizon re-deliveries are dropped
+    forever at O(n_bits) state, at the cost of a ~1e-7 chance of
+    dropping a novel key (bits sized 64x key count here; the oracle
+    equality below is itself the zero-false-positive check). The same
+    20% re-delivered events stream as the exact twin; the drained
+    epochs must equal the duplicate-free batch aggregate."""
+    import math
+
+    from cdk_datalake_ingest_upeu_spark.streaming.bloom_dedup import (
+        stream_bloom_dedup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dup = hash_sample(ev, "event_id", 0.20, seed="redeliver")
+    full = ev.unionByName(dup)
+    n_keys = max(ev.count(), 1)
+    n_bits = 1 << max(14, math.ceil(math.log2(64 * n_keys)))
+
+    work = _tmpdir("bloomsd")
+    src_glob = _stage_event_drops(spark, sf_dir, work, df=full)
+    out_dir = os.path.join(work, "novel")
+    with _stream_shuffle_partitions(spark, 8):
+        q = stream_bloom_dedup(
+            spark,
+            src_glob,
+            ev.schema,
+            out_dir,
+            key_col="event_id",
+            filter_dir=os.path.join(work, "bloom_filter"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            n_bits=n_bits,
+            query_name=f"bloomsd_{uuid.uuid4().hex[:6]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.read.parquet(out_dir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_STREAM_BLOOM_DEDUP_SQL = """
+-- every re-delivered duplicate dropped, every novel key kept: the
+-- drained epoch outputs equal the duplicate-free batch aggregate
+-- (a Bloom false positive would show up here as a lost novel key)
+SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+"""
+
+
 _CHECKSUM_SQL = """
 SELECT count(*) AS n_rows,
        CAST(sum(('0x' || substr(md5(
@@ -7021,6 +7078,7 @@ QUERIES = {
     "cms_event_type_totals": cms_event_type_totals,
     "dedup_ngram_containment": dedup_ngram_containment,
     "corpus_checksum": corpus_checksum,
+    "streaming_bloom_dedup": streaming_bloom_dedup,
     # --- behind the window: round-4 late extras — these LEAD the r5
     # rotation (locally comparator-checked this round, see
     # CORRECTNESS_LOCAL_r04.json, but no driver row yet) — then
@@ -7276,6 +7334,7 @@ ORACLES = {
     "cms_event_type_totals": _CMS_TOTALS_SQL,
     "dedup_ngram_containment": _CONTAINMENT_SQL,
     "corpus_checksum": _CHECKSUM_SQL,
+    "streaming_bloom_dedup": _STREAM_BLOOM_DEDUP_SQL,
     "events_transition_bigrams": _TRANSITION_SQL,
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     "expectations_report_events": _EXPECTATIONS_SQL,

@@ -136,3 +136,52 @@ def test_bloom_merge_rejects_mismatched_params(spark):
     b = bloom_build(keys, "k", n_bits=1 << 11)
     with _pytest.raises(ValueError):
         bloom_merge(a, b)
+
+
+def test_stream_bloom_dedup_and_epoch_replay(spark, sf_dir, tmp_path):
+    """End-to-end: duplicates across drops are dropped; a replayed epoch
+    (foreachBatch at-least-once) must not clobber committed output."""
+    from cdk_datalake_ingest_upeu_spark.streaming.bloom_dedup import (
+        _load_or_empty,
+        stream_bloom_dedup,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # two drops with a 50% overlap: second drop re-delivers half of the first
+    first = ev.limit(200)
+    overlap = first.limit(100)
+    rest = ev.subtract(first).limit(100)
+    src = os.path.join(str(tmp_path), "in")
+    first.coalesce(1).write.parquet(os.path.join(src, "d0"))
+    overlap.unionByName(rest).coalesce(1).write.parquet(os.path.join(src, "d1"))
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    filter_dir = os.path.join(str(tmp_path), "bloom")
+    q = stream_bloom_dedup(
+        spark,
+        src + "/*",
+        ev.schema,
+        out_dir,
+        key_col="event_id",
+        filter_dir=filter_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        n_bits=1 << 16,
+        query_name="t_bloomsd",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = spark.read.parquet(out_dir)
+    assert kept.count() == 300  # 200 + 100 novel; 100 re-deliveries dropped
+    assert kept.select("event_id").distinct().count() == 300
+
+    # replay epoch 0 against the committed filter: the epoch marker must
+    # short-circuit — without it the probe calls every row a duplicate
+    # and overwrites the epoch directory with an empty frame
+    bf, last_epoch = _load_or_empty(spark, filter_dir, 1 << 16, 5)
+    assert last_epoch is not None and last_epoch >= 1
+    pre = spark.read.parquet(os.path.join(out_dir, "epoch=0")).count()
+    assert pre > 0
+    # the filter now contains epoch 0's keys — a fresh probe drops all
+    novel_again = first.filter(~bf.might_contain(F.col("event_id"))).count()
+    assert novel_again == 0
