@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_ngram_containment",
     "corpus_checksum",
     "streaming_bloom_dedup",
+    "stage_bloom_pruned_lookup",
 ]
 
 

@@ -6989,6 +6989,53 @@ FROM events
 """
 
 
+def stage_bloom_pruned_lookup(spark, sf_dir):
+    """Point-lookup file pruning via a per-file Bloom index
+    (sources/file_index.py): min/max stats and z-order prune RANGES;
+    a point lookup on an unclustered high-cardinality key still scans
+    every file without this. The events table lands as 16 files, one
+    index scan builds the sparse (file, word_idx, word) relation, and
+    the 5-key lookup probes the INDEX ONLY to pick the files to open —
+    at 100 TB that is a few-hundred-MB index join instead of a full
+    scan. The exact IN-filter on top makes bloom false positives cost
+    an extra file read, never a wrong row; the `pruned` column
+    self-checks that fewer than all files were opened."""
+    from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+        build_file_bloom_index,
+        bloom_pruned_read,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("fidx")
+    data_dir = os.path.join(work, "events16")
+    ev.repartition(16, "event_id").write.mode("overwrite").parquet(data_dir)
+    idx_dir = os.path.join(work, "index")
+    build_file_bloom_index(spark, data_dir, "event_id").write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    keys = ev.orderBy("event_id").limit(5).select("event_id")
+    rows, scanned, total = bloom_pruned_read(spark, index, keys, "event_id")
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        "n_rows",
+        "sum_value",
+        F.lit(scanned < total).alias("pruned"),
+        F.lit(scanned > 0).alias("files_opened"),
+    )
+
+
+_BLOOM_PRUNED_SQL = """
+SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
+       TRUE AS pruned, TRUE AS files_opened
+FROM events
+WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 5)
+"""
+
+
 _CHECKSUM_SQL = """
 SELECT count(*) AS n_rows,
        CAST(sum(('0x' || substr(md5(
@@ -7079,6 +7126,7 @@ QUERIES = {
     "dedup_ngram_containment": dedup_ngram_containment,
     "corpus_checksum": corpus_checksum,
     "streaming_bloom_dedup": streaming_bloom_dedup,
+    "stage_bloom_pruned_lookup": stage_bloom_pruned_lookup,
     # --- behind the window: round-4 late extras — these LEAD the r5
     # rotation (locally comparator-checked this round, see
     # CORRECTNESS_LOCAL_r04.json, but no driver row yet) — then
@@ -7335,6 +7383,7 @@ ORACLES = {
     "dedup_ngram_containment": _CONTAINMENT_SQL,
     "corpus_checksum": _CHECKSUM_SQL,
     "streaming_bloom_dedup": _STREAM_BLOOM_DEDUP_SQL,
+    "stage_bloom_pruned_lookup": _BLOOM_PRUNED_SQL,
     "events_transition_bigrams": _TRANSITION_SQL,
     "events_value_histogram": _VALUE_HISTOGRAM_SQL,
     "expectations_report_events": _EXPECTATIONS_SQL,

@@ -185,3 +185,33 @@ def test_stream_bloom_dedup_and_epoch_replay(spark, sf_dir, tmp_path):
     # the filter now contains epoch 0's keys — a fresh probe drops all
     novel_again = first.filter(~bf.might_contain(F.col("event_id"))).count()
     assert novel_again == 0
+
+
+def test_file_bloom_index_prunes_and_finds(spark, sf_dir, tmp_path):
+    from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+        bloom_index_candidate_files,
+        bloom_pruned_read,
+        build_file_bloom_index,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    data_dir = os.path.join(str(tmp_path), "d")
+    ev.repartition(8, "event_id").write.parquet(data_dir)
+    index = build_file_bloom_index(spark, data_dir, "event_id", n_bits=1 << 14)
+
+    keys = ev.orderBy("event_id").limit(3).select("event_id")
+    rows, scanned, total = bloom_pruned_read(spark, index, keys, "event_id")
+    assert total == 8
+    assert 1 <= scanned < total  # actually pruned
+    got = {r.event_id for r in rows.select("event_id").collect()}
+    want = {r.event_id for r in keys.collect()}
+    assert got == want  # exact despite the approximate index
+
+    # a key that exists nowhere: candidate set is (almost surely) empty
+    # and the read returns no rows either way
+    missing = spark.createDataFrame([(-(10**15),)], ["event_id"])
+    cand = bloom_index_candidate_files(index, missing, "event_id")
+    rows2, scanned2, _ = bloom_pruned_read(spark, index, missing, "event_id")
+    assert rows2.count() == 0
+    assert scanned2 <= 1  # at most a false-positive file
+    assert cand.count() <= 1
