@@ -7118,8 +7118,10 @@ QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "semantic_neardup_planted": semantic_neardup_planted,
     "embedding_pca_variance": embedding_pca_variance,
-    # --- post-window round-4 additions: local-sweep evidence this round,
-    # rotate into the driver window next round ---
+    # --- post-window round-4 additions (bloom family, global ids, CMS,
+    # containment, checksum): local-sweep evidence this round
+    # (CORRECTNESS_LOCAL_r04.json, hash-faithful comparator) — these
+    # seven LEAD the r5 driver-window rotation ---
     "bloom_semi_join_lineitems": bloom_semi_join_lineitems,
     "global_ids_documents": global_ids_documents,
     "cms_event_type_totals": cms_event_type_totals,
