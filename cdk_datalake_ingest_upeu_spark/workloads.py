@@ -6949,10 +6949,16 @@ def streaming_bloom_dedup(spark, sf_dir):
         stream_bloom_dedup,
     )
 
+    import pyarrow.parquet as pq
+
     ev = _t(spark, sf_dir, "events")
     dup = hash_sample(ev, "event_id", 0.20, seed="redeliver")
     full = ev.unionByName(dup)
-    n_keys = max(ev.count(), 1)
+    # key count for filter sizing from the parquet FOOTER — no scan
+    n_keys = max(
+        pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows,
+        1,
+    )
     n_bits = 1 << max(14, math.ceil(math.log2(64 * n_keys)))
 
     work = _tmpdir("bloomsd")

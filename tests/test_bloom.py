@@ -141,8 +141,10 @@ def test_bloom_merge_rejects_mismatched_params(spark):
 def test_stream_bloom_dedup_and_epoch_replay(spark, sf_dir, tmp_path):
     """End-to-end: duplicates across drops are dropped; a replayed epoch
     (foreachBatch at-least-once) must not clobber committed output."""
+    from cdk_datalake_ingest_upeu_spark.operators.bloom import _seeds
     from cdk_datalake_ingest_upeu_spark.streaming.bloom_dedup import (
-        _load_or_empty,
+        _latest_version,
+        _novel_rows,
         stream_bloom_dedup,
     )
 
@@ -178,12 +180,17 @@ def test_stream_bloom_dedup_and_epoch_replay(spark, sf_dir, tmp_path):
     # replay epoch 0 against the committed filter: the epoch marker must
     # short-circuit — without it the probe calls every row a duplicate
     # and overwrites the epoch directory with an empty frame
-    bf, last_epoch = _load_or_empty(spark, filter_dir, 1 << 16, 5)
-    assert last_epoch is not None and last_epoch >= 1
+    latest = _latest_version(filter_dir)
+    assert latest is not None
+    words = spark.read.parquet(latest)
+    assert int(words.select("last_epoch").first().last_epoch) >= 1
     pre = spark.read.parquet(os.path.join(out_dir, "epoch=0")).count()
     assert pre > 0
-    # the filter now contains epoch 0's keys — a fresh probe drops all
-    novel_again = first.filter(~bf.might_contain(F.col("event_id"))).count()
+    # the filter now contains epoch 0's keys — a fresh probe finds no
+    # novel rows among them
+    novel_again = _novel_rows(
+        first, "event_id", words, 1 << 16, _seeds(5)
+    ).count()
     assert novel_again == 0
 
 
