@@ -5070,9 +5070,17 @@ FROM po JOIN pn USING (column_name) ORDER BY column_name
 
 def sketch_weekly_rollup(spark, sf_dir):
     """Weekly distinct-user + value-quantile estimates merged from
-    persisted per-day DataSketches (operators/sketches.py). Rows-only:
-    sketch estimates aren't SQL-reproducible in DuckDB; the accuracy
-    and merge-consistency bounds are pinned by unit tests instead."""
+    persisted per-day DataSketches (operators/sketches.py).
+
+    Oracle-checked via SELF-CHECKING BOUND COLUMNS (the CMS pattern):
+    the sketch estimates themselves aren't SQL-reproducible in DuckDB,
+    so the query recomputes the exact per-week answers in-plan and
+    emits the sketches' accuracy guarantees as booleans — HLL within
+    its ~1.6% RSE (3% + slop margin), each KLL quantile's realized
+    RANK within ±3% of its target. The oracle produces the exact
+    counts plus literal TRUE: a sketch drifting out of its bound flips
+    a flag and fails the value hash. Merge consistency
+    (union-of-daily == direct) stays unit-pinned."""
     from cdk_datalake_ingest_upeu_spark.operators.sketches import (
         daily_sketches,
         rollup_sketches,
@@ -5080,14 +5088,60 @@ def sketch_weekly_rollup(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     daily = daily_sketches(ev, "user_id", "value")
-    weekly = rollup_sketches(daily, F.date_trunc("week", "day"))
-    return weekly.select(
-        F.col("grain").alias("week"),
-        "n_rows",
-        "est_distinct",
-        F.round("p50", 4).alias("p50"),
-        F.round("p95", 4).alias("p95"),
-    ).orderBy("week")
+    weekly = rollup_sketches(daily, F.date_trunc("week", "day")).select(
+        F.col("grain").alias("week"), "n_rows", "est_distinct", "p50", "p95"
+    )
+    ev_week = ev.withColumn("week", F.date_trunc("week", F.date_trunc("day", "ts")))
+    exact = ev_week.groupBy("week").agg(
+        F.countDistinct("user_id").alias("n_exact_distinct")
+    )
+    joined = weekly.join(exact, "week")
+    rank = (
+        ev_week.join(F.broadcast(joined.select("week", "p50", "p95")), "week")
+        .groupBy("week")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("p50")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("r50"),
+            (
+                F.sum((F.col("value") <= F.col("p95")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("r95"),
+        )
+    )
+    return (
+        joined.join(rank, "week")
+        .select(
+            "week",
+            "n_rows",
+            "n_exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("n_exact_distinct"))
+                <= F.greatest(
+                    F.lit(2.0), F.col("n_exact_distinct") * F.lit(0.03)
+                )
+            ).alias("hll_ok"),
+            ((F.col("r50") >= 0.47) & (F.col("r50") <= 0.53)).alias(
+                "p50_rank_ok"
+            ),
+            ((F.col("r95") >= 0.92) & (F.col("r95") <= 0.98)).alias(
+                "p95_rank_ok"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+_SKETCH_WEEKLY_SQL = """
+SELECT CAST(date_trunc('week', date_trunc('day', ts)) AS TIMESTAMP) AS week,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_exact_distinct,
+       TRUE AS hll_ok, TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+FROM events
+GROUP BY 1
+ORDER BY week
+"""
 
 
 def events_json_props(spark, sf_dir):
@@ -7404,15 +7458,15 @@ ORACLES = {
     "vocab_typo_pairs": _TYPO_PAIRS_SQL,
     "events_unpivot_daily": _UNPIVOT_SQL,
     "multimodal_image_resize": _RESIZE_SQL,
+    "sketch_weekly_rollup": _SKETCH_WEEKLY_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
-    # iterative results): dedup_minhash_pairs, dedup_simhash_pairs,
-    # dedup_simhash_corpus, dedup_cluster_components,
-    # dedup_incremental_minhash, text_winnow_fingerprints,
-    # sketch_weekly_rollup, pack_documents_stats, embedding_kmeans_stats,
-    # ann_topk_lsh, ann_topk_ivf, ann_incremental_probe (approximate
-    # IVF; recall floors + partition-pruning plan-asserted in units),
-    # semantic_neardup_planted (k-means buckets), embedding_pca_variance
-    # (eigendecomposition; self-validating projected-variance columns),
-    # corpus_bpe_encode (iterative merge training; segmentation pinned
-    # by the low/lower/lowest unit test)
+    # iterative results), 12 total: dedup_minhash_pairs,
+    # dedup_simhash_pairs, dedup_simhash_corpus,
+    # dedup_cluster_components, dedup_incremental_minhash,
+    # pack_documents_stats, embedding_kmeans_stats, ann_topk_lsh,
+    # ann_topk_ivf, ann_incremental_probe (approximate IVF; recall
+    # floors + partition-pruning plan-asserted in units),
+    # embedding_pca_variance (eigendecomposition; self-validating
+    # projected-variance columns), corpus_bpe_encode (iterative merge
+    # training; segmentation pinned by the low/lower/lowest unit test)
 }
