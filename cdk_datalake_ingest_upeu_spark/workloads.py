@@ -35,7 +35,7 @@ from cdk_datalake_ingest_upeu_spark.operators.dedup import (
     simhash_dedup,
     simhash_pairs,
 )
-from cdk_datalake_ingest_upeu_spark.operators.packing import pack_documents, pack_stats
+from cdk_datalake_ingest_upeu_spark.operators.packing import pack_documents
 from cdk_datalake_ingest_upeu_spark.operators.scratch import finalize, scratch_persist
 from cdk_datalake_ingest_upeu_spark.operators.sampling import (
     hash_bucket,
@@ -3121,16 +3121,76 @@ FROM bucketed GROUP BY 1 ORDER BY 1
 def pack_documents_stats(spark, sf_dir):
     """Sequence packing (LLM pretraining batcher): greedy
     first-fit-sequential packing of documents into 512-token budgets,
-    deterministic across cluster layouts (rows-only: the per-group fold
-    is not SQL-expressible; invariants are unit-gated in
-    test_scale_operators)."""
+    deterministic across cluster layouts.
+
+    Oracle-checked via packing INVARIANTS (self-checking columns — the
+    fold itself is not SQL-expressible): n_docs and total_tokens are
+    exact and DuckDB-reproducible; the fold's guarantees ride as
+    booleans the oracle pins to TRUE — every doc packed exactly once,
+    no pack over budget unless it is a single oversize document, and
+    the pack count at least the capped-token lower bound
+    ceil(sum(min(tokens, budget)) / budget)."""
+    budget = 512
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count_ws(F.col("text"))
     )
+    n_input = docs.count()
     packed = pack_documents(
-        docs, token_budget=512, tokens_col="n_tokens", id_col="doc_id", n_groups=16
+        docs, token_budget=budget, tokens_col="n_tokens", id_col="doc_id",
+        n_groups=16,
     )
-    return pack_stats(packed, tokens_col="n_tokens")
+    # global uniqueness needs a corpus-wide distinct (a doc landing in
+    # TWO packs would still sum correctly per pack)
+    n_packed_distinct = packed.select(
+        F.countDistinct("doc_id").alias("d")
+    ).first().d
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("pack_tokens"),
+        F.sum(F.least(F.col("n_tokens"), F.lit(budget)).cast("long")).alias(
+            "capped_tokens"
+        ),
+        F.count(F.lit(1)).alias("docs_in_pack"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    return per_pack.agg(
+        F.sum("docs_in_pack").alias("n_docs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        (
+            F.max(
+                F.when(
+                    (F.col("pack_tokens") > budget)
+                    & (
+                        (F.col("docs_in_pack") > 1)
+                        | (F.col("has_oversize") == 0)
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("budget_ok"),
+        (
+            F.count(F.lit(1))
+            >= F.ceil(F.sum("capped_tokens") / F.lit(float(budget)))
+        ).alias("packs_lower_bound_ok"),
+        (
+            (F.sum("docs_in_pack") == F.lit(n_input))
+            & F.lit(bool(n_packed_distinct == n_input))
+        ).alias("docs_packed_once"),
+    )
+
+
+_PACK_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents
+)
+SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+       TRUE AS budget_ok, TRUE AS packs_lower_bound_ok,
+       TRUE AS docs_packed_once
+FROM t
+"""
 
 
 def embedding_kmeans_stats(spark, sf_dir):
@@ -4726,26 +4786,76 @@ WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def _ann_recall_report(spark, approx, exact, n_queries, k, floor):
+    """Shared self-checking summary for approximate ANN queries: the
+    neighbor sets themselves are not SQL-reproducible, but their
+    CONTRACT is — full k results per query and pooled recall vs the
+    in-plan brute-force top-k above the documented floor. The oracle
+    emits the exact counts + TRUE."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    n_approx = approx.count()
+    n_hits = hits.count()
+    recall = n_hits / (n_queries * k)
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                n_approx,
+                bool(n_approx == n_queries * k),
+                bool(recall >= floor),
+            )
+        ],
+        "n_queries long, n_results long, full_k boolean, recall_ok boolean",
+    )
+
+
+_ANN_RECALL_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(*) * 10 AS BIGINT) AS n_results,
+       TRUE AS full_k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 8
+"""
+
+
 def ann_topk_lsh(spark, sf_dir):
-    """Approximate ANN (rows-only; recall vs brute force asserted in tests)."""
+    """Hyperplane-LSH ANN, oracle-checked via its contract
+    (self-checking columns): full k=10 results per query and pooled
+    recall >= 0.85 vs the in-plan exact top-k — the approximate
+    neighbor sets themselves aren't SQL-reproducible, but a starved
+    bucket or a recall collapse flips a flag and fails the hash.
+    bands=8 (2 planes/band) because the uniform-random test corpus is
+    LSH's adversarial case: neighbors are weakly concentrated, so
+    wider bands trade candidate-set size for the recall the contract
+    pins (measured 0.96-0.99 across sf0.001-0.1; the planted-data
+    unit floor stays at 0.6 for the default narrow-band config)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk_lsh(emb, q, k=10, dim=dim).orderBy("query_id", "rank")
+    approx = cosine_topk_lsh(emb, q, k=10, dim=dim, bands=8)
+    exact = cosine_topk_bruteforce(emb, q, k=10)
+    return _ann_recall_report(spark, approx, exact, n_queries=8, k=10, floor=0.85)
 
 
 def ann_topk_ivf(spark, sf_dir):
-    """IVF ANN: sampled spherical-kmeans centroids, inverted-file
-    bucketing, n-probe search (rows-only; recall asserted in tests)."""
+    """IVF ANN (sampled spherical-kmeans centroids, inverted-file
+    bucketing, n-probe search), oracle-checked via its contract like
+    ann_topk_lsh: full k results per query, pooled recall >= 0.75 vs
+    the in-plan exact top-k (n_probe=8 of 16 cells on the
+    uniform-random corpus measures 0.85-0.88 across sf0.001-0.1; the
+    floor leaves noise margin)."""
     from cdk_datalake_ingest_upeu_spark.operators.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk_ivf(emb, q, k=10).orderBy("query_id", "rank")
+    approx = cosine_topk_ivf(emb, q, k=10, n_probe=8)
+    exact = cosine_topk_bruteforce(emb, q, k=10)
+    return _ann_recall_report(spark, approx, exact, n_queries=8, k=10, floor=0.75)
 
 
 def ann_topk_int8(spark, sf_dir):
@@ -7459,13 +7569,15 @@ ORACLES = {
     "events_unpivot_daily": _UNPIVOT_SQL,
     "multimodal_image_resize": _RESIZE_SQL,
     "sketch_weekly_rollup": _SKETCH_WEEKLY_SQL,
+    "pack_documents_stats": _PACK_STATS_SQL,
+    "ann_topk_lsh": _ANN_RECALL_SQL,
+    "ann_topk_ivf": _ANN_RECALL_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
-    # iterative results), 12 total: dedup_minhash_pairs,
+    # iterative results), 9 total: dedup_minhash_pairs,
     # dedup_simhash_pairs, dedup_simhash_corpus,
     # dedup_cluster_components, dedup_incremental_minhash,
-    # pack_documents_stats, embedding_kmeans_stats, ann_topk_lsh,
-    # ann_topk_ivf, ann_incremental_probe (approximate IVF; recall
-    # floors + partition-pruning plan-asserted in units),
+    # embedding_kmeans_stats, ann_incremental_probe (approximate IVF;
+    # recall floor + partition-pruning plan-asserted in units),
     # embedding_pca_variance (eigendecomposition; self-validating
     # projected-variance columns), corpus_bpe_encode (iterative merge
     # training; segmentation pinned by the low/lower/lowest unit test)
