@@ -3197,25 +3197,71 @@ def embedding_kmeans_stats(spark, sf_dir):
     """Distributed spherical k-means (``operators/clustering.py``):
     3 Lloyd's iterations, each ONE mapInPandas pass over the corpus
     emitting k partial sums per partition, driver-reduced — the corpus
-    never shuffles. Rows-only oracle (iterative algorithm, not
-    SQL-expressible); cluster-recovery quality is unit-gated on planted
-    Gaussians."""
+    never shuffles.
+
+    Oracle-checked via the algorithm's guarantees (self-checking
+    columns — the iterations aren't SQL-expressible): n_points is the
+    exact embedding count, every point is assigned to exactly one of
+    the k clusters, Lloyd's objective (inertia history) never
+    increases, and the spherical variant's centroids stay unit-norm.
+    The oracle pins the count plus literal TRUE; cluster-recovery
+    quality stays unit-gated on planted Gaussians."""
+    import numpy as np
+
     from cdk_datalake_ingest_upeu_spark.operators.clustering import (
         kmeans_assign,
         kmeans_fit,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    C, _hist = kmeans_fit(emb, k=8, iters=3)
-    return (
-        kmeans_assign(emb, C)
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.countDistinct("label").alias("n_labels"),
-        )
-        .orderBy("cluster")
+    k = 8
+    C, hist = kmeans_fit(emb, k=k, iters=3)
+    assigned = kmeans_assign(emb, C)
+    per_cluster = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    rows = per_cluster.collect()
+    n_assigned = sum(r.n for r in rows)
+    monotone = all(
+        hist[i + 1] <= hist[i] * (1 + 1e-9) + 1e-9 for i in range(len(hist) - 1)
+    )
+    unit_norm = bool(
+        np.allclose(np.linalg.norm(np.asarray(C), axis=1), 1.0, atol=1e-6)
+    )
+    n_points = emb.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_points,
+                bool(n_assigned == n_points),
+                bool(all(0 <= r.cluster < k for r in rows)),
+                bool(monotone),
+                unit_norm,
+            )
+        ],
+        "n_points long, all_assigned boolean, clusters_in_range boolean, "
+        "inertia_monotone boolean, centroids_unit_norm boolean",
+    )
+
+
+_KMEANS_STATS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       TRUE AS all_assigned, TRUE AS clusters_in_range,
+       TRUE AS inertia_monotone, TRUE AS centroids_unit_norm
+FROM embeddings
+"""
+
+
+_BPE_ENCODE_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END)
+            AS BIGINT) AS n_ws_tokens,
+       TRUE AS bpe_ge_words, TRUE AS segments_reconstruct
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
 
 
 def events_rolling_window(spark, sf_dir):
@@ -4643,12 +4689,58 @@ SELECT doc_id, source FROM (
 
 
 def dedup_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (rows-only: hash family not in DuckDB)."""
+    """MinHash+LSH near-dup pairs, oracle-checked via the operator's
+    CONTRACT: the LSH hash family isn't in DuckDB, but the exact
+    >=0.5-Jaccard pair set IS SQL-expressible (the same shingle CTE as
+    dedup_ngram_jaccard) — so the query computes both in-plan and emits
+    n_exact_pairs (oracle-reproducible) plus two booleans the oracle
+    pins TRUE: every reported pair is truly >= threshold (subset_ok —
+    guaranteed by the operator's exact verification step, so a break
+    means the verifier broke) and banding recall >= 0.9 vs the exact
+    set (the quality harness measures 1.0 at 100k docs;
+    tools/minhash_quality.py)."""
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
+
     docs = _t(spark, sf_dir, "documents")
-    # finalize BEFORE the cosmetic sort: materializing an ordered frame
-    # forces the sort (count() alone lets the optimizer drop it), and
-    # sorting the checkpointed pair set (small) is free by comparison
-    return finalize(minhash_lsh_pairs(docs, threshold=0.5)).orderBy("id_a", "id_b")
+    approx = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    n_found = approx.count()
+    n_exact = exact.count()
+    n_inter = approx.join(exact, ["id_a", "id_b"]).count()
+    release_scratch()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                bool(n_inter == n_found),
+                bool(n_exact == 0 or n_inter / n_exact >= 0.9),
+            )
+        ],
+        "n_exact_pairs long, subset_ok boolean, recall_ok boolean",
+    )
+
+
+_MINHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS subset_ok, TRUE AS recall_ok
+FROM pairs
+"""
 
 
 def dedup_simhash_pairs(spark, sf_dir):
@@ -6212,8 +6304,10 @@ def ann_incremental_probe(spark, sf_dir):
     ivf_index_build); the query batch then probes the STORED index —
     the scan is partition-pruned to the probed cells, so the corpus is
     never re-vectorized or re-read whole (the ANN twin of the persisted
-    minhash signature index). Rows-only: IVF is approximate; the recall
-    floor and the partition-pruned scan shape are unit-pinned."""
+    minhash signature index). Oracle-checked via the same contract as
+    ann_topk_lsh/ivf: full k results per query, pooled recall >= 0.75
+    vs the in-plan exact top-k; the partition-pruned scan shape stays
+    unit-pinned."""
     from cdk_datalake_ingest_upeu_spark.operators.similarity import (
         ivf_index_build,
         ivf_index_probe,
@@ -6228,9 +6322,9 @@ def ann_incremental_probe(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_index_probe(stored, C, queries, k=10, n_probe=4).orderBy(
-        "query_id", "rank"
-    )
+    approx = ivf_index_probe(stored, C, queries, k=10, n_probe=8)
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    return _ann_recall_report(spark, approx, exact, n_queries=8, k=10, floor=0.75)
 
 
 def incremental_rollup_maintenance(spark, sf_dir):
@@ -6327,35 +6421,50 @@ def corpus_bpe_encode(spark, sf_dir):
     distributed part is the count reduction; the merge loop is
     vocab-local, like every production trainer), then every document
     segmented via the distinct-word relation and a broadcast map-back.
-    Reports per-source subword/word token totals and the compression
-    ratio. Rows-only: iterative merge training is not SQL-expressible;
-    the merge rules and segmentation are pinned exactly by the unit
-    test (classic low/lower/lowest corpus)."""
+    Oracle-checked via the tokenizer's INVARIANTS (self-checking
+    columns — iterative merge training is not SQL-expressible): per
+    source, exact doc and whitespace-token counts (DuckDB-reproducible)
+    plus booleans the oracle pins TRUE — subword count at least the
+    word count (every word is >= 1 token) and LOSSLESS segmentation:
+    the concatenated subwords of every document equal its concatenated
+    lowercased words. A merge-rule or ordering bug breaks the
+    round-trip and fails the hash; exact merge rules stay pinned by the
+    low/lower/lowest unit test."""
     from cdk_datalake_ingest_upeu_spark.operators.text import (
         bpe_encode,
         token_count_ws,
         train_bpe,
+        ws_tokens,
     )
 
     docs = _t(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=20)
     enc = bpe_encode(docs, merges)
-    return (
-        enc.join(
-            docs.select(
-                "doc_id", "source", token_count_ws(F.col("text")).alias("n_ws")
-            ),
+    joined = enc.join(
+        docs.select(
             "doc_id",
-        )
-        .groupBy("source")
+            "source",
+            token_count_ws(F.col("text")).alias("n_ws"),
+            F.concat_ws("", ws_tokens(F.lower(F.col("text")))).alias(
+                "__words_cat"
+            ),
+        ),
+        "doc_id",
+    ).withColumn(
+        "__reconstructs",
+        (F.concat_ws("", F.col("bpe_tokens")) == F.col("__words_cat")).cast(
+            "int"
+        ),
+    )
+    return (
+        joined.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
             F.sum("n_ws").alias("n_ws_tokens"),
-        )
-        .withColumn(
-            "subwords_per_word",
-            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4),
+            (
+                F.min((F.col("n_bpe_tokens") >= F.col("n_ws")).cast("int")) == 1
+            ).alias("bpe_ge_words"),
+            (F.min("__reconstructs") == 1).alias("segments_reconstruct"),
         )
         .orderBy("source")
     )
@@ -7572,13 +7681,13 @@ ORACLES = {
     "pack_documents_stats": _PACK_STATS_SQL,
     "ann_topk_lsh": _ANN_RECALL_SQL,
     "ann_topk_ivf": _ANN_RECALL_SQL,
+    "ann_incremental_probe": _ANN_RECALL_SQL,
+    "dedup_minhash_pairs": _MINHASH_PAIRS_SQL,
+    "embedding_kmeans_stats": _KMEANS_STATS_SQL,
+    "corpus_bpe_encode": _BPE_ENCODE_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
-    # iterative results), 9 total: dedup_minhash_pairs,
-    # dedup_simhash_pairs, dedup_simhash_corpus,
-    # dedup_cluster_components, dedup_incremental_minhash,
-    # embedding_kmeans_stats, ann_incremental_probe (approximate IVF;
-    # recall floor + partition-pruning plan-asserted in units),
-    # embedding_pca_variance (eigendecomposition; self-validating
-    # projected-variance columns), corpus_bpe_encode (iterative merge
-    # training; segmentation pinned by the low/lower/lowest unit test)
+    # iterative results), 5 total: dedup_simhash_pairs,
+    # dedup_simhash_corpus, dedup_cluster_components,
+    # dedup_incremental_minhash, embedding_pca_variance
+    # (eigendecomposition; self-validating projected-variance columns)
 }
