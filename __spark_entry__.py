@@ -5,7 +5,11 @@
   plus the training-data-pipeline operators (dedup / similarity / text /
   multimodal / streaming).
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
-  query; hash-based ops (MinHash/SimHash/hyperplane LSH) are rows-only.
+  query. Approximate/iterative operators (MinHash, ANN, k-means,
+  sketches, packing, BPE) are oracle-checked through their CONTRACTS:
+  exact SQL-reproducible columns plus self-checking invariant booleans
+  the oracle pins to TRUE. Five hash-family queries remain rows-only
+  (see the comment at the end of ``workloads.ORACLES``).
 
 Implementation lives in ``cdk_datalake_ingest_upeu_spark.workloads``.
 """
