@@ -398,6 +398,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 256,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inverted index.
 
@@ -422,10 +423,21 @@ def ngram_jaccard_pairs(
     missed; near-dup pairs at real thresholds share many rarer shingles
     (and all-boilerplate exact dups belong to :func:`exact_dedup`).
     ``max_shingle_df=None`` disables the cap for fully exact results.
+
+    A caller that already holds the (id_col, __sh string-shingle)
+    relation — e.g. the minhash contract check, which needs both the
+    approximate and the exact pair sets over the SAME corpus — passes
+    it via ``shingle_df`` and the text is shingled once, not twice.
     """
-    base = _parallelize_scan(df).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).withColumn("__n", F.size("__sh"))
+    if shingle_df is not None:
+        base = shingle_df.select(
+            F.col(id_col).alias("__id"), F.col("__sh")
+        ).withColumn("__n", F.size("__sh"))
+    else:
+        base = _parallelize_scan(df).select(
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), shingle_n).alias("__sh"),
+        ).withColumn("__n", F.size("__sh"))
     # reused by the inverted index and (for capped hot pairs) verification
     base = scratch_persist(base)
     exploded = base.select("__id", "__n", F.explode("__sh").alias("__g"))

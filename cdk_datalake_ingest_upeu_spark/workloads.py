@@ -4702,8 +4702,15 @@ def dedup_minhash_pairs(spark, sf_dir):
     from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
 
     docs = _t(spark, sf_dir, "documents")
-    approx = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    exact = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    # persist both pair sets: three actions (two counts + the overlap
+    # join) would otherwise recompute each full pipeline — measured
+    # 7.0 s -> 3.8 s warm at sf0.1
+    approx = scratch_persist(
+        minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    )
+    exact = scratch_persist(
+        ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    )
     n_found = approx.count()
     n_exact = exact.count()
     n_inter = approx.join(exact, ["id_a", "id_b"]).count()
@@ -4884,11 +4891,14 @@ def _ann_recall_report(spark, approx, exact, n_queries, k, floor):
     CONTRACT is — full k results per query and pooled recall vs the
     in-plan brute-force top-k above the documented floor. The oracle
     emits the exact counts + TRUE."""
-    hits = approx.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
+
+    approx = scratch_persist(approx.select("query_id", "neighbor_id"))
+    exact = scratch_persist(exact.select("query_id", "neighbor_id"))
+    hits = approx.join(exact, ["query_id", "neighbor_id"])
     n_approx = approx.count()
     n_hits = hits.count()
+    release_scratch()
     recall = n_hits / (n_queries * k)
     return spark.createDataFrame(
         [
