@@ -417,3 +417,72 @@ def test_weighted_sample_matches_exact_aes_formula(spark, rows, n):
         k for k, _ in sorted(data, key=lambda t: (-rank(*t), t[0]))[: min(n, len(data))]
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    members=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+        max_size=60, unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+        max_size=60, unique=True,
+    ),
+)
+def test_bloom_filter_no_false_negatives_property(spark, members, probes):
+    """For ANY key set: every member passes might_contain (the Bloom
+    guarantee has no exceptions), and a merge of two disjoint builds
+    behaves like a build over the union."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in members], "k long")
+    bf = bloom_build(mdf, "k", n_bits=1 << 10, n_hashes=3)
+    assert mdf.filter(bf.might_contain(F.col("k"))).count() == len(members)
+
+    half = len(members) // 2 or 1
+    a = bloom_build(
+        spark.createDataFrame([(m,) for m in members[:half]], "k long"),
+        "k", n_bits=1 << 10, n_hashes=3,
+    )
+    b = bloom_build(
+        spark.createDataFrame([(m,) for m in members[half:]] or [(members[0],)], "k long"),
+        "k", n_bits=1 << 10, n_hashes=3,
+    )
+    merged = bloom_merge(a, b)
+    assert mdf.filter(merged.might_contain(F.col("k"))).count() == len(members)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1,
+        max_size=80, unique=True,
+    ),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_ids_rank_property(spark, keys, n_parts):
+    """assign_global_ids equals rank-in-sorted-order for ANY unique key
+    set and partition count."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.operators.indexing import (
+        assign_global_ids,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    try:
+        got = {
+            r.k: r.global_id
+            for r in assign_global_ids(df, "k", num_partitions=n_parts).collect()
+        }
+    finally:
+        release_scratch()
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
