@@ -4751,8 +4751,45 @@ FROM pairs
 
 
 def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, oracle-checked via PLANTED duplicates
+    (the embedding_neardup pattern): the 10 lowest doc_ids are cloned
+    with an id offset; identical text gives an identical 64-bit
+    simhash, and pigeonhole blocking finds every hamming<=3 pair
+    DETERMINISTICALLY — so each planted pair MUST surface at hamming 0.
+    The oracle pins the planted count plus TRUE flags; a simhash or
+    blocking bug breaks detection and fails the hash. Natural-corpus
+    pairs stay covered by dedup_simhash_corpus (rows-only)."""
+    offset = 10**9
     docs = _t(spark, sf_dir, "documents")
-    return finalize(simhash_pairs(docs, max_hamming=3)).orderBy("id_a", "id_b")
+    seeds = docs.orderBy("doc_id").limit(10)
+    planted = seeds.withColumn("doc_id", F.col("doc_id") + offset)
+    pairs = finalize(
+        simhash_pairs(docs.unionByName(planted), max_hamming=3)
+    )
+    seed_ids = {r.doc_id for r in seeds.select("doc_id").collect()}
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == offset)
+        & F.col("id_a").isin(list(seed_ids))
+    ).select("id_a", "hamming").collect()
+    n_planted = len(seed_ids)
+    return spark.createDataFrame(
+        [
+            (
+                n_planted,
+                bool(len({r.id_a for r in found}) == n_planted),
+                bool(all(r.hamming == 0 for r in found)),
+            )
+        ],
+        "n_planted long, all_planted_found boolean, "
+        "planted_hamming_zero boolean",
+    )
+
+
+_SIMHASH_PAIRS_SQL = """
+SELECT CAST(least(10, count(*)) AS BIGINT) AS n_planted,
+       TRUE AS all_planted_found, TRUE AS planted_hamming_zero
+FROM documents
+"""
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -7695,9 +7732,10 @@ ORACLES = {
     "dedup_minhash_pairs": _MINHASH_PAIRS_SQL,
     "embedding_kmeans_stats": _KMEANS_STATS_SQL,
     "corpus_bpe_encode": _BPE_ENCODE_SQL,
+    "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
-    # iterative results), 5 total: dedup_simhash_pairs,
-    # dedup_simhash_corpus, dedup_cluster_components,
-    # dedup_incremental_minhash, embedding_pca_variance
-    # (eigendecomposition; self-validating projected-variance columns)
+    # iterative results), 4 total: dedup_simhash_corpus,
+    # dedup_cluster_components, dedup_incremental_minhash,
+    # embedding_pca_variance (eigendecomposition; self-validating
+    # projected-variance columns)
 }
