@@ -3996,13 +3996,45 @@ FROM events
 
 
 def dedup_simhash_corpus(spark, sf_dir):
-    """SimHash corpus filter (min-id canonical per near-dup cluster) —
-    completes the dedup-family surface (rows-only like the pair op:
-    DuckDB lacks the hash family)."""
+    """SimHash corpus filter (min-id canonical per near-dup cluster),
+    oracle-checked via planted clones like dedup_simhash_pairs: ten
+    cloned documents (identical text, higher ids) MUST lose to their
+    originals under the min-id policy and vanish from the filtered
+    corpus, while every original survives the planted pairing. The
+    oracle pins the input/planted counts plus TRUE flags; the natural
+    kept-set size is deterministic but hash-family-dependent, so it is
+    reported only through the subset flag."""
+    offset = 10**9
     docs = _t(spark, sf_dir, "documents")
-    return finalize(
-        simhash_dedup(docs, max_hamming=3).select("doc_id", "lang", "source")
-    ).orderBy("doc_id")
+    seeds = docs.orderBy("doc_id").limit(10)
+    planted = seeds.withColumn("doc_id", F.col("doc_id") + offset)
+    kept = finalize(
+        simhash_dedup(docs.unionByName(planted), max_hamming=3).select("doc_id")
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+    seed_ids = {r.doc_id for r in seeds.select("doc_id").collect()}
+    input_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    n_docs = len(input_ids)
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                len(seed_ids),
+                bool(not any((s + offset) in kept_ids for s in seed_ids)),
+                bool(kept_ids <= (input_ids | {s + offset for s in seed_ids})),
+            )
+        ],
+        "n_docs long, n_planted long, clones_removed boolean, "
+        "kept_subset_of_input boolean",
+    )
+
+
+_SIMHASH_CORPUS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(least(10, count(*)) AS BIGINT) AS n_planted,
+       TRUE AS clones_removed, TRUE AS kept_subset_of_input
+FROM documents
+"""
 
 
 def dedup_exact_stats(spark, sf_dir):
@@ -5876,12 +5908,21 @@ def dedup_incremental_minhash(spark, sf_dir):
     persisted as 256-byte signatures + band probe rows, never text —
     odd doc_ids are the new crawl batch. Batch probes the band table,
     verifies against stored signatures by lane agreement, then
-    collapses its own near-dups. Rows-only (hash family)."""
+    collapses its own near-dups.
+
+    Oracle-checked via the operator's CONTRACT (the hash family isn't
+    in DuckDB, but the exact cross-set >=0.5-Jaccard pairs ARE
+    SQL-expressible): n_batch and the exact history<->batch pair count
+    reproduce in DuckDB, and the flag pins that NO kept batch doc has
+    an exact >= threshold match in history — a banding recall miss or
+    a broken history probe surfaces a kept-but-matched doc and fails
+    the hash."""
     from cdk_datalake_ingest_upeu_spark.operators.dedup import (
         incremental_minhash_dedup,
         minhash_band_table,
         minhash_signature_table,
     )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
 
     docs = _t(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 2 == 0)
@@ -5891,10 +5932,58 @@ def dedup_incremental_minhash(spark, sf_dir):
     # verification join both
     hist_sigs = scratch_persist(minhash_signature_table(hist))
     hist_bands = minhash_band_table(hist_sigs)
-    out = incremental_minhash_dedup(
-        batch, hist_sigs, hist_bands, threshold=0.5
+    kept = scratch_persist(
+        incremental_minhash_dedup(
+            batch, hist_sigs, hist_bands, threshold=0.5
+        ).select("doc_id")
     )
-    return finalize(out.select("doc_id", "source")).orderBy("doc_id")
+    cross = scratch_persist(
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+        .select(
+            F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    n_batch = batch.count()
+    n_cross = cross.count()
+    n_kept_matched = kept.join(cross, "doc_id").count()
+    release_scratch()
+    return spark.createDataFrame(
+        [(n_batch, n_cross, bool(n_kept_matched == 0))],
+        "n_batch long, n_history_matched_batch_docs long, "
+        "no_kept_matches_history boolean",
+    )
+
+
+_INCR_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+), crossed AS (
+  SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+  FROM pairs WHERE (id_a % 2) <> (id_b % 2)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 1)
+           AS n_batch,
+       CAST(count(*) AS BIGINT) AS n_history_matched_batch_docs,
+       TRUE AS no_kept_matches_history
+FROM crossed
+"""
 
 
 def corpus_mixture_sample(spark, sf_dir):
@@ -7733,9 +7822,11 @@ ORACLES = {
     "embedding_kmeans_stats": _KMEANS_STATS_SQL,
     "corpus_bpe_encode": _BPE_ENCODE_SQL,
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "dedup_simhash_corpus": _SIMHASH_CORPUS_SQL,
+    "dedup_incremental_minhash": _INCR_MINHASH_SQL,
     # rows-only (non-SQL-expressible hash families / approximate /
-    # iterative results), 4 total: dedup_simhash_corpus,
-    # dedup_cluster_components, dedup_incremental_minhash,
-    # embedding_pca_variance (eigendecomposition; self-validating
+    # iterative results), 2 total: dedup_cluster_components (the same
+    # operator is fully oracled via dedup_cluster_jaccard's recursive
+    # CTE), embedding_pca_variance (eigendecomposition; self-validating
     # projected-variance columns)
 }
