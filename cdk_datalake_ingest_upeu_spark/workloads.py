@@ -4959,7 +4959,13 @@ def _ann_recall_report(spark, approx, exact, n_queries, k, floor):
     neighbor sets themselves are not SQL-reproducible, but their
     CONTRACT is — full k results per query and pooled recall vs the
     in-plan brute-force top-k above the documented floor. The oracle
-    emits the exact counts + TRUE."""
+    emits the exact counts + TRUE.
+
+    Scale note: the brute-force twin here is the correctness GATE, run
+    at test scale — production callers invoke the approximate operator
+    directly (that operator's bucketed/partition-pruned plan is the
+    100 TB path), and validate recall the same way on a sampled query
+    set, exactly as this report does."""
     from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
 
     approx = scratch_persist(approx.select("query_id", "neighbor_id"))
