@@ -4,12 +4,12 @@
 - ``queries()``: one entry per implemented operator from SURVEY.md §2
   plus the training-data-pipeline operators (dedup / similarity / text /
   multimodal / streaming).
-- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
-  query. Approximate/iterative operators (MinHash, ANN, k-means,
-  sketches, packing, BPE) are oracle-checked through their CONTRACTS:
-  exact SQL-reproducible columns plus self-checking invariant booleans
-  the oracle pins to TRUE. Five hash-family queries remain rows-only
-  (see the comment at the end of ``workloads.ORACLES``).
+- ``oracle_sql()``: DuckDB-equivalent SQL for EVERY declared query
+  (169/169 as of round 5). Approximate/iterative operators (MinHash,
+  ANN, k-means, PCA, connected components, sketches, packing, BPE)
+  are oracle-checked through their CONTRACTS: exact SQL-reproducible
+  columns plus self-checking invariant booleans the oracle pins to
+  TRUE (see the comment at the end of ``workloads.ORACLES``).
 
 Implementation lives in ``cdk_datalake_ingest_upeu_spark.workloads``.
 """

@@ -959,19 +959,37 @@ def connected_components(
     # DOWN, so sum(label) strictly decreases iff any label changed — a
     # 1-row aggregate replaces a labels⋈labels join (two exchanges per
     # round). decimal(38,0) so corpus-scale id sums cannot wrap int64.
+    # Only valid for integral ids: casting e.g. a string label yields
+    # NULL, the checksum is NULL every round, and round one would
+    # spuriously "converge" — non-numeric labels use the (two-exchange)
+    # join-based changed-label count instead.
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    numeric_labels = isinstance(
+        labels.schema["label"].dataType,
+        (ByteType, ShortType, IntegerType, LongType, DecimalType),
+    )
+
     def _sum_labels(frame):
         row = frame.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]
         return row.s
 
-    checksum = _sum_labels(labels)
+    checksum = _sum_labels(labels) if numeric_labels else None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        prev = labels
         labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -982,10 +1000,21 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_checksum = _sum_labels(labels)
-        if new_checksum == checksum:
+        if numeric_labels:
+            new_checksum = _sum_labels(labels)
+            converged = new_checksum == checksum
+            checksum = new_checksum
+        else:
+            converged = (
+                labels.withColumnRenamed("label", "__new")
+                .join(prev, "node")
+                .filter(F.col("__new") != F.col("label"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        if converged:
             break
-        checksum = new_checksum
     else:
         # loop exhausted max_iters while labels were still moving:
         # plain neighbor-min propagation spreads the minimum ONE hop

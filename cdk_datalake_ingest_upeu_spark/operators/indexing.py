@@ -84,7 +84,7 @@ def with_shard(
     *,
     shard_size: int,
     shard_col: str = "shard_id",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Contiguous fixed-size shard assignment over existing global ids
     (rows [i*shard_size, (i+1)*shard_size) -> shard i) — the layout a
     sequential training dataloader expects."""

@@ -103,11 +103,31 @@ class StageTable:
         path: str,
         partition_columns: list[str] | None = None,
         fmt: str | None = None,
+        bloom_index_keys: list[str] | None = None,
+        bloom_index_dir: str | None = None,
     ):
+        """``bloom_index_keys`` opts the table into per-file Bloom
+        indexing (sources/file_index.py): every write path (overwrite /
+        merge / change-feed / optimize) rebuilds a sparse
+        (file, word_idx, word) index per key under ``bloom_index_dir``
+        (default ``<path>__bloom/<key>``), and :meth:`lookup` prunes a
+        point lookup through it — file skipping on unclustered
+        high-cardinality keys, the capability Delta file stats provide,
+        kept consistent by the writer itself. Parquet-format tables
+        only (Delta carries its own file stats)."""
         self.spark = spark
         self.path = os.fspath(path)
         self.partition_columns = partition_columns or []
         self.fmt = fmt or ("delta" if _HAS_DELTA else "parquet")
+        self.bloom_index_keys = list(bloom_index_keys or [])
+        self.bloom_index_dir = (
+            os.fspath(bloom_index_dir) if bloom_index_dir else self.path + "__bloom"
+        )
+        if self.bloom_index_keys and self.fmt != "parquet":
+            raise ValueError(
+                "bloom_index_keys is parquet-only (Delta tables carry "
+                "their own per-file stats)"
+            )
 
     # -- basic IO ----------------------------------------------------------
 
@@ -134,6 +154,41 @@ class StageTable:
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)
         writer.save(self.path)
+        self._refresh_bloom_index()
+
+    def _refresh_bloom_index(self) -> None:
+        """Rebuild the per-file Bloom index after any write that changed
+        the table's file set. One extra scan of the table per indexed
+        key; at 100 TB the same sparse aggregate would be emitted from
+        the write job itself (the rows are already in hand), but the
+        rebuild keeps the write paths untouched here and the index is
+        ALWAYS consistent with the data because the writer owns both."""
+        if not self.bloom_index_keys:
+            return
+        from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+            build_file_bloom_index,
+        )
+
+        for key in self.bloom_index_keys:
+            build_file_bloom_index(self.spark, self.path, key).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.bloom_index_dir, key))
+
+    def lookup(self, values_df: DataFrame, key: str):
+        """Point lookup pruned through this table's Bloom index: returns
+        ``(rows, files_scanned, files_total)`` — only candidate files
+        are opened (sources/file_index.py bloom_pruned_read)."""
+        if key not in self.bloom_index_keys:
+            raise ValueError(
+                f"{key!r} is not bloom-indexed (indexed: "
+                f"{self.bloom_index_keys})"
+            )
+        from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+            bloom_pruned_read,
+        )
+
+        index = self.spark.read.parquet(os.path.join(self.bloom_index_dir, key))
+        return bloom_pruned_read(self.spark, index, values_df, key)
 
     def write_empty(self, df: DataFrame) -> None:
         """Schema-only materialization so downstream readers see a schema
@@ -232,6 +287,7 @@ class StageTable:
             else:
                 writer = writer.mode("overwrite")
             writer.save(self.path)
+            self._refresh_bloom_index()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -561,6 +561,69 @@ def unigram_logprob_features(
     )
 
 
+def bigram_token_logprobs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram-grain conditional log-probabilities under the corpus's own
+    add-k-smoothed bigram LM — one step up from the unigram proxy
+    (:func:`unigram_token_logprobs`): it scores word ORDER, so shuffled
+    or boilerplate-repetitive text separates from fluent text that the
+    unigram model scores identically (the CCNet-style LM quality
+    filter, one order higher).
+
+    ``lp(w1, w2) = ln((c(w1,w2) + k) / (c(w1·) + k·V))`` where ``c(w1·)``
+    counts w1 as a bigram HEAD and ``V`` is the distinct-bigram-tail
+    vocabulary size. Each lp is rounded to ``decimal(18,9)`` at bigram
+    grain so downstream sums are exact and order-independent (same
+    discipline as the unigram operator — never re-round a computed
+    double back to decimal).
+
+    Scale shape: one exploded pass builds the position-aligned bigram
+    stream (``posexplode`` + self-join on adjacent positions is
+    avoided — ``slice``/``zip_with`` pairs tokens in-row, no shuffle);
+    the bigram count table shuffles once on the bigram key and flows
+    back onto the stream through a shuffle join (the bigram vocab can
+    outgrow a broadcast at corpus scale, unlike the unigram table).
+
+    Returns ``(id_col, w1, w2, lp)``.
+    """
+    toks = df.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    # in-row adjacent pairing: zip tk[0:n-1] with tk[1:n] — no shuffle
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = bg_counts.select(F.countDistinct("w2").alias("v"))  # 1 row
+    lp = (
+        bg_counts.join(head_counts, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return pairs.join(lp, ["w1", "w2"]).select(id_col, "w1", "w2", "lp")
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

@@ -114,6 +114,11 @@ def bloom_pruned_read(
     O(candidate files) — driver-safe by construction for point
     lookups."""
     files_total = index.select("file").distinct().count()
+    if files_total == 0:
+        raise ValueError(
+            "bloom_pruned_read: the index is empty (no files) — build it "
+            "over a non-empty dataset before probing"
+        )
     cand = bloom_index_candidate_files(index, values_df, key)
     files = [r.file for r in cand.select("file").distinct().collect()]
     if not files:

@@ -81,6 +81,20 @@ from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
 _WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/spark_graft_work")
 
 
+def _skip_contracts() -> bool:
+    """Bench-only switch (``SPARK_GRAFT_SKIP_CONTRACTS=1``): several
+    approximate operators carry an in-query CONTRACT arm — an exact
+    (brute-force / uncapped) twin computed alongside the operator so the
+    DuckDB oracle can hash-verify invariants at gate scale. That arm is
+    validation work production never runs, and timing it inflates the
+    bench and masks real operator regressions. With the flag set the
+    wrappers run the operator alone and return a row with a ``-1``
+    SENTINEL in a numeric contract column, so a skipped row can never
+    silently hash-match the oracle if the flag leaks into a correctness
+    run. The correctness driver never sets this."""
+    return os.environ.get("SPARK_GRAFT_SKIP_CONTRACTS", "") == "1"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -2660,22 +2674,58 @@ def dedup_cluster_components(spark, sf_dir):
     """Exact duplicate clusters: MinHash pairs → iterative min-label
     propagation to a FIXPOINT (``operators/dedup.py:
     connected_components``), so transitive chains collapse to one
-    canonical id (single-pass min-id only settles stars). Output:
-    cluster-size histogram. Rows-only (hash-family input)."""
+    canonical id (single-pass min-id only settles stars).
+
+    Oracle-checked via the fixpoint's CONTRACT (the LSH pair set is
+    hash-family-dependent, so the histogram itself is not
+    SQL-reproducible — the exact twin ``dedup_cluster_jaccard`` covers
+    that via a recursive-CTE oracle): every input pair's endpoints must
+    share one component, every component label must be the MINIMUM of
+    its members, and no node's label may exceed the node id. All three
+    are joins/anti-counts in-plan; the oracle pins them TRUE — an
+    unconverged loop or a label drift flips a flag and fails the
+    hash."""
     from cdk_datalake_ingest_upeu_spark.operators.dedup import (
         connected_components,
         minhash_lsh_pairs,
     )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
-    comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
-    return finalize(
-        sizes.groupBy("size")
-        .agg(F.count(F.lit(1)).alias("n_components"))
-        .orderBy("size")
+    pairs = scratch_persist(
+        minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
     )
+    comp = scratch_persist(connected_components(pairs))
+    ca = comp.select(F.col("node").alias("id_a"), F.col("component").alias("ca"))
+    cb = comp.select(F.col("node").alias("id_b"), F.col("component").alias("cb"))
+    n_bad_edges = (
+        pairs.join(ca, "id_a").join(cb, "id_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    n_bad_roots = (
+        comp.groupBy("component")
+        .agg(F.min("node").alias("mn"))
+        .filter(F.col("mn") != F.col("component"))
+        .count()
+    )
+    n_bad_labels = comp.filter(F.col("component") > F.col("node")).count()
+    release_scratch()
+    return spark.createDataFrame(
+        [
+            (
+                bool(n_bad_edges == 0),
+                bool(n_bad_roots == 0),
+                bool(n_bad_labels == 0),
+            )
+        ],
+        "edges_consistent boolean, root_is_min boolean, label_le_node boolean",
+    )
+
+
+_CLUSTER_COMPONENTS_SQL = """
+SELECT TRUE AS edges_consistent, TRUE AS root_is_min, TRUE AS label_le_node
+"""
 
 
 def dedup_cluster_jaccard(spark, sf_dir):
@@ -2690,7 +2740,9 @@ def dedup_cluster_jaccard(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # uncapped: the recursive-CTE oracle computes the uncapped exact
+    # pair set (the df cap is the production-scale knob, not the gate's)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return finalize(
@@ -4011,17 +4063,23 @@ def dedup_simhash_corpus(spark, sf_dir):
     kept = finalize(
         simhash_dedup(docs.unionByName(planted), max_hamming=3).select("doc_id")
     )
-    kept_ids = {r.doc_id for r in kept.collect()}
-    seed_ids = {r.doc_id for r in seeds.select("doc_id").collect()}
-    input_ids = {r.doc_id for r in docs.select("doc_id").collect()}
-    n_docs = len(input_ids)
+    # all three contract flags are pure set algebra — expressed as
+    # joins/anti-joins + bounded counts so NOTHING corpus-sized ever
+    # reaches the driver (a collect() of every doc id is a driver OOM
+    # at 100x this data)
+    clone_ids = planted.select("doc_id")
+    universe = docs.select("doc_id").unionByName(clone_ids)
+    n_docs = docs.count()
+    n_planted = clone_ids.count()
+    clones_kept = kept.join(clone_ids, "doc_id").count()
+    strays = kept.join(universe, "doc_id", "left_anti").count()
     return spark.createDataFrame(
         [
             (
                 n_docs,
-                len(seed_ids),
-                bool(not any((s + offset) in kept_ids for s in seed_ids)),
-                bool(kept_ids <= (input_ids | {s + offset for s in seed_ids})),
+                n_planted,
+                bool(clones_kept == 0),
+                bool(strays == 0),
             )
         ],
         "n_docs long, n_planted long, clones_removed boolean, "
@@ -4734,14 +4792,27 @@ def dedup_minhash_pairs(spark, sf_dir):
     from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
 
     docs = _t(spark, sf_dir, "documents")
+    if _skip_contracts():  # bench mode: time the operator, not the oracle
+        n_found = finalize(
+            minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        ).count()
+        return spark.createDataFrame(
+            [(-1, True, bool(n_found >= 0))],
+            "n_exact_pairs long, subset_ok boolean, recall_ok boolean",
+        )
     # persist both pair sets: three actions (two counts + the overlap
     # join) would otherwise recompute each full pipeline — measured
     # 7.0 s -> 3.8 s warm at sf0.1
     approx = scratch_persist(
         minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
     )
+    # uncapped (max_shingle_df=None): the oracle's exact pair set is
+    # uncapped, so a df-capped twin could drop a pair whose entire
+    # intersection is corpus-hot shingles and flip the contract columns
     exact = scratch_persist(
-        ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).select(
+            "id_a", "id_b"
+        )
     )
     n_found = approx.count()
     n_exact = exact.count()
@@ -4827,7 +4898,11 @@ FROM documents
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.5 via inverted-index join."""
     docs = _t(spark, sf_dir, "documents")
-    return finalize(ngram_jaccard_pairs(docs, threshold=0.5)).orderBy("id_a", "id_b")
+    # uncapped to match the uncapped oracle CTE exactly (the df cap is
+    # the production-scale knob; callers set it for 100 TB corpora)
+    return finalize(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+    ).orderBy("id_a", "id_b")
 
 
 _JACCARD_SQL = """
@@ -4968,6 +5043,12 @@ def _ann_recall_report(spark, approx, exact, n_queries, k, floor):
     set, exactly as this report does."""
     from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
 
+    if _skip_contracts():  # bench mode: time the operator, not the oracle
+        n_approx = finalize(approx.select("query_id", "neighbor_id")).count()
+        return spark.createDataFrame(
+            [(-1, n_approx, bool(n_approx == n_queries * k), True)],
+            "n_queries long, n_results long, full_k boolean, recall_ok boolean",
+        )
     approx = scratch_persist(approx.select("query_id", "neighbor_id"))
     exact = scratch_persist(exact.select("query_id", "neighbor_id"))
     hits = approx.join(exact, ["query_id", "neighbor_id"])
@@ -5943,8 +6024,18 @@ def dedup_incremental_minhash(spark, sf_dir):
             batch, hist_sigs, hist_bands, threshold=0.5
         ).select("doc_id")
     )
+    if _skip_contracts():  # bench mode: time the operator, not the oracle
+        n_batch = batch.count()
+        n_kept = kept.count()
+        release_scratch()
+        return spark.createDataFrame(
+            [(n_batch, -1, bool(n_kept >= 0))],
+            "n_batch long, n_history_matched_batch_docs long, "
+            "no_kept_matches_history boolean",
+        )
+    # uncapped exact twin — see dedup_minhash_pairs
     cross = scratch_persist(
-        ngram_jaccard_pairs(docs, threshold=0.5)
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
         .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
         .select(
             F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
@@ -7121,8 +7212,15 @@ def embedding_pca_variance(spark, sf_dir):
     eigh), self-validated by a second distributed pass: each vector is
     projected (pca_project) and the per-component sample variance of
     the projections is recomputed — it must equal the eigenvalue.
-    Rows-only: eigendecomposition is not SQL-expressible; the
-    agreement columns make the row self-checking."""
+
+    Oracle-checked via the algorithm's CONTRACT (eigendecomposition is
+    not SQL-expressible, so raw eigenvalues stay OUT of the hashed
+    output): per component, the recomputed projection variance must
+    agree with the eigenvalue to relative 1e-6, the explained-variance
+    ratios must be non-increasing, and their running sum must stay
+    <= 1. The oracle emits component 0..k-1 plus literal TRUE flags —
+    a broken sketch pass, eigh ordering, or projection flips a flag
+    and fails the hash."""
     from cdk_datalake_ingest_upeu_spark.operators.clustering import (
         pca_fit,
         pca_project,
@@ -7142,20 +7240,28 @@ def embedding_pca_variance(spark, sf_dir):
     cum = 0.0
     for j in range(k):
         cum += float(evr[j])
+        ev, pv = float(evals[j]), float(pvar[f"v{j}"])
         rows.append(
             (
                 j,
-                round(float(evals[j]), 6),
-                round(float(evr[j]), 6),
-                round(cum, 6),
-                round(float(pvar[f"v{j}"]), 6),
+                bool(abs(pv - ev) <= 1e-6 * max(abs(ev), 1e-12)),
+                bool(j == 0 or float(evr[j]) <= float(evr[j - 1]) + 1e-12),
+                bool(cum <= 1.0 + 1e-9),
             )
         )
     return spark.createDataFrame(
         rows,
-        "component int, eigenvalue double, explained_variance_ratio double, "
-        "cum_evr double, projected_variance double",
+        "component int, variance_agrees boolean, evr_nonincreasing boolean, "
+        "cum_evr_le_one boolean",
     )
+
+
+_PCA_VARIANCE_SQL = """
+SELECT CAST(range AS INTEGER) AS component,
+       TRUE AS variance_agrees, TRUE AS evr_nonincreasing,
+       TRUE AS cum_evr_le_one
+FROM range(8) ORDER BY component
+"""
 
 
 def bloom_semi_join_lineitems(spark, sf_dir):
@@ -7185,9 +7291,16 @@ def bloom_semi_join_lineitems(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            # the 2dp x 2dp product is an exact 4dp decimal, so the
+            # (18,4) cast is lossless and the sum order-independent —
+            # raw-double round(sum(),2) is the r3 text-flip class
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -7196,7 +7309,8 @@ def bloom_semi_join_lineitems(spark, sf_dir):
 _BLOOM_SEMI_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_orderkey IN (
     SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -7300,7 +7414,7 @@ def dedup_ngram_containment(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_containment_pairs(docs, threshold=0.6)
+    pairs = ngram_containment_pairs(docs, threshold=0.6, max_shingle_df=None)
     return finalize(pairs.orderBy("id_a", "id_b"))
 
 
@@ -7374,7 +7488,12 @@ def streaming_bloom_dedup(spark, sf_dir):
         pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows,
         1,
     )
-    n_bits = 1 << max(14, math.ceil(math.log2(64 * n_keys)))
+    # 128x margin, not 64x: at the sizing corner where 64*n_keys lands
+    # just above a power of two, m/n≈64 with k=5 gives ~2.4e-6/probe —
+    # ~2 wrongly-dropped novel keys per million events, a deterministic
+    # oracle mismatch at larger scale factors. Doubling the floor keeps
+    # the expected false-positive count << 1 across scale factors.
+    n_bits = 1 << max(14, math.ceil(math.log2(128 * n_keys)))
 
     work = _tmpdir("bloomsd")
     src_glob = _stage_event_drops(spark, sf_dir, work, df=full)
@@ -7396,7 +7515,9 @@ def streaming_bloom_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
     )
 
 
@@ -7405,7 +7526,7 @@ _STREAM_BLOOM_DEDUP_SQL = """
 -- drained epoch outputs equal the duplicate-free batch aggregate
 -- (a Bloom false positive would show up here as a lost novel key)
 SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 """
 
@@ -7440,7 +7561,9 @@ def stage_bloom_pruned_lookup(spark, sf_dir):
     rows, scanned, total = bloom_pruned_read(spark, index, keys, "event_id")
     return rows.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
     ).select(
         "n_rows",
         "sum_value",
@@ -7450,10 +7573,206 @@ def stage_bloom_pruned_lookup(spark, sf_dir):
 
 
 _BLOOM_PRUNED_SQL = """
-SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        TRUE AS pruned, TRUE AS files_opened
 FROM events
 WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 5)
+"""
+
+
+def stage_bloom_indexed_write_lookup(spark, sf_dir):
+    """Bloom index as a STAGE-WRITE option (operators/stage_writer.py
+    StageTable(bloom_index_keys=...)): every write path rebuilds the
+    per-file index, so point lookups prune files through an index the
+    WRITER keeps consistent — the composition of the engine's
+    file-skipping surface (sources/file_index.py) with its managed
+    stage tables (S9-S11). The table is overwritten TWICE (second
+    generation bumps value by 1000 on every 7th event), proving the
+    lookup sees generation-2 data through a generation-2 index; the
+    exact IN-filter keeps bloom false positives harmless and `pruned`
+    self-checks that fewer than all files were opened."""
+    ev = _t(spark, sf_dir, "events")
+    work = _tmpdir("sbidx")
+    st = StageTable(
+        spark, os.path.join(work, "tbl"), bloom_index_keys=["event_id"]
+    )
+    st.overwrite(ev.repartition(16, "event_id"))
+    gen2 = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1000).otherwise(
+            F.col("value")
+        ),
+    )
+    st.overwrite(gen2.repartition(16, "event_id"))
+    keys = ev.orderBy("event_id").limit(5).select("event_id")
+    rows, scanned, total = st.lookup(keys, "event_id")
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    ).select(
+        "n_rows",
+        "sum_value",
+        F.lit(scanned < total).alias("pruned"),
+        F.lit(scanned > 0).alias("files_opened"),
+    )
+
+
+_BLOOM_INDEXED_WRITE_SQL = """
+WITH gen2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END AS value
+  FROM events
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       TRUE AS pruned, TRUE AS files_opened
+FROM gen2
+WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 5)
+"""
+
+
+def corpus_bigram_logprob(spark, sf_dir):
+    """Per-source bigram-LM quality score (operators/text.py
+    bigram_token_logprobs): mean conditional log-probability of each
+    adjacent token pair under the corpus's own add-0.5-smoothed bigram
+    model — the word-ORDER-aware step up from corpus_unigram_logprob
+    (shuffled or boilerplate text separates from fluent text the
+    unigram model scores identically). Log-probs are decimal(18,9)-
+    rounded at bigram grain and summed exactly; one decimal->double
+    division at the end."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bigram_token_logprobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bg_lp = bigram_token_logprobs(docs)
+    n_docs = (
+        docs.filter(token_count_ws(F.col("text")) >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        bg_lp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
+        .join(n_docs, "source")
+        .select("source", "n_docs", "n_bigrams", "avg_logprob")
+        .orderBy("source")
+    )
+
+
+_BIGRAM_LP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    AND trim(text) <> ''
+), bg AS (
+  SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+  FROM toks
+), cnt AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), head AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT w2) AS v FROM cnt
+), lp AS (
+  SELECT w1, w2, CAST(ln((c12 + 0.5) / (c1 + 0.5 * v)) AS DECIMAL(18,9)) AS lp
+  FROM cnt JOIN head USING (w1), vocab
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2 AND trim(text) <> ''
+  GROUP BY source
+), agg AS (
+  SELECT d.source, count(*) AS n_bigrams,
+         CAST(sum(lp.lp) AS DOUBLE) / count(*) AS avg_logprob
+  FROM bg JOIN lp USING (w1, w2) JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_bigrams, avg_logprob
+FROM agg JOIN nd USING (source) ORDER BY source
+"""
+
+
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/variance over the embedding table — the
+    whitening/normalization statistics every embedding pipeline
+    computes before indexing or quantization (and the sanity check
+    that a dimension hasn't collapsed). One posexplode pass, one
+    aggregation keyed by dimension; sums ride exact decimals of the
+    (deterministic) double products so the result is order- and
+    partitioning-independent, and the final mean/variance arithmetic
+    is IEEE-identical on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    # per-value quantization via round(x * 1e9): the multiply and the
+    # half-away-from-zero round are the SAME IEEE double ops on both
+    # engines, so the quantized integers are bit-identical by
+    # construction — unlike a double->decimal CAST, whose internal
+    # rounding path diverges between engines roughly once per 1e5
+    # full-mantissa values (measured at scales 9 and 12). Integer sums
+    # are then exact and order-independent; the final mean/variance
+    # arithmetic runs the identical expression tree on identical
+    # inputs. Quantization bias is <= 5e-10 per value — diagnostics
+    # noise floor.
+    q = x.select(
+        "dim",
+        F.round(F.col("x") * F.lit(1e9), 0).cast("decimal(28,0)").alias("qx"),
+        F.round(F.col("x") * F.col("x") * F.lit(1e9), 0)
+        .cast("decimal(28,0)")
+        .alias("qxx"),
+    )
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").cast("double").alias("sx"),
+            F.sum("qxx").cast("double").alias("sxx"),
+        )
+        .select(
+            "dim",
+            "n",
+            (F.col("sx") / F.col("n") / F.lit(1e9)).alias("mean"),
+            (
+                F.col("sxx") / F.col("n") / F.lit(1e9)
+                - (F.col("sx") / F.col("n") / F.lit(1e9))
+                * (F.col("sx") / F.col("n") / F.lit(1e9))
+            ).alias("variance"),
+        )
+        .orderBy("dim")
+    )
+
+
+_EMB_DIM_STATS_SQL = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), q AS (
+  SELECT dim,
+         CAST(round(x * 1000000000.0, 0) AS DECIMAL(28,0)) AS qx,
+         CAST(round(x * x * 1000000000.0, 0) AS DECIMAL(28,0)) AS qxx
+  FROM x
+), agg AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(qx) AS DOUBLE) AS sx,
+         CAST(sum(qxx) AS DOUBLE) AS sxx
+  FROM q GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim, n,
+       sx / n / 1000000000.0 AS mean,
+       sxx / n / 1000000000.0
+         - (sx / n / 1000000000.0) * (sx / n / 1000000000.0) AS variance
+FROM agg ORDER BY dim
 """
 
 
@@ -7484,65 +7803,11 @@ FROM documents
 # dedup, PCA — in place of the TPC-H padding, which is r1-green and rotates
 # behind).  The r3-green LLM block stays behind the window.
 QUERIES = {
-    # --- round-4 window: 17 never-checked round-3 queries ---
-    "events_session_window": events_session_window,
-    "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
-    "corpus_mixture_sample": corpus_mixture_sample,
-    "text_quality_classifier": text_quality_classifier,
-    "embedding_quantize_stats": embedding_quantize_stats,
-    "streaming_session_window": streaming_session_window,
-    "stage_dynamic_partition_overwrite": stage_dynamic_partition_overwrite,
-    "dedup_incremental_minhash": dedup_incremental_minhash,
-    "stage_zorder_pruned_read": stage_zorder_pruned_read,
-    "corpus_token_encoding": corpus_token_encoding,
-    "leakage_safe_split_counts": leakage_safe_split_counts,
-    "profile_drift_generations": profile_drift_generations,
-    "stage_change_feed_apply": stage_change_feed_apply,
-    "events_grouping_sets": events_grouping_sets,
-    "set_ops_customer_activity": set_ops_customer_activity,
-    "streaming_change_feed_ingest": streaming_change_feed_ingest,
-    "multimodal_audio_energy": multimodal_audio_energy,
-    # --- the 11 r3 hash-reds (oracle SQL fixed this round) +
-    # sink_json (fixed r3, unverified) + embedding_neardup (planted) ---
-    "corpus_vocab_coverage": corpus_vocab_coverage,
-    "stage_snapshot_diff": stage_snapshot_diff,
-    "corpus_language_stats": corpus_language_stats,
-    "sample_hash_deterministic": sample_hash_deterministic,
-    "text_repetition_stats": text_repetition_stats,
-    "text_pii_redaction": text_pii_redaction,
-    "corpus_quality_filter": corpus_quality_filter,
-    "decontaminate_against_benchmark": decontaminate_against_benchmark,
-    "sample_stratified_lang": sample_stratified_lang,
-    "train_test_split_counts": train_test_split_counts,
-    "events_funnel": events_funnel,
-    "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
-    "embedding_neardup": embedding_neardup,
-    # --- new in round 4 (inside the window from day one) ---
-    "stage_change_feed_apply_evolution": stage_change_feed_apply_evolution,
-    "ann_topk_int8": ann_topk_int8,
-    "corpus_pipeline_e2e": corpus_pipeline_e2e,
-    "skew_salted_join_segment": skew_salted_join_segment,
-    "export_training_shards": export_training_shards,
-    "curriculum_quality_quartiles": curriculum_quality_quartiles,
-    "stage_dpp_pruned_join": stage_dpp_pruned_join,
-    "stage_retention_prune": stage_retention_prune,
-    "sample_capped_per_source": sample_capped_per_source,
-    "events_anomaly_zscore": events_anomaly_zscore,
-    "stage_compaction_roundtrip": stage_compaction_roundtrip,
-    "stage_catalog_sql_read": stage_catalog_sql_read,
-    "streaming_anomaly_zscore": streaming_anomaly_zscore,
-    "load_mode_lifecycle": load_mode_lifecycle,
-    # --- round-4 late additions (LM stats / retrieval / PCA family) ---
-    "corpus_unigram_logprob": corpus_unigram_logprob,
-    "text_bm25_topk": text_bm25_topk,
-    "bpe_merge_pairs": bpe_merge_pairs,
-    "embedding_norm_outliers": embedding_norm_outliers,
-    "semantic_neardup_planted": semantic_neardup_planted,
-    "embedding_pca_variance": embedding_pca_variance,
-    # --- post-window round-4 additions (bloom family, global ids, CMS,
-    # containment, checksum): local-sweep evidence this round
-    # (CORRECTNESS_LOCAL_r04.json, hash-faithful comparator) — these
-    # seven LEAD the r5 driver-window rotation ---
+    # --- round-5 driver window (first 50): the 40 queries with no
+    # driver-green row in any round (29 never-checked r4 additions +
+    # 11 contract-converted with no post-conversion driver row), then
+    # 10 slack slots: 3 new r5 queries and re-confirmations of
+    # queries whose code or oracle changed this round ---
     "bloom_semi_join_lineitems": bloom_semi_join_lineitems,
     "global_ids_documents": global_ids_documents,
     "cms_event_type_totals": cms_event_type_totals,
@@ -7550,10 +7815,6 @@ QUERIES = {
     "corpus_checksum": corpus_checksum,
     "streaming_bloom_dedup": streaming_bloom_dedup,
     "stage_bloom_pruned_lookup": stage_bloom_pruned_lookup,
-    # --- behind the window: round-4 late extras — these LEAD the r5
-    # rotation (locally comparator-checked this round, see
-    # CORRECTNESS_LOCAL_r04.json, but no driver row yet) — then
-    # r1-r3-green residue ---
     "copurchase_part_pairs": copurchase_part_pairs,
     "events_transition_bigrams": events_transition_bigrams,
     "events_value_histogram": events_value_histogram,
@@ -7569,9 +7830,81 @@ QUERIES = {
     "vocab_typo_pairs": vocab_typo_pairs,
     "events_unpivot_daily": events_unpivot_daily,
     "multimodal_image_resize": multimodal_image_resize,
-    "q1_pricing_summary": q1_pricing_summary,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q12_priority_shipping": q12_priority_shipping,
+    "dedup_paragraph_corpus": dedup_paragraph_corpus,
+    "dedup_incremental_paragraph": dedup_incremental_paragraph,
+    "streaming_paragraph_dedup": streaming_paragraph_dedup,
+    "corpus_filter_attrition": corpus_filter_attrition,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_corpus": dedup_simhash_corpus,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_cluster_jaccard": dedup_cluster_jaccard,
+    "sketch_weekly_rollup": sketch_weekly_rollup,
+    "pack_documents_stats": pack_documents_stats,
+    "embedding_kmeans_stats": embedding_kmeans_stats,
+    "embedding_pca_variance": embedding_pca_variance,
+    "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
+    # --- slack: new in round 5 + re-confirmations ---
+    "stage_bloom_indexed_write_lookup": stage_bloom_indexed_write_lookup,
+    "corpus_bigram_logprob": corpus_bigram_logprob,
+    "embedding_dim_stats": embedding_dim_stats,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "events_funnel": events_funnel,
+    "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
+    "embedding_neardup": embedding_neardup,
+    "semantic_neardup_planted": semantic_neardup_planted,
+    "streaming_dedup_events": streaming_dedup_events,
+    # --- behind the window: driver-green residue from rounds 1-4 ---
+    "events_session_window": events_session_window,
+    "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
+    "corpus_mixture_sample": corpus_mixture_sample,
+    "text_quality_classifier": text_quality_classifier,
+    "embedding_quantize_stats": embedding_quantize_stats,
+    "streaming_session_window": streaming_session_window,
+    "stage_dynamic_partition_overwrite": stage_dynamic_partition_overwrite,
+    "stage_zorder_pruned_read": stage_zorder_pruned_read,
+    "corpus_token_encoding": corpus_token_encoding,
+    "leakage_safe_split_counts": leakage_safe_split_counts,
+    "profile_drift_generations": profile_drift_generations,
+    "stage_change_feed_apply": stage_change_feed_apply,
+    "events_grouping_sets": events_grouping_sets,
+    "set_ops_customer_activity": set_ops_customer_activity,
+    "streaming_change_feed_ingest": streaming_change_feed_ingest,
+    "multimodal_audio_energy": multimodal_audio_energy,
+    "corpus_vocab_coverage": corpus_vocab_coverage,
+    "stage_snapshot_diff": stage_snapshot_diff,
+    "corpus_language_stats": corpus_language_stats,
+    "sample_hash_deterministic": sample_hash_deterministic,
+    "text_repetition_stats": text_repetition_stats,
+    "text_pii_redaction": text_pii_redaction,
+    "corpus_quality_filter": corpus_quality_filter,
+    "decontaminate_against_benchmark": decontaminate_against_benchmark,
+    "sample_stratified_lang": sample_stratified_lang,
+    "train_test_split_counts": train_test_split_counts,
+    "stage_change_feed_apply_evolution": stage_change_feed_apply_evolution,
+    "ann_topk_int8": ann_topk_int8,
+    "corpus_pipeline_e2e": corpus_pipeline_e2e,
+    "skew_salted_join_segment": skew_salted_join_segment,
+    "export_training_shards": export_training_shards,
+    "curriculum_quality_quartiles": curriculum_quality_quartiles,
+    "stage_dpp_pruned_join": stage_dpp_pruned_join,
+    "stage_retention_prune": stage_retention_prune,
+    "sample_capped_per_source": sample_capped_per_source,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "stage_compaction_roundtrip": stage_compaction_roundtrip,
+    "stage_catalog_sql_read": stage_catalog_sql_read,
+    "streaming_anomaly_zscore": streaming_anomaly_zscore,
+    "load_mode_lifecycle": load_mode_lifecycle,
+    "corpus_unigram_logprob": corpus_unigram_logprob,
+    "text_bm25_topk": text_bm25_topk,
+    "bpe_merge_pairs": bpe_merge_pairs,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -7598,27 +7931,13 @@ QUERIES = {
     "streaming_watermarked_rollup": streaming_watermarked_rollup,
     "text_features": text_features,
     "text_langid": text_langid,
-    "text_winnow_fingerprints": text_winnow_fingerprints,
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_exact_corpus": dedup_exact_corpus,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash_corpus": dedup_simhash_corpus,
-    "dedup_cluster_components": dedup_cluster_components,
-    "dedup_cluster_jaccard": dedup_cluster_jaccard,
-    "dedup_paragraph_corpus": dedup_paragraph_corpus,
-    "dedup_incremental_paragraph": dedup_incremental_paragraph,
-    "streaming_paragraph_dedup": streaming_paragraph_dedup,
-    "corpus_filter_attrition": corpus_filter_attrition,
     "dedup_incremental_batch": dedup_incremental_batch,
     "scd2_user_event_history": scd2_user_event_history,
     "profile_events_table": profile_events_table,
-    "sketch_weekly_rollup": sketch_weekly_rollup,
     "topk_ngrams": topk_ngrams,
     "text_chunk_windows": text_chunk_windows,
-    "pack_documents_stats": pack_documents_stats,
-    "embedding_kmeans_stats": embedding_kmeans_stats,
     "events_rolling_window": events_rolling_window,
     "orders_priority_rollup": orders_priority_rollup,
     "events_pivot_by_type": events_pivot_by_type,
@@ -7627,11 +7946,8 @@ QUERIES = {
     "interval_join_clicks_before_purchase": interval_join_clicks_before_purchase,
     "streaming_interval_join": streaming_interval_join,
     "streaming_topk_state": streaming_topk_state,
-    "streaming_dedup_events": streaming_dedup_events,
     "embedding_label_stats": embedding_label_stats,
     "ann_topk_bruteforce": ann_topk_bruteforce,
-    "ann_topk_lsh": ann_topk_lsh,
-    "ann_topk_ivf": ann_topk_ivf,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_features": multimodal_image_features,
     "sqlgen_projection_filter": sqlgen_projection_filter,
@@ -7830,9 +8146,15 @@ ORACLES = {
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_simhash_corpus": _SIMHASH_CORPUS_SQL,
     "dedup_incremental_minhash": _INCR_MINHASH_SQL,
-    # rows-only (non-SQL-expressible hash families / approximate /
-    # iterative results), 2 total: dedup_cluster_components (the same
-    # operator is fully oracled via dedup_cluster_jaccard's recursive
-    # CTE), embedding_pca_variance (eigendecomposition; self-validating
-    # projected-variance columns)
+    "embedding_pca_variance": _PCA_VARIANCE_SQL,
+    "dedup_cluster_components": _CLUSTER_COMPONENTS_SQL,
+    "stage_bloom_indexed_write_lookup": _BLOOM_INDEXED_WRITE_SQL,
+    "corpus_bigram_logprob": _BIGRAM_LP_SQL,
+    "embedding_dim_stats": _EMB_DIM_STATS_SQL,
+    # every declared query now has an oracle entry: the hash-family /
+    # iterative results (LSH pairs, k-means, PCA, components) are
+    # oracle-checked through their CONTRACTS — exact SQL-reproducible
+    # columns plus invariant booleans the oracle pins TRUE; the exact
+    # twins (dedup_cluster_jaccard's recursive CTE, the brute-force ANN
+    # baseline) keep the underlying operators fully value-checked
 }

@@ -222,3 +222,18 @@ def test_file_bloom_index_prunes_and_finds(spark, sf_dir, tmp_path):
     assert rows2.count() == 0
     assert scanned2 <= 1  # at most a false-positive file
     assert cand.count() <= 1
+
+
+def test_bloom_pruned_read_empty_index_raises(spark):
+    from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+        bloom_pruned_read,
+    )
+
+    empty_index = spark.createDataFrame(
+        [], "file string, word_idx int, word long, n_bits long, n_hashes int"
+    )
+    keys = spark.createDataFrame([(1,)], "event_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="index is empty"):
+        bloom_pruned_read(spark, empty_index, keys, "event_id")

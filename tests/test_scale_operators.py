@@ -1999,3 +1999,46 @@ def test_paragraph_dedup_incremental_index_wins(spark):
     # w1 is in the index -> dropped from doc 10; w2 first occurs in doc 10
     assert out[10]["n_kept"] == 1 and out[10]["text_dedup"] == w2
     assert out[11]["n_kept"] == 0 and out[11]["text_dedup"] == ""
+
+
+def test_connected_components_string_labels(spark):
+    """Non-numeric node ids: the decimal checksum convergence test would
+    NULL out (NULL == NULL on round one -> silent split components);
+    string labels must take the join-based changed-count path and still
+    settle chains exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {k for k, v in got.items() if v == "b"} == {"b", "c", "d", "e"}
+    assert {k for k, v in got.items() if v == "x"} == {"x", "y"}
+
+
+def test_bigram_token_logprobs_hand_check(spark):
+    """Add-k bigram LM on a 2-doc corpus: lp(w1,w2) = ln((c12+k)/(c1+kV))
+    with c1 counting w1 as bigram HEAD and V the distinct-tail vocab."""
+    import math
+    from decimal import Decimal
+
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bigram_token_logprobs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = bigram_token_logprobs(docs, k=0.5).collect()
+    # bigrams: doc1 -> (a,b) (b,a) (a,b); doc2 -> (a,b) (b,c); doc3 none
+    assert len(rows) == 5
+    assert not any(r.doc_id == 3 for r in rows)
+    # counts: c(a,b)=3 c(b,a)=1 c(b,c)=1; heads: a->3, b->2; V = tails {a,b,c} = 3
+    exp_ab = round(Decimal(repr(math.log((3 + 0.5) / (3 + 0.5 * 3)))), 9)
+    got_ab = {str(r.lp) for r in rows if r.w1 == "a" and r.w2 == "b"}
+    assert got_ab == {str(exp_ab)}
+    exp_ba = round(Decimal(repr(math.log((1 + 0.5) / (2 + 0.5 * 3)))), 9)
+    got_ba = {str(r.lp) for r in rows if r.w1 == "b" and r.w2 == "a"}
+    assert got_ba == {str(exp_ba)}

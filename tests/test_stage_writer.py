@@ -329,3 +329,39 @@ def test_drop_partitions_is_metadata_only(spark, tmp_path):
     assert stage.read().count() == 80
     # idempotent: nothing left below the cutoff
     assert stage.drop_partitions("day", before="2024-01-12") == 0
+
+
+def test_stage_table_bloom_index_maintained_by_writes(spark, tmp_path):
+    """bloom_index_keys: every write path rebuilds the per-file index,
+    and lookup() prunes through the CURRENT generation's index."""
+    path = os.path.join(tmp_path, "btbl")
+    st = StageTable(spark, path, bloom_index_keys=["id"])
+    df = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(2000)], "id long, v double"
+    )
+    st.overwrite(df.repartition(8, "id"))
+    idx_path = os.path.join(str(path) + "__bloom", "id")
+    assert spark.read.parquet(idx_path).count() > 0
+
+    keys = spark.createDataFrame([(7,), (1999,)], "id long")
+    rows, scanned, total = st.lookup(keys, "id")
+    got = {r.id: r.v for r in rows.collect()}
+    assert got == {7: 70.0, 1999: 19990.0}
+    assert 0 < scanned <= total and total >= 8
+
+    # MERGE rewrites the table -> the index must follow the new files
+    src = spark.createDataFrame([(7, -1.0), (5000, 5.0)], "id long, v double")
+    st.merge(src, ["id"])
+    rows2, scanned2, total2 = st.lookup(
+        spark.createDataFrame([(7,), (5000,)], "id long"), "id"
+    )
+    got2 = {r.id: r.v for r in rows2.collect()}
+    assert got2 == {7: -1.0, 5000: 5.0}
+    assert scanned2 <= total2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bloom-indexed"):
+        st.lookup(keys, "v")
+    with _pytest.raises(ValueError, match="parquet-only"):
+        StageTable(spark, path, fmt="orc", bloom_index_keys=["id"])
