@@ -624,6 +624,76 @@ def bigram_token_logprobs(
     return pairs.join(lp, ["w1", "w2"]).select(id_col, "w1", "w2", "lp")
 
 
+def bigram_group_logprob(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    k: float = 0.5,
+) -> DataFrame:
+    """Mean bigram log-probability per GROUP (source / shard / language)
+    under the same add-k model as :func:`bigram_token_logprobs`, with
+    the corpus-scale plan shape: the bigram stream is aggregated to
+    ``(group, w1, w2, cnt)`` grain FIRST — the only corpus-sized
+    exchange — and every later join/aggregate runs at (groups x
+    bigram-vocab) grain or smaller. Joining the lp table back onto the
+    raw bigram stream instead (the per-doc operator's shape) would
+    re-shuffle the full corpus twice more. ``sum(lp * cnt)`` stays in
+    exact decimal, so the grouped rollup equals the stream-grain mean
+    bit-for-bit.
+
+    Returns ``(group_col, n_bigrams, avg_logprob)``.
+    """
+    toks = df.select(
+        F.col(group_col), ws_tokens(F.lower(F.col(text_col))).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    pairs = toks.select(
+        group_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(group_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cg = pairs.groupBy(group_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bg_counts = cg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    head_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = bg_counts.select(F.countDistinct("w2").alias("v"))  # 1 row
+    lp = (
+        bg_counts.join(head_counts, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return (
+        cg.join(lp, ["w1", "w2"])
+        .groupBy(group_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            # cnt rides decimal(12,0), NOT long: decimal(18,9) * long
+            # promotes long to decimal(20,0) and the product precision
+            # (18+20+1=39) overflows Spark's 38 cap, silently dropping
+            # the 9th lp digit; (18,9)x(12,0) -> (31,9) stays exact
+            (
+                F.sum(F.col("lp") * F.col("cnt").cast("decimal(12,0)"))
+                .cast("double")
+                / F.sum("cnt")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

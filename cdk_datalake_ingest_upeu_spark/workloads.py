@@ -7642,27 +7642,26 @@ def corpus_bigram_logprob(spark, sf_dir):
     (shuffled or boilerplate text separates from fluent text the
     unigram model scores identically). Log-probs are decimal(18,9)-
     rounded at bigram grain and summed exactly; one decimal->double
-    division at the end."""
+    division at the end.
+
+    Plan shape (bigram_group_logprob): the bigram stream aggregates to
+    (source, w1, w2, cnt) grain first — the ONE corpus-sized exchange —
+    and the lp table joins at (sources x vocab) grain; sum(lp*cnt) in
+    exact decimal equals the stream-grain mean bit-for-bit. The
+    doc-grain twin (bigram_token_logprobs) is the per-document quality
+    filter; it stays unit-tested."""
     from cdk_datalake_ingest_upeu_spark.operators.text import (
-        bigram_token_logprobs,
+        bigram_group_logprob,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    bg_lp = bigram_token_logprobs(docs)
     n_docs = (
         docs.filter(token_count_ws(F.col("text")) >= 2)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return (
-        bg_lp.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
-                "avg_logprob"
-            ),
-        )
+        bigram_group_logprob(docs, "source")
         .join(n_docs, "source")
         .select("source", "n_docs", "n_bigrams", "avg_logprob")
         .orderBy("source")

@@ -72,6 +72,9 @@ BUDGETS = [
     ("cms_event_type_totals", 0, False),  # driver-assembled KB result; sketches aggregated upstream
     ("dedup_ngram_containment", 0, False),  # finalized: checkpoint scan; index join paid upstream
     ("corpus_checksum", 1, False),  # map-side partial sum -> single-partition final agg
+    ("corpus_bigram_logprob", 11, False),  # 1 corpus-sized (stream -> (source,bigram) grain); rest vocab/doc-grain + n_docs branch + sort
+    ("embedding_dim_stats", 2, False),  # dim groupBy (64 partials/partition) + output sort
+    ("stage_bloom_indexed_write_lookup", 1, False),  # returned plan: pruned-file scan + broadcast semi-join + 1-row agg
 ]
 
 

@@ -2042,3 +2042,40 @@ def test_bigram_token_logprobs_hand_check(spark):
     exp_ba = round(Decimal(repr(math.log((1 + 0.5) / (2 + 0.5 * 3)))), 9)
     got_ba = {str(r.lp) for r in rows if r.w1 == "b" and r.w2 == "a"}
     assert got_ba == {str(exp_ba)}
+
+
+def test_bigram_group_logprob_equals_stream_mean(spark):
+    """The (group, w1, w2, cnt)-grain rollup must equal the bigram-stream
+    mean bit-for-bit: sum(lp*cnt) rides exact decimal (a long cnt would
+    overflow precision 38 and silently drop the 9th lp digit)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        bigram_group_logprob,
+        bigram_token_logprobs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w x y z w x y z"),
+            (2, "a", "w x q"),
+            (3, "b", "y z y z y z"),
+            (4, "b", "lone"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.source: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_group_logprob(docs, "source").collect()
+    }
+    stream = (
+        bigram_token_logprobs(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("m"),
+        )
+    )
+    want = {r.source: (r.n, r.m) for r in stream.collect()}
+    assert got == want
+    assert set(got) == {"a", "b"}  # doc 4 has <2 tokens -> contributes nothing
