@@ -60,11 +60,26 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    keep_order: list | None = None,
 ) -> DataFrame:
-    """Keep one canonical row (min id) per exact normalized-text match."""
+    """Keep one canonical row per exact normalized-text match.
+
+    Default policy is min id (deterministic, metadata-free — the
+    reference's W1 analog). ``keep_order`` switches to QUALITY-AWARE
+    canonical selection — the public training-data recipe (Dolma /
+    FineWeb keep the best-scored or longest copy, since near-identical
+    crawls differ in boilerplate stripping): pass the ordering columns
+    that define "best first", e.g. ``[F.col("quality").desc(),
+    F.col("doc_id").asc()]``. Always end with a unique tiebreaker so
+    the winner is deterministic across layouts. Same single shuffle on
+    the 16-byte fingerprint either way."""
     fp = F.md5(normalized_text(F.col(text_col))).alias("__fp")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    order = keep_order if keep_order else [F.col(id_col).asc()]
+    w = Window.partitionBy("__fp").orderBy(*order)
     return (
         df.select("*", fp)
         .withColumn("__rn", F.row_number().over(w))
@@ -1353,3 +1368,41 @@ def paragraph_dedup(
             F.lit(""),
         ).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: content-level deletion with index propagation
+# ---------------------------------------------------------------------------
+
+def forget_exact_content(
+    df: DataFrame,
+    forget_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Content-level forget (takedown / right-to-be-forgotten): remove
+    the listed documents AND every exact duplicate of their normalized
+    text — "forget this content", not just this row id (a crawl holds
+    the same page under many ids; deleting one row leaves the content
+    in the corpus and in every derived artifact).
+
+    Returns ``(kept, forgotten_ids)`` where ``forgotten_ids`` is the
+    FULL id set to purge from derived artifacts (signature tables, band
+    indexes, packs, shards) by anti-join — the caller owns those purges
+    because artifact schemas vary; see the ``corpus_forget_documents``
+    workload for the minhash-index composition.
+
+    Scale shape: one fingerprint groupBy-free pass — the forget list is
+    tiny, so its fingerprint set broadcasts; the corpus is filtered by
+    one broadcast LEFT ANTI join at the scan, no corpus shuffle at all.
+    """
+    fp = F.md5(normalized_text(F.col(text_col))).alias("__fp")
+    del_fps = (
+        df.join(F.broadcast(forget_ids.select(id_col)), id_col)
+        .select(fp)
+        .distinct()
+    )
+    tagged = df.select("*", fp)
+    forgotten = tagged.join(F.broadcast(del_fps), "__fp").select(id_col)
+    kept = tagged.join(F.broadcast(del_fps), "__fp", "left_anti").drop("__fp")
+    return kept, forgotten

@@ -4768,6 +4768,119 @@ def dedup_exact_corpus(spark, sf_dir):
     return exact_dedup(docs).select("doc_id", "source").orderBy("doc_id")
 
 
+def dedup_exact_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection (operators/dedup.py exact_dedup
+    keep_order): per duplicate group keep the LONGEST copy, not the
+    first — the public training-data recipe (near-identical crawls
+    differ in boilerplate stripping, so Dolma/FineWeb keep the
+    best-scored/longest copy; min-id silently keeps whichever landed
+    first). doc_id tiebreak keeps the winner deterministic across
+    layouts; same single fingerprint shuffle as dedup_exact_corpus."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(
+        docs,
+        keep_order=[F.length("text").desc(), F.col("doc_id").asc()],
+    )
+    return kept.select("doc_id", "source", F.length("text").alias("text_len")).orderBy(
+        "doc_id"
+    )
+
+
+_DEDUP_KEEP_BEST_SQL = """
+SELECT doc_id, source, length(text) AS text_len FROM (
+  SELECT doc_id, source, text, row_number() OVER (
+      PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+      ORDER BY length(text) DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def corpus_forget_documents(spark, sf_dir):
+    """Right-to-be-forgotten / takedown propagation (operators/dedup.py
+    forget_exact_content): the 10 lowest doc_ids are requested for
+    deletion; the operator removes them AND every exact duplicate of
+    their normalized text (forgetting the ROW but not the content is a
+    compliance failure), then the persisted near-dup artifacts — the
+    256 B/doc minhash signature table and its LSH band index, the
+    things a steady-state pipeline keeps between crawls — are purged by
+    anti-join on the full forgotten-id set. The forget list broadcasts;
+    the corpus filter is one broadcast anti-join at the scan (no corpus
+    shuffle). Oracle reproduces the content-level forgotten/kept counts
+    exactly and pins the two propagation invariants TRUE: no kept row
+    carries deleted content, and the purged signature index is exactly
+    one row per kept doc."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        forget_exact_content,
+        minhash_band_table,
+        minhash_signature_table,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
+
+    docs = _t(spark, sf_dir, "documents")
+    # the persisted artifacts a real pipeline would hold between crawls
+    sigs = scratch_persist(minhash_signature_table(docs))
+    bands = minhash_band_table(sigs)
+    forget = docs.orderBy("doc_id").limit(10).select("doc_id")
+    kept, forgotten = forget_exact_content(docs, forget)
+    kept = scratch_persist(kept)
+    forgotten = scratch_persist(forgotten)
+    n_requested = forget.count()
+    n_forgotten = forgotten.count()
+    n_kept = kept.count()
+    sigs_purged = sigs.join(forgotten, "doc_id", "left_anti")
+    bands_purged = bands.join(forgotten, "doc_id", "left_anti")
+    # invariant 1: no kept row carries deleted content (fingerprint join)
+    del_fps = (
+        docs.join(F.broadcast(forget), "doc_id")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    residual = (
+        kept.select(fingerprint(F.col("text")).alias("fp"))
+        .join(F.broadcast(del_fps), "fp")
+        .count()
+    )
+    # invariant 2: artifact purges track the table exactly
+    sig_rows = sigs_purged.count()
+    band_docs = bands_purged.select("doc_id").distinct().count()
+    release_scratch()
+    return spark.createDataFrame(
+        [
+            (
+                n_requested,
+                n_forgotten,
+                n_kept,
+                bool(residual == 0),
+                bool(sig_rows == n_kept and band_docs == n_kept),
+            )
+        ],
+        "n_requested long, n_rows_forgotten long, n_rows_kept long, "
+        "no_deleted_content_remains boolean, indexes_purged boolean",
+    )
+
+
+_FORGET_SQL = """
+WITH req AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10
+), del_fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM req)
+), tagged AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT CAST((SELECT count(*) FROM req) AS BIGINT) AS n_requested,
+       CAST((SELECT count(*) FROM tagged WHERE fp IN (SELECT fp FROM del_fp))
+            AS BIGINT) AS n_rows_forgotten,
+       CAST((SELECT count(*) FROM tagged
+             WHERE fp NOT IN (SELECT fp FROM del_fp)) AS BIGINT) AS n_rows_kept,
+       TRUE AS no_deleted_content_remains, TRUE AS indexes_purged
+"""
+
+
 _DEDUP_CORPUS_SQL = """
 SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (
@@ -7856,9 +7969,11 @@ QUERIES = {
     "events_funnel": events_funnel,
     "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
     "embedding_neardup": embedding_neardup,
+    "dedup_exact_keep_best": dedup_exact_keep_best,
+    "corpus_forget_documents": corpus_forget_documents,
+    # --- behind the window: driver-green residue from rounds 1-4 ---
     "semantic_neardup_planted": semantic_neardup_planted,
     "streaming_dedup_events": streaming_dedup_events,
-    # --- behind the window: driver-green residue from rounds 1-4 ---
     "events_session_window": events_session_window,
     "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
     "corpus_mixture_sample": corpus_mixture_sample,
@@ -8149,6 +8264,8 @@ ORACLES = {
     "dedup_cluster_components": _CLUSTER_COMPONENTS_SQL,
     "stage_bloom_indexed_write_lookup": _BLOOM_INDEXED_WRITE_SQL,
     "corpus_bigram_logprob": _BIGRAM_LP_SQL,
+    "dedup_exact_keep_best": _DEDUP_KEEP_BEST_SQL,
+    "corpus_forget_documents": _FORGET_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

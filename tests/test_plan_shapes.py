@@ -75,6 +75,8 @@ BUDGETS = [
     ("corpus_bigram_logprob", 11, False),  # 1 corpus-sized (stream -> (source,bigram) grain); rest vocab/doc-grain + n_docs branch + sort
     ("embedding_dim_stats", 2, False),  # dim groupBy (64 partials/partition) + output sort
     ("stage_bloom_indexed_write_lookup", 1, False),  # returned plan: pruned-file scan + broadcast semi-join + 1-row agg
+    ("dedup_exact_keep_best", 2, False),  # fingerprint window shuffle + output sort
+    ("corpus_forget_documents", 0, False),  # 1-row summary; forget filter is a broadcast anti-join at the scan (sig/band purges counted upstream)
 ]
 
 

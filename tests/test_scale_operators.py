@@ -2079,3 +2079,53 @@ def test_bigram_group_logprob_equals_stream_mean(spark):
     want = {r.source: (r.n, r.m) for r in stream.collect()}
     assert got == want
     assert set(got) == {"a", "b"}  # doc 4 has <2 tokens -> contributes nothing
+
+
+def test_exact_dedup_keep_order_picks_best(spark):
+    """keep_order canonical selection: the longest copy survives, not
+    the lowest id; default stays min-id."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world"),     # normalizes equal to 2/3
+            (2, "HELLO WORLD  "),
+            (3, "hello world and more padding"),  # different content
+            (4, "hello   WORLD extra"),           # different content
+        ],
+        "doc_id long, text string",
+    )
+    default = {r.doc_id for r in exact_dedup(docs).collect()}
+    assert default == {1, 3, 4}
+    best = {
+        r.doc_id
+        for r in exact_dedup(
+            docs, keep_order=[F.length("text").desc(), F.col("doc_id").asc()]
+        ).collect()
+    }
+    assert best == {2, 3, 4}  # "HELLO WORLD  " (13 chars) beats "hello  world" (12)
+
+
+def test_forget_exact_content_propagates_to_duplicates(spark):
+    """Forgetting doc 1 must also forget doc 5 (same normalized text) and
+    leave everything else; the forgotten-id set drives index purges."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        forget_exact_content,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "remove me  please"),
+            (2, "keep me"),
+            (5, "REMOVE ME please"),   # exact dup of 1 after normalization
+            (7, "also kept"),
+        ],
+        "doc_id long, text string",
+    )
+    req = spark.createDataFrame([(1,)], "doc_id long")
+    kept, forgotten = forget_exact_content(docs, req)
+    assert {r.doc_id for r in forgotten.collect()} == {1, 5}
+    assert {r.doc_id for r in kept.collect()} == {2, 7}
+    assert kept.columns == docs.columns  # helper column stripped
