@@ -1280,11 +1280,14 @@ def paragraph_chunks(
     text_col: str = "text",
     *,
     window_tokens: int = 20,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, pos, chunk) paragraph units of each document: fixed
-    ``window_tokens`` aligned token windows (map-side split + explode,
-    no shuffle). Shared by :func:`paragraph_dedup` and by callers
-    building a persisted seen-chunk index for incremental mode."""
+    """(id, [extra_cols,] pos, chunk) paragraph units of each document:
+    fixed ``window_tokens`` aligned token windows (map-side split +
+    explode, no shuffle). Shared by :func:`paragraph_dedup`,
+    :func:`boilerplate_strip` (which carries the group column through
+    via ``extra_cols``), and callers building a persisted seen-chunk
+    index for incremental mode."""
     tk = F.when(
         F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -1299,8 +1302,9 @@ def paragraph_chunks(
             ),
         )
     )
-    return df.select(F.col(id_col), tk.alias("__tk")).select(
-        id_col, F.posexplode(chunks).alias("pos", "chunk")
+    keep = [id_col, *(extra_cols or [])]
+    return df.select(*[F.col(c) for c in keep], tk.alias("__tk")).select(
+        *keep, F.posexplode(chunks).alias("pos", "chunk")
     )
 
 
@@ -1406,3 +1410,87 @@ def forget_exact_content(
     forgotten = tagged.join(F.broadcast(del_fps), "__fp").select(id_col)
     kept = tagged.join(F.broadcast(del_fps), "__fp", "left_anti").drop("__fp")
     return kept, forgotten
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate stripping (template text removal per source)
+# ---------------------------------------------------------------------------
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    window_tokens: int = 20,
+    min_docs: int = 2,
+    max_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Boilerplate removal (the CCNet/trafilatura cleaning step): a
+    paragraph unit appearing in MANY documents of the same group
+    (site/source) is template text — navigation, footers, cookie
+    banners — and EVERY occurrence is dropped. The complement of
+    :func:`paragraph_dedup`, which keeps the FIRST occurrence: dedup
+    preserves one copy of repeated content, boilerplate strip removes
+    content whose repetition means it was never prose.
+
+    A unit is boilerplate in its group when it appears in at least
+    ``min_docs`` documents AND at least ``ceil(max_doc_frac *
+    group_docs)`` documents of that group.
+
+    Returns (id, n_chunks, n_kept, text_clean) per document with at
+    least one token.
+
+    Scale shape: chunking is map-side; the per-group unit document
+    frequency is one distinct + one groupBy on (group, chunk) — the
+    corpus-sized exchanges — and the boilerplate set (small: units over
+    the frequency floor) joins back onto the chunk stream (AQE
+    broadcasts it when it fits; otherwise the shuffle reuses the
+    (group, chunk) partitioning the frequency groupBy just produced),
+    so the reassembly groupBy on the id is the only other corpus-sized
+    shuffle. History is never consulted: boilerplate is a
+    per-group property of the current corpus generation.
+    """
+    ex = paragraph_chunks(
+        df, id_col, text_col, window_tokens=window_tokens,
+        extra_cols=[group_col],
+    )
+    group_docs = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__gdocs"))
+    )
+    doc_freq = (
+        ex.select(group_col, "chunk", id_col)
+        .distinct()
+        .groupBy(group_col, "chunk")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = (
+        doc_freq.join(group_docs, group_col)
+        .filter(
+            (F.col("__df") >= F.lit(min_docs))
+            & (F.col("__df") >= F.ceil(F.lit(max_doc_frac) * F.col("__gdocs")))
+        )
+        .select(group_col, "chunk", F.lit(1).alias("__boiler"))
+    )
+    marked = ex.join(boiler, [group_col, "chunk"], "left")
+    kept_flag = F.col("__boiler").isNull()
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept_flag.cast("int")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept_flag, F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )

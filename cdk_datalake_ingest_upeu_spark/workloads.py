@@ -4798,6 +4798,60 @@ SELECT doc_id, source, length(text) AS text_len FROM (
 """
 
 
+def corpus_boilerplate_strip(spark, sf_dir):
+    """Boilerplate removal (operators/dedup.py boilerplate_strip — the
+    CCNet/trafilatura cleaning step): a 20-token unit appearing in >= 2
+    docs AND >= 5% of its source's documents is template text, and
+    EVERY occurrence is dropped — the complement of
+    dedup_paragraph_corpus, which keeps the first copy of repeated
+    content. Oracle recomputes the per-source unit document frequency
+    and the reassembled clean text exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_strip(
+        docs, "doc_id", "text", "source", window_tokens=20,
+        min_docs=2, max_doc_frac=0.05,
+    ).orderBy("doc_id")
+
+
+_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, source,
+         [array_to_string(tk[(i - 1) * 20 + 1:(i - 1) * 20 + 20], ' ')
+          for i in range(1, CAST(ceil(len(tk) / 20.0) AS INT) + 1)] AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) AS pos FROM ch
+), gd AS (
+  SELECT source, count(*) AS gdocs FROM documents
+  WHERE trim(text) <> '' GROUP BY source
+), dfq AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS dfc
+  FROM ex GROUP BY source, chunk
+), boiler AS (
+  SELECT d.source, d.chunk FROM dfq d JOIN gd USING (source)
+  WHERE dfc >= 2 AND dfc >= CAST(ceil(0.05 * gdocs) AS BIGINT)
+), marked AS (
+  SELECT e.doc_id, e.pos, e.chunk,
+         CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END AS kept
+  FROM ex e LEFT JOIN boiler b ON e.source = b.source AND e.chunk = b.chunk
+)
+SELECT doc_id, count(*) AS n_chunks, CAST(sum(kept) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' ' ORDER BY pos), '')
+           AS text_clean
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_forget_documents(spark, sf_dir):
     """Right-to-be-forgotten / takedown propagation (operators/dedup.py
     forget_exact_content): the 10 lowest doc_ids are requested for
@@ -7968,10 +8022,11 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "events_funnel": events_funnel,
     "sink_json_gz_roundtrip": sink_json_gz_roundtrip,
-    "embedding_neardup": embedding_neardup,
     "dedup_exact_keep_best": dedup_exact_keep_best,
     "corpus_forget_documents": corpus_forget_documents,
+    "corpus_boilerplate_strip": corpus_boilerplate_strip,
     # --- behind the window: driver-green residue from rounds 1-4 ---
+    "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
     "streaming_dedup_events": streaming_dedup_events,
     "events_session_window": events_session_window,
@@ -8266,6 +8321,7 @@ ORACLES = {
     "corpus_bigram_logprob": _BIGRAM_LP_SQL,
     "dedup_exact_keep_best": _DEDUP_KEEP_BEST_SQL,
     "corpus_forget_documents": _FORGET_SQL,
+    "corpus_boilerplate_strip": _BOILERPLATE_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

@@ -77,6 +77,7 @@ BUDGETS = [
     ("stage_bloom_indexed_write_lookup", 1, False),  # returned plan: pruned-file scan + broadcast semi-join + 1-row agg
     ("dedup_exact_keep_best", 2, False),  # fingerprint window shuffle + output sort
     ("corpus_forget_documents", 0, False),  # 1-row summary; forget filter is a broadcast anti-join at the scan (sig/band purges counted upstream)
+    ("corpus_boilerplate_strip", 5, False),  # distinct + docfreq groupBy on (source,chunk), gdocs branch, reassembly groupBy, sort
 ]
 
 

@@ -2129,3 +2129,36 @@ def test_forget_exact_content_propagates_to_duplicates(spark):
     assert {r.doc_id for r in forgotten.collect()} == {1, 5}
     assert {r.doc_id for r in kept.collect()} == {2, 7}
     assert kept.columns == docs.columns  # helper column stripped
+
+
+def test_boilerplate_strip_drops_all_occurrences(spark):
+    """A unit over the per-group frequency floor vanishes from EVERY doc
+    (unlike paragraph_dedup, which keeps the first); rare units stay."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    boiler = "cookie notice applies here"
+    docs = spark.createDataFrame(
+        [
+            (1, "s", f"{boiler} unique one"),
+            (2, "s", f"{boiler} unique two"),
+            (3, "s", f"{boiler} unique three"),
+            (4, "s", "entirely original text"),
+            (5, "t", f"{boiler} other group"),  # below floor in group t
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(
+            docs, window_tokens=4, min_docs=2, max_doc_frac=0.05
+        ).collect()
+    }
+    # group s: the 4-token boiler unit appears in 3 of 4 docs -> dropped everywhere
+    for d in (1, 2, 3):
+        assert out[d].n_kept == out[d].n_chunks - 1
+        assert boiler not in out[d].text_clean
+    assert out[4].text_clean == "entirely original text"
+    # group t: 1 occurrence < min_docs -> kept
+    assert boiler in out[5].text_clean
