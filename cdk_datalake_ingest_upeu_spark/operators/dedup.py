@@ -1451,26 +1451,97 @@ def boilerplate_strip(
     shuffle. History is never consulted: boilerplate is a
     per-group property of the current corpus generation.
     """
+    freq, gdocs = boilerplate_index(
+        df, id_col, text_col, group_col, window_tokens=window_tokens
+    )
+    return boilerplate_strip_with_index(
+        df, freq, gdocs, id_col, text_col, group_col,
+        window_tokens=window_tokens, min_docs=min_docs,
+        max_doc_frac=max_doc_frac,
+    )
+
+
+def boilerplate_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    window_tokens: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """The two persistable artifacts behind boilerplate stripping:
+    ``(group, chunk, df)`` unit DOCUMENT frequencies and ``(group,
+    gdocs)`` per-group document counts. Both merge additively across
+    disjoint crawl batches (:func:`merge_boilerplate_index`), which is
+    what makes the incremental mode exact: a doc lives in exactly one
+    batch, so per-batch distinct-doc counts sum to the corpus count."""
     ex = paragraph_chunks(
         df, id_col, text_col, window_tokens=window_tokens,
         extra_cols=[group_col],
     )
-    group_docs = (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__gdocs"))
-    )
-    doc_freq = (
+    freq = (
         ex.select(group_col, "chunk", id_col)
         .distinct()
         .groupBy(group_col, "chunk")
-        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    gdocs = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("gdocs"))
+    )
+    return freq, gdocs
+
+
+def merge_boilerplate_index(
+    freq_a: DataFrame,
+    gdocs_a: DataFrame,
+    freq_b: DataFrame,
+    gdocs_b: DataFrame,
+    group_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """Additive merge of two batches' boilerplate-index artifacts
+    (exact for disjoint document sets — the crawl-batch case). The
+    merge never touches document text: index-grain rows only."""
+    freq = (
+        freq_a.unionByName(freq_b)
+        .groupBy(group_col, "chunk")
+        .agg(F.sum("df").alias("df"))
+    )
+    gdocs = (
+        gdocs_a.unionByName(gdocs_b)
+        .groupBy(group_col)
+        .agg(F.sum("gdocs").alias("gdocs"))
+    )
+    return freq, gdocs
+
+
+def boilerplate_strip_with_index(
+    df: DataFrame,
+    freq: DataFrame,
+    gdocs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    window_tokens: int = 20,
+    min_docs: int = 2,
+    max_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Strip ``df`` against a PROVIDED boilerplate index — the
+    steady-state mode: the index is read from storage (built over all
+    landed batches), merged with the new batch's own counts by the
+    caller, and only the batch pays the chunk explode + reassembly;
+    history text is never re-read."""
+    ex = paragraph_chunks(
+        df, id_col, text_col, window_tokens=window_tokens,
+        extra_cols=[group_col],
     )
     boiler = (
-        doc_freq.join(group_docs, group_col)
+        freq.join(gdocs, group_col)
         .filter(
-            (F.col("__df") >= F.lit(min_docs))
-            & (F.col("__df") >= F.ceil(F.lit(max_doc_frac) * F.col("__gdocs")))
+            (F.col("df") >= F.lit(min_docs))
+            & (F.col("df") >= F.ceil(F.lit(max_doc_frac) * F.col("gdocs")))
         )
         .select(group_col, "chunk", F.lit(1).alias("__boiler"))
     )

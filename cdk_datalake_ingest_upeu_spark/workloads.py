@@ -4852,6 +4852,78 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def incremental_boilerplate_strip(spark, sf_dir):
+    """Boilerplate stripping in STEADY-STATE mode (operators/dedup.py
+    boilerplate_index / merge_boilerplate_index /
+    boilerplate_strip_with_index): even doc_ids are the landed history
+    — persisted as the (source, chunk, df) unit-frequency index plus
+    (source, gdocs) counts, written to disk and read back as a real
+    artifact would be — odd doc_ids are the new crawl batch. The batch
+    builds its OWN counts, merges them additively with the stored index
+    (exact: batches are disjoint, so per-batch distinct-doc counts sum
+    to corpus counts), and strips itself against the COMBINED
+    frequencies. History text is never re-read — only index-grain rows
+    merge. The oracle recomputes the full-corpus frequencies directly
+    and strips the odd docs: the merge path must equal the from-scratch
+    result exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        boilerplate_index,
+        boilerplate_strip_with_index,
+        merge_boilerplate_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    work = _tmpdir("boileridx")
+    hf, hg = boilerplate_index(hist)
+    hf.write.mode("overwrite").parquet(os.path.join(work, "freq"))
+    hg.write.mode("overwrite").parquet(os.path.join(work, "gdocs"))
+    stored_f = spark.read.parquet(os.path.join(work, "freq"))
+    stored_g = spark.read.parquet(os.path.join(work, "gdocs"))
+    bf, bg = boilerplate_index(batch)
+    mf, mg = merge_boilerplate_index(stored_f, stored_g, bf, bg)
+    return boilerplate_strip_with_index(
+        batch, mf, mg, window_tokens=20, min_docs=2, max_doc_frac=0.05
+    ).orderBy("doc_id")
+
+
+_INCR_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, source,
+         [array_to_string(tk[(i - 1) * 20 + 1:(i - 1) * 20 + 20], ' ')
+          for i in range(1, CAST(ceil(len(tk) / 20.0) AS INT) + 1)] AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) AS pos FROM ch
+), gd AS (
+  SELECT source, count(*) AS gdocs FROM documents
+  WHERE trim(text) <> '' GROUP BY source
+), dfq AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS dfc
+  FROM ex GROUP BY source, chunk
+), boiler AS (
+  SELECT d.source, d.chunk FROM dfq d JOIN gd USING (source)
+  WHERE dfc >= 2 AND dfc >= CAST(ceil(0.05 * gdocs) AS BIGINT)
+), marked AS (
+  SELECT e.doc_id, e.pos, e.chunk,
+         CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END AS kept
+  FROM ex e LEFT JOIN boiler b ON e.source = b.source AND e.chunk = b.chunk
+  WHERE e.doc_id % 2 = 1
+)
+SELECT doc_id, count(*) AS n_chunks, CAST(sum(kept) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' ' ORDER BY pos), '')
+           AS text_clean
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_forget_documents(spark, sf_dir):
     """Right-to-be-forgotten / takedown propagation (operators/dedup.py
     forget_exact_content): the 10 lowest doc_ids are requested for
@@ -8025,6 +8097,9 @@ QUERIES = {
     "dedup_exact_keep_best": dedup_exact_keep_best,
     "corpus_forget_documents": corpus_forget_documents,
     "corpus_boilerplate_strip": corpus_boilerplate_strip,
+    # --- behind the window: r5 late additions (local-sweep evidence in
+    # CORRECTNESS_LOCAL_r05.json; these LEAD the r6 window rotation) ---
+    "incremental_boilerplate_strip": incremental_boilerplate_strip,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -8322,6 +8397,7 @@ ORACLES = {
     "dedup_exact_keep_best": _DEDUP_KEEP_BEST_SQL,
     "corpus_forget_documents": _FORGET_SQL,
     "corpus_boilerplate_strip": _BOILERPLATE_SQL,
+    "incremental_boilerplate_strip": _INCR_BOILERPLATE_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

@@ -2162,3 +2162,32 @@ def test_boilerplate_strip_drops_all_occurrences(spark):
     assert out[4].text_clean == "entirely original text"
     # group t: 1 occurrence < min_docs -> kept
     assert boiler in out[5].text_clean
+
+
+def test_boilerplate_index_merge_equals_from_scratch(spark):
+    """Additive index merge over disjoint batches must reproduce the
+    from-scratch corpus index exactly (the steady-state contract)."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        boilerplate_index,
+        merge_boilerplate_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "shared cookie banner text plus one"),
+            (2, "s", "shared cookie banner text plus two"),
+            (3, "t", "unrelated prose lives here today"),
+            (4, "s", "another doc entirely"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    mf, mg = merge_boilerplate_index(
+        *boilerplate_index(a, window_tokens=5),
+        *boilerplate_index(b, window_tokens=5),
+    )
+    ff, fg = boilerplate_index(docs, window_tokens=5)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(mf.collect()) == key(ff.collect())
+    assert key(mg.collect()) == key(fg.collect())
