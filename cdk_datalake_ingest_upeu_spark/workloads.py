@@ -4676,6 +4676,85 @@ FROM t GROUP BY shard ORDER BY shard
 """
 
 
+def export_length_bucketed_shards(spark, sf_dir):
+    """Sequence-length-bucketed export (the dataloader-side padding
+    optimization): documents land in token-length buckets at fixed
+    power-of-two caps, hash-sharded within each bucket, so a trainer
+    batching within one (bucket, shard) file pads every sequence to a
+    near-uniform length instead of the corpus max. The manifest —
+    computed from the READ-BACK files, like export_training_shards —
+    reports per-bucket padding waste (1 - tokens/(docs*bucket_max_seen))
+    so the bucket boundaries are themselves auditable. One shuffle (the
+    per-(bucket, shard) single-writer repartition); bucket assignment
+    is a scan-side codegen when-chain."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= 32, 32)
+        .when(F.col("n_tok") <= 64, 64)
+        .when(F.col("n_tok") <= 128, 128)
+        .when(F.col("n_tok") <= 256, 256)
+        .otherwise(100000)
+    )
+    sharded = docs.withColumn("bucket", bucket.cast("int")).withColumn(
+        "shard", (hash_bucket(F.col("doc_id"), seed="lenshard") % 4).cast("int")
+    )
+    path = os.path.join(_tmpdir("lenshards"), "export")
+    (
+        sharded.repartition(F.col("bucket"), F.col("shard"))
+        .write.partitionBy("bucket", "shard")
+        .option("maxRecordsPerFile", 4096)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    agg = back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.max("n_tok").alias("max_tok"),
+        F.countDistinct("shard").alias("n_shards"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "max_tok",
+        "n_shards",
+        (
+            F.lit(1.0)
+            - F.col("n_tokens").cast("double")
+            / (F.col("n_docs") * F.col("max_tok")).cast("double")
+        ).alias("pad_frac"),
+    ).orderBy("bucket")
+
+
+_EXPORT_LENGTH_BUCKETS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+              WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+              ELSE 100000 END AS bucket,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'lenshard'), 1, 8))::BIGINT
+              % 1000000 % 4 AS INTEGER) AS shard
+  FROM t
+), agg AS (
+  SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         max(n_tok) AS max_tok, count(DISTINCT shard) AS n_shards
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, n_tokens, max_tok, n_shards,
+       1.0 - CAST(n_tokens AS DOUBLE) / CAST(n_docs * max_tok AS DOUBLE)
+           AS pad_frac
+FROM agg ORDER BY bucket
+"""
+
+
 def curriculum_quality_quartiles(spark, sf_dir):
     """Curriculum bucketing by EXACT rank quantiles of the quality score
     — without the global sort an ``ntile`` would plan (one WindowExec
@@ -8100,6 +8179,7 @@ QUERIES = {
     # --- behind the window: r5 late additions (local-sweep evidence in
     # CORRECTNESS_LOCAL_r05.json; these LEAD the r6 window rotation) ---
     "incremental_boilerplate_strip": incremental_boilerplate_strip,
+    "export_length_bucketed_shards": export_length_bucketed_shards,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -8398,6 +8478,7 @@ ORACLES = {
     "corpus_forget_documents": _FORGET_SQL,
     "corpus_boilerplate_strip": _BOILERPLATE_SQL,
     "incremental_boilerplate_strip": _INCR_BOILERPLATE_SQL,
+    "export_length_bucketed_shards": _EXPORT_LENGTH_BUCKETS_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

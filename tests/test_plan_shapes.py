@@ -78,6 +78,8 @@ BUDGETS = [
     ("dedup_exact_keep_best", 2, False),  # fingerprint window shuffle + output sort
     ("corpus_forget_documents", 0, False),  # 1-row summary; forget filter is a broadcast anti-join at the scan (sig/band purges counted upstream)
     ("corpus_boilerplate_strip", 5, False),  # distinct + docfreq groupBy on (source,chunk), gdocs branch, reassembly groupBy, sort
+    ("incremental_boilerplate_strip", 7, False),  # + index merge groupBys (index-grain rows); batch-only explode/reassembly
+    ("export_length_bucketed_shards", 3, False),  # (bucket,shard) writer repartition + manifest distinct-shard expand + sort
 ]
 
 
