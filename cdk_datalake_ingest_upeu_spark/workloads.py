@@ -8123,8 +8123,9 @@ QUERIES = {
     # --- round-5 driver window (first 50): the 40 queries with no
     # driver-green row in any round (29 never-checked r4 additions +
     # 11 contract-converted with no post-conversion driver row), then
-    # 10 slack slots: 3 new r5 queries and re-confirmations of
-    # queries whose code or oracle changed this round ---
+    # 10 slack slots: 6 new r5 queries, 2 queries whose operators
+    # changed this round (uncapped contract twins), and 2 r4-fix
+    # re-confirmations ---
     "bloom_semi_join_lineitems": bloom_semi_join_lineitems,
     "global_ids_documents": global_ids_documents,
     "cms_event_type_totals": cms_event_type_totals,
