@@ -2381,30 +2381,28 @@ def streaming_watermarked_rollup(spark, sf_dir):
         run_watermarked_rollup,
     )
 
+    import pandas as pd
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import (
+        parquet_column_bounds,
+    )
+
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     work = _tmpdir("wmroll")
-    src_dir = os.path.join(work, "in")
-    os.makedirs(src_dir, exist_ok=True)
-
-    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    lo, hi = bounds.lo, bounds.hi
-    span = (hi - lo) / 3
-    cuts = [lo + span, lo + 2 * span]
-    slices = [
-        ev.filter(F.col("ts") <= cuts[0]),
-        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
-        ev.filter(F.col("ts") > cuts[1]),
-        spark.createDataFrame(
-            [(hi + dt_timedelta(days=10), "__sentinel__", 0.0)],
-            ev.schema,
-        ),
-    ]
-    for i, part in enumerate(slices):
-        p = os.path.join(src_dir, f"batch_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(p)
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    # one staging job (footer-stat cuts) + a tiny sentinel drop — see
+    # streaming_session_window for the measured cost of the per-slice
+    # loop this replaces
+    src_glob = _stage_event_drops(spark, sf_dir, work, df=ev, n_drops=3)
+    src_dir = os.path.dirname(src_glob)
+    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
+    hi = pd.Timestamp(stats[1]).floor("us").to_pydatetime()
+    p = os.path.join(src_dir, "batch_3")
+    spark.createDataFrame(
+        [(hi + dt_timedelta(days=10), "__sentinel__", 0.0)], ev.schema
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            os.utime(os.path.join(root, f), (1_700_000_003, 1_700_000_003))
 
     out_dir = os.path.join(work, "out")
     with _stream_shuffle_partitions(spark, 8):
@@ -2439,28 +2437,30 @@ def streaming_session_window(spark, sf_dir):
         run_streaming_session_window,
     )
 
+    import pandas as pd
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import (
+        parquet_column_bounds,
+    )
+
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     work = _tmpdir("sesswin")
-    src_dir = os.path.join(work, "in")
-    os.makedirs(src_dir, exist_ok=True)
-
-    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    lo, hi = bounds.lo, bounds.hi
-    span = (hi - lo) / 3
-    cuts = [lo + span, lo + 2 * span]
+    # all three chronological drops in ONE job (footer-stat cuts +
+    # partitionBy renames — _stage_event_drops); the old per-slice
+    # loop ran 4 separate scan+write jobs plus a min/max scan and was
+    # 6.4 s of this query's 10.7 s at sf0.1
+    src_glob = _stage_event_drops(spark, sf_dir, work, df=ev, n_drops=3)
+    src_dir = os.path.dirname(src_glob)
+    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
+    hi = pd.Timestamp(stats[1]).floor("us").to_pydatetime()
     sentinel_ts = hi + dt_timedelta(days=10)
-    slices = [
-        ev.filter(F.col("ts") <= cuts[0]),
-        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
-        ev.filter(F.col("ts") > cuts[1]),
-        spark.createDataFrame([(-1, sentinel_ts, 0.0)], ev.schema),
-    ]
-    for i, part in enumerate(slices):
-        p = os.path.join(src_dir, f"batch_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(p)
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    p = os.path.join(src_dir, "batch_3")
+    spark.createDataFrame([(-1, sentinel_ts, 0.0)], ev.schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            os.utime(os.path.join(root, f), (1_700_000_003, 1_700_000_003))
 
     out_dir = os.path.join(work, "out")
     with _stream_shuffle_partitions(spark, 8):
