@@ -4931,6 +4931,76 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def stage_forget_roundtrip(spark, sf_dir):
+    """Takedown against a MANAGED stage table — the governance loop
+    closed end-to-end: forget_exact_content computes the content-level
+    delete set (requested ids + every exact duplicate), the deletion
+    lands through the CDC path (StageTable.apply_change_feed D-ops —
+    the same machinery every other delete uses), and because the table
+    was declared with bloom_index_keys the rewrite REBUILDS the
+    per-file bloom index — a forgotten key's point lookup afterwards
+    prunes to (near-)zero files and reads zero rows. Oracle reproduces
+    the requested/forgotten/remaining counts exactly and pins the two
+    outcomes TRUE: no forgotten row is readable, and the lookup still
+    pruned files."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        forget_exact_content,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = _tmpdir("sforget")
+    st = StageTable(
+        spark, os.path.join(work, "tbl"), bloom_index_keys=["doc_id"]
+    )
+    st.overwrite(docs.repartition(8, "doc_id"))
+    forget_req = docs.orderBy("doc_id").limit(5).select("doc_id")
+    _kept, forgotten = forget_exact_content(docs, forget_req)
+    feed = (
+        docs.join(forgotten, "doc_id")
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1))
+    )
+    n_forgotten = feed.count()
+    st.apply_change_feed(feed, ["doc_id"], seq_column="seq")
+    rows, scanned, total = st.lookup(forget_req, "doc_id")
+    n_readable = rows.count()
+    n_after = st.read().count()
+    n_requested = forget_req.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_requested,
+                n_forgotten,
+                n_after,
+                bool(n_readable == 0),
+                bool(scanned < total),
+            )
+        ],
+        "n_requested long, n_rows_forgotten long, n_rows_after long, "
+        "no_forgotten_rows_readable boolean, lookup_pruned boolean",
+    )
+
+
+_STAGE_FORGET_SQL = """
+WITH req AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5
+), del_fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM req)
+), tagged AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT CAST((SELECT count(*) FROM req) AS BIGINT) AS n_requested,
+       CAST((SELECT count(*) FROM tagged WHERE fp IN (SELECT fp FROM del_fp))
+            AS BIGINT) AS n_rows_forgotten,
+       CAST((SELECT count(*) FROM tagged
+             WHERE fp NOT IN (SELECT fp FROM del_fp)) AS BIGINT)
+           AS n_rows_after,
+       TRUE AS no_forgotten_rows_readable, TRUE AS lookup_pruned
+"""
+
+
 def incremental_boilerplate_strip(spark, sf_dir):
     """Boilerplate stripping in STEADY-STATE mode (operators/dedup.py
     boilerplate_index / merge_boilerplate_index /
@@ -8181,6 +8251,7 @@ QUERIES = {
     # CORRECTNESS_LOCAL_r05.json; these LEAD the r6 window rotation) ---
     "incremental_boilerplate_strip": incremental_boilerplate_strip,
     "export_length_bucketed_shards": export_length_bucketed_shards,
+    "stage_forget_roundtrip": stage_forget_roundtrip,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -8480,6 +8551,7 @@ ORACLES = {
     "corpus_boilerplate_strip": _BOILERPLATE_SQL,
     "incremental_boilerplate_strip": _INCR_BOILERPLATE_SQL,
     "export_length_bucketed_shards": _EXPORT_LENGTH_BUCKETS_SQL,
+    "stage_forget_roundtrip": _STAGE_FORGET_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

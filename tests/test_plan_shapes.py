@@ -80,6 +80,7 @@ BUDGETS = [
     ("corpus_boilerplate_strip", 5, False),  # distinct + docfreq groupBy on (source,chunk), gdocs branch, reassembly groupBy, sort
     ("incremental_boilerplate_strip", 7, False),  # + index merge groupBys (index-grain rows); batch-only explode/reassembly
     ("export_length_bucketed_shards", 3, False),  # (bucket,shard) writer repartition + manifest distinct-shard expand + sort
+    ("stage_forget_roundtrip", 0, False),  # 1-row summary; CDC delete + index rebuild are upstream write jobs
 ]
 
 
