@@ -122,6 +122,12 @@ def test_plan_shape(spark, name, max_shuffles, arrow_ok):
         # features: 2 columns of 5 — a scan reading `lang`/`source`/
         # `n_chars` for a text-feature projection would be wrong
         ("text_features", "documents", ["doc_id", "text"], []),
+        # dim stats: ONLY the embedding array — id/label/meta unread
+        ("embedding_dim_stats", "embeddings", ["embedding"], []),
+        # keep-best dedup: fingerprint + ordering + output columns only
+        ("dedup_exact_keep_best", "documents", ["doc_id", "source", "text"], []),
+        # bigram LM: the pair stream reads source+text; n_chars/lang unread
+        ("corpus_bigram_logprob", "documents", ["source", "text"], []),
     ],
 )
 def test_scan_pruning_and_pushdown(spark, name, table, expect_cols, expect_pushed):
