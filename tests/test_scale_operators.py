@@ -2191,3 +2191,29 @@ def test_boilerplate_index_merge_equals_from_scratch(spark):
     key = lambda rows: sorted(tuple(r) for r in rows)
     assert key(mf.collect()) == key(ff.collect())
     assert key(mg.collect()) == key(fg.collect())
+
+
+def test_forget_exact_content_partitions_and_closure(spark):
+    """On a collision-heavy random (seeded) corpus: kept/forgotten
+    PARTITION the ids, and the forgotten set is exactly the closure of
+    the request under content equality."""
+    import random
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        forget_exact_content,
+    )
+
+    rng = random.Random(7)
+    texts = [f"text number {rng.randint(0, 30)}" for _ in range(120)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    req_ids = [0, 5, 17]
+    req = spark.createDataFrame([(i,) for i in req_ids], "doc_id long")
+    kept, forgotten = forget_exact_content(docs, req)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    forg_ids = {r.doc_id for r in forgotten.collect()}
+    assert kept_ids | forg_ids == set(range(120))
+    assert not (kept_ids & forg_ids)
+    del_texts = {texts[i] for i in req_ids}
+    assert forg_ids == {i for i, t in enumerate(texts) if t in del_texts}
