@@ -78,7 +78,12 @@ def exact_dedup(
     the winner is deterministic across layouts. Same single shuffle on
     the 16-byte fingerprint either way."""
     fp = F.md5(normalized_text(F.col(text_col))).alias("__fp")
-    order = keep_order if keep_order else [F.col(id_col).asc()]
+    if keep_order is not None and len(keep_order) == 0:
+        raise ValueError(
+            "keep_order=[] has no deterministic winner; pass ordering "
+            "columns ending in a unique tiebreaker, or None for min-id"
+        )
+    order = keep_order if keep_order is not None else [F.col(id_col).asc()]
     w = Window.partitionBy("__fp").orderBy(*order)
     return (
         df.select("*", fp)
@@ -986,10 +991,13 @@ def connected_components(
         ShortType,
     )
 
+    label_type = labels.schema["label"].dataType
+    # decimals with scale>0 round-collide under the decimal(38,0) cast
+    # (2.4 and 2.3 both sum as 2 — the checksum could hold still while
+    # labels moved, converging early); only integral decimals qualify.
     numeric_labels = isinstance(
-        labels.schema["label"].dataType,
-        (ByteType, ShortType, IntegerType, LongType, DecimalType),
-    )
+        label_type, (ByteType, ShortType, IntegerType, LongType)
+    ) or (isinstance(label_type, DecimalType) and label_type.scale == 0)
 
     def _sum_labels(frame):
         row = frame.agg(

@@ -137,9 +137,66 @@ def profile_drift(old_profile: DataFrame, new_profile: DataFrame) -> DataFrame:
     ).orderBy("column_name")
 
 
+def _canon_text(df: DataFrame, c: str):
+    """Engine-stable text of one column (NULL stays NULL for the caller's
+    sentinel). Enforced canonicalization — not a docstring caveat:
+
+    - numeric (any width, int or float): value canonicalized at 1e-6
+      resolution via ``floor(x*1e6 + 0.5)`` — three IEEE-754 double ops,
+      bit-identical in every engine — then rendered as an integer.
+      Double TEXT is NOT portable (Java prints ``1.0E7``/``NaN`` where
+      DuckDB prints ``10000000.0``/``nan`` — the r5 `corpus_checksum`
+      driver-red); ints route through the same double path so a drop
+      that re-types int64 -> double hashes identically. Exact above
+      2^53/1e6 ≈ 9e9 is not promised — identical on both engines either
+      way, since both run the same double ops. NaN/±Inf get fixed
+      sentinels.
+    - timestamp/date: rendered via an explicit pattern (micros), never
+      engine default text (nanos/adjusted drops alternate per round).
+    - everything else: plain string cast (UTF-8 md5 is portable).
+    """
+    t = dict(df.dtypes)[c]
+    col = F.col(c)
+    if t in ("double", "float") or t.startswith("decimal") or t in (
+        "tinyint", "smallint", "int", "bigint"
+    ):
+        d = col.cast("double")
+        return (
+            F.when(F.isnan(d), F.lit("nan"))
+            .when(d == float("inf"), F.lit("inf"))
+            .when(d == float("-inf"), F.lit("-inf"))
+            .otherwise(
+                F.floor(d * 1e6 + F.lit(0.5)).cast("bigint").cast("string")
+            )
+        )
+    if t.startswith("timestamp"):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if t == "date":
+        return F.date_format(col, "yyyy-MM-dd")
+    return col.cast("string")
+
+
+def canon_oracle_expr(c: str, dtype: str) -> str:
+    """The DuckDB twin of :func:`_canon_text` for one column — keep the
+    two in lockstep (tests/test_profile.py pins them equal per type)."""
+    if dtype == "numeric":
+        d = f"CAST({c} AS DOUBLE)"
+        return (
+            f"CASE WHEN isnan({d}) THEN 'nan' "
+            f"WHEN {d} = 'infinity'::DOUBLE THEN 'inf' "
+            f"WHEN {d} = '-infinity'::DOUBLE THEN '-inf' "
+            f"ELSE CAST(CAST(floor({d} * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
+        )
+    if dtype == "timestamp":
+        return f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+    if dtype == "date":
+        return f"strftime({c}, '%Y-%m-%d')"
+    return f"CAST({c} AS VARCHAR)"
+
+
 def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Order-insensitive content checksum of a row multiset: one row of
-    (n_rows, checksum).
+    (n_rows, checksum, then per-column ``checksum_<c>`` / ``nulls_<c>``).
 
     Verifies two pipeline runs produced IDENTICAL data without sorting,
     shuffling, or moving anything: each row hashes to the first 48 bits
@@ -149,26 +206,41 @@ def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     partitioning, and the whole operator is a map-side partial aggregate
     — zero exchange of data rows at any scale.
 
-    Canonicalization: columns cast to string, NULL replaced by a
-    sentinel (concat_ws silently drops NULLs — ('a', NULL) must not
-    collide with ('a',)), joined with an \\x1f separator. md5-over-text
-    is the same portable-hash convention as the sampling oracles: any
-    engine reproduces it. Caveat: float columns hash their TEXT — cast
-    or round floats explicitly before checksumming across engines with
-    different float formatting.
+    Canonicalization is ENFORCED per type (see :func:`_canon_text`):
+    numerics at 1e-6 resolution through IEEE-identical double ops,
+    timestamps through explicit patterns — no output text depends on
+    engine float/timestamp formatting. NULL uses a sentinel (concat_ws
+    silently drops NULLs — ('a', NULL) must not collide with ('a',)),
+    columns join with an \\x1f separator.
+
+    Besides the row checksum, each column gets its own canon-text
+    checksum and null count, so when two runs DO diverge the report
+    names the column instead of one opaque sum (KB-wide single row —
+    still a pure map-side aggregate).
     """
     use_cols = cols or df.columns
-    canon = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in use_cols
-        ],
+    canon = {c: _canon_text(df, c) for c in use_cols}
+    null_sentinel = F.lit("\x00null")
+
+    def h48(text_col):
+        return F.conv(F.substring(F.md5(text_col), 1, 12), 16, 10).cast(
+            "decimal(38,0)"
+        )
+
+    row_text = F.concat_ws(
+        "\x1f", *[F.coalesce(canon[c], null_sentinel) for c in use_cols]
     )
-    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast(
-        "decimal(38,0)"
-    )
-    return df.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash).alias("checksum"),
-    )
+        F.sum(h48(row_text)).alias("checksum"),
+    ]
+    for c in use_cols:
+        aggs.append(
+            F.sum(h48(F.coalesce(canon[c], null_sentinel))).alias(
+                f"checksum_{c}"
+            )
+        )
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"nulls_{c}")
+        )
+    return df.agg(*aggs)

@@ -301,7 +301,7 @@ class StageTable:
         op_column: str = "op",
         seq_column: str,
         evolve_schema: bool = False,
-    ) -> None:
+    ) -> int:
         """Apply an insert/update/delete change feed: the LATEST op per
         key (ordered by ``seq_column``) wins; ``D`` removes the key,
         anything else upserts the row. The reference's MERGE is
@@ -310,10 +310,14 @@ class StageTable:
         gap. Feed metadata columns (op, seq) are stripped before the
         upsert so the stage schema stays payload-only.
 
-        Parquet path: one in-batch dedup window, one MERGE, then one
-        anti-join rewrite for the deletes. With Delta installed this is
-        a single ``MERGE`` with ``whenMatchedDelete`` — same semantics,
-        one commit."""
+        Parquet path: one in-batch dedup window, one MERGE, then
+        :meth:`delete_keys` for the deletes (bloom-bounded when the key
+        is indexed). With Delta installed this is a single ``MERGE``
+        with ``whenMatchedDelete`` — same semantics, one commit.
+
+        Returns the delete-path file-rewrite count (:meth:`delete_keys`),
+        0 when the feed had no deletes, -1 when the full table was
+        rewritten or the Delta MERGE handled it in-log."""
         latest = dedup_latest(feed, key_columns, [seq_column])
         if self.fmt == "delta" and _HAS_DELTA:  # pragma: no cover
             if evolve_schema:
@@ -339,16 +343,136 @@ class StageTable:
                 )
                 .execute()
             )
-            return
+            return -1
         upserts = latest.filter(F.col(op_column) != "D").drop(
             op_column, seq_column
         )
         deletes = latest.filter(F.col(op_column) == "D").select(*key_columns)
-        self.merge(upserts, key_columns, evolve_schema=evolve_schema)
+        if upserts.take(1):  # a delete-only feed must not rewrite the table
+            self.merge(upserts, key_columns, evolve_schema=evolve_schema)
         if deletes.take(1):
-            # AQE picks broadcast for the (typically tiny) delete set
-            kept = self.read().join(deletes, key_columns, "left_anti")
-            self._checkpointed_overwrite(kept, dynamic=False)
+            return self.delete_keys(deletes, key_columns)
+        return 0
+
+    def delete_keys(self, deletes: DataFrame, key_columns: list[str]) -> int:
+        """Remove every row matching a delete-key set. Returns the number
+        of data files rewritten, or -1 on the full-table path.
+
+        When the (single) key column is bloom-indexed, the table's own
+        per-file index localizes exactly the files that can hold any
+        delete key, and ONLY those files are rewritten — a takedown
+        batch costs O(candidate files), not O(table), which is the only
+        acceptable shape for right-to-be-forgotten at 100 TB (the r5
+        scale soft spot: the previous path rewrote the whole table).
+        Untouched files keep their index rows; rewritten files get fresh
+        ones (incremental index maintenance, no full rebuild). Composite
+        or un-indexed keys fall back to the full anti-join rewrite; with
+        Delta installed the MERGE path above replaces both."""
+        if len(key_columns) == 1 and key_columns[0] in self.bloom_index_keys:
+            return self._bloom_bounded_delete(deletes, key_columns[0])
+        # AQE picks broadcast for the (typically tiny) delete set
+        kept = self.read().join(deletes, key_columns, "left_anti")
+        self._checkpointed_overwrite(kept, dynamic=False)
+        return -1
+
+    @staticmethod
+    def _local_path(f: str) -> str:
+        if f.startswith("file:"):
+            return "/" + f[5:].lstrip("/")
+        return f
+
+    def _bloom_bounded_delete(self, deletes: DataFrame, key: str) -> int:
+        from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+            bloom_index_candidate_files,
+        )
+
+        index = self.spark.read.parquet(
+            os.path.join(self.bloom_index_dir, key)
+        )
+        keys_df = deletes.select(key).distinct()
+        cand = bloom_index_candidate_files(index, keys_df, key)
+        files = [r.file for r in cand.select("file").distinct().collect()]
+        if not files:
+            return 0  # no file can hold any delete key — nothing to do
+        kept = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*files)
+            .join(F.broadcast(keys_df), [key], "left_anti")
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        new_files: list[str] = []
+        try:
+            w = kept.write.format("parquet").mode("overwrite")
+            if self.partition_columns:
+                w = w.partitionBy(*self.partition_columns)
+            w.save(tmp)
+            # splice: move rewritten part files into place (unique names —
+            # Spark part files embed a job UUID), then unlink the old
+            # candidates. Not transactional — Delta's MERGE is the
+            # transactional twin; parquet readers racing this see either
+            # file set, never a torn file.
+            for root, _dirs, fnames in os.walk(tmp):
+                for fn in fnames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(root, tmp)
+                    dest_dir = (
+                        self.path
+                        if rel == "."
+                        else os.path.join(self.path, rel)
+                    )
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.rename(os.path.join(root, fn), os.path.join(dest_dir, fn))
+                    crc = os.path.join(root, f".{fn}.crc")
+                    if os.path.exists(crc):
+                        os.rename(crc, os.path.join(dest_dir, f".{fn}.crc"))
+                    new_files.append(os.path.join(dest_dir, fn))
+            for f in files:
+                local = self._local_path(f)
+                if os.path.exists(local):
+                    os.remove(local)
+                crc = os.path.join(
+                    os.path.dirname(local), f".{os.path.basename(local)}.crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        self._splice_bloom_index(removed=files, added=new_files)
+        return len(files)
+
+    def _splice_bloom_index(
+        self, *, removed: list[str], added: list[str]
+    ) -> None:
+        """Incremental index maintenance after a file splice: drop the
+        rows of removed files, build rows for the added files only (one
+        scan of the NEW files, not the table), union, swap."""
+        from cdk_datalake_ingest_upeu_spark.sources.file_index import (
+            build_file_bloom_index,
+        )
+
+        for key in self.bloom_index_keys:
+            idx_path = os.path.join(self.bloom_index_dir, key)
+            old = self.spark.read.parquet(idx_path)
+            params = old.select("n_bits", "n_hashes").first()
+            kept = old.filter(~F.col("file").isin(removed))
+            if added:
+                fresh = build_file_bloom_index(
+                    self.spark,
+                    added,
+                    key,
+                    n_bits=int(params.n_bits),
+                    n_hashes=int(params.n_hashes),
+                )
+                kept = kept.unionByName(fresh)
+            tmp = f"{idx_path}__tmp_{uuid.uuid4().hex[:8]}"
+            try:
+                kept.write.mode("overwrite").parquet(tmp)
+                self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                    idx_path
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
     # -- maintenance ---------------------------------------------------------
 

@@ -35,19 +35,22 @@ from cdk_datalake_ingest_upeu_spark.operators.bloom import _buckets, _seeds
 
 def build_file_bloom_index(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     key: str,
     *,
     n_bits: int = 1 << 17,
     n_hashes: int = 5,
 ) -> DataFrame:
-    """One scan of ``path`` -> sparse (file, word_idx, word) index over
-    ``key``, plus the filter parameters on every row so the probe side
-    never has to guess them."""
+    """One scan of ``path`` (a table dir, or an explicit file list for
+    incremental maintenance — the stage writer's delete splice indexes
+    only the files it rewrote) -> sparse (file, word_idx, word) index
+    over ``key``, plus the filter parameters on every row so the probe
+    side never has to guess them."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
     seeds = _seeds(n_hashes)
-    rows = spark.read.parquet(path).select(
+    paths = [path] if isinstance(path, str) else list(path)
+    rows = spark.read.parquet(*paths).select(
         F.col("_metadata.file_path").alias("file"), F.col(key)
     )
     return (

@@ -112,6 +112,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Engine-stable money/metric canonicalization: integer cents. For any
+# finite double, value*100, +0.5, and floor are each single IEEE-754 ops
+# with identical results in every engine; whereas a double->decimal CAST
+# (string-mediated BigDecimal in Spark, binary scaling in DuckDB) flips
+# at half-ulp boundaries, and raw-double min/max text flips to
+# scientific notation at 1e7/1e-3 in Java but not DuckDB (the r5
+# driver-red class). Used for every double-valued output column whose
+# text reaches the hash gate.
+_CENTS_EXPR = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
 def _stable_rate(col):
     """Order-independent mean of a double expression.
 
@@ -176,20 +187,11 @@ def _stage_event_drops(spark, sf_dir, work, df=None, n_drops=3):
     ONE job via ``partitionBy`` + directory renames instead of one job
     per slice. File-source ordering is by modification time, pinned
     explicitly."""
-    import pandas as pd
-
-    from cdk_datalake_ingest_upeu_spark.sources.files import parquet_column_bounds
-
     if df is None:
         df = _t(spark, sf_dir, "events")
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
-    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
-    if stats is not None:
-        lo, hi = (pd.Timestamp(v).floor("us").to_pydatetime() for v in stats)
-    else:  # pragma: no cover - driver data always carries stats
-        b = df.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-        lo, hi = b.lo, b.hi
+    lo, hi = _event_ts_bounds(spark, sf_dir, df)
     span = (hi - lo) / n_drops
     cuts = [lo + span * (i + 1) for i in range(n_drops - 1)]
     slice_col = F.lit(n_drops - 1)
@@ -214,6 +216,27 @@ def _stage_event_drops(spark, sf_dir, work, df=None, n_drops=3):
             for f in files:
                 os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
     return os.path.join(src_dir, "batch_*")
+
+
+def _event_ts_bounds(spark, sf_dir, df=None):
+    """(min, max) of events.ts — from the parquet FOOTER when stats are
+    present (no scan), else one 2-row min/max aggregate. Every caller
+    needing the hi bound (sentinel drops past the watermark) routes
+    here so the documented None return of ``parquet_column_bounds``
+    (stats-less writer) is handled in exactly one place."""
+    import pandas as pd
+
+    from cdk_datalake_ingest_upeu_spark.sources.files import parquet_column_bounds
+
+    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
+    if stats is not None:
+        return tuple(
+            pd.Timestamp(v).floor("us").to_pydatetime() for v in stats
+        )
+    if df is None:  # pragma: no cover - driver data always carries stats
+        df = _t(spark, sf_dir, "events")
+    b = df.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    return b.lo, b.hi
 
 
 def _tmpdir(tag: str) -> str:
@@ -2381,12 +2404,6 @@ def streaming_watermarked_rollup(spark, sf_dir):
         run_watermarked_rollup,
     )
 
-    import pandas as pd
-
-    from cdk_datalake_ingest_upeu_spark.sources.files import (
-        parquet_column_bounds,
-    )
-
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     work = _tmpdir("wmroll")
     # one staging job (footer-stat cuts) + a tiny sentinel drop — see
@@ -2394,8 +2411,7 @@ def streaming_watermarked_rollup(spark, sf_dir):
     # loop this replaces
     src_glob = _stage_event_drops(spark, sf_dir, work, df=ev, n_drops=3)
     src_dir = os.path.dirname(src_glob)
-    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
-    hi = pd.Timestamp(stats[1]).floor("us").to_pydatetime()
+    _lo, hi = _event_ts_bounds(spark, sf_dir, ev)
     p = os.path.join(src_dir, "batch_3")
     spark.createDataFrame(
         [(hi + dt_timedelta(days=10), "__sentinel__", 0.0)], ev.schema
@@ -2437,12 +2453,6 @@ def streaming_session_window(spark, sf_dir):
         run_streaming_session_window,
     )
 
-    import pandas as pd
-
-    from cdk_datalake_ingest_upeu_spark.sources.files import (
-        parquet_column_bounds,
-    )
-
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     work = _tmpdir("sesswin")
     # all three chronological drops in ONE job (footer-stat cuts +
@@ -2451,8 +2461,7 @@ def streaming_session_window(spark, sf_dir):
     # 6.4 s of this query's 10.7 s at sf0.1
     src_glob = _stage_event_drops(spark, sf_dir, work, df=ev, n_drops=3)
     src_dir = os.path.dirname(src_glob)
-    stats = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "ts")
-    hi = pd.Timestamp(stats[1]).floor("us").to_pydatetime()
+    _lo, hi = _event_ts_bounds(spark, sf_dir, ev)
     sentinel_ts = hi + dt_timedelta(days=10)
     p = os.path.join(src_dir, "batch_3")
     spark.createDataFrame([(-1, sentinel_ts, 0.0)], ev.schema).coalesce(
@@ -4684,9 +4693,12 @@ def export_length_bucketed_shards(spark, sf_dir):
     near-uniform length instead of the corpus max. The manifest —
     computed from the READ-BACK files, like export_training_shards —
     reports per-bucket padding waste (1 - tokens/(docs*bucket_max_seen))
-    so the bucket boundaries are themselves auditable. One shuffle (the
-    per-(bucket, shard) single-writer repartition); bucket assignment
-    is a scan-side codegen when-chain."""
+    as integer parts-per-million (IEEE floor canon — double TEXT is not
+    engine-portable), guarded for the all-zero-token bucket (whitespace
+    -only docs land in bucket 32 with max_tok 0; the division would be
+    NaN in Spark vs NULL in DuckDB). One shuffle (the per-(bucket,
+    shard) single-writer repartition); bucket assignment is a scan-side
+    codegen when-chain."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count_ws(F.col("text")).alias("n_tok")
     )
@@ -4715,17 +4727,18 @@ def export_length_bucketed_shards(spark, sf_dir):
         F.max("n_tok").alias("max_tok"),
         F.countDistinct("shard").alias("n_shards"),
     )
+    denom = (F.col("n_docs") * F.col("max_tok")).cast("double")
+    ratio = F.col("n_tokens").cast("double") / denom
     return agg.select(
         "bucket",
         "n_docs",
         "n_tokens",
         "max_tok",
         "n_shards",
-        (
-            F.lit(1.0)
-            - F.col("n_tokens").cast("double")
-            / (F.col("n_docs") * F.col("max_tok")).cast("double")
-        ).alias("pad_frac"),
+        F.when(
+            denom > 0,
+            F.floor((F.lit(1.0) - ratio) * 1e6 + F.lit(0.5)).cast("bigint"),
+        ).alias("pad_ppm"),
     ).orderBy("bucket")
 
 
@@ -4749,8 +4762,11 @@ WITH t AS (
   FROM b GROUP BY bucket
 )
 SELECT bucket, n_docs, n_tokens, max_tok, n_shards,
-       1.0 - CAST(n_tokens AS DOUBLE) / CAST(n_docs * max_tok AS DOUBLE)
-           AS pad_frac
+       CASE WHEN n_docs * max_tok > 0 THEN
+         CAST(floor((1.0 - CAST(n_tokens AS DOUBLE)
+                         / CAST(n_docs * max_tok AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)
+       END AS pad_ppm
 FROM agg ORDER BY bucket
 """
 
@@ -4937,12 +4953,16 @@ def stage_forget_roundtrip(spark, sf_dir):
     delete set (requested ids + every exact duplicate), the deletion
     lands through the CDC path (StageTable.apply_change_feed D-ops —
     the same machinery every other delete uses), and because the table
-    was declared with bloom_index_keys the rewrite REBUILDS the
-    per-file bloom index — a forgotten key's point lookup afterwards
-    prunes to (near-)zero files and reads zero rows. Oracle reproduces
-    the requested/forgotten/remaining counts exactly and pins the two
-    outcomes TRUE: no forgotten row is readable, and the lookup still
-    pruned files."""
+    was declared with bloom_index_keys the delete path is BOUNDED by
+    the index: only the candidate files that can hold a forgotten key
+    are rewritten (StageTable._bloom_bounded_delete — at 100 TB a
+    takedown batch costs O(candidate files), never O(table)), their
+    index rows spliced incrementally — a forgotten key's point lookup
+    afterwards prunes to (near-)zero files and reads zero rows. Oracle
+    reproduces the requested/forgotten/remaining counts exactly and
+    pins the three outcomes TRUE: no forgotten row is readable, the
+    lookup still pruned files, and the delete rewrote strictly fewer
+    files than the table holds."""
     from cdk_datalake_ingest_upeu_spark.operators.dedup import (
         forget_exact_content,
     )
@@ -4950,9 +4970,21 @@ def stage_forget_roundtrip(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     work = _tmpdir("sforget")
     st = StageTable(
-        spark, os.path.join(work, "tbl"), bloom_index_keys=["doc_id"]
+        # bloom indexing is parquet-only by design: pin fmt so the query
+        # also runs in delta-enabled environments (default fmt is delta)
+        spark, os.path.join(work, "tbl"), fmt="parquet",
+        bloom_index_keys=["doc_id"],
     )
-    st.overwrite(docs.repartition(8, "doc_id"))
+    # 16 hash-partitioned files: the forget set (5 ids + exact dups)
+    # can occupy at most ~10 of them, so a bounded delete MUST rewrite
+    # strictly fewer files than the table holds
+    st.overwrite(docs.repartition(16, "doc_id"))
+    n_files_before = sum(
+        1
+        for _root, _d, fs in os.walk(os.path.join(work, "tbl"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
     forget_req = docs.orderBy("doc_id").limit(5).select("doc_id")
     _kept, forgotten = forget_exact_content(docs, forget_req)
     feed = (
@@ -4961,7 +4993,7 @@ def stage_forget_roundtrip(spark, sf_dir):
         .withColumn("seq", F.lit(1))
     )
     n_forgotten = feed.count()
-    st.apply_change_feed(feed, ["doc_id"], seq_column="seq")
+    n_rewritten = st.apply_change_feed(feed, ["doc_id"], seq_column="seq")
     rows, scanned, total = st.lookup(forget_req, "doc_id")
     n_readable = rows.count()
     n_after = st.read().count()
@@ -4974,10 +5006,12 @@ def stage_forget_roundtrip(spark, sf_dir):
                 n_after,
                 bool(n_readable == 0),
                 bool(scanned < total),
+                bool(0 <= n_rewritten < n_files_before),
             )
         ],
         "n_requested long, n_rows_forgotten long, n_rows_after long, "
-        "no_forgotten_rows_readable boolean, lookup_pruned boolean",
+        "no_forgotten_rows_readable boolean, lookup_pruned boolean, "
+        "delete_bounded boolean",
     )
 
 
@@ -4997,7 +5031,8 @@ SELECT CAST((SELECT count(*) FROM req) AS BIGINT) AS n_requested,
        CAST((SELECT count(*) FROM tagged
              WHERE fp NOT IN (SELECT fp FROM del_fp)) AS BIGINT)
            AS n_rows_after,
-       TRUE AS no_forgotten_rows_readable, TRUE AS lookup_pruned
+       TRUE AS no_forgotten_rows_readable, TRUE AS lookup_pruned,
+       TRUE AS delete_bounded
 """
 
 
@@ -6831,7 +6866,9 @@ def events_gapfill_hourly(spark, sf_dir):
     min/max aggregate via sequence() (time-range-sized, always the
     broadcast side with the distinct-type list); the only corpus-sized
     work is the rollup itself, and the gap-fill join runs at rollup
-    grain."""
+    grain. Sums ride integer cents and the bucket renders via
+    date_format so no output text depends on engine double/timestamp
+    formatting (the r5 driver-red class)."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(
@@ -6839,7 +6876,7 @@ def events_gapfill_hourly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+            F.sum(F.expr(_CENTS_EXPR)).alias("sum_value_cents"),
         )
     )
     hourly = scratch_persist(hourly)
@@ -6856,12 +6893,14 @@ def events_gapfill_hourly(spark, sf_dir):
     return finalize(
         grid.join(hourly, ["bucket_start", "event_type"], "left")
         .select(
-            "bucket_start",
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
             "event_type",
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
             F.coalesce(
-                F.col("sum_value"), F.lit(0).cast("decimal(22,2)")
-            ).alias("sum_value"),
+                F.col("sum_value_cents"), F.lit(0).cast("bigint")
+            ).alias("sum_value_cents"),
         )
         .orderBy("bucket_start", "event_type")
     )
@@ -6871,7 +6910,8 @@ _GAPFILL_SQL = """
 WITH hourly AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
          count(*) AS n_events,
-         sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
   FROM events GROUP BY 1, 2
 ), b AS (
   SELECT min(bucket_start) AS mn, max(bucket_start) AS mx FROM hourly
@@ -6881,11 +6921,12 @@ WITH hourly AS (
   SELECT bucket_start, event_type
   FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
 )
-SELECT g.bucket_start, g.event_type,
+SELECT strftime(g.bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       g.event_type,
        coalesce(n_events, 0) AS n_events,
-       coalesce(sum_value, CAST(0 AS DECIMAL(12,2))) AS sum_value
+       coalesce(sum_value_cents, 0) AS sum_value_cents
 FROM grid g LEFT JOIN hourly USING (bucket_start, event_type)
-ORDER BY g.bucket_start, g.event_type
+ORDER BY 1, 2
 """
 
 
@@ -6956,7 +6997,11 @@ def incremental_rollup_maintenance(spark, sf_dir):
     read back between refreshes, as a real artifact would be). History
     is never re-read; the oracle recomputes the final state from
     scratch, proving the three merges equal the one-shot aggregate.
-    Sums ride decimal(12,2) so they are exact and merge-stable."""
+    Metrics ride integer CENTS — ``floor(value*100 + 0.5)`` of a double
+    is IEEE-identical in every engine, where a double->decimal cast
+    (string-mediated in Spark, binary in DuckDB) and raw-double min/max
+    text both flip at half-ulp / sci-notation boundaries (the r5
+    driver-red class)."""
     from cdk_datalake_ingest_upeu_spark.operators.rollup import (
         additive_merge,
         rollup_partial,
@@ -6970,9 +7015,9 @@ def incremental_rollup_maintenance(spark, sf_dir):
         partial = rollup_partial(
             batch,
             ["day", "event_type"],
-            sum_cols={"value": "CAST(value AS DECIMAL(12,2))"},
-            min_cols={"value": "value"},
-            max_cols={"value": "value"},
+            sum_cols={"value_cents": _CENTS_EXPR},
+            min_cols={"value_cents": _CENTS_EXPR},
+            max_cols={"value_cents": _CENTS_EXPR},
         )
         merged = additive_merge(stored, partial, ["day", "event_type"])
         path = os.path.join(work, f"gen{i}")
@@ -6983,8 +7028,10 @@ def incremental_rollup_maintenance(spark, sf_dir):
 
 _INCR_ROLLUP_SQL = """
 SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_rows,
-       sum(CAST(value AS DECIMAL(12,2))) AS sum_value,
-       min(value) AS min_value, max(value) AS max_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_value_cents,
+       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_value_cents
 FROM events GROUP BY day, event_type ORDER BY day, event_type
 """
 
@@ -7011,9 +7058,9 @@ def streaming_rollup_maintenance(spark, sf_dir):
         return rollup_partial(
             batch,
             ["day", "event_type"],
-            sum_cols={"value": "CAST(value AS DECIMAL(12,2))"},
-            min_cols={"value": "value"},
-            max_cols={"value": "value"},
+            sum_cols={"value_cents": _CENTS_EXPR},
+            min_cols={"value_cents": _CENTS_EXPR},
+            max_cols={"value_cents": _CENTS_EXPR},
         )
 
     rollup_dir = os.path.join(work, "rollup")
@@ -7837,8 +7884,11 @@ def corpus_checksum(spark, sf_dir):
     and partitioning, and the plan is a map-side partial aggregate with
     zero data-row exchange. The reproducibility gate for a pipeline
     re-run at any scale: two runs landed identical row multisets iff
-    (n_rows, checksum) match. Oracle: DuckDB reproduces the md5-prefix
-    sum exactly."""
+    (n_rows, checksum) match; per-column sub-checksums + null counts
+    localize any divergence to its column. Numeric/timestamp canon is
+    ENFORCED inside the operator (IEEE floor-cents style, never engine
+    float text — the r5 driver-red cause). Oracle: DuckDB reproduces
+    the md5-prefix sums exactly from the same generated canon rules."""
     from cdk_datalake_ingest_upeu_spark.operators.profile import (
         dataset_checksum,
     )
@@ -7983,7 +8033,9 @@ def stage_bloom_indexed_write_lookup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     work = _tmpdir("sbidx")
     st = StageTable(
-        spark, os.path.join(work, "tbl"), bloom_index_keys=["event_id"]
+        # parquet pinned: bloom indexing rejects the delta default fmt
+        spark, os.path.join(work, "tbl"), fmt="parquet",
+        bloom_index_keys=["event_id"],
     )
     st.overwrite(ev.repartition(16, "event_id"))
     gen2 = ev.withColumn(
@@ -8163,18 +8215,44 @@ FROM agg ORDER BY dim
 """
 
 
-_CHECKSUM_SQL = """
-SELECT count(*) AS n_rows,
-       CAST(sum(('0x' || substr(md5(
-           concat_ws(chr(31),
-               coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
-               coalesce(text, chr(0) || 'null'),
-               coalesce(lang, chr(0) || 'null'),
-               coalesce(source, chr(0) || 'null'),
-               coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null'))
-       ), 1, 12))::BIGINT) AS DECIMAL(38,0)) AS checksum
-FROM documents
-"""
+def _checksum_oracle_sql(table: str, col_types: list[tuple[str, str]]) -> str:
+    """DuckDB twin of operators/profile.dataset_checksum, generated from
+    the same per-type canon rules (profile.canon_oracle_expr) so the two
+    engines cannot drift: numerics hash floor(x*1e6+0.5) integer text
+    (IEEE-identical), never engine float text."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        canon_oracle_expr,
+    )
+
+    sent = "chr(0) || 'null'"
+    canon = {
+        c: f"coalesce({canon_oracle_expr(c, t)}, {sent})" for c, t in col_types
+    }
+    row = "concat_ws(chr(31), " + ", ".join(canon[c] for c, _ in col_types) + ")"
+
+    def h48(x: str) -> str:
+        return (
+            f"CAST(sum(('0x' || substr(md5({x}), 1, 12))::BIGINT) "
+            "AS DECIMAL(38,0))"
+        )
+
+    cols = ["count(*) AS n_rows", f"{h48(row)} AS checksum"]
+    for c, _t in col_types:
+        cols.append(f"{h48(canon[c])} AS checksum_{c}")
+        cols.append(f"count(*) FILTER (WHERE {c} IS NULL) AS nulls_{c}")
+    return "SELECT " + ",\n       ".join(cols) + f"\nFROM {table}"
+
+
+_CHECKSUM_SQL = _checksum_oracle_sql(
+    "documents",
+    [
+        ("doc_id", "numeric"),
+        ("text", "varchar"),
+        ("lang", "varchar"),
+        ("source", "varchar"),
+        ("n_chars", "numeric"),
+    ],
+)
 
 
 # ===========================================================================
@@ -8560,3 +8638,169 @@ ORACLES = {
     # twins (dedup_cluster_jaccard's recursive CTE, the brute-force ANN
     # baseline) keep the underlying operators fully value-checked
 }
+
+
+# ===========================================================================
+# engine-boundary double canonicalization (fixed-point micro-units)
+# ===========================================================================
+
+# Double TEXT is not portable across engines: Java flips to scientific
+# notation below 1e-3 / at 1e7 ("1.0E-4") where DuckDB prints positional
+# ("0.0001"), NaN renders "NaN" vs "nan", and a double->decimal CAST is
+# string-mediated in Spark but binary in DuckDB (half-ulp flips). Any
+# double-typed output column is therefore one hostile data shape away
+# from a driver hash-red even when the VALUES agree (the r5 red class).
+# The fix is applied mechanically AT THE HASH BOUNDARY: every query
+# output column listed below is canonicalized, on both engines, to
+# fixed-point micro-units — floor(x * 1e6 + 0.5) as BIGINT — three
+# IEEE-754 double ops with bit-identical results everywhere, so the
+# hashed text can never depend on engine float formatting. Operator
+# logic is untouched; the canon layer is a serializer, exactly like
+# rendering timestamps through date_format. NaN/Inf map to NULL (DuckDB
+# cannot cast them to BIGINT). The map was generated by typing every
+# oracle'''s result relation; regenerate with tools/list_double_cols.py.
+
+_MICRO_CANON_COLS = {
+    "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
+    "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
+    "q3_top_revenue_orders": ['revenue'],
+    "q5_region_revenue": ['revenue'],
+    "q6_forecast_revenue": ['revenue'],
+    "q18_large_volume_customers": ['o_totalprice', 'total_qty'],
+    "q10_returned_items": ['c_acctbal', 'revenue'],
+    "q15_top_suppliers": ['total_revenue'],
+    "q17_small_quantity_revenue": ['avg_yearly'],
+    "q19_disjunctive_pushdown": ['revenue'],
+    "q22_idle_customers": ['totacctbal'],
+    "q7_nation_volume": ['revenue'],
+    "q8_market_share": ['mkt_share'],
+    "q9_profit_by_nation_year": ['sum_profit'],
+    "q11_revenue_concentration": ['part_rev'],
+    "q14_promo_revenue_share": ['promo_share'],
+    "q20_excess_shippers": ['s_acctbal'],
+    "sqlgen_projection_filter": ['o_totalprice'],
+    "sqlgen_dual_range_filter": ['sum_qty'],
+    "range_partition_union": ['sum_price'],
+    "date_range_extract_union": ['sum_value'],
+    "days_off_window_extract": ['sum_value'],
+    "sqlgen_incremental_delay_window": ['sum_price'],
+    "sqlgen_bigint_dialect_range": ['sum_value'],
+    "asof_join_last_purchase": ['purchase_value'],
+    "window_dedup_latest": ['value'],
+    "merge_upsert_current_state": ['value'],
+    "transform_bytemagic_casts": ['price_dbl', 'disc_num'],
+    "sink_csv_gz_roundtrip": ['o_totalprice'],
+    "sink_json_gz_roundtrip": ['sum_value'],
+    "sink_orc_roundtrip": ['sum_price', 'avg_qty'],
+    "stage_schema_evolution": ['total'],
+    "stage_partition_pruned_read": ['o_totalprice'],
+    "stage_pipeline_e2e": ['total_dbl'],
+    "config_csv_pipeline": ['total_usd'],
+    "incremental_watermark_2phase": ['value'],
+    "streaming_merge_ingest": ['value'],
+    "events_hourly_rollup": ['sum_value'],
+    "events_json_props": ['avg_k'],
+    "streaming_watermarked_rollup": ['sum_value'],
+    "text_features": ['punct_ratio', 'digit_ratio', 'stopword_ratio', 'quality_score'],
+    "dedup_ngram_jaccard": ['jaccard'],
+    "corpus_language_stats": ['avg_quality'],
+    "corpus_vocab_coverage": ['oov_rate'],
+    "text_repetition_stats": ['avg_rep', 'max_rep'],
+    "corpus_quality_filter": ['pass_rate'],
+    "decontaminate_against_benchmark": ['avg_contamination'],
+    "events_rolling_window": ['peak_roll7'],
+    "orders_priority_rollup": ['total_price'],
+    "events_pivot_by_type": ['click', 'error', 'purchase', 'signup', 'view'],
+    "events_value_quantiles": ['p25', 'p50', 'p75', 'p95'],
+    "interval_join_clicks_before_purchase": ['clicked_value'],
+    "streaming_interval_join": ['clicked_value'],
+    "streaming_topk_state": ['topk_sum'],
+    "streaming_dedup_events": ['sum_value'],
+    "ann_topk_bruteforce": ['cosine'],
+    "embedding_label_stats": ['avg_l2_norm'],
+    "stage_change_feed_apply_evolution": ['acctbal'],
+    "ann_topk_int8": ['cosine'],
+    "skew_salted_join_segment": ['sum_value'],
+    "curriculum_quality_quartiles": ['min_q', 'max_q'],
+    "stage_dpp_pruned_join": ['sum_value'],
+    "stage_retention_prune": ['sum_value'],
+    "events_anomaly_zscore": ['z'],
+    "stage_compaction_roundtrip": ['sum_price'],
+    "stage_catalog_sql_read": ['sum_acctbal'],
+    "streaming_anomaly_zscore": ['z'],
+    "events_session_window": ['sum_value'],
+    "bucketed_join_segment_revenue": ['revenue'],
+    "corpus_mixture_sample": ['frac'],
+    "text_quality_classifier": ['avg_score'],
+    "embedding_quantize_stats": ['avg_scale', 'avg_rmse', 'worst_abs_err'],
+    "streaming_session_window": ['sum_value'],
+    "stage_dynamic_partition_overwrite": ['sum_value'],
+    "stage_zorder_pruned_read": ['sum_value'],
+    "profile_drift_generations": ['null_rate_old', 'null_rate_new'],
+    "stage_change_feed_apply": ['acctbal'],
+    "events_grouping_sets": ['sum_value'],
+    "streaming_change_feed_ingest": ['acctbal'],
+    "corpus_unigram_logprob": ['avg_logprob'],
+    "text_bm25_topk": ['score'],
+    "embedding_norm_outliers": ['norm'],
+    "bloom_semi_join_lineitems": ['total_qty', 'revenue'],
+    "dedup_ngram_containment": ['cont_a_in_b', 'cont_b_in_a', 'containment'],
+    "streaming_bloom_dedup": ['sum_value'],
+    "stage_bloom_pruned_lookup": ['sum_value'],
+    "stage_bloom_indexed_write_lookup": ['sum_value'],
+    "corpus_bigram_logprob": ['avg_logprob'],
+    "embedding_dim_stats": ['mean', 'variance'],
+}
+
+
+def _micro_canon_spark(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Replace each listed double column with its fixed-point micro-unit
+    canon (same column name, bigint) — Spark half of the boundary."""
+    out = []
+    for c in df.columns:
+        if c in cols:
+            d = F.col(c).cast("double")
+            out.append(
+                F.when(
+                    F.isnan(d)
+                    | (d == float("inf"))
+                    | (d == float("-inf")),
+                    F.lit(None).cast("bigint"),
+                )
+                .otherwise(
+                    F.floor(d * 1e6 + F.lit(0.5)).cast("bigint")
+                )
+                .alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
+def _micro_canon_sql(sql: str, cols: list[str]) -> str:
+    """DuckDB half: wrap the oracle in SELECT * REPLACE so every listed
+    column is canonicalized identically, all other columns untouched."""
+    repl = ", ".join(
+        f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
+        f"OR CAST({c} AS DOUBLE) = 'infinity'::DOUBLE "
+        f"OR CAST({c} AS DOUBLE) = '-infinity'::DOUBLE THEN NULL "
+        f"ELSE CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+        f"END AS {c}"
+        for c in cols
+    )
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __canon"
+
+
+def _micro_canon_query(fn, cols):
+    def wrapped(spark, sf_dir, _fn=fn, _cols=cols):
+        return _micro_canon_spark(_fn(spark, sf_dir), _cols)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+for _name, _cols in _MICRO_CANON_COLS.items():
+    QUERIES[_name] = _micro_canon_query(QUERIES[_name], _cols)
+    ORACLES[_name] = _micro_canon_sql(ORACLES[_name], _cols)

@@ -365,3 +365,64 @@ def test_stage_table_bloom_index_maintained_by_writes(spark, tmp_path):
         st.lookup(keys, "v")
     with _pytest.raises(ValueError, match="parquet-only"):
         StageTable(spark, path, fmt="orc", bloom_index_keys=["id"])
+
+
+def test_bloom_bounded_delete_rewrites_candidate_files_only(spark, tmp_path):
+    """A delete on a bloom-indexed key must rewrite ONLY the candidate
+    files the index names (O(candidates), not O(table) — the 100 TB
+    takedown shape), splice the index incrementally, and keep lookups
+    working against the spliced index."""
+    import os as _os
+
+    from cdk_datalake_ingest_upeu_spark.operators.stage_writer import StageTable
+
+    path = str(tmp_path / "bounded")
+    st = StageTable(spark, path, fmt="parquet", bloom_index_keys=["k"])
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    st.overwrite(df.repartition(16, "k"))
+
+    def n_files():
+        return sum(
+            1
+            for _r, _d, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    total_before = n_files()
+    assert total_before >= 8
+    untouched = {
+        _os.path.join(r, f)
+        for r, _d, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    deletes = spark.createDataFrame([(7,), (1234,)], "k long")
+    n_rewritten = st.delete_keys(deletes, ["k"])
+    # bounded: strictly fewer files than the table holds (2 keys can
+    # occupy at most 2 of 16 files, plus negligible bloom FPs)
+    assert 0 < n_rewritten < total_before
+    # rows gone, everything else intact
+    got = st.read()
+    assert got.filter(F.col("k").isin(7, 1234)).count() == 0
+    assert got.count() == 1998
+    # files NOT holding a delete key were never touched
+    still_there = {
+        _os.path.join(r, f)
+        for r, _d, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert len(untouched & still_there) == total_before - n_rewritten
+    # the spliced index still answers point lookups (no full rebuild)
+    rows, scanned, total = st.lookup(
+        spark.createDataFrame([(8,), (7,)], "k long"), "k"
+    )
+    assert {r.k for r in rows.collect()} == {8}
+    assert 0 < scanned < total
+    # a key absent from every file prunes to zero candidate files
+    assert st.delete_keys(
+        spark.createDataFrame([(999999,)], "k long"), ["k"]
+    ) == 0

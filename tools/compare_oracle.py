@@ -109,6 +109,26 @@ def main():
             report[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
             print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
             continue
+        # Structural gate (r5 lesson): this tool compares floats via
+        # Python repr, which CANNOT see Java-vs-DuckDB text divergence
+        # (1.0E-4 vs 0.0001, NaN vs nan) — the exact local-green /
+        # driver-red failure mode. Hash-checked queries must therefore
+        # emit NO float-typed output columns at all; canonicalize via
+        # workloads._MICRO_CANON_COLS (fixed-point micro-units).
+        fl = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("double", "float")
+        ]
+        if fl:
+            failures.append(name)
+            report[name] = {"status": "float_output", "cols": fl}
+            print(
+                f"FAIL  {name}: float-typed output column(s) {fl} — "
+                "engine float TEXT is not hash-portable; add the query "
+                "to workloads._MICRO_CANON_COLS"
+            )
+            continue
         try:
             res = con.sql(sql)
             o_cols = list(res.columns)
