@@ -176,7 +176,16 @@ class _stream_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
-def _stage_event_drops(spark, sf_dir, work, df=None, n_drops=3):
+# staged event-drop cache: (sf_dir, tag, n_drops, columns) -> batches dir.
+# ~10 streaming queries each re-staged the events table per bench run
+# (~1 s apiece); the staged drops are pure functions of their inputs,
+# so one session-scoped copy serves them all (the r5 verdict's stretch
+# item). Per-query source dirs are HARDLINKS into the cache, because
+# several queries append their own sentinel batch next to the drops.
+_DROP_CACHE: dict[tuple, str] = {}
+
+
+def _stage_event_drops(spark, sf_dir, work, df=None, n_drops=3, cache_tag=None):
     """Stage the events table (or a derived ``df`` over the same time
     range) as ``n_drops`` chronological one-file parquet drops under
     ``work/in/batch_i`` — a deterministic stand-in for a stream source.
@@ -186,35 +195,72 @@ def _stage_event_drops(spark, sf_dir, work, df=None, n_drops=3):
     (no scan — ``parquet_column_bounds``), and all drops are written in
     ONE job via ``partitionBy`` + directory renames instead of one job
     per slice. File-source ordering is by modification time, pinned
-    explicitly."""
+    explicitly.
+
+    ``cache_tag`` opts into the session drop cache: callers passing a
+    DERIVED ``df`` must pick a tag that uniquely names the derivation
+    (the cache key adds sf_dir, n_drops, and the column list). The raw
+    events table auto-tags itself."""
     if df is None:
         df = _t(spark, sf_dir, "events")
+        cache_tag = cache_tag or "events"
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
-    lo, hi = _event_ts_bounds(spark, sf_dir, df)
-    span = (hi - lo) / n_drops
-    cuts = [lo + span * (i + 1) for i in range(n_drops - 1)]
-    slice_col = F.lit(n_drops - 1)
-    for i in reversed(range(n_drops - 1)):
-        slice_col = F.when(F.col("ts") <= cuts[i], i).otherwise(slice_col)
-    staged = os.path.join(work, "staged")
-    (
-        df.withColumn("__slice", slice_col)
-        .coalesce(1)
-        .write.partitionBy("__slice")
-        .mode("overwrite")
-        .parquet(staged)
+    key = (
+        (sf_dir, cache_tag, n_drops, tuple(df.columns))
+        if cache_tag
+        else None
     )
+    batches = _DROP_CACHE.get(key) if key is not None else None
+    if batches is None:
+        root = (
+            os.path.join(
+                _WORKDIR, "dropcache", f"{cache_tag}-{uuid.uuid4().hex[:8]}"
+            )
+            if key is not None
+            else work
+        )
+        lo, hi = _event_ts_bounds(spark, sf_dir, df)
+        span = (hi - lo) / n_drops
+        cuts = [lo + span * (i + 1) for i in range(n_drops - 1)]
+        slice_col = F.lit(n_drops - 1)
+        for i in reversed(range(n_drops - 1)):
+            slice_col = F.when(F.col("ts") <= cuts[i], i).otherwise(slice_col)
+        staged = os.path.join(root, "staged")
+        (
+            df.withColumn("__slice", slice_col)
+            .coalesce(1)
+            .write.partitionBy("__slice")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        batches = os.path.join(root, "batches")
+        for i in range(n_drops):
+            p = os.path.join(batches, f"batch_{i}")
+            sdir = os.path.join(staged, f"__slice={i}")
+            if os.path.isdir(sdir):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                os.rename(sdir, p)
+            else:  # a drop with no rows still needs a (empty) directory
+                os.makedirs(p, exist_ok=True)
+        if key is not None:
+            _DROP_CACHE[key] = batches
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
     for i in range(n_drops):
         p = os.path.join(src_dir, f"batch_{i}")
-        sdir = os.path.join(staged, f"__slice={i}")
-        if os.path.isdir(sdir):
-            os.rename(sdir, p)
-        else:  # a drop with no rows still needs a (empty) directory
-            os.makedirs(p, exist_ok=True)
-        for root, _dirs, files in os.walk(p):
+        os.makedirs(p, exist_ok=True)
+        bdir = os.path.join(batches, f"batch_{i}")
+        for f in os.listdir(bdir):
+            src = os.path.join(bdir, f)
+            dst = os.path.join(p, f)
+            if os.path.isfile(src) and not os.path.exists(dst):
+                os.link(src, dst)
+        for root_, _dirs, files in os.walk(p):
             for f in files:
-                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+                os.utime(
+                    os.path.join(root_, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
     return os.path.join(src_dir, "batch_*")
 
 
@@ -2409,7 +2455,9 @@ def streaming_watermarked_rollup(spark, sf_dir):
     # one staging job (footer-stat cuts) + a tiny sentinel drop — see
     # streaming_session_window for the measured cost of the per-slice
     # loop this replaces
-    src_glob = _stage_event_drops(spark, sf_dir, work, df=ev, n_drops=3)
+    src_glob = _stage_event_drops(
+        spark, sf_dir, work, df=ev, n_drops=3, cache_tag="ev_tv"
+    )
     src_dir = os.path.dirname(src_glob)
     _lo, hi = _event_ts_bounds(spark, sf_dir, ev)
     p = os.path.join(src_dir, "batch_3")
@@ -2459,7 +2507,9 @@ def streaming_session_window(spark, sf_dir):
     # partitionBy renames — _stage_event_drops); the old per-slice
     # loop ran 4 separate scan+write jobs plus a min/max scan and was
     # 6.4 s of this query's 10.7 s at sf0.1
-    src_glob = _stage_event_drops(spark, sf_dir, work, df=ev, n_drops=3)
+    src_glob = _stage_event_drops(
+        spark, sf_dir, work, df=ev, n_drops=3, cache_tag="ev_uv"
+    )
     src_dir = os.path.dirname(src_glob)
     _lo, hi = _event_ts_bounds(spark, sf_dir, ev)
     sentinel_ts = hi + dt_timedelta(days=10)
@@ -3726,7 +3776,9 @@ def streaming_anomaly_zscore(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_events"))
     feed = daily.withColumn("ts", F.col("day").cast("timestamp"))
     work = _tmpdir("zstream")
-    src_glob = _stage_event_drops(spark, sf_dir, work, df=feed, n_drops=2)
+    src_glob = _stage_event_drops(
+        spark, sf_dir, work, df=feed, n_drops=2, cache_tag="daily_feed"
+    )
     out_dir = os.path.join(work, "scored")
     with _stream_shuffle_partitions(spark, 8):
         q = run_running_zscore(
@@ -4024,7 +4076,9 @@ def streaming_dedup_events(spark, sf_dir):
     full = ev.unionByName(dup)
 
     work = _tmpdir("sdedup")
-    src_glob = _stage_event_drops(spark, sf_dir, work, df=full)
+    src_glob = _stage_event_drops(
+        spark, sf_dir, work, df=full, cache_tag="redelivered"
+    )
 
     out_dir = os.path.join(work, "deduped")
     with _stream_shuffle_partitions(spark, 8):
@@ -7934,7 +7988,9 @@ def streaming_bloom_dedup(spark, sf_dir):
     n_bits = 1 << max(14, math.ceil(math.log2(128 * n_keys)))
 
     work = _tmpdir("bloomsd")
-    src_glob = _stage_event_drops(spark, sf_dir, work, df=full)
+    src_glob = _stage_event_drops(
+        spark, sf_dir, work, df=full, cache_tag="redelivered"
+    )
     out_dir = os.path.join(work, "novel")
     with _stream_shuffle_partitions(spark, 8):
         q = stream_bloom_dedup(
@@ -8268,6 +8324,9 @@ _CHECKSUM_SQL = _checksum_oracle_sql(
 # dedup, PCA — in place of the TPC-H padding, which is r1-green and rotates
 # behind).  The r3-green LLM block stays behind the window.
 QUERIES = {
+    # NOTE: the driver-facing order is re-set by _R6_WINDOW at the
+    # bottom of this module — the literal order here is the historical
+    # r5 window, kept for the per-round evidence trail.
     # --- round-5 driver window (first 50): the 40 queries with no
     # driver-green row in any round (29 never-checked r4 additions +
     # 11 contract-converted with no post-conversion driver row), then
@@ -8804,3 +8863,79 @@ def _micro_canon_query(fn, cols):
 for _name, _cols in _MICRO_CANON_COLS.items():
     QUERIES[_name] = _micro_canon_query(QUERIES[_name], _cols)
     ORACLES[_name] = _micro_canon_sql(ORACLES[_name], _cols)
+
+
+# ===========================================================================
+# round-6 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# The driver's correctness harness checks the FIRST 50 catalog entries.
+# Round-6 window: (a) the four r5 driver hash-reds, re-canonicalized
+# this round (integer cents / enforced checksum canon / date_format
+# buckets); (b) the three r5-late queries that have never been in any
+# driver window; (c) 43 of the 89 queries whose output schema changed
+# under the micro-unit double canon — their prior driver-green rows
+# predate the schema change, so fresh evidence matters most for the
+# widest-used families first (TPC-H, sqlgen, sinks, stage, streaming,
+# text). The remaining 46 canonized queries carry this round's local
+# all-175 sweep evidence and lead the r7 rotation.
+_R6_WINDOW = [
+    # (a) r5 hash-reds, fixed via engine-boundary canonicalization
+    "corpus_checksum",
+    "incremental_rollup_maintenance",
+    "streaming_rollup_maintenance",
+    "events_gapfill_hourly",
+    # (b) never driver-checked
+    "export_length_bucketed_shards",
+    "incremental_boilerplate_strip",
+    "stage_forget_roundtrip",
+    # (c) canon-schema-changed, widest families first
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "q10_returned_items",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_revenue_concentration",
+    "q14_promo_revenue_share",
+    "q20_excess_shippers",
+    "sqlgen_projection_filter",
+    "sqlgen_dual_range_filter",
+    "range_partition_union",
+    "date_range_extract_union",
+    "days_off_window_extract",
+    "sqlgen_incremental_delay_window",
+    "sqlgen_bigint_dialect_range",
+    "asof_join_last_purchase",
+    "window_dedup_latest",
+    "merge_upsert_current_state",
+    "transform_bytemagic_casts",
+    "sink_csv_gz_roundtrip",
+    "sink_json_gz_roundtrip",
+    "sink_orc_roundtrip",
+    "stage_schema_evolution",
+    "stage_partition_pruned_read",
+    "stage_pipeline_e2e",
+    "config_csv_pipeline",
+    "incremental_watermark_2phase",
+    "streaming_merge_ingest",
+    "events_hourly_rollup",
+    "events_json_props",
+    "streaming_watermarked_rollup",
+    "text_features",
+    "dedup_ngram_jaccard",
+    "corpus_language_stats",
+]
+assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+QUERIES = {
+    name: QUERIES[name]
+    for name in (*_R6_WINDOW, *(n for n in QUERIES if n not in set(_R6_WINDOW)))
+}
