@@ -42,6 +42,7 @@ CONTRACT_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_incremental_probe",
+    "forget_everywhere",
 ]
 
 

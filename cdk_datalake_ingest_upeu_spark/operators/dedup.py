@@ -1524,6 +1524,63 @@ def merge_boilerplate_index(
     return freq, gdocs
 
 
+def forget_boilerplate_index(
+    freq: DataFrame,
+    gdocs: DataFrame,
+    forgotten_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    window_tokens: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Retract a forgotten document batch from the persisted
+    boilerplate-index artifacts — the NEGATIVE twin of
+    :func:`merge_boilerplate_index`, and exact for the same reason (a
+    document lives in exactly one batch, so subtracting its per-batch
+    distinct-doc counts restores the kept-corpus counts bit-for-bit;
+    the ``forget_everywhere`` oracle query proves retract == rebuild).
+    Index-grain rows only: the kept corpus text is never re-read —
+    the only text touched is the forgotten batch itself, which the
+    caller already holds for the corpus delete. Chunks whose frequency
+    drops to zero leave the index entirely."""
+    f_freq, f_gdocs = boilerplate_index(
+        forgotten_docs, id_col, text_col, group_col,
+        window_tokens=window_tokens,
+    )
+    freq2 = (
+        freq.alias("a")
+        .join(
+            f_freq.select(
+                group_col, "chunk", F.col("df").alias("__fdf")
+            ).alias("b"),
+            [group_col, "chunk"],
+            "left",
+        )
+        .select(
+            group_col,
+            "chunk",
+            (F.col("df") - F.coalesce(F.col("__fdf"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    gdocs2 = (
+        gdocs.join(
+            f_gdocs.select(group_col, F.col("gdocs").alias("__fg")),
+            [group_col],
+            "left",
+        )
+        .select(
+            group_col,
+            (F.col("gdocs") - F.coalesce(F.col("__fg"), F.lit(0))).alias(
+                "gdocs"
+            ),
+        )
+        .filter(F.col("gdocs") > 0)
+    )
+    return freq2, gdocs2
+
+
 def boilerplate_strip_with_index(
     df: DataFrame,
     freq: DataFrame,

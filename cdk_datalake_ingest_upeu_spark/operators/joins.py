@@ -113,12 +113,24 @@ def asof_join(
         out_name[c] = name
 
     lt = F.col(left_time)
+    # The right payload rides as ONE struct, not per-column slots: the
+    # carry below uses last(..., ignorenulls=True), and with independent
+    # columns a genuinely-NULL field in the true match row would be
+    # backfilled from an OLDER right row while its siblings come from
+    # the newer one — a torn row (caught by the hostile-NULLs
+    # perturbation sweep). The struct is non-null for every right row
+    # even when all its fields are null, so the carry is all-or-nothing.
+    from pyspark.sql import types as T
+
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_tagged = left.select(
         *keys,
         lt.alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left.columns if c not in keys],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *keys,
@@ -126,7 +138,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys],
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -147,16 +159,13 @@ def asof_join(
 
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c"),
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *keys,
         F.col("__t").alias(left_time),
         *[F.col(c) for c in left.columns if c not in keys and c != left_time],
-        *[F.col(f"__c_{c}").alias(out_name[c]) for c in payload],
+        *[F.col(f"__c.{c}").alias(out_name[c]) for c in payload],
     )
     return out
 

@@ -161,13 +161,14 @@ def _canon_text(df: DataFrame, c: str):
         "tinyint", "smallint", "int", "bigint"
     ):
         d = col.cast("double")
+        y = d * 1e6 + F.lit(0.5)
+        sat = 9007199254740992.0  # 2^53: past the mantissa, saturate —
+        # double->int conversion stops being engine-portable there
         return (
             F.when(F.isnan(d), F.lit("nan"))
-            .when(d == float("inf"), F.lit("inf"))
-            .when(d == float("-inf"), F.lit("-inf"))
-            .otherwise(
-                F.floor(d * 1e6 + F.lit(0.5)).cast("bigint").cast("string")
-            )
+            .when(y >= sat, F.lit("9007199254740992"))
+            .when(y <= -sat, F.lit("-9007199254740992"))
+            .otherwise(F.floor(y).cast("bigint").cast("string"))
         )
     if t.startswith("timestamp"):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -181,11 +182,12 @@ def canon_oracle_expr(c: str, dtype: str) -> str:
     two in lockstep (tests/test_profile.py pins them equal per type)."""
     if dtype == "numeric":
         d = f"CAST({c} AS DOUBLE)"
+        y = f"{d} * 1000000.0 + 0.5"
         return (
             f"CASE WHEN isnan({d}) THEN 'nan' "
-            f"WHEN {d} = 'infinity'::DOUBLE THEN 'inf' "
-            f"WHEN {d} = '-infinity'::DOUBLE THEN '-inf' "
-            f"ELSE CAST(CAST(floor({d} * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
+            f"WHEN {y} >= 9007199254740992.0 THEN '9007199254740992' "
+            f"WHEN {y} <= -9007199254740992.0 THEN '-9007199254740992' "
+            f"ELSE CAST(CAST(floor({y}) AS BIGINT) AS VARCHAR) END"
         )
     if dtype == "timestamp":
         return f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"

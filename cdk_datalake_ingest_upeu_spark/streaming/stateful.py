@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.functions.stable import fp_canon as _fp_c
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -219,7 +221,12 @@ def run_watermarked_rollup(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # per-value cents canon INSIDE the sum: exact, order-free,
+            # NaN->NULL (functions/stable.py — the engine-boundary money
+            # convention); the raw-double sum was summation-order noise
+            F.round(F.sum(_fp_c(F.col("value"), 100)) / 100.0, 2).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
@@ -273,8 +280,7 @@ def run_streaming_session_window(
         .groupBy(key_col, F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0)
             .alias("sum_value"),
         )
         .select(

@@ -101,6 +101,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosecond parquet timestamps read as long; truncate to micros
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "documents" and "text" in df.columns:
+        # corpus policy: NULL text IS the empty document. Text operators
+        # then see one well-tested shape ('' — zero tokens, zero
+        # shingles) instead of NULL propagating differently through
+        # every engine's string/array functions; corpus row counts stay
+        # stable under hostile drops. Oracles apply the same view
+        # (_normalize_documents_sql); the NULL-vs-'' distinction is an
+        # ingest-side concern, not a query-side one.
+        df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     # parquet written with isAdjustedToUTC=false infers TIMESTAMP_NTZ
     # (Spark 4 default); streaming watermarks require TIMESTAMP, and the
     # session TZ is pinned to UTC above so the cast is value-preserving.
@@ -119,8 +128,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # at half-ulp boundaries, and raw-double min/max text flips to
 # scientific notation at 1e7/1e-3 in Java but not DuckDB (the r5
 # driver-red class). Used for every double-valued output column whose
-# text reaches the hash gate.
-_CENTS_EXPR = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+# text reaches the hash gate. APPLY BEFORE AGGREGATING: a sum of
+# integer cents is exact and order-independent, while a double sum
+# carries summation-order noise no post-hoc canon can remove.
+#
+# Totality (perturbation-sweep hardened): NaN maps to NULL (DuckDB
+# refuses NaN->BIGINT; Spark non-ANSI yields NULL — pin both), and
+# magnitudes past 2^53 SATURATE to +/-2^53 (beyond the mantissa there
+# is no cents information and the double->int conversion itself stops
+# being engine-portable; the comparison is a single IEEE op, portable).
+_SAT = 9007199254740992.0  # 2^53
+
+
+def _cents_sql(col: str) -> str:
+    """Engine-portable integer-cents canon of a double expression —
+    valid Spark SQL and DuckDB SQL alike (isnan/floor/CASE are common)."""
+    y = f"({col}) * 100 + 0.5"
+    return (
+        f"CASE WHEN isnan({col}) THEN NULL "
+        f"WHEN {y} >= {_SAT:.1f} THEN 9007199254740992 "
+        f"WHEN {y} <= -{_SAT:.1f} THEN -9007199254740992 "
+        f"ELSE CAST(floor({y}) AS BIGINT) END"
+    )
+
+
+_CENTS_EXPR = _cents_sql("value")
+
+# Sum-interior canon: every money/metric SUM canonicalizes PER VALUE to
+# integer cents, sums exactly, and divides back by 100.0 — removing
+# double summation-order noise entirely (sum of bigints is associative;
+# the final division and 2-dp round are IEEE-identical one-op paths).
+# The per-value clamp is 1e14 cents (1e12 currency units), not 2^53:
+# with hostile inputs all saturated, a 60k-row sum stays below 2^63, so
+# Spark's BIGINT sum cannot wrap where DuckDB's int128 would not.
+from cdk_datalake_ingest_upeu_spark.functions.stable import (  # noqa: E402
+    fp_canon as _cents_c,
+    fp_canon as _fp_c,
+    fp_sql as _cents_sum_sql,
+)
 
 
 def _stable_rate(col):
@@ -132,9 +177,9 @@ def _stable_rate(col):
     and order-independent; the final double division is then IEEE-
     identical on both engines.  DuckDB twin::
 
-        CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+        sum(CASE WHEN isnan(x) THEN NULL WHEN (x) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (x) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((x) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*)
     """
-    return F.sum(col.cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))
+    return (F.sum(_fp_c(col, 1000000000)) / 1000000000.0) / F.count(F.lit(1))
 
 
 def _prepare_session(spark: SparkSession) -> None:
@@ -308,13 +353,13 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(_cents_c("l_quantity")) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(_cents_c("l_extendedprice")) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(_cents_c(disc_price)) / 100.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(_cents_c(disc_price * (1 + F.col("l_tax")))) / 100.0, 2).alias("sum_charge"),
+            F.round(F.sum(_cents_c("l_quantity")) / 100.0 / F.count(_cents_c("l_quantity")), 4).alias("avg_qty"),
+            F.round(F.sum(_cents_c("l_extendedprice")) / 100.0 / F.count(_cents_c("l_extendedprice")), 4).alias("avg_price"),
+            F.round(F.sum(_cents_c("l_discount")) / 100.0 / F.count(_cents_c("l_discount")), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -323,13 +368,13 @@ def q1_pricing_summary(spark, sf_dir):
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(sum(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_qty,
+       round(sum(CASE WHEN isnan(l_extendedprice) THEN NULL WHEN (l_extendedprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_base_price,
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_disc_price,
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount) * (1 + l_tax)) THEN NULL WHEN (l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_charge,
+       round(sum(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END) / 100.0 / count(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END), 4) AS avg_qty,
+       round(sum(CASE WHEN isnan(l_extendedprice) THEN NULL WHEN (l_extendedprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) END) / 100.0 / count(CASE WHEN isnan(l_extendedprice) THEN NULL WHEN (l_extendedprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) END), 4) AS avg_price,
+       round(sum(CASE WHEN isnan(l_discount) THEN NULL WHEN (l_discount) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_discount) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_discount) * 100 + 0.5) AS BIGINT) END) / 100.0 / count(CASE WHEN isnan(l_discount) THEN NULL WHEN (l_discount) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_discount) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_discount) * 100 + 0.5) AS BIGINT) END), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -348,9 +393,7 @@ def q3_top_revenue_orders(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -359,7 +402,7 @@ def q3_top_revenue_orders(spark, sf_dir):
 
 _Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -383,7 +426,7 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        F.round(F.sum(_cents_c(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0, 2).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_rows"),
@@ -391,7 +434,7 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 _Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(sum(CASE WHEN isnan(l_extendedprice * l_discount) THEN NULL WHEN (l_extendedprice * l_discount) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * l_discount) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * l_discount) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -458,9 +501,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
@@ -468,7 +509,7 @@ def q5_region_revenue(spark, sf_dir):
 
 _Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -496,9 +537,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -507,7 +546,7 @@ def q10_returned_items(spark, sf_dir):
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -593,7 +632,7 @@ def q15_top_suppliers(spark, sf_dir):
     )
     supplier = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias(
             "total_revenue"
         )
     )
@@ -612,7 +651,7 @@ def q15_top_suppliers(spark, sf_dir):
 
 _Q15_SQL = """
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -640,13 +679,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
         F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
         li_part.l_partkey == F.col("a_partkey"),
     ).filter(F.col("l_quantity") < F.col("half_avg")).agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.round(F.sum(_cents_c("l_extendedprice")) / 100.0 / 7.0, 2).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_small"),
     )
 
 
 _Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_small
+SELECT round(sum(CASE WHEN isnan(l_extendedprice) THEN NULL WHEN (l_extendedprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) END) / 100.0 / 7.0, 2) AS avg_yearly, count(*) AS n_small
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
   AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -683,7 +722,7 @@ def q19_disjunctive_pushdown(spark, sf_dir):
         .join(F.broadcast(part.filter(F.col("p_size") <= 15)), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -692,7 +731,7 @@ def q19_disjunctive_pushdown(spark, sf_dir):
 
 
 _Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
@@ -793,14 +832,14 @@ def q22_idle_customers(spark, sf_dir):
         idle.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_cents_c("c_acctbal")) / 100.0, 2).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
 
 
 _Q22_SQL = """
-SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_mktsegment, count(*) AS numcust, round(sum(CASE WHEN isnan(c_acctbal) THEN NULL WHEN (c_acctbal) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (c_acctbal) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -846,9 +885,7 @@ def q7_nation_volume(spark, sf_dir):
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -857,7 +894,7 @@ def q7_nation_volume(spark, sf_dir):
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate)::INT AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -921,8 +958,14 @@ def q8_market_share(spark, sf_dir):
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    _cents_c(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3", F.col("volume")
+                        ).otherwise(0.0)
+                    )
+                )
+                / F.sum(_cents_c("volume")),
                 6,
             ).alias("mkt_share")
         )
@@ -930,11 +973,13 @@ def q8_market_share(spark, sf_dir):
     )
 
 
-_Q8_SQL = """
+_Q8_SQL = f"""
 SELECT year(o_orderdate)::INT AS o_year,
-       round(sum(CASE WHEN n1.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       round(sum({_cents_sum_sql(
+           "CASE WHEN n1.n_name = 'NATION_3' "
+           "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")})
+             / sum({_cents_sum_sql(
+                 "l_extendedprice * (1 - l_discount)")}), 6) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -979,14 +1024,14 @@ def q9_profit_by_nation_year(spark, sf_dir):
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(_cents_c("amount")) / 100.0, 2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
 
 _Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1007,29 +1052,31 @@ def q11_revenue_concentration(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("part_rev")
+            F.round(F.sum(_cents_c(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias("part_rev")
         )
     )
-    # scanned by both the total and the filter; released by finalize
+    # scanned by both the total and the filter; released by finalize.
+    # The global total sums the 2-dp part_rev through its exact cents
+    # canon so the threshold is the same number in both engines (a raw
+    # double sum would carry summation-order noise into the comparison)
     per_part = scratch_persist(per_part)
-    total = per_part.agg(F.sum("part_rev").alias("__total"))
+    total = per_part.agg(F.sum(_cents_c("part_rev")).alias("__tc"))
     return finalize(
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_rev") > 0.0006 * F.col("__total"))
+        .filter(F.col("part_rev") > 0.0006 * (F.col("__tc") / 100.0))
         .select("l_partkey", "part_rev")
         .orderBy(F.col("part_rev").desc(), "l_partkey")
     )
 
 
-_Q11_SQL = """
+_Q11_SQL = f"""
 WITH pp AS (
-  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_rev
+  SELECT l_partkey, round(sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS part_rev
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_rev FROM pp
-WHERE part_rev > 0.0006 * (SELECT sum(part_rev) FROM pp)
+WHERE part_rev > 0.0006 *
+      ((SELECT sum({_cents_sum_sql('part_rev')}) FROM pp) / 100.0)
 ORDER BY part_rev DESC, l_partkey
 """
 
@@ -1048,8 +1095,12 @@ def q14_promo_revenue_share(spark, sf_dir):
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    _cents_c(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                    )
+                )
+                / F.sum(_cents_c(rev)),
                 4,
             ).alias("promo_share")
         )
@@ -1057,11 +1108,13 @@ def q14_promo_revenue_share(spark, sf_dir):
     )
 
 
-_Q14_SQL = """
+_Q14_SQL = f"""
 SELECT month(l_shipdate)::INT AS l_month,
-       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+       round(100.0 * sum({_cents_sum_sql(
+           "CASE WHEN p_type = 'PROMO' "
+           "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")})
+             / sum({_cents_sum_sql(
+                 "l_extendedprice * (1 - l_discount)")}), 4) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_month
@@ -1310,14 +1363,14 @@ def sqlgen_dual_range_filter(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(_cents_c("l_quantity")) / 100.0, 2).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )
 
 
 _DUAL_SQL = """
-SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, count(*) AS n_rows, round(sum(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_qty
 FROM lineitem
 WHERE (l_quantity IS NOT NULL and l_quantity BETWEEN 10 AND 20000)
    OR (l_extendedprice IS NOT NULL and l_extendedprice BETWEEN 10 AND 20000)
@@ -1360,7 +1413,7 @@ def range_partition_union(spark, sf_dir):
     return per_key.agg(
         F.sum("__c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("__s"), 2).alias("sum_price"),
+        F.round(F.sum(_cents_c("__s")) / 100.0, 2).alias("sum_price"),
     )
 
 
@@ -1368,7 +1421,7 @@ _RANGE_UNION_SQL = """
 -- the bounds probe excludes key 0 (reference WHERE c <> 0), so rows with
 -- l_orderkey = 0 fall outside every generated bucket — by design
 SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
-       round(sum(l_extendedprice), 2) AS sum_price
+       round(sum(CASE WHEN isnan(l_extendedprice) THEN NULL WHEN (l_extendedprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_price
 FROM lineitem WHERE l_orderkey <> 0
 """
 
@@ -1396,12 +1449,12 @@ def date_range_extract_union(spark, sf_dir):
         out = out.unionByName(f)
     return out.dropDuplicates(["event_id"]).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(_cents_c("value")) / 100.0, 2).alias("sum_value"),
     )
 
 
 _DATE_RANGE_SQL = """
-SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value FROM events
+SELECT count(*) AS n_rows, round(sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_value FROM events
 """
 
 
@@ -1430,7 +1483,7 @@ def days_off_window_extract(spark, sf_dir):
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(_cents_c("value")) / 100.0, 2).alias("sum_value"),
     )
 
 
@@ -1441,7 +1494,7 @@ WITH b AS (
   SELECT date_trunc('second', max(ts)) + INTERVAL 1 SECOND AS hi FROM events
 )
 SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2) AS sum_value
+       round(sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_value
 FROM events, b
 WHERE ts IS NOT NULL AND ts BETWEEN b.hi - INTERVAL 10 DAY AND b.hi
 """
@@ -1470,14 +1523,14 @@ def sqlgen_incremental_delay_window(spark, sf_dir):
     return src.read_predicates([where]).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_custs"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(_cents_c("o_totalprice")) / 100.0, 2).alias("sum_price"),
     )
 
 
 _INCR_DELAY_SQL = """
 -- delay_window_limits("-2", now=1998-08-15) -> ['199806', '199808']
 SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs,
-       round(sum(o_totalprice), 2) AS sum_price
+       round(sum(CASE WHEN isnan(o_totalprice) THEN NULL WHEN (o_totalprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (o_totalprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_price
 FROM orders
 WHERE o_orderstatus <> 'X'
   AND CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) BETWEEN 199806 AND 199808
@@ -1503,14 +1556,14 @@ def sqlgen_bigint_dialect_range(spark, sf_dir):
     out = ev.filter(F.expr(preds[0])).unionByName(ev.filter(F.expr(preds[1])))
     return out.dropDuplicates(["event_id"]).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(_cents_c("value")) / 100.0, 2).alias("sum_value"),
     )
 
 
 _BIGINT_DIALECT_SQL = """
 -- the BIGINT dialect renders epoch-second integers; BETWEEN slice
 -- boundaries are inclusive and the mid-boundary row (if any) dedups
-SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value
+SELECT count(*) AS n_rows, round(sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_value
 FROM events
 WHERE epoch(ts) BETWEEN epoch(TIMESTAMP '2024-01-10 00:00:00')
                     AND epoch(TIMESTAMP '2024-01-20 00:00:00')
@@ -1753,8 +1806,13 @@ def transform_concat_period(spark, sf_dir):
 
 _CONCAT_PERIOD_SQL = """
 SELECT o_orderkey,
-       o_orderstatus || '|' || o_orderpriority AS full_tag,
-       o_orderstatus || '-' || o_orderpriority AS tag_ws,
+       -- Concatenate collapses NULL/blank parts to '' (reference
+       -- semantics, functions/registry.py _clean_str) — a bare || would
+       -- instead poison the whole tag to NULL
+       coalesce(trim(o_orderstatus), '') || '|'
+           || coalesce(trim(o_orderpriority), '') AS full_tag,
+       coalesce(trim(o_orderstatus), '') || '-'
+           || coalesce(trim(o_orderpriority), '') AS tag_ws,
        CASE WHEN o_orderkey % 11 = 0 THEN '190001'
             ELSE CAST(year(o_orderdate) AS VARCHAR) ||
                  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') END AS periodo
@@ -1800,7 +1858,10 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_linenumber AS INTEGER) AS qty_int,
        l_extendedprice AS price_dbl,
        (l_linenumber % 2 = 0) AS bool_col,
-       CAST(CAST(l_discount AS DECIMAL(12,4)) AS DOUBLE) AS disc_num
+       -- TRY_CAST: fn_transform_Numeric inherits Spark's non-ANSI
+       -- overflow-to-NULL; a plain CAST hard-errors in DuckDB on
+       -- out-of-range hostile values
+       CAST(TRY_CAST(l_discount AS DECIMAL(12,4)) AS DOUBLE) AS disc_num
 FROM lineitem
 """
 
@@ -1876,7 +1937,7 @@ def sink_json_gz_roundtrip(spark, sf_dir):
             # between engines, and a group total near a .005 boundary flips
             # the rounded text at the hash comparison (r2 red row).  The
             # per-value double->decimal cast is order-independent and exact.
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -1884,7 +1945,7 @@ def sink_json_gz_roundtrip(spark, sf_dir):
 
 _JSON_GZ_SQL = """
 SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1901,14 +1962,14 @@ def sink_orc_roundtrip(spark, sf_dir):
     back = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
     return back.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum(_cents_c("l_extendedprice")) / 100.0, 2).alias("sum_price"),
+        F.round(F.sum(_cents_c("l_quantity")) / 100.0 / F.count(_cents_c("l_quantity")), 4).alias("avg_qty"),
     )
 
 
 _ORC_SQL = """
-SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
-       round(avg(l_quantity), 4) AS avg_qty
+SELECT count(*) AS n, round(sum(CASE WHEN isnan(l_extendedprice) THEN NULL WHEN (l_extendedprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_price,
+       round(sum(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END) / 100.0 / count(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END), 4) AS avg_qty
 FROM lineitem WHERE l_returnflag = 'R'
 """
 
@@ -1929,16 +1990,22 @@ def stage_schema_evolution(spark, sf_dir):
     base = _tmpdir("evo")
     old_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=0"))
     new_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(base, "gen=0"), os.path.join(base, "gen=1")
-    )
+    merged = spark.read.option("mergeSchema", "true").option(
+        "basePath", base
+    ).parquet(os.path.join(base, "gen=0"), os.path.join(base, "gen=1"))
     return (
+        # the generation column (partition dir) distinguishes "column
+        # did not exist yet" from "column exists, value NULL" — a bare
+        # coalesce would wrongly fold new-generation NULLs into the
+        # pre-schema bucket
         merged.groupBy(
-            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority")
+            F.when(F.col("gen") == 1, F.col("o_orderpriority"))
+            .otherwise(F.lit("<pre-schema>"))
+            .alias("priority")
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(_cents_c("o_totalprice")) / 100.0, 2).alias("total"),
         )
         .orderBy("priority")
     )
@@ -1947,7 +2014,7 @@ def stage_schema_evolution(spark, sf_dir):
 _EVOLUTION_SQL = """
 SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN o_orderpriority
             ELSE '<pre-schema>' END AS priority,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+       count(*) AS n_orders, round(sum(CASE WHEN isnan(o_totalprice) THEN NULL WHEN (o_totalprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (o_totalprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS total
 FROM orders GROUP BY priority ORDER BY priority
 """
 
@@ -2239,7 +2306,7 @@ def events_hourly_rollup(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(_cents_c("value")) / 100.0, 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
@@ -2253,7 +2320,7 @@ def events_hourly_rollup(spark, sf_dir):
 
 _ROLLUP_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, round(sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -2482,7 +2549,8 @@ def streaming_watermarked_rollup(spark, sf_dir):
         q.stop()
     return (
         spark.read.parquet(out_dir)
-        .filter(F.col("event_type") != "__sentinel__")
+        # null-safe: a plain != would silently drop NULL event types
+        .filter(~F.col("event_type").eqNullSafe("__sentinel__"))
         .orderBy("bucket_start", "event_type")
     )
 
@@ -2566,7 +2634,7 @@ def stage_dynamic_partition_overwrite(spark, sf_dir):
         back.groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
         )
         .orderBy("day")
     )
@@ -2574,10 +2642,7 @@ def stage_dynamic_partition_overwrite(spark, sf_dir):
 
 _DYN_PART_SQL = """
 SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
-       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) =
-                               (SELECT min(CAST(ts AS DATE)) FROM events)
-                          THEN value * 2 ELSE value END
-                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(CASE WHEN CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events) THEN value * 2 ELSE value END) THEN NULL WHEN (CASE WHEN CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events) THEN value * 2 ELSE value END) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events) THEN value * 2 ELSE value END) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events) THEN value * 2 ELSE value END) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM events GROUP BY day ORDER BY day
 """
 
@@ -2723,8 +2788,7 @@ WITH toks AS (
 )
 SELECT source, count(*) AS n_tokens,
        CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       CAST(sum(CAST(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END
-                     AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS oov_rate
+       sum(CASE WHEN isnan(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END) THEN NULL WHEN (CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1.0 ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS oov_rate
 FROM toks GROUP BY source ORDER BY source
 """
 
@@ -2817,6 +2881,9 @@ WITH RECURSIVE toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
   FROM documents
+  -- zero-content docs have no shingles and join no pairs (the Spark
+  -- operators skip them; string_split of '' would fabricate [''])
+  WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
@@ -3111,7 +3178,7 @@ WITH base AS (
   FROM feat
 )
 SELECT lang_pred, count(*) AS n_docs,
-       CAST(sum(CAST(q AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_quality,
+       sum(CASE WHEN isnan(q) THEN NULL WHEN (q) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (q) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((q) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_quality,
        CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens
 FROM scored GROUP BY lang_pred ORDER BY lang_pred
 """
@@ -3137,6 +3204,9 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
   FROM documents
+  -- zero-content docs have no shingles and join no pairs (the Spark
+  -- operators skip them; string_split of '' would fabricate [''])
+  WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
          unnest(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)])) AS gram
@@ -3365,11 +3435,13 @@ FROM embeddings
 
 _BPE_ENCODE_SQL = """
 SELECT source, count(*) AS n_docs,
-       CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END)
+       CAST(sum(len(string_split_regex(trim(text), '\\s+')))
             AS BIGINT) AS n_ws_tokens,
        TRUE AS bpe_ge_words, TRUE AS segments_reconstruct
 FROM documents
+-- zero-content docs have no words and no BPE segmentation; the encoder
+-- emits no row for them, so the per-source counts exclude them too
+WHERE trim(text) <> ''
 GROUP BY source
 ORDER BY source
 """
@@ -3389,7 +3461,7 @@ def events_rolling_window(spark, sf_dir):
         .rangeBetween(-seven_days_us, 0)
     )
     rolled = ev.select(
-        "user_id", F.round(F.sum("value").over(w), 2).alias("roll7")
+        "user_id", F.round(F.sum(_cents_c("value")).over(w) / 100.0, 2).alias("roll7")
     )
     return (
         rolled.groupBy("user_id")
@@ -3401,10 +3473,10 @@ def events_rolling_window(spark, sf_dir):
 _ROLLING_SQL = """
 WITH rolled AS (
   SELECT user_id,
-         round(sum(value) OVER (
+         round(sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) OVER (
            PARTITION BY user_id ORDER BY ts
            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-         ), 2) AS roll7
+         ) / 100.0, 2) AS roll7
   FROM events WHERE event_type = 'purchase'
 )
 SELECT user_id, max(roll7) AS peak_roll7, count(*) AS n_purchases
@@ -3425,7 +3497,7 @@ def events_grouping_sets(spark, sf_dir):
                coalesce(CAST(day AS STRING), '<all>') AS day,
                grouping_id() AS gid,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
         FROM __ev_gs
         GROUP BY GROUPING SETS ((event_type), (day), ())
         ORDER BY gid, event_type, day
@@ -3439,7 +3511,7 @@ SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
        grouping(event_type, CAST(ts AS DATE)) AS gid,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 ORDER BY gid, event_type, day
@@ -3494,7 +3566,7 @@ def orders_priority_rollup(spark, sf_dir):
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(_cents_c("o_totalprice")) / 100.0, 2).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
@@ -3512,7 +3584,7 @@ SELECT coalesce(o_orderstatus, '<all>') AS status,
        coalesce(o_orderpriority, '<all>') AS priority,
        grouping(o_orderstatus, o_orderpriority) AS gid,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       round(sum(CASE WHEN isnan(o_totalprice) THEN NULL WHEN (o_totalprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (o_totalprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY gid, status, priority
@@ -3528,18 +3600,18 @@ def events_pivot_by_type(spark, sf_dir):
     return (
         ev.groupBy("user_id")
         .pivot("event_type", kinds)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.round(F.sum(_cents_c("value")) / 100.0, 2))
         .orderBy("user_id")
     )
 
 
 _PIVOT_SQL = """
 SELECT user_id,
-       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+       round(sum(CASE WHEN isnan(CASE WHEN event_type = 'click' THEN value END) THEN NULL WHEN (CASE WHEN event_type = 'click' THEN value END) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN event_type = 'click' THEN value END) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN event_type = 'click' THEN value END) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS click,
+       round(sum(CASE WHEN isnan(CASE WHEN event_type = 'error' THEN value END) THEN NULL WHEN (CASE WHEN event_type = 'error' THEN value END) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN event_type = 'error' THEN value END) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN event_type = 'error' THEN value END) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS error,
+       round(sum(CASE WHEN isnan(CASE WHEN event_type = 'purchase' THEN value END) THEN NULL WHEN (CASE WHEN event_type = 'purchase' THEN value END) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN event_type = 'purchase' THEN value END) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN event_type = 'purchase' THEN value END) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS purchase,
+       round(sum(CASE WHEN isnan(CASE WHEN event_type = 'signup' THEN value END) THEN NULL WHEN (CASE WHEN event_type = 'signup' THEN value END) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN event_type = 'signup' THEN value END) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN event_type = 'signup' THEN value END) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS signup,
+       round(sum(CASE WHEN isnan(CASE WHEN event_type = 'view' THEN value END) THEN NULL WHEN (CASE WHEN event_type = 'view' THEN value END) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN event_type = 'view' THEN value END) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN event_type = 'view' THEN value END) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS view
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -3648,9 +3720,16 @@ def events_value_quantiles(spark, sf_dir):
     four cut points from ONE percentile pass per group. At 100 TB you'd
     flip the same query to ``approx_percentile`` (t-digest, mergeable,
     bounded memory); the exact form is the oracle-checkable baseline."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # rank + interpolate over the integer cents canon: identical
+        # candidate values in both engines, and the linear interpolation
+        # between two integers is the same one-op IEEE arithmetic
+        # everywhere (raw-double quantiles diverge on NaN placement and
+        # interpolation ulps)
+        "__vc", _cents_c("value")
+    )
     qs = F.percentile(
-        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+        "__vc", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
     )
     return (
         ev.groupBy("event_type")
@@ -3658,22 +3737,25 @@ def events_value_quantiles(spark, sf_dir):
         .select(
             "event_type",
             "n",
-            F.round(F.col("__qs")[0], 4).alias("p25"),
-            F.round(F.col("__qs")[1], 4).alias("p50"),
-            F.round(F.col("__qs")[2], 4).alias("p75"),
-            F.round(F.col("__qs")[3], 4).alias("p95"),
+            F.round(F.col("__qs")[0] / 100.0, 4).alias("p25"),
+            F.round(F.col("__qs")[1] / 100.0, 4).alias("p50"),
+            F.round(F.col("__qs")[2] / 100.0, 4).alias("p75"),
+            F.round(F.col("__qs")[3] / 100.0, 4).alias("p95"),
         )
         .orderBy("event_type")
     )
 
 
-_QUANTILES_SQL = """
+_QUANTILES_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_cents_sum_sql('value')} AS vc FROM events
+)
 SELECT event_type, count(*) AS n,
-       round(quantile_cont(value, 0.25), 4) AS p25,
-       round(quantile_cont(value, 0.50), 4) AS p50,
-       round(quantile_cont(value, 0.75), 4) AS p75,
-       round(quantile_cont(value, 0.95), 4) AS p95
-FROM events GROUP BY event_type ORDER BY event_type
+       round(quantile_cont(vc, 0.25) / 100.0, 4) AS p25,
+       round(quantile_cont(vc, 0.50) / 100.0, 4) AS p50,
+       round(quantile_cont(vc, 0.75) / 100.0, 4) AS p75,
+       round(quantile_cont(vc, 0.95) / 100.0, 4) AS p95
+FROM ev GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -3702,7 +3784,7 @@ def interval_join_clicks_before_purchase(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("c_id").alias("n_clicks"),
-            F.round(F.sum("c_value"), 2).alias("clicked_value"),
+            F.round(F.sum(_cents_c("c_value")) / 100.0, 2).alias("clicked_value"),
         )
         .orderBy("user_id")
     )
@@ -3710,7 +3792,7 @@ def interval_join_clicks_before_purchase(spark, sf_dir):
 
 _INTERVAL_JOIN_SQL = """
 SELECT user_id, count(*) AS n_pairs, count(DISTINCT c_id) AS n_clicks,
-       round(sum(c_value), 2) AS clicked_value
+       round(sum(CASE WHEN isnan(c_value) THEN NULL WHEN (c_value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (c_value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((c_value) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS clicked_value
 FROM (SELECT user_id, ts AS p_ts, event_id AS p_id
       FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT user_id, ts AS c_ts, event_id AS c_id, value AS c_value
@@ -3742,7 +3824,7 @@ def skew_salted_join_segment(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
         )
         .orderBy("segment")
     )
@@ -3751,7 +3833,7 @@ def skew_salted_join_segment(spark, sf_dir):
 _SALTED_JOIN_SQL = """
 SELECT c.c_mktsegment AS segment, count(*) AS n_events,
        count(DISTINCT e.user_id) AS n_users,
-       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(e.value) THEN NULL WHEN (e.value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (e.value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((e.value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -3844,7 +3926,7 @@ def stage_compaction_roundtrip(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(_cents_c("o_totalprice")) / 100.0, 2).alias("sum_price"),
         )
         .withColumn("n_files", F.lit(n_files))
         .orderBy("o_orderstatus")
@@ -3853,7 +3935,7 @@ def stage_compaction_roundtrip(spark, sf_dir):
 
 _COMPACTION_SQL = """
 SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price,
+       round(sum(CASE WHEN isnan(o_totalprice) THEN NULL WHEN (o_totalprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (o_totalprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_price,
        4 AS n_files
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
@@ -3876,7 +3958,7 @@ def stage_catalog_sql_read(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT c_mktsegment AS segment, count(*) AS n_customers,
-               round(sum(c_acctbal), 2) AS sum_acctbal
+               round(sum(CASE WHEN isnan(c_acctbal) THEN NULL WHEN (c_acctbal) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (c_acctbal) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_acctbal
         FROM {name} GROUP BY c_mktsegment ORDER BY c_mktsegment
         """
     )
@@ -3884,7 +3966,7 @@ def stage_catalog_sql_read(spark, sf_dir):
 
 _CATALOG_SQL = """
 SELECT c_mktsegment AS segment, count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS sum_acctbal
+       round(sum(CASE WHEN isnan(c_acctbal) THEN NULL WHEN (c_acctbal) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (c_acctbal) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_acctbal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
@@ -3911,7 +3993,7 @@ def stage_retention_prune(spark, sf_dir):
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
         )
         .orderBy("day")
     )
@@ -3920,7 +4002,7 @@ def stage_retention_prune(spark, sf_dir):
 _RETENTION_PRUNE_SQL = """
 WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
 SELECT day, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM e WHERE day >= DATE '2024-01-10'
 GROUP BY day ORDER BY day
 """
@@ -3952,7 +4034,7 @@ def stage_dpp_pruned_join(spark, sf_dir):
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
         )
         .orderBy("day")
     )
@@ -3961,7 +4043,7 @@ def stage_dpp_pruned_join(spark, sf_dir):
 _DPP_SQL = """
 WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
 SELECT day, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM e WHERE isodow(day) = 1
 GROUP BY day ORDER BY day
 """
@@ -3996,7 +4078,7 @@ def streaming_interval_join(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("r_id").alias("n_clicks"),
-            F.round(F.sum("r_value"), 2).alias("clicked_value"),
+            F.round(F.sum(_cents_c("r_value")) / 100.0, 2).alias("clicked_value"),
         )
         .orderBy("user_id")
     )
@@ -4021,9 +4103,18 @@ def streaming_topk_state(spark, sf_dir):
         if _tws_runtime_available()
         else run_streaming_topk_applyinpandas
     )
-    ev = _t(spark, sf_dir, "events")
+    # value rides as its EXACT integer cents (held in the double slot so
+    # the stream schema is unchanged): the fold's membership, ties, and
+    # 3-value sum are then identical in the processor (numpy), Spark and
+    # DuckDB; NULL/NaN purchases are excluded on both sides up front —
+    # numpy would otherwise re-introduce NaN ordering skew in the state
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", _cents_c("value").cast("double")
+    ).filter(~(F.col("event_type") == "purchase") | F.col("value").isNotNull())
     work = _tmpdir("topk")
-    src_glob = _stage_event_drops(spark, sf_dir, work)
+    src_glob = _stage_event_drops(
+        spark, sf_dir, work, df=ev, cache_tag="events_cents"
+    )
     out_dir = os.path.join(work, "totals")
 
     def _append(batch_df, batch_id):
@@ -4048,18 +4139,28 @@ def streaming_topk_state(spark, sf_dir):
         spark.read.parquet(out_dir)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("user_id", "topk_sum", "n_topk")
+        .select(
+            "user_id",
+            # state summed exact integer cents; back to value units here
+            F.round(F.col("topk_sum") / 100.0, 2).alias("topk_sum"),
+            "n_topk",
+        )
         .orderBy("user_id")
     )
 
 
-_TOPK_SQL = """
+_TOPK_SQL = f"""
 WITH p AS (
-  SELECT user_id, value, event_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-  FROM events WHERE event_type = 'purchase'
+  SELECT user_id, {_cents_sum_sql('value')} AS vc, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY {_cents_sum_sql('value')} DESC, event_id)
+             AS rn
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND NOT isnan(value)
 )
-SELECT user_id, round(sum(value), 2) AS topk_sum, count(*)::INT AS n_topk
+SELECT user_id, round(sum(vc) / 100.0, 2) AS topk_sum,
+       count(*)::INT AS n_topk
 FROM p WHERE rn <= 3 GROUP BY user_id ORDER BY user_id
 """
 
@@ -4097,7 +4198,7 @@ def streaming_dedup_events(spark, sf_dir):
     return spark.read.parquet(out_dir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(_cents_c("value")) / 100.0, 2).alias("sum_value"),
     )
 
 
@@ -4105,7 +4206,7 @@ _STREAM_DEDUP_SQL = """
 -- the 20% re-delivered duplicates must all be dropped: the drained
 -- stream equals the plain duplicate-free aggregate
 SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0, 2) AS sum_value
 FROM events
 """
 
@@ -4388,8 +4489,7 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(too_short) AS BIGINT) AS n_too_short,
        CAST(sum(bad_wordlen) AS BIGINT) AS n_bad_wordlen,
        CAST(sum(low_stopword) AS BIGINT) AS n_low_stopword,
-       CAST(sum(CAST(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0
-                          THEN 1.0 ELSE 0.0 END AS DECIMAL(18,9))) AS DOUBLE)
+       sum(CASE WHEN isnan(CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0 THEN 1.0 ELSE 0.0 END) THEN NULL WHEN (CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0 THEN 1.0 ELSE 0.0 END) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0 THEN 1.0 ELSE 0.0 END) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CASE WHEN too_short = 0 AND bad_wordlen = 0 AND low_stopword = 0 THEN 1.0 ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0
            / count(*) AS pass_rate
 FROM flags GROUP BY source ORDER BY source
 """
@@ -4433,7 +4533,7 @@ WITH toks AS (
   FROM grams
 )
 SELECT source, count(*) AS n_docs,
-       CAST(sum(CAST(r AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_rep,
+       sum(CASE WHEN isnan(r) THEN NULL WHEN (r) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (r) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((r) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_rep,
        max(r) AS max_rep,
        CAST(sum(CASE WHEN r > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
 FROM rep GROUP BY source ORDER BY source
@@ -4512,7 +4612,7 @@ WITH bucketed AS (
 SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
        CAST(sum(n_hits) AS BIGINT) AS total_hits,
-       CAST(sum(CAST(contamination AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_contamination
+       sum(CASE WHEN isnan(contamination) THEN NULL WHEN (contamination) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (contamination) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((contamination) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_contamination
 FROM scored GROUP BY source ORDER BY source
 """
 
@@ -5090,6 +5190,179 @@ SELECT CAST((SELECT count(*) FROM req) AS BIGINT) AS n_requested,
 """
 
 
+def forget_everywhere(spark, sf_dir):
+    """The takedown loop closed across EVERY derived artifact a
+    steady-state training-data pipeline persists between crawls: the
+    corpus itself, the minhash signature + LSH band indexes, the
+    boilerplate frequency index, the packed training sequences, and the
+    managed (bloom-indexed) shard table. One forgotten-id set — the
+    requested ids plus every exact duplicate of their content
+    (operators/dedup.forget_exact_content) — propagates to all of them:
+
+    - near-dup indexes purge by broadcast anti-join (row-per-doc grain);
+    - the boilerplate index RETRACTS the forgotten batch by negative
+      delta (operators/dedup.forget_boilerplate_index) — kept text is
+      never re-read; the contract proves retract == rebuild exactly;
+    - packs rebuild from the kept corpus, and the locality contract
+      proves the rebuild changed ONLY the pack groups that held a
+      forgotten doc (at 100 TB you repack those groups alone);
+    - the shard table deletes through the CDC path, bloom-BOUNDED to
+      candidate files, and the post-delete lookup reads zero rows.
+
+    Contract arms (retract-vs-rebuild, pack locality) honor
+    SPARK_GRAFT_SKIP_CONTRACTS with the -1 sentinel."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        boilerplate_index,
+        forget_boilerplate_index,
+        forget_exact_content,
+        minhash_band_table,
+        minhash_signature_table,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import release_scratch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "text",
+        token_count_ws(F.col("text")).alias("n_tok"),
+    )
+    # the persisted artifacts
+    sigs = scratch_persist(minhash_signature_table(docs))
+    bands = minhash_band_table(sigs)
+    bp_freq, bp_gdocs = boilerplate_index(docs)
+    bp_freq = scratch_persist(bp_freq)
+    bp_gdocs = scratch_persist(bp_gdocs)
+    packed = scratch_persist(
+        pack_documents(toks, token_budget=256, tokens_col="n_tok")
+    )
+    work = _tmpdir("feverywhere")
+    st = StageTable(
+        spark, os.path.join(work, "shards"), fmt="parquet",
+        bloom_index_keys=["doc_id"],
+    )
+    st.overwrite(docs.repartition(16, "doc_id"))
+    n_shard_files = sum(
+        1
+        for _r, _d, fs in os.walk(os.path.join(work, "shards"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    forget_req = docs.orderBy("doc_id").limit(5).select("doc_id")
+    kept, forgotten = forget_exact_content(docs, forget_req)
+    kept = scratch_persist(kept)
+    forgotten = scratch_persist(forgotten)
+    n_requested = forget_req.count()
+    n_forgotten = forgotten.count()
+    n_kept = kept.count()
+
+    # near-dup artifacts: broadcast anti-join purge, row-per-doc grain
+    n_sig_after = sigs.join(forgotten, "doc_id", "left_anti").count()
+    n_band_docs_after = (
+        bands.join(forgotten, "doc_id", "left_anti")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+
+    # boilerplate index: negative-delta retract (+contract vs rebuild)
+    f_docs = docs.join(forgotten, "doc_id")
+    freq2, gdocs2 = forget_boilerplate_index(bp_freq, bp_gdocs, f_docs)
+    if _skip_contracts():
+        bp_retract_diff = -1
+    else:
+        rb_freq, rb_gdocs = boilerplate_index(kept)
+        bp_retract_diff = (
+            freq2.exceptAll(rb_freq).count()
+            + rb_freq.exceptAll(freq2).count()
+            + gdocs2.exceptAll(rb_gdocs).count()
+            + rb_gdocs.exceptAll(gdocs2).count()
+        )
+
+    # packs: rebuild from kept; contract = untouched groups unchanged
+    if _skip_contracts():
+        pack_nonlocal_diff = -1
+    else:
+        kept_toks = toks.join(forgotten, "doc_id", "left_anti")
+        packed2 = pack_documents(
+            kept_toks, token_budget=256, tokens_col="n_tok"
+        )
+        grp = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64))
+        affected = (
+            packed.join(forgotten, "doc_id")
+            .select(grp.alias("__g"))
+            .distinct()
+        )
+        old_a = (
+            packed.withColumn("__g", grp)
+            .join(F.broadcast(affected), "__g", "left_anti")
+            .select("doc_id", "pack_id", "pack_pos")
+        )
+        new_a = (
+            packed2.withColumn("__g", grp)
+            .join(F.broadcast(affected), "__g", "left_anti")
+            .select("doc_id", "pack_id", "pack_pos")
+        )
+        pack_nonlocal_diff = (
+            old_a.exceptAll(new_a).count() + new_a.exceptAll(old_a).count()
+        )
+
+    # shard table: CDC delete, bloom-bounded; lookup must read nothing
+    feed = (
+        docs.join(forgotten, "doc_id")
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1))
+    )
+    n_rewritten = st.apply_change_feed(feed, ["doc_id"], seq_column="seq")
+    rows, _scanned, _total = st.lookup(forget_req, "doc_id")
+    n_shard_readable = rows.count()
+    shard_delete_bounded = int(0 <= n_rewritten < n_shard_files)
+    release_scratch()
+    return spark.createDataFrame(
+        [
+            (
+                n_requested,
+                n_forgotten,
+                n_kept,
+                n_sig_after,
+                n_band_docs_after,
+                bp_retract_diff,
+                pack_nonlocal_diff,
+                n_shard_readable,
+                shard_delete_bounded,
+            )
+        ],
+        "n_requested long, n_rows_forgotten long, n_rows_kept long, "
+        "n_sig_rows_after long, n_band_docs_after long, "
+        "bp_retract_diff long, pack_nonlocal_diff long, "
+        "n_shard_rows_readable long, shard_delete_bounded int",
+    )
+
+
+_FORGET_EVERYWHERE_SQL = """
+WITH req AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5
+), del_fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM req)
+), tagged AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), kept AS (
+  SELECT count(*) AS n FROM tagged WHERE fp NOT IN (SELECT fp FROM del_fp)
+)
+SELECT CAST((SELECT count(*) FROM req) AS BIGINT) AS n_requested,
+       CAST((SELECT count(*) FROM tagged WHERE fp IN (SELECT fp FROM del_fp))
+            AS BIGINT) AS n_rows_forgotten,
+       CAST((SELECT n FROM kept) AS BIGINT) AS n_rows_kept,
+       CAST((SELECT n FROM kept) AS BIGINT) AS n_sig_rows_after,
+       CAST((SELECT n FROM kept) AS BIGINT) AS n_band_docs_after,
+       CAST(0 AS BIGINT) AS bp_retract_diff,
+       CAST(0 AS BIGINT) AS pack_nonlocal_diff,
+       CAST(0 AS BIGINT) AS n_shard_rows_readable,
+       1 AS shard_delete_bounded
+"""
+
+
 def incremental_boilerplate_strip(spark, sf_dir):
     """Boilerplate stripping in STEADY-STATE mode (operators/dedup.py
     boilerplate_index / merge_boilerplate_index /
@@ -5312,6 +5585,9 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
   FROM documents
+  -- zero-content docs have no shingles and join no pairs (the Spark
+  -- operators skip them; string_split of '' would fabricate [''])
+  WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
@@ -5387,6 +5663,9 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
   FROM documents
+  -- zero-content docs have no shingles and join no pairs (the Spark
+  -- operators skip them; string_split of '' would fabricate [''])
+  WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
@@ -5467,7 +5746,7 @@ def embedding_label_stats(spark, sf_dir):
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("l2"), 6).alias("avg_l2_norm"),
+            F.round(F.sum(_cents_c("l2")) / 100.0 / F.count(_cents_c("l2")), 6).alias("avg_l2_norm"),
         )
         .orderBy("label")
     )
@@ -5475,7 +5754,7 @@ def embedding_label_stats(spark, sf_dir):
 
 _EMB_LABEL_SQL = """
 SELECT label, count(*) AS n_vectors,
-       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6)
+       round(sum(CASE WHEN isnan(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) THEN NULL WHEN (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 100 + 0.5) AS BIGINT) END) / 100.0 / count(CASE WHEN isnan(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) THEN NULL WHEN (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 100 + 0.5) AS BIGINT) END), 6)
            AS avg_l2_norm
 FROM embeddings GROUP BY label ORDER BY label
 """
@@ -5811,7 +6090,7 @@ WITH toks AS (
 )
 SELECT doc_id, (chunk_start // 48)::INT AS chunk_id,
        least(64, n - chunk_start)::INT AS n_chunk_tokens,
-       md5(array_to_string(tk[chunk_start + 1 : chunk_start + 64], ' ')) AS chunk_hash
+       md5(coalesce(array_to_string(tk[chunk_start + 1 : chunk_start + 64], ' '), '')) AS chunk_hash
 FROM st ORDER BY doc_id, chunk_id
 """
 
@@ -5819,21 +6098,25 @@ FROM st ORDER BY doc_id, chunk_id
 def profile_events_table(spark, sf_dir):
     """Exact per-column profile of the landed events table (null rate,
     cardinality, min/max) — the post-landing data-quality probe
-    (operators/profile.py). ``value`` is profiled as decimal(9,2) so
-    the string rendering is format-stable across engines."""
+    (operators/profile.py). ``value`` is profiled as its fixed-point
+    cents canon (functions/stable.py) — a decimal cast would overflow
+    on hostile magnitudes where the canon saturates, and its rendering
+    is engine-stable by construction."""
     from cdk_datalake_ingest_upeu_spark.operators.profile import profile_table
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(9,2)")
-    )
+    ev = _t(spark, sf_dir, "events").withColumn("value", _cents_c("value"))
     return profile_table(
         ev, ["event_id", "ts", "user_id", "event_type", "value"]
     ).orderBy("column_name")
 
 
-_PROFILE_SQL = """
+_PROFILE_SQL = f"""
 WITH ev AS (
-  SELECT event_id, ts, user_id, event_type, value::DECIMAL(9,2) AS value
+  -- make_timestamp(epoch_us(...)) pins ts text to UTC-naive micros no
+  -- matter whether the drop landed naive or UTC-adjusted (Spark's _t
+  -- does the same normalization on its side)
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type,
+         {_cents_sum_sql('value')} AS value
   FROM events
 )
 SELECT 'event_id' AS column_name, count(*) AS n_rows,
@@ -5872,9 +6155,7 @@ def profile_drift_generations(spark, sf_dir):
         profile_table,
     )
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(9,2)")
-    )
+    ev = _t(spark, sf_dir, "events").withColumn("value", _cents_c("value"))
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     old = profile_table(ev.filter(F.col("event_id") % 2 == 0), cols)
     new = profile_table(ev.filter(F.col("event_id") % 2 == 1), cols)
@@ -5897,7 +6178,11 @@ def _profile_half_sql(half: str, pred: str) -> str:
 
 _PROFILE_DRIFT_SQL = f"""
 WITH ev AS (
-  SELECT event_id, ts, user_id, event_type, value::DECIMAL(9,2) AS value
+  -- make_timestamp(epoch_us(...)) pins ts text to UTC-naive micros no
+  -- matter whether the drop landed naive or UTC-adjusted (Spark's _t
+  -- does the same normalization on its side)
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type,
+         {_cents_sum_sql('value')} AS value
   FROM events
 ),
 {_profile_half_sql("po", "event_id % 2 = 0")},
@@ -5941,17 +6226,20 @@ def sketch_weekly_rollup(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact_distinct")
     )
     joined = weekly.join(exact, "week")
+    # KLL (DataSketches) skips NULL/NaN updates, so the realized-rank
+    # check must use the same population: finite values only
+    finite = F.col("value").isNotNull() & ~F.isnan("value")
     rank = (
         ev_week.join(F.broadcast(joined.select("week", "p50", "p95")), "week")
         .groupBy("week")
         .agg(
             (
-                F.sum((F.col("value") <= F.col("p50")).cast("long"))
-                / F.count(F.lit(1))
+                F.sum((finite & (F.col("value") <= F.col("p50"))).cast("long"))
+                / F.sum(finite.cast("long"))
             ).alias("r50"),
             (
-                F.sum((F.col("value") <= F.col("p95")).cast("long"))
-                / F.count(F.lit(1))
+                F.sum((finite & (F.col("value") <= F.col("p95"))).cast("long"))
+                / F.sum(finite.cast("long"))
             ).alias("r95"),
         )
     )
@@ -6000,7 +6288,7 @@ def events_json_props(spark, sf_dir):
         parsed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("p.k"), 4).alias("avg_k"),
+            F.round(F.sum(_cents_c("p.k")) / 100.0 / F.count(_cents_c("p.k")), 4).alias("avg_k"),
             F.min("p.k").alias("min_k"),
             F.max("p.k").alias("max_k"),
             F.sum(F.col("p.k").isNull().cast("long")).alias("n_null_k"),
@@ -6011,7 +6299,7 @@ def events_json_props(spark, sf_dir):
 
 _JSON_PROPS_SQL = """
 SELECT event_type, count(*) AS n_events,
-       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+       round(sum(CASE WHEN isnan(CAST(props->>'k' AS INT)) THEN NULL WHEN (CAST(props->>'k' AS INT)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CAST(props->>'k' AS INT)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CAST(props->>'k' AS INT)) * 100 + 0.5) AS BIGINT) END) / 100.0 / count(CASE WHEN isnan(CAST(props->>'k' AS INT)) THEN NULL WHEN (CAST(props->>'k' AS INT)) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (CAST(props->>'k' AS INT)) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((CAST(props->>'k' AS INT)) * 100 + 0.5) AS BIGINT) END), 4) AS avg_k,
        min(CAST(props->>'k' AS INT)) AS min_k,
        max(CAST(props->>'k' AS INT)) AS max_k,
        CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
@@ -6034,7 +6322,7 @@ def events_session_window(spark, sf_dir):
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -6063,7 +6351,7 @@ WITH e AS (
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
@@ -6107,8 +6395,7 @@ def bucketed_join_segment_revenue(spark, sf_dir):
             j.groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
+                (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0)
                 .alias("revenue"),
             )
             .orderBy("c_mktsegment")
@@ -6120,7 +6407,7 @@ def bucketed_join_segment_revenue(spark, sf_dir):
 
 _BUCKETED_JOIN_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       sum(CASE WHEN isnan(o_totalprice) THEN NULL WHEN (o_totalprice) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (o_totalprice) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) END) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -6453,14 +6740,14 @@ def stage_zorder_pruned_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("min_event"),
         F.max("event_id").alias("max_event"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("sum_value"),
     )
 
 
 _ZORDER_SQL = """
 SELECT count(*) AS n_events, min(event_id) AS min_event,
        max(event_id) AS max_event,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM events
 WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 60.0
 """
@@ -6537,6 +6824,9 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
   FROM documents
+  -- zero-content docs have no shingles and join no pairs (the Spark
+  -- operators skip them; string_split of '' would fabricate [''])
+  WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
@@ -6583,7 +6873,7 @@ def corpus_mixture_sample(spark, sf_dir):
     tot = weighted.agg(
         # decimal-stable: the 5-double sum order must not flip frac's
         # 4th digit between engines (same convention as _stable_rate)
-        F.sum(F.col("w").cast("decimal(18,9)")).cast("double").alias("w_tot"),
+        (F.sum(_fp_c(F.col("w"), 1000000000)) / 1000000000.0).alias("w_tot"),
         F.sum("src_tokens").alias("tok_tot"),
     )
     frac = (
@@ -6627,7 +6917,7 @@ WITH toks AS (
 ), w AS (
   SELECT source, src_tokens, pow(src_tokens * 1.0, 0.5) AS w FROM per_src
 ), tot AS (
-  SELECT CAST(sum(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS w_tot,
+  SELECT sum(CASE WHEN isnan(w) THEN NULL WHEN (w) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (w) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((w) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 AS w_tot,
          sum(src_tokens) AS tok_tot FROM w
 ), frac AS (
   SELECT source,
@@ -6700,7 +6990,7 @@ WITH base AS (
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_score
+       sum(CASE WHEN isnan(score) THEN NULL WHEN (score) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (score) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((score) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_score
 FROM scored GROUP BY source ORDER BY source
 """
 
@@ -6742,8 +7032,8 @@ WITH q AS (
   FROM err
 )
 SELECT label, count(*) AS n_vecs,
-       CAST(sum(CAST(round(scale, 6) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_scale,
-       CAST(sum(CAST(round(rmse, 6) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_rmse,
+       sum(CASE WHEN isnan(round(scale, 6)) THEN NULL WHEN (round(scale, 6)) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (round(scale, 6)) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((round(scale, 6)) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_scale,
+       sum(CASE WHEN isnan(round(rmse, 6)) THEN NULL WHEN (round(rmse, 6)) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (round(rmse, 6)) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((round(rmse, 6)) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_rmse,
        round(max(max_err), 6) AS worst_abs_err
 FROM stats GROUP BY label ORDER BY label
 """
@@ -6960,11 +7250,11 @@ def events_gapfill_hourly(spark, sf_dir):
     )
 
 
-_GAPFILL_SQL = """
+_GAPFILL_SQL = f"""
 WITH hourly AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
          count(*) AS n_events,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         CAST(sum({_cents_sql('value')}) AS BIGINT)
              AS sum_value_cents
   FROM events GROUP BY 1, 2
 ), b AS (
@@ -7080,12 +7370,12 @@ def incremental_rollup_maintenance(spark, sf_dir):
     return stored.orderBy("day", "event_type")
 
 
-_INCR_ROLLUP_SQL = """
+_INCR_ROLLUP_SQL = f"""
 SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_rows,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum({_cents_sql('value')}) AS BIGINT)
            AS sum_value_cents,
-       min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_value_cents,
-       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_value_cents
+       min({_cents_sql('value')}) AS min_value_cents,
+       max({_cents_sql('value')}) AS max_value_cents
 FROM events GROUP BY day, event_type ORDER BY day, event_type
 """
 
@@ -7437,11 +7727,18 @@ def events_value_histogram(spark, sf_dir):
     data-profiling primitive behind drift monitors and equi-width
     sketches): bin = clamp(floor(value/50), 0..9). The bin expression
     is scan-side codegen; the only shuffle carries (bin, partial count)
-    pairs — 10 rows per partition regardless of corpus size."""
+    pairs — 10 rows per partition regardless of corpus size. NaN is
+    binned as NULL explicitly: engines disagree on NaN inside
+    least/greatest (Spark's floor->long drops it to the 0-clamp, DuckDB
+    propagates it into the 9-clamp), so the guard is the only portable
+    reading."""
     ev = _t(spark, sf_dir, "events")
-    bin_col = F.least(
-        F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)), F.lit(9)
-    ).cast("int")
+    bin_col = F.when(F.isnan("value"), F.lit(None).cast("int")).otherwise(
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)),
+            F.lit(9),
+        ).cast("int")
+    )
     return (
         ev.select(bin_col.alias("bin"))
         .groupBy("bin")
@@ -7462,7 +7759,9 @@ SELECT bin, count(*) AS n_events,
        CAST(bin * 50 AS INT) AS lo,
        CAST(CASE WHEN bin = 9 THEN NULL ELSE bin * 50 + 50 END AS INT) AS hi
 FROM (
-  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin
+  SELECT CASE WHEN isnan(value) THEN NULL
+              ELSE CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT)
+         END AS bin
   FROM events
 )
 GROUP BY bin ORDER BY bin
@@ -7777,18 +8076,12 @@ def bloom_semi_join_lineitems(spark, sf_dir):
         kept.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(_fp_c(F.col("l_quantity"), 100)) / 100.0)
             .alias("total_qty"),
             # the 2dp x 2dp product is an exact 4dp decimal, so the
             # (18,4) cast is lossless and the sum order-independent —
             # raw-double round(sum(),2) is the r3 text-flip class
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            )
-            .cast("double")
+            (F.sum(_fp_c((F.col("l_extendedprice") * (1 - F.col("l_discount"))), 10000)) / 10000.0)
             .alias("revenue"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -7797,9 +8090,8 @@ def bloom_semi_join_lineitems(spark, sf_dir):
 
 _BLOOM_SEMI_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-            AS DOUBLE) AS revenue
+       sum(CASE WHEN isnan(l_quantity) THEN NULL WHEN (l_quantity) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_quantity) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT) END) / 100.0 AS total_qty,
+       sum(CASE WHEN isnan(l_extendedprice * (1 - l_discount)) THEN NULL WHEN (l_extendedprice * (1 - l_discount)) * 10000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (l_extendedprice * (1 - l_discount)) * 10000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT) END) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_orderkey IN (
     SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -7857,7 +8149,10 @@ def cms_event_type_totals(spark, sf_dir):
         cms_estimate,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # the point-frequency question is asked of real keys; NULL is not a
+    # key (both engines exclude it, and the python sort below needs a
+    # total order)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     daily = cms_daily(ev, "event_type", "ts", eps=0.0001)
     exact_rows = sorted(
         ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect(),
@@ -7885,6 +8180,7 @@ _CMS_TOTALS_SQL = """
 SELECT event_type, count(*) AS n_exact,
        TRUE AS cms_ge_exact, TRUE AS cms_within_eps
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -7912,6 +8208,9 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tk
   FROM documents
+  -- zero-content docs have no shingles and join no pairs (the Spark
+  -- operators skip them; string_split of '' would fabricate [''])
+  WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
@@ -8009,7 +8308,7 @@ def streaming_bloom_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+        (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias(
             "sum_value"
         ),
     )
@@ -8020,7 +8319,7 @@ _STREAM_BLOOM_DEDUP_SQL = """
 -- drained epoch outputs equal the duplicate-free batch aggregate
 -- (a Bloom false positive would show up here as a lost novel key)
 SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value
 FROM events
 """
 
@@ -8055,7 +8354,7 @@ def stage_bloom_pruned_lookup(spark, sf_dir):
     rows, scanned, total = bloom_pruned_read(spark, index, keys, "event_id")
     return rows.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+        (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias(
             "sum_value"
         ),
     ).select(
@@ -8068,7 +8367,7 @@ def stage_bloom_pruned_lookup(spark, sf_dir):
 
 _BLOOM_PRUNED_SQL = """
 SELECT count(*) AS n_rows,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value,
        TRUE AS pruned, TRUE AS files_opened
 FROM events
 WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 5)
@@ -8105,7 +8404,7 @@ def stage_bloom_indexed_write_lookup(spark, sf_dir):
     rows, scanned, total = st.lookup(keys, "event_id")
     return rows.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+        (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias(
             "sum_value"
         ),
     ).select(
@@ -8123,7 +8422,7 @@ WITH gen2 AS (
   FROM events
 )
 SELECT count(*) AS n_rows,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       sum(CASE WHEN isnan(value) THEN NULL WHEN (value) * 100 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (value) * 100 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((value) * 100 + 0.5) AS BIGINT) END) / 100.0 AS sum_value,
        TRUE AS pruned, TRUE AS files_opened
 FROM gen2
 WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 5)
@@ -8389,6 +8688,9 @@ QUERIES = {
     "incremental_boilerplate_strip": incremental_boilerplate_strip,
     "export_length_bucketed_shards": export_length_bucketed_shards,
     "stage_forget_roundtrip": stage_forget_roundtrip,
+    # --- r6-new: governance across all derived artifacts (leads the r7
+    # window rotation with this round's local-sweep evidence) ---
+    "forget_everywhere": forget_everywhere,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -8689,6 +8991,7 @@ ORACLES = {
     "incremental_boilerplate_strip": _INCR_BOILERPLATE_SQL,
     "export_length_bucketed_shards": _EXPORT_LENGTH_BUCKETS_SQL,
     "stage_forget_roundtrip": _STAGE_FORGET_SQL,
+    "forget_everywhere": _FORGET_EVERYWHERE_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
@@ -8809,26 +9112,28 @@ _MICRO_CANON_COLS = {
     "stage_bloom_indexed_write_lookup": ['sum_value'],
     "corpus_bigram_logprob": ['avg_logprob'],
     "embedding_dim_stats": ['mean', 'variance'],
+    # passthrough of a source column an int->double re-typed drop turns
+    # into a float output (the retype perturbation variant)
+    "sample_weighted_quality": ['n_chars'],
 }
 
 
 def _micro_canon_spark(df: DataFrame, cols: list[str]) -> DataFrame:
     """Replace each listed double column with its fixed-point micro-unit
-    canon (same column name, bigint) — Spark half of the boundary."""
+    canon (same column name, bigint) — Spark half of the boundary.
+    NaN -> NULL; magnitudes past 2^53 saturate (see _cents_sql: beyond
+    the mantissa there is no micro-unit information and double->int
+    conversion stops being engine-portable)."""
     out = []
     for c in df.columns:
         if c in cols:
             d = F.col(c).cast("double")
+            y = d * 1e6 + F.lit(0.5)
             out.append(
-                F.when(
-                    F.isnan(d)
-                    | (d == float("inf"))
-                    | (d == float("-inf")),
-                    F.lit(None).cast("bigint"),
-                )
-                .otherwise(
-                    F.floor(d * 1e6 + F.lit(0.5)).cast("bigint")
-                )
+                F.when(F.isnan(d), F.lit(None).cast("bigint"))
+                .when(y >= _SAT, F.lit(9007199254740992))
+                .when(y <= -_SAT, F.lit(-9007199254740992))
+                .otherwise(F.floor(y).cast("bigint"))
                 .alias(c)
             )
         else:
@@ -8839,14 +9144,18 @@ def _micro_canon_spark(df: DataFrame, cols: list[str]) -> DataFrame:
 def _micro_canon_sql(sql: str, cols: list[str]) -> str:
     """DuckDB half: wrap the oracle in SELECT * REPLACE so every listed
     column is canonicalized identically, all other columns untouched."""
-    repl = ", ".join(
-        f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
-        f"OR CAST({c} AS DOUBLE) = 'infinity'::DOUBLE "
-        f"OR CAST({c} AS DOUBLE) = '-infinity'::DOUBLE THEN NULL "
-        f"ELSE CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
-        f"END AS {c}"
-        for c in cols
-    )
+
+    def canon(c: str) -> str:
+        d = f"CAST({c} AS DOUBLE)"
+        y = f"{d} * 1000000.0 + 0.5"
+        return (
+            f"CASE WHEN isnan({d}) THEN NULL "
+            f"WHEN {y} >= {_SAT:.1f} THEN 9007199254740992 "
+            f"WHEN {y} <= -{_SAT:.1f} THEN -9007199254740992 "
+            f"ELSE CAST(floor({y}) AS BIGINT) END AS {c}"
+        )
+
+    repl = ", ".join(canon(c) for c in cols)
     return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __canon"
 
 
@@ -8939,3 +9248,26 @@ QUERIES = {
     name: QUERIES[name]
     for name in (*_R6_WINDOW, *(n for n in QUERIES if n not in set(_R6_WINDOW)))
 }
+
+
+# Oracle twin of the _t documents normalization (NULL text ≡ ''): every
+# oracle reference to the documents table reads through this view, so
+# both engines see the identical corpus under hostile NULL-text drops.
+_DOCS_NORM = (
+    "(SELECT doc_id, coalesce(text, '') AS text, lang, source, n_chars "
+    "FROM documents)"
+)
+
+
+def _normalize_documents_sql(sql: str) -> str:
+    import re as _re
+
+    # aliased references keep their alias; bare references keep the
+    # table name as the alias so qualified columns still resolve
+    sql = _re.sub(
+        r"\b(FROM|JOIN)\s+documents\s+d\b", rf"\1 {_DOCS_NORM} d", sql
+    )
+    return _re.sub(r"\b(FROM|JOIN)\s+documents\b", rf"\1 {_DOCS_NORM} documents", sql)
+
+
+ORACLES = {k: _normalize_documents_sql(v) for k, v in ORACLES.items()}
