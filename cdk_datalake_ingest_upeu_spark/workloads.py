@@ -5231,9 +5231,9 @@ def forget_everywhere(spark, sf_dir):
     bp_freq, bp_gdocs = boilerplate_index(docs)
     bp_freq = scratch_persist(bp_freq)
     bp_gdocs = scratch_persist(bp_gdocs)
-    packed = scratch_persist(
-        pack_documents(toks, token_budget=256, tokens_col="n_tok")
-    )
+    # lazy: only the pack-locality CONTRACT forces this plan, so the
+    # operator-only mode never pays the packing pass
+    packed = pack_documents(toks, token_budget=256, tokens_col="n_tok")
     work = _tmpdir("feverywhere")
     st = StageTable(
         spark, os.path.join(work, "shards"), fmt="parquet",
@@ -5270,18 +5270,35 @@ def forget_everywhere(spark, sf_dir):
     if _skip_contracts():
         bp_retract_diff = -1
     else:
+        # (source, chunk) / (source) are KEYS of these relations, so a
+        # keyed full-outer null-safe compare equals the multiset diff at
+        # ONE join per artifact (exceptAll pairs would scan each side
+        # twice more)
         rb_freq, rb_gdocs = boilerplate_index(kept)
         bp_retract_diff = (
-            freq2.exceptAll(rb_freq).count()
-            + rb_freq.exceptAll(freq2).count()
-            + gdocs2.exceptAll(rb_gdocs).count()
-            + rb_gdocs.exceptAll(gdocs2).count()
+            freq2.withColumnRenamed("df", "__a")
+            .join(
+                rb_freq.withColumnRenamed("df", "__b"),
+                ["source", "chunk"],
+                "full_outer",
+            )
+            .filter(~F.col("__a").eqNullSafe(F.col("__b")))
+            .count()
+            + gdocs2.withColumnRenamed("gdocs", "__a")
+            .join(
+                rb_gdocs.withColumnRenamed("gdocs", "__b"),
+                ["source"],
+                "full_outer",
+            )
+            .filter(~F.col("__a").eqNullSafe(F.col("__b")))
+            .count()
         )
 
     # packs: rebuild from kept; contract = untouched groups unchanged
     if _skip_contracts():
         pack_nonlocal_diff = -1
     else:
+        packed = scratch_persist(packed)  # read twice below
         kept_toks = toks.join(forgotten, "doc_id", "left_anti")
         packed2 = pack_documents(
             kept_toks, token_budget=256, tokens_col="n_tok"
@@ -5295,15 +5312,24 @@ def forget_everywhere(spark, sf_dir):
         old_a = (
             packed.withColumn("__g", grp)
             .join(F.broadcast(affected), "__g", "left_anti")
-            .select("doc_id", "pack_id", "pack_pos")
+            .select(
+                "doc_id",
+                F.struct("pack_id", "pack_pos").alias("__a"),
+            )
         )
         new_a = (
             packed2.withColumn("__g", grp)
             .join(F.broadcast(affected), "__g", "left_anti")
-            .select("doc_id", "pack_id", "pack_pos")
+            .select(
+                "doc_id",
+                F.struct("pack_id", "pack_pos").alias("__b"),
+            )
         )
+        # doc_id is a key on both sides: keyed null-safe compare == diff
         pack_nonlocal_diff = (
-            old_a.exceptAll(new_a).count() + new_a.exceptAll(old_a).count()
+            old_a.join(new_a, ["doc_id"], "full_outer")
+            .filter(~F.col("__a").eqNullSafe(F.col("__b")))
+            .count()
         )
 
     # shard table: CDC delete, bloom-bounded; lookup must read nothing
