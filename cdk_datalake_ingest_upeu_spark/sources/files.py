@@ -28,6 +28,50 @@ def read_raw_parquet(
     return df.cache() if cache else df
 
 
+def nanos_ts_columns(path: str) -> set[str]:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer.
+
+    Under ``spark.sql.legacy.parquet.nanosAsLong`` these read as BIGINT
+    and are indistinguishable from genuine longs without the footer —
+    one cheap metadata read restores the type for any table/column
+    (source drops have landed as nanos, naive micros, and UTC-adjusted
+    micros in different rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # pragma: no cover - multi-file directory datasets
+        return set()
+    return {
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    }
+
+
+def normalize_timestamp_shapes(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Physical-shape normalization at the ingest boundary: restore
+    nanos-as-long columns to TIMESTAMP (truncated to micros) and cast
+    TIMESTAMP_NTZ to session-zone TIMESTAMP (value-preserving when the
+    session is pinned UTC). Downstream operators then see ONE timestamp
+    shape no matter which variant the source wrote."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for cname in nanos_ts_columns(path):
+        if dtypes.get(cname) == "bigint":
+            df = df.withColumn(
+                cname, F.timestamp_micros(F.expr(f"`{cname}` div 1000"))
+            )
+    for cname, ctype in df.dtypes:
+        if ctype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    return df
+
+
 def write_raw_parquet(
     df: DataFrame,
     path: str,

@@ -85,7 +85,16 @@ class ParquetTableSource:
         self.path = path
 
     def scan(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        from cdk_datalake_ingest_upeu_spark.sources.files import (
+            normalize_timestamp_shapes,
+        )
+
+        # the ingest boundary owns physical-shape normalization (nanos/
+        # NTZ/adjusted timestamp variants), exactly like the reference's
+        # per-dialect type handling — generated predicates then compare
+        # against real TIMESTAMP columns whatever the replica wrote
+        df = self.spark.read.parquet(self.path)
+        return normalize_timestamp_shapes(self.spark, df, self.path)
 
     def read_predicates(self, predicates: list[str]) -> DataFrame:
         """Union of bucket scans — used to verify bucket-union == full-scan

@@ -96,11 +96,18 @@ def _skip_contracts() -> bool:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdk_datalake_ingest_upeu_spark.sources.files import (
+        normalize_timestamp_shapes,
+    )
+
     _prepare_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosecond parquet timestamps read as long; truncate to micros
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # the source layer owns physical timestamp-shape normalization
+    # (nanos-as-long / NTZ / UTC-adjusted — driver drops have alternated
+    # all three); every query sees one TIMESTAMP shape
+    df = normalize_timestamp_shapes(
+        spark, spark.read.parquet(path), path
+    )
     if name == "documents" and "text" in df.columns:
         # corpus policy: NULL text IS the empty document. Text operators
         # then see one well-tested shape ('' — zero tokens, zero
@@ -110,14 +117,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (_normalize_documents_sql); the NULL-vs-'' distinction is an
         # ingest-side concern, not a query-side one.
         df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    # parquet written with isAdjustedToUTC=false infers TIMESTAMP_NTZ
-    # (Spark 4 default); streaming watermarks require TIMESTAMP, and the
-    # session TZ is pinned to UTC above so the cast is value-preserving.
-    # Testdata drops have alternated between nanos-as-long, UTC-adjusted
-    # micros, and naive micros across rounds — normalize here, once.
-    for cname, ctype in df.dtypes:
-        if ctype == "timestamp_ntz":
-            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 

@@ -147,20 +147,33 @@ def v_nulls(src: str, dst: str) -> None:
     _write(dst, "customer", cust)
 
 
+_TS_TABLES = {  # every timestamp column in the test schema
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def _retype_ts(src: str, dst: str, to_type: pa.DataType) -> None:
+    for t, cols in _TS_TABLES.items():
+        tb = _read(src, t)
+        for c in cols:
+            if c in tb.column_names:
+                tb = _replace(tb, c, tb.column(c).cast(to_type).combine_chunks())
+        _write(dst, t, tb, coerce_timestamps=None,
+               use_deprecated_int96_timestamps=False)
+
+
 def v_ts_nanos(src: str, dst: str) -> None:
-    ev = _read(src, "events")
-    ts = ev.column("ts").cast(pa.timestamp("ns"))
-    ev = _replace(ev, "ts", ts.combine_chunks())
-    # coerce prevents pyarrow downcasting back to micros
-    _write(dst, "events", ev, coerce_timestamps=None,
-           use_deprecated_int96_timestamps=False)
+    # ALL timestamp columns as TIMESTAMP(NANOS) (read as long under
+    # nanosAsLong; workloads._t restores them from the footer schema)
+    _retype_ts(src, dst, pa.timestamp("ns"))
 
 
 def v_ts_utc(src: str, dst: str) -> None:
-    ev = _read(src, "events")
-    ts = ev.column("ts").cast(pa.timestamp("us", tz="UTC"))
-    ev = _replace(ev, "ts", ts.combine_chunks())
-    _write(dst, "events", ev)
+    # ALL timestamp columns as UTC-adjusted micros (Spark infers
+    # TIMESTAMP, DuckDB TIMESTAMPTZ)
+    _retype_ts(src, dst, pa.timestamp("us", tz="UTC"))
 
 
 def v_retype(src: str, dst: str) -> None:
