@@ -9296,3 +9296,45 @@ def _normalize_documents_sql(sql: str) -> str:
 
 
 ORACLES = {k: _normalize_documents_sql(v) for k, v in ORACLES.items()}
+
+
+# Timestamp-typed OUTPUT columns, by query. Under a UTC-adjusted drop
+# DuckDB carries TIMESTAMPTZ to the result where Spark (session pinned
+# UTC) yields naive TIMESTAMP — equal instants whose driver-side text
+# could differ ("...+00"). Canonicalize the oracle side to naive-UTC
+# via make_timestamp(epoch_us(c)): identity for naive inputs,
+# session-independent UTC conversion for adjusted ones (epoch_us of a
+# TIMESTAMPTZ is true UTC micros; of a naive value, micros as written).
+# Regenerate the map with the enumeration in tools/list_double_cols.py
+# style (type every oracle, collect TIMESTAMP columns).
+_TS_CANON_COLS = {
+    "q3_top_revenue_orders": ["o_orderdate"],
+    "q18_large_volume_customers": ["o_orderdate"],
+    "asof_join_last_purchase": ["ts"],
+    "window_dedup_latest": ["ts"],
+    "merge_upsert_current_state": ["ts"],
+    "transform_datetimemagic": ["fh"],
+    "empty_result_schema": ["loaded_at"],
+    "stage_pipeline_e2e": ["created_at"],
+    "config_csv_pipeline": ["created_at"],
+    "incremental_watermark_2phase": ["ts"],
+    "streaming_merge_ingest": ["ts"],
+    "events_hourly_rollup": ["bucket_start"],
+    "streaming_watermarked_rollup": ["bucket_start"],
+    "scd2_user_event_history": ["valid_from", "valid_to"],
+    "events_session_window": ["session_start", "session_end"],
+    "streaming_session_window": ["session_start", "session_end"],
+    "scd2_point_in_time_enrich": ["valid_from"],
+    "sketch_weekly_rollup": ["week"],
+}
+
+
+def _ts_canon_sql(sql: str, cols: list[str]) -> str:
+    repl = ", ".join(
+        f"make_timestamp(epoch_us({c})) AS {c}" for c in cols
+    )
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __tscanon"
+
+
+for _name, _cols in _TS_CANON_COLS.items():
+    ORACLES[_name] = _ts_canon_sql(ORACLES[_name], _cols)
