@@ -34,13 +34,26 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
         )
+    typed = {name: con.sql(sql) for name, sql in ORACLES.items()}
     print("_MICRO_CANON_COLS = {")
-    for name, sql in ORACLES.items():
-        rel = con.sql(sql)
+    for name, rel in typed.items():
         cols = [
             c
             for c, tp in zip(rel.columns, rel.types)
             if str(tp) in ("DOUBLE", "FLOAT")
+        ]
+        if cols:
+            print(f'    "{name}": {cols!r},')
+    print("}")
+    # timestamp-typed outputs (workloads._TS_CANON_COLS candidates —
+    # already-wrapped oracles type as plain TIMESTAMP and stay listed;
+    # the wrap is idempotent)
+    print("_TS_CANON_COLS = {")
+    for name, rel in typed.items():
+        cols = [
+            c
+            for c, tp in zip(rel.columns, rel.types)
+            if "TIMESTAMP" in str(tp)
         ]
         if cols:
             print(f'    "{name}": {cols!r},')
