@@ -229,6 +229,31 @@ def ivf_index_build(
     return C, index
 
 
+def ivf_index_append(
+    centroids,
+    new_batch: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Steady-state IVF maintenance: assign a NEW vector batch to the
+    EXISTING centroids — the rows to ``write.mode("append")
+    .partitionBy("cluster_id")`` onto the stored index. No retrain, no
+    re-read of indexed history: the append costs one pass over the new
+    batch only (the ANN twin of the minhash signature-index append,
+    operators/dedup.py incremental mode). Centroids drift as the
+    embedding distribution does; recall monitoring (the workload
+    contract's pooled-recall floor) is the retrain trigger, exactly as
+    in production IVF services."""
+    return new_batch.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        _topn_centroid_udf(centroids, 1)(F.col(corpus_vec))[0].alias(
+            "cluster_id"
+        ),
+    )
+
+
 def ivf_index_probe(
     index: DataFrame,
     centroids,

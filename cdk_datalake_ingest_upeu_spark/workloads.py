@@ -7358,6 +7358,54 @@ def ann_incremental_probe(spark, sf_dir):
     return _ann_recall_report(spark, approx, exact, n_queries=8, k=10, floor=0.75)
 
 
+def ann_incremental_index_append(spark, sf_dir):
+    """IVF maintenance in STEADY STATE (operators/similarity.py
+    ivf_index_append): the landed history builds the index ONCE
+    (centroids + parquet partitioned by cluster_id); a new embedding
+    batch then APPENDS through the SAME stored centroids — one pass
+    over the new batch, no retrain, history cells never re-read or
+    rewritten (``write.mode("append").partitionBy``) — and the probe
+    runs against the UPDATED stored index. Contract: full k results,
+    pooled recall >= 0.75 vs the exact top-k over the FULL corpus
+    (history + appended — a lost append shows up here), and
+    ``index_complete`` pins that every corpus vector is indexed.
+    Centroid drift under distribution shift is the retrain trigger;
+    this recall floor is exactly the production monitoring signal."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 5 != 3)
+    new_batch = emb.filter(F.col("vec_id") % 5 == 3)
+    work = _tmpdir("ivfappend")
+    idx_path = os.path.join(work, "index")
+    C, index = ivf_index_build(history, n_clusters=16, sample_size=4096)
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(idx_path)
+    ivf_index_append(C, new_batch).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_index_probe(stored, C, queries, k=10, n_probe=8)
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    index_complete = bool(stored.count() == emb.count())
+    rep = _ann_recall_report(spark, approx, exact, n_queries=8, k=10, floor=0.75)
+    return rep.withColumn("index_complete", F.lit(index_complete))
+
+
+_ANN_APPEND_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(*) * 10 AS BIGINT) AS n_results,
+       TRUE AS full_k, TRUE AS recall_ok, TRUE AS index_complete
+FROM embeddings WHERE vec_id < 8
+"""
+
+
 def incremental_rollup_maintenance(spark, sf_dir):
     """Materialized-rollup maintenance (operators/rollup.py): the daily
     per-event-type rollup is maintained across three landing batches —
@@ -8713,9 +8761,11 @@ QUERIES = {
     "incremental_boilerplate_strip": incremental_boilerplate_strip,
     "export_length_bucketed_shards": export_length_bucketed_shards,
     "stage_forget_roundtrip": stage_forget_roundtrip,
-    # --- r6-new: governance across all derived artifacts (leads the r7
-    # window rotation with this round's local-sweep evidence) ---
+    # --- r6-new: governance across all derived artifacts + IVF append
+    # (lead the r7 window rotation with this round's local-sweep
+    # evidence) ---
     "forget_everywhere": forget_everywhere,
+    "ann_incremental_index_append": ann_incremental_index_append,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -9017,6 +9067,7 @@ ORACLES = {
     "export_length_bucketed_shards": _EXPORT_LENGTH_BUCKETS_SQL,
     "stage_forget_roundtrip": _STAGE_FORGET_SQL,
     "forget_everywhere": _FORGET_EVERYWHERE_SQL,
+    "ann_incremental_index_append": _ANN_APPEND_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

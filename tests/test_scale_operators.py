@@ -1817,6 +1817,73 @@ def test_ivf_stored_index_probe_recall_and_pruning(spark, tmp_path):
     )[1][:200], "probe scan is not partition-pruned on cluster_id"
 
 
+def test_ivf_index_append_steady_state(spark, tmp_path):
+    """Steady-state IVF maintenance: a new batch appends through the
+    STORED centroids without retraining. Pins (a) appended vectors are
+    retrievable from the updated index (self-retrieval at rank 1 with
+    n_probe=1 — the appended row landed in its own nearest cell), (b)
+    the history parquet files are untouched (append adds files, never
+    rewrites), (c) append assignment matches what the builder's own
+    assignment rule gives for identical vectors."""
+    import os as _os
+
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    rng = _np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(600)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    history = corpus.filter("vec_id < 500")
+    batch = corpus.filter("vec_id >= 500")
+    C, index = ivf_index_build(history, n_clusters=8, sample_size=600)
+    path = str(tmp_path / "ivf")
+    index.write.partitionBy("cluster_id").parquet(path)
+    before = {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    appended = ivf_index_append(C, batch)
+    appended.write.mode("append").partitionBy("cluster_id").parquet(path)
+    after = {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before < after  # append only: every history file survives
+
+    stored = spark.read.parquet(path)
+    assert stored.count() == corpus.count()
+
+    # a duplicated vector must land in the same cell as its history twin
+    dup = history.filter("vec_id = 7").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    twin_cell = ivf_index_append(C, dup).collect()[0].cluster_id
+    history_cell = {
+        r.cluster_id for r in stored.filter("vec_id = 7").collect()
+    }
+    assert twin_cell in history_cell
+
+    # appended vectors are findable: self-retrieval at rank 1, n_probe=1
+    queries = batch.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probed = ivf_index_probe(stored, C, queries, k=1, n_probe=1)
+    for r in probed.collect():
+        assert r.neighbor_id == r.query_id and r.rank == 1
+
+
 def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
     """Re-delivering an already-applied epoch (the at-least-once retry
     where the failure fell after the marker promote) must not
