@@ -1382,6 +1382,97 @@ def paragraph_dedup(
     )
 
 
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" recipe, re-expressed
+    relationally): any ``window_tokens``-token span whose text occurs
+    MORE THAN ONCE corpus-wide (across documents or repeated within
+    one) is a duplicated span; every token covered by at least one
+    duplicated span is removed and the survivors are reassembled.
+    The paper's suffix-array machinery finds variable-length repeats;
+    the fixed-window SLIDING hash is the standard distributed
+    approximation — a repeat of length >= ``window_tokens`` is always
+    caught because it contains a full window.
+
+    Returns (id, n_tokens, n_tokens_removed, text_dedup) per document
+    with at least one token.
+
+    Scale shape: the window explode is map-side (~n_tokens rows per
+    doc, the inherent cost of substring-level dedup); windows travel as
+    (id, pos, md5) — 32-byte digests, never the span text. Shuffle 1
+    groups by digest to find duplicated spans; shuffle 2 re-joins the
+    duplicated rows and aggregates covered positions per document
+    (document-bounded arrays); shuffle 3 joins that KB-scale per-doc
+    cover set back to the corpus, where a codegen two-arg
+    ``filter((t, i) -> ...)`` drops covered tokens row-locally. No
+    all-pairs product anywhere; at 100 TB each shuffle is linear in
+    corpus tokens. Beyond-reference surface (the reference has no
+    dedup of any kind)."""
+    tk = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    docs = df.select(F.col(id_col), tk.alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+    n = window_tokens
+    # 1-based window starts; the sequence is guarded (Spark's
+    # sequence(1, 0) would DESCEND, not return empty), and the digest
+    # is computed inside the same map-side projection as the explode
+    windows = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - n + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("__tk"), i, n), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "whash"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "whash")
+    dup_hashes = (
+        windows.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("whash")
+    )
+    covered = (
+        windows.join(dup_hashes, "whash")
+        .groupBy(id_col)
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("pos"), F.col("pos") + n - 1)
+                    )
+                )
+            ).alias("__cov")
+        )
+    )
+    joined = docs.join(covered, id_col, "left").withColumn(
+        "__cov",
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        F.col("__tk"),
+        lambda t, i: ~F.array_contains(F.col("__cov"), i + 1),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__tk").cast("long").alias("n_tokens"),
+        F.size("__cov").cast("long").alias("n_tokens_removed"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Right-to-be-forgotten: content-level deletion with index propagation
 # ---------------------------------------------------------------------------

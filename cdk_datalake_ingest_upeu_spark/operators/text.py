@@ -973,3 +973,132 @@ def edit_distance_pairs(
         .withColumn("dist", F.levenshtein("word_a", "word_b"))
         .filter(F.col("dist") <= 1)
     )
+
+
+# Required stop words for the Gopher quality rule ("must contain at
+# least 2 of ..."); the published list from the Gopher paper's quality
+# heuristics (Rae et al. 2021, appendix A — public knowledge).
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A):
+    per-document pass/fail flags for each published heuristic plus the
+    conjunction ``gopher_keep``. Defaults are the paper's thresholds.
+
+    Pure codegen column expressions over one scan — no UDF, no shuffle
+    (the 100 TB shape is the same embarrassingly-parallel pass as
+    ``add_text_features``). All emitted columns are BOOLEAN/BIGINT so
+    downstream engine-boundary hashing never sees a float (the ratios
+    exist only inside comparisons). Beyond-reference surface (the
+    reference has no corpus-quality filtering; its transform registry
+    is column-typed casts, light_transform.py)."""
+    text = F.col(text_col)
+    toks = ws_tokens(text)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    # lines: literal newline split; a no-newline doc is one line
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•▪●]|[0-9]+[.)])\s"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    hash_count = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    ellipsis_count = F.size(F.regexp_extract_all(text, F.lit(r"(\.\.\.|…)"), 0))
+    stop_hits = sum(
+        (
+            F.array_contains(toks, w).cast("int")
+            for w in GOPHER_REQUIRED_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    pass_word_count = (n_words >= min_words) & (n_words <= max_words)
+    pass_mean_word_len = F.when(n_words == 0, F.lit(False)).otherwise(
+        (total_chars >= F.lit(min_mean_word_len) * n_words)
+        & (total_chars <= F.lit(max_mean_word_len) * n_words)
+    )
+    pass_symbol_ratio = F.when(n_words == 0, F.lit(False)).otherwise(
+        (hash_count + ellipsis_count) <= F.lit(max_symbol_word_ratio) * n_words
+    )
+    pass_bullet = bullet_lines < F.lit(max_bullet_line_frac) * n_lines
+    pass_ellipsis_lines = ellipsis_lines < F.lit(max_ellipsis_line_frac) * n_lines
+    pass_alpha = F.when(n_words == 0, F.lit(False)).otherwise(
+        alpha_words >= F.lit(min_alpha_word_frac) * n_words
+    )
+    pass_stopwords = stop_hits >= min_required_stopwords
+    flags = {
+        "n_words": n_words.cast("long"),
+        "pass_word_count": pass_word_count,
+        "pass_mean_word_len": pass_mean_word_len,
+        "pass_symbol_ratio": pass_symbol_ratio,
+        "pass_bullet_lines": pass_bullet,
+        "pass_ellipsis_lines": pass_ellipsis_lines,
+        "pass_alpha_words": pass_alpha,
+        "pass_stopwords": pass_stopwords,
+    }
+    out = df
+    for name, col in flags.items():
+        out = out.withColumn(name, col)
+    keep = F.lit(True)
+    for name in flags:
+        if name.startswith("pass_"):
+            keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_line_words: int = 3,
+    min_kept_lines: int = 5,
+    banned_substrings: tuple = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, section 2.2): keep
+    only lines that end in terminal punctuation AND have at least
+    ``min_line_words`` words; drop the whole page when fewer than
+    ``min_kept_lines`` lines survive or a banned substring appears
+    ("lorem ipsum", a curly brace). Adds ``n_lines``,
+    ``n_kept_lines`` (BIGINT), ``c4_keep`` (BOOLEAN) and
+    ``text_clean`` (the surviving lines rejoined with newlines).
+
+    Same scale shape as :func:`gopher_quality_flags`: one codegen-only
+    pass, no UDF, no shuffle — line arrays live per-row and are
+    document-bounded."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike("[.!?\"]$")
+        & (F.size(ws_tokens(ln)) >= min_line_words),
+    )
+    banned = F.lit(False)
+    for s in banned_substrings:
+        banned = banned | F.lower(text).contains(s.lower())
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn(
+            "c4_keep", (F.size(kept) >= min_kept_lines) & ~banned
+        )
+        .withColumn("text_clean", F.array_join(kept, "\n"))
+    )

@@ -7406,6 +7406,247 @@ FROM embeddings WHERE vec_id < 8
 """
 
 
+def corpus_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (operators/text.py
+    gopher_quality_flags — Rae et al. 2021's published heuristics) over
+    the corpus, aggregated per source: kept count plus a failure count
+    per rule, so a per-source quality report names WHICH rule rejects
+    a source's pages. Every flag is computed in one codegen-only scan
+    (no UDF); the only shuffle is the 20-group rollup. All outputs are
+    BIGINT/STRING — ratios exist only inside comparisons, so the
+    engine-boundary hash never sees a float."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_quality_flags(docs)
+    fails = [
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_symbol_ratio",
+        "pass_bullet_lines",
+        "pass_ellipsis_lines",
+        "pass_alpha_words",
+        "pass_stopwords",
+    ]
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_kept"),
+            *[
+                F.sum((~F.col(c)).cast("long")).alias(c.replace("pass_", "fail_"))
+                for c in fails
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+_GOPHER_QUALITY_SQL = """
+WITH f AS (
+  SELECT source, coalesce(text, '') AS text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), r AS (
+  SELECT source,
+         len(tk) AS n_words,
+         coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS total_chars,
+         length(text) - length(replace(text, '#', '')) AS hash_count,
+         len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS ellipsis_count,
+         string_split(text, chr(10)) AS lines,
+         len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+         (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END) AS stop_hits
+  FROM f
+), p AS (
+  SELECT source,
+         (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+         (n_words > 0 AND total_chars >= 3.0 * n_words
+                      AND total_chars <= 10.0 * n_words) AS pass_mean_word_len,
+         (n_words > 0
+          AND hash_count + ellipsis_count <= 0.1 * n_words) AS pass_symbol_ratio,
+         (len(list_filter(lines, l -> regexp_matches(trim(l),
+              '^([-*•▪●]|[0-9]+[.)])\\s'))) < 0.9 * len(lines)) AS pass_bullet_lines,
+         (len(list_filter(lines, l -> regexp_matches(rtrim(l),
+              '(\\.\\.\\.|…)$'))) < 0.3 * len(lines)) AS pass_ellipsis_lines,
+         (n_words > 0 AND alpha_words >= 0.8 * n_words) AS pass_alpha_words,
+         (stop_hits >= 2) AS pass_stopwords
+  FROM r
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pass_word_count AND pass_mean_word_len
+                      AND pass_symbol_ratio AND pass_bullet_lines
+                      AND pass_ellipsis_lines AND pass_alpha_words
+                      AND pass_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN pass_word_count THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+       CAST(sum(CASE WHEN pass_mean_word_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(sum(CASE WHEN pass_symbol_ratio THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol_ratio,
+       CAST(sum(CASE WHEN pass_bullet_lines THEN 0 ELSE 1 END) AS BIGINT) AS fail_bullet_lines,
+       CAST(sum(CASE WHEN pass_ellipsis_lines THEN 0 ELSE 1 END) AS BIGINT) AS fail_ellipsis_lines,
+       CAST(sum(CASE WHEN pass_alpha_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha_words,
+       CAST(sum(CASE WHEN pass_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords
+FROM p GROUP BY source ORDER BY source
+"""
+
+
+def corpus_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (operators/text.py c4_clean_lines —
+    Raffel et al. 2020 section 2.2: terminal-punctuation lines with >= 3
+    words survive; a page needs enough surviving lines and no banned
+    substring). The synthetic corpus has no newlines or punctuation, so
+    the harness first derives a LINED corpus deterministically from the
+    data itself: 12-token aligned chunks become lines, and a chunk whose
+    md5 starts with hex 0-7 gets a terminal period (reproducible
+    identically in the oracle — same trick precedent as
+    dedup_paragraph_corpus's aligned windows). ``min_kept_lines=3``
+    rather than C4's 5 to fit the short synthetic pages; the rule shape
+    is the paper's. One codegen-only pass, no shuffle at all (per-doc
+    output ordered by id)."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import c4_clean_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    n_chunks = F.ceil(F.size("__tk") / F.lit(12)).cast("int")
+    chunks = F.when(
+        F.size("__tk") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice("__tk", i * 12 + 1, 12), " "),
+        )
+    )
+    lined = (
+        docs.select("doc_id", tk.alias("__tk"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    chunks,
+                    lambda c: F.when(
+                        F.substring(F.md5(c), 1, 1).isin(
+                            *"01234567"
+                        ),
+                        F.concat(c, F.lit(".")),
+                    ).otherwise(c),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    out = c4_clean_lines(lined, min_kept_lines=3)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "c4_keep",
+        F.length("text_clean").cast("long").alias("clean_chars"),
+    ).orderBy("doc_id")
+
+
+_C4_LINE_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         [array_to_string(tk[(i - 1) * 12 + 1:(i - 1) * 12 + 12], ' ')
+          for i in range(1, CAST(ceil(len(tk) / 12.0) AS INT) + 1)] AS chunks
+  FROM toks
+), ln AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list_transform(chunks, c ->
+             CASE WHEN substring(md5(c), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7')
+                  THEN c || '.' ELSE c END),
+           chr(10)), '') AS text
+  FROM ch
+), k AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)), l ->
+           regexp_matches(rtrim(l), '[.!?"]$')
+           AND len(CASE WHEN trim(l) = '' THEN []
+                        ELSE string_split_regex(trim(l), '\\s+') END) >= 3
+         ) AS kept
+  FROM ln
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{')) AS c4_keep,
+       CAST(coalesce(length(array_to_string(kept, chr(10))), 0) AS BIGINT)
+           AS clean_chars
+FROM k ORDER BY doc_id
+"""
+
+
+def corpus_substring_span_dedup(spark, sf_dir):
+    """Exact-substring dedup (operators/dedup.py substring_span_dedup —
+    the Lee et al. 2021 recipe, fixed-window sliding-hash
+    approximation): every 8-token span occurring more than once
+    corpus-wide is removed from every document and the survivors are
+    reassembled. The synthetic corpus's planted duplicate groups give
+    the spans real discrimination (dup-group docs lose shared spans;
+    unique docs keep everything). Per-doc output ordered by id; the
+    scale shape (map-side digest explode, three linear shuffles, no
+    all-pairs) is documented on the operator."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_span_dedup(docs, window_tokens=8).orderBy("doc_id")
+
+
+_SUBSTRING_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), t AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+), w0 AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8
+              THEN [md5(array_to_string(tk[i:i + 7], ' '))
+                    for i in range(1, len(tk) - 6)]
+              ELSE [] END AS ws
+  FROM t
+), w AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wh
+  FROM w0 WHERE len(ws) > 0
+), d AS (
+  SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + 8)))) AS cps
+  FROM w WHERE wh IN (SELECT wh FROM d) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(cps), 0) AS BIGINT) AS n_tokens_removed,
+       coalesce(array_to_string(
+         [tk[i] for i in range(1, len(tk) + 1)
+          if NOT list_contains(coalesce(cps, []), i)], ' '), '') AS text_dedup
+FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+"""
+
+
 def incremental_rollup_maintenance(spark, sf_dir):
     """Materialized-rollup maintenance (operators/rollup.py): the daily
     per-event-type rollup is maintained across three landing batches —
@@ -8766,6 +9007,9 @@ QUERIES = {
     # evidence) ---
     "forget_everywhere": forget_everywhere,
     "ann_incremental_index_append": ann_incremental_index_append,
+    "corpus_gopher_quality": corpus_gopher_quality,
+    "corpus_c4_line_filter": corpus_c4_line_filter,
+    "corpus_substring_span_dedup": corpus_substring_span_dedup,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -9068,6 +9312,9 @@ ORACLES = {
     "stage_forget_roundtrip": _STAGE_FORGET_SQL,
     "forget_everywhere": _FORGET_EVERYWHERE_SQL,
     "ann_incremental_index_append": _ANN_APPEND_SQL,
+    "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
+    "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
+    "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

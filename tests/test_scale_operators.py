@@ -1884,6 +1884,91 @@ def test_ivf_index_append_steady_state(spark, tmp_path):
         assert r.neighbor_id == r.query_id and r.rank == 1
 
 
+def test_gopher_quality_flags_rules(spark):
+    """Each published Gopher rule trips on a doc built to violate
+    exactly that rule, and a well-formed doc passes all of them."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog have agreed to meet with "
+        "all of their friends so that everyone can be happy together "
+    ) * 3  # 66 words, mean len ~4, all alpha, stopwords present
+    rows = [
+        (0, good),
+        (1, "short doc with the and of to be that have with words"),  # < 50 words
+        (2, " ".join(["aa"] * 60)),  # mean word len < 3, no stopwords
+        (3, good + " " + " ".join(["#"] * 20)),  # symbol ratio > 0.1
+        (4, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[0].gopher_keep
+    assert not got[1].pass_word_count and not got[1].gopher_keep
+    assert not got[2].pass_mean_word_len and not got[2].pass_stopwords
+    assert not got[3].pass_symbol_ratio
+    assert got[4].n_words == 0 and not got[4].gopher_keep
+
+
+def test_c4_clean_lines_rules(spark):
+    """C4 line filter: terminal punctuation AND >= 3 words keeps a
+    line; page kept needs enough surviving lines and no banned
+    substring."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import c4_clean_lines
+
+    page = "\n".join(
+        [
+            "this line ends with a period.",
+            "so does this other line here.",
+            "and a third good sentence too!",
+            "no terminal punctuation on this line",
+            "too short.",
+        ]
+    )
+    rows = [
+        (0, page),
+        (1, page + "\nlorem ipsum dolor."),
+        (2, "single unpunctuated line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean_lines(df, min_kept_lines=3).collect()}
+    assert got[0].n_lines == 5 and got[0].n_kept_lines == 3 and got[0].c4_keep
+    assert got[0].text_clean.count("\n") == 2
+    assert not got[1].c4_keep  # banned substring kills the page
+    assert got[2].n_kept_lines == 0 and not got[2].c4_keep
+
+
+def test_substring_span_dedup_removes_shared_spans(spark):
+    """A >= window-length span shared by two docs is removed from BOTH
+    (occurrence count >= 2 corpus-wide), a within-doc repeat is caught,
+    unique text survives verbatim, and short/empty docs pass through."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (0, shared + " tail unique to zero"),
+        (1, "head only in one " + shared),
+        (2, shared + " middle words " + shared),  # within-doc repeat
+        (3, "completely unique text with no repeated spans anywhere at all"),
+        (4, "tiny"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in substring_span_dedup(df, window_tokens=8).collect()
+    }
+    assert 5 not in got  # empty doc has no tokens
+    assert got[0].n_tokens_removed == 8 and got[0].text_dedup == "tail unique to zero"
+    assert got[1].n_tokens_removed == 8 and got[1].text_dedup == "head only in one"
+    assert got[2].n_tokens_removed > 8  # both copies of the span removed
+    assert got[3].n_tokens_removed == 0
+    assert got[3].text_dedup == rows[3][1]
+    assert got[4].n_tokens_removed == 0 and got[4].text_dedup == "tiny"
+
+
 def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
     """Re-delivering an already-applied epoch (the at-least-once retry
     where the failure fell after the marker promote) must not
