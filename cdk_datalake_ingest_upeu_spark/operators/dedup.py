@@ -1382,12 +1382,72 @@ def paragraph_dedup(
     )
 
 
+def _span_tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __tk) whitespace-token arrays for docs with >= 1 token."""
+    tk = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.select(F.col(id_col), tk.alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+
+
+def span_window_hashes(
+    tokenized: DataFrame, id_col: str = "doc_id", *, window_tokens: int = 8
+) -> DataFrame:
+    """(id, pos, whash) sliding-window digests of a ``_span_tokenized``
+    relation: every ``window_tokens``-token window's md5, 1-based start
+    position. Map-side explode + digest in one projection, no shuffle —
+    this is both :func:`substring_span_dedup`'s working set and the
+    row format of a persisted span index (callers keep only ``whash``
+    there). The sequence is guarded: Spark's ``sequence(1, 0)`` would
+    DESCEND, not return empty."""
+    n = window_tokens
+    return tokenized.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - n + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("__tk"), i, n), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "whash"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "whash")
+
+
+def substring_span_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Distinct ``whash`` digests of a landed corpus — the persisted
+    index :func:`substring_span_dedup`'s incremental mode probes. One
+    distinct (32-byte digests, never text); append each new batch's
+    digests after landing it."""
+    return (
+        span_window_hashes(
+            _span_tokenized(df, id_col, text_col),
+            id_col,
+            window_tokens=window_tokens,
+        )
+        .select("whash")
+        .distinct()
+    )
+
+
 def substring_span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     window_tokens: int = 8,
+    seen: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring dedup (the Lee et al. 2021 "Deduplicating
     Training Data Makes Language Models Better" recipe, re-expressed
@@ -1413,37 +1473,34 @@ def substring_span_dedup(
     ``filter((t, i) -> ...)`` drops covered tokens row-locally. No
     all-pairs product anywhere; at 100 TB each shuffle is linear in
     corpus tokens. Beyond-reference surface (the reference has no
-    dedup of any kind)."""
-    tk = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
-    docs = df.select(F.col(id_col), tk.alias("__tk")).filter(
-        F.size("__tk") > 0
-    )
+    dedup of any kind).
+
+    ``seen`` is the INCREMENTAL mode (same contract as
+    :func:`paragraph_dedup`): a relation with a ``whash`` column
+    holding the window digests of already-landed history (in
+    production a stored parquet index the caller appends this batch's
+    digests to afterwards). A batch span is then duplicated iff it
+    occurs in the index (the history copy — which stays, since landed
+    shards are immutable — makes the corpus-wide count >= 2) OR at
+    least twice within the batch itself. The index side enters as ONE
+    semi-join keyed on digest; history text is never re-read and only
+    the new batch explodes."""
+    docs = _span_tokenized(df, id_col, text_col)
     n = window_tokens
-    # 1-based window starts; the sequence is guarded (Spark's
-    # sequence(1, 0) would DESCEND, not return empty), and the digest
-    # is computed inside the same map-side projection as the explode
-    windows = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("__tk") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__tk") - n + 1),
-                    lambda i: F.md5(
-                        F.array_join(F.slice(F.col("__tk"), i, n), " ")
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos0", "whash"),
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "whash")
+    windows = span_window_hashes(docs, id_col, window_tokens=n)
     dup_hashes = (
         windows.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") >= 2)
         .select("whash")
     )
+    if seen is not None:
+        in_index = (
+            windows.select("whash")
+            .distinct()
+            .join(seen.select("whash").distinct(), "whash", "left_semi")
+        )
+        dup_hashes = dup_hashes.unionByName(in_index).distinct()
     covered = (
         windows.join(dup_hashes, "whash")
         .groupBy(id_col)

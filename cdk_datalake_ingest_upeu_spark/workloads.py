@@ -7647,6 +7647,79 @@ FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+def incremental_substring_span_dedup(spark, sf_dir):
+    """Exact-substring dedup in INCREMENTAL mode (operators/dedup.py
+    substring_span_dedup seen=): docs < 250 are the landed history,
+    materialized ONCE as a parquet digest index
+    (substring_span_index — distinct 32-byte md5s, no text); docs >=
+    250 are the new batch, probed against the STORED index read back
+    from disk. A batch span drops iff its digest is in the index (the
+    immutable history copy makes the corpus count >= 2) or it repeats
+    within the batch. Only the batch explodes — history text is never
+    re-read; the index enters as one digest-keyed semi-join. Same
+    steady-state contract as dedup_incremental_minhash /
+    dedup_incremental_paragraph, at substring grain."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+        substring_span_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    work = _tmpdir("spanidx")
+    idx_path = os.path.join(work, "index")
+    substring_span_index(history, window_tokens=8).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    return substring_span_dedup(
+        batch, window_tokens=8, seen=stored
+    ).orderBy("doc_id")
+
+
+_INCR_SUBSTRING_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), t AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+), w0 AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8
+              THEN [md5(array_to_string(tk[i:i + 7], ' '))
+                    for i in range(1, len(tk) - 6)]
+              ELSE [] END AS ws
+  FROM t
+), w AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wh
+  FROM w0 WHERE len(ws) > 0
+), hist AS (
+  SELECT DISTINCT wh FROM w WHERE doc_id < 250
+), bw AS (
+  SELECT doc_id, pos, wh FROM w WHERE doc_id >= 250
+), d AS (
+  SELECT wh FROM bw GROUP BY wh HAVING count(*) >= 2
+  UNION
+  SELECT DISTINCT wh FROM bw WHERE wh IN (SELECT wh FROM hist)
+), cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + 8)))) AS cps
+  FROM bw WHERE wh IN (SELECT wh FROM d) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(cps), 0) AS BIGINT) AS n_tokens_removed,
+       coalesce(array_to_string(
+         [tk[i] for i in range(1, len(tk) + 1)
+          if NOT list_contains(coalesce(cps, []), i)], ' '), '') AS text_dedup
+FROM t LEFT JOIN cov USING (doc_id)
+WHERE t.doc_id >= 250 ORDER BY doc_id
+"""
+
+
 def incremental_rollup_maintenance(spark, sf_dir):
     """Materialized-rollup maintenance (operators/rollup.py): the daily
     per-event-type rollup is maintained across three landing batches —
@@ -9010,6 +9083,7 @@ QUERIES = {
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
+    "incremental_substring_span_dedup": incremental_substring_span_dedup,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -9315,6 +9389,7 @@ ORACLES = {
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
+    "incremental_substring_span_dedup": _INCR_SUBSTRING_SPAN_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

@@ -81,6 +81,10 @@ BUDGETS = [
     ("incremental_boilerplate_strip", 7, False),  # + index merge groupBys (index-grain rows); batch-only explode/reassembly
     ("export_length_bucketed_shards", 3, False),  # (bucket,shard) writer repartition + manifest distinct-shard expand + sort
     ("stage_forget_roundtrip", 0, False),  # 1-row summary; CDC delete + index rebuild are upstream write jobs
+    ("corpus_gopher_quality", 2, False),  # one codegen scan + 20-group rollup + sort
+    ("corpus_c4_line_filter", 1, False),  # pure codegen per-doc pass + output sort
+    ("corpus_substring_span_dedup", 4, False),  # digest groupBy + cover regroup + corpus join + sort (AQE may fuse to 3)
+    ("incremental_substring_span_dedup", 6, False),  # + index semi-join (batch-distinct side) and dup union; all digest-grain
 ]
 
 

@@ -1969,6 +1969,45 @@ def test_substring_span_dedup_removes_shared_spans(spark):
     assert got[4].n_tokens_removed == 0 and got[4].text_dedup == "tiny"
 
 
+def test_substring_span_dedup_incremental_vs_index(spark, tmp_path):
+    """Incremental mode: a batch span present in the stored history
+    index is removed (the history copy stays — landed shards are
+    immutable), a batch-internal repeat is removed, and fresh batch
+    text survives untouched; history docs never appear in the output."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+        substring_span_index,
+    )
+
+    shared = "one two three four five six seven eight"
+    hist = spark.createDataFrame(
+        [(0, shared + " landed history tail")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "spanidx")
+    substring_span_index(hist, window_tokens=8).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, shared + " fresh suffix"),  # span hits the index
+            (11, "brand new words that never appeared before anywhere at all"),
+            (12, shared + " gap tokens " + shared),  # batch-internal repeat
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in substring_span_dedup(
+            batch, window_tokens=8, seen=stored
+        ).collect()
+    }
+    assert set(got) == {10, 11, 12}
+    assert got[10].n_tokens_removed == 8 and got[10].text_dedup == "fresh suffix"
+    assert got[11].n_tokens_removed == 0
+    assert got[12].n_tokens_removed > 8
+
+
 def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
     """Re-delivering an already-applied epoch (the at-least-once retry
     where the failure fell after the marker promote) must not
