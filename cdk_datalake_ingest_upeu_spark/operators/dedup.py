@@ -918,6 +918,94 @@ def embedding_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with spherical k-means, compare pairs ONLY within a
+    cluster (the paper's core trick — the cluster bounds the quadratic
+    term, so corpus-level all-pairs never happens), connect pairs with
+    cosine >= threshold into semantic-duplicate groups, and keep ONE
+    representative per group: the member with the LOWEST cosine to its
+    centroid (the paper's low-density choice — the most informative
+    copy), ties broken by min id.
+
+    Returns ``(kept, pairs)``: the surviving rows of ``df``, and the
+    within-cluster duplicate pair list (id_a, id_b, cluster, cosine).
+
+    Scale shape: k-means is the existing mapInPandas partial-sums fit
+    (corpus never shuffles); assignment and centroid-similarity are one
+    Arrow matmul pass; the pair join shuffles on cluster id — with
+    balanced clusters of size n/k the join is k * (n/k)^2 ~ n^2/k
+    comparisons, the exact SemDeDup trade (raise k until a cluster
+    fits an executor; the paper uses k~10^5 for web scale); dedup
+    groups resolve through :func:`connected_components` (diameter
+    rounds over KB-scale pair edges); the final keep is one anti-join.
+    """
+    from cdk_datalake_ingest_upeu_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    C, _hist = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    Cn = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf("double")
+    def centroid_sim(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(np.max(X @ Cn.T, axis=1))
+
+    members = scratch_persist(
+        kmeans_assign(df, C, vec_col).select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.col("cluster"),
+            centroid_sim(F.col(vec_col)).alias("__csim"),
+        )
+    )
+    a = members.select(
+        F.col(id_col).alias("id_a"), "cluster", F.col("__v").alias("va")
+    )
+    b = members.select(
+        F.col(id_col).alias("id_b"), "cluster", F.col("__v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine")
+    )
+    comps = connected_components(pairs)
+    ranked = comps.join(
+        members.select(F.col(id_col).alias("node"), "__csim"), "node"
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("__csim").asc(), F.col("node").asc()
+            )
+        ),
+    )
+    losers = ranked.filter(F.col("__rk") > 1).select(
+        F.col("node").alias(id_col)
+    )
+    kept = df.join(losers, id_col, "left_anti")
+    return kept, pairs
+
+
 # ---------------------------------------------------------------------------
 # Connected components over duplicate pairs (exact clusters)
 # ---------------------------------------------------------------------------

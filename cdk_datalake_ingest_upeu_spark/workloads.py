@@ -8381,6 +8381,112 @@ ORDER BY id_a, id_b
 """
 
 
+def semantic_semdedup(spark, sf_dir):
+    """Full SemDeDup (operators/dedup.py semdedup — Abbas et al. 2023):
+    on top of the cluster-bounded pair search the driver already
+    verifies (semantic_neardup_planted), resolve the duplicate pairs
+    into groups (connected components) and KEEP one representative per
+    group — the member farthest from its centroid, the paper's
+    low-density choice. Planted construction identical to
+    semantic_neardup_planted (10 deterministic perturbed copies at
+    cosine ~0.99997).
+
+    The oracle recomputes the EXACT >= threshold pair set with a full
+    all-pairs DuckDB scan (no copy-side restriction — verified empty
+    between originals at both test SFs): ``n_pairs`` equality IS the
+    recall check, ``pairs_all_planted``/``pairs_disjoint`` pin the
+    structure from the exact set, and under that structure every
+    duplicate group is a single pair, so ``n_kept = n_vectors -
+    n_pairs`` exactly — a missed pair, a false pair, or a
+    representative-selection bug each flip a hashed column."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") * (F.lit(1.0) + F.lit(0.004) * ((i % 7) - 3))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    allv = emb.unionAll(copies)
+    kept, pairs = semdedup(allv, k=8, threshold=0.99, iters=3)
+    pairs = scratch_persist(pairs.select("id_a", "id_b"))
+    n_vectors = allv.count()
+    n_pairs = pairs.count()
+    pairs_all_planted = (
+        pairs.filter(
+            ~(
+                (F.col("id_b") == F.col("id_a") + 1000000)
+                & (F.col("id_a") < 10)
+            )
+        ).count()
+        == 0
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .count()
+    )
+    pairs_disjoint = deg.filter("count > 1").count() == 0
+    n_kept = kept.count()
+    planted_resolved = bool(
+        pairs_all_planted and pairs_disjoint and n_kept == n_vectors - n_pairs
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                n_pairs,
+                bool(pairs_all_planted),
+                bool(pairs_disjoint),
+                n_kept,
+                planted_resolved,
+            )
+        ],
+        "n_vectors long, n_pairs long, pairs_all_planted boolean, "
+        "pairs_disjoint boolean, n_kept long, planted_resolved boolean",
+    )
+
+
+_SEMDEDUP_SQL = """
+WITH copies AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list(CAST(e::DOUBLE * (1.0 + 0.004 * (((i - 1) % 7) - 3)) AS FLOAT)
+              ORDER BY i) AS embedding
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < 10
+  )
+  GROUP BY vec_id
+), uni AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding FROM copies
+), px AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+), deg AS (
+  SELECT id, count(*) AS c FROM (
+    SELECT id_a AS id FROM px UNION ALL SELECT id_b AS id FROM px
+  ) GROUP BY id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_vectors,
+       (SELECT CAST(count(*) AS BIGINT) FROM px) AS n_pairs,
+       (SELECT coalesce(bool_and(id_b = id_a + 1000000 AND id_a < 10), TRUE)
+        FROM px) AS pairs_all_planted,
+       (SELECT coalesce(max(c), 0) <= 1 FROM deg) AS pairs_disjoint,
+       (SELECT CAST(count(*) AS BIGINT) FROM uni)
+         - (SELECT CAST(count(*) AS BIGINT) FROM px) AS n_kept,
+       TRUE AS planted_resolved
+"""
+
+
 def embedding_pca_variance(spark, sf_dir):
     """Distributed PCA over the embedding table (operators/clustering.py
     pca_fit: one mapInPandas moment-sketch pass + driver-side d x d
@@ -9084,6 +9190,7 @@ QUERIES = {
     "corpus_c4_line_filter": corpus_c4_line_filter,
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
     "incremental_substring_span_dedup": incremental_substring_span_dedup,
+    "semantic_semdedup": semantic_semdedup,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -9390,6 +9497,7 @@ ORACLES = {
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
     "incremental_substring_span_dedup": _INCR_SUBSTRING_SPAN_SQL,
+    "semantic_semdedup": _SEMDEDUP_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

@@ -2008,6 +2008,50 @@ def test_substring_span_dedup_incremental_vs_index(spark, tmp_path):
     assert got[12].n_tokens_removed > 8
 
 
+def test_semdedup_keeps_low_density_representative(spark):
+    """SemDeDup resolves each semantic-duplicate group to ONE survivor
+    and the survivor is the member FARTHEST from its centroid (the
+    paper's low-density choice): planted near-identical pairs where one
+    member is nudged toward the cluster mean must keep the outlying
+    twin."""
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import semdedup
+
+    rng = _np.random.default_rng(9)
+    rows = []
+    for i in range(120):
+        v = rng.normal(0, 1, 16)
+        v /= _np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # three planted pairs: the twin (id+1000) is the SAME direction with
+    # a tiny rotation AWAY from everything — noise makes it the farther
+    # member only by chance, so instead plant asymmetry explicitly:
+    # member A = 0.9*v + 0.1*mean-ish pull (closer to centroid),
+    # member B = v (farther). Keep policy must choose B.
+    mean = _np.mean(
+        _np.stack([_np.array(r[1]) for r in rows]), axis=0
+    )
+    planted = []
+    for j in range(3):
+        v = _np.array(rows[j][1])
+        a = 0.97 * v + 0.03 * mean
+        a /= _np.linalg.norm(a)
+        planted.append((2000 + j, [float(x) for x in a]))
+    rows = [r for r in rows if r[0] > 2] + planted + [
+        (3000 + j, rows[j][1]) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept, pairs = semdedup(df, k=4, threshold=0.99, iters=3)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {(2000 + j, 3000 + j) for j in range(3)}
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    for j in range(3):
+        # exactly one survivor per pair, and it is the farther-out twin
+        assert (2000 + j in kept_ids) != (3000 + j in kept_ids)
+        assert 3000 + j in kept_ids, "pulled-toward-centroid twin survived"
+
+
 def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
     """Re-delivering an already-applied epoch (the at-least-once retry
     where the failure fell after the marker promote) must not
