@@ -78,6 +78,34 @@ def assign_global_ids(
     return sorted_parts.withColumn(id_col, gid)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    epoch: int,
+    rank_col: str = "epoch_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch training order: ``rank_col`` = the row's
+    position in the total order of ``md5(epoch || ':' || id)`` — a
+    different, fully reproducible permutation per epoch (the dataloader
+    shuffle at corpus scale: resumable mid-epoch, identical across
+    re-runs and cluster layouts, no RNG state to ship). Ranks come from
+    :func:`assign_global_ids` over the digest key — one range exchange,
+    never a single-task ``row_number() OVER (ORDER BY ...)``."""
+    key = F.md5(
+        F.concat(
+            F.lit(str(int(epoch))), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    return assign_global_ids(
+        df.withColumn("__shufkey", key),
+        "__shufkey",
+        id_col=rank_col,
+        num_partitions=num_partitions,
+    ).drop("__shufkey")
+
+
 def with_shard(
     df: DataFrame,
     id_col: str = "global_id",

@@ -8627,6 +8627,37 @@ ORDER BY doc_id
 """
 
 
+def export_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch dataloader order (operators/indexing.py
+    epoch_shuffle): rank = position in the total order of
+    ``md5(epoch || ':' || doc_id)`` — a distinct reproducible
+    permutation per epoch with no RNG state, resumable mid-epoch.
+    Ranks are assigned scalably (range exchange + offset probe, the
+    global-ids machinery — never a single-task ORDER BY window) and the
+    oracle recomputes BOTH epochs' full permutations value-exactly with
+    its own md5 ordering, so a partition-offset bug or a digest-keying
+    drift flips the hash on a named row."""
+    from cdk_datalake_ingest_upeu_spark.operators.indexing import (
+        epoch_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e0 = epoch_shuffle(docs, epoch=0, rank_col="rank_e0")
+    e1 = epoch_shuffle(docs, epoch=1, rank_col="rank_e1")
+    return finalize(e0.join(e1, "doc_id").orderBy("doc_id"))
+
+
+_EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) - 1 AS rank_e0,
+       row_number() OVER (
+         ORDER BY md5('1:' || CAST(doc_id AS VARCHAR))) - 1 AS rank_e1
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def cms_event_type_totals(spark, sf_dir):
     """Count-Min-Sketch frequency rollup (operators/sketches.py
     cms_daily/cms_estimate), completing the mergeable-sketch family
@@ -9191,6 +9222,7 @@ QUERIES = {
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
     "incremental_substring_span_dedup": incremental_substring_span_dedup,
     "semantic_semdedup": semantic_semdedup,
+    "export_epoch_shuffle": export_epoch_shuffle,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -9498,6 +9530,7 @@ ORACLES = {
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
     "incremental_substring_span_dedup": _INCR_SUBSTRING_SPAN_SQL,
     "semantic_semdedup": _SEMDEDUP_SQL,
+    "export_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

@@ -54,6 +54,32 @@ def test_global_ids_empty(spark):
         release_scratch()
 
 
+def test_epoch_shuffle_permutations(spark):
+    """Each epoch yields a contiguous 0..n-1 permutation, different
+    epochs give different orders, the same epoch is reproducible, and
+    the plan contains no empty-partition-spec Window (the single-task
+    global sort the operator exists to avoid)."""
+    from cdk_datalake_ingest_upeu_spark.operators.indexing import epoch_shuffle
+
+    df = spark.range(2_000).select(F.col("id").alias("doc_id"))
+    try:
+        e0 = {r.doc_id: r.epoch_rank for r in epoch_shuffle(
+            df, epoch=0, num_partitions=5).collect()}
+        e0b = {r.doc_id: r.epoch_rank for r in epoch_shuffle(
+            df, epoch=0, num_partitions=3).collect()}
+        e1 = {r.doc_id: r.epoch_rank for r in epoch_shuffle(
+            df, epoch=1, num_partitions=5).collect()}
+        plan = epoch_shuffle(df, epoch=0)._jdf.queryExecution(
+        ).executedPlan().toString()
+    finally:
+        release_scratch()
+    assert sorted(e0.values()) == list(range(2_000))
+    assert sorted(e1.values()) == list(range(2_000))
+    assert e0 == e0b          # layout-independent: same epoch, same order
+    assert e0 != e1           # different epoch, different permutation
+    assert "Window" not in plan
+
+
 def test_with_shard_sizes(spark):
     df = spark.range(1000).select(F.col("id").alias("global_id"))
     shards = (
