@@ -8415,23 +8415,29 @@ def semantic_semdedup(spark, sf_dir):
     kept, pairs = semdedup(allv, k=8, threshold=0.99, iters=3)
     pairs = scratch_persist(pairs.select("id_a", "id_b"))
     n_vectors = allv.count()
-    n_pairs = pairs.count()
-    pairs_all_planted = (
-        pairs.filter(
-            ~(
-                (F.col("id_b") == F.col("id_a") + 1000000)
-                & (F.col("id_a") < 10)
-            )
-        ).count()
-        == 0
-    )
-    deg = (
+    # one action for all pair-grain flags, one for the degree bound
+    ps = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (
+                ~(
+                    (F.col("id_b") == F.col("id_a") + 1000000)
+                    & (F.col("id_a") < 10)
+                )
+            ).cast("long")
+        ).alias("n_bad"),
+    ).collect()[0]
+    n_pairs = ps.n_pairs
+    pairs_all_planted = (ps.n_bad or 0) == 0
+    max_deg = (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .groupBy("id")
         .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
     )
-    pairs_disjoint = deg.filter("count > 1").count() == 0
+    pairs_disjoint = (max_deg or 0) <= 1
     n_kept = kept.count()
     planted_resolved = bool(
         pairs_all_planted and pairs_disjoint and n_kept == n_vectors - n_pairs
