@@ -2008,6 +2008,41 @@ def test_substring_span_dedup_incremental_vs_index(spark, tmp_path):
     assert got[12].n_tokens_removed > 8
 
 
+def test_c4_clean_lines_banned_brace(spark):
+    """The C4 page-level curly-brace rule (code/markup indicator) kills
+    a page whose lines all pass the line filters."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import c4_clean_lines
+
+    page = "\n".join(["a perfectly fine prose sentence here."] * 4)
+    df = spark.createDataFrame(
+        [(0, page), (1, page + "\nvar x = {1};")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_clean_lines(df, min_kept_lines=3).collect()}
+    assert got[0].c4_keep
+    assert not got[1].c4_keep
+
+
+def test_substring_span_dedup_disjoint_corpus_untouched(spark):
+    """A corpus with no repeated window anywhere passes through
+    verbatim — n_tokens_removed == 0 and text_dedup == text for every
+    doc (the operator must never mangle unique content)."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_span_dedup(df, window_tokens=8).collect()
+    assert len(out) == 40
+    texts = dict(rows)
+    for r in out:
+        assert r.n_tokens_removed == 0
+        assert r.text_dedup == texts[r.doc_id]
+
+
 def test_semdedup_keeps_low_density_representative(spark):
     """SemDeDup resolves each semantic-duplicate group to ONE survivor
     and the survivor is the member FARTHEST from its centroid (the
