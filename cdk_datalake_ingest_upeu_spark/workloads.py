@@ -7647,6 +7647,127 @@ FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+def corpus_filter_dedup_funnel(spark, sf_dir):
+    """The FineWeb/RefinedWeb-style end-to-end prep pipeline in one
+    query: Gopher quality gate -> exact-substring span dedup on the
+    survivors -> per-source attrition funnel (docs and tokens at each
+    stage). Composes this round's operators in the production order:
+    cheap codegen filters first so the dedup explode only pays for
+    docs that survive. Harness calibration for the synthetic corpus:
+    ``min_words=10`` and ``min_required_stopwords=1`` (the vocabulary
+    contains only 'the' from the required list; rule SHAPE is the
+    paper's). Dedup stage drops a doc when duplicated spans cover more
+    than half its tokens. All outputs BIGINT/STRING."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_quality_flags(
+        docs, min_words=10, min_required_stopwords=1
+    ).select("doc_id", "source", "text", "n_words", "gopher_keep")
+    surv = g.filter("gopher_keep")
+    ded = substring_span_dedup(surv, window_tokens=8).select(
+        "doc_id", "n_tokens", "n_tokens_removed"
+    )
+    j = g.join(ded, "doc_id", "left")
+    pass_dedup = F.col("gopher_keep") & (
+        F.col("n_tokens_removed") * 2 <= F.col("n_tokens")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("tokens_in"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_pass_quality"),
+            F.sum(pass_dedup.cast("long")).alias("n_pass_dedup"),
+            F.sum(
+                F.when(
+                    pass_dedup, F.col("n_tokens") - F.col("n_tokens_removed")
+                ).otherwise(F.lit(0))
+            ).alias("tokens_out"),
+        )
+        .orderBy("source")
+    )
+
+
+_FILTER_DEDUP_FUNNEL_SQL = """
+WITH f AS (
+  SELECT doc_id, source, coalesce(text, '') AS text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), r AS (
+  SELECT doc_id, source, tk,
+         len(tk) AS n_words,
+         coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS total_chars,
+         length(text) - length(replace(text, '#', '')) AS hash_count,
+         len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS ellipsis_count,
+         string_split(text, chr(10)) AS lines,
+         len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+         (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END) AS stop_hits
+  FROM f
+), q AS (
+  SELECT doc_id, source, tk, n_words,
+         (n_words >= 10 AND n_words <= 100000
+          AND n_words > 0 AND total_chars >= 3.0 * n_words
+                          AND total_chars <= 10.0 * n_words
+          AND hash_count + ellipsis_count <= 0.1 * n_words
+          AND len(list_filter(lines, l -> regexp_matches(trim(l),
+               '^([-*•▪●]|[0-9]+[.)])\\s'))) < 0.9 * len(lines)
+          AND len(list_filter(lines, l -> regexp_matches(rtrim(l),
+               '(\\.\\.\\.|…)$'))) < 0.3 * len(lines)
+          AND alpha_words >= 0.8 * n_words
+          AND stop_hits >= 1) AS keep_q
+  FROM r
+), surv AS (
+  SELECT doc_id, tk FROM q WHERE keep_q AND len(tk) > 0
+), w0 AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8
+              THEN [md5(array_to_string(tk[i:i + 7], ' '))
+                    for i in range(1, len(tk) - 6)]
+              ELSE [] END AS ws
+  FROM surv
+), w AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wh
+  FROM w0 WHERE len(ws) > 0
+), d AS (
+  SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + 8)))) AS cps
+  FROM w WHERE wh IN (SELECT wh FROM d) GROUP BY doc_id
+), ded AS (
+  SELECT s.doc_id, len(s.tk) AS n_tokens,
+         coalesce(len(cps), 0) AS n_removed
+  FROM surv s LEFT JOIN cov USING (doc_id)
+)
+SELECT q.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_words) AS BIGINT) AS tokens_in,
+       CAST(sum(CASE WHEN q.keep_q THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_quality,
+       CAST(sum(CASE WHEN q.keep_q AND d.n_removed * 2 <= d.n_tokens
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dedup,
+       CAST(sum(CASE WHEN q.keep_q AND d.n_removed * 2 <= d.n_tokens
+                     THEN d.n_tokens - d.n_removed ELSE 0 END) AS BIGINT)
+           AS tokens_out
+FROM q LEFT JOIN ded d USING (doc_id)
+GROUP BY q.source ORDER BY q.source
+"""
+
+
 def incremental_substring_span_dedup(spark, sf_dir):
     """Exact-substring dedup in INCREMENTAL mode (operators/dedup.py
     substring_span_dedup seen=): docs < 250 are the landed history,
@@ -9229,6 +9350,7 @@ QUERIES = {
     "incremental_substring_span_dedup": incremental_substring_span_dedup,
     "semantic_semdedup": semantic_semdedup,
     "export_epoch_shuffle": export_epoch_shuffle,
+    "corpus_filter_dedup_funnel": corpus_filter_dedup_funnel,
     # --- behind the window: driver-green residue from rounds 1-4 ---
     "embedding_neardup": embedding_neardup,
     "semantic_neardup_planted": semantic_neardup_planted,
@@ -9537,6 +9659,7 @@ ORACLES = {
     "incremental_substring_span_dedup": _INCR_SUBSTRING_SPAN_SQL,
     "semantic_semdedup": _SEMDEDUP_SQL,
     "export_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
+    "corpus_filter_dedup_funnel": _FILTER_DEDUP_FUNNEL_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

@@ -85,6 +85,7 @@ BUDGETS = [
     ("corpus_c4_line_filter", 1, False),  # pure codegen per-doc pass + output sort
     ("corpus_substring_span_dedup", 4, False),  # digest groupBy + cover regroup + corpus join + sort (AQE may fuse to 3)
     ("incremental_substring_span_dedup", 6, False),  # + index semi-join (batch-distinct side) and dup union; all digest-grain
+    ("corpus_filter_dedup_funnel", 5, False),  # span-dedup shuffles on survivors + funnel join + source rollup (AQE may fuse to 4)
 ]
 
 
