@@ -9339,9 +9339,13 @@ QUERIES = {
     "incremental_boilerplate_strip": incremental_boilerplate_strip,
     "export_length_bucketed_shards": export_length_bucketed_shards,
     "stage_forget_roundtrip": stage_forget_roundtrip,
-    # --- r6-new: governance across all derived artifacts + IVF append
-    # (lead the r7 window rotation with this round's local-sweep
-    # evidence) ---
+    # --- r6-new: governance across all artifacts, IVF append, the
+    # corpus-filter suites (Gopher/C4), exact-substring span dedup
+    # (corpus + incremental), full SemDeDup, epoch shuffle, and the
+    # filter->dedup funnel. All nine lead the r7 window rotation with
+    # this round's evidence: 184/184 local hash-match AND 184/184 on
+    # all five hostile variants (CORRECTNESS_LOCAL_r06 / PERTURB_r06)
+    # ---
     "forget_everywhere": forget_everywhere,
     "ann_incremental_index_append": ann_incremental_index_append,
     "corpus_gopher_quality": corpus_gopher_quality,
