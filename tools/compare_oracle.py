@@ -83,7 +83,12 @@ def main():
         print(f"no such query: {sorted(unknown)}; known: {sorted(QUERIES)}")
         sys.exit(2)
 
-    spark = get_spark("oracle-compare")
+    # no console progress bar: its \r redraws clobber the per-query
+    # "ok" lines this tool exists to print (the skill's tr-hack cause)
+    spark = get_spark(
+        "oracle-compare",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
