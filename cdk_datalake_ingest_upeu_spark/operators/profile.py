@@ -219,12 +219,26 @@ def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     checksum and null count, so when two runs DO diverge the report
     names the column instead of one opaque sum (KB-wide single row —
     still a pure map-side aggregate).
+
+    The checksum columns leave the operator as decimal-digit STRINGs,
+    never as wide decimals: DECIMAL(p>18,0) is exact inside both
+    engines but lossy AT THE BOUNDARY — a DuckDB DECIMAL(38,0) fetched
+    through a dataframe becomes float64 (``6.97576082990215e+16``)
+    while Spark's stays exact, so any harness that hashes fetched text
+    sees a mismatch even when the values are identical (the r5/r6
+    ``corpus_checksum`` driver-red; same class as DuckDB HUGEINT).
+    Digit text is engine-stable by construction — Decimal(38,0)
+    rendering has no exponent/locale path in either engine. (Hex would
+    be equally stable but Spark's ``hex()`` takes only 64-bit ints, and
+    the sum legitimately exceeds 2^63 past ~65e3 rows x 48 bits.)
     """
     use_cols = cols or df.columns
     canon = {c: _canon_text(df, c) for c in use_cols}
     null_sentinel = F.lit("\x00null")
 
     def h48(text_col):
+        # internal accumulator stays decimal(38,0): overflow-safe past
+        # 1e12 rows x 48-bit values; only the TEXT leaves the operator
         return F.conv(F.substring(F.md5(text_col), 1, 12), 16, 10).cast(
             "decimal(38,0)"
         )
@@ -234,13 +248,13 @@ def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h48(row_text)).alias("checksum"),
+        F.sum(h48(row_text)).cast("string").alias("checksum"),
     ]
     for c in use_cols:
         aggs.append(
-            F.sum(h48(F.coalesce(canon[c], null_sentinel))).alias(
-                f"checksum_{c}"
-            )
+            F.sum(h48(F.coalesce(canon[c], null_sentinel)))
+            .cast("string")
+            .alias(f"checksum_{c}")
         )
         aggs.append(
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"nulls_{c}")

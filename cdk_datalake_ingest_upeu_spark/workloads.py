@@ -9237,9 +9237,13 @@ def _checksum_oracle_sql(table: str, col_types: list[tuple[str, str]]) -> str:
     row = "concat_ws(chr(31), " + ", ".join(canon[c] for c, _ in col_types) + ")"
 
     def h48(x: str) -> str:
+        # decimal internally, digit STRING at the boundary: DuckDB
+        # DECIMAL(38,0) through a dataframe fetch becomes float64 and
+        # loses digits (the r5/r6 corpus_checksum driver-red) — see
+        # operators/profile.dataset_checksum
         return (
-            f"CAST(sum(('0x' || substr(md5({x}), 1, 12))::BIGINT) "
-            "AS DECIMAL(38,0))"
+            f"CAST(CAST(sum(('0x' || substr(md5({x}), 1, 12))::BIGINT) "
+            "AS DECIMAL(38,0)) AS VARCHAR)"
         )
 
     cols = ["count(*) AS n_rows", f"{h48(row)} AS checksum"]
@@ -9847,78 +9851,84 @@ for _name, _cols in _MICRO_CANON_COLS.items():
 
 
 # ===========================================================================
-# round-6 driver window (first 50 entries of QUERIES)
+# round-7 driver window (first 50 entries of QUERIES)
 # ===========================================================================
 
 # The driver's correctness harness checks the FIRST 50 catalog entries.
-# Round-6 window: (a) the four r5 driver hash-reds, re-canonicalized
-# this round (integer cents / enforced checksum canon / date_format
-# buckets); (b) the three r5-late queries that have never been in any
-# driver window; (c) 43 of the 89 queries whose output schema changed
-# under the micro-unit double canon — their prior driver-green rows
-# predate the schema change, so fresh evidence matters most for the
-# widest-used families first (TPC-H, sqlgen, sinks, stage, streaming,
-# text). The remaining 46 canonized queries carry this round's local
-# all-175 sweep evidence and lead the r7 rotation.
-_R6_WINDOW = [
-    # (a) r5 hash-reds, fixed via engine-boundary canonicalization
+# Round-7 window: (a) corpus_checksum — the one r6 driver-red, now
+# re-rendered as digit STRINGs at the boundary (wide decimals go
+# float-lossy through a dataframe fetch; values were proven identical
+# both engines at 3 scales); (b) the nine r6-new operators, never
+# driver-checked (local + 5-hostile-variant evidence in
+# CORRECTNESS_LOCAL_r06 / PERTURB_r06); (c) every query whose newest
+# driver-green row predates the r6 canon rework, oldest evidence first:
+# all 14 last green in r2 (incl. the SURVEY-S2/A2/X3/X5/S13/D1 hygiene
+# set: minmax_bounds, pipeline_group_run, empty_result_schema,
+# distinct_flag_status) and all 23 last green in r3; (d) three r4
+# family representatives (load-mode lifecycle, corpus e2e,
+# decontamination). Everything else keeps r4-r6 driver evidence plus
+# the full-catalog local sweeps.
+_R7_WINDOW = [
+    # (a) the r6 driver-red, boundary-typed fix
     "corpus_checksum",
-    "incremental_rollup_maintenance",
-    "streaming_rollup_maintenance",
-    "events_gapfill_hourly",
-    # (b) never driver-checked
-    "export_length_bucketed_shards",
-    "incremental_boilerplate_strip",
-    "stage_forget_roundtrip",
-    # (c) canon-schema-changed, widest families first
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q18_large_volume_customers",
-    "q10_returned_items",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_pushdown",
-    "q22_idle_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_revenue_concentration",
-    "q14_promo_revenue_share",
-    "q20_excess_shippers",
-    "sqlgen_projection_filter",
-    "sqlgen_dual_range_filter",
-    "range_partition_union",
-    "date_range_extract_union",
-    "days_off_window_extract",
-    "sqlgen_incremental_delay_window",
-    "sqlgen_bigint_dialect_range",
-    "asof_join_last_purchase",
-    "window_dedup_latest",
-    "merge_upsert_current_state",
-    "transform_bytemagic_casts",
-    "sink_csv_gz_roundtrip",
-    "sink_json_gz_roundtrip",
-    "sink_orc_roundtrip",
-    "stage_schema_evolution",
-    "stage_partition_pruned_read",
-    "stage_pipeline_e2e",
-    "config_csv_pipeline",
-    "incremental_watermark_2phase",
-    "streaming_merge_ingest",
-    "events_hourly_rollup",
-    "events_json_props",
-    "streaming_watermarked_rollup",
-    "text_features",
-    "dedup_ngram_jaccard",
-    "corpus_language_stats",
+    # (b) r6-new, never driver-checked
+    "forget_everywhere",
+    "ann_incremental_index_append",
+    "corpus_gopher_quality",
+    "corpus_c4_line_filter",
+    "corpus_substring_span_dedup",
+    "incremental_substring_span_dedup",
+    "semantic_semdedup",
+    "export_epoch_shuffle",
+    "corpus_filter_dedup_funnel",
+    # (c) last driver-green in r2
+    "minmax_bounds",
+    "pipeline_group_run",
+    "empty_result_schema",
+    "distinct_flag_status",
+    "q4_late_shipment_priority",
+    "q13_customer_order_histogram",
+    "q16_supplier_variety",
+    "q21_waiting_suppliers",
+    "transform_case_status",
+    "transform_clearstring",
+    "transform_concat_period",
+    "transform_date_formats",
+    "transform_datemagic",
+    "transform_datetimemagic",
+    # (c) last driver-green in r3
+    "ann_topk_bruteforce",
+    "dedup_exact_corpus",
+    "dedup_exact_stats",
+    "dedup_incremental_batch",
+    "embedding_label_stats",
+    "events_pivot_by_type",
+    "events_retention_cohorts",
+    "events_rolling_window",
+    "events_sessionization",
+    "events_value_quantiles",
+    "interval_join_clicks_before_purchase",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "orders_priority_rollup",
+    "profile_events_table",
+    "scd2_user_event_history",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "streaming_stateful_sessionization",
+    "streaming_topk_state",
+    "text_chunk_windows",
+    "text_langid",
+    "topk_ngrams",
+    # (d) r4 family representatives
+    "load_mode_lifecycle",
+    "corpus_pipeline_e2e",
+    "decontaminate_against_benchmark",
 ]
-assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_R6_WINDOW, *(n for n in QUERIES if n not in set(_R6_WINDOW)))
+    for name in (*_R7_WINDOW, *(n for n in QUERIES if n not in set(_R7_WINDOW)))
 }
 
 

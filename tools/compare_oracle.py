@@ -4,9 +4,11 @@ Runs every QUERIES entry on Spark and its ORACLES SQL on DuckDB over the
 same parquet tables, then compares row count, column names, and
 order-insensitive EXACT value text (floats by repr, no rounding — the
 driver hashes value text, so this tool must fail wherever the driver
-would). Oracle columns typed HUGEINT are rejected outright: DuckDB
-promotes integer sums to int128, whose driver-side text differs from
-Spark's BIGINT (the r3 11-query hash-red class). Usage:
+would). Oracle columns typed HUGEINT or DECIMAL(p>18) are rejected
+outright: DuckDB promotes integer sums to int128 whose driver-side text
+differs from Spark's BIGINT (the r3 11-query hash-red class), and wide
+decimals go float-lossy through a dataframe fetch (the r6
+corpus_checksum driver-red). Usage:
 
     python tools/compare_oracle.py [sf_dir] [query ...]
 """
@@ -149,14 +151,27 @@ def main():
         # driver-side conversion stringifies it differently from Spark's
         # BIGINT and the value hash fails even when numbers agree.  Ban
         # it outright: CAST(sum(...) AS BIGINT) in the oracle SQL.
-        huge = [c for c, t in zip(o_cols, o_types) if "HUGEINT" in t.upper()]
+        # Same ban for DECIMAL wider than 18 digits (r6 corpus_checksum
+        # driver-red): exact in-engine, but a dataframe-path fetch turns
+        # DuckDB DECIMAL(38,0) into float64 (6.97576082990215e+16) while
+        # Spark's decimal text stays exact — emit digit STRINGs instead.
+        def _wide(t: str) -> bool:
+            u = t.upper()
+            if "HUGEINT" in u:
+                return True
+            if u.startswith("DECIMAL("):
+                prec = int(u.split("(")[1].split(",")[0])
+                return prec > 18
+            return False
+
+        huge = [c for c, t in zip(o_cols, o_types) if _wide(t)]
         if huge:
             failures.append(name)
-            report[name] = {"status": "hugeint", "cols": huge}
+            report[name] = {"status": "wide_numeric", "cols": huge}
             print(
-                f"FAIL  {name}: oracle column(s) {huge} typed HUGEINT — "
-                "wrap in CAST(... AS BIGINT) (sum() over integers "
-                "promotes to int128 in DuckDB)"
+                f"FAIL  {name}: oracle column(s) {huge} typed HUGEINT/"
+                "DECIMAL(p>18) — not dataframe-fetch-portable; CAST to "
+                "BIGINT or render as a digit VARCHAR"
             )
             continue
 
