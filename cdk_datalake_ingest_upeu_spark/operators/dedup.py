@@ -1554,14 +1554,19 @@ def substring_span_dedup(
     Scale shape: the window explode is map-side (~n_tokens rows per
     doc, the inherent cost of substring-level dedup); windows travel as
     (id, pos, md5) — 32-byte digests, never the span text. Shuffle 1
-    groups by digest to find duplicated spans; shuffle 2 re-joins the
-    duplicated rows and aggregates covered positions per document
-    (document-bounded arrays); shuffle 3 joins that KB-scale per-doc
-    cover set back to the corpus, where a codegen two-arg
-    ``filter((t, i) -> ...)`` drops covered tokens row-locally. No
-    all-pairs product anywhere; at 100 TB each shuffle is linear in
-    corpus tokens. Beyond-reference surface (the reference has no
-    dedup of any kind).
+    groups by digest to find duplicated spans; shuffle 2 expands the
+    duplicated windows to distinct covered (id, pos) positions;
+    shuffle 3 marks the exploded token stream against that set with
+    one (id, pos) equi-join; shuffle 4 reassembles survivors per
+    document (collect_list skips the covered rows, array_sort by
+    position restores order). EVERY stage is linear in corpus tokens
+    and token-parallel — deliberately NOT the row-local
+    ``filter(__tk, (t, i) -> array_contains(__cov, i+1))`` form, which
+    is O(n_tokens x n_covered) per document and turns a heavily
+    duplicated 100k-token document (exactly what span dedup targets)
+    into a ~1e9-comparison single-row evaluation inside one task. No
+    all-pairs product anywhere. Beyond-reference surface (the
+    reference has no dedup of any kind).
 
     ``seen`` is the INCREMENTAL mode (same contract as
     :func:`paragraph_dedup`): a relation with a ``whash`` column
@@ -1589,32 +1594,47 @@ def substring_span_dedup(
             .join(seen.select("whash").distinct(), "whash", "left_semi")
         )
         dup_hashes = dup_hashes.unionByName(in_index).distinct()
-    covered = (
+    covered_pos = (
         windows.join(dup_hashes, "whash")
-        .groupBy(id_col)
-        .agg(
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(
-                        F.sequence(F.col("pos"), F.col("pos") + n - 1)
-                    )
-                )
-            ).alias("__cov")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("pos"),
         )
+        .distinct()
+        .withColumn("__c", F.lit(1))
     )
-    joined = docs.join(covered, id_col, "left").withColumn(
-        "__cov",
-        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
-    )
-    kept = F.filter(
-        F.col("__tk"),
-        lambda t, i: ~F.array_contains(F.col("__cov"), i + 1),
-    )
-    return joined.select(
+    tokens = docs.select(
         F.col(id_col),
-        F.size("__tk").cast("long").alias("n_tokens"),
-        F.size("__cov").cast("long").alias("n_tokens_removed"),
-        F.array_join(kept, " ").alias("text_dedup"),
+        F.size("__tk").alias("__n"),
+        F.posexplode("__tk").alias("pos0", "__t"),
+    ).select(id_col, "__n", (F.col("pos0") + 1).alias("pos"), "__t")
+    # LEFT join (not anti): the covered marker lets ONE aggregation
+    # produce removed counts AND the reassembled text, and a fully
+    # covered document still has all its token rows, so it cannot
+    # drop out of the result
+    marked = tokens.join(covered_pos, [id_col, "pos"], "left")
+    return marked.groupBy(id_col).agg(
+        F.first("__n").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(  # collect_list skips NULLs: only
+                        # uncovered tokens are collected
+                        F.when(
+                            F.col("__c").isNull(),
+                            F.struct(F.col("pos"), F.col("__t")),
+                        )
+                    )
+                ),
+                lambda x: x["__t"],
+            ),
+            " ",
+        ).alias("text_dedup"),
     )
 
 

@@ -2008,6 +2008,47 @@ def test_substring_span_dedup_incremental_vs_index(spark, tmp_path):
     assert got[12].n_tokens_removed > 8
 
 
+def test_substring_span_dedup_pathological_doc(spark):
+    """One 50k-token document that is ~90% duplicated spans — the exact
+    shape span dedup targets. The r6 row-local cover filter
+    (``filter(__tk, (t, i) -> array_contains(__cov, i+1))``) was
+    O(n_tokens x n_covered) per document: ~2.3e9 comparisons inside ONE
+    row evaluation here. The linear (id, pos) anti-join form must chew
+    through it in seconds, and a fully-covered sibling document must
+    still appear in the output (the left-join marker, not an anti-join
+    on doc rows)."""
+    import time
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+    )
+
+    # 45k tokens of an 8-token phrase repeated (every window duplicated)
+    # + 5k unique-token tail: ~90% of positions covered
+    phrase = "alpha bravo charlie delta echo foxtrot golf hotel "
+    big = phrase * (45_000 // 8) + " ".join(f"u{i}" for i in range(5_000))
+    rows = [
+        (0, big),
+        (1, phrase * 4),  # fully covered: every token in a dup span
+        (2, "entirely novel words " + " ".join(f"v{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.monotonic()
+    got = {
+        r.doc_id: r for r in substring_span_dedup(df, window_tokens=8).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert set(got) == {0, 1, 2}
+    assert got[0].n_tokens == 50_000 and got[0].n_tokens_removed == 45_000
+    assert got[0].text_dedup == " ".join(f"u{i}" for i in range(5_000))
+    assert got[1].n_tokens_removed == got[1].n_tokens  # fully covered
+    assert got[1].text_dedup == ""
+    assert got[2].n_tokens_removed == 0
+    # generous wall bound: the quadratic form needs minutes here, the
+    # linear form single-digit seconds even on a cold loaded VM
+    assert elapsed < 60, f"span dedup took {elapsed:.1f}s on 50k tokens"
+
+
 def test_c4_clean_lines_banned_brace(spark):
     """The C4 page-level curly-brace rule (code/markup indicator) kills
     a page whose lines all pass the line filters."""
