@@ -271,24 +271,45 @@ def ivf_index_probe(
     cells (an ``isin`` over <= n_queries*n_probe ints — with the index
     partitioned by cluster_id this is partition pruning, the disk-level
     version of the inverted file), and exact cosine re-ranks inside the
-    probed cells. The cell-id collect is driver-side but bounded by the
-    query batch, which is the broadcast side by construction."""
-    q_tag = queries.select(
-        F.col(query_id),
-        F.col(query_vec).alias("__qv"),
-        F.explode(_topn_centroid_udf(centroids, n_probe)(F.col(query_vec))).alias(
-            "cluster_id"
+    probed cells. The query batch is driver-bounded by construction
+    (it is the broadcast side), so it is collected ONCE and its
+    centroid assignment computed driver-side with the SAME
+    normalize/matmul/argsort numpy code the index-side Pandas UDF
+    runs — tagging it lazily cost an Arrow/Python-worker launch per
+    evaluation, and the cell-id collect plus the join made that TWO
+    launches per probe (the bulk of the r5->r6 ``ann_incremental_probe``
+    bench regression)."""
+    import pyspark.sql.types as T
+
+    q_sel = queries.select(F.col(query_id), F.col(query_vec))
+    q_rows = q_sel.collect()
+    C = np.asarray(centroids, dtype=np.float64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    # same argsort the index-side Pandas UDF runs — identical cells
+    order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe]
+    id_f, vec_f = q_sel.schema.fields
+    q_local = index.sparkSession.createDataFrame(
+        [
+            (r[0], list(r[1]), int(c))
+            for r, cells in zip(q_rows, order)
+            for c in cells
+        ],
+        T.StructType(
+            [
+                T.StructField(query_id, id_f.dataType),
+                T.StructField("__qv", vec_f.dataType),
+                T.StructField("cluster_id", T.IntegerType()),
+            ]
         ),
     )
-    probed = sorted(
-        r["cluster_id"] for r in q_tag.select("cluster_id").distinct().collect()
-    )
+    probed = sorted({int(c) for cells in order for c in cells})
     c_tag = index.filter(F.col("cluster_id").isin(probed)).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
         "cluster_id",
     )
-    candidates = c_tag.join(F.broadcast(q_tag), on="cluster_id").select(
+    candidates = c_tag.join(F.broadcast(q_local), on="cluster_id").select(
         query_id, "neighbor_id", "__cv", "__qv"
     )
     scored = candidates.select(

@@ -7348,7 +7348,14 @@ def ann_incremental_probe(spark, sf_dir):
     work = _tmpdir("ivfindex")
     C, index = ivf_index_build(emb, n_clusters=16, sample_size=4096)
     idx_path = os.path.join(work, "index")
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(idx_path)
+    # cluster the rows to their partition dirs before writing: without
+    # it every upstream task writes a sliver of every cell (32 tasks x
+    # 16 dirs = up to 512 tiny files; measured ~2x write cost at gate
+    # scale and a metadata bomb at 100 TB). One shuffle, cells land as
+    # one file each (AQE splits a genuinely hot cell)
+    index.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(idx_path)
     stored = spark.read.parquet(idx_path)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -7383,10 +7390,14 @@ def ann_incremental_index_append(spark, sf_dir):
     work = _tmpdir("ivfappend")
     idx_path = os.path.join(work, "index")
     C, index = ivf_index_build(history, n_clusters=16, sample_size=4096)
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(idx_path)
-    ivf_index_append(C, new_batch).write.mode("append").partitionBy(
+    # cluster rows to their partition dirs pre-write (see
+    # ann_incremental_probe): one file per cell, not tasks x cells
+    index.repartition("cluster_id").write.mode("overwrite").partitionBy(
         "cluster_id"
     ).parquet(idx_path)
+    ivf_index_append(C, new_batch).repartition("cluster_id").write.mode(
+        "append"
+    ).partitionBy("cluster_id").parquet(idx_path)
     stored = spark.read.parquet(idx_path)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
