@@ -926,6 +926,7 @@ def semdedup(
     k: int = 8,
     threshold: float = 0.95,
     iters: int = 3,
+    max_pair_work_factor: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -948,6 +949,18 @@ def semdedup(
     fits an executor; the paper uses k~10^5 for web scale); dedup
     groups resolve through :func:`connected_components` (diameter
     rounds over KB-scale pair edges); the final keep is one anti-join.
+
+    ``max_pair_work_factor`` guards that trade: the whole n^2/k bound
+    rests on the clustering staying roughly balanced, and a degenerate
+    fit (one giant cluster — near-constant embeddings, a collapsed
+    model, k too small) silently reinstates the corpus-level
+    quadratic. When set, the ACTUAL candidate-pair count
+    sum_i c_i*(c_i-1)/2 (one KB-scale aggregate over the persisted
+    assignment, k rows) is checked against ``factor * n^2/(2k)`` —
+    the perfectly-balanced cost times the allowed imbalance — BEFORE
+    the pair join executes, and a violation raises ``ValueError``
+    naming both numbers. Fail loudly at plan time, not after an
+    accidental all-pairs burns the cluster.
     """
     from cdk_datalake_ingest_upeu_spark.operators.clustering import (
         kmeans_assign,
@@ -975,6 +988,26 @@ def semdedup(
             centroid_sim(F.col(vec_col)).alias("__csim"),
         )
     )
+    if max_pair_work_factor is not None:
+        sizes = (
+            members.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("c").alias("n"),
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("work"),
+            )
+            .collect()[0]
+        )
+        n_total, actual = int(sizes["n"] or 0), float(sizes["work"] or 0.0)
+        budget = max_pair_work_factor * n_total * n_total / (2.0 * k)
+        if actual > budget:
+            raise ValueError(
+                "semdedup pair-work bound violated: clusters yield "
+                f"{actual:.0f} candidate pairs but the balanced budget is "
+                f"{budget:.0f} (n={n_total}, k={k}, "
+                f"factor={max_pair_work_factor}); the clustering is "
+                "degenerate — raise k or inspect the embeddings"
+            )
     a = members.select(
         F.col(id_col).alias("id_a"), "cluster", F.col("__v").alias("va")
     )
@@ -1636,6 +1669,79 @@ def substring_span_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def span_dedup_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    windows: tuple[int, ...] = (4, 8, 16),
+) -> DataFrame:
+    """The Lee et al. window-length ablation, measured: for each
+    window size, how much would :func:`substring_span_dedup` remove?
+    Returns one row per window — (window_tokens, n_docs,
+    n_docs_touched, tokens_total, tokens_removed, covers_next_window).
+
+    The fixed-window approximation trades recall for cost by design: a
+    repeat SHORTER than the window is invisible, so shrinking the
+    window removes more (at more windows hashed per token). The
+    containment is strict — every duplicated 2w-token window's
+    w-sub-windows are themselves duplicated, so the covered-position
+    set at window w is a SUPERSET of the set at any larger window.
+    ``covers_next_window`` pins exactly that per sweep step (last row
+    trivially TRUE); a FALSE means the sliding-hash machinery broke,
+    not that the data is odd.
+
+    Cost shape: this is the counting half of span dedup only — window
+    digests explode map-side, shuffles stay at digest grain, and NO
+    token travels (no reassembly). One pass per window size; the sweep
+    is how a user prices recall-vs-cost before committing a window to
+    a 100 TB dedup run.
+    """
+    docs = _span_tokenized(df, id_col, text_col)
+    base = docs.select(F.col(id_col), F.size("__tk").alias("__n"))
+    per_window = []
+    for w in windows:
+        wh = span_window_hashes(docs, id_col, window_tokens=w)
+        dup = (
+            wh.groupBy("whash")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") >= 2)
+            .select("whash")
+        )
+        cov = (
+            wh.join(dup, "whash")
+            .select(
+                id_col,
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + w - 1)
+                ).alias("pos"),
+            )
+            .distinct()
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__rm"))
+        )
+        per_window.append(
+            base.join(cov, id_col, "left").agg(
+                F.lit(w).cast("long").alias("window_tokens"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("__rm").alias("n_docs_touched"),
+                F.sum("__n").cast("long").alias("tokens_total"),
+                F.coalesce(F.sum("__rm"), F.lit(0))
+                .cast("long")
+                .alias("tokens_removed"),
+            )
+        )
+    out = per_window[0]
+    for p in per_window[1:]:
+        out = out.unionByName(p)
+    nxt = Window.orderBy("window_tokens")
+    return out.withColumn(
+        "covers_next_window",
+        F.col("tokens_removed")
+        >= F.coalesce(F.lead("tokens_removed").over(nxt), F.lit(0)),
+    ).orderBy("window_tokens")
 
 
 # ---------------------------------------------------------------------------

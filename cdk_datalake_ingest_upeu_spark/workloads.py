@@ -7658,6 +7658,80 @@ FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+def span_dedup_window_sweep(spark, sf_dir):
+    """The Lee et al. window-length ablation measured on this corpus
+    (operators/dedup.py span_dedup_window_stats): would-be removal
+    counts for window_tokens in {4, 8, 16}. The fixed sliding window
+    misses repeats shorter than the window BY DESIGN — this sweep is
+    how a user prices that recall/cost trade before committing a
+    window to a full dedup run. ``covers_next_window`` pins the strict
+    containment (coverage at w is a superset of coverage at 2w: every
+    duplicated long window's sub-windows are themselves duplicated);
+    the oracle recomputes all three windows exactly, so every count is
+    hash-checked, not just the invariant."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        span_dedup_window_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_window_stats(docs, windows=(4, 8, 16))
+
+
+def _span_sweep_sql(windows: tuple[int, ...] = (4, 8, 16)) -> str:
+    """DuckDB twin of span_dedup_window_stats: the per-window counting
+    CTE of _SUBSTRING_SPAN_SQL, parameterized and unioned, with the
+    containment flag as a lead() over the 3-row result. Sums CAST to
+    BIGINT (DuckDB promotes integer sums to HUGEINT, banned at the
+    boundary)."""
+    parts = []
+    for w in windows:
+        parts.append(f"""
+  SELECT CAST({w} AS BIGINT) AS window_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(cnt) AS BIGINT) AS n_docs_touched,
+         CAST(sum(len(tk)) AS BIGINT) AS tokens_total,
+         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tokens_removed
+  FROM (
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents
+    ), t AS (
+      SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+    ), w0 AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= {w}
+                  THEN [md5(array_to_string(tk[i:i + {w - 1}], ' '))
+                        for i in range(1, len(tk) - {w - 2})]
+                  ELSE [] END AS ws, tk
+      FROM t
+    ), wx AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wh
+      FROM w0 WHERE len(ws) > 0
+    ), d AS (
+      SELECT wh FROM wx GROUP BY wh HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id,
+             len(list_distinct(flatten(list(range(pos, pos + {w}))))) AS cnt
+      FROM wx WHERE wh IN (SELECT wh FROM d) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.tk, cov.cnt FROM t LEFT JOIN cov USING (doc_id)
+  )""")
+    union = "\n  UNION ALL\n".join(parts)
+    return (
+        "SELECT window_tokens, n_docs, n_docs_touched, tokens_total,"
+        " tokens_removed,\n"
+        "       tokens_removed >= coalesce("
+        "lead(tokens_removed) OVER (ORDER BY window_tokens), 0)"
+        " AS covers_next_window\n"
+        f"FROM (\n{union}\n)\nORDER BY window_tokens"
+    )
+
+
+_SPAN_SWEEP_SQL = _span_sweep_sql()
+
+
 def corpus_filter_dedup_funnel(spark, sf_dir):
     """The FineWeb/RefinedWeb-style end-to-end prep pipeline in one
     query: Gopher quality gate -> exact-substring span dedup on the
@@ -8544,7 +8618,13 @@ def semantic_semdedup(spark, sf_dir):
         ).alias("embedding"),
     )
     allv = emb.unionAll(copies)
-    kept, pairs = semdedup(allv, k=8, threshold=0.99, iters=3)
+    # the pair-work guard makes a degenerate clustering (one giant
+    # cluster -> accidental corpus-level all-pairs) ERROR before the
+    # pair join runs, instead of silently costing n^2; reaching the
+    # output row at all certifies the bound held
+    kept, pairs = semdedup(
+        allv, k=8, threshold=0.99, iters=3, max_pair_work_factor=4.0
+    )
     pairs = scratch_persist(pairs.select("id_a", "id_b"))
     n_vectors = allv.count()
     # one action for all pair-grain flags, one for the degree bound
@@ -8583,10 +8663,12 @@ def semantic_semdedup(spark, sf_dir):
                 bool(pairs_disjoint),
                 n_kept,
                 planted_resolved,
+                True,  # pair_work_bounded: the guard raises otherwise
             )
         ],
         "n_vectors long, n_pairs long, pairs_all_planted boolean, "
-        "pairs_disjoint boolean, n_kept long, planted_resolved boolean",
+        "pairs_disjoint boolean, n_kept long, planted_resolved boolean, "
+        "pair_work_bounded boolean",
     )
 
 
@@ -8621,7 +8703,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_vectors,
        (SELECT coalesce(max(c), 0) <= 1 FROM deg) AS pairs_disjoint,
        (SELECT CAST(count(*) AS BIGINT) FROM uni)
          - (SELECT CAST(count(*) AS BIGINT) FROM px) AS n_kept,
-       TRUE AS planted_resolved
+       TRUE AS planted_resolved,
+       TRUE AS pair_work_bounded
 """
 
 
@@ -9493,6 +9576,8 @@ QUERIES = {
     "pipeline_group_run": pipeline_group_run,
     "incremental_watermark_2phase": incremental_watermark_2phase,
     "streaming_merge_ingest": streaming_merge_ingest_query,
+    # --- r7-new: behind the window, lead the r8 rotation ---
+    "span_dedup_window_sweep": span_dedup_window_sweep,
 }
 
 ORACLES = {
@@ -9679,6 +9764,7 @@ ORACLES = {
     "semantic_semdedup": _SEMDEDUP_SQL,
     "export_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "corpus_filter_dedup_funnel": _FILTER_DEDUP_FUNNEL_SQL,
+    "span_dedup_window_sweep": _SPAN_SWEEP_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

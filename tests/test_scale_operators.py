@@ -2128,6 +2128,39 @@ def test_semdedup_keeps_low_density_representative(spark):
         assert 3000 + j in kept_ids, "pulled-toward-centroid twin survived"
 
 
+def test_semdedup_pair_work_guard(spark):
+    """The n^2/k cost bound rests on a balanced clustering; a
+    degenerate fit (here: every embedding the same direction -> one
+    giant cluster) must ERROR before the pair join runs, not silently
+    reinstate corpus-level all-pairs. A balanced corpus with the same
+    factor passes."""
+    import numpy as _np
+
+    import pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import semdedup
+
+    # degenerate: 200 copies of one direction (tiny scale jitter keeps
+    # vectors distinct but cosine-identical -> a single cluster)
+    same = [(i, [1.0 + 1e-9 * i, 0.0, 0.0, 0.0]) for i in range(200)]
+    df_bad = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="pair-work bound violated"):
+        semdedup(df_bad, k=8, threshold=0.99, iters=2, max_pair_work_factor=4.0)
+
+    # balanced: random directions spread across clusters
+    rng = _np.random.default_rng(3)
+    rows = []
+    for i in range(200):
+        v = rng.normal(0, 1, 16)
+        v /= _np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df_ok = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept, _pairs = semdedup(
+        df_ok, k=8, threshold=0.99, iters=2, max_pair_work_factor=4.0
+    )
+    assert kept.count() == 200  # no dups planted; guard stayed quiet
+
+
 def test_stream_rollup_epoch_replay_is_noop(spark, tmp_path):
     """Re-delivering an already-applied epoch (the at-least-once retry
     where the failure fell after the marker promote) must not
