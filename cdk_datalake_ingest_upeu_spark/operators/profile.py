@@ -260,3 +260,50 @@ def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"nulls_{c}")
         )
     return df.agg(*aggs)
+
+
+def score_attrition(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[int],
+    *,
+    token_col: str | None = None,
+    source_col: str | None = None,
+) -> DataFrame:
+    """Attrition curve for a quality/classifier score: for each
+    threshold, how much data survives ``score >= t``? The calibration
+    step between training a filter and running it on 100 TB — you pick
+    the threshold off THIS table (docs/tokens/source survival vs
+    cut), not by re-running the corpus filter per guess.
+
+    ``score_col`` must be integer-quantized (micro-units etc.) so the
+    ``>=`` compare has no float-text ambiguity; ``thresholds`` are in
+    the same units. One scan: each row fans out to the threshold list
+    map-side (|thresholds| copies of 3 small columns, not of the
+    document), and one KB-scale groupBy aggregates the curve. Returns
+    (threshold, n_docs, n_kept, tokens_kept?, sources_kept?) ordered
+    by threshold.
+    """
+    fan = df.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(int(t)).cast("long") for t in thresholds])),
+    ).withColumn("__kept", F.col(score_col) >= F.col("threshold"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+    ]
+    if token_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("__kept"), F.col(token_col))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_kept")
+        )
+    if source_col is not None:
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("__kept"), F.col(source_col))
+            ).alias("sources_kept")
+        )
+    return fan.groupBy("threshold").agg(*aggs).orderBy("threshold")

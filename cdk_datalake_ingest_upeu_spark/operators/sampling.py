@@ -235,3 +235,88 @@ def weighted_hash_sample(
         .limit(n)
         .drop("__wr")
     )
+
+
+def temperature_mixture_allocation(
+    df: DataFrame,
+    source_col: str,
+    token_col,
+    *,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs_milli: int = 4000,
+) -> DataFrame:
+    """Temperature-smoothed training-mixture allocation (the data
+    recipe step in Gopher/LLaMA-class runs): each source's share of a
+    fixed token budget is proportional to ``tokens_i ** alpha`` —
+    alpha=1 reproduces natural proportions, alpha->0 flattens toward
+    uniform, the standard knob that keeps giant crawl sources from
+    drowning small high-quality ones. Each source's repetition factor
+    (epochs, in milli-units) is capped at ``max_epochs_milli`` — a
+    small source is not repeated past usefulness just because the
+    smoothing handed it budget.
+
+    Returns per source: doc/token counts, the integer-quantized weight,
+    allocated tokens, epochs_milli (after cap) and the capped flag.
+
+    Engine-portable by construction (the output is value-hashed
+    against a DuckDB twin): weights quantize to micro-unit INTEGERS
+    before the normalizing sum (a double sum over sources is
+    summation-order noise; an integer sum is exact in any order), and
+    alpha=0.5 routes through ``sqrt`` — IEEE-754-exact everywhere,
+    where ``pow(x, 0.5)`` carries no such guarantee (other alphas run
+    fine but their last-ulp text is engine-specific; keep them away
+    from hash gates).
+
+    Scale shape: one groupBy on source (the only data-sized shuffle);
+    everything after runs on k source rows — the window total and the
+    arithmetic are KB-scale.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("tokens"),
+    )
+    t_dbl = F.col("tokens").cast("double")
+    w = F.sqrt(t_dbl) if alpha == 0.5 else F.pow(t_dbl, F.lit(alpha))
+    per_src = per_src.withColumn(
+        "weight_q6", F.floor(w * 1e6 + F.lit(0.5)).cast("long")
+    )
+    total_w = F.sum("weight_q6").over(Window.partitionBy())
+    alloc = F.floor(
+        F.lit(float(budget_tokens))
+        * (F.col("weight_q6").cast("double") / total_w.cast("double"))
+    ).cast("long")
+    per_src = per_src.withColumn("allocated_tokens", alloc)
+    # a zero-token source gets zero epochs explicitly: 0/0 is NaN and
+    # its floor/least behavior is exactly the kind of engine-specific
+    # edge the hash gate exists to catch
+    epochs = F.when(F.col("tokens") <= 0, F.lit(0)).otherwise(
+        F.floor(
+            F.col("allocated_tokens").cast("double")
+            / F.col("tokens").cast("double")
+            * 1000.0
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    per_src = (
+        per_src.withColumn("__e", epochs)
+        .withColumn(
+            "epochs_milli", F.least(F.col("__e"), F.lit(max_epochs_milli))
+        )
+        .withColumn("capped", F.col("__e") > F.lit(max_epochs_milli))
+        .withColumn(
+            "effective_tokens",
+            F.expr("tokens * epochs_milli div 1000").cast("long"),
+        )
+        .drop("__e")
+    )
+    return per_src.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        "weight_q6",
+        "allocated_tokens",
+        "epochs_milli",
+        "capped",
+        "effective_tokens",
+    ).orderBy(source_col)

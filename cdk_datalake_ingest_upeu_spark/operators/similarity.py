@@ -19,6 +19,8 @@ Two paths, as the brief mandates:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -367,3 +369,68 @@ def cosine_topk_ivf(
         query_vec=query_vec,
         n_probe=n_probe,
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space benchmark overlap)
+# ---------------------------------------------------------------------------
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark_vectors: list,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine to ANY benchmark vector reaches ``threshold``
+    — the semantic complement of n-gram decontamination (a paraphrased
+    or reformatted eval item shares no 5-grams but sits at cosine
+    ~0.99+ of the training copy; see e.g. the contamination analyses
+    in GPT-3 App. C / PaLM App. — n-gram overlap misses rewrites).
+
+    Returns (corpus_id, max_bench_cosine_q6, contaminated) per corpus
+    row: the max cosine against the benchmark set in exact micro-units
+    and the threshold flag.
+
+    Cross-engine determinism (this output is value-hashed against a
+    DuckDB twin): every per-pair cosine is computed over QUANTIZED
+    INTEGER sums — each elementwise product maps through
+    ``floor(x*1e9 + 0.5)`` (three IEEE-754 double ops, bit-identical
+    in every engine) and the integer sums divide/sqrt through
+    identically-specified double conversions — so the result is the
+    same integer everywhere, where a straight float dot product picks
+    up summation-order noise.
+
+    Scale shape: the benchmark is an EVAL SET — small by definition —
+    and rides into the Pandas UDF closure (broadcast); the corpus
+    makes ONE Arrow-batched pass with no shuffle and no join. Cost is
+    corpus_rows x bench_rows x dim multiply-floors, vectorized per
+    batch; memory per batch is batch x bench x dim doubles (Spark's
+    Arrow batch size bounds it).
+    """
+    B = np.asarray(benchmark_vectors, dtype=np.float64)
+    qb = np.floor(B * B * 1e9 + 0.5).sum(axis=1)  # exact int-valued
+    thr_q6 = math.floor(threshold * 1e6 + 0.5)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def max_cos_q6(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        qa = np.floor(A * A * 1e9 + 0.5).sum(axis=1)
+        # per-pair quantized dot: floor each elementwise product, THEN
+        # sum — the sum of exact integers is order-independent
+        qd = np.floor(A[:, None, :] * B[None, :, :] * 1e9 + 0.5).sum(axis=2)
+        denom = np.sqrt(qa[:, None] * qb[None, :])
+        cos = qd / denom
+        q6 = np.floor(cos * 1e6 + 0.5).max(axis=1)
+        return pd.Series(q6.astype("int64"))
+
+    return corpus.select(
+        F.col(corpus_id),
+        max_cos_q6(F.col(corpus_vec)).alias("max_bench_cosine_q6"),
+    ).withColumn("contaminated", F.col("max_bench_cosine_q6") >= F.lit(thr_q6))

@@ -4579,6 +4579,81 @@ def decontaminate_against_benchmark(spark, sf_dir):
     )
 
 
+def decontaminate_semantic_benchmark(spark, sf_dir):
+    """Embedding-space decontamination (operators/similarity.py
+    semantic_decontaminate): the semantic complement of the 5-gram
+    decontamination above — a paraphrased eval item shares no n-grams
+    with its training copy but sits at cosine ~0.99+. The benchmark is
+    a PLANTED perturbed copy of every 50th corpus vector (the semdedup
+    perturbation, cosine ~0.99997 to its source), so exactly those
+    corpus rows must flag. Per-vector output: max benchmark cosine in
+    exact micro-units (quantized-integer dot product — every value
+    hash-checked, not just the flags) and the threshold verdict. The
+    benchmark rides the UDF closure (eval sets are small by
+    definition); the corpus makes one Arrow pass, no shuffle."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench_rows = (
+        emb.filter(F.col("vec_id") % 50 == 3)
+        .orderBy("vec_id")
+        .select(
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    * (F.lit(1.0) + F.lit(0.004) * ((i % 7) - 3))
+                ).cast("float"),
+            ).alias("embedding")
+        )
+        .collect()
+    )
+    bench = [list(r[0]) for r in bench_rows]
+    return semantic_decontaminate(emb, bench, threshold=0.999).orderBy(
+        "vec_id"
+    )
+
+
+_SEMANTIC_DECONTAM_SQL = """
+WITH bexp0 AS (
+  SELECT vec_id AS bid, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE)
+              * (1.0 + 0.004 * (((generate_subscripts(embedding, 1) - 1) % 7) - 3))
+              AS FLOAT) AS bf
+  FROM embeddings WHERE vec_id % 50 = 3
+), bexp AS (
+  SELECT bid, i, CAST(bf AS DOUBLE) AS b FROM bexp0
+), bnorm AS (
+  SELECT bid, CAST(sum(CAST(floor(b * b * 1000000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS qb
+  FROM bexp GROUP BY bid
+), cexp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS a
+  FROM embeddings
+), cnorm AS (
+  SELECT vec_id, CAST(sum(CAST(floor(a * a * 1000000000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS qa
+  FROM cexp GROUP BY vec_id
+), dots AS (
+  SELECT c.vec_id, b.bid,
+         CAST(sum(CAST(floor(c.a * b.b * 1000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS qd
+  FROM cexp c JOIN bexp b USING (i) GROUP BY c.vec_id, b.bid
+), cosq AS (
+  SELECT vec_id,
+         max(CAST(floor(qd / sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)) AS q6
+  FROM dots JOIN cnorm USING (vec_id) JOIN bnorm USING (bid)
+  GROUP BY vec_id
+)
+SELECT vec_id, q6 AS max_bench_cosine_q6, q6 >= 999000 AS contaminated
+FROM cosq ORDER BY vec_id
+"""
+
+
 _DECONTAM_SQL = """
 WITH bucketed AS (
   SELECT doc_id, source, text,
@@ -7018,6 +7093,151 @@ SELECT source, count(*) AS n_docs,
        sum(CASE WHEN isnan(score) THEN NULL WHEN (score) * 1000000000 + 0.5 >= 100000000000000.0 THEN 100000000000000 WHEN (score) * 1000000000 + 0.5 <= -100000000000000.0 THEN -100000000000000 ELSE CAST(floor((score) * 1000000000 + 0.5) AS BIGINT) END) / 1000000000.0 / count(*) AS avg_score
 FROM scored GROUP BY source ORDER BY source
 """
+
+
+def quality_threshold_sweep(spark, sf_dir):
+    """Filter-calibration curve (operators/profile.py score_attrition):
+    the classifier score of text_quality_classifier swept over four
+    thresholds — surviving docs, surviving TOKENS, and surviving
+    sources per cut. This table is how a threshold gets picked before
+    a 100 TB filter run: one scan computes the whole curve (each row
+    fans out only (score, n_tok, source) per threshold, never the
+    text), instead of re-running the corpus filter per candidate
+    threshold. Scores compare as exact micro-unit integers
+    (floor(round(score,6)*1e6+0.5) — IEEE-identical both engines)."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        score_attrition,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    z = (
+        F.lit(-1.2)
+        + 3.0 * F.least(token_count_ws(t) / 100.0, F.lit(1.0))
+        + 2.0 * stopword_ratio(t)
+        - 2.5 * punct_ratio(t)
+        - 2.0 * digit_ratio(t)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    base = docs.select(
+        "source",
+        token_count_ws(t).alias("n_tok"),
+        F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("score_q6"),
+    )
+    return score_attrition(
+        base,
+        "score_q6",
+        [300000, 500000, 700000, 900000],
+        token_col="n_tok",
+        source_col="source",
+    )
+
+
+_QUALITY_SWEEP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN [] ELSE {_dd_tokens()} END AS ltoks
+  FROM documents
+), feat AS (
+  SELECT doc_id, source, len(toks) AS n_tok,
+         len(toks) AS n_tokens_ws,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END AS digit_ratio,
+         CASE WHEN len(ltoks) = 0 THEN 0.0
+              ELSE len(list_filter(ltoks, x -> list_contains({_EN}, x))) * 1.0 / len(ltoks) END AS stopword_ratio
+  FROM base
+), scored AS (
+  SELECT source, n_tok,
+         CAST(floor(round(1.0 / (1.0 + exp(-(-1.2 + 3.0 * least(n_tokens_ws / 100.0, 1.0)
+                                  + 2.0 * stopword_ratio
+                                  - 2.5 * punct_ratio
+                                  - 2.0 * digit_ratio))), 6) * 1000000.0 + 0.5) AS BIGINT) AS score_q6
+  FROM feat
+), fan AS (
+  SELECT source, n_tok, score_q6, unnest([300000, 500000, 700000, 900000]) AS threshold
+  FROM scored
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score_q6 >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN score_q6 >= threshold THEN n_tok END), 0) AS BIGINT) AS tokens_kept,
+       CAST(count(DISTINCT CASE WHEN score_q6 >= threshold THEN source END) AS BIGINT) AS sources_kept
+FROM fan GROUP BY threshold ORDER BY threshold
+"""
+
+
+
+def mixture_temperature_allocation(spark, sf_dir):
+    """Training-mixture budget allocation (operators/sampling.py
+    temperature_mixture_allocation): a 4x-total-token budget is split
+    across sources proportionally to sqrt(tokens) — the alpha=0.5
+    temperature smoothing of Gopher/LLaMA-class data recipes — with
+    per-source repetition capped at 4 epochs. Every number is hashed:
+    weights quantize to micro-unit integers BEFORE the normalizing sum
+    (integer sums are order-exact; double sums are not) and sqrt is
+    IEEE-exact on both engines where pow(x, 0.5) is not. One groupBy
+    on source; all arithmetic after runs on k source rows."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        temperature_mixture_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    total = base.agg(F.sum("n_tok").cast("long")).collect()[0][0] or 0
+    return temperature_mixture_allocation(
+        base,
+        "source",
+        F.col("n_tok"),
+        budget_tokens=4 * int(total),
+        alpha=0.5,
+        max_epochs_milli=4000,
+    )
+
+
+_MIXTURE_ALLOC_SQL = """
+WITH toks AS (
+  SELECT source,
+         len(CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END) AS n_tok
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tokens
+  FROM toks GROUP BY source
+), b AS (
+  SELECT CAST(4 * sum(tokens) AS BIGINT) AS budget FROM per_src
+), w AS (
+  SELECT source, n_docs, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS weight_q6
+  FROM per_src
+), a AS (
+  SELECT source, n_docs, tokens, weight_q6,
+         CAST(floor(CAST((SELECT budget FROM b) AS DOUBLE)
+                    * (CAST(weight_q6 AS DOUBLE)
+                       / CAST(sum(weight_q6) OVER () AS DOUBLE)))
+              AS BIGINT) AS allocated_tokens
+  FROM w
+), e AS (
+  SELECT *, CASE WHEN tokens <= 0 THEN 0
+                 ELSE CAST(floor(CAST(allocated_tokens AS DOUBLE)
+                                 / CAST(tokens AS DOUBLE) * 1000.0 + 0.5)
+                           AS BIGINT) END AS raw_epochs
+  FROM a
+)
+SELECT source, n_docs, tokens, weight_q6, allocated_tokens,
+       least(raw_epochs, 4000) AS epochs_milli,
+       raw_epochs > 4000 AS capped,
+       CAST(tokens * least(raw_epochs, 4000) // 1000 AS BIGINT)
+           AS effective_tokens
+FROM e ORDER BY source
+"""
+
 
 
 def embedding_quantize_stats(spark, sf_dir):
@@ -9578,6 +9798,9 @@ QUERIES = {
     "streaming_merge_ingest": streaming_merge_ingest_query,
     # --- r7-new: behind the window, lead the r8 rotation ---
     "span_dedup_window_sweep": span_dedup_window_sweep,
+    "decontaminate_semantic_benchmark": decontaminate_semantic_benchmark,
+    "quality_threshold_sweep": quality_threshold_sweep,
+    "mixture_temperature_allocation": mixture_temperature_allocation,
 }
 
 ORACLES = {
@@ -9765,6 +9988,9 @@ ORACLES = {
     "export_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "corpus_filter_dedup_funnel": _FILTER_DEDUP_FUNNEL_SQL,
     "span_dedup_window_sweep": _SPAN_SWEEP_SQL,
+    "decontaminate_semantic_benchmark": _SEMANTIC_DECONTAM_SQL,
+    "quality_threshold_sweep": _QUALITY_SWEEP_SQL,
+    "mixture_temperature_allocation": _MIXTURE_ALLOC_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
