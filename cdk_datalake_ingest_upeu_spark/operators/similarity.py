@@ -434,3 +434,67 @@ def semantic_decontaminate(
         F.col(corpus_id),
         max_cos_q6(F.col(corpus_vec)).alias("max_bench_cosine_q6"),
     ).withColumn("contaminated", F.col("max_bench_cosine_q6") >= F.lit(thr_q6))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of heterogeneous rankings
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    *,
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (lexical BM25 + embedding
+    ANN in a RAG stack): each list contributes ``1/(c + rank)`` for
+    the documents it retrieved, scores ADD across lists, and the
+    fused top-k needs no score calibration between heterogeneous
+    scorers (only ranks enter).
+
+    Each input must carry (``id_col``, ``rank``) with rank 1-based.
+    Returns (id, rank_0..rank_{N-1}, rrf_q6) — per-list ranks (0 where
+    a list did not retrieve the doc) and the fused score in exact
+    micro-units: each contribution quantizes through
+    ``floor(1e6/(c+rank) + 0.5)`` so the fused score is an integer sum
+    — order-exact and engine-portable where a float sum is neither.
+
+    Scale shape: candidate lists are top-k_pool by construction (KB
+    rows each); the fusion is an N-way outer join + sum over those
+    lists only — the corpus is never touched here. Cost lives in the
+    upstream scorers; this stage is driver-trivial at any corpus size.
+    """
+    tagged = []
+    for i, r in enumerate(rankings):
+        tagged.append(
+            r.select(
+                F.col(id_col),
+                F.col("rank").cast("long").alias(f"rank_{i}"),
+                F.floor(
+                    F.lit(1e6) / (F.lit(float(c)) + F.col("rank").cast("double"))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias(f"__c{i}"),
+            )
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.join(t, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        part = F.coalesce(F.col(f"__c{i}"), F.lit(0))
+        score = part if score is None else score + part
+    out = out.select(
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(f"rank_{i}"), F.lit(0)).alias(f"rank_{i}")
+            for i in range(len(rankings))
+        ],
+        score.cast("long").alias("rrf_q6"),
+    )
+    return (
+        out.orderBy(F.col("rrf_q6").desc(), F.col(id_col).asc()).limit(k)
+    )

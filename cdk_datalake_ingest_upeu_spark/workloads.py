@@ -8679,6 +8679,97 @@ FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval (operators/similarity.py rrf_fuse): BM25
+    lexical top-50 for the query bag {spark, join, stream} fused with
+    embedding-cosine top-50 around doc 7's vector via reciprocal-rank
+    fusion — the standard RAG-stack combiner (only RANKS enter, so no
+    score calibration between the heterogeneous scorers). Fused scores
+    are exact micro-unit integer sums; per-list ranks ride along (0 =
+    not retrieved by that list). Candidate lists are KB-scale by
+    construction, so the fusion join is corpus-size-independent."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import rrf_fuse
+    from cdk_datalake_ingest_upeu_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_topk(docs, ["spark", "join", "stream"], k1=1.2, b=0.75, k=50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = cosine_topk_bruteforce(emb, q, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex, sem], "doc_id", c=60, k=10)
+    return fused.select(
+        "doc_id",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("sem_rank"),
+        "rrf_q6",
+    )
+
+
+_HYBRID_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), dl AS (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+  FROM documents WHERE trim(text) <> ''
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'join', 'stream') GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS dft FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS DECIMAL(18,9)) AS contrib
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+), bm AS (
+  SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+), qv AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7
+), sc AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS cosine
+  FROM embeddings e CROSS JOIN qv
+), semr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+  FROM sc
+), sem AS (
+  SELECT doc_id, r FROM semr WHERE r <= 50
+), fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(coalesce(l.r, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(s.r, 0) AS BIGINT) AS sem_rank,
+         CAST(coalesce(CAST(floor(1000000.0 / (60.0 + l.r) + 0.5) AS BIGINT), 0)
+              + coalesce(CAST(floor(1000000.0 / (60.0 + s.r) + 0.5) AS BIGINT), 0)
+              AS BIGINT) AS rrf_q6
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_q6
+FROM fused ORDER BY rrf_q6 DESC, doc_id LIMIT 10
+"""
+
+
+
 def bpe_merge_pairs(spark, sf_dir):
     """Top-20 first-iteration BPE merge candidates: corpus-weighted
     adjacent character-pair counts within words (operators/text.py
@@ -9801,6 +9892,7 @@ QUERIES = {
     "decontaminate_semantic_benchmark": decontaminate_semantic_benchmark,
     "quality_threshold_sweep": quality_threshold_sweep,
     "mixture_temperature_allocation": mixture_temperature_allocation,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
 }
 
 ORACLES = {
@@ -9991,6 +10083,7 @@ ORACLES = {
     "decontaminate_semantic_benchmark": _SEMANTIC_DECONTAM_SQL,
     "quality_threshold_sweep": _QUALITY_SWEEP_SQL,
     "mixture_temperature_allocation": _MIXTURE_ALLOC_SQL,
+    "hybrid_rrf_retrieval": _HYBRID_RRF_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
