@@ -86,6 +86,11 @@ BUDGETS = [
     ("corpus_substring_span_dedup", 4, False),  # digest groupBy + cover regroup + corpus join + sort (AQE may fuse to 3)
     ("incremental_substring_span_dedup", 6, False),  # + index semi-join (batch-distinct side) and dup union; all digest-grain
     ("corpus_filter_dedup_funnel", 5, False),  # span-dedup shuffles on survivors + funnel join + source rollup (AQE may fuse to 4)
+    ("span_dedup_window_sweep", 12, False),  # 3 windows x (digest groupBy + cover distinct/regroup + base join); all digest-grain, no token travels
+    ("decontaminate_semantic_benchmark", 1, True),  # one Arrow pass, benchmark in closure; the only exchange is the output sort
+    ("quality_threshold_sweep", 3, False),  # codegen score scan + threshold fan groupBy + sort
+    ("mixture_temperature_allocation", 3, False),  # source groupBy + single-partition window total + sort
+    ("hybrid_rrf_retrieval", 9, True),  # bm25 tf/df groupBys + rank windows + KB-scale fusion joins; cosine is the Arrow scorer
 ]
 
 
