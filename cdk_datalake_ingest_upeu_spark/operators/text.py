@@ -1102,3 +1102,90 @@ def c4_clean_lines(
         )
         .withColumn("text_clean", F.array_join(kept, "\n"))
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    *,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split documents into head/middle/tail thirds by LM score
+    — head = lowest perplexity (here the corpus-unigram proxy of
+    :func:`unigram_logprob_features`, the same cheap stand-in the
+    quality-filter family uses). The published pipeline keeps head+
+    middle as its quality cut; this operator returns the per-bucket
+    accounting (docs, tokens, score range) a user sizes that decision
+    with.
+
+    Scale shape — deliberately NOT a per-language ``ntile``: a global
+    rank window puts an entire language in ONE task at 100 TB. Instead
+    scores quantize to 1e-4 resolution, the (lang, score) HISTOGRAM
+    (bounded: langs x <=~20k distinct quantized values) shuffles to the
+    driver, exact rank-quantile thresholds come from a cumulative walk
+    over it, and bucket assignment returns to the data as a pure
+    codegen comparison chain — the CCNet recipe itself (thresholds
+    learned once, applied map-side). Ties share a bucket
+    deterministically; bucket 0 is the head.
+
+    Returns (lang, bucket, n_docs, n_tokens, min_p_q4, max_p_q4)
+    ordered by (lang, bucket), where p_q4 = -floor(avg_logprob*1e4+0.5)
+    rises with perplexity.
+    """
+    import math
+
+    scored = (
+        unigram_logprob_features(df, text_col, id_col)
+        .join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+        .withColumn(
+            "p_q4",
+            (-F.floor(F.col("avg_logprob") * 1e4 + F.lit(0.5))).cast("long"),
+        )
+    )
+    hist = (
+        scored.groupBy(lang_col, "p_q4")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(lang_col, "p_q4")
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r[lang_col], []).append((r["p_q4"], r["__c"]))
+    bounds_by_lang: dict = {}
+    for lang, rows in by_lang.items():
+        total = sum(c for _, c in rows)
+        targets = [
+            math.ceil(total * i / n_buckets) for i in range(1, n_buckets)
+        ]
+        bounds, cum, idx = [], 0, 0
+        for p, c in rows:
+            cum += c
+            while idx < len(targets) and cum >= targets[idx]:
+                bounds.append(p)
+                idx += 1
+        bounds_by_lang[lang] = bounds
+    bucket = F.lit(0)
+    # eqNullSafe: a NULL language is its own group (the hostile-NULLs
+    # drop shape), and must route to ITS thresholds, not fall through
+    for lang, bounds in sorted(
+        bounds_by_lang.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + (F.col("p_q4") > F.lit(int(b))).cast("int")
+        key = F.lit(lang) if lang is not None else F.lit(None).cast("string")
+        bucket = F.when(F.col(lang_col).eqNullSafe(key), expr).otherwise(bucket)
+    return (
+        scored.withColumn("bucket", bucket.cast("long"))
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("p_q4").alias("min_p_q4"),
+            F.max("p_q4").alias("max_p_q4"),
+        )
+        .orderBy(lang_col, "bucket")
+    )

@@ -8641,6 +8641,72 @@ FROM agg JOIN nd USING (source) ORDER BY source
 """
 
 
+def ccnet_perplexity_buckets_query(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing per language
+    (operators/text.py ccnet_perplexity_buckets — Wenzek et al. 2020):
+    per-bucket doc/token accounting under the corpus-unigram LM proxy.
+    NOT a per-language ntile (one task per language at 100 TB): exact
+    rank-quantile thresholds come from the bounded (lang, quantized
+    score) histogram via a driver walk, and bucket assignment returns
+    map-side as a codegen comparison chain — thresholds learned once,
+    applied at scan speed, the CCNet recipe itself. The oracle
+    recomputes the identical cumulative-walk thresholds in SQL."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(docs, n_buckets=3)
+
+
+_CCNET_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+), lp AS (
+  SELECT tok, CAST(ln(cnt / total) AS DECIMAL(18,9)) AS lp FROM counts, tot
+), perdoc AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         CAST(sum(lp) AS DOUBLE) / count(*) AS avg_lp
+  FROM toks t JOIN lp USING (tok) GROUP BY t.doc_id
+), scored AS (
+  SELECT d.lang, p.doc_id, p.n_tok,
+         CAST(-floor(avg_lp * 10000.0 + 0.5) AS BIGINT) AS p_q4
+  FROM perdoc p JOIN documents d USING (doc_id)
+), tot2 AS (
+  SELECT lang, count(*) AS total FROM scored GROUP BY lang
+), hist AS (
+  SELECT lang, p_q4, count(*) AS c FROM scored GROUP BY lang, p_q4
+), cum AS (
+  SELECT lang, p_q4, sum(c) OVER (PARTITION BY lang ORDER BY p_q4) AS cumc
+  FROM hist
+), bounds AS (
+  SELECT c.lang, i.i, min(c.p_q4) AS b
+  FROM cum c
+  JOIN tot2 t ON c.lang IS NOT DISTINCT FROM t.lang
+  CROSS JOIN (SELECT unnest([1, 2]) AS i) i
+  WHERE c.cumc >= ceil(t.total * i.i / 3.0)
+  GROUP BY c.lang, i.i
+), bucketed AS (
+  SELECT s.lang, s.n_tok, s.p_q4,
+         (SELECT count(*) FROM bounds b
+          WHERE b.lang IS NOT DISTINCT FROM s.lang AND s.p_q4 > b.b) AS bucket
+  FROM scored s
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(p_q4) AS BIGINT) AS min_p_q4,
+       CAST(max(p_q4) AS BIGINT) AS max_p_q4
+FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+
 def text_bm25_topk(spark, sf_dir):
     """Top-10 documents by BM25 for the query bag {spark, join, stream}
     (operators/text.py bm25_topk). Corpus stats (N, avgdl, df) reduce
@@ -9893,6 +9959,7 @@ QUERIES = {
     "quality_threshold_sweep": quality_threshold_sweep,
     "mixture_temperature_allocation": mixture_temperature_allocation,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets_query,
 }
 
 ORACLES = {
@@ -10084,6 +10151,7 @@ ORACLES = {
     "quality_threshold_sweep": _QUALITY_SWEEP_SQL,
     "mixture_temperature_allocation": _MIXTURE_ALLOC_SQL,
     "hybrid_rrf_retrieval": _HYBRID_RRF_SQL,
+    "ccnet_perplexity_buckets": _CCNET_BUCKETS_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are

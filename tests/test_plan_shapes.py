@@ -91,6 +91,7 @@ BUDGETS = [
     ("quality_threshold_sweep", 3, False),  # codegen score scan + threshold fan groupBy + sort
     ("mixture_temperature_allocation", 3, False),  # source groupBy + single-partition window total + sort
     ("hybrid_rrf_retrieval", 9, True),  # bm25 tf/df groupBys + rank windows + KB-scale fusion joins; cosine is the Arrow scorer
+    ("ccnet_perplexity_buckets", 6, False),  # token/vocab groupBys + doc regroup + (lang,q4) histogram + rollup; no per-lang ntile window
 ]
 
 
