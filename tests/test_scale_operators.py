@@ -2561,3 +2561,92 @@ def test_forget_exact_content_partitions_and_closure(spark):
     assert not (kept_ids & forg_ids)
     del_texts = {texts[i] for i in req_ids}
     assert forg_ids == {i for i, t in enumerate(texts) if t in del_texts}
+
+
+def test_rrf_fuse_single_list_membership(spark):
+    """RRF fusion: a doc retrieved by only one list still fuses (other
+    rank reported as 0 with zero contribution), shared docs outrank
+    single-list docs at comparable ranks, and k cuts the fused list."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank long"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([lex, sem], k=10).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2].rank_0 == 2 and got[2].rank_1 == 1
+    assert got[4].rank_0 == 0 and got[4].rank_1 == 2  # lex never saw it
+    # doc 2 appears in both lists: fused score strictly above any
+    # single-list doc
+    assert got[2].rrf_q6 > max(got[1].rrf_q6, got[3].rrf_q6, got[4].rrf_q6)
+    # exact micro-unit contributions: floor(1e6/(60+r)+0.5)
+    assert got[1].rrf_q6 == round(1e6 / 61)
+    assert got[2].rrf_q6 == round(1e6 / 62) + round(1e6 / 61)
+    top2 = rrf_fuse([lex, sem], k=2).collect()
+    assert [r.doc_id for r in top2] == [2, 1]
+
+
+def test_span_window_stats_containment(spark):
+    """Window sweep: smaller windows remove a superset of larger ones
+    (every duplicated 2w-window's w-sub-windows are duplicated), and
+    the covers_next_window flag pins it per step."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        span_dedup_window_stats,
+    )
+
+    long_dup = " ".join(f"w{i}" for i in range(16))
+    short_dup = "a b c d"  # 4-token repeat: invisible at window 8/16
+    rows = [
+        (0, long_dup + " unique tail zero"),
+        (1, "head one " + long_dup),
+        (2, short_dup + " filler mid " + short_dup),
+        (3, "totally novel text with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.window_tokens: r
+        for r in span_dedup_window_stats(df, windows=(4, 8, 16)).collect()
+    }
+    assert set(got) == {4, 8, 16}
+    assert all(got[w].n_docs == 4 for w in got)
+    # containment: removal monotone non-increasing in window size
+    assert (
+        got[4].tokens_removed
+        >= got[8].tokens_removed
+        >= got[16].tokens_removed
+    )
+    assert all(got[w].covers_next_window for w in got)
+    # the 4-token repeat is caught ONLY at window 4
+    assert got[4].n_docs_touched == 3
+    assert got[8].n_docs_touched == 2 and got[16].n_docs_touched == 2
+    assert got[16].tokens_removed == 32  # both copies of the 16-token span
+
+
+def test_semantic_decontaminate_planted(spark):
+    """Planted benchmark copy flags its corpus source; orthogonal
+    vectors stay clean; quantized cosines are exact integers."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.6, 0.8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = [[0.0, 0.0, 0.6, 0.8]]  # exact copy of vec 2
+    got = {
+        r.vec_id: r
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.999
+        ).collect()
+    }
+    assert got[2].contaminated and got[2].max_bench_cosine_q6 == 1_000_000
+    assert not got[0].contaminated and not got[1].contaminated
+    assert got[0].max_bench_cosine_q6 == 0
