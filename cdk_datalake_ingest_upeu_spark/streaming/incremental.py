@@ -415,3 +415,88 @@ def stream_paragraph_dedup(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_span_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    max_files_per_trigger: int = 1,
+    query_name: str = "stream_span_dedup",
+):
+    """Continuous exact-substring dedup: every arriving micro-batch is
+    span-deduped against the persisted digest index of all EARLIER
+    arrivals (operators/dedup.substring_span_dedup ``seen=``), the
+    surviving per-doc text lands in ``out_dir``, and the batch's RAW
+    window digests append to the index. The streaming twin of
+    ``incremental_substring_span_dedup``.
+
+    The index holds digests of the raw arrivals (the immutable raw
+    zone), NOT of the deduped output — deliberately different from
+    :func:`stream_paragraph_dedup`, which indexes kept units: span
+    dedup's contract is "a span seen in ANY earlier arrival makes
+    later occurrences duplicates" (the landed raw copy is the one that
+    stays), whereas re-indexing deduped text would hash spans that
+    became adjacent only after token removal — digests of text that
+    never existed contiguously in any document.
+
+    Idempotent under foreachBatch's at-least-once retries (same scheme
+    as the paragraph twin): per-epoch overwrite directories, and epoch
+    N reads only index partitions with epoch < N.
+
+    Scale shape: per micro-batch cost is span dedup's linear digest
+    shuffles over the BATCH plus one digest-keyed semi-join against
+    the stored index; history text is never re-read and the index
+    carries one 32-byte digest per distinct window ever landed.
+    """
+    import glob as _glob
+    import os as _os
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        substring_span_dedup,
+        substring_span_index,
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        seen = None
+        prior = [
+            p
+            for p in _glob.glob(_os.path.join(index_dir, "epoch=*"))
+            if int(_os.path.basename(p).split("=", 1)[1]) < epoch_id
+        ]
+        if prior:
+            seen = spark.read.parquet(*prior)
+        substring_span_dedup(
+            batch_df,
+            id_col,
+            text_col,
+            window_tokens=window_tokens,
+            seen=seen,
+        ).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        substring_span_index(
+            batch_df, id_col, text_col, window_tokens=window_tokens
+        ).write.mode("overwrite").parquet(
+            _os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("latestFirst", "false").parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

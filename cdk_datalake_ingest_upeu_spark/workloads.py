@@ -3058,6 +3058,102 @@ def streaming_paragraph_dedup(spark, sf_dir):
     )
 
 
+def streaming_span_dedup(spark, sf_dir):
+    """Streaming twin of ``incremental_substring_span_dedup``
+    (streaming/incremental.stream_span_dedup): documents arrive as two
+    chronological drops (doc_id < 250, then the rest); each micro-batch
+    span-dedups against the persisted raw-digest index of earlier
+    arrivals and appends its own raw digests. Epoch order equals
+    ascending doc_id ranges, so the drained union must equal: batch 1
+    deduped within itself, plus batch 2 deduped incrementally against
+    batch 1's digests — exactly what the oracle recomputes."""
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_span_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _tmpdir("ssdstream")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)]
+    ):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    q = stream_span_dedup(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        docs.schema,
+        out_dir=os.path.join(work, "out"),
+        index_dir=os.path.join(work, "index"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        window_tokens=8,
+        query_name=f"ssd_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(os.path.join(work, "out"))
+        .select("doc_id", "n_tokens", "n_tokens_removed", "text_dedup")
+        .orderBy("doc_id")
+    )
+
+
+_STREAM_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), t AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+), w0 AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8
+              THEN [md5(array_to_string(tk[i:i + 7], ' '))
+                    for i in range(1, len(tk) - 6)]
+              ELSE [] END AS ws
+  FROM t
+), w AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wh
+  FROM w0 WHERE len(ws) > 0
+), hw AS (
+  SELECT doc_id, pos, wh FROM w WHERE doc_id < 250
+), d1 AS (
+  SELECT wh FROM hw GROUP BY wh HAVING count(*) >= 2
+), cov1 AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + 8)))) AS cps
+  FROM hw WHERE wh IN (SELECT wh FROM d1) GROUP BY doc_id
+), hist AS (
+  SELECT DISTINCT wh FROM hw
+), bw AS (
+  SELECT doc_id, pos, wh FROM w WHERE doc_id >= 250
+), d2 AS (
+  SELECT wh FROM bw GROUP BY wh HAVING count(*) >= 2
+  UNION
+  SELECT DISTINCT wh FROM bw WHERE wh IN (SELECT wh FROM hist)
+), cov2 AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + 8)))) AS cps
+  FROM bw WHERE wh IN (SELECT wh FROM d2) GROUP BY doc_id
+), cov AS (
+  SELECT * FROM cov1 UNION ALL SELECT * FROM cov2
+)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(cps), 0) AS BIGINT) AS n_tokens_removed,
+       coalesce(array_to_string(
+         [tk[i] for i in range(1, len(tk) + 1)
+          if NOT list_contains(coalesce(cps, []), i)], ' '), '') AS text_dedup
+FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+"""
+
+
+
 def corpus_filter_attrition(spark, sf_dir):
     """Filter-cascade attrition report (C4/Gopher-style observability):
     the same three quality rules as :func:`corpus_quality_filter`
@@ -9960,6 +10056,7 @@ QUERIES = {
     "mixture_temperature_allocation": mixture_temperature_allocation,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets_query,
+    "streaming_span_dedup": streaming_span_dedup,
 }
 
 ORACLES = {
@@ -10152,6 +10249,7 @@ ORACLES = {
     "mixture_temperature_allocation": _MIXTURE_ALLOC_SQL,
     "hybrid_rrf_retrieval": _HYBRID_RRF_SQL,
     "ccnet_perplexity_buckets": _CCNET_BUCKETS_SQL,
+    "streaming_span_dedup": _STREAM_SPAN_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
