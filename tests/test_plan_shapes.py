@@ -92,6 +92,7 @@ BUDGETS = [
     ("mixture_temperature_allocation", 3, False),  # source groupBy + single-partition window total + sort
     ("hybrid_rrf_retrieval", 9, True),  # bm25 tf/df groupBys + rank windows + KB-scale fusion joins; cosine is the Arrow scorer
     ("ccnet_perplexity_buckets", 6, False),  # token/vocab groupBys + doc regroup + (lang,q4) histogram + rollup; no per-lang ntile window
+    ("streaming_span_dedup", 1, False),  # returned plan: drained epoch-output read + sort; dedup shuffles ran inside foreachBatch
 ]
 
 
