@@ -1,0 +1,80 @@
+"""Domain-graph ranking — integer-exact PageRank over an aggregated
+edge table.
+
+Two graph grains appear in a lake, and they need different execution
+shapes:
+
+- **ID-grain graphs** (document near-dup pairs, user follows): nodes
+  scale with the corpus. Iteration must stay distributed —
+  ``operators/dedup.connected_components`` is this engine's pattern
+  (bounded label propagation with localCheckpoint truncation).
+- **Domain-grain graphs** (event-type transitions, category
+  co-occurrence): nodes are a *vocabulary*, K in the tens-to-thousands,
+  while the EDGE EVIDENCE is corpus-sized. The right split is: build
+  the weighted edge aggregate distributed (scan + one shuffle, the
+  100 TB cost), then iterate on the K-node graph driver-side — the same
+  envelope as k-means centroids (``operators/clustering.py``), KB of
+  state, zero per-iteration shuffles.
+
+Determinism: ranks are integers at a fixed scale, updated as
+
+    r'(v) = teleport + sum_u (85 * r(u) * w(u,v)) div (100 * outw(u))
+
+with integer floor-division — every engine computes identical values
+(the repo-wide fixed-point convention, ``functions/stable.py``), so the
+result is hash-comparable against an oracle that unrolls the same
+iterations in SQL. Dangling-node mass (nodes with no out-edges) is
+dropped, a documented PageRank variant choice. Overflow envelope: total
+rank mass is bounded by n_nodes * scale, so the product
+``85 * r * w`` needs ``85 * n * scale * max_w < 2^63`` — at the default
+scale 1e9 that allows vocabulary*weight products up to ~1e8, far past
+any domain graph; for larger weights pre-normalize w/outw to a fixed
+scale first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def domain_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over an already-aggregated domain edge table.
+
+    ``edges`` must be the AGGREGATED graph — one row per (src, dst) with
+    an integer weight; K nodes imply at most K^2 rows, which is the
+    bounded, KB-scale object this collects (never the corpus that
+    produced it). Returns (node, pr_scaled) with pr_scaled the integer
+    rank at ``scale``.
+    """
+    rows = edges.select(src, dst, weight).collect()
+    nodes = sorted(
+        {r[0] for r in rows} | {r[1] for r in rows}
+    )
+    if not nodes:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, pr_scaled long"
+        )
+    outw: dict = {}
+    for r in rows:
+        outw[r[0]] = outw.get(r[0], 0) + int(r[2])
+    teleport = (100 - damping_pct) * scale // 100
+    rank = {v: scale for v in nodes}
+    for _ in range(iterations):
+        nxt = {v: teleport for v in nodes}
+        for r in rows:
+            nxt[r[1]] += (damping_pct * rank[r[0]] * int(r[2])) // (
+                100 * outw[r[0]]
+            )
+        rank = nxt
+    out = [(v, rank[v]) for v in nodes]
+    return edges.sparkSession.createDataFrame(
+        out, "node string, pr_scaled long"
+    )

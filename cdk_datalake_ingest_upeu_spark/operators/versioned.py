@@ -1,0 +1,257 @@
+"""Versioned stage table — a minimal Delta-transaction-log analog on
+parquet.
+
+The reference stages everything into Delta tables
+(``light_transform.py:1363-1409``) and thereby gets Delta's transaction
+log for free: time-travel reads, MERGE that rewrites only touched
+files, and VACUUM that drops unreferenced files after a retention
+window. ``delta-spark`` is image-blocked in this environment
+(README's Delta note), so this module re-implements the *log protocol*
+itself — the part of Delta that is pure bookkeeping — while the data
+files stay plain parquet:
+
+- ``<path>/_log/<version 8-digit>.json`` — one manifest per commit,
+  holding the COMPLETE file list of the table at that version (relative
+  paths), the operation name, and the schema as JSON. The manifest
+  rename-into-place (``os.replace``) is the commit point, exactly
+  Delta's protocol; concurrent-writer loser detection is out of scope
+  (single-writer here, as in the reference's one-job-per-table design).
+- ``<path>/data/c<version>-<uuid>/part-*.parquet`` — each commit's new
+  files land in a fresh subdirectory, so file names never collide and
+  no commit ever mutates another commit's files. Old files are left in
+  place until :meth:`vacuum` — which is what makes old versions
+  readable.
+
+Scale shape: a commit's cost is the data it writes, never the table
+size — ``append`` writes only the batch; ``merge`` is copy-on-write at
+FILE granularity (only files that contain a matched key are rewritten,
+found with one key-projected scan; at 100 TB the candidate set would
+come from per-file min/max or Bloom stats exactly as
+``StageTable.lookup`` does — ``sources/file_index.py`` — instead of a
+scan, and the splice logic is unchanged). Manifests are KB-scale
+regardless of table size: they hold file NAMES, and a 100 TB table is
+~10^5 files of 1 GB, a 10 MB manifest at worst — the same envelope
+Delta's checkpoints carry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class VersionNotFoundError(LookupError):
+    """Requested version has no manifest (never committed, or vacuumed
+    past its retention)."""
+
+
+class VersionedStageTable:
+    """A parquet stage table with a Delta-style commit log.
+
+    Commits (``overwrite`` / ``append`` / ``merge``) each produce a new
+    immutable version; :meth:`read` accepts ``version=`` for time
+    travel; :meth:`vacuum` reclaims files unreferenced by the retained
+    versions. See the module docstring for the on-disk protocol.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.fspath(path)
+        self.log_dir = os.path.join(self.path, "_log")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # -- log bookkeeping ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise VersionNotFoundError(f"{self.path}: no commits")
+        return vs[-1]
+
+    def _manifest(self, version: int) -> dict:
+        p = os.path.join(self.log_dir, f"{version:08d}.json")
+        if not os.path.exists(p):
+            raise VersionNotFoundError(
+                f"{self.path}: version {version} not found "
+                f"(have {self.versions()})"
+            )
+        with open(p, "r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _commit(self, op: str, files: list[str], schema_json: str) -> int:
+        os.makedirs(self.log_dir, exist_ok=True)
+        version = self.versions()[-1] + 1 if self.versions() else 0
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": sorted(files),
+            "schema": schema_json,
+        }
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        # the commit point: atomic on POSIX, mirroring Delta's log write
+        os.replace(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        return version
+
+    def history(self) -> list[dict]:
+        """Version, op, file count per commit — Delta's DESCRIBE HISTORY."""
+        return [
+            {
+                "version": v,
+                "op": (m := self._manifest(v))["op"],
+                "n_files": len(m["files"]),
+            }
+            for v in self.versions()
+        ]
+
+    # -- data IO -----------------------------------------------------------
+
+    def _write_files(self, df: DataFrame, version_hint: int) -> list[str]:
+        """Write ``df`` into a fresh commit subdirectory; return the new
+        files as table-relative paths."""
+        sub = f"c{version_hint:08d}-{uuid.uuid4().hex[:8]}"
+        dest = os.path.join(self.data_dir, sub)
+        df.write.mode("overwrite").parquet(dest)
+        return sorted(
+            os.path.join("data", sub, f)
+            for f in os.listdir(dest)
+            if f.endswith(".parquet")
+        )
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest). Reading an old
+        version is a plain parquet scan of that manifest's file list —
+        no reconstruction, because manifests are complete snapshots."""
+        if version is None:
+            version = self.latest_version()
+        m = self._manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[self._abs(f) for f in m["files"]]
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-replace commit. Old files stay on disk (time travel)
+        until vacuumed."""
+        hint = (self.versions()[-1] + 1) if self.versions() else 0
+        files = self._write_files(df, hint)
+        return self._commit("overwrite", files, df.schema.json())
+
+    def append(self, df: DataFrame) -> int:
+        """Append-only commit: manifest = previous files + the batch's
+        files. Cost is the batch, independent of table size."""
+        if not self.versions():
+            return self.overwrite(df)
+        prev = self._manifest(self.latest_version())
+        hint = prev["version"] + 1
+        files = self._write_files(df, hint)
+        return self._commit("append", prev["files"] + files, prev["schema"])
+
+    def merge(self, source: DataFrame, key_columns: list[str]) -> int:
+        """Upsert ``source`` by ``key_columns`` — copy-on-write at file
+        granularity, Delta MERGE's execution shape
+        (``whenMatchedUpdateAll / whenNotMatchedInsertAll``, reference
+        ``light_transform.py:1382-1392``): files holding a matched key
+        are rewritten without their matched rows, the source batch is
+        written as new files, untouched files carry over by NAME into
+        the new manifest — zero IO for them."""
+        if not self.versions():
+            return self.overwrite(source)
+        prev = self._manifest(self.latest_version())
+        hint = prev["version"] + 1
+        source = source.dropDuplicates(key_columns)
+        if not prev["files"]:
+            files = self._write_files(source, hint)
+            return self._commit("merge", files, source.schema.json())
+        cur = self.spark.read.parquet(*[self._abs(f) for f in prev["files"]])
+        keys = source.select(*key_columns).distinct()
+        # candidate files: one key-projected scan (at 100 TB: per-file
+        # stats instead — see module docstring). input_file_name() gives
+        # file: URIs; normalize back to table-relative paths.
+        touched_rows = (
+            cur.withColumn("__file", F.input_file_name())
+            .join(F.broadcast(keys), key_columns, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        # NB: r["__file"], not attribute access — a dunder attribute
+        # inside a class body gets Python name-mangled
+        touched = sorted(self._rel_path(r["__file"]) for r in touched_rows)
+        if touched:
+            kept = self.spark.read.parquet(
+                *[self._abs(f) for f in touched]
+            ).join(F.broadcast(keys), key_columns, "left_anti")
+            new_df = kept.unionByName(source)
+        else:
+            new_df = source
+        new_files = self._write_files(new_df, hint)
+        carried = [f for f in prev["files"] if f not in set(touched)]
+        return self._commit("merge", carried + new_files, prev["schema"])
+
+    def _rel_path(self, uri: str) -> str:
+        p = uri
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        return os.path.relpath(p, self.path)
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Drop manifests older than the newest ``retain_last`` versions
+        and every data file no retained manifest references — Delta's
+        VACUUM with a version-count retention (Delta's is time-based;
+        version count is the deterministic twin for tests). Returns
+        ``{"versions_dropped": [...], "files_deleted": n}``. Vacuumed
+        versions subsequently raise :class:`VersionNotFoundError` on
+        read, exactly like Delta past its retention window."""
+        vs = self.versions()
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        keep = set(vs[-retain_last:])
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["files"])
+        deleted = 0
+        if os.path.isdir(self.data_dir):
+            for sub in sorted(os.listdir(self.data_dir)):
+                subdir = os.path.join(self.data_dir, sub)
+                for fn in sorted(os.listdir(subdir)):
+                    rel = os.path.join("data", sub, fn)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.remove(os.path.join(subdir, fn))
+                        deleted += 1
+                    crc = os.path.join(subdir, f".{fn}.crc")
+                    # Spark's local-FS committer writes .crc siblings
+                    if fn.endswith(".parquet") and rel not in referenced \
+                            and os.path.exists(crc):
+                        os.remove(crc)
+                if not any(
+                    f.endswith(".parquet") for f in os.listdir(subdir)
+                ):
+                    shutil.rmtree(subdir)
+        dropped = [v for v in vs if v not in keep]
+        for v in dropped:
+            os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+        return {"versions_dropped": dropped, "files_deleted": deleted}

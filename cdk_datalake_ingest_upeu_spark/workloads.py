@@ -9833,6 +9833,322 @@ _CHECKSUM_SQL = _checksum_oracle_sql(
 
 
 # ===========================================================================
+# round-8 additions: versioned stage table (Delta-log analog), domain
+# PageRank, linear cumulative-distinct
+# ===========================================================================
+
+
+def stage_time_travel_read(spark, sf_dir):
+    """Time travel over a versioned stage table
+    (``operators/versioned.py`` — the Delta transaction-log analog;
+    the reference gets this from Delta itself,
+    ``light_transform.py:1363-1409``, which is image-blocked here).
+    Three commits land on orders: v0 overwrite (pre-1997), v1 append
+    (the 1997 slice), v2 MERGE (price bump +1000.0 for key%10==0 plus
+    1998-H1 inserts, copy-on-write at file granularity). The query then
+    reads EVERY version through the log and aggregates each — so the
+    oracle checks that historical versions remain byte-stable across
+    later commits, the property the manifest protocol exists to
+    provide. Scale shape: each commit costs its own batch (append) or
+    its touched files (merge); a time-travel read is a plain parquet
+    scan of that manifest's file list, no replay."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("ttravel"), "orders_versioned")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    updates = base.filter(
+        (F.col("o_orderdate") < "1998-01-01")
+        & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = base.filter(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1998-07-01")
+    )
+    # non-null keys only: each o_orderkey appears once, so the merge is
+    # deterministic without relying on dropDuplicates tie-breaks
+    t.merge(
+        updates.unionByName(inserts).filter(F.col("o_orderkey").isNotNull()),
+        ["o_orderkey"],
+    )
+    ops = {h["version"]: h["op"] for h in t.history()}
+    frames = [
+        t.read(v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                "price_sum"
+            ),
+        )
+        .select(
+            F.lit(v).alias("version"), F.lit(ops[v]).alias("op"), "*"
+        )
+        for v in sorted(ops)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+_TIME_TRAVEL_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+), v1 AS (
+  SELECT * FROM base WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), src AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 10 = 0
+        AND o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM base
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1998-07-01'
+        AND o_orderkey IS NOT NULL
+), v2 AS (
+  SELECT t.o_orderkey, t.o_totalprice FROM v1 t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM src
+), states AS (
+  SELECT 0 AS version, 'overwrite' AS op, o_orderkey, o_totalprice
+  FROM base WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT 1, 'append', o_orderkey, o_totalprice FROM v1
+  UNION ALL
+  SELECT 2, 'merge', o_orderkey, o_totalprice FROM v2
+)
+SELECT version, op, count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM states GROUP BY version, op ORDER BY version
+"""
+
+
+def stage_version_vacuum(spark, sf_dir):
+    """VACUUM with version retention on the versioned stage table —
+    Delta's VACUUM analog over the parquet commit log
+    (``operators/versioned.py``). v0 overwrite, v1 full overwrite
+    (orphaning v0's files), v2 append; then ``vacuum(retain_last=2)``
+    must (a) reclaim v0's now-unreferenced files, (b) keep every file
+    either retained manifest still references — including v1 files the
+    v2 append CARRIES OVER BY NAME, the sharing case a naive
+    delete-old-dirs cleanup corrupts — and (c) make the dropped version
+    unreadable. The row pins all three plus the surviving table's
+    aggregates, which the oracle recomputes from orders directly."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        VersionNotFoundError,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vvac"), "orders_versioned")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1996-01-01"))
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+    )
+    n_before = len(t.versions())
+    res = t.vacuum(retain_last=2)
+    n_after = len(t.versions())
+    try:
+        t.read(0)
+        v0_unreadable = False
+    except VersionNotFoundError:
+        v0_unreadable = True
+    referenced: set[str] = set()
+    for v in t.versions():
+        referenced.update(t._manifest(v)["files"])
+    on_disk = {
+        os.path.join("data", sub, fn)
+        for sub in os.listdir(t.data_dir)
+        for fn in os.listdir(os.path.join(t.data_dir, sub))
+        if fn.endswith(".parquet")
+    }
+    agg = (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("ks"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias("ps"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_after,
+                bool(res["files_deleted"] > 0),
+                v0_unreadable,
+                bool(on_disk == referenced),
+                int(agg["n"]),
+                int(agg["ks"]),
+                float(agg["ps"]),
+            )
+        ],
+        "versions_before int, versions_after int, orphans_reclaimed boolean, "
+        "dropped_version_unreadable boolean, disk_matches_manifests boolean, "
+        "n_rows long, key_sum long, price_sum double",
+    )
+
+
+_VERSION_VACUUM_SQL = f"""
+SELECT 3 AS versions_before, 2 AS versions_after,
+       TRUE AS orphans_reclaimed, TRUE AS dropped_version_unreadable,
+       TRUE AS disk_matches_manifests,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+"""
+
+
+def graph_pagerank_event_transitions(spark, sf_dir):
+    """Integer-exact PageRank over the event-type transition graph
+    (``operators/graph.domain_pagerank``): the corpus-scale work is the
+    per-user lead() window plus one groupBy building the weighted edge
+    aggregate (identical shape to events_transition_bigrams); rank
+    iteration then runs on the K-node DOMAIN graph — KB of state, the
+    k-means-centroid envelope — with integer floor-division updates, so
+    3 unrolled iterations in the DuckDB oracle reproduce every rank bit
+    for bit. NULL event types are excluded on both sides (a NULL node
+    would join differently per engine)."""
+    from cdk_datalake_ingest_upeu_spark.operators.graph import domain_pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(
+            F.col("next_type").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return (
+        domain_pagerank(edges, iterations=3)
+        .withColumnRenamed("node", "event_type")
+        .orderBy(F.col("pr_scaled").desc(), "event_type")
+    )
+
+
+_PAGERANK_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), e AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS w
+  FROM seq WHERE event_type IS NOT NULL AND next_type IS NOT NULL
+  GROUP BY src, dst
+), nodes AS (
+  SELECT src AS v FROM e UNION SELECT dst FROM e
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src
+), r0 AS (
+  SELECT v, CAST(1000000000 AS BIGINT) AS r FROM nodes
+), r1 AS (
+  SELECT n.v, CAST(150000000 + coalesce(
+           CAST(sum((85 * p.r * e.w) // (100 * o.ow)) AS BIGINT), 0)
+         AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.v
+  LEFT JOIN r0 p ON p.v = e.src
+  LEFT JOIN outw o ON o.src = e.src
+  GROUP BY n.v
+), r2 AS (
+  SELECT n.v, CAST(150000000 + coalesce(
+           CAST(sum((85 * p.r * e.w) // (100 * o.ow)) AS BIGINT), 0)
+         AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.v
+  LEFT JOIN r1 p ON p.v = e.src
+  LEFT JOIN outw o ON o.src = e.src
+  GROUP BY n.v
+), r3 AS (
+  SELECT n.v, CAST(150000000 + coalesce(
+           CAST(sum((85 * p.r * e.w) // (100 * o.ow)) AS BIGINT), 0)
+         AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.v
+  LEFT JOIN r2 p ON p.v = e.src
+  LEFT JOIN outw o ON o.src = e.src
+  GROUP BY n.v
+)
+SELECT v AS event_type, r AS pr_scaled FROM r3
+ORDER BY pr_scaled DESC, event_type
+"""
+
+
+def events_cumulative_distinct_users(spark, sf_dir):
+    """Running distinct-user count per day, the LINEAR way: distinct
+    over a growing window is quadratic (each day re-counts every prior
+    user), so instead compute each user's FIRST-SEEN day (one shuffle
+    on user_id), aggregate new-users-per-day (day-grain, tiny), and
+    take a running sum over days. At 100 TB this is two linear shuffles
+    plus a window over a few thousand day rows; the naive
+    COUNT(DISTINCT) OVER (ORDER BY day) is not even expressible without
+    exploding the user set per day. The day-grain window runs in a
+    single task BY DESIGN — its input is bounded by the calendar, not
+    the corpus."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    wspec = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("cum_users", F.sum("n_new_users").over(wspec))
+        .orderBy("day")
+    )
+
+
+_CUM_DISTINCT_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+), d AS (
+  SELECT day, count(*) AS n_new_users FROM f GROUP BY day
+)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
+# ===========================================================================
 # catalog
 # ===========================================================================
 
@@ -10057,6 +10373,11 @@ QUERIES = {
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets_query,
     "streaming_span_dedup": streaming_span_dedup,
+    # --- round-8 additions (behind the r7 window; lead the r8 one) ---
+    "stage_time_travel_read": stage_time_travel_read,
+    "stage_version_vacuum": stage_version_vacuum,
+    "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
+    "events_cumulative_distinct_users": events_cumulative_distinct_users,
 }
 
 ORACLES = {
@@ -10251,6 +10572,10 @@ ORACLES = {
     "ccnet_perplexity_buckets": _CCNET_BUCKETS_SQL,
     "streaming_span_dedup": _STREAM_SPAN_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
+    "stage_time_travel_read": _TIME_TRAVEL_SQL,
+    "stage_version_vacuum": _VERSION_VACUUM_SQL,
+    "graph_pagerank_event_transitions": _PAGERANK_SQL,
+    "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -10281,6 +10606,8 @@ ORACLES = {
 # oracle'''s result relation; regenerate with tools/list_double_cols.py.
 
 _MICRO_CANON_COLS = {
+    "stage_time_travel_read": ['price_sum'],
+    "stage_version_vacuum": ['price_sum'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

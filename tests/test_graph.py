@@ -1,0 +1,51 @@
+"""domain_pagerank: integer determinism, teleport floor, dangling mass."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.graph import domain_pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_symmetric_two_cycle_is_uniform(spark):
+    # a <-> b with equal weights: ranks must stay exactly equal
+    df = domain_pagerank(_edges(spark, [("a", "b", 3), ("b", "a", 3)]))
+    got = {r.node: r.pr_scaled for r in df.collect()}
+    assert got["a"] == got["b"]
+    # conserved mass (no dangling nodes): teleport + damped total
+    assert got["a"] == 10**9  # fixed point of the symmetric graph
+
+
+def test_sink_receives_more_than_source(spark):
+    # a -> b only: b accumulates a's damped mass; a keeps teleport-only
+    df = domain_pagerank(_edges(spark, [("a", "b", 1)]), iterations=1)
+    got = {r.node: r.pr_scaled for r in df.collect()}
+    assert got["a"] == 150_000_000  # teleport floor, no in-edges
+    # b = teleport + 85% of a's initial rank (b is dangling: mass dropped)
+    assert got["b"] == 150_000_000 + (85 * 10**9) // 100
+
+
+def test_weighted_split_uses_integer_floor_division(spark):
+    # a -> b (w=1), a -> c (w=2): contributions split 1/3 vs 2/3 with
+    # FLOOR division — the exact values the SQL oracle reproduces
+    df = domain_pagerank(
+        _edges(spark, [("a", "b", 1), ("a", "c", 2)]), iterations=1
+    )
+    got = {r.node: r.pr_scaled for r in df.collect()}
+    assert got["b"] == 150_000_000 + (85 * 10**9 * 1) // 300
+    assert got["c"] == 150_000_000 + (85 * 10**9 * 2) // 300
+
+
+def test_empty_edges_empty_result(spark):
+    df = domain_pagerank(_edges(spark, []))
+    assert df.count() == 0
+    assert df.columns == ["node", "pr_scaled"]
+
+
+def test_deterministic_across_runs(spark):
+    rows = [("a", "b", 5), ("b", "c", 2), ("c", "a", 7), ("a", "c", 1)]
+    a = sorted(map(tuple, domain_pagerank(_edges(spark, rows)).collect()))
+    b = sorted(map(tuple, domain_pagerank(_edges(spark, rows)).collect()))
+    assert a == b

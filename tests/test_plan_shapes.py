@@ -93,6 +93,10 @@ BUDGETS = [
     ("hybrid_rrf_retrieval", 9, True),  # bm25 tf/df groupBys + rank windows + KB-scale fusion joins; cosine is the Arrow scorer
     ("ccnet_perplexity_buckets", 6, False),  # token/vocab groupBys + doc regroup + (lang,q4) histogram + rollup; no per-lang ntile window
     ("streaming_span_dedup", 1, False),  # returned plan: drained epoch-output read + sort; dedup shuffles ran inside foreachBatch
+    ("stage_time_travel_read", 3, False),  # three 1-row aggs over per-version manifest scans; commits are upstream write jobs
+    ("stage_version_vacuum", 0, False),  # driver-assembled 1-row summary; commit/vacuum IO upstream
+    ("events_cumulative_distinct_users", 4, False),  # user first-touch + day rollup + day-grain window (single task by design) + sort
+    ("graph_pagerank_event_transitions", 1, False),  # returned plan: KB rank-table sort; the corpus-scale edge aggregation is consumed upstream
 ]
 
 

@@ -1,0 +1,117 @@
+"""VersionedStageTable: commit log, time travel, COW merge, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+    VersionedStageTable,
+    VersionNotFoundError,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedStageTable(spark, str(tmp_path / "vt"))
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v string")
+
+
+def test_overwrite_append_versions(spark, table):
+    v0 = table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = table.append(_df(spark, [(3, "c")]))
+    assert (v0, v1) == (0, 1)
+    assert _rows(table.read(0)) == [(1, "a"), (2, "b")]
+    assert _rows(table.read(1)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(table.read()) == _rows(table.read(1))
+    assert [h["op"] for h in table.history()] == ["overwrite", "append"]
+
+
+def test_merge_is_upsert_and_cow(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    f0 = set(table._manifest(0)["files"])
+    table.merge(_df(spark, [(2, "B"), (4, "d")]), ["k"])
+    assert _rows(table.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # v0 still readable exactly as committed (time travel across a merge)
+    assert _rows(table.read(0)) == [(1, "a"), (2, "b"), (3, "c")]
+    # COW: files of v0 not containing key 2 carry over by name
+    f1 = set(table._manifest(1)["files"])
+    untouched = {
+        f for f in f0
+        if not _file_has_key(spark, table, f, 2)
+    }
+    assert untouched and untouched <= f1
+
+
+def _file_has_key(spark, table, rel, key):
+    df = spark.read.parquet(table._abs(rel))
+    return df.filter(F.col("k") == key).limit(1).count() > 0
+
+
+def test_merge_pure_insert_carries_all_files(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    f0 = set(table._manifest(0)["files"])
+    table.merge(_df(spark, [(9, "z")]), ["k"])
+    assert f0 <= set(table._manifest(1)["files"])
+    assert _rows(table.read()) == [(1, "a"), (9, "z")]
+
+
+def test_merge_dedups_source_batch(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.merge(_df(spark, [(1, "x"), (1, "x"), (2, "y")]), ["k"])
+    got = _rows(table.read())
+    assert [t[0] for t in got] == [1, 2]
+
+
+def test_vacuum_retention(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.overwrite(_df(spark, [(3, "c")]))
+    table.append(_df(spark, [(4, "d")]))
+    out = table.vacuum(retain_last=2)
+    assert out["versions_dropped"] == [0]
+    assert out["files_deleted"] > 0  # v0's files referenced nowhere else
+    # retained versions still read intact
+    assert _rows(table.read(1)) == [(3, "c")]
+    assert _rows(table.read(2)) == [(3, "c"), (4, "d")]
+    with pytest.raises(VersionNotFoundError):
+        table.read(0)
+    # every file on disk is referenced by a retained manifest
+    on_disk = set()
+    for sub in os.listdir(table.data_dir):
+        for fn in os.listdir(os.path.join(table.data_dir, sub)):
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.join("data", sub, fn))
+    referenced = set(table._manifest(1)["files"]) | set(
+        table._manifest(2)["files"]
+    )
+    assert on_disk == referenced
+
+
+def test_vacuum_keeps_shared_files(spark, table):
+    """An append's carried-over files are referenced by BOTH versions;
+    vacuuming the older one must not delete them."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]))
+    table.vacuum(retain_last=1)
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
+def test_empty_table_read_has_schema(spark, table):
+    table.overwrite(_df(spark, []).limit(0))
+    df = table.read()
+    assert df.columns == ["k", "v"] and df.count() == 0
+
+
+def test_read_missing_version_raises(spark, table):
+    with pytest.raises(VersionNotFoundError):
+        table.read()
+    table.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(VersionNotFoundError):
+        table.read(7)
