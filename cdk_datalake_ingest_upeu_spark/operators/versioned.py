@@ -216,7 +216,80 @@ class VersionedStageTable:
             p = "/" + p[5:].lstrip("/")
         return os.path.relpath(p, self.path)
 
+    # -- change feed ---------------------------------------------------------
+
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level change feed between two versions — the Delta Change
+        Data Feed analog (the reference's consumers would read Delta CDF
+        from the tables ``light_transform.py:1363-1409`` writes). Returns
+        the table's rows with a ``_change_type`` column (``'insert'`` /
+        ``'delete'``); a MERGE update surfaces as a delete+insert pair at
+        the same key, CDF's pre/post-image pair without the image labels.
+
+        Scale shape — the point of reading changes instead of diffing
+        snapshots: only the SYMMETRIC-DIFFERENCE files of the two
+        manifests are read. Files carried over by name hold byte-identical
+        rows and never enter the plan, so an append's change feed costs
+        exactly the appended batch (zero comparison work: the from-side is
+        empty) and a merge's costs its touched files — never the table.
+        Within the differing files, ``exceptAll`` (multiset difference)
+        cancels rows a merge rewrote unchanged into new files, making the
+        feed row-exact, not file-granular."""
+        if from_version == to_version:
+            raise ValueError("change feed needs two distinct versions")
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} is newer than {to_version}"
+            )
+        m0, m1 = self._manifest(from_version), self._manifest(to_version)
+        only0 = sorted(set(m0["files"]) - set(m1["files"]))
+        only1 = sorted(set(m1["files"]) - set(m0["files"]))
+        schema = T.StructType.fromJson(json.loads(m1["schema"]))
+
+        def _scan(rels: list[str]) -> DataFrame:
+            if not rels:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[self._abs(f) for f in rels]
+            )
+
+        before, after = _scan(only0), _scan(only1)
+        deleted = before.exceptAll(after)
+        inserted = after.exceptAll(before)
+        return deleted.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(inserted.withColumn("_change_type", F.lit("insert")))
+
     # -- maintenance -------------------------------------------------------
+
+    def compact(self, max_file_bytes: int = 32 * 1024 * 1024) -> int:
+        """OPTIMIZE: bin-pack the current snapshot's SMALL files (< the
+        threshold) into one rewrite, carrying every already-large file
+        over by name — Delta ``OPTIMIZE``'s execution shape, where
+        compaction cost tracks the small-file debt, never the table
+        size. The rewrite lands as a new commit (``op='compact'``) with
+        identical logical content; prior versions stay readable until
+        :meth:`vacuum`. Returns the new version (or the current one
+        unchanged when fewer than two files are under the threshold —
+        rewriting a single small file buys nothing)."""
+        prev = self._manifest(self.latest_version())
+        small = [
+            f
+            for f in prev["files"]
+            if os.path.getsize(self._abs(f)) < max_file_bytes
+        ]
+        if len(small) < 2:
+            return prev["version"]
+        hint = prev["version"] + 1
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        packed = self._write_files(
+            self.spark.read.schema(schema)
+            .parquet(*[self._abs(f) for f in small])
+            .coalesce(1),
+            hint,
+        )
+        carried = [f for f in prev["files"] if f not in set(small)]
+        return self._commit("compact", carried + packed, prev["schema"])
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions

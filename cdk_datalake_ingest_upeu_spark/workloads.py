@@ -10024,6 +10024,187 @@ FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
 """
 
 
+def stage_compact_small_files(spark, sf_dir):
+    """OPTIMIZE on the versioned stage table
+    (``operators/versioned.compact`` — Delta OPTIMIZE's analog; the
+    reference delegates compaction to Delta maintenance on its staged
+    tables, ``light_transform.py:1363-1409``). Two commits land
+    deliberately fragmented (overwrite repartition(6), append
+    repartition(4)); ``compact()`` must bin every small file into ONE
+    rewrite commit whose logical content is unchanged — pinned three
+    ways: the post-compact aggregates (oracle recomputes from orders),
+    an EMPTY change feed across the compact commit (row-exact
+    logical-identity proof), and the pre-compact version still reading
+    intact (time travel across OPTIMIZE). Scale shape: compaction cost
+    tracks the small-file debt (files under the size threshold), never
+    the table — large files carry over by name, zero IO."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vcompact"), "orders_versioned")
+    )
+    t.overwrite(
+        base.filter(F.col("o_orderdate") < "1997-01-01").repartition(6)
+    )
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        ).repartition(4)
+    )
+    pre_v = t.latest_version()
+    files_before = len(t._manifest(pre_v)["files"])
+    n_pre = t.read(pre_v).count()
+    v = t.compact()
+    files_after = len(t._manifest(v)["files"])
+    agg = (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("ks"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias("ps"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                t._manifest(v)["op"],
+                bool(files_after < files_before),
+                files_after,
+                int(t.changes(pre_v, v).count()),
+                bool(t.read(pre_v).count() == n_pre),
+                int(agg["n"]),
+                int(agg["ks"]),
+                float(agg["ps"]),
+            )
+        ],
+        "op string, files_reduced boolean, files_after int, "
+        "feed_rows_across_compact long, pre_version_intact boolean, "
+        "n_rows long, key_sum long, price_sum double",
+    )
+
+
+_COMPACT_SQL = f"""
+SELECT 'compact' AS op, TRUE AS files_reduced, 1 AS files_after,
+       CAST(0 AS BIGINT) AS feed_rows_across_compact,
+       TRUE AS pre_version_intact,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+"""
+
+
+def stage_change_feed_versions(spark, sf_dir):
+    """Row-level change feed between versions of the versioned stage
+    table (``operators/versioned.changes`` — the Delta Change Data Feed
+    analog; the reference's downstream consumers would read CDF from
+    the Delta tables ``light_transform.py:1363-1409`` writes). Same
+    three commits as ``stage_time_travel_read`` (overwrite / append /
+    MERGE); the feed for (0→1) must be insert-only (an append's from-
+    side is empty — zero comparison work, the scale point), and (1→2)
+    must show each merge update as a delete+insert pair at the same key
+    while rows the COW rewrite carried through UNCHANGED cancel out of
+    the feed entirely. The oracle recomputes both diffs as full-snapshot
+    EXCEPT ALLs — equal to the operator's symmetric-difference-files
+    diff because carried files contribute identically to both sides of
+    the multiset difference."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("cfeed"), "orders_versioned")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    updates = base.filter(
+        (F.col("o_orderdate") < "1998-01-01")
+        & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = base.filter(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1998-07-01")
+    )
+    t.merge(
+        updates.unionByName(inserts).filter(F.col("o_orderkey").isNotNull()),
+        ["o_orderkey"],
+    )
+    feed = None
+    for v0, v1 in [(0, 1), (1, 2)]:
+        part = (
+            t.changes(v0, v1)
+            .withColumn("from_v", F.lit(v0))
+            .withColumn("to_v", F.lit(v1))
+        )
+        feed = part if feed is None else feed.unionByName(part)
+    return (
+        feed.groupBy("from_v", "to_v", F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                "price_sum"
+            ),
+        )
+        .orderBy("from_v", "to_v", "change_type")
+    )
+
+
+_CHANGE_FEED_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+), v0 AS (
+  SELECT * FROM base WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), v1 AS (
+  SELECT * FROM base WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), src AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, o_orderdate
+  FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 10 = 0
+        AND o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM base
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1998-07-01'
+        AND o_orderkey IS NOT NULL
+), v2 AS (
+  SELECT t.* FROM v1 t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM src
+), feed AS (
+  SELECT 0 AS from_v, 1 AS to_v, 'delete' AS change_type, *
+  FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+  UNION ALL
+  SELECT 0, 1, 'insert', * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+  UNION ALL
+  SELECT 1, 2, 'delete', * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+  UNION ALL
+  SELECT 1, 2, 'insert', * FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+)
+SELECT from_v, to_v, change_type, count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM feed GROUP BY from_v, to_v, change_type
+ORDER BY from_v, to_v, change_type
+"""
+
+
 def graph_pagerank_event_transitions(spark, sf_dir):
     """Integer-exact PageRank over the event-type transition graph
     (``operators/graph.domain_pagerank``): the corpus-scale work is the
@@ -10376,6 +10557,8 @@ QUERIES = {
     # --- round-8 additions (behind the r7 window; lead the r8 one) ---
     "stage_time_travel_read": stage_time_travel_read,
     "stage_version_vacuum": stage_version_vacuum,
+    "stage_change_feed_versions": stage_change_feed_versions,
+    "stage_compact_small_files": stage_compact_small_files,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
 }
@@ -10574,6 +10757,8 @@ ORACLES = {
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     "stage_time_travel_read": _TIME_TRAVEL_SQL,
     "stage_version_vacuum": _VERSION_VACUUM_SQL,
+    "stage_change_feed_versions": _CHANGE_FEED_SQL,
+    "stage_compact_small_files": _COMPACT_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
     # every declared query now has an oracle entry: the hash-family /
@@ -10608,6 +10793,8 @@ ORACLES = {
 _MICRO_CANON_COLS = {
     "stage_time_travel_read": ['price_sum'],
     "stage_version_vacuum": ['price_sum'],
+    "stage_change_feed_versions": ['price_sum'],
+    "stage_compact_small_files": ['price_sum'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

@@ -95,6 +95,8 @@ BUDGETS = [
     ("streaming_span_dedup", 1, False),  # returned plan: drained epoch-output read + sort; dedup shuffles ran inside foreachBatch
     ("stage_time_travel_read", 3, False),  # three 1-row aggs over per-version manifest scans; commits are upstream write jobs
     ("stage_version_vacuum", 0, False),  # driver-assembled 1-row summary; commit/vacuum IO upstream
+    ("stage_change_feed_versions", 6, False),  # 4 exceptAll shuffles over symmetric-difference files only + rollup + sort
+    ("stage_compact_small_files", 0, False),  # driver-assembled 1-row summary; compact/feed IO upstream
     ("events_cumulative_distinct_users", 4, False),  # user first-touch + day rollup + day-grain window (single task by design) + sort
     ("graph_pagerank_event_transitions", 1, False),  # returned plan: KB rank-table sort; the corpus-scale edge aggregation is consumed upstream
 ]

@@ -103,6 +103,85 @@ def test_vacuum_keeps_shared_files(spark, table):
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
 
 
+def test_changes_append_is_insert_only(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b"), (3, "c")]))
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in table.changes(0, 1).collect()
+    )
+    assert got == [("insert", 2), ("insert", 3)]
+
+
+def test_changes_merge_update_is_delete_insert_pair(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.merge(_df(spark, [(2, "B"), (3, "c")]), ["k"])
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in table.changes(0, 1).collect()
+    )
+    # row 1 was rewritten UNCHANGED into the merge's new files (it
+    # shared a file with key 2) or carried over — either way exceptAll
+    # must cancel it out of the feed
+    assert got == [
+        ("delete", 2, "b"),
+        ("insert", 2, "B"),
+        ("insert", 3, "c"),
+    ]
+
+
+def test_changes_across_overwrite(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.overwrite(_df(spark, [(2, "b"), (3, "c")]))
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in table.changes(0, 1).collect()
+    )
+    # (2,'b') exists in both snapshots but in different files; the
+    # multiset difference cancels it
+    assert got == [("delete", 1), ("insert", 3)]
+
+
+def test_changes_rejects_bad_version_order(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]))
+    with pytest.raises(ValueError):
+        table.changes(1, 1)
+    with pytest.raises(ValueError):
+        table.changes(1, 0)
+
+
+def test_compact_bins_small_files_and_preserves_content(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]).repartition(4))
+    table.append(_df(spark, [(2, "b")]).repartition(3))
+    before = _rows(table.read())
+    n_files_before = len(table._manifest(table.latest_version())["files"])
+    v = table.compact()
+    m = table._manifest(v)
+    assert m["op"] == "compact"
+    assert len(m["files"]) < n_files_before
+    assert _rows(table.read()) == before
+    # compaction is logical-identity: the change feed across it is empty
+    assert table.changes(v - 1, v).count() == 0
+    # prior versions still readable (time travel across OPTIMIZE)
+    assert _rows(table.read(1)) == before
+
+
+def test_compact_carries_large_files_by_name(spark, table):
+    table.overwrite(_df(spark, [(i, "x") for i in range(500)]).coalesce(1))
+    big = set(table._manifest(0)["files"])
+    table.append(_df(spark, [(900, "s")]).repartition(2))
+    v = table.compact(max_file_bytes=os.path.getsize(
+        table._abs(next(iter(big)))
+    ))
+    m = table._manifest(v)
+    assert big <= set(m["files"])  # the large file was not rewritten
+
+
+def test_compact_noop_below_two_small_files(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]).coalesce(1))
+    assert table.compact() == 0  # nothing to bin: version unchanged
+    assert [h["op"] for h in table.history()] == ["overwrite"]
+
+
 def test_empty_table_read_has_schema(spark, table):
     table.overwrite(_df(spark, []).limit(0))
     df = table.read()
