@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_upeu_spark.operators.scratch import scratch_persist
+
 # 1e6 buckets give ppm-resolution fractions; md5's first 8 hex chars
 # (32 bits) are uniform far beyond that
 _BUCKETS = 1_000_000
@@ -320,3 +322,141 @@ def temperature_mixture_allocation(
         "capped",
         "effective_tokens",
     ).orderBy(source_col)
+
+
+def dsir_importance_select(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    seed: str = "dsir",
+    fraction: float = 0.25,
+) -> DataFrame:
+    """Data Selection via Importance Resampling over hashed unigrams —
+    DSIR (Xie et al., NeurIPS 2023): score every pool document by how
+    much more likely its tokens are under the TARGET domain's hashed
+    n-gram bag-of-words model than under the raw pool's, then keep the
+    top ``fraction`` — the standard recipe for steering a crawl-scale
+    corpus toward a small high-quality domain without training a
+    classifier.
+
+    Per hashed bucket b (md5 of the token, mod ``buckets``), the
+    add-one-smoothed log likelihood ratio::
+
+        lam(b) = ln( ((tc_b + 1) / (rc_b + 1)) * ((Tr + B) / (Tt + B)) )
+
+    (tc/rc = target/raw token counts in b; Tt/Tr totals) — a document's
+    importance weight is the sum of lam over its tokens, exactly the
+    paper's log importance weight under the two multinomials. Selection
+    uses the PER-TOKEN MEAN (sum / n_tok) so length doesn't dominate,
+    thresholded at the pool's top-``fraction`` quantile.
+
+    Engine-portable by construction (hash-gate conventions,
+    ``functions/stable.py``): each lam is rounded to DECIMAL(18,9)
+    nanolog units and carried as an exact BIGINT (the established
+    ln-at-9dp pattern — ccnet buckets / BM25); per-doc sums are exact
+    integer sums; the mean uses integer division made safe by a +50
+    log-unit offset that keeps every value positive (truncation ==
+    floor, identical in Spark ``div`` and DuckDB ``//``); the selection
+    threshold is an exact rank-quantile found by a descending
+    cumulative walk over the bounded (score_q4, count) histogram — the
+    ccnet_perplexity_buckets technique, no per-doc global window.
+    Boundary ties are all kept (selection may slightly exceed
+    ``fraction``, CCNet's own convention).
+
+    Scale shape: token explode is a linear map; bucket counts shuffle
+    to <= ``buckets`` rows; the lam table broadcasts onto the token
+    stream; one groupBy on the doc id builds the weights (the only
+    corpus-sized shuffle) plus one join back to the doc row; the
+    histogram collect is bounded by the score domain (~1e6 distinct
+    q4 levels worst-case, KB in practice), never the corpus.
+
+    Returns the scored POOL (non-target) documents with every input
+    column plus ``n_tok``, ``score_q4`` (offset mean nanolog ratio at
+    1e-4 log-unit grain) and ``selected``. Documents with no tokens
+    (empty/whitespace text) carry no evidence and are excluded.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0,1], got {fraction}")
+    import math
+
+    spark = docs.sparkSession
+    base = docs.withColumn("__t", is_target).filter(
+        F.trim(F.col(text_col)) != ""
+    )
+    toks = base.select(
+        id_col,
+        "__t",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "__tok"
+        ),
+    ).withColumn("__b", hash_bucket(F.col("__tok"), seed=seed, buckets=buckets))
+    # <= ``buckets`` rows, scanned three times (totals, lam, and via the
+    # broadcast); the corpus-sized token stream itself is NOT persisted —
+    # it is scanned once here and once in the per-doc pass below
+    bcnt = scratch_persist(
+        toks.groupBy("__b").agg(
+            F.sum(F.col("__t").cast("long")).alias("__tc"),
+            F.sum((~F.col("__t")).cast("long")).alias("__rc"),
+        )
+    )
+    tot = bcnt.agg(
+        F.sum("__tc").alias("tt"), F.sum("__rc").alias("tr")
+    ).first()
+    tt, tr = int(tot["tt"] or 0), int(tot["tr"] or 0)
+    # (Tr+B)/(Tt+B) inlined as the two exact integer-valued doubles the
+    # oracle recomputes from its own counts — same IEEE division
+    lam = bcnt.withColumn(
+        "__lam9",
+        F.expr(
+            f"CAST(CAST(ln(((__tc + 1.0) / (__rc + 1.0))"
+            f" * ({float(tr + buckets)} / {float(tt + buckets)}))"
+            f" AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+        ),
+    ).select("__b", "__lam9")
+    # +50e9 nanolog offset: |lam| <= ln((Tt+B)(Tr+B)) < 50 log units for
+    # any corpus under e^50 tokens, so the offset mean stays positive
+    # and integer truncation equals floor in both engines
+    # doc-grain (id, n_tok, score_q4) — persisted because both the
+    # histogram job and the returned plan scan it; orders of magnitude
+    # smaller than the token stream it reduces
+    perdoc = scratch_persist(
+        toks.filter(~F.col("__t"))
+        .join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("__lam9").alias("__s"))
+        .withColumn(
+            "score_q4",
+            F.expr("((__s + n_tok * 50000000000) div n_tok) div 100000"),
+        )
+        .select(id_col, "n_tok", "score_q4")
+    )
+    hist = sorted(
+        (
+            (int(r["score_q4"]), int(r["c"]))
+            for r in perdoc.groupBy("score_q4")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(c for _, c in hist)
+    if total == 0:
+        return base.filter(~F.col("__t")).drop("__t").join(
+            perdoc, id_col
+        ).withColumn("selected", F.lit(False))
+    k = math.ceil(total * fraction)
+    cum, thr = 0, hist[0][0]
+    for q4, c in hist:
+        cum += c
+        if cum >= k:
+            thr = q4
+            break
+    return (
+        base.filter(~F.col("__t"))
+        .drop("__t")
+        .join(perdoc, id_col)
+        .withColumn("selected", F.col("score_q4") >= F.lit(thr))
+    )

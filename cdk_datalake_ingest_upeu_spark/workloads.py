@@ -10286,6 +10286,95 @@ ORDER BY pr_scaled DESC, event_type
 """
 
 
+def dsir_target_domain_selection(spark, sf_dir):
+    """DSIR data selection (operators/sampling.dsir_importance_select —
+    Xie et al., NeurIPS 2023): a deterministic 10% hash split of the
+    corpus plays the high-quality TARGET domain (the
+    decontaminate_against_benchmark convention); every pool document is
+    scored by its hashed-unigram log importance weight under the
+    target-vs-raw bag-of-words models and the top 25% per-token-mean
+    scores are kept. Rollup per (lang, source): pool size, selected
+    count, selected score range — the mixture a practitioner inspects
+    before committing the selection. The oracle recomputes the full
+    pipeline in SQL: bucket counts, 9dp-quantized log ratios, exact
+    integer doc scores, and the identical descending rank-quantile
+    threshold walk."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_importance_select,
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = dsir_importance_select(
+        docs,
+        hash_bucket(F.col("doc_id"), seed="dsirT") < 100_000,
+        fraction=0.25,
+    )
+    return finalize(
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pool"),
+            F.sum(F.col("selected").cast("long")).alias("n_selected"),
+            F.min(F.when(F.col("selected"), F.col("score_q4"))).alias(
+                "sel_min_q4"
+            ),
+            F.max(F.when(F.col("selected"), F.col("score_q4"))).alias(
+                "sel_max_q4"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_DSIR_SQL = """
+WITH d0 AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'dsirT'), 1, 8))::BIGINT
+           % 1000000 < 100000 AS is_t,
+         lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), tb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(tok || 'dsir'), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT doc_id, is_t, unnest(string_split_regex(t, '\\s+')) AS tok
+        FROM d0)
+), bc AS (
+  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc
+  FROM tb GROUP BY b
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
+  FROM bc
+), lam AS (
+  SELECT b, CAST(CAST(ln(((tc + 1.0) / (rc + 1.0))
+                * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
+           * 1000000000 AS BIGINT) AS lam9
+  FROM bc, tot
+), perdoc AS (
+  SELECT t.doc_id, count(*) AS n_tok, CAST(sum(lam9) AS BIGINT) AS s
+  FROM tb t JOIN lam USING (b) WHERE NOT is_t GROUP BY t.doc_id
+), scored AS (
+  SELECT doc_id, ((s + n_tok * 50000000000) // n_tok) // 100000 AS score_q4
+  FROM perdoc
+), hist AS (
+  SELECT score_q4, count(*) AS c FROM scored GROUP BY score_q4
+), tot2 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM hist
+), cum AS (
+  SELECT score_q4, sum(c) OVER (ORDER BY score_q4 DESC) AS cumc FROM hist
+), thr AS (
+  SELECT max(score_q4) AS thr FROM cum, tot2 WHERE cumc >= ceil(n * 0.25)
+)
+SELECT d.lang, d.source, count(*) AS n_pool,
+       CAST(sum(CASE WHEN s.score_q4 >= thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       min(CASE WHEN s.score_q4 >= thr THEN s.score_q4 END) AS sel_min_q4,
+       max(CASE WHEN s.score_q4 >= thr THEN s.score_q4 END) AS sel_max_q4
+FROM scored s JOIN d0 d USING (doc_id) CROSS JOIN thr
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -10561,6 +10650,7 @@ QUERIES = {
     "stage_compact_small_files": stage_compact_small_files,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
+    "dsir_target_domain_selection": dsir_target_domain_selection,
 }
 
 ORACLES = {
@@ -10761,6 +10851,7 @@ ORACLES = {
     "stage_compact_small_files": _COMPACT_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
+    "dsir_target_domain_selection": _DSIR_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

@@ -2650,3 +2650,75 @@ def test_semantic_decontaminate_planted(spark):
     assert got[2].contaminated and got[2].max_bench_cosine_q6 == 1_000_000
     assert not got[0].contaminated and not got[1].contaminated
     assert got[0].max_bench_cosine_q6 == 0
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """Pool docs written in the target's vocabulary must outscore pool
+    docs written in a disjoint vocabulary, and land in the selection."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_importance_select,
+    )
+
+    rows = (
+        # target domain: "alpha beta" vocabulary
+        [(i, "alpha beta alpha beta", True) for i in range(10)]
+        # pool: five target-like, fifteen off-domain
+        + [(100 + i, "alpha beta alpha", False) for i in range(5)]
+        + [(200 + i, "zz yy xx ww", False) for i in range(15)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, flag boolean")
+    got = dsir_importance_select(
+        docs, F.col("flag"), fraction=0.25
+    ).collect()
+    sel = {r.doc_id for r in got if r.selected}
+    scores = {r.doc_id: r.score_q4 for r in got}
+    assert sel == {100, 101, 102, 103, 104}
+    assert min(scores[i] for i in sel) > max(
+        scores[i] for i in scores if i not in sel
+    )
+
+
+def test_dsir_boundary_ties_all_kept(spark):
+    """Identical docs share a score; the quantile threshold keeps the
+    whole tie group even past the nominal fraction."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_importance_select,
+    )
+
+    rows = [(0, "alpha", True)] + [(i, "alpha", False) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, flag boolean")
+    got = dsir_importance_select(docs, F.col("flag"), fraction=0.25).collect()
+    assert all(r.selected for r in got) and len(got) == 8
+
+
+def test_dsir_excludes_empty_text_and_validates_fraction(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_importance_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha", True), (1, "  ", False), (2, "alpha", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    got = dsir_importance_select(docs, F.col("flag"), fraction=1.0).collect()
+    assert {r.doc_id for r in got} == {2}
+    with pytest.raises(ValueError):
+        dsir_importance_select(docs, F.col("flag"), fraction=0.0)
+
+
+def test_dsir_deterministic_across_runs(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_importance_select,
+    )
+
+    rows = [(i, f"tok{i % 7} alpha tok{i % 3}", i % 5 == 0) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, flag boolean")
+    a = sorted(
+        (r.doc_id, r.score_q4, r.selected)
+        for r in dsir_importance_select(docs, F.col("flag")).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.score_q4, r.selected)
+        for r in dsir_importance_select(docs, F.col("flag")).collect()
+    )
+    assert a == b
