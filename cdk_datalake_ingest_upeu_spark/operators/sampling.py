@@ -380,51 +380,159 @@ def dsir_importance_select(
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0,1], got {fraction}")
-    import math
-
-    spark = docs.sparkSession
     base = docs.withColumn("__t", is_target).filter(
         F.trim(F.col(text_col)) != ""
     )
-    toks = base.select(
-        id_col,
-        "__t",
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "__tok"
-        ),
-    ).withColumn("__b", hash_bucket(F.col("__tok"), seed=seed, buckets=buckets))
-    # <= ``buckets`` rows, scanned three times (totals, lam, and via the
-    # broadcast); the corpus-sized token stream itself is NOT persisted —
-    # it is scanned once here and once in the per-doc pass below
-    bcnt = scratch_persist(
-        toks.groupBy("__b").agg(
-            F.sum(F.col("__t").cast("long")).alias("__tc"),
-            F.sum((~F.col("__t")).cast("long")).alias("__rc"),
-        )
+    index = dsir_count_index(
+        base, F.col("__t"), text_col=text_col, buckets=buckets, seed=seed
     )
-    tot = bcnt.agg(
-        F.sum("__tc").alias("tt"), F.sum("__rc").alias("tr")
-    ).first()
-    tt, tr = int(tot["tt"] or 0), int(tot["tr"] or 0)
-    # (Tr+B)/(Tt+B) inlined as the two exact integer-valued doubles the
-    # oracle recomputes from its own counts — same IEEE division
-    lam = bcnt.withColumn(
-        "__lam9",
-        F.expr(
-            f"CAST(CAST(ln(((__tc + 1.0) / (__rc + 1.0))"
-            f" * ({float(tr + buckets)} / {float(tt + buckets)}))"
-            f" AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
-        ),
-    ).select("__b", "__lam9")
-    # +50e9 nanolog offset: |lam| <= ln((Tt+B)(Tr+B)) < 50 log units for
-    # any corpus under e^50 tokens, so the offset mean stays positive
-    # and integer truncation equals floor in both engines
+    lam = dsir_lam_table(index, buckets=buckets)
     # doc-grain (id, n_tok, score_q4) — persisted because both the
     # histogram job and the returned plan scan it; orders of magnitude
     # smaller than the token stream it reduces
     perdoc = scratch_persist(
-        toks.filter(~F.col("__t"))
-        .join(F.broadcast(lam), "__b")
+        dsir_score_batch(
+            base.filter(~F.col("__t")),
+            lam,
+            id_col=id_col,
+            text_col=text_col,
+            buckets=buckets,
+            seed=seed,
+        )
+    )
+    thr = dsir_top_fraction_threshold(perdoc, fraction)
+    pool = base.filter(~F.col("__t")).drop("__t").join(perdoc, id_col)
+    if thr is None:
+        return pool.withColumn("selected", F.lit(False))
+    return pool.withColumn("selected", F.col("score_q4") >= F.lit(thr))
+
+
+def _dsir_token_stream(
+    docs: DataFrame,
+    keep_cols: list,
+    *,
+    text_col: str,
+    buckets: int,
+    seed: str,
+) -> DataFrame:
+    """(keep_cols..., __b) — one row per whitespace token, bucketed by
+    the md5 hash. Pure codegen map; no shuffle."""
+    return docs.select(
+        *keep_cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "__tok"
+        ),
+    ).withColumn(
+        "__b", hash_bucket(F.col("__tok"), seed=seed, buckets=buckets)
+    )
+
+
+def dsir_count_index(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """The DSIR model state: per hashed bucket, target and raw token
+    counts ``(__b, __tc, __rc)`` — <= ``buckets`` rows regardless of
+    corpus size, so it persists/stores as a KB-scale table. Counts are
+    ADDITIVE, which is what makes the model maintainable incrementally:
+    :func:`dsir_refresh_index` folds a new batch in without ever
+    re-reading history (same discipline as the minhash sig+band and
+    span-digest indexes). Returned persisted (scratch registry)."""
+    toks = _dsir_token_stream(
+        docs.withColumn("__it", is_target).filter(
+            F.trim(F.col(text_col)) != ""
+        ),
+        ["__it"],
+        text_col=text_col,
+        buckets=buckets,
+        seed=seed,
+    )
+    return scratch_persist(
+        toks.groupBy("__b").agg(
+            F.sum(F.col("__it").cast("long")).alias("__tc"),
+            F.sum((~F.col("__it")).cast("long")).alias("__rc"),
+        )
+    )
+
+
+def dsir_refresh_index(index: DataFrame, batch_index: DataFrame) -> DataFrame:
+    """Fold a new batch's count index into a stored one — additive
+    merge on the bucket id, <= ``buckets`` result rows. The refreshed
+    index is IDENTICAL to rebuilding from scratch over
+    history ∪ batch (counts are sums; sums are associative) — the
+    contract ``dsir_incremental_scoring`` hash-checks."""
+    return (
+        index.unionByName(batch_index)
+        .groupBy("__b")
+        .agg(F.sum("__tc").alias("__tc"), F.sum("__rc").alias("__rc"))
+    )
+
+
+def dsir_lam_table(
+    index: DataFrame, *, buckets: int = 4096
+) -> DataFrame:
+    """Per-bucket smoothed log likelihood ratio ``lam9`` (nanolog
+    BIGINT) from a count index. Totals are two bounded scalars; the
+    (Tr+B)/(Tt+B) normalizer is inlined as the two exact integer-valued
+    doubles an oracle recomputes from its own counts — same IEEE
+    division, and the ln is rounded to DECIMAL(18,9) before scaling
+    (the repo's ln-at-9dp portability pattern). The table is COMPLETE
+    over all ``buckets`` rows (absent counts coalesce to 0), so a
+    frozen model scores tokens unseen at fit time at the smoothed
+    floor instead of silently dropping them — the incremental-scoring
+    case; in same-corpus scoring the extra rows never join."""
+    tot = index.agg(
+        F.sum("__tc").alias("tt"), F.sum("__rc").alias("tr")
+    ).first()
+    tt, tr = int(tot["tt"] or 0), int(tot["tr"] or 0)
+    domain = index.sparkSession.range(buckets).select(
+        F.col("id").alias("__b")
+    )
+    return (
+        domain.join(index, "__b", "left")
+        .withColumn(
+            "__lam9",
+            F.expr(
+                f"CAST(CAST(ln(((coalesce(__tc, 0) + 1.0)"
+                f" / (coalesce(__rc, 0) + 1.0))"
+                f" * ({float(tr + buckets)} / {float(tt + buckets)}))"
+                f" AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+            ),
+        )
+        .select("__b", "__lam9")
+    )
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    lam: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Score a document batch against a (frozen) lam table: one token
+    pass, broadcast join, one groupBy on the doc id — cost is the
+    batch, never the corpus that fit the model. Returns (id, n_tok,
+    score_q4); score_q4 is the offset per-token-mean nanolog ratio at
+    1e-4 log-unit grain. The +50e9 nanolog offset keeps every value
+    positive (|lam| <= ln((Tt+B)(Tr+B)) < 50 log units for any corpus
+    under e^50 tokens), so integer truncation equals floor in both
+    engines. Tokenless documents carry no evidence and are excluded."""
+    toks = _dsir_token_stream(
+        batch.filter(F.trim(F.col(text_col)) != ""),
+        [id_col],
+        text_col=text_col,
+        buckets=buckets,
+        seed=seed,
+    )
+    return (
+        toks.join(F.broadcast(lam), "__b")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("__lam9").alias("__s"))
         .withColumn(
@@ -433,10 +541,25 @@ def dsir_importance_select(
         )
         .select(id_col, "n_tok", "score_q4")
     )
+
+
+def dsir_top_fraction_threshold(
+    scores: DataFrame, fraction: float, *, score_col: str = "score_q4"
+) -> int | None:
+    """Exact top-``fraction`` rank-quantile threshold via a descending
+    cumulative walk over the bounded (score, count) histogram — the
+    ccnet_perplexity_buckets technique; no per-doc global window. The
+    histogram collect is bounded by the score domain (~1e6 distinct q4
+    levels worst-case, KB in practice), never the corpus. Returns None
+    on an empty relation. Keep scores >= thr: boundary ties are all
+    kept (selection may slightly exceed ``fraction``, CCNet's own
+    convention)."""
+    import math
+
     hist = sorted(
         (
-            (int(r["score_q4"]), int(r["c"]))
-            for r in perdoc.groupBy("score_q4")
+            (int(r[score_col]), int(r["c"]))
+            for r in scores.groupBy(score_col)
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         ),
@@ -444,19 +567,11 @@ def dsir_importance_select(
     )
     total = sum(c for _, c in hist)
     if total == 0:
-        return base.filter(~F.col("__t")).drop("__t").join(
-            perdoc, id_col
-        ).withColumn("selected", F.lit(False))
+        return None
     k = math.ceil(total * fraction)
-    cum, thr = 0, hist[0][0]
+    cum = 0
     for q4, c in hist:
         cum += c
         if cum >= k:
-            thr = q4
-            break
-    return (
-        base.filter(~F.col("__t"))
-        .drop("__t")
-        .join(perdoc, id_col)
-        .withColumn("selected", F.col("score_q4") >= F.lit(thr))
-    )
+            return q4
+    return hist[-1][0]

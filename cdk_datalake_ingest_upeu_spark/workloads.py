@@ -10346,9 +10346,11 @@ WITH d0 AS (
   SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
   FROM bc
 ), lam AS (
-  SELECT b, CAST(CAST(ln(((tc + 1.0) / (rc + 1.0))
+  -- widen before the 1e9 scale-up: DECIMAL(18,9) units overflow DuckDB's
+  -- int64 decimal arithmetic once |lam| >= ~1.0 log unit
+  SELECT b, CAST(CAST(CAST(ln(((tc + 1.0) / (rc + 1.0))
                 * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
-           * 1000000000 AS BIGINT) AS lam9
+           AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
   FROM bc, tot
 ), perdoc AS (
   SELECT t.doc_id, count(*) AS n_tok, CAST(sum(lam9) AS BIGINT) AS s
@@ -10372,6 +10374,144 @@ SELECT d.lang, d.source, count(*) AS n_pool,
        max(CASE WHEN s.score_q4 >= thr THEN s.score_q4 END) AS sel_max_q4
 FROM scored s JOIN d0 d USING (doc_id) CROSS JOIN thr
 GROUP BY d.lang, d.source ORDER BY d.lang, d.source
+"""
+
+
+def dsir_incremental_scoring(spark, sf_dir):
+    """Steady-state DSIR (operators/sampling.dsir_count_index /
+    dsir_score_batch / dsir_refresh_index): the model is fit ONCE on
+    target + historical pool, its <=4096-row count index is written to
+    parquet, and an arriving batch is then scored against the STORED
+    index — one token pass over the batch, broadcast lam join, history
+    never re-read (the minhash sig+band / span-digest index
+    discipline). The frozen top-25% threshold learned on the historical
+    pool classifies the batch. The index refresh is an additive count
+    merge; the ``refresh_matches_rebuild`` contract column hash-checks
+    that the folded index equals a from-scratch rebuild over
+    history ∪ batch, bucket for bucket. The oracle recomputes the fit,
+    the frozen threshold walk, the batch scores, and asserts the
+    contract. Batch tokens in buckets unseen at fit time score at the
+    smoothed floor (the lam table is complete over the bucket domain)."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_count_index,
+        dsir_lam_table,
+        dsir_refresh_index,
+        dsir_score_batch,
+        dsir_top_fraction_threshold,
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_t = hash_bucket(F.col("doc_id"), seed="dsirT") < 100_000
+    is_hist = (~is_t) & (hash_bucket(F.col("doc_id"), seed="dsirB") < 700_000)
+    is_new = (~is_t) & (hash_bucket(F.col("doc_id"), seed="dsirB") >= 700_000)
+
+    # phase 1 — fit on target + historical, store the index
+    fit_docs = docs.filter(is_t | is_hist)
+    idx_path = os.path.join(_tmpdir("dsiridx"), "dsir_index")
+    dsir_count_index(fit_docs, is_t).write.mode("overwrite").parquet(idx_path)
+
+    # phase 2 — frozen model: score the arriving batch from the store
+    stored = spark.read.parquet(idx_path)
+    lam = scratch_persist(dsir_lam_table(stored))
+    thr = dsir_top_fraction_threshold(
+        scratch_persist(dsir_score_batch(docs.filter(is_hist), lam)), 0.25
+    )
+    new_scores = dsir_score_batch(docs.filter(is_new), lam)
+
+    # phase 3 — additive refresh; contract: refresh == rebuild
+    batch_idx = dsir_count_index(docs.filter(is_new), F.lit(False))
+    refreshed = dsir_refresh_index(stored, batch_idx)
+    rebuild = dsir_count_index(docs, is_t)
+    ref = refreshed.select(
+        "__b", F.col("__tc").alias("a_tc"), F.col("__rc").alias("a_rc")
+    )
+    reb = rebuild.select(
+        "__b", F.col("__tc").alias("b_tc"), F.col("__rc").alias("b_rc")
+    )
+    n_bad = (
+        ref.join(reb, "__b", "full")
+        .filter(
+            ~(
+                F.col("a_tc").eqNullSafe(F.col("b_tc"))
+                & F.col("a_rc").eqNullSafe(F.col("b_rc"))
+            )
+        )
+        .count()
+    )
+    return finalize(
+        new_scores.join(docs.filter(is_new).select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum((F.col("score_q4") >= F.lit(thr)).cast("long")).alias(
+                "n_accepted"
+            ),
+            F.min("score_q4").alias("new_min_q4"),
+            F.max("score_q4").alias("new_max_q4"),
+        )
+        .withColumn("thr_q4", F.lit(int(thr)))
+        .withColumn("refresh_matches_rebuild", F.lit(n_bad == 0))
+        .orderBy("lang", "source")
+    )
+
+
+_DSIR_INCR_SQL = """
+WITH d0 AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'dsirT'), 1, 8))::BIGINT
+           % 1000000 < 100000 AS is_t,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'dsirB'), 1, 8))::BIGINT
+           % 1000000 < 700000 AS hb,
+         lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), tb AS (
+  SELECT doc_id, is_t, (NOT is_t) AND hb AS is_hist,
+         (NOT is_t) AND NOT hb AS is_new,
+         ('0x' || substr(md5(tok || 'dsir'), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT doc_id, is_t, hb, unnest(string_split_regex(t, '\\s+')) AS tok
+        FROM d0)
+), bc AS (
+  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_hist THEN 1 ELSE 0 END) AS BIGINT) AS rc
+  FROM tb WHERE is_t OR is_hist GROUP BY b
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
+  FROM bc
+), lam AS (
+  -- widen before the 1e9 scale-up (see dsir_target_domain_selection)
+  SELECT g.range AS b,
+         CAST(CAST(CAST(ln(((coalesce(tc, 0) + 1.0) / (coalesce(rc, 0) + 1.0))
+                * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
+           AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
+  FROM range(4096) g LEFT JOIN bc ON bc.b = g.range CROSS JOIN tot
+), histsc AS (
+  SELECT ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+            // count(*)) // 100000 AS score_q4
+  FROM tb t JOIN lam USING (b) WHERE is_hist GROUP BY t.doc_id
+), hist AS (
+  SELECT score_q4, count(*) AS c FROM histsc GROUP BY score_q4
+), tot2 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM hist
+), cum AS (
+  SELECT score_q4, sum(c) OVER (ORDER BY score_q4 DESC) AS cumc FROM hist
+), thr AS (
+  SELECT max(score_q4) AS thr FROM cum, tot2 WHERE cumc >= ceil(n * 0.25)
+), newsc AS (
+  SELECT t.doc_id,
+         ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+            // count(*)) // 100000 AS score_q4
+  FROM tb t JOIN lam USING (b) WHERE is_new GROUP BY t.doc_id
+)
+SELECT d.lang, d.source, count(*) AS n_new,
+       CAST(sum(CASE WHEN s.score_q4 >= thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accepted,
+       min(s.score_q4) AS new_min_q4,
+       max(s.score_q4) AS new_max_q4,
+       CAST(thr AS BIGINT) AS thr_q4,
+       TRUE AS refresh_matches_rebuild
+FROM newsc s JOIN d0 d USING (doc_id) CROSS JOIN thr
+GROUP BY d.lang, d.source, thr ORDER BY d.lang, d.source
 """
 
 
@@ -10651,6 +10791,7 @@ QUERIES = {
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
     "dsir_target_domain_selection": dsir_target_domain_selection,
+    "dsir_incremental_scoring": dsir_incremental_scoring,
 }
 
 ORACLES = {
@@ -10852,6 +10993,7 @@ ORACLES = {
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
     "dsir_target_domain_selection": _DSIR_SQL,
+    "dsir_incremental_scoring": _DSIR_INCR_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

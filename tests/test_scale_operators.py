@@ -2722,3 +2722,51 @@ def test_dsir_deterministic_across_runs(spark):
         for r in dsir_importance_select(docs, F.col("flag")).collect()
     )
     assert a == b
+
+
+def test_dsir_refresh_index_equals_rebuild(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_count_index,
+        dsir_refresh_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "alpha beta", True), (1, "beta gamma", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    batch = spark.createDataFrame(
+        [(2, "gamma delta epsilon", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    refreshed = dsir_refresh_index(
+        dsir_count_index(hist, F.col("flag")),
+        dsir_count_index(batch, F.lit(False)),
+    )
+    rebuild = dsir_count_index(hist.unionByName(batch), F.col("flag"))
+    a = sorted(map(tuple, refreshed.collect()))
+    b = sorted(map(tuple, rebuild.collect()))
+    assert a == b and sum(r[1] + r[2] for r in a) == 7
+
+
+def test_dsir_frozen_model_scores_unseen_tokens_at_floor(spark):
+    """A batch token whose bucket has no fit-time counts must score at
+    the smoothed floor ln(1/1 * norm), not silently drop from n_tok."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_count_index,
+        dsir_lam_table,
+        dsir_score_batch,
+    )
+
+    fit = spark.createDataFrame(
+        [(0, "alpha", True), (1, "beta", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    lam = dsir_lam_table(dsir_count_index(fit, F.col("flag")))
+    batch = spark.createDataFrame(
+        [(9, "totally-unseen-token", False)], "doc_id long, text string, flag boolean"
+    )
+    got = dsir_score_batch(batch, lam).collect()
+    assert len(got) == 1 and got[0].n_tok == 1
+    # norm = (Tr+B)/(Tt+B) = 4097/4097 = 1 -> lam = ln(1) = 0 ->
+    # offset mean = 50e9 div 1e5 = 500000
+    assert got[0].score_q4 == 500000
