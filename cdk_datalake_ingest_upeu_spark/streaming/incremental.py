@@ -500,3 +500,97 @@ def stream_span_dedup(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_dsir_scoring(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    model_path: str,
+    threshold_q4: int,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    seed: str = "dsir",
+    max_files_per_trigger: int = 1,
+    query_name: str = "stream_dsir_scoring",
+):
+    """Continuous DSIR scoring against a FROZEN stored model
+    (operators/sampling — the streaming twin of
+    ``dsir_incremental_scoring``): the count index at ``model_path`` is
+    loaded once, its lam table broadcast to every micro-batch; each
+    arriving batch is scored in one token pass, classified against the
+    frozen ``threshold_q4``, and its own additive count index lands at
+    ``index_dir/epoch=N`` so a later refit can fold the stream back in
+    without ever re-reading its text.
+
+    Because the model is frozen, per-document scores are INVARIANT to
+    how the stream was batched — the drained output equals a single
+    batch scoring of everything that arrived, which is exactly what an
+    oracle can recompute. Idempotent under foreachBatch's
+    at-least-once retries: per-epoch overwrite directories.
+
+    Scale shape: per micro-batch cost is one linear token pass over
+    the batch plus a broadcast join against the <= ``buckets``-row lam
+    table; the per-epoch index append is a KB-scale write.
+    """
+    import os as _os
+
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_count_index,
+        dsir_lam_table,
+        dsir_score_batch,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import (
+        scratch_persist,
+    )
+    from pyspark.sql import functions as F
+
+    # registered on the CALLER's scratch registry (the micro-batch
+    # thread only reads it), so the wrapper's finalize() releases it
+    lam = scratch_persist(
+        dsir_lam_table(spark.read.parquet(model_path), buckets=buckets)
+    )
+    lam.count()  # materialize once, before the first micro-batch
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        dsir_score_batch(
+            batch_df,
+            lam,
+            id_col=id_col,
+            text_col=text_col,
+            buckets=buckets,
+            seed=seed,
+        ).withColumn(
+            "accepted", F.col("score_q4") >= F.lit(int(threshold_q4))
+        ).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        idx = dsir_count_index(
+            batch_df,
+            F.lit(False),
+            text_col=text_col,
+            buckets=buckets,
+            seed=seed,
+        )
+        idx.write.mode("overwrite").parquet(
+            _os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+        idx.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("latestFirst", "false").parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -10515,6 +10515,165 @@ GROUP BY d.lang, d.source, thr ORDER BY d.lang, d.source
 """
 
 
+def streaming_dsir_scoring(spark, sf_dir):
+    """Streaming twin of ``dsir_incremental_scoring``
+    (streaming/incremental.stream_dsir_scoring): the model is fit once
+    on target + historical and stored; the NEW-batch split then arrives
+    as two chronological drops, each micro-batch scored against the
+    frozen stored model and classified with the frozen threshold, its
+    additive count index landing per epoch. Because the model is
+    frozen, per-doc scores are invariant to the batching — the drained
+    union equals single-batch scoring of every arrival, which the
+    oracle recomputes; the ``index_matches_rebuild`` contract column
+    additionally proves the per-epoch index appends fold back to a
+    from-scratch rebuild over everything ever seen."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_count_index,
+        dsir_lam_table,
+        dsir_refresh_index,
+        dsir_score_batch,
+        dsir_top_fraction_threshold,
+        hash_bucket,
+    )
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_dsir_scoring,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_t = hash_bucket(F.col("doc_id"), seed="dsirT") < 100_000
+    is_hist = (~is_t) & (hash_bucket(F.col("doc_id"), seed="dsirB") < 700_000)
+    is_new = (~is_t) & (hash_bucket(F.col("doc_id"), seed="dsirB") >= 700_000)
+
+    work = _tmpdir("dsirstream")
+    model_path = os.path.join(work, "model")
+    dsir_count_index(docs.filter(is_t | is_hist), is_t).write.mode(
+        "overwrite"
+    ).parquet(model_path)
+    lam = scratch_persist(dsir_lam_table(spark.read.parquet(model_path)))
+    thr = dsir_top_fraction_threshold(
+        dsir_score_batch(docs.filter(is_hist), lam), 0.25
+    )
+
+    new_docs = docs.filter(is_new).select("doc_id", "text")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    median = new_docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    for i, part in enumerate(
+        [
+            new_docs.filter(F.col("doc_id") <= median),
+            new_docs.filter(F.col("doc_id") > median),
+        ]
+    ):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    q = stream_dsir_scoring(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        new_docs.schema,
+        model_path=model_path,
+        threshold_q4=int(thr),
+        out_dir=os.path.join(work, "out"),
+        index_dir=os.path.join(work, "index"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"dsir_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    folded = spark.read.parquet(model_path)
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(work, "index", "epoch=*"))):
+        folded = dsir_refresh_index(folded, spark.read.parquet(p))
+    rebuild = dsir_count_index(docs, is_t)
+    n_bad = (
+        folded.select(
+            "__b", F.col("__tc").alias("a_tc"), F.col("__rc").alias("a_rc")
+        )
+        .join(
+            rebuild.select(
+                "__b",
+                F.col("__tc").alias("b_tc"),
+                F.col("__rc").alias("b_rc"),
+            ),
+            "__b",
+            "full",
+        )
+        .filter(
+            ~(
+                F.col("a_tc").eqNullSafe(F.col("b_tc"))
+                & F.col("a_rc").eqNullSafe(F.col("b_rc"))
+            )
+        )
+        .count()
+    )
+    return finalize(
+        spark.read.parquet(os.path.join(work, "out"))
+        .select("doc_id", "n_tok", "score_q4", "accepted")
+        .withColumn("index_matches_rebuild", F.lit(n_bad == 0))
+        .orderBy("doc_id")
+    )
+
+
+_STREAM_DSIR_SQL = """
+WITH d0 AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'dsirT'), 1, 8))::BIGINT
+           % 1000000 < 100000 AS is_t,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'dsirB'), 1, 8))::BIGINT
+           % 1000000 < 700000 AS hb,
+         lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), tb AS (
+  SELECT doc_id, is_t, (NOT is_t) AND hb AS is_hist,
+         (NOT is_t) AND NOT hb AS is_new,
+         ('0x' || substr(md5(tok || 'dsir'), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT doc_id, is_t, hb, unnest(string_split_regex(t, '\\s+')) AS tok
+        FROM d0)
+), bc AS (
+  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_hist THEN 1 ELSE 0 END) AS BIGINT) AS rc
+  FROM tb WHERE is_t OR is_hist GROUP BY b
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
+  FROM bc
+), lam AS (
+  -- widen before the 1e9 scale-up (see dsir_target_domain_selection)
+  SELECT g.range AS b,
+         CAST(CAST(CAST(ln(((coalesce(tc, 0) + 1.0) / (coalesce(rc, 0) + 1.0))
+                * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
+           AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
+  FROM range(4096) g LEFT JOIN bc ON bc.b = g.range CROSS JOIN tot
+), histsc AS (
+  SELECT ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+            // count(*)) // 100000 AS score_q4
+  FROM tb t JOIN lam USING (b) WHERE is_hist GROUP BY t.doc_id
+), hist AS (
+  SELECT score_q4, count(*) AS c FROM histsc GROUP BY score_q4
+), tot2 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM hist
+), cum AS (
+  SELECT score_q4, sum(c) OVER (ORDER BY score_q4 DESC) AS cumc FROM hist
+), thr AS (
+  SELECT max(score_q4) AS thr FROM cum, tot2 WHERE cumc >= ceil(n * 0.25)
+)
+SELECT t.doc_id, count(*) AS n_tok,
+       ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+          // count(*)) // 100000 AS score_q4,
+       ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+          // count(*)) // 100000 >= any_value(thr) AS accepted,
+       TRUE AS index_matches_rebuild
+FROM tb t JOIN lam USING (b) CROSS JOIN thr
+WHERE is_new GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -10792,6 +10951,7 @@ QUERIES = {
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
     "dsir_target_domain_selection": dsir_target_domain_selection,
     "dsir_incremental_scoring": dsir_incremental_scoring,
+    "streaming_dsir_scoring": streaming_dsir_scoring,
 }
 
 ORACLES = {
@@ -10994,6 +11154,7 @@ ORACLES = {
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
     "dsir_target_domain_selection": _DSIR_SQL,
     "dsir_incremental_scoring": _DSIR_INCR_SQL,
+    "streaming_dsir_scoring": _STREAM_DSIR_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

@@ -2770,3 +2770,60 @@ def test_dsir_frozen_model_scores_unseen_tokens_at_floor(spark):
     # norm = (Tr+B)/(Tt+B) = 4097/4097 = 1 -> lam = ln(1) = 0 ->
     # offset mean = 50e9 div 1e5 = 500000
     assert got[0].score_q4 == 500000
+
+
+def test_stream_dsir_scores_invariant_to_batching(spark, tmp_path):
+    """Frozen model => drained per-doc scores equal single-batch
+    scoring, no matter how the stream was chopped."""
+    import os
+
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_count_index,
+        dsir_lam_table,
+        dsir_score_batch,
+    )
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_dsir_scoring,
+    )
+
+    fit = spark.createDataFrame(
+        [(0, "alpha beta", True), (1, "beta gamma beta", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    model = str(tmp_path / "model")
+    dsir_count_index(fit, F.col("flag")).write.parquet(model)
+    arrivals = spark.createDataFrame(
+        [(10, "alpha alpha"), (11, "gamma unseen"), (12, "beta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(3):
+        d = os.path.join(src, f"b{i}")
+        arrivals.filter(F.col("doc_id") == 10 + i).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i,) * 2)
+    q = stream_dsir_scoring(
+        spark,
+        os.path.join(src, "b*"),
+        arrivals.schema,
+        model_path=model,
+        threshold_q4=500_000,
+        out_dir=str(tmp_path / "out"),
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="dsir_test_stream",
+    )
+    q.processAllAvailable()
+    q.stop()
+    drained = {
+        r.doc_id: (r.n_tok, r.score_q4, r.accepted)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    lam = dsir_lam_table(spark.read.parquet(model))
+    single = {
+        r.doc_id: (r.n_tok, r.score_q4, r.score_q4 >= 500_000)
+        for r in dsir_score_batch(arrivals, lam).collect()
+    }
+    assert drained == single and len(drained) == 3
