@@ -78,3 +78,43 @@ def domain_pagerank(
     return edges.sparkSession.createDataFrame(
         out, "node string, pr_scaled long"
     )
+
+
+def domain_reach(
+    edges: DataFrame,
+    sources: list,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distances over an aggregated domain edge
+    table — min-plus relaxation on the K-node graph (same envelope as
+    :func:`domain_pagerank`: the corpus-scale work is building
+    ``edges``; iteration runs on KB of driver state). Returns
+    (node, hops) for every node within ``max_hops`` of any source —
+    exact small integers, so an oracle reproduces them by unrolling
+    the same relaxation rounds in SQL. Unreachable nodes are absent."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    adj: dict = {}
+    for r in edges.select(src, dst).collect():
+        adj.setdefault(r[0], set()).add(r[1])
+    known = {s for s in sources}
+    hops = {s: 0 for s in sources}
+    frontier = set(hops)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in known:
+                    known.add(w)
+                    hops[w] = h
+                    nxt.add(w)
+        if not nxt:
+            break
+        frontier = nxt
+    out = sorted(hops.items())
+    if not out:
+        return edges.sparkSession.createDataFrame([], "node string, hops int")
+    return edges.sparkSession.createDataFrame(out, "node string, hops int")

@@ -260,6 +260,22 @@ class VersionedStageTable:
             "_change_type", F.lit("delete")
         ).unionByName(inserted.withColumn("_change_type", F.lit("insert")))
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE's analog: a NEW commit whose manifest is the
+        target version's file list, carried over by NAME — zero data
+        IO, the restore is pure bookkeeping, and the rolled-back
+        history stays readable (restore is an append to history, not a
+        rewrite of it). The restored files must still exist: restoring
+        past a vacuum raises :class:`VersionNotFoundError` exactly as
+        Delta refuses to restore beyond its retention."""
+        m = self._manifest(version)
+        missing = [f for f in m["files"] if not os.path.exists(self._abs(f))]
+        if missing:
+            raise VersionNotFoundError(
+                f"{self.path}: version {version} files vacuumed: {missing[:3]}"
+            )
+        return self._commit("restore", m["files"], m["schema"])
+
     # -- maintenance -------------------------------------------------------
 
     def compact(self, max_file_bytes: int = 32 * 1024 * 1024) -> int:

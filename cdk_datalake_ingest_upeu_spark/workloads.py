@@ -10205,6 +10205,85 @@ ORDER BY from_v, to_v, change_type
 """
 
 
+def stage_restore_version(spark, sf_dir):
+    """RESTORE on the versioned stage table
+    (``operators/versioned.restore`` — Delta RESTORE's analog): after
+    an overwrite and a MERGE, ``restore(0)`` rolls the table back as a
+    NEW commit whose manifest carries version 0's files BY NAME — zero
+    data IO (the ``zero_io`` column pins manifest equality), and the
+    rolled-back merge state stays readable (restore appends to
+    history, never rewrites it). The per-version aggregates prove v2
+    byte-equals v0 while v1 retains the merge; the oracle recomputes
+    all three states from orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vrestore"), "orders_versioned")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    updates = base.filter(
+        (F.col("o_orderdate") < "1997-01-01")
+        & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    t.merge(updates.filter(F.col("o_orderkey").isNotNull()), ["o_orderkey"])
+    t.restore(0)
+    zero_io = t._manifest(2)["files"] == t._manifest(0)["files"]
+    ops = {h["version"]: h["op"] for h in t.history()}
+    frames = [
+        t.read(v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                "price_sum"
+            ),
+        )
+        .select(
+            F.lit(v).alias("version"),
+            F.lit(ops[v]).alias("op"),
+            "*",
+            F.lit(bool(zero_io)).alias("zero_io"),
+        )
+        for v in sorted(ops)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+_RESTORE_SQL = f"""
+WITH v0 AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), src AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 10 = 0
+        AND o_orderkey IS NOT NULL
+), v1 AS (
+  SELECT t.o_orderkey, t.o_totalprice FROM v0 t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM src
+), states AS (
+  SELECT 0 AS version, 'overwrite' AS op, * FROM v0
+  UNION ALL SELECT 1, 'merge', * FROM v1
+  UNION ALL SELECT 2, 'restore', * FROM v0
+)
+SELECT version, op, count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum,
+       TRUE AS zero_io
+FROM states GROUP BY version, op ORDER BY version
+"""
+
+
 def graph_pagerank_event_transitions(spark, sf_dir):
     """Integer-exact PageRank over the event-type transition graph
     (``operators/graph.domain_pagerank``): the corpus-scale work is the
@@ -10674,6 +10753,76 @@ WHERE is_new GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def graph_reach_event_transitions(spark, sf_dir):
+    """BFS hop distances from the lexicographically-first event type
+    over the event-transition graph (``operators/graph.domain_reach``):
+    the corpus-scale work is the same per-user lead() window + edge
+    groupBy as ``graph_pagerank_event_transitions``; the min-plus
+    relaxation then runs on the K-node domain graph driver-side. Hops
+    are exact small integers; the oracle unrolls the identical three
+    relaxation rounds in SQL. NULL event types are excluded on both
+    sides."""
+    from cdk_datalake_ingest_upeu_spark.operators.graph import domain_reach
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(
+            F.col("next_type").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    source = (
+        ev.filter(F.col("event_type").isNotNull())
+        .agg(F.min("event_type"))
+        .first()[0]
+    )
+    return (
+        domain_reach(edges, [source], max_hops=3)
+        .withColumnRenamed("node", "event_type")
+        .orderBy("hops", "event_type")
+    )
+
+
+_GRAPH_REACH_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), e AS (
+  SELECT DISTINCT event_type AS src, next_type AS dst
+  FROM seq WHERE event_type IS NOT NULL AND next_type IS NOT NULL
+), s AS (
+  SELECT min(event_type) AS v FROM events WHERE event_type IS NOT NULL
+), n0 AS (
+  SELECT v, 0 AS h FROM s
+), n1 AS (
+  SELECT v, min(h) AS h FROM (
+    SELECT v, h FROM n0
+    UNION ALL SELECT e.dst AS v, 1 AS h FROM e JOIN n0 ON e.src = n0.v
+  ) GROUP BY v
+), n2 AS (
+  SELECT v, min(h) AS h FROM (
+    SELECT v, h FROM n1
+    UNION ALL SELECT e.dst AS v, h + 1 AS h FROM e JOIN n1 ON e.src = n1.v
+  ) GROUP BY v
+), n3 AS (
+  SELECT v, min(h) AS h FROM (
+    SELECT v, h FROM n2
+    UNION ALL SELECT e.dst AS v, h + 1 AS h FROM e JOIN n2 ON e.src = n2.v
+  ) GROUP BY v
+)
+SELECT v AS event_type, CAST(h AS INT) AS hops FROM n3
+WHERE h <= 3 ORDER BY hops, event_type
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -10947,7 +11096,9 @@ QUERIES = {
     "stage_version_vacuum": stage_version_vacuum,
     "stage_change_feed_versions": stage_change_feed_versions,
     "stage_compact_small_files": stage_compact_small_files,
+    "stage_restore_version": stage_restore_version,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
+    "graph_reach_event_transitions": graph_reach_event_transitions,
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
     "dsir_target_domain_selection": dsir_target_domain_selection,
     "dsir_incremental_scoring": dsir_incremental_scoring,
@@ -11150,7 +11301,9 @@ ORACLES = {
     "stage_version_vacuum": _VERSION_VACUUM_SQL,
     "stage_change_feed_versions": _CHANGE_FEED_SQL,
     "stage_compact_small_files": _COMPACT_SQL,
+    "stage_restore_version": _RESTORE_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
+    "graph_reach_event_transitions": _GRAPH_REACH_SQL,
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
     "dsir_target_domain_selection": _DSIR_SQL,
     "dsir_incremental_scoring": _DSIR_INCR_SQL,
@@ -11189,6 +11342,7 @@ _MICRO_CANON_COLS = {
     "stage_version_vacuum": ['price_sum'],
     "stage_change_feed_versions": ['price_sum'],
     "stage_compact_small_files": ['price_sum'],
+    "stage_restore_version": ['price_sum'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

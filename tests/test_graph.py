@@ -49,3 +49,35 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, domain_pagerank(_edges(spark, rows)).collect()))
     b = sorted(map(tuple, domain_pagerank(_edges(spark, rows)).collect()))
     assert a == b
+
+
+def test_reach_hop_distances(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.graph import domain_reach
+
+    df = domain_reach(
+        _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("x", "a", 1)]),
+        ["a"],
+    )
+    got = {r.node: r.hops for r in df.collect()}
+    # x only points INTO a — not reachable FROM a
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_reach_multi_source_takes_min(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.graph import domain_reach
+
+    df = domain_reach(
+        _edges(spark, [("a", "b", 1), ("b", "c", 1)]), ["a", "c"]
+    )
+    got = {r.node: r.hops for r in df.collect()}
+    assert got == {"a": 0, "c": 0, "b": 1}
+
+
+def test_reach_max_hops_truncates(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.graph import domain_reach
+
+    df = domain_reach(
+        _edges(spark, [("a", "b", 1), ("b", "c", 1)]), ["a"], max_hops=1
+    )
+    got = {r.node: r.hops for r in df.collect()}
+    assert got == {"a": 0, "b": 1}

@@ -194,3 +194,28 @@ def test_read_missing_version_raises(spark, table):
     table.overwrite(_df(spark, [(1, "a")]))
     with pytest.raises(VersionNotFoundError):
         table.read(7)
+
+
+def test_restore_rolls_back_without_data_io(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.merge(_df(spark, [(2, "B"), (3, "c")]), ["k"])
+    v = table.restore(0)
+    assert v == 2
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    # pure bookkeeping: the restore's manifest references v0's files
+    assert table._manifest(2)["files"] == table._manifest(0)["files"]
+    # the rolled-back state stays readable (restore appends to history)
+    assert _rows(table.read(1)) == [(1, "a"), (2, "B"), (3, "c")]
+    # the change feed across the restore is the inverse of the merge's
+    m = sorted((r["_change_type"], r["k"]) for r in table.changes(0, 1).collect())
+    rb = sorted((r["_change_type"], r["k"]) for r in table.changes(1, 2).collect())
+    flip = {"insert": "delete", "delete": "insert"}
+    assert sorted((flip[t], k) for t, k in m) == rb
+
+
+def test_restore_past_vacuum_refuses(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.overwrite(_df(spark, [(2, "b")]))
+    table.vacuum(retain_last=1)
+    with pytest.raises(VersionNotFoundError):
+        table.restore(0)
