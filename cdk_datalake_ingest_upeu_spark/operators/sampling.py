@@ -480,7 +480,12 @@ def dsir_lam_table(
     (Tr+B)/(Tt+B) normalizer is inlined as the two exact integer-valued
     doubles an oracle recomputes from its own counts — same IEEE
     division, and the ln is rounded to DECIMAL(18,9) before scaling
-    (the repo's ln-at-9dp portability pattern). The table is COMPLETE
+    (the repo's ln-at-9dp portability pattern). Every operand is cast
+    to DOUBLE at the leaves: inside a Spark ``expr`` string a literal
+    like ``1.0`` parses as a DECIMAL and drags the whole ratio into
+    scale-truncated decimal arithmetic (observed: scale-6 ratios, ~2e-7
+    lam error vs DuckDB's double path) — explicit casts pin both
+    engines to the identical IEEE double ops. The table is COMPLETE
     over all ``buckets`` rows (absent counts coalesce to 0), so a
     frozen model scores tokens unseen at fit time at the smoothed
     floor instead of silently dropping them — the incremental-scoring
@@ -489,6 +494,9 @@ def dsir_lam_table(
         F.sum("__tc").alias("tt"), F.sum("__rc").alias("tr")
     ).first()
     tt, tr = int(tot["tt"] or 0), int(tot["tr"] or 0)
+    # the normalizer division runs HERE in python — float(int) + float
+    # division are the same IEEE ops DuckDB applies to its own counts
+    norm = float(tr + buckets) / float(tt + buckets)
     domain = index.sparkSession.range(buckets).select(
         F.col("id").alias("__b")
     )
@@ -497,9 +505,9 @@ def dsir_lam_table(
         .withColumn(
             "__lam9",
             F.expr(
-                f"CAST(CAST(ln(((coalesce(__tc, 0) + 1.0)"
-                f" / (coalesce(__rc, 0) + 1.0))"
-                f" * ({float(tr + buckets)} / {float(tt + buckets)}))"
+                f"CAST(CAST(ln(((CAST(coalesce(__tc, 0) AS DOUBLE) + 1.0)"
+                f" / (CAST(coalesce(__rc, 0) AS DOUBLE) + 1.0))"
+                f" * CAST({norm!r} AS DOUBLE))"
                 f" AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
             ),
         )
@@ -575,3 +583,88 @@ def dsir_top_fraction_threshold(
         if cum >= k:
             return q4
     return hist[-1][0]
+
+
+def hashed_distribution_kl(
+    df: DataFrame,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-group KL divergence of the hashed-unigram token distribution
+    from the corpus-wide one — the mixture-drift observability metric a
+    pipeline operator watches per source/shard/epoch: a source whose
+    KL jumps is writing text unlike the rest of the corpus (encoding
+    bug, language shift, spam flood). Distributions live over the same
+    fixed md5-bucket space as DSIR, which makes KL exact over a DENSE,
+    bounded symbol set (groups x ``buckets`` rows) instead of an
+    unbounded vocabulary::
+
+        kl(g) = sum_b  p_g(b) * ln( p_g(b) / p_c(b) )
+
+    with add-one smoothing on both sides. Each term is rounded to
+    DECIMAL(18,9) (ln-at-9dp pattern) and carried as a nanokl BIGINT;
+    the per-group sum of 4096 integers is exact in any order. The
+    ~1e-6 absolute quantization error is identical in every engine —
+    the value is hash-portable, which is the contract here.
+
+    Scale shape: one token pass, one (group, bucket) shuffle bounded
+    by groups x ``buckets``, densified against ``spark.range(buckets)``
+    (broadcast); corpus marginals are a KB rollup of the same table.
+    Returns (group_col, n_tokens, kl_q9).
+    """
+    toks = _dsir_token_stream(
+        df.filter(F.trim(F.col(text_col)) != ""),
+        [group_col],
+        text_col=text_col,
+        buckets=buckets,
+        seed=seed,
+    )
+    gb = scratch_persist(
+        toks.groupBy(group_col, "__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+    )
+    totals = gb.groupBy(group_col).agg(F.sum("__c").alias("__ns"))
+    corpus = gb.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    n = int(gb.agg(F.sum("__c")).first()[0] or 0)
+    domain = df.sparkSession.range(buckets).select(F.col("id").alias("__b"))
+    # NULL is a legitimate group key: join null-safely so its rows
+    # densify like any other group's
+    gb2 = gb.select(
+        F.col(group_col).alias("__g2"),
+        F.col("__b").alias("__b2"),
+        "__c",
+    )
+    dense = (
+        totals.crossJoin(F.broadcast(domain))
+        .join(
+            gb2,
+            F.col(group_col).eqNullSafe(F.col("__g2"))
+            & (F.col("__b") == F.col("__b2")),
+            "left",
+        )
+        .join(F.broadcast(corpus.withColumnRenamed("__b", "__b3")),
+              F.col("__b") == F.col("__b3"), "left")
+        .withColumn("__csb", F.coalesce(F.col("__c"), F.lit(0)))
+        .withColumn("__cbb", F.coalesce(F.col("__cb"), F.lit(0)))
+    )
+    # every operand double-cast at the leaves: a bare 4096.0 in a Spark
+    # expr string is a DECIMAL literal and truncates the ratios (see
+    # dsir_lam_table's note)
+    ps = f"((CAST(__csb AS DOUBLE) + 1.0) / (CAST(__ns AS DOUBLE) + {float(buckets)!r}))"
+    pc = f"((CAST(__cbb AS DOUBLE) + 1.0) / (CAST({n} AS DOUBLE) + {float(buckets)!r}))"
+    term = (
+        f"CAST(CAST(CAST(({ps} * ln({ps} / {pc}))"
+        f" AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    )
+    return (
+        dense.withColumn("__t9", F.expr(term))
+        .groupBy(group_col)
+        .agg(
+            F.max("__ns").alias("n_tokens"),
+            F.sum("__t9").alias("kl_q9"),
+        )
+    )

@@ -1189,3 +1189,73 @@ def ccnet_perplexity_buckets(
         )
         .orderBy(lang_col, "bucket")
     )
+
+
+def bigram_pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic corpus-analysis surfacing of multi-word expressions
+    ("new york", "machine learning") that co-occur far above chance::
+
+        pmi(w1, w2) = ln( (c12 / Nb) / ((c1h / Nb) * (c2t / Nb)) )
+                    = ln( c12 * Nb / (c1h * c2t) )
+
+    with c1h / c2t the HEAD / TAIL marginals of the bigram-slot table
+    (both derived from one bigram count, no second corpus pass) and a
+    ``min_count`` support floor — PMI's known low-frequency pathology
+    (a hapax pair has maximal PMI) is cut before ranking, the standard
+    practice. PMI is quantized to nanolog BIGINT via the ln-at-9dp
+    pattern, so the ranking and values are engine-portable; the
+    (pmi, w1, w2) sort is a total order.
+
+    Scale shape: in-row adjacent pairing (slice + arrays_zip, no
+    shuffle), ONE shuffle to the bigram count table, marginals as
+    KB-scale rollups of that table, Nb collected as a bounded scalar,
+    and the top-k plans as TakeOrdered (per-partition heaps, no global
+    sort).
+    """
+    toks = df.select(
+        ws_tokens(F.lower(F.col(text_col))).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    heads = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    tails = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    nb = int(bg.agg(F.sum("c12")).first()[0] or 0)
+    if nb == 0:
+        return df.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, c12 long, pmi_q9 long"
+        )
+    return (
+        bg.filter(F.col("c12") >= min_count)
+        .join(heads, "w1")
+        .join(tails, "w2")
+        .withColumn(
+            # operands double-cast at the leaves: a bare 1.0 in a Spark
+            # expr string is a DECIMAL literal and truncates the ratio
+            # (see sampling.dsir_lam_table's note)
+            "pmi_q9",
+            F.expr(
+                f"CAST(CAST(CAST(ln((CAST(c12 AS DOUBLE)"
+                f" * CAST({nb} AS DOUBLE))"
+                f" / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))"
+                f" AS DECIMAL(18,9))"
+                f" AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+            ),
+        )
+        .select("w1", "w2", "c12", "pmi_q9")
+        .orderBy(F.col("pmi_q9").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -10425,10 +10425,13 @@ WITH d0 AS (
   SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
   FROM bc
 ), lam AS (
-  -- widen before the 1e9 scale-up: DECIMAL(18,9) units overflow DuckDB's
-  -- int64 decimal arithmetic once |lam| >= ~1.0 log unit
-  SELECT b, CAST(CAST(CAST(ln(((tc + 1.0) / (rc + 1.0))
-                * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
+  -- operands double-cast at the leaves (a decimal path truncates the
+  -- ratios); widen before the 1e9 scale-up: DECIMAL(18,9) units
+  -- overflow DuckDB's int64 decimal arithmetic once |lam| >= ~1.0
+  SELECT b, CAST(CAST(CAST(ln(((CAST(tc AS DOUBLE) + 1.0)
+                / (CAST(rc AS DOUBLE) + 1.0))
+                * ((CAST(tr AS DOUBLE) + 4096.0)
+                   / (CAST(tt AS DOUBLE) + 4096.0))) AS DECIMAL(18,9))
            AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
   FROM bc, tot
 ), perdoc AS (
@@ -10560,8 +10563,10 @@ WITH d0 AS (
 ), lam AS (
   -- widen before the 1e9 scale-up (see dsir_target_domain_selection)
   SELECT g.range AS b,
-         CAST(CAST(CAST(ln(((coalesce(tc, 0) + 1.0) / (coalesce(rc, 0) + 1.0))
-                * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
+         CAST(CAST(CAST(ln(((CAST(coalesce(tc, 0) AS DOUBLE) + 1.0)
+                / (CAST(coalesce(rc, 0) AS DOUBLE) + 1.0))
+                * ((CAST(tr AS DOUBLE) + 4096.0)
+                   / (CAST(tt AS DOUBLE) + 4096.0))) AS DECIMAL(18,9))
            AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
   FROM range(4096) g LEFT JOIN bc ON bc.b = g.range CROSS JOIN tot
 ), histsc AS (
@@ -10725,8 +10730,10 @@ WITH d0 AS (
 ), lam AS (
   -- widen before the 1e9 scale-up (see dsir_target_domain_selection)
   SELECT g.range AS b,
-         CAST(CAST(CAST(ln(((coalesce(tc, 0) + 1.0) / (coalesce(rc, 0) + 1.0))
-                * ((tr + 4096.0) / (tt + 4096.0))) AS DECIMAL(18,9))
+         CAST(CAST(CAST(ln(((CAST(coalesce(tc, 0) AS DOUBLE) + 1.0)
+                / (CAST(coalesce(rc, 0) AS DOUBLE) + 1.0))
+                * ((CAST(tr AS DOUBLE) + 4096.0)
+                   / (CAST(tt AS DOUBLE) + 4096.0))) AS DECIMAL(18,9))
            AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
   FROM range(4096) g LEFT JOIN bc ON bc.b = g.range CROSS JOIN tot
 ), histsc AS (
@@ -10820,6 +10827,105 @@ WITH seq AS (
 )
 SELECT v AS event_type, CAST(h AS INT) AS hops FROM n3
 WHERE h <= 3 ORDER BY hops, event_type
+"""
+
+
+def topk_bigram_pmi(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information
+    (operators/text.bigram_pmi_topk) with a min-count-5 support floor —
+    the corpus-analysis staple that surfaces multi-word expressions.
+    PMI is a nanolog BIGINT (ln-at-9dp quantization) so values and the
+    (pmi, w1, w2) total-order ranking hash-match the oracle, which
+    recomputes head/tail marginals from the same single bigram count
+    table."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import bigram_pmi_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_pmi_topk(docs, min_count=5, k=20)
+
+
+_PMI_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    AND trim(text) <> ''
+), bg AS (
+  SELECT unnest(tk[1:len(tk) - 1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+  FROM toks
+), cnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), heads AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1
+), tails AS (
+  SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cnt GROUP BY w2
+), nbt AS (
+  SELECT CAST(sum(c12) AS BIGINT) AS nb FROM cnt
+)
+SELECT w1, w2, c12,
+       CAST(CAST(CAST(ln((CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE))
+            / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+            AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+         AS pmi_q9
+FROM cnt JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN nbt
+WHERE c12 >= 5
+ORDER BY pmi_q9 DESC, w1, w2 LIMIT 20
+"""
+
+
+def source_token_kl(spark, sf_dir):
+    """Per-source KL divergence of the hashed-unigram token
+    distribution from the corpus-wide one
+    (operators/sampling.hashed_distribution_kl) — the mixture-drift
+    metric a pipeline operator watches per source: a jump means text
+    unlike the rest of the corpus (encoding bug, language shift, spam).
+    KL is exact over the dense 4096-bucket symbol space with add-one
+    smoothing, each term a nanokl BIGINT, sums exact in any order; the
+    oracle recomputes the identical dense-space sum."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        hashed_distribution_kl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return finalize(
+        hashed_distribution_kl(docs, "source").orderBy("source")
+    )
+
+
+_SOURCE_KL_SQL = """
+WITH d0 AS (
+  SELECT source, lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), tb AS (
+  SELECT source,
+         ('0x' || substr(md5(tok || 'dsir'), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT source, unnest(string_split_regex(t, '\\s+')) AS tok FROM d0)
+), gb AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY source, b
+), totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM gb GROUP BY source
+), corpus AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM gb GROUP BY b
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM gb
+), dense AS (
+  SELECT t.source, t.ns, coalesce(gb.c, 0) AS csb,
+         coalesce(corpus.cb, 0) AS cbb, nt.n
+  FROM totals t CROSS JOIN range(4096) g
+  LEFT JOIN gb ON gb.source IS NOT DISTINCT FROM t.source
+              AND gb.b = g.range
+  LEFT JOIN corpus ON corpus.b = g.range
+  CROSS JOIN nt
+)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(CAST(CAST(((((CAST(csb AS DOUBLE) + 1.0)
+              / (CAST(ns AS DOUBLE) + 4096.0))
+            * ln((((CAST(csb AS DOUBLE) + 1.0)
+                   / (CAST(ns AS DOUBLE) + 4096.0)))
+                 / (((CAST(cbb AS DOUBLE) + 1.0)
+                     / (CAST(n AS DOUBLE) + 4096.0))))))
+            AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS BIGINT))
+         AS BIGINT) AS kl_q9
+FROM dense GROUP BY source ORDER BY source
 """
 
 
@@ -11103,6 +11209,8 @@ QUERIES = {
     "dsir_target_domain_selection": dsir_target_domain_selection,
     "dsir_incremental_scoring": dsir_incremental_scoring,
     "streaming_dsir_scoring": streaming_dsir_scoring,
+    "topk_bigram_pmi": topk_bigram_pmi,
+    "source_token_kl": source_token_kl,
 }
 
 ORACLES = {
@@ -11308,6 +11416,8 @@ ORACLES = {
     "dsir_target_domain_selection": _DSIR_SQL,
     "dsir_incremental_scoring": _DSIR_INCR_SQL,
     "streaming_dsir_scoring": _STREAM_DSIR_SQL,
+    "topk_bigram_pmi": _PMI_SQL,
+    "source_token_kl": _SOURCE_KL_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

@@ -2827,3 +2827,38 @@ def test_stream_dsir_scores_invariant_to_batching(spark, tmp_path):
         for r in dsir_score_batch(arrivals, lam).collect()
     }
     assert drained == single and len(drained) == 3
+
+
+def test_bigram_pmi_surfaces_collocation(spark):
+    """A pair that ALWAYS co-occurs outranks pairs assembled by chance,
+    and the support floor cuts hapax pairs despite maximal PMI."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import bigram_pmi_topk
+
+    rows = (
+        [(i, "new york " + "the cat the dog the fish".strip()) for i in range(6)]
+        + [(100, "rare pair")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bigram_pmi_topk(docs, min_count=5, k=3).collect()
+    assert (got[0].w1, got[0].w2) == ("new", "york")
+    assert all((r.w1, r.w2) != ("rare", "pair") for r in got)
+    assert got[0].c12 == 6
+
+
+def test_hashed_kl_zero_for_corpus_identical_group(spark):
+    """Two groups with IDENTICAL token distributions: both sit at the
+    same small KL (smoothing noise only), and a divergent group is
+    strictly larger."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        hashed_distribution_kl,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma", "s1") for i in range(10)]
+        + [(100 + i, "alpha beta gamma", "s2") for i in range(10)]
+        + [(200 + i, "zz yy xx ww vv", "s3") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.kl_q9 for r in hashed_distribution_kl(docs, "source").collect()}
+    assert got["s1"] == got["s2"]
+    assert got["s3"] > got["s1"]
