@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_upeu_spark.functions.stable import fp_canon
+
 _PROFILE_COLS = [
     "column_name",
     "n_rows",
@@ -307,3 +309,73 @@ def score_attrition(
             ).alias("sources_kept")
         )
     return fan.groupBy("threshold").agg(*aggs).orderBy("threshold")
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 100,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Median/MAD robust outlier report — the anomaly gate that, unlike
+    a z-score, a burst of outliers cannot drag toward itself (median
+    and MAD have a 50% breakdown point; mean/stddev have 0%).
+
+    Everything derives from ONE value histogram over the fixed-point
+    canon (``functions/stable.fp_canon``): the histogram shuffles
+    (value, count) pairs only, then the driver walks it three times —
+    lower median (smallest canon value whose cumulative count reaches
+    ceil(n/2)), MAD (the same walk over the |v - median| histogram,
+    which is a driver-side TRANSFORM of the first histogram, no second
+    corpus pass), and the outlier count (|v - median| > k * MAD, pure
+    integer comparison). NaN/NULL values are excluded (canon maps NaN
+    to NULL, the engine-portable convention).
+
+    Scale shape: one groupBy on the canon value; the driver walk is
+    O(distinct canon values) — bounded by the value RANGE at the canon
+    scale for real-valued telemetry (a 2-dp metric in [0, 500] is
+    <= 50k rows regardless of corpus size). Returns a 1-row frame:
+    (n, median, mad, n_outliers, outlier_frac_q6).
+    """
+    import math
+
+    spark = df.sparkSession
+    hist = sorted(
+        (int(r["__v"]), int(r["__c"]))
+        for r in df.select(fp_canon(value_col, scale).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, 0, 0)],
+            "n long, median double, mad double, n_outliers long, "
+            "outlier_frac_q6 long",
+        )
+
+    def _lower_median(h: list[tuple[int, int]], total: int) -> int:
+        target = math.ceil(total / 2)
+        cum = 0
+        for v, c in h:
+            cum += c
+            if cum >= target:
+                return v
+        return h[-1][0]
+
+    med = _lower_median(hist, n)
+    dev: dict[int, int] = {}
+    for v, c in hist:
+        d = abs(v - med)
+        dev[d] = dev.get(d, 0) + c
+    mad = _lower_median(sorted(dev.items()), n)
+    n_out = sum(c for d, c in dev.items() if d > k_mad * mad)
+    frac_q6 = (n_out * 1_000_000) // n
+    return spark.createDataFrame(
+        [(n, med / float(scale), mad / float(scale), n_out, frac_q6)],
+        "n long, median double, mad double, n_outliers long, "
+        "outlier_frac_q6 long",
+    )

@@ -10929,6 +10929,51 @@ FROM dense GROUP BY source ORDER BY source
 """
 
 
+def events_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier report over the event value stream
+    (operators/profile.robust_outlier_stats): the anomaly gate a burst
+    of outliers cannot drag toward itself (50% breakdown point vs 0%
+    for mean/stddev z-scores). One (canon-value, count) histogram
+    shuffle; the median, the MAD (a driver-side transform of the SAME
+    histogram — no second corpus pass), and the |v-med| > 3*MAD count
+    all come from driver walks over it, pure integer comparisons. The
+    oracle reruns the identical walks as cumulative-sum CTEs."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        robust_outlier_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outlier_stats(ev, "value", scale=100, k_mad=3)
+
+
+_MAD_SQL = f"""
+WITH h AS (
+  SELECT {_cents_sum_sql('value')} AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE {_cents_sum_sql('value')} IS NOT NULL GROUP BY v
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM h
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM h
+), med AS (
+  SELECT min(v) AS med FROM cum, nt WHERE cc >= ceil(n / 2.0)
+), dev AS (
+  SELECT abs(v - med) AS d, CAST(sum(c) AS BIGINT) AS c
+  FROM h, med GROUP BY d
+), cum2 AS (
+  SELECT d, sum(c) OVER (ORDER BY d) AS cc FROM dev
+), madt AS (
+  SELECT min(d) AS mad FROM cum2, nt WHERE cc >= ceil(n / 2.0)
+), outl AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_out
+  FROM dev, madt WHERE d > 3 * mad
+)
+SELECT nt.n AS n, med / 100.0 AS median, mad / 100.0 AS mad,
+       n_out AS n_outliers,
+       CAST((n_out * 1000000) // nt.n AS BIGINT) AS outlier_frac_q6
+FROM nt, med, madt, outl
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11211,6 +11256,7 @@ QUERIES = {
     "streaming_dsir_scoring": streaming_dsir_scoring,
     "topk_bigram_pmi": topk_bigram_pmi,
     "source_token_kl": source_token_kl,
+    "events_mad_outliers": events_mad_outliers,
 }
 
 ORACLES = {
@@ -11418,6 +11464,7 @@ ORACLES = {
     "streaming_dsir_scoring": _STREAM_DSIR_SQL,
     "topk_bigram_pmi": _PMI_SQL,
     "source_token_kl": _SOURCE_KL_SQL,
+    "events_mad_outliers": _MAD_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -11453,6 +11500,7 @@ _MICRO_CANON_COLS = {
     "stage_change_feed_versions": ['price_sum'],
     "stage_compact_small_files": ['price_sum'],
     "stage_restore_version": ['price_sum'],
+    "events_mad_outliers": ['median', 'mad'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

@@ -2862,3 +2862,44 @@ def test_hashed_kl_zero_for_corpus_identical_group(spark):
     got = {r.source: r.kl_q9 for r in hashed_distribution_kl(docs, "source").collect()}
     assert got["s1"] == got["s2"]
     assert got["s3"] > got["s1"]
+
+
+def test_robust_outlier_stats_planted(spark):
+    """Median/MAD on a planted distribution: 7 inliers around 10.0 and
+    one wild point — the z-score would move with the outlier, the
+    median/MAD report must not."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        robust_outlier_stats,
+    )
+
+    vals = [9.8, 9.9, 10.0, 10.0, 10.1, 10.2, 10.3, 500.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    r = robust_outlier_stats(df, "value").first()
+    assert r.n == 8
+    assert r.median == 10.0  # lower median of 8 values = 4th = 10.0
+    # deviations (cents): 20,10,0,0,10,20,30,49000 -> lower median = 10
+    assert r.mad == 0.1
+    assert r.n_outliers == 1  # only 500.0 exceeds 3*MAD
+    assert r.outlier_frac_q6 == 125000
+
+
+def test_robust_outlier_stats_nan_null_excluded(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        robust_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (1.0,), (1.0,)], "value double"
+    )
+    r = robust_outlier_stats(df, "value").first()
+    assert (r.n, r.median, r.n_outliers) == (3, 1.0, 0)
+
+
+def test_robust_outlier_stats_empty(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        robust_outlier_stats,
+    )
+
+    df = spark.createDataFrame([], "value double")
+    r = robust_outlier_stats(df, "value").first()
+    assert (r.n, r.median, r.mad, r.n_outliers) == (0, None, None, 0)
