@@ -158,15 +158,44 @@ class VersionedStageTable:
         files = self._write_files(df, hint)
         return self._commit("overwrite", files, df.schema.json())
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
         """Append-only commit: manifest = previous files + the batch's
-        files. Cost is the batch, independent of table size."""
+        files. Cost is the batch, independent of table size.
+
+        With ``merge_schema=True`` (Delta's ``mergeSchema`` option) the
+        batch may carry NEW columns: the committed schema becomes the
+        union (existing fields first, new fields appended), and reads
+        of the evolved table fill the new columns with NULL for rows in
+        pre-evolution files — the parquet reader does this by name, no
+        rewrite of history. Without the flag, a batch whose columns
+        differ from the table's raises instead of silently committing a
+        mixed table; evolving a column's TYPE is refused either way
+        (that is a rewrite, not an append)."""
         if not self.versions():
             return self.overwrite(df)
         prev = self._manifest(self.latest_version())
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        prev_names = {f.name: f for f in prev_schema.fields}
+        new_names = {f.name: f for f in df.schema.fields}
+        added = [f for f in df.schema.fields if f.name not in prev_names]
+        for name, f in new_names.items():
+            if name in prev_names and f.dataType != prev_names[name].dataType:
+                raise ValueError(
+                    f"{self.path}: column {name!r} type change "
+                    f"{prev_names[name].dataType} -> {f.dataType} is not "
+                    f"an append; rewrite via overwrite/merge"
+                )
+        if (added or set(prev_names) - set(new_names)) and not merge_schema:
+            raise ValueError(
+                f"{self.path}: batch columns {sorted(new_names)} != table "
+                f"columns {sorted(prev_names)}; pass merge_schema=True"
+            )
+        schema = prev_schema
+        for f in added:
+            schema = schema.add(f)
         hint = prev["version"] + 1
         files = self._write_files(df, hint)
-        return self._commit("append", prev["files"] + files, prev["schema"])
+        return self._commit("append", prev["files"] + files, schema.json())
 
     def merge(self, source: DataFrame, key_columns: list[str]) -> int:
         """Upsert ``source`` by ``key_columns`` — copy-on-write at file

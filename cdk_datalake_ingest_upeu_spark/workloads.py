@@ -10164,7 +10164,7 @@ def stage_change_feed_versions(spark, sf_dir):
     )
 
 
-_CHANGE_FEED_SQL = f"""
+_VERSIONED_CHANGE_FEED_SQL = f"""
 WITH base AS (
   SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
 ), v0 AS (
@@ -11453,7 +11453,7 @@ ORACLES = {
     "embedding_dim_stats": _EMB_DIM_STATS_SQL,
     "stage_time_travel_read": _TIME_TRAVEL_SQL,
     "stage_version_vacuum": _VERSION_VACUUM_SQL,
-    "stage_change_feed_versions": _CHANGE_FEED_SQL,
+    "stage_change_feed_versions": _VERSIONED_CHANGE_FEED_SQL,
     "stage_compact_small_files": _COMPACT_SQL,
     "stage_restore_version": _RESTORE_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,

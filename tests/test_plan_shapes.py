@@ -208,3 +208,21 @@ def test_dim_joins_broadcast(spark, name, min_bhj):
         "dim side fits in a broadcast; a sort-merge shuffles the fact "
         "table for nothing"
     )
+
+
+def test_no_rebound_sql_constants():
+    """A module-level `_FOO_SQL =` assigned twice silently rebinds the
+    first oracle to the second query's SQL (it happened: a second
+    `_CHANGE_FEED_SQL` hijacked stage_change_feed_apply's oracle and
+    only the full local sweep caught it). Pin: every top-level SQL
+    constant is assigned exactly once."""
+    import collections
+    import re
+
+    import cdk_datalake_ingest_upeu_spark.workloads as w
+
+    src = open(w.__file__).read()
+    # `_FOO_SQL = None` forward declarations don't rebind anything
+    names = re.findall(r"^(_[A-Z0-9_]+SQL) = (?!None\b)", src, re.M)
+    dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+    assert not dupes, f"rebound SQL constants: {dupes}"
