@@ -10284,6 +10284,71 @@ FROM states GROUP BY version, op ORDER BY version
 """
 
 
+def stage_schema_evolution_versions(spark, sf_dir):
+    """Schema evolution on the versioned stage table
+    (``operators/versioned.append(merge_schema=True)`` — Delta's
+    ``mergeSchema``): the 1997-H1 batch arrives with a NEW column
+    (``o_channel``, derived from the key), the committed schema becomes
+    the union, and reads of the evolved table NULL-backfill the column
+    for pre-evolution rows by parquet column-name resolution — history
+    is never rewritten, and the pre-evolution version still reads with
+    its ORIGINAL schema (the ``v0_cols`` pin). Rollup per channel
+    (NULL = pre-evolution rows) with aggregates the oracle recomputes
+    from orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vschevo"), "orders_versioned")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    evolved = base.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).withColumn(
+        "o_channel",
+        F.concat(F.lit("CH"), (F.col("o_orderkey") % 3).cast("string")),
+    )
+    t.append(evolved, merge_schema=True)
+    v0_cols = ",".join(t.read(0).columns)
+    return (
+        t.read()
+        .groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                "price_sum"
+            ),
+        )
+        .withColumn("v0_cols", F.lit(v0_cols))
+        .orderBy("o_channel")
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = f"""
+WITH st AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_channel FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice,
+         'CH' || (o_orderkey % 3) AS o_channel
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+)
+SELECT o_channel, count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum,
+       'o_orderkey,o_totalprice,o_orderdate' AS v0_cols
+FROM st GROUP BY o_channel ORDER BY o_channel
+"""
+
+
 def graph_pagerank_event_transitions(spark, sf_dir):
     """Integer-exact PageRank over the event-type transition graph
     (``operators/graph.domain_pagerank``): the corpus-scale work is the
@@ -11248,6 +11313,7 @@ QUERIES = {
     "stage_change_feed_versions": stage_change_feed_versions,
     "stage_compact_small_files": stage_compact_small_files,
     "stage_restore_version": stage_restore_version,
+    "stage_schema_evolution_versions": stage_schema_evolution_versions,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "graph_reach_event_transitions": graph_reach_event_transitions,
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
@@ -11456,6 +11522,7 @@ ORACLES = {
     "stage_change_feed_versions": _VERSIONED_CHANGE_FEED_SQL,
     "stage_compact_small_files": _COMPACT_SQL,
     "stage_restore_version": _RESTORE_SQL,
+    "stage_schema_evolution_versions": _SCHEMA_EVOLUTION_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "graph_reach_event_transitions": _GRAPH_REACH_SQL,
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
@@ -11500,6 +11567,7 @@ _MICRO_CANON_COLS = {
     "stage_change_feed_versions": ['price_sum'],
     "stage_compact_small_files": ['price_sum'],
     "stage_restore_version": ['price_sum'],
+    "stage_schema_evolution_versions": ['price_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],

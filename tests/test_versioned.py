@@ -219,3 +219,25 @@ def test_restore_past_vacuum_refuses(spark, table):
     table.vacuum(retain_last=1)
     with pytest.raises(VersionNotFoundError):
         table.restore(0)
+
+
+def test_append_merge_schema_evolves_and_backfills_null(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    evolved = spark.createDataFrame(
+        [(2, "b", "S1")], "k int, v string, seg string"
+    )
+    with pytest.raises(ValueError):
+        table.append(evolved)  # schema drift must be explicit
+    table.append(evolved, merge_schema=True)
+    got = sorted(tuple(r) for r in table.read().collect())
+    assert got == [(1, "a", None), (2, "b", "S1")]
+    # pre-evolution version still reads with the ORIGINAL schema
+    assert table.read(0).columns == ["k", "v"]
+    assert table.read(1).columns == ["k", "v", "seg"]
+
+
+def test_append_refuses_type_change(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    retyped = spark.createDataFrame([(2.5, "b")], "k double, v string")
+    with pytest.raises(ValueError):
+        table.append(retyped, merge_schema=True)
