@@ -11039,6 +11039,67 @@ FROM nt, med, madt, outl
 """
 
 
+def events_interarrival_robust(spark, sf_dir):
+    """Median/MAD of per-user event inter-arrival times
+    (operators/profile.robust_outlier_stats over exact microsecond lag
+    diffs): the burstiness profile of a event stream, with the robust
+    gate flagging inter-arrival outliers (stalls / replay storms) that
+    a mean-based rate metric absorbs. Diffs are exact integers
+    (unix_micros both engines — epoch_us in DuckDB), the histogram
+    shuffles (value, count) pairs, and all three statistics come from
+    driver walks over it. One window + one groupBy."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        robust_outlier_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    diffs = (
+        ev.withColumn(
+            "__d",
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("__d").isNotNull())
+        .select(F.col("__d").cast("double").alias("gap_us"))
+    )
+    return robust_outlier_stats(diffs, "gap_us", scale=1, k_mad=3)
+
+
+_INTERARRIVAL_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events WHERE ts IS NOT NULL
+), h AS (
+  SELECT {_cents_sum_sql('CAST(d AS DOUBLE)', 1)} AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE d IS NOT NULL GROUP BY v
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM h
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM h
+), med AS (
+  SELECT min(v) AS med FROM cum, nt WHERE cc >= ceil(n / 2.0)
+), dev AS (
+  SELECT abs(v - med) AS d, CAST(sum(c) AS BIGINT) AS c
+  FROM h, med GROUP BY d
+), cum2 AS (
+  SELECT d, sum(c) OVER (ORDER BY d) AS cc FROM dev
+), madt AS (
+  SELECT min(d) AS mad FROM cum2, nt WHERE cc >= ceil(n / 2.0)
+), outl AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_out
+  FROM dev, madt WHERE d > 3 * mad
+)
+SELECT nt.n AS n, med / 1.0 AS median, mad / 1.0 AS mad,
+       n_out AS n_outliers,
+       CAST((n_out * 1000000) // nt.n AS BIGINT) AS outlier_frac_q6
+FROM nt, med, madt, outl
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11323,6 +11384,7 @@ QUERIES = {
     "topk_bigram_pmi": topk_bigram_pmi,
     "source_token_kl": source_token_kl,
     "events_mad_outliers": events_mad_outliers,
+    "events_interarrival_robust": events_interarrival_robust,
 }
 
 ORACLES = {
@@ -11532,6 +11594,7 @@ ORACLES = {
     "topk_bigram_pmi": _PMI_SQL,
     "source_token_kl": _SOURCE_KL_SQL,
     "events_mad_outliers": _MAD_SQL,
+    "events_interarrival_robust": _INTERARRIVAL_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -11569,6 +11632,7 @@ _MICRO_CANON_COLS = {
     "stage_restore_version": ['price_sum'],
     "stage_schema_evolution_versions": ['price_sum'],
     "events_mad_outliers": ['median', 'mad'],
+    "events_interarrival_robust": ['median', 'mad'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

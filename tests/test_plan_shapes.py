@@ -105,6 +105,7 @@ BUDGETS = [
     ("topk_bigram_pmi", 7, False),  # one bigram-count shuffle + marginal rollups/joins (vocab can outgrow broadcast at corpus scale); TakeOrdered top-k
     ("source_token_kl", 0, False),  # finalized rollup; upstream: one (group,bucket) shuffle + broadcast densify
     ("events_mad_outliers", 0, False),  # driver-assembled 1-row report; one histogram shuffle upstream, walks driver-side
+    ("events_interarrival_robust", 0, False),  # driver-assembled 1-row report; lag window + histogram shuffle upstream
     ("events_cumulative_distinct_users", 4, False),  # user first-touch + day rollup + day-grain window (single task by design) + sort
     ("graph_pagerank_event_transitions", 1, False),  # returned plan: KB rank-table sort; the corpus-scale edge aggregation is consumed upstream
     ("graph_reach_event_transitions", 1, False),  # returned plan: KB hop-table sort; edge aggregation consumed upstream
