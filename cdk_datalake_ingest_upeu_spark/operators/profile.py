@@ -379,3 +379,71 @@ def robust_outlier_stats(
         "n long, median double, mad double, n_outliers long, "
         "outlier_frac_q6 long",
     )
+
+
+def theil_sen_daily_trend(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    slope_scale: int = 10**6,
+) -> DataFrame:
+    """Theil-Sen robust trend of the daily row count — the median of
+    all pairwise day-to-day slopes (breakdown point ~29%), the standard
+    robust alternative to least squares for "is traffic drifting"
+    monitoring where single spike days wreck an OLS fit.
+
+    Scale shape: the corpus reduces to the DAY-grain count table first
+    (one shuffle, rows bounded by the calendar); the pairwise slope set
+    is then days^2/2 — KB for years of data — built with a day-table
+    self-join and walked driver-side for the exact lower median. Each
+    slope quantizes via the fixed-point canon (floor(x*scale + 0.5),
+    identical IEEE ops in every engine) so the median is
+    hash-portable. Returns one row: (n_days, n_pairs,
+    slope_per_day_q6, first_day, last_day).
+    """
+    import math
+
+    spark = df.sparkSession
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.__d") < F.col("b.__d"))
+        .select(
+            fp_canon(
+                (F.col("b.__c") - F.col("a.__c")).cast("double")
+                / F.datediff(F.col("b.__d"), F.col("a.__d")).cast("double"),
+                slope_scale,
+            ).alias("__s")
+        )
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    hist = sorted((int(r["__s"]), int(r["__c"])) for r in slopes.collect())
+    n_pairs = sum(c for _, c in hist)
+    bounds = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.min("__d").alias("d0"),
+        F.max("__d").alias("d1"),
+    ).first()
+    if n_pairs == 0:
+        return spark.createDataFrame(
+            [(int(bounds["nd"]), 0, None, bounds["d0"], bounds["d1"])],
+            "n_days long, n_pairs long, slope_per_day_q6 long, "
+            "first_day date, last_day date",
+        )
+    target = math.ceil(n_pairs / 2)
+    cum, med = 0, hist[-1][0]
+    for v, c in hist:
+        cum += c
+        if cum >= target:
+            med = v
+            break
+    return spark.createDataFrame(
+        [(int(bounds["nd"]), n_pairs, med, bounds["d0"], bounds["d1"])],
+        "n_days long, n_pairs long, slope_per_day_q6 long, "
+        "first_day date, last_day date",
+    )

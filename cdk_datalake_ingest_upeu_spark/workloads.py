@@ -11100,6 +11100,51 @@ FROM nt, med, madt, outl
 """
 
 
+def events_daily_trend_theilsen(spark, sf_dir):
+    """Theil-Sen robust daily-volume trend
+    (operators/profile.theil_sen_daily_trend): median of all pairwise
+    day-to-day slopes — the drift monitor a spike day cannot wreck
+    (~29% breakdown vs 0% for OLS). The corpus reduces to the
+    calendar-bounded day table first; the pairwise slope set is
+    days^2/2 (KB for years) and the exact lower median comes from a
+    driver histogram walk over fixed-point-canon slopes. The oracle
+    rebuilds the identical pair set and walk in SQL."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        theil_sen_daily_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_daily_trend(ev, "ts")
+
+
+_THEILSEN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY d
+), slopes AS (
+  SELECT {_cents_sum_sql(
+      "CAST((b.c - a.c) AS DOUBLE) / CAST(date_diff('day', a.d, b.d) AS DOUBLE)",
+      1000000,
+  )} AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+), h AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c FROM slopes GROUP BY s
+), nt AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM h
+), cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cc FROM h
+), med AS (
+  SELECT min(s) AS med FROM cum, nt WHERE cc >= ceil(n / 2.0)
+), dd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, min(d) AS d0, max(d) AS d1
+  FROM daily
+)
+SELECT dd.n_days, nt.n AS n_pairs, med AS slope_per_day_q6,
+       dd.d0 AS first_day, dd.d1 AS last_day
+FROM dd, nt, med
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11385,6 +11430,7 @@ QUERIES = {
     "source_token_kl": source_token_kl,
     "events_mad_outliers": events_mad_outliers,
     "events_interarrival_robust": events_interarrival_robust,
+    "events_daily_trend_theilsen": events_daily_trend_theilsen,
 }
 
 ORACLES = {
@@ -11595,6 +11641,7 @@ ORACLES = {
     "source_token_kl": _SOURCE_KL_SQL,
     "events_mad_outliers": _MAD_SQL,
     "events_interarrival_robust": _INTERARRIVAL_SQL,
+    "events_daily_trend_theilsen": _THEILSEN_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

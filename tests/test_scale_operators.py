@@ -2903,3 +2903,38 @@ def test_robust_outlier_stats_empty(spark):
     df = spark.createDataFrame([], "value double")
     r = robust_outlier_stats(df, "value").first()
     assert (r.n, r.median, r.mad, r.n_outliers) == (0, None, None, 0)
+
+
+def test_theil_sen_ignores_spike_day(spark):
+    """A clean +10/day trend with one 100x spike day: OLS would bend,
+    the Theil-Sen median slope must stay 10."""
+    import datetime as dt
+
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        theil_sen_daily_trend,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(10):
+        n = 10000 if day == 5 else 100 + 10 * day
+        rows += [(base + dt.timedelta(days=day, seconds=i),) for i in range(n)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = theil_sen_daily_trend(df, "ts").first()
+    assert r.n_days == 10 and r.n_pairs == 45
+    assert r.slope_per_day_q6 == 10_000_000  # 10 rows/day at 1e6 scale
+    assert (str(r.first_day), str(r.last_day)) == ("2024-01-01", "2024-01-10")
+
+
+def test_theil_sen_single_day_no_pairs(spark):
+    import datetime as dt
+
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        theil_sen_daily_trend,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, i),) for i in range(5)], "ts timestamp"
+    )
+    r = theil_sen_daily_trend(df, "ts").first()
+    assert (r.n_days, r.n_pairs, r.slope_per_day_q6) == (1, 0, None)
