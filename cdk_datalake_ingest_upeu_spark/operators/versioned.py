@@ -93,7 +93,13 @@ class VersionedStageTable:
         with open(p, "r", encoding="utf-8") as fh:
             return json.load(fh)
 
-    def _commit(self, op: str, files: list[str], schema_json: str) -> int:
+    def _commit(
+        self,
+        op: str,
+        files: list[str],
+        schema_json: str,
+        epoch: int | None = None,
+    ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = self.versions()[-1] + 1 if self.versions() else 0
         manifest = {
@@ -102,6 +108,8 @@ class VersionedStageTable:
             "files": sorted(files),
             "schema": schema_json,
         }
+        if epoch is not None:
+            manifest["epoch"] = epoch
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
@@ -158,9 +166,21 @@ class VersionedStageTable:
         files = self._write_files(df, hint)
         return self._commit("overwrite", files, df.schema.json())
 
-    def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        merge_schema: bool = False,
+        epoch: int | None = None,
+    ) -> int:
         """Append-only commit: manifest = previous files + the batch's
         files. Cost is the batch, independent of table size.
+
+        ``epoch`` makes the append IDEMPOTENT for streaming writers
+        (Delta's txn-version pattern): a foreachBatch retry re-delivers
+        the same epoch id, and an append whose epoch is already
+        committed returns that version untouched instead of
+        double-landing the batch.
 
         With ``merge_schema=True`` (Delta's ``mergeSchema`` option) the
         batch may carry NEW columns: the committed schema becomes the
@@ -171,8 +191,16 @@ class VersionedStageTable:
         differ from the table's raises instead of silently committing a
         mixed table; evolving a column's TYPE is refused either way
         (that is a rewrite, not an append)."""
+        if epoch is not None:
+            for v in self.versions():
+                if self._manifest(v).get("epoch") == epoch:
+                    return v
         if not self.versions():
-            return self.overwrite(df)
+            hint = 0
+            files = self._write_files(df, hint)
+            return self._commit(
+                "overwrite", files, df.schema.json(), epoch=epoch
+            )
         prev = self._manifest(self.latest_version())
         prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
         prev_names = {f.name: f for f in prev_schema.fields}
@@ -195,7 +223,9 @@ class VersionedStageTable:
             schema = schema.add(f)
         hint = prev["version"] + 1
         files = self._write_files(df, hint)
-        return self._commit("append", prev["files"] + files, schema.json())
+        return self._commit(
+            "append", prev["files"] + files, schema.json(), epoch=epoch
+        )
 
     def merge(self, source: DataFrame, key_columns: list[str]) -> int:
         """Upsert ``source`` by ``key_columns`` — copy-on-write at file

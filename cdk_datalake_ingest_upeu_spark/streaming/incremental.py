@@ -594,3 +594,50 @@ def stream_dsir_scoring(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_versioned_append(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    table_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    query_name: str = "stream_versioned_append",
+):
+    """Continuous ingestion into the versioned stage table
+    (``operators/versioned.VersionedStageTable``): every micro-batch
+    lands as one commit, so the commit log doubles as the stream's
+    ledger — downstream consumers read exact-once increments through
+    :meth:`changes` (an append's feed costs only the appended files),
+    and time travel reproduces the table as of any micro-batch.
+
+    Exactly-once at the COMMIT level: the epoch id rides the manifest
+    (Delta's txn-version idempotent-writes pattern), so a foreachBatch
+    at-least-once retry of an already-committed epoch is a no-op
+    instead of a double append.
+
+    Scale shape: per micro-batch cost is writing the batch's files plus
+    a KB manifest rename; table size never enters."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    table = VersionedStageTable(spark, table_path)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        table.append(batch_df, epoch=int(epoch_id))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("latestFirst", "false").parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

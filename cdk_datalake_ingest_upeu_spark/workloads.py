@@ -10349,6 +10349,98 @@ FROM st GROUP BY o_channel ORDER BY o_channel
 """
 
 
+def streaming_versioned_ingest(spark, sf_dir):
+    """Continuous ingestion into the versioned stage table
+    (streaming/incremental.stream_versioned_append): two chronological
+    order drops arrive as micro-batches, each landing as ONE commit
+    with its epoch id in the manifest — Delta's txn-version
+    idempotent-writes pattern, so a foreachBatch retry cannot double-
+    land a batch. After drain, every version is read back through time
+    travel and aggregated: v0 = the bootstrap overwrite (first drop),
+    v1 = the append (both drops) — the commit log IS the stream's
+    exactly-once ledger. The oracle recomputes both cumulative states
+    from orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import (
+        stream_versioned_append,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    work = _tmpdir("vstream")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    parts = [
+        base.filter(F.col("o_orderdate") < "1997-01-01"),
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        ),
+    ]
+    for i, part in enumerate(parts):
+        p = os.path.join(src_dir, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    table_path = os.path.join(work, "orders_versioned")
+    q = stream_versioned_append(
+        spark,
+        os.path.join(src_dir, "batch_*"),
+        base.schema,
+        table_path=table_path,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"vst_{uuid.uuid4().hex[:6]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    t = VersionedStageTable(spark, table_path)
+    ops = {h["version"]: h["op"] for h in t.history()}
+    frames = [
+        t.read(v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                "price_sum"
+            ),
+        )
+        .select(
+            F.lit(v).alias("version"),
+            F.lit(ops[v]).alias("op"),
+            F.lit(int(t._manifest(v)["epoch"])).alias("epoch"),
+            "*",
+        )
+        for v in sorted(ops)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+_STREAM_VERSIONED_SQL = f"""
+WITH states AS (
+  SELECT 0 AS version, 'overwrite' AS op, 0 AS epoch,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT 1, 'append', 1, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+)
+SELECT version, op, epoch, count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM states GROUP BY version, op, epoch ORDER BY version
+"""
+
+
 def graph_pagerank_event_transitions(spark, sf_dir):
     """Integer-exact PageRank over the event-type transition graph
     (``operators/graph.domain_pagerank``): the corpus-scale work is the
@@ -11420,6 +11512,7 @@ QUERIES = {
     "stage_compact_small_files": stage_compact_small_files,
     "stage_restore_version": stage_restore_version,
     "stage_schema_evolution_versions": stage_schema_evolution_versions,
+    "streaming_versioned_ingest": streaming_versioned_ingest,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "graph_reach_event_transitions": graph_reach_event_transitions,
     "events_cumulative_distinct_users": events_cumulative_distinct_users,
@@ -11631,6 +11724,7 @@ ORACLES = {
     "stage_compact_small_files": _COMPACT_SQL,
     "stage_restore_version": _RESTORE_SQL,
     "stage_schema_evolution_versions": _SCHEMA_EVOLUTION_SQL,
+    "streaming_versioned_ingest": _STREAM_VERSIONED_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "graph_reach_event_transitions": _GRAPH_REACH_SQL,
     "events_cumulative_distinct_users": _CUM_DISTINCT_SQL,
@@ -11678,6 +11772,7 @@ _MICRO_CANON_COLS = {
     "stage_compact_small_files": ['price_sum'],
     "stage_restore_version": ['price_sum'],
     "stage_schema_evolution_versions": ['price_sum'],
+    "streaming_versioned_ingest": ['price_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],

@@ -99,6 +99,7 @@ BUDGETS = [
     ("stage_compact_small_files", 0, False),  # driver-assembled 1-row summary; compact/feed IO upstream
     ("stage_restore_version", 3, False),  # three 1-row aggs over per-version manifest scans; restore itself is zero-IO
     ("stage_schema_evolution_versions", 2, False),  # channel rollup over the evolved manifest scan + sort; commits upstream
+    ("streaming_versioned_ingest", 2, False),  # two 1-row aggs over per-version manifest scans; stream commits upstream
     ("dsir_target_domain_selection", 0, False),  # finalized rollup; upstream: bucket agg + doc-grain agg + join, 2 corpus passes
     ("dsir_incremental_scoring", 0, False),  # finalized rollup; upstream: stored-index read + one batch pass + KB index-merge contract
     ("streaming_dsir_scoring", 0, False),  # finalized drained epochs; per-batch token pass + broadcast lam ran inside foreachBatch

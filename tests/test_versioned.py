@@ -241,3 +241,19 @@ def test_append_refuses_type_change(spark, table):
     retyped = spark.createDataFrame([(2.5, "b")], "k double, v string")
     with pytest.raises(ValueError):
         table.append(retyped, merge_schema=True)
+
+
+def test_append_epoch_idempotent(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    v1 = table.append(_df(spark, [(2, "b")]), epoch=7)
+    v_retry = table.append(_df(spark, [(2, "b")]), epoch=7)
+    assert v1 == v_retry == 1
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]  # no double-land
+    v2 = table.append(_df(spark, [(3, "c")]), epoch=8)
+    assert v2 == 2
+
+
+def test_first_epoch_append_bootstraps_table(spark, table):
+    v0 = table.append(_df(spark, [(1, "a")]), epoch=0)
+    assert v0 == 0 and table._manifest(0)["epoch"] == 0
+    assert table.append(_df(spark, [(1, "a")]), epoch=0) == 0
