@@ -1259,3 +1259,89 @@ def bigram_pmi_topk(
         .orderBy(F.col("pmi_q9").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def zipf_slope_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the top-``k`` token frequencies: the least-
+    squares slope of ln(count) on ln(rank) — a healthy natural-language
+    corpus sits near -1; a corpus of templated/generated text or one
+    wrecked by dedup bugs drifts off it, which makes the slope a cheap
+    whole-corpus health check.
+
+    Engine-portable fit: ranks come from the (count desc, token) total
+    order; each ln quantizes to DECIMAL(18,4) ten-thousandths (the
+    ln-at-fixed-dp pattern — 4dp keeps every product and the k-scaled
+    regression sums inside BIGINT: |ln| <= 35 -> q4 <= 3.5e5, k*Sxy <=
+    ~1e15), the closed-form slope numerator/denominator are exact
+    integer sums, and only the final division runs in double, canonized
+    at 1e-6. Operands are double-cast at the leaves (Spark expr decimal
+    literal trap).
+
+    Scale shape: one token-count shuffle; top-k plans as TakeOrdered;
+    the rank window runs over k rows BY CONSTRUCTION (bounded, single
+    task is the right plan). Returns (n_tokens_ranked, top_token,
+    top_count, slope_q6).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(k)
+    )
+    ranked = top.withColumn(
+        "r",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), "tok")),
+    )
+    q = (
+        ranked.withColumn(
+            "x",
+            F.expr(
+                "CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,4))"
+                " * 10000 AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "y",
+            F.expr(
+                "CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,4))"
+                " * 10000 AS BIGINT)"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            # rank-1 row = (max cnt, MIN token on ties) — min over the
+            # (-cnt, tok) struct matches the row_number order exactly
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negcnt"),
+                    F.col("tok").alias("tok"),
+                    F.col("cnt").alias("cnt"),
+                )
+            ).alias("top1"),
+        )
+    )
+    return q.select(
+        F.col("n").alias("n_tokens_ranked"),
+        F.col("top1.tok").alias("top_token"),
+        F.col("top1.cnt").alias("top_count"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE"
+            " CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)"
+            " AS BIGINT) END"
+        ).alias("slope_q6"),
+    )

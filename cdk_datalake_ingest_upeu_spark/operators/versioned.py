@@ -51,6 +51,12 @@ class VersionNotFoundError(LookupError):
     past its retention)."""
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — the optimistic-
+    concurrency loser signal (Delta's ConcurrentModificationException).
+    The loser re-reads the latest manifest and retries its commit."""
+
+
 class VersionedStageTable:
     """A parquet stage table with a Delta-style commit log.
 
@@ -113,8 +119,22 @@ class VersionedStageTable:
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
-        # the commit point: atomic on POSIX, mirroring Delta's log write
-        os.replace(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        # the commit point — optimistic concurrency, Delta's protocol:
+        # version N's manifest may be created exactly once; a racing
+        # writer that lost must re-read the log and retry on N+1.
+        # os.link is an atomic create-if-absent of the COMPLETE tmp
+        # content (no reader ever sees a partial manifest; os.replace
+        # would silently clobber the winner).
+        target = os.path.join(self.log_dir, f"{version:08d}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"{self.path}: version {version} was committed by another "
+                f"writer; re-read the log and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
         return version
 
     def history(self) -> list[dict]:

@@ -11237,6 +11237,108 @@ FROM dd, nt, med
 """
 
 
+def events_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase event is
+    credited to the user's most recent PRIOR non-purchase event — the
+    standard marketing-attribution rollup. One codegen window per user
+    (``last(..., ignorenulls)`` over rows-unbounded-preceding carries
+    the latest touch forward in-row — no self-join, no asof shuffle
+    beyond the single user partition), then a KB-scale rollup per
+    touch type with conversion value. Purchases with no prior touch
+    report as 'none' (the direct/unattributed bucket)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("__touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("__touch"), F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("total_value"),
+        )
+        .orderBy("touch")
+    )
+
+
+_LAST_TOUCH_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT coalesce(touch, 'none') AS touch,
+       count(*) AS n_conversions,
+       CAST(sum({_cents_sum_sql('value', 100)}) AS BIGINT) / 100.0
+         AS total_value
+FROM seq WHERE event_type = 'purchase'
+GROUP BY coalesce(touch, 'none') ORDER BY touch
+"""
+
+
+def corpus_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the top-100 token frequencies
+    (operators/text.zipf_slope_topk): least-squares slope of ln(count)
+    on ln(rank) — natural text sits near -1, templated/generated text
+    drifts off it, making the slope a one-number corpus health check.
+    Quantized-integer regression sums (ln at DECIMAL(18,4) grain keeps
+    every product in BIGINT), one double division at the end, canonized
+    at 1e-6. One token-count shuffle; top-k is TakeOrdered; the rank
+    window covers 100 rows by construction."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import zipf_slope_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope_topk(docs, k=100)
+
+
+_ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), cnts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 100
+), ranked AS (
+  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+  FROM top
+), qt AS (
+  SELECT tok, cnt, r,
+         CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,4))
+              * 10000 AS BIGINT) AS x,
+         CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,4))
+              * 10000 AS BIGINT) AS y
+  FROM ranked
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM qt
+)
+SELECT agg.n AS n_tokens_ranked, t1.tok AS top_token,
+       t1.cnt AS top_count,
+       CASE WHEN agg.n * sxx - sx * sx = 0 THEN NULL ELSE
+         CAST(floor(CAST(agg.n * sxy - sx * sy AS DOUBLE)
+              / CAST(agg.n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+           AS BIGINT) END AS slope_q6
+FROM agg, (SELECT tok, cnt FROM ranked WHERE r = 1) t1
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11524,6 +11626,8 @@ QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "events_interarrival_robust": events_interarrival_robust,
     "events_daily_trend_theilsen": events_daily_trend_theilsen,
+    "events_last_touch_attribution": events_last_touch_attribution,
+    "corpus_zipf_slope": corpus_zipf_slope,
 }
 
 ORACLES = {
@@ -11736,6 +11840,8 @@ ORACLES = {
     "events_mad_outliers": _MAD_SQL,
     "events_interarrival_robust": _INTERARRIVAL_SQL,
     "events_daily_trend_theilsen": _THEILSEN_SQL,
+    "events_last_touch_attribution": _LAST_TOUCH_SQL,
+    "corpus_zipf_slope": _ZIPF_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -11775,6 +11881,7 @@ _MICRO_CANON_COLS = {
     "streaming_versioned_ingest": ['price_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
+    "events_last_touch_attribution": ['total_value'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

@@ -2938,3 +2938,21 @@ def test_theil_sen_single_day_no_pairs(spark):
     )
     r = theil_sen_daily_trend(df, "ts").first()
     assert (r.n_days, r.n_pairs, r.slope_per_day_q6) == (1, 0, None)
+
+
+def test_zipf_slope_near_minus_one_on_planted_zipf(spark):
+    """Tokens with exact 1/r frequencies must fit slope ~ -1; a uniform
+    corpus must fit slope ~ 0."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import zipf_slope_topk
+
+    zipf_rows, uni_rows = [], []
+    for r in range(1, 21):
+        zipf_rows += [(f"doc{r}_{i}", f"tok{r:02d}") for i in range(1200 // r)]
+        uni_rows += [(f"u{r}_{i}", f"tok{r:02d}") for i in range(50)]
+    zipf = spark.createDataFrame(zipf_rows, "doc_id string, text string")
+    uni = spark.createDataFrame(uni_rows, "doc_id string, text string")
+    rz = zipf_slope_topk(zipf, k=20).first()
+    ru = zipf_slope_topk(uni, k=20).first()
+    assert rz.n_tokens_ranked == 20 and rz.top_token == "tok01"
+    assert -1_100_000 < rz.slope_q6 < -900_000
+    assert ru.slope_q6 == 0

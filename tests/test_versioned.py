@@ -257,3 +257,34 @@ def test_first_epoch_append_bootstraps_table(spark, table):
     v0 = table.append(_df(spark, [(1, "a")]), epoch=0)
     assert v0 == 0 and table._manifest(0)["epoch"] == 0
     assert table.append(_df(spark, [(1, "a")]), epoch=0) == 0
+
+
+def test_concurrent_commit_loser_detected(spark, table):
+    """Two writers racing for the same version: the second commit of
+    version N raises ConcurrentCommitError instead of clobbering the
+    winner; retrying after a log re-read lands on N+1."""
+    import json as _json
+    import os as _os
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    table.overwrite(_df(spark, [(1, "a")]))
+    files = table._write_files(_df(spark, [(2, "b")]), 99)
+    schema = table._manifest(0)["schema"]
+    # freeze the loser's log view at [0], then land the winner's
+    # version-1 manifest — the exact read-compute-commit race window
+    real_versions = table.versions
+    table.versions = lambda: [0]
+    winner = {"version": 1, "op": "append",
+              "files": table._manifest(0)["files"], "schema": schema}
+    with open(_os.path.join(table.log_dir, "00000001.json"), "w") as fh:
+        _json.dump(winner, fh)
+    with pytest.raises(ConcurrentCommitError):
+        table._commit("append", files, schema)
+    # loser retries after re-reading the log: next version is 2
+    table.versions = real_versions
+    v = table._commit("append", files, schema)
+    assert v == 2
+    assert table._manifest(1)["op"] == "append"  # winner untouched
