@@ -11339,6 +11339,97 @@ FROM agg, (SELECT tok, cnt FROM ranked WHERE r = 1) t1
 """
 
 
+def quarantine_replay_roundtrip(spark, sf_dir):
+    """Dead-letter-queue REPLAY — the second half of the quarantine
+    story (streaming_quarantine_ingest routes; this query recovers):
+    events first gate through an over-strict value ceiling (250), the
+    rule is then fixed (400), and ONLY the quarantined rows replay
+    through the corrected rules — good rows are never reprocessed, the
+    DLQ contract. Per-type census of initial-good / quarantined /
+    recovered / still-bad, plus the ``replay_matches_direct`` contract:
+    because the fix strictly loosens the rules, initial-good ∪ recovered
+    must equal a from-scratch run under the new rules row-for-row
+    (checked with exceptAll both ways, not just counts)."""
+    from cdk_datalake_ingest_upeu_spark.operators.expectations import (
+        Expectation,
+        _violation_expr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    type_rule = Expectation(
+        "type_allowed",
+        "event_type",
+        "accepted_values",
+        {"values": ["click", "view", "purchase", "signup"]},
+    )
+    old_rules = [type_rule, Expectation("value_cap", "value", "between", {"lo": 0.0, "hi": 250.0})]
+    new_rules = [type_rule, Expectation("value_cap", "value", "between", {"lo": 0.0, "hi": 400.0})]
+
+    def _bad(rules):
+        out = F.lit(False)
+        for r in rules:
+            out = out | _violation_expr(r)
+        return out
+
+    tagged = scratch_persist(
+        ev.withColumn("__bad_old", _bad(old_rules)).withColumn(
+            "__bad_new", _bad(new_rules)
+        )
+    )
+    good1 = tagged.filter(~F.col("__bad_old"))
+    quarantined = tagged.filter(F.col("__bad_old"))
+    recovered = quarantined.filter(~F.col("__bad_new"))
+    direct_good = tagged.filter(~F.col("__bad_new"))
+    final_good = good1.unionByName(recovered)
+    cols = ev.columns
+    n_diff = (
+        final_good.select(cols).exceptAll(direct_good.select(cols)).count()
+        + direct_good.select(cols).exceptAll(final_good.select(cols)).count()
+    )
+    return finalize(
+        tagged.groupBy("event_type")
+        .agg(
+            F.sum((~F.col("__bad_old")).cast("long")).alias("n_good_initial"),
+            F.sum(F.col("__bad_old").cast("long")).alias("n_quarantined"),
+            F.sum(
+                (F.col("__bad_old") & ~F.col("__bad_new")).cast("long")
+            ).alias("n_recovered"),
+            F.sum(
+                (F.col("__bad_old") & F.col("__bad_new")).cast("long")
+            ).alias("n_still_quarantined"),
+        )
+        .withColumn("replay_matches_direct", F.lit(n_diff == 0))
+        .orderBy("event_type")
+    )
+
+
+_QUARANTINE_REPLAY_SQL = """
+WITH tagged AS (
+  SELECT event_type,
+         ((event_type NOT IN ('click','view','purchase','signup')
+           AND event_type IS NOT NULL)
+          OR ((value < 0.0 OR value > 250.0) AND value IS NOT NULL))
+           AS bad_old,
+         ((event_type NOT IN ('click','view','purchase','signup')
+           AND event_type IS NOT NULL)
+          OR ((value < 0.0 OR value > 400.0) AND value IS NOT NULL))
+           AS bad_new
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN NOT bad_old THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good_initial,
+       CAST(sum(CASE WHEN bad_old THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN bad_old AND NOT bad_new THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_recovered,
+       CAST(sum(CASE WHEN bad_old AND bad_new THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_still_quarantined,
+       TRUE AS replay_matches_direct
+FROM tagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11628,6 +11719,7 @@ QUERIES = {
     "events_daily_trend_theilsen": events_daily_trend_theilsen,
     "events_last_touch_attribution": events_last_touch_attribution,
     "corpus_zipf_slope": corpus_zipf_slope,
+    "quarantine_replay_roundtrip": quarantine_replay_roundtrip,
 }
 
 ORACLES = {
@@ -11842,6 +11934,7 @@ ORACLES = {
     "events_daily_trend_theilsen": _THEILSEN_SQL,
     "events_last_touch_attribution": _LAST_TOUCH_SQL,
     "corpus_zipf_slope": _ZIPF_SQL,
+    "quarantine_replay_roundtrip": _QUARANTINE_REPLAY_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
