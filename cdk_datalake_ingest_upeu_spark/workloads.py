@@ -11430,6 +11430,70 @@ FROM tagged GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_daily_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of daily event volume at
+    alpha=0.5 — the smoothing baseline of volume monitoring. alpha=0.5
+    is chosen deliberately: the weights are powers of two, so every
+    ``count * pow(0.5, lag)`` product is an EXACT IEEE scaling (no
+    rounding at all), each term quantizes via the fixed-point canon,
+    and the per-day sum is an exact integer — the whole smoothing is
+    hash-portable without engine ln/pow hazards. Weights below 2^-40
+    truncate (beneath the canon's resolution anyway), bounding each
+    day's term set. Scale shape: one day-grain rollup (the corpus
+    cost), then a bounded day x lag self-join — KB for years."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = scratch_persist(
+        ev.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    terms = (
+        a.join(
+            b,
+            (F.col("b.d") <= F.col("a.d"))
+            & (F.datediff(F.col("a.d"), F.col("b.d")) <= 40),
+        )
+        .select(
+            F.col("a.d").alias("d"),
+            F.col("a.c").alias("c"),
+            # weight 2^-(lag+1) as DIVISION BY A SHIFTED INTEGER — exact
+            # IEEE scaling by construction (pow(0.5, k) is a libm call
+            # with no cross-engine exactness guarantee)
+            F.expr(
+                "CAST(floor(CAST(b.c AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT),"
+                " datediff(a.d, b.d) + 1) AS DOUBLE)"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("t_q6"),
+        )
+    )
+    return finalize(
+        terms.groupBy("d", "c")
+        .agg(F.sum("t_q6").alias("ewma_q6"))
+        .select(F.col("d").alias("day"), F.col("c").alias("n_events"), "ewma_q6")
+        .orderBy("day")
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY d
+), terms AS (
+  SELECT a.d AS d, a.c AS c,
+         CAST(floor(CAST(b.c AS DOUBLE)
+              / CAST((CAST(1 AS BIGINT) << (date_diff('day', b.d, a.d) + 1))
+                     AS DOUBLE)
+              * 1000000 + 0.5) AS BIGINT) AS t_q6
+  FROM daily a JOIN daily b
+    ON b.d <= a.d AND date_diff('day', b.d, a.d) <= 40
+)
+SELECT d AS day, c AS n_events, CAST(sum(t_q6) AS BIGINT) AS ewma_q6
+FROM terms GROUP BY d, c ORDER BY day
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11720,6 +11784,7 @@ QUERIES = {
     "events_last_touch_attribution": events_last_touch_attribution,
     "corpus_zipf_slope": corpus_zipf_slope,
     "quarantine_replay_roundtrip": quarantine_replay_roundtrip,
+    "events_daily_ewma": events_daily_ewma,
 }
 
 ORACLES = {
@@ -11935,6 +12000,7 @@ ORACLES = {
     "events_last_touch_attribution": _LAST_TOUCH_SQL,
     "corpus_zipf_slope": _ZIPF_SQL,
     "quarantine_replay_roundtrip": _QUARANTINE_REPLAY_SQL,
+    "events_daily_ewma": _EWMA_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
