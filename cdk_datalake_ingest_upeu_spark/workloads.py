@@ -11494,6 +11494,83 @@ FROM terms GROUP BY d, c ORDER BY day
 """
 
 
+def incremental_novelty_rate(spark, sf_dir):
+    """Per-source NOVELTY rate of an arriving batch against the landed
+    corpus — the admission metric a crawl pipeline watches before
+    paying for dedup: a batch whose 8-token windows are mostly already
+    in the stored span-digest index is re-crawl, not new data. History
+    (a deterministic 70% split) builds the persisted distinct-digest
+    index ONCE (operators/dedup.substring_span_index — the same store
+    incremental span dedup probes, shared artifact, not a new one);
+    the batch makes one window pass and one digest-keyed left join.
+    Occurrence-grain counts: n_windows, n_novel (digest unseen in
+    history), novelty ppm via integer division."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        _span_tokenized,
+        span_window_hashes,
+        substring_span_index,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    is_hist = hash_bucket(F.col("doc_id"), seed="nov") < 700_000
+    idx_path = os.path.join(_tmpdir("novidx"), "span_index")
+    substring_span_index(docs.filter(is_hist)).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    idx = spark.read.parquet(idx_path).withColumn("__seen", F.lit(1))
+    batch_w = span_window_hashes(
+        _span_tokenized(docs.filter(~is_hist), "doc_id", "text")
+    )
+    return finalize(
+        batch_w.join(idx, "whash", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("__seen").isNull().cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000) div n_windows")
+        )
+        .orderBy("source")
+    )
+
+
+_NOVELTY_SQL = """
+WITH d0 AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'nov'), 1, 8))::BIGINT
+           % 1000000 < 700000 AS hist,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), w0 AS (
+  SELECT doc_id, source, hist,
+         CASE WHEN len(tk) >= 8
+              THEN [md5(array_to_string(tk[i:i + 7], ' '))
+                    for i in range(1, len(tk) - 6)]
+              ELSE [] END AS ws
+  FROM d0 WHERE len(tk) > 0
+), w AS (
+  SELECT doc_id, source, hist, unnest(ws) AS wh FROM w0 WHERE len(ws) > 0
+), hist_set AS (
+  SELECT DISTINCT wh FROM w WHERE hist
+), batch AS (
+  SELECT doc_id, source, wh,
+         CASE WHEN wh IN (SELECT wh FROM hist_set) THEN 0 ELSE 1 END
+           AS novel
+  FROM w WHERE NOT hist
+)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_windows,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       CAST((sum(novel) * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+FROM batch GROUP BY source ORDER BY source
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11785,6 +11862,7 @@ QUERIES = {
     "corpus_zipf_slope": corpus_zipf_slope,
     "quarantine_replay_roundtrip": quarantine_replay_roundtrip,
     "events_daily_ewma": events_daily_ewma,
+    "incremental_novelty_rate": incremental_novelty_rate,
 }
 
 ORACLES = {
@@ -12001,6 +12079,7 @@ ORACLES = {
     "corpus_zipf_slope": _ZIPF_SQL,
     "quarantine_replay_roundtrip": _QUARANTINE_REPLAY_SQL,
     "events_daily_ewma": _EWMA_SQL,
+    "incremental_novelty_rate": _NOVELTY_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
