@@ -288,3 +288,62 @@ def test_concurrent_commit_loser_detected(spark, table):
     v = table._commit("append", files, schema)
     assert v == 2
     assert table._manifest(1)["op"] == "append"  # winner untouched
+
+
+def test_versioned_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a random op sequence against a pure-Python
+    dict model — after EVERY commit, every still-live version must read
+    back exactly what the model says it held (time travel is the
+    versioned table's core promise; this catches manifest bookkeeping
+    bugs no single-op test can)."""
+    import random
+
+    rng = random.Random(20260815)
+    t = VersionedStageTable(spark, str(tmp_path / "model_vt"))
+    history: list[dict[int, str]] = []  # model state per version
+    live: dict[int, int] = {}  # table version -> history index
+
+    def _frame(d: dict[int, str]):
+        return spark.createDataFrame(sorted(d.items()), "k int, v string")
+
+    state: dict[int, str] = {}
+    for step in range(10):
+        op = rng.choice(["overwrite", "append", "merge", "compact", "restore"])
+        if not history and op in ("append", "merge", "compact", "restore"):
+            op = "overwrite"
+        if op == "overwrite":
+            state = {rng.randrange(20): "o%d" % step for _ in range(3)}
+            v = t.overwrite(_frame(state))
+        elif op == "append":
+            batch = {k: "a%d" % step for k in range(20 + step, 23 + step)}
+            state = {**state, **batch}
+            v = t.append(_frame(batch))
+        elif op == "merge":
+            src = {rng.randrange(25): "m%d" % step for _ in range(3)}
+            state = {**state, **src}
+            v = t.merge(_frame(src), ["k"])
+        elif op == "compact":
+            v = t.compact(max_file_bytes=1 << 30)
+            if v in live:  # no-op compact (fewer than 2 small files)
+                continue
+        else:
+            target = rng.choice(sorted(live))
+            state = dict(history[live[target]])
+            v = t.restore(target)
+        history.append(dict(state))
+        live[v] = len(history) - 1
+        # every live version still reads exactly its model state
+        for ver, hidx in live.items():
+            got = {r["k"]: r["v"] for r in t.read(ver).collect()}
+            assert got == history[hidx], (step, op, ver)
+    # vacuum to the last two versions: dropped ones must refuse reads,
+    # survivors must still match the model
+    keep = sorted(live)[-2:]
+    t.vacuum(retain_last=2)
+    for ver in live:
+        if ver in keep:
+            got = {r["k"]: r["v"] for r in t.read(ver).collect()}
+            assert got == history[live[ver]]
+        else:
+            with pytest.raises(VersionNotFoundError):
+                t.read(ver)
