@@ -447,3 +447,67 @@ def theil_sen_daily_trend(
         "n_days long, n_pairs long, slope_per_day_q6 long, "
         "first_day date, last_day date",
     )
+
+
+def grouped_robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Per-group :func:`robust_outlier_stats` — one (group, canon-value)
+    histogram shuffle, then the median/MAD/outlier walks run driver-side
+    PER GROUP over that bounded histogram (groups x value-range rows;
+    the ccnet grouped-threshold technique — never a per-group ntile
+    window over the corpus). NULL is a legitimate group key. Returns one
+    row per group: (group_col, n, median, mad, n_outliers,
+    outlier_frac_q6)."""
+    import math
+
+    spark = df.sparkSession
+    rows = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            fp_canon(value_col, scale).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["__g"], []).append((int(r["__v"]), int(r["__c"])))
+
+    def _lower_median(h, total):
+        target = math.ceil(total / 2)
+        cum = 0
+        for v, c in h:
+            cum += c
+            if cum >= target:
+                return v
+        return h[-1][0]
+
+    out = []
+    for g, h in groups.items():
+        h.sort()
+        n = sum(c for _, c in h)
+        med = _lower_median(h, n)
+        dev: dict = {}
+        for v, c in h:
+            d = abs(v - med)
+            dev[d] = dev.get(d, 0) + c
+        mad = _lower_median(sorted(dev.items()), n)
+        n_out = sum(c for d, c in dev.items() if d > k_mad * mad)
+        out.append(
+            (g, n, med / float(scale), mad / float(scale), n_out,
+             (n_out * 1_000_000) // n)
+        )
+    gtype = dict(df.dtypes)[group_col]
+    return spark.createDataFrame(
+        sorted(out, key=lambda t: (t[0] is None, t[0])),
+        f"{group_col} {gtype}, n long, median double, mad double, "
+        "n_outliers long, outlier_frac_q6 long",
+    )

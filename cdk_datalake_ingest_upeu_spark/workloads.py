@@ -11571,6 +11571,63 @@ FROM batch GROUP BY source ORDER BY source
 """
 
 
+def events_type_mad_profile(spark, sf_dir):
+    """Per-event-type median/MAD robust value profile
+    (operators/profile.grouped_robust_stats): the grouped twin of
+    events_mad_outliers — one (type, canon-value) histogram shuffle,
+    per-group walks driver-side over the bounded histogram (never a
+    per-group ntile over the corpus), NULL type its own group. The
+    oracle reruns the walks as per-group cumulative CTEs."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        grouped_robust_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_robust_stats(ev, "event_type", "value", scale=100, k_mad=3)
+
+
+_TYPE_MAD_SQL = f"""
+WITH h AS (
+  SELECT event_type AS g, {_cents_sum_sql('value')} AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE {_cents_sum_sql('value')} IS NOT NULL
+  GROUP BY g, v
+), nt AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g
+), cum AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cc FROM h
+), med AS (
+  SELECT c.g, min(v) AS med FROM cum c
+  JOIN nt ON nt.g IS NOT DISTINCT FROM c.g
+  WHERE cc >= ceil(n / 2.0) GROUP BY c.g
+), dev AS (
+  SELECT h.g, abs(v - med) AS d, CAST(sum(c) AS BIGINT) AS c
+  FROM h JOIN med ON med.g IS NOT DISTINCT FROM h.g
+  GROUP BY h.g, abs(v - med)
+), cum2 AS (
+  SELECT g, d, sum(c) OVER (PARTITION BY g ORDER BY d) AS cc FROM dev
+), madt AS (
+  SELECT c.g, min(d) AS mad FROM cum2 c
+  JOIN nt ON nt.g IS NOT DISTINCT FROM c.g
+  WHERE cc >= ceil(n / 2.0) GROUP BY c.g
+), outl AS (
+  SELECT dev.g, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_out
+  FROM dev JOIN madt ON madt.g IS NOT DISTINCT FROM dev.g
+  WHERE d > 3 * mad GROUP BY dev.g
+)
+SELECT nt.g AS event_type, nt.n AS n, med / 100.0 AS median,
+       mad / 100.0 AS mad,
+       CAST(coalesce(n_out, 0) AS BIGINT) AS n_outliers,
+       CAST((coalesce(n_out, 0) * 1000000) // nt.n AS BIGINT)
+         AS outlier_frac_q6
+FROM nt
+JOIN med ON med.g IS NOT DISTINCT FROM nt.g
+JOIN madt ON madt.g IS NOT DISTINCT FROM nt.g
+LEFT JOIN outl ON outl.g IS NOT DISTINCT FROM nt.g
+ORDER BY event_type
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11863,6 +11920,7 @@ QUERIES = {
     "quarantine_replay_roundtrip": quarantine_replay_roundtrip,
     "events_daily_ewma": events_daily_ewma,
     "incremental_novelty_rate": incremental_novelty_rate,
+    "events_type_mad_profile": events_type_mad_profile,
 }
 
 ORACLES = {
@@ -12080,6 +12138,7 @@ ORACLES = {
     "quarantine_replay_roundtrip": _QUARANTINE_REPLAY_SQL,
     "events_daily_ewma": _EWMA_SQL,
     "incremental_novelty_rate": _NOVELTY_SQL,
+    "events_type_mad_profile": _TYPE_MAD_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -12120,6 +12179,7 @@ _MICRO_CANON_COLS = {
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "events_last_touch_attribution": ['total_value'],
+    "events_type_mad_profile": ['median', 'mad'],
     "q1_pricing_summary": ['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge', 'avg_qty', 'avg_price', 'avg_disc'],
     "q2_min_cost_supplier": ['s_acctbal', 'supplycost'],
     "q3_top_revenue_orders": ['revenue'],

@@ -2956,3 +2956,19 @@ def test_zipf_slope_near_minus_one_on_planted_zipf(spark):
     assert rz.n_tokens_ranked == 20 and rz.top_token == "tok01"
     assert -1_100_000 < rz.slope_q6 < -900_000
     assert ru.slope_q6 == 0
+
+
+def test_grouped_robust_stats_null_group_and_planted(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        grouped_robust_stats,
+    )
+
+    rows = (
+        [("a", 10.0)] * 5 + [("a", 500.0)]
+        + [(None, 1.0), (None, 1.0), (None, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: r for r in grouped_robust_stats(df, "g", "value").collect()}
+    assert got["a"].median == 10.0 and got["a"].mad == 0.0
+    assert got["a"].n_outliers == 1  # 500 vs a zero-MAD tight group
+    assert got[None].n == 3 and got[None].median == 1.0
