@@ -511,3 +511,62 @@ def grouped_robust_stats(
         f"{group_col} {gtype}, n long, median double, mad double, "
         "n_outliers long, outlier_frac_q6 long",
     )
+
+
+def two_sample_rank_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact two-sample distribution comparison — Mann-Whitney U and the
+    Kolmogorov-Smirnov statistic — computed from the two groups' value
+    HISTOGRAMS, the way an A/B test runs at 100 TB: no global sort, no
+    rank window over the corpus, just one (group, canon-value) rollup
+    and a driver walk over the bounded merged support.
+
+    Both statistics are exact integers: ``u2_a`` is 2*U_A (doubling
+    absorbs the half-credit for ties — U itself may end in .5), and
+    ``ks_ppm`` is floor(1e6 * max|F_A - F_B|) computed as integer
+    cross-products (|cumA*nB - cumB*nA|, exact in BIGINT), so the
+    whole report is hash-portable with no floating comparison anywhere.
+    NaN/NULL values are excluded by the canon. Returns one row:
+    (n_a, n_b, u2_a, ks_ppm).
+    """
+    spark = df.sparkSession
+    hists: dict = {0: {}, 1: {}}
+    rows = (
+        df.select(
+            F.when(F.col(group_col) == group_a, F.lit(0))
+            .when(F.col(group_col) == group_b, F.lit(1))
+            .alias("__g"),
+            fp_canon(value_col, scale).alias("__v"),
+        )
+        .filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    for r in rows:
+        hists[int(r["__g"])][int(r["__v"])] = int(r["__c"])
+    ha, hb = hists[0], hists[1]
+    na, nb = sum(ha.values()), sum(hb.values())
+    support = sorted(set(ha) | set(hb))
+    cum_a = cum_b = 0
+    u2 = 0
+    ks_num = 0  # max |cumA*nB - cumB*nA|
+    for v in support:
+        ca, cb = ha.get(v, 0), hb.get(v, 0)
+        # A-values at v beat everything in B strictly below, tie at v
+        u2 += 2 * ca * cum_b + ca * cb
+        cum_a += ca
+        cum_b += cb
+        ks_num = max(ks_num, abs(cum_a * nb - cum_b * na))
+    ks_ppm = (ks_num * 1_000_000) // (na * nb) if na and nb else None
+    return spark.createDataFrame(
+        [(na, nb, u2, ks_ppm)],
+        "n_a long, n_b long, u2_a long, ks_ppm long",
+    )

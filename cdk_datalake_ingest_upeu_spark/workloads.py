@@ -11628,6 +11628,59 @@ ORDER BY event_type
 """
 
 
+def events_ab_distribution_test(spark, sf_dir):
+    """Exact Mann-Whitney 2U + Kolmogorov-Smirnov comparison of the
+    purchase vs click value distributions
+    (operators/profile.two_sample_rank_stats): the A/B-test readout
+    computed the 100 TB way — one (group, canon-value) histogram
+    rollup, a driver walk over the bounded merged support, and both
+    statistics as EXACT integers (2U absorbs tie half-credits; KS as
+    integer cross-products cumA*nB - cumB*nA), so there is no floating
+    comparison anywhere. The oracle reruns the identical walk as
+    window CTEs."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        two_sample_rank_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return two_sample_rank_stats(
+        ev, "event_type", "value", "purchase", "click", scale=100
+    )
+
+
+_AB_TEST_SQL = f"""
+WITH h AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS g,
+         {_cents_sum_sql('value')} AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+        AND {_cents_sum_sql('value')} IS NOT NULL
+  GROUP BY g, v
+), sup AS (
+  SELECT v,
+         CAST(coalesce(sum(CASE WHEN g = 0 THEN c END), 0) AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN g = 1 THEN c END), 0) AS BIGINT) AS cb
+  FROM h GROUP BY v
+), walk AS (
+  SELECT v, ca, cb,
+         CAST(coalesce(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_b_before,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM sup
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM sup
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(sum(2 * ca * cum_b_before + ca * cb) AS BIGINT) AS u2_a,
+       CAST((max(abs(cum_a * nb - cum_b * na)) * 1000000) // (na * nb)
+         AS BIGINT) AS ks_ppm
+FROM walk, tot GROUP BY na, nb
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11921,6 +11974,7 @@ QUERIES = {
     "events_daily_ewma": events_daily_ewma,
     "incremental_novelty_rate": incremental_novelty_rate,
     "events_type_mad_profile": events_type_mad_profile,
+    "events_ab_distribution_test": events_ab_distribution_test,
 }
 
 ORACLES = {
@@ -12139,6 +12193,7 @@ ORACLES = {
     "events_daily_ewma": _EWMA_SQL,
     "incremental_novelty_rate": _NOVELTY_SQL,
     "events_type_mad_profile": _TYPE_MAD_SQL,
+    "events_ab_distribution_test": _AB_TEST_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

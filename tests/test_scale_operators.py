@@ -2972,3 +2972,33 @@ def test_grouped_robust_stats_null_group_and_planted(spark):
     assert got["a"].median == 10.0 and got["a"].mad == 0.0
     assert got["a"].n_outliers == 1  # 500 vs a zero-MAD tight group
     assert got[None].n == 3 and got[None].median == 1.0
+
+
+def test_two_sample_rank_stats_exact_small_case(spark):
+    """Hand-computable case: A = [1, 2, 2], B = [2, 3].
+    Pairs: (1<2),(1<3); (2=2 tie, 2<3) x2 -> U_A = 0.5+0.5 = 1.0 -> 2U=2.
+    F_A = [1/3, 1, 1], F_B = [0, 1/2, 1] at v=1,2,3 -> KS = 1/2."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        two_sample_rank_stats,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = two_sample_rank_stats(df, "g", "value", "a", "b").first()
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u2_a == 2
+    assert r.ks_ppm == 500_000
+
+
+def test_two_sample_rank_stats_identical_distributions(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        two_sample_rank_stats,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = two_sample_rank_stats(df, "g", "value", "a", "b").first()
+    assert r.ks_ppm == 0
+    assert r.u2_a == 9  # 2U = n_a*n_b for identical distributions
