@@ -570,3 +570,62 @@ def two_sample_rank_stats(
         [(na, nb, u2, ks_ppm)],
         "n_a long, n_b long, u2_a long, ks_ppm long",
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square independence statistic for two categorical
+    columns — the contingency check a lake runs when a suspicious
+    coupling appears (is language independent of source, event type of
+    region?). Fully distributed: ONE (a, b) rollup (the corpus cost),
+    margins as KB rollups of it, null-safe joins (NULL is a category),
+    and per-cell terms ``(o*N - r*c)^2 / (N*r*c)`` computed in double
+    with a fixed op order — identical IEEE results in every engine —
+    then canon-quantized to micro-units and summed exactly. Returns one
+    row: (n, n_cells, dof, chisq_q6). dof counts observed-margin cells
+    ((R-1)*(C-1)); absent combinations contribute their expected mass
+    through the margins, the standard sparse-contingency convention."""
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    n = cells.agg(F.sum("__o")).first()[0]
+    # dense grid: every (observed a, observed b) pair, absent cells o=0
+    grid = (
+        ra.crossJoin(cb)
+        .join(
+            cells.select(
+                F.col("__a").alias("__a2"),
+                F.col("__b").alias("__b2"),
+                "__o",
+            ),
+            F.col("__a").eqNullSafe(F.col("__a2"))
+            & F.col("__b").eqNullSafe(F.col("__b2")),
+            "left",
+        )
+        .select(
+            "__r",
+            "__c",
+            F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        )
+    )
+    term = (
+        f"CAST(floor((CAST(__o AS DOUBLE) * CAST({int(n)} AS DOUBLE)"
+        f" - CAST(__r AS DOUBLE) * CAST(__c AS DOUBLE))"
+        f" * (CAST(__o AS DOUBLE) * CAST({int(n)} AS DOUBLE)"
+        f" - CAST(__r AS DOUBLE) * CAST(__c AS DOUBLE))"
+        f" / (CAST({int(n)} AS DOUBLE) * CAST(__r AS DOUBLE)"
+        f" * CAST(__c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    )
+    r_cnt, c_cnt = ra.count(), cb.count()
+    return (
+        grid.withColumn("__t", F.expr(term))
+        .agg(
+            F.lit(int(n)).cast("long").alias("n"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.lit(int((r_cnt - 1) * (c_cnt - 1))).cast("int").alias("dof"),
+            F.sum("__t").alias("chisq_q6"),
+        )
+    )

@@ -11681,6 +11681,54 @@ FROM walk, tot GROUP BY na, nb
 """
 
 
+def documents_chisq_lang_source(spark, sf_dir):
+    """Pearson chi-square independence of language x source
+    (operators/profile.chi_square_independence): the contingency check
+    for suspicious couplings in the corpus mixture. One (lang, source)
+    rollup, margins as KB rollups, null-safe dense grid (NULL is a
+    category), per-cell (o*N - r*c)^2/(N*r*c) terms in fixed-order
+    double arithmetic canon-quantized to micro-units and summed
+    exactly. The oracle rebuilds the identical grid and terms."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
+_CHISQ_SQL = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), ra AS (
+  SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a
+), cb AS (
+  SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b
+), nt AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), grid AS (
+  SELECT ra.r, cb.c, CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON cells.a IS NOT DISTINCT FROM ra.a
+                 AND cells.b IS NOT DISTINCT FROM cb.b
+), terms AS (
+  SELECT CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+           - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           * 1000000 + 0.5) AS BIGINT) AS t
+  FROM grid, nt
+)
+SELECT nt.n AS n, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(((SELECT count(*) FROM ra) - 1)
+            * ((SELECT count(*) FROM cb) - 1) AS INT) AS dof,
+       CAST(sum(t) AS BIGINT) AS chisq_q6
+FROM terms, nt GROUP BY nt.n
+"""
+
+
 def events_cumulative_distinct_users(spark, sf_dir):
     """Running distinct-user count per day, the LINEAR way: distinct
     over a growing window is quadratic (each day re-counts every prior
@@ -11975,6 +12023,7 @@ QUERIES = {
     "incremental_novelty_rate": incremental_novelty_rate,
     "events_type_mad_profile": events_type_mad_profile,
     "events_ab_distribution_test": events_ab_distribution_test,
+    "documents_chisq_lang_source": documents_chisq_lang_source,
 }
 
 ORACLES = {
@@ -12194,6 +12243,7 @@ ORACLES = {
     "incremental_novelty_rate": _NOVELTY_SQL,
     "events_type_mad_profile": _TYPE_MAD_SQL,
     "events_ab_distribution_test": _AB_TEST_SQL,
+    "documents_chisq_lang_source": _CHISQ_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

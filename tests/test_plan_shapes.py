@@ -115,6 +115,7 @@ BUDGETS = [
     ("incremental_novelty_rate", 0, False),  # finalized per-source rollup; one batch window pass + digest-keyed join upstream
     ("events_type_mad_profile", 0, False),  # driver-assembled per-group report; one (group,value) histogram shuffle upstream
     ("events_ab_distribution_test", 0, False),  # driver-assembled 1-row report; one (group,value) histogram shuffle upstream
+    ("documents_chisq_lang_source", 8, False),  # one corpus (a,b) rollup; margins/grid/terms all KB category-grain
     ("events_cumulative_distinct_users", 4, False),  # user first-touch + day rollup + day-grain window (single task by design) + sort
     ("graph_pagerank_event_transitions", 1, False),  # returned plan: KB rank-table sort; the corpus-scale edge aggregation is consumed upstream
     ("graph_reach_event_transitions", 1, False),  # returned plan: KB hop-table sort; edge aggregation consumed upstream

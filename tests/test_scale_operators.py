@@ -3002,3 +3002,23 @@ def test_two_sample_rank_stats_identical_distributions(spark):
     r = two_sample_rank_stats(df, "g", "value", "a", "b").first()
     assert r.ks_ppm == 0
     assert r.u2_a == 9  # 2U = n_a*n_b for identical distributions
+
+
+def test_chi_square_independence_planted(spark):
+    """Perfectly independent 2x2 grid -> chisq 0; perfectly coupled
+    columns -> chisq ~ n * (cells - ... ) > 0. NULL categories count."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    indep = spark.createDataFrame(
+        [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 4 + [("y", "q")] * 4,
+        "a string, b string",
+    )
+    r = chi_square_independence(indep, "a", "b").first()
+    assert (r.n, r.n_cells, r.dof, r.chisq_q6) == (16, 4, 1, 0)
+    coupled = spark.createDataFrame(
+        [("x", "p")] * 8 + [(None, "q")] * 8, "a string, b string"
+    )
+    r2 = chi_square_independence(coupled, "a", "b").first()
+    assert r2.n_cells == 4 and r2.chisq_q6 == 16_000_000  # chisq == n
