@@ -12512,18 +12512,19 @@ _R7_WINDOW = [
     "decontaminate_against_benchmark",
 ]
 assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
-# R8 window plan (execute next round): the 30 never-driver-checked
+# R8 window plan (execute next round): the 33 never-driver-checked
 # queries lead — the 7 r7-early additions (span_dedup_window_sweep,
 # decontaminate_semantic_benchmark, quality_threshold_sweep,
 # mixture_temperature_allocation, hybrid_rrf_retrieval,
-# ccnet_perplexity_buckets, streaming_span_dedup) then the 23 r7-late
+# ccnet_perplexity_buckets, streaming_span_dedup) then the 26 r7-late
 # additions (versioned-table family ×7, graph ×2, DSIR ×3, PMI, KL,
-# MAD ×2, theilsen, cumulative-distinct, last-touch, zipf, DLQ replay,
-# EWMA, novelty-rate) — followed by ~20 long-tail slots for queries
-# whose newest driver green is r4 (oldest evidence first), since
-# everything last-green r2/r3 was re-confirmed by THIS window. All 30
-# carry local + 5-hostile-variant evidence (CORRECTNESS_LOCAL_r07.json
-# = 214/214, plus per-query sweeps in this round's commit messages).
+# robust stats ×3 incl. grouped, theilsen, cumulative-distinct,
+# last-touch, zipf, DLQ replay, EWMA, novelty-rate, two-sample MW/KS,
+# chi-square) — followed by ~17 long-tail slots for queries whose
+# newest driver green is r4 (oldest evidence first), since everything
+# last-green r2/r3 was re-confirmed by THIS window. All 33 carry local
+# + 5-hostile-variant evidence (CORRECTNESS_LOCAL_r07.json = 217/217,
+# plus per-query sweeps in this round's commit messages).
 QUERIES = {
     name: QUERIES[name]
     for name in (*_R7_WINDOW, *(n for n in QUERIES if n not in set(_R7_WINDOW)))
