@@ -105,7 +105,10 @@ class VersionedStageTable:
         files: list[str],
         schema_json: str,
         epoch: int | None = None,
+        committed_at: float | None = None,
     ) -> int:
+        import time as _time
+
         os.makedirs(self.log_dir, exist_ok=True)
         version = self.versions()[-1] + 1 if self.versions() else 0
         manifest = {
@@ -113,6 +116,11 @@ class VersionedStageTable:
             "op": op,
             "files": sorted(files),
             "schema": schema_json,
+            # wall-clock commit instant, for timestamp time travel
+            # (Delta's timestampAsOf); injectable for deterministic tests
+            "committed_at": (
+                _time.time() if committed_at is None else committed_at
+            ),
         }
         if epoch is not None:
             manifest["epoch"] = epoch
@@ -165,10 +173,38 @@ class VersionedStageTable:
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, rel)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The table as of ``version`` (default: latest). Reading an old
+    def version_at(self, timestamp: float) -> int:
+        """Latest version committed at or before ``timestamp`` (unix
+        seconds) — Delta's ``timestampAsOf`` resolution. Raises
+        :class:`VersionNotFoundError` when the earliest retained commit
+        is newer (identical to Delta: a vacuumed history cannot answer
+        for instants before its retention window). Manifests written
+        before this field existed sort as 0 (always eligible)."""
+        best = None
+        for v in self.versions():
+            if self._manifest(v).get("committed_at", 0.0) <= timestamp:
+                best = v
+        if best is None:
+            raise VersionNotFoundError(
+                f"{self.path}: no version committed at or before "
+                f"{timestamp} (earliest retained is newer)"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        timestamp_as_of: float | None = None,
+    ) -> DataFrame:
+        """The table as of ``version`` (default: latest), or as of a
+        wall-clock instant via ``timestamp_as_of``. Reading an old
         version is a plain parquet scan of that manifest's file list —
         no reconstruction, because manifests are complete snapshots."""
+        if version is not None and timestamp_as_of is not None:
+            raise ValueError("pass version OR timestamp_as_of, not both")
+        if timestamp_as_of is not None:
+            version = self.version_at(timestamp_as_of)
         if version is None:
             version = self.latest_version()
         m = self._manifest(version)

@@ -347,3 +347,23 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
         else:
             with pytest.raises(VersionNotFoundError):
                 t.read(ver)
+
+
+def test_timestamp_as_of_resolution(spark, table):
+    """timestampAsOf picks the latest commit at-or-before the instant;
+    asking before the earliest retained commit refuses (Delta's
+    past-retention behavior). Commit instants injected for determinism."""
+    files0 = table._write_files(_df(spark, [(1, "a")]), 0)
+    table._commit("overwrite", files0, _df(spark, [(1, "a")]).schema.json(),
+                  committed_at=100.0)
+    files1 = table._write_files(_df(spark, [(2, "b")]), 1)
+    table._commit("append", files0 + files1,
+                  _df(spark, [(2, "b")]).schema.json(), committed_at=200.0)
+    assert table.version_at(150.0) == 0
+    assert table.version_at(200.0) == 1
+    assert _rows(table.read(timestamp_as_of=150.0)) == [(1, "a")]
+    assert _rows(table.read(timestamp_as_of=999.0)) == [(1, "a"), (2, "b")]
+    with pytest.raises(VersionNotFoundError):
+        table.version_at(99.9)
+    with pytest.raises(ValueError):
+        table.read(0, timestamp_as_of=150.0)
