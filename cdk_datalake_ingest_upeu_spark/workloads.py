@@ -12512,22 +12512,83 @@ _R7_WINDOW = [
     "decontaminate_against_benchmark",
 ]
 assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
-# R8 window plan (execute next round): the 33 never-driver-checked
-# queries lead — the 7 r7-early additions (span_dedup_window_sweep,
-# decontaminate_semantic_benchmark, quality_threshold_sweep,
-# mixture_temperature_allocation, hybrid_rrf_retrieval,
-# ccnet_perplexity_buckets, streaming_span_dedup) then the 26 r7-late
-# additions (versioned-table family ×7, graph ×2, DSIR ×3, PMI, KL,
-# robust stats ×3 incl. grouped, theilsen, cumulative-distinct,
-# last-touch, zipf, DLQ replay, EWMA, novelty-rate, two-sample MW/KS,
-# chi-square) — followed by ~17 long-tail slots for queries whose
-# newest driver green is r4 (oldest evidence first), since everything
-# last-green r2/r3 was re-confirmed by THIS window. All 33 carry local
-# + 5-hostile-variant evidence (CORRECTNESS_LOCAL_r07.json = 217/217,
-# plus per-query sweeps in this round's commit messages).
+
+# Round-8 driver window (first 50 entries of QUERIES), executing the
+# plan recorded here at the end of r7 and ratified by VERDICT r7 item
+# #1: (a) all 33 never-driver-checked queries — the 7 r7-early
+# additions, then the 26 r7-late additions (versioned-table family ×7,
+# graph ×2, DSIR ×3, PMI, KL, robust stats, Theil-Sen,
+# cumulative-distinct, last-touch, Zipf, DLQ replay, EWMA,
+# novelty-rate, two-sample MW/KS, chi-square) — every one carries
+# local + 5-hostile-variant evidence (CORRECTNESS_LOCAL_r07.json =
+# 217/217); (b) 17 long-tail slots on queries whose newest driver
+# green is r4 (everything last-green r2/r3 was re-confirmed by the r7
+# window), chosen for family coverage: similarity, windowing, joins,
+# sampling, text, streaming, stage-writer (incl. stage_change_feed_apply,
+# whose oracle was rebound-then-fixed in r7 and deserves the hard
+# signal), multimodal, ANN. After this window the catalog is 217/217
+# ever-driver-checked with zero never-checked residue.
+_R8_WINDOW = [
+    # (a) r7-early, never driver-checked
+    "span_dedup_window_sweep",
+    "decontaminate_semantic_benchmark",
+    "quality_threshold_sweep",
+    "mixture_temperature_allocation",
+    "hybrid_rrf_retrieval",
+    "ccnet_perplexity_buckets",
+    "streaming_span_dedup",
+    # (a) r7-late, never driver-checked: versioned-table family
+    "stage_time_travel_read",
+    "stage_version_vacuum",
+    "stage_change_feed_versions",
+    "stage_compact_small_files",
+    "stage_restore_version",
+    "stage_schema_evolution_versions",
+    "streaming_versioned_ingest",
+    # (a) r7-late: graph + DSIR
+    "graph_pagerank_event_transitions",
+    "graph_reach_event_transitions",
+    "dsir_target_domain_selection",
+    "dsir_incremental_scoring",
+    "streaming_dsir_scoring",
+    # (a) r7-late: monitoring / robust-stats / text-stats
+    "events_cumulative_distinct_users",
+    "topk_bigram_pmi",
+    "source_token_kl",
+    "events_mad_outliers",
+    "events_interarrival_robust",
+    "events_daily_trend_theilsen",
+    "events_last_touch_attribution",
+    "corpus_zipf_slope",
+    "quarantine_replay_roundtrip",
+    "events_daily_ewma",
+    "incremental_novelty_rate",
+    "events_type_mad_profile",
+    "events_ab_distribution_test",
+    "documents_chisq_lang_source",
+    # (b) last driver-green in r4 — family-coverage long tail
+    "embedding_neardup",
+    "semantic_neardup_planted",
+    "events_session_window",
+    "bucketed_join_segment_revenue",
+    "corpus_mixture_sample",
+    "text_quality_classifier",
+    "streaming_session_window",
+    "stage_dynamic_partition_overwrite",
+    "stage_zorder_pruned_read",
+    "corpus_token_encoding",
+    "leakage_safe_split_counts",
+    "stage_change_feed_apply",
+    "events_grouping_sets",
+    "multimodal_audio_energy",
+    "sample_stratified_lang",
+    "text_pii_redaction",
+    "ann_topk_int8",
+]
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_R7_WINDOW, *(n for n in QUERIES if n not in set(_R7_WINDOW)))
+    for name in (*_R8_WINDOW, *(n for n in QUERIES if n not in set(_R8_WINDOW)))
 }
 
 
