@@ -585,21 +585,40 @@ def chi_square_independence(
     then canon-quantized to micro-units and summed exactly. Returns one
     row: (n, n_cells, dof, chisq_q6). dof counts observed-margin cells
     ((R-1)*(C-1)); absent combinations contribute their expected mass
-    through the margins, the standard sparse-contingency convention."""
-    cells = df.groupBy(
-        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
-    ).agg(F.count(F.lit(1)).alias("__o"))
+    through the margins, the standard sparse-contingency convention.
+
+    The contingency rollup is persisted so the base table is scanned
+    exactly once — ``cells`` feeds both margins, N, and the grid join,
+    which without the persist would re-run the corpus groupBy four
+    times. An empty input returns the empty frame at the same schema
+    (no statistic exists for n=0) instead of failing on ``n=None``."""
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import (
+        scratch_persist,
+    )
+
+    out_schema = "n long, n_cells long, dof int, chisq_q6 long"
+    cells = scratch_persist(
+        df.groupBy(
+            F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+        ).agg(F.count(F.lit(1)).alias("__o"))
+    )
     ra = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
     cb = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
     n = cells.agg(F.sum("__o")).first()[0]
-    # dense grid: every (observed a, observed b) pair, absent cells o=0
+    if n is None:
+        return df.sparkSession.createDataFrame([], out_schema)
+    # dense grid: every (observed a, observed b) pair, absent cells o=0.
+    # Both margins are category-grain (KB); broadcast the column margin
+    # so the grid is a broadcast nested-loop, never a shuffle.
     grid = (
-        ra.crossJoin(cb)
+        ra.crossJoin(F.broadcast(cb))
         .join(
-            cells.select(
-                F.col("__a").alias("__a2"),
-                F.col("__b").alias("__b2"),
-                "__o",
+            F.broadcast(
+                cells.select(
+                    F.col("__a").alias("__a2"),
+                    F.col("__b").alias("__b2"),
+                    "__o",
+                )
             ),
             F.col("__a").eqNullSafe(F.col("__a2"))
             & F.col("__b").eqNullSafe(F.col("__b2")),

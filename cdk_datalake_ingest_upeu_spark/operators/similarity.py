@@ -426,7 +426,11 @@ def semantic_decontaminate(
         # sum — the sum of exact integers is order-independent
         qd = np.floor(A[:, None, :] * B[None, :, :] * 1e9 + 0.5).sum(axis=2)
         denom = np.sqrt(qa[:, None] * qb[None, :])
-        cos = qd / denom
+        # zero-norm vectors (all-zero corpus doc or benchmark entry)
+        # score cosine 0 deterministically — qd/0 would be NaN and
+        # floor(NaN).astype(int64) is undefined (INT64_MIN on most
+        # platforms), silently corrupting the row.
+        cos = np.where(denom > 0, qd / np.where(denom > 0, denom, 1.0), 0.0)
         q6 = np.floor(cos * 1e6 + 0.5).max(axis=1)
         return pd.Series(q6.astype("int64"))
 

@@ -12,10 +12,10 @@ files stay plain parquet:
 
 - ``<path>/_log/<version 8-digit>.json`` — one manifest per commit,
   holding the COMPLETE file list of the table at that version (relative
-  paths), the operation name, and the schema as JSON. The manifest
-  rename-into-place (``os.replace``) is the commit point, exactly
-  Delta's protocol; concurrent-writer loser detection is out of scope
-  (single-writer here, as in the reference's one-job-per-table design).
+  paths), the operation name, and the schema as JSON. The manifest's
+  atomic create-if-absent (``os.link``) is the commit point, exactly
+  Delta's optimistic-concurrency protocol: a racing writer that loses
+  version N gets :class:`ConcurrentCommitError` and retries on N+1.
 - ``<path>/data/c<version>-<uuid>/part-*.parquet`` — each commit's new
   files land in a fresh subdirectory, so file names never collide and
   no commit ever mutates another commit's files. Old files are left in
@@ -38,12 +38,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_MANIFEST_RE = re.compile(r"\d{8}\.json")
 
 
 class VersionNotFoundError(LookupError):
@@ -77,10 +80,15 @@ class VersionedStageTable:
     def versions(self) -> list[int]:
         if not os.path.isdir(self.log_dir):
             return []
+        # only 8-digit committed manifests count: a process dying between
+        # os.link and the finally-os.remove in _commit can leak a
+        # .tmp-<uuid>.json into _log/, and int() on that name would
+        # otherwise poison every subsequent read/commit/vacuum — the
+        # exact crash the commit protocol exists to survive.
         return sorted(
             int(f[:-5])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
+            if _MANIFEST_RE.fullmatch(f)
         )
 
     def latest_version(self) -> int:
@@ -106,11 +114,21 @@ class VersionedStageTable:
         schema_json: str,
         epoch: int | None = None,
         committed_at: float | None = None,
+        version: int | None = None,
     ) -> int:
+        """Atomically publish ``version``, which mutating callers pin
+        when they read the previous manifest (``None`` recomputes from
+        the current log — only for direct sequential use in tests). For
+        real commits the version is deliberately
+        NOT recomputed from the log here: a writer whose snapshot went
+        stale mid-build would otherwise link a higher version built
+        from old files — a silent lost update instead of the
+        :class:`ConcurrentCommitError` the protocol promises."""
         import time as _time
 
         os.makedirs(self.log_dir, exist_ok=True)
-        version = self.versions()[-1] + 1 if self.versions() else 0
+        if version is None:
+            version = self.versions()[-1] + 1 if self.versions() else 0
         manifest = {
             "version": version,
             "op": op,
@@ -220,7 +238,7 @@ class VersionedStageTable:
         until vacuumed."""
         hint = (self.versions()[-1] + 1) if self.versions() else 0
         files = self._write_files(df, hint)
-        return self._commit("overwrite", files, df.schema.json())
+        return self._commit("overwrite", files, df.schema.json(), version=hint)
 
     def append(
         self,
@@ -255,7 +273,8 @@ class VersionedStageTable:
             hint = 0
             files = self._write_files(df, hint)
             return self._commit(
-                "overwrite", files, df.schema.json(), epoch=epoch
+                "overwrite", files, df.schema.json(), epoch=epoch,
+                version=hint,
             )
         prev = self._manifest(self.latest_version())
         prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
@@ -280,7 +299,8 @@ class VersionedStageTable:
         hint = prev["version"] + 1
         files = self._write_files(df, hint)
         return self._commit(
-            "append", prev["files"] + files, schema.json(), epoch=epoch
+            "append", prev["files"] + files, schema.json(), epoch=epoch,
+            version=hint,
         )
 
     def merge(self, source: DataFrame, key_columns: list[str]) -> int:
@@ -290,15 +310,63 @@ class VersionedStageTable:
         ``light_transform.py:1382-1392``): files holding a matched key
         are rewritten without their matched rows, the source batch is
         written as new files, untouched files carry over by NAME into
-        the new manifest — zero IO for them."""
+        the new manifest — zero IO for them.
+
+        Source contract, matching Delta MERGE's: full-row duplicates in
+        the source are dropped (benign — the reference's upsert drops
+        them too, ``light_transform.py:1380``), but TWO DISTINCT source
+        rows for the same key raise — Delta's multiple-match error —
+        because silently keeping an arbitrary one would make the table's
+        content nondeterministic. The source's columns must match the
+        table's by name and type (the same compatibility check
+        :meth:`append` performs); merge does not evolve schema."""
+        # merge is eager (it ends in file writes), so the batch-scale
+        # source is persisted for its three scans here and unpersisted
+        # before returning — no scratch leaks across queries.
+        source = source.dropDuplicates().persist()
+        try:
+            return self._merge_impl(source, key_columns)
+        finally:
+            source.unpersist()
+
+    def _merge_impl(self, source: DataFrame, key_columns: list[str]) -> int:
+        dup = (
+            source.groupBy(*key_columns)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_repr = {k: dup[0][k] for k in key_columns}
+            raise ValueError(
+                f"{self.path}: merge source has multiple distinct rows "
+                f"for key {key_repr} — Delta MERGE raises on multiple "
+                f"matches; de-duplicate the source to one row per key "
+                f"first"
+            )
         if not self.versions():
             return self.overwrite(source)
         prev = self._manifest(self.latest_version())
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        prev_names = {f.name: f for f in prev_schema.fields}
+        src_names = {f.name: f for f in source.schema.fields}
+        for name, f in src_names.items():
+            if name in prev_names and f.dataType != prev_names[name].dataType:
+                raise ValueError(
+                    f"{self.path}: merge source column {name!r} type "
+                    f"{f.dataType} != table type {prev_names[name].dataType}"
+                )
+        if set(prev_names) != set(src_names):
+            raise ValueError(
+                f"{self.path}: merge source columns {sorted(src_names)} != "
+                f"table columns {sorted(prev_names)}; merge does not evolve "
+                f"schema (use append(merge_schema=True) for new columns)"
+            )
         hint = prev["version"] + 1
-        source = source.dropDuplicates(key_columns)
         if not prev["files"]:
             files = self._write_files(source, hint)
-            return self._commit("merge", files, source.schema.json())
+            return self._commit("merge", files, prev["schema"], version=hint)
         cur = self.spark.read.parquet(*[self._abs(f) for f in prev["files"]])
         keys = source.select(*key_columns).distinct()
         # candidate files: one key-projected scan (at 100 TB: per-file
@@ -323,7 +391,7 @@ class VersionedStageTable:
             new_df = source
         new_files = self._write_files(new_df, hint)
         carried = [f for f in prev["files"] if f not in set(touched)]
-        return self._commit("merge", carried + new_files, prev["schema"])
+        return self._commit("merge", carried + new_files, prev["schema"], version=hint)
 
     def _rel_path(self, uri: str) -> str:
         p = uri
@@ -383,13 +451,14 @@ class VersionedStageTable:
         rewrite of it). The restored files must still exist: restoring
         past a vacuum raises :class:`VersionNotFoundError` exactly as
         Delta refuses to restore beyond its retention."""
+        hint = self.latest_version() + 1
         m = self._manifest(version)
         missing = [f for f in m["files"] if not os.path.exists(self._abs(f))]
         if missing:
             raise VersionNotFoundError(
                 f"{self.path}: version {version} files vacuumed: {missing[:3]}"
             )
-        return self._commit("restore", m["files"], m["schema"])
+        return self._commit("restore", m["files"], m["schema"], version=hint)
 
     # -- maintenance -------------------------------------------------------
 
@@ -420,7 +489,7 @@ class VersionedStageTable:
             hint,
         )
         carried = [f for f in prev["files"] if f not in set(small)]
-        return self._commit("compact", carried + packed, prev["schema"])
+        return self._commit("compact", carried + packed, prev["schema"], version=hint)
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions

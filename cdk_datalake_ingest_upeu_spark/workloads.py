@@ -11694,7 +11694,7 @@ def documents_chisq_lang_source(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return chi_square_independence(docs, "lang", "source")
+    return finalize(chi_square_independence(docs, "lang", "source"))
 
 
 _CHISQ_SQL = """

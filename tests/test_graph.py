@@ -1,8 +1,12 @@
 """domain_pagerank: integer determinism, teleport floor, dangling mass."""
 
+import pytest
 from pyspark.sql import functions as F
 
-from cdk_datalake_ingest_upeu_spark.operators.graph import domain_pagerank
+from cdk_datalake_ingest_upeu_spark.operators.graph import (
+    domain_pagerank,
+    domain_reach,
+)
 
 
 def _edges(spark, rows):
@@ -81,3 +85,44 @@ def test_reach_max_hops_truncates(spark):
     )
     got = {r.node: r.hops for r in df.collect()}
     assert got == {"a": 0, "b": 1}
+
+
+def test_id_grain_table_rejected_before_collect(spark):
+    """An edge table past max_edges raises the named gate error instead
+    of silently collecting a corpus-sized relation to the driver."""
+    from cdk_datalake_ingest_upeu_spark.operators.graph import (
+        EdgeTableTooLargeError,
+    )
+
+    pairs = spark.range(0, 500).selectExpr(
+        "CAST(id AS STRING) AS src",
+        "CAST(id + 1 AS STRING) AS dst",
+        "CAST(1 AS LONG) AS w",
+    )
+    with pytest.raises(EdgeTableTooLargeError, match="domain grain"):
+        domain_pagerank(pairs, max_edges=100)
+    with pytest.raises(EdgeTableTooLargeError, match="domain grain"):
+        domain_reach(pairs, ["0"], max_edges=100)
+    # at-or-under the gate still runs
+    small = pairs.limit(3)
+    assert domain_pagerank(small, max_edges=100).count() > 0
+
+
+def test_zero_outweight_source_is_dangling_not_crash(spark):
+    """All-zero aggregated weights for a source must not divide by zero:
+    the source pushes no mass (dangling), everything else proceeds."""
+    edges = spark.createDataFrame(
+        [("a", "b", 0), ("b", "c", 5)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["pr_scaled"] for r in domain_pagerank(edges).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"] == 150_000_000  # teleport only: nothing ranks into a
+    assert got["c"] > got["a"]  # b's full mass flows to c
+
+
+def test_negative_weight_rejected(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", -1)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        domain_pagerank(edges)

@@ -238,3 +238,36 @@ def test_no_rebound_sql_constants():
     names = re.findall(r"^(_[A-Z0-9_]+SQL) = (?!None\b)", src, re.M)
     dupes = [n for n, c in collections.Counter(names).items() if c > 1]
     assert not dupes, f"rebound SQL constants: {dupes}"
+
+
+def test_chisq_scans_base_table_once(spark):
+    """chi_square_independence persists the contingency rollup, so the
+    base table is scanned exactly once (materialized when N is read
+    inside the operator); the margins, grid join, and term sum must all
+    read the in-memory rollup — the returned plan contains NO parquet
+    scan of the base table (r7 finding: four full corpus scans)."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        chi_square_independence,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import (
+        release_scratch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        out = chi_square_independence(docs, "lang", "source")
+        plan = _executed_plan(out)
+        assert "InMemoryTableScan" in plan, plan[:1500]
+        # margins + grid all read the cache: three InMemoryTableScans
+        assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+        # every FileScan in the text is embedded in an InMemoryRelation
+        # print (each prints its cached plan twice: AQE initial+final);
+        # a LIVE re-scan of the base table would exceed that count.
+        assert plan.count("FileScan parquet") <= 2 * plan.count(
+            "InMemoryRelation"
+        ), (
+            "grid/margins re-scan the base table instead of the "
+            "persisted rollup:\n" + plan[:1500]
+        )
+    finally:
+        release_scratch()

@@ -3022,3 +3022,38 @@ def test_chi_square_independence_planted(spark):
     )
     r2 = chi_square_independence(coupled, "a", "b").first()
     assert r2.n_cells == 4 and r2.chisq_q6 == 16_000_000  # chisq == n
+
+
+def test_chi_square_empty_input_returns_empty_frame(spark):
+    """n=0 has no statistic: the empty-schema frame comes back instead
+    of a TypeError on int(None)."""
+    from cdk_datalake_ingest_upeu_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    empty = spark.createDataFrame([], "a string, b string")
+    out = chi_square_independence(empty, "a", "b")
+    assert out.columns == ["n", "n_cells", "dof", "chisq_q6"]
+    assert out.count() == 0
+
+
+def test_semantic_decontaminate_zero_norm_scores_zero(spark):
+    """A zero vector on either side scores cosine 0 deterministically —
+    NaN would floor to an undefined int64 (INT64_MIN on most platforms)."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [("z", [0.0, 0.0]), ("u", [1.0, 0.0])],
+        "doc_id string, emb array<double>",
+    )
+    rows = {
+        r["doc_id"]: (r["max_bench_cosine_q6"], r["contaminated"])
+        for r in semantic_decontaminate(
+            corpus, [[1.0, 0.0], [0.0, 0.0]], corpus_id="doc_id",
+            corpus_vec="emb", threshold=0.9,
+        ).collect()
+    }
+    assert rows["z"] == (0, False)        # zero corpus vec: all cosines 0
+    assert rows["u"] == (1_000_000, True)  # unit match ignores the zero bench

@@ -367,3 +367,85 @@ def test_timestamp_as_of_resolution(spark, table):
         table.version_at(99.9)
     with pytest.raises(ValueError):
         table.read(0, timestamp_as_of=150.0)
+
+
+def test_leaked_tmp_manifest_does_not_poison_log(spark, table):
+    """A process dying between os.link and the finally-os.remove leaves
+    .tmp-<uuid>.json in _log/; the log listing must ignore it (r7 bug:
+    int('.tmp-...') poisoned every subsequent read/commit/vacuum)."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    leaked = os.path.join(table.log_dir, ".tmp-deadbeef.json")
+    with open(leaked, "w", encoding="utf-8") as fh:
+        fh.write("{}")
+    assert table.versions() == [0]
+    v1 = table.append(_df(spark, [(2, "b")]))
+    assert v1 == 1
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    table.vacuum(retain_last=1)
+    assert table.versions() == [1]
+
+
+def test_merge_raises_on_multiple_distinct_rows_per_key(spark, table):
+    """Two DISTINCT source rows for one key is Delta MERGE's
+    multiple-match error — keeping an arbitrary one would make table
+    content nondeterministic. Full-row duplicates remain benign."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="multiple distinct rows"):
+        table.merge(_df(spark, [(1, "x"), (1, "y")]), ["k"])
+    # table unchanged: the failed merge committed nothing
+    assert table.versions() == [0]
+    assert _rows(table.read()) == [(1, "a")]
+
+
+def test_merge_validates_source_schema(spark, table):
+    """merge applies append's column-compatibility check: extra or
+    missing source columns raise instead of silently vanishing under
+    the previous manifest's schema; so does a type change."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    extra = spark.createDataFrame([(9, "z", 1.5)], "k int, v string, x double")
+    with pytest.raises(ValueError, match="columns"):
+        table.merge(extra, ["k"])
+    missing = spark.createDataFrame([(9,)], "k int")
+    with pytest.raises(ValueError, match="columns"):
+        table.merge(missing, ["k"])
+    retyped = spark.createDataFrame([(9, 7)], "k int, v int")
+    with pytest.raises(ValueError, match="type"):
+        table.merge(retyped, ["k"])
+    assert table.versions() == [0]
+
+
+def test_two_writer_interleaved_commit_race(spark, tmp_path):
+    """Real contention on the os.link commit point: two threads race
+    every version; exactly one wins each, the loser retries on the next
+    version, and the final table holds every writer's rows exactly once."""
+    import threading
+
+    path = str(tmp_path / "race")
+    VersionedStageTable(spark, path).overwrite(_df(spark, [(0, "seed")]))
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    losses = []
+
+    def writer(tag: str, keys: list) -> None:
+        t = VersionedStageTable(spark, path)
+        for k in keys:
+            batch = _df(spark, [(k, tag)])
+            while True:
+                try:
+                    t.append(batch)
+                    break
+                except ConcurrentCommitError:
+                    losses.append((tag, k))
+    t1 = threading.Thread(target=writer, args=("w1", [1, 2, 3]))
+    t2 = threading.Thread(target=writer, args=("w2", [11, 12, 13]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    t = VersionedStageTable(spark, path)
+    # one seed + six appends, each a distinct committed version
+    assert t.versions() == list(range(7))
+    got = _rows(t.read())
+    assert got == [(0, "seed"), (1, "w1"), (2, "w1"), (3, "w1"),
+                   (11, "w2"), (12, "w2"), (13, "w2")]
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["overwrite"] + ["append"] * 6
