@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_RE = re.compile(r"\d{8}\.json")
+_TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
 
 
 class VersionNotFoundError(LookupError):
@@ -58,6 +59,12 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — the optimistic-
     concurrency loser signal (Delta's ConcurrentModificationException).
     The loser re-reads the latest manifest and retries its commit."""
+
+
+class ConstraintViolationError(ValueError):
+    """An incoming batch violates a table CHECK constraint — Delta's
+    ``DeltaInvariantViolationException``. The commit is refused and the
+    table is unchanged."""
 
 
 class VersionedStageTable:
@@ -115,6 +122,7 @@ class VersionedStageTable:
         epoch: int | None = None,
         committed_at: float | None = None,
         version: int | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Atomically publish ``version``, which mutating callers pin
         when they read the previous manifest (``None`` recomputes from
@@ -142,6 +150,8 @@ class VersionedStageTable:
         }
         if epoch is not None:
             manifest["epoch"] = epoch
+        if constraints:
+            manifest["constraints"] = constraints
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
@@ -162,6 +172,117 @@ class VersionedStageTable:
         finally:
             os.remove(tmp)
         return version
+
+    def constraints(self) -> dict:
+        """Active CHECK constraints (name -> SQL boolean expression) at
+        the latest version — Delta's table-level CHECK constraints,
+        carried forward manifest-to-manifest like the schema."""
+        if not self.versions():
+            return {}
+        return dict(
+            self._manifest(self.latest_version()).get("constraints") or {}
+        )
+
+    def _enforce(self, df: DataFrame, constraints: dict) -> None:
+        """Refuse a batch whose rows violate any CHECK constraint.
+
+        SQL CHECK semantics (Delta's too): a row violates only when the
+        expression is FALSE — NULL/unknown passes. The probe is a
+        bounded ``limit(1).count()`` per constraint, batch-scale."""
+        for name in sorted(constraints):
+            expr = constraints[name]
+            bad = (
+                df.filter(F.expr(expr).cast("boolean") == F.lit(False))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"{self.path}: batch violates CHECK constraint "
+                    f"{name!r} ({expr}); commit refused, table unchanged"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr) — validates the
+        EXISTING table satisfies the constraint (one scan, exactly as
+        Delta does), then commits a zero-IO ``set_constraint`` version
+        carrying the files forward by name. Every subsequent
+        overwrite/append/merge batch is checked against it."""
+        if not _TAG_RE.fullmatch(name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        prev = self._manifest(self.latest_version())
+        hint = prev["version"] + 1
+        cons = dict(prev.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"{self.path}: constraint {name!r} already exists "
+                f"({cons[name]}); drop it first"
+            )
+        self._enforce(self.read(), {name: expr})
+        cons[name] = expr
+        return self._commit(
+            "set_constraint", prev["files"], prev["schema"],
+            version=hint, constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — zero-IO bookkeeping commit."""
+        prev = self._manifest(self.latest_version())
+        hint = prev["version"] + 1
+        cons = dict(prev.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"{self.path}: no constraint {name!r}")
+        del cons[name]
+        return self._commit(
+            "drop_constraint", prev["files"], prev["schema"],
+            version=hint, constraints=cons,
+        )
+
+    # -- named refs (tags) ---------------------------------------------------
+
+    @property
+    def refs_dir(self) -> str:
+        return os.path.join(self.log_dir, "refs")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a NAME to a version — Iceberg's tags (named snapshot
+        refs; Delta approximates with a timestamp bookmark). Tags are
+        mutable refs: re-tagging replaces atomically (``os.replace``).
+        A tagged version survives :meth:`vacuum` regardless of the
+        retention count — exactly Iceberg's tag-retention rule — so
+        ``tag('audit-2024q4', v)`` is a durable, named time-travel
+        anchor while untagged history ages out."""
+        if not _TAG_RE.fullmatch(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        if version is None:
+            version = self.latest_version()
+        self._manifest(version)  # must exist
+        os.makedirs(self.refs_dir, exist_ok=True)
+        tmp = os.path.join(
+            self.refs_dir, f".tmp-{uuid.uuid4().hex[:8]}.json"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, os.path.join(self.refs_dir, f"{name}.json"))
+        return version
+
+    def tags(self) -> dict:
+        """All named refs as {tag_name: version}."""
+        if not os.path.isdir(self.refs_dir):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(self.refs_dir)):
+            if not f.endswith(".json") or f.startswith("."):
+                continue
+            with open(os.path.join(self.refs_dir, f), encoding="utf-8") as fh:
+                out[f[:-5]] = json.load(fh)["version"]
+        return out
+
+    def untag(self, name: str) -> None:
+        p = os.path.join(self.refs_dir, f"{name}.json")
+        if not os.path.exists(p):
+            raise VersionNotFoundError(f"{self.path}: no tag {name!r}")
+        os.remove(p)
 
     def history(self) -> list[dict]:
         """Version, op, file count per commit — Delta's DESCRIBE HISTORY."""
@@ -214,13 +335,22 @@ class VersionedStageTable:
         version: int | None = None,
         *,
         timestamp_as_of: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """The table as of ``version`` (default: latest), or as of a
-        wall-clock instant via ``timestamp_as_of``. Reading an old
-        version is a plain parquet scan of that manifest's file list —
-        no reconstruction, because manifests are complete snapshots."""
-        if version is not None and timestamp_as_of is not None:
-            raise ValueError("pass version OR timestamp_as_of, not both")
+        """The table as of ``version`` (default: latest), as of a
+        wall-clock instant via ``timestamp_as_of``, or at a named ref
+        via ``tag``. Reading an old version is a plain parquet scan of
+        that manifest's file list — no reconstruction, because
+        manifests are complete snapshots."""
+        if sum(x is not None for x in (version, timestamp_as_of, tag)) > 1:
+            raise ValueError("pass at most one of version/timestamp_as_of/tag")
+        if tag is not None:
+            refs = self.tags()
+            if tag not in refs:
+                raise VersionNotFoundError(
+                    f"{self.path}: no tag {tag!r} (have {sorted(refs)})"
+                )
+            version = refs[tag]
         if timestamp_as_of is not None:
             version = self.version_at(timestamp_as_of)
         if version is None:
@@ -235,10 +365,17 @@ class VersionedStageTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-replace commit. Old files stay on disk (time travel)
-        until vacuumed."""
+        until vacuumed. CHECK constraints carry forward and the new
+        content must satisfy them."""
+        cons = self.constraints()
+        if cons:
+            self._enforce(df, cons)
         hint = (self.versions()[-1] + 1) if self.versions() else 0
         files = self._write_files(df, hint)
-        return self._commit("overwrite", files, df.schema.json(), version=hint)
+        return self._commit(
+            "overwrite", files, df.schema.json(), version=hint,
+            constraints=cons,
+        )
 
     def append(
         self,
@@ -277,6 +414,9 @@ class VersionedStageTable:
                 version=hint,
             )
         prev = self._manifest(self.latest_version())
+        cons = dict(prev.get("constraints") or {})
+        if cons:
+            self._enforce(df, cons)
         prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
         prev_names = {f.name: f for f in prev_schema.fields}
         new_names = {f.name: f for f in df.schema.fields}
@@ -300,7 +440,7 @@ class VersionedStageTable:
         files = self._write_files(df, hint)
         return self._commit(
             "append", prev["files"] + files, schema.json(), epoch=epoch,
-            version=hint,
+            version=hint, constraints=cons,
         )
 
     def merge(self, source: DataFrame, key_columns: list[str]) -> int:
@@ -348,6 +488,9 @@ class VersionedStageTable:
         if not self.versions():
             return self.overwrite(source)
         prev = self._manifest(self.latest_version())
+        cons = dict(prev.get("constraints") or {})
+        if cons:
+            self._enforce(source, cons)
         prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
         prev_names = {f.name: f for f in prev_schema.fields}
         src_names = {f.name: f for f in source.schema.fields}
@@ -366,7 +509,10 @@ class VersionedStageTable:
         hint = prev["version"] + 1
         if not prev["files"]:
             files = self._write_files(source, hint)
-            return self._commit("merge", files, prev["schema"], version=hint)
+            return self._commit(
+                "merge", files, prev["schema"], version=hint,
+                constraints=cons,
+            )
         cur = self.spark.read.parquet(*[self._abs(f) for f in prev["files"]])
         keys = source.select(*key_columns).distinct()
         # candidate files: one key-projected scan (at 100 TB: per-file
@@ -391,13 +537,56 @@ class VersionedStageTable:
             new_df = source
         new_files = self._write_files(new_df, hint)
         carried = [f for f in prev["files"] if f not in set(touched)]
-        return self._commit("merge", carried + new_files, prev["schema"], version=hint)
+        return self._commit(
+            "merge", carried + new_files, prev["schema"], version=hint,
+            constraints=cons,
+        )
 
     def _rel_path(self, uri: str) -> str:
         p = uri
         if p.startswith("file:"):
             p = "/" + p[5:].lstrip("/")
         return os.path.relpath(p, self.path)
+
+    def delete(self, condition: str) -> int:
+        """DELETE FROM table WHERE condition — copy-on-write at file
+        granularity, Delta DELETE's execution shape: one
+        condition-projected scan finds the files that CONTAIN a
+        matching row, only those are rewritten without their matching
+        rows, everything else carries over by name with zero IO. Rows
+        where the condition is NULL are kept (SQL DELETE semantics:
+        only rows where the predicate is TRUE are removed). Returns the
+        new version, or the current one unchanged when nothing matched
+        (Delta likewise skips the empty commit).
+
+        Scale shape: cost is the matched files, never the table; at
+        100 TB the candidate set would come from per-file min/max or
+        Bloom stats (see module docstring) instead of the scan."""
+        prev = self._manifest(self.latest_version())
+        hint = prev["version"] + 1
+        if not prev["files"]:
+            return prev["version"]
+        cond = F.expr(condition).cast("boolean")
+        cur = self.spark.read.parquet(*[self._abs(f) for f in prev["files"]])
+        touched_rows = (
+            cur.withColumn("__file", F.input_file_name())
+            .filter(cond)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched = sorted(self._rel_path(r["__file"]) for r in touched_rows)
+        if not touched:
+            return prev["version"]
+        kept = self.spark.read.parquet(
+            *[self._abs(f) for f in touched]
+        ).filter(~F.coalesce(cond, F.lit(False)))
+        new_files = self._write_files(kept, hint)
+        carried = [f for f in prev["files"] if f not in set(touched)]
+        return self._commit(
+            "delete", carried + new_files, prev["schema"], version=hint,
+            constraints=dict(prev.get("constraints") or {}),
+        )
 
     # -- change feed ---------------------------------------------------------
 
@@ -458,7 +647,10 @@ class VersionedStageTable:
             raise VersionNotFoundError(
                 f"{self.path}: version {version} files vacuumed: {missing[:3]}"
             )
-        return self._commit("restore", m["files"], m["schema"], version=hint)
+        return self._commit(
+            "restore", m["files"], m["schema"], version=hint,
+            constraints=self.constraints(),
+        )
 
     # -- maintenance -------------------------------------------------------
 
@@ -489,7 +681,10 @@ class VersionedStageTable:
             hint,
         )
         carried = [f for f in prev["files"] if f not in set(small)]
-        return self._commit("compact", carried + packed, prev["schema"], version=hint)
+        return self._commit(
+            "compact", carried + packed, prev["schema"], version=hint,
+            constraints=dict(prev.get("constraints") or {}),
+        )
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions
@@ -502,7 +697,9 @@ class VersionedStageTable:
         vs = self.versions()
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
-        keep = set(vs[-retain_last:])
+        # tagged versions are retained regardless of the count —
+        # Iceberg's tag-retention rule: a named ref is a durable anchor
+        keep = set(vs[-retain_last:]) | set(self.tags().values())
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._manifest(v)["files"])

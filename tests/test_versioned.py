@@ -449,3 +449,94 @@ def test_two_writer_interleaved_commit_race(spark, tmp_path):
                    (11, "w2"), (12, "w2"), (13, "w2")]
     ops = [h["op"] for h in t.history()]
     assert ops == ["overwrite"] + ["append"] * 6
+
+
+def test_delete_is_cow_and_keeps_null_condition_rows(spark, table):
+    """COW DELETE: files without a matching row carry over by name; the
+    rewritten files lose exactly the TRUE-condition rows (NULL keeps,
+    SQL DELETE semantics); old versions stay readable."""
+    table.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30), (4, 40)], "k int, v int"
+        )
+    )
+    f0 = set(table._manifest(0)["files"])
+    v1 = table.delete("v > 25")
+    assert v1 == 1
+    assert _rows(table.read()) == [(1, 10), (2, None)]
+    assert _rows(table.read(0)) == [(1, 10), (2, None), (3, 30), (4, 40)]
+    ops = [h["op"] for h in table.history()]
+    assert ops == ["overwrite", "delete"]
+    # change feed shows only deletes
+    ch = table.changes(0, 1)
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+    assert sorted(r["k"] for r in ch.collect()) == [3, 4]
+    # untouched files carried by name (single-file v0 may rewrite all;
+    # only assert carry when some v0 file held no matching row)
+    untouched = {
+        f for f in f0
+        if spark.read.parquet(table._abs(f)).filter("v > 25").count() == 0
+    }
+    assert untouched <= set(table._manifest(1)["files"])
+
+
+def test_delete_no_match_is_noop(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    assert table.delete("k = 999") == 0
+    assert table.versions() == [0]
+
+
+def test_tags_read_and_survive_vacuum(spark, table):
+    """Iceberg-style named refs: read(tag=) resolves; a tagged version
+    survives vacuum past the retention count; untag then vacuum drops it."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.overwrite(_df(spark, [(2, "b")]))
+    table.overwrite(_df(spark, [(3, "c")]))
+    table.tag("baseline", 0)
+    assert table.tags() == {"baseline": 0}
+    assert _rows(table.read(tag="baseline")) == [(1, "a")]
+    out = table.vacuum(retain_last=1)
+    assert out["versions_dropped"] == [1]  # 0 is tagged, 2 retained
+    assert _rows(table.read(tag="baseline")) == [(1, "a")]
+    with pytest.raises(VersionNotFoundError):
+        table.read(1)
+    table.untag("baseline")
+    out2 = table.vacuum(retain_last=1)
+    assert out2["versions_dropped"] == [0]
+    with pytest.raises(VersionNotFoundError):
+        table.read(tag="baseline")
+    with pytest.raises(ValueError):
+        table.tag("bad name!")
+
+
+def test_check_constraints_enforced_on_commits(spark, table):
+    """ADD CONSTRAINT validates existing data, then every subsequent
+    batch: FALSE rows refuse the commit (table unchanged), NULL rows
+    pass (SQL CHECK semantics), and the constraint carries forward
+    through later commits."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+
+    table.overwrite(
+        spark.createDataFrame([(1, 10), (2, None)], "k int, v int")
+    )
+    v = table.add_constraint("v_positive", "v > 0")
+    assert v == 1 and table.constraints() == {"v_positive": "v > 0"}
+    # violating batch refused on append AND merge, table unchanged
+    bad = spark.createDataFrame([(3, -5)], "k int, v int")
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        table.append(bad)
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        table.merge(bad, ["k"])
+    assert table.latest_version() == 1
+    # NULL passes; good rows pass; constraint survives the commit
+    table.append(spark.createDataFrame([(4, None), (5, 50)], "k int, v int"))
+    assert table.constraints() == {"v_positive": "v > 0"}
+    # adding a constraint the EXISTING table violates is refused
+    with pytest.raises(ConstraintViolationError):
+        table.add_constraint("k_small", "k < 3")
+    table.drop_constraint("v_positive")
+    assert table.constraints() == {}
+    table.append(bad)  # now allowed
+    assert (3, -5) in _rows(table.read())
