@@ -11772,6 +11772,339 @@ FROM d ORDER BY day
 """
 
 
+def stage_versioned_delete(spark, sf_dir):
+    """Copy-on-write DELETE on the versioned stage table — Delta
+    DELETE's analog on the parquet commit log (``operators/versioned.py
+    delete``; the reference gets DELETE from Delta itself,
+    ``light_transform.py:1363-1409``, image-blocked here). v0 overwrite
+    (pre-1997 orders), v1 append (the 1997 slice), v2 DELETE of
+    ``o_orderkey % 7 = 3`` — only files containing a matching row are
+    rewritten (matched rows removed, NULL-condition rows kept, SQL
+    DELETE semantics), everything else carries by name. The output pins
+    every version's aggregates (historical versions stay byte-stable
+    across the delete) plus the row-exact change feed for each
+    transition: the delete's feed must be deletes-only and count
+    exactly the matching rows — rows rewritten unchanged into new files
+    must cancel out. Scale shape: delete cost = matched files; the feed
+    reads only symmetric-difference files."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vdel"), "orders_versioned")
+    )
+    t.overwrite(
+        base.filter(F.col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_totalprice")
+    )
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        ).select("o_orderkey", "o_totalprice")
+    )
+    t.delete("o_orderkey % 7 = 3")
+    ops = {h["version"]: h["op"] for h in t.history()}
+    frames = []
+    for v in sorted(ops):
+        if v == 0:
+            fd = fi = 0
+        else:
+            cc = {
+                r["_change_type"]: r["n"]
+                for r in t.changes(v - 1, v)
+                .groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            fd, fi = int(cc.get("delete", 0)), int(cc.get("insert", 0))
+        frames.append(
+            t.read(v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+                (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                    "price_sum"
+                ),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(ops[v]).alias("op"),
+                "*",
+                F.lit(fd).cast("long").alias("feed_deletes"),
+                F.lit(fi).cast("long").alias("feed_inserts"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+_VERSIONED_DELETE_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+), v0 AS (
+  SELECT o_orderkey, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), app AS (
+  SELECT o_orderkey, o_totalprice FROM base
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+), v1 AS (
+  SELECT * FROM v0 UNION ALL SELECT * FROM app
+), v2 AS (
+  SELECT * FROM v1 WHERE (o_orderkey % 7 = 3) IS NOT TRUE
+), aggs AS (
+  SELECT 0 AS version, 'overwrite' AS op, count(*) AS n_rows,
+         CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+         CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+           AS price_sum
+  FROM v0
+  UNION ALL
+  SELECT 1, 'append', count(*),
+         CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT),
+         CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+  FROM v1
+  UNION ALL
+  SELECT 2, 'delete', count(*),
+         CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT),
+         CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+  FROM v2
+), feeds AS (
+  SELECT 0 AS version, CAST(0 AS BIGINT) AS feed_deletes,
+         CAST(0 AS BIGINT) AS feed_inserts
+  UNION ALL
+  SELECT 1, CAST(0 AS BIGINT), (SELECT count(*) FROM app)
+  UNION ALL
+  SELECT 2,
+         (SELECT count(*) FROM v1 WHERE o_orderkey % 7 = 3),
+         CAST(0 AS BIGINT)
+)
+SELECT a.version, a.op, a.n_rows, a.key_sum, a.price_sum,
+       f.feed_deletes, f.feed_inserts
+FROM aggs a JOIN feeds f ON a.version = f.version
+ORDER BY a.version
+"""
+
+
+def stage_tagged_reads(spark, sf_dir):
+    """Iceberg-style named refs on the versioned stage table
+    (``operators/versioned.py tag/read(tag=)/vacuum``): tags are
+    mutable named snapshot anchors, and a TAGGED version survives
+    VACUUM past the retention count — the audit-pin workflow
+    (``tag('baseline', v)`` before a risky rewrite). v0 overwrite
+    (pre-1996, tagged 'baseline'), v1 overwrite (1996-H1, orphaned),
+    v2 overwrite (pre-1997), v3 append (1997-H1); then
+    ``vacuum(retain_last=2)`` must drop exactly the untagged v1 while
+    the baseline tag still reads v0 byte-stable. One row pins the tag
+    resolution, both states' aggregates, and the retention booleans."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        VersionNotFoundError,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vtag"), "orders_versioned")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1996-01-01"))
+    t.tag("baseline")
+    t.overwrite(
+        base.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+    )
+    res = t.vacuum(retain_last=2)
+    try:
+        t.read(1)
+        v1_unreadable = False
+    except VersionNotFoundError:
+        v1_unreadable = True
+
+    def _agg(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("ks"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias("ps"),
+        ).first()
+
+    b, cur = _agg(t.read(tag="baseline")), _agg(t.read())
+    return spark.createDataFrame(
+        [
+            (
+                int(t.tags()["baseline"]),
+                len(t.tags()),
+                bool(res["versions_dropped"] == [1]),
+                v1_unreadable,
+                int(b["n"]),
+                int(b["ks"]) if b["ks"] is not None else None,
+                float(b["ps"]) if b["ps"] is not None else None,
+                int(cur["n"]),
+                int(cur["ks"]) if cur["ks"] is not None else None,
+                float(cur["ps"]) if cur["ps"] is not None else None,
+            )
+        ],
+        "tag_version int, n_tags int, dropped_only_untagged boolean, "
+        "untagged_unreadable boolean, baseline_n bigint, baseline_key_sum "
+        "bigint, baseline_price_sum double, latest_n bigint, latest_key_sum "
+        "bigint, latest_price_sum double",
+    )
+
+
+_TAGGED_READS_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+), b AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS ks,
+         CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+           AS ps
+  FROM base WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), cur AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS ks,
+         CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+           AS ps
+  FROM base WHERE o_orderdate < TIMESTAMP '1997-07-01'
+)
+SELECT CAST(0 AS INT) AS tag_version, CAST(1 AS INT) AS n_tags,
+       TRUE AS dropped_only_untagged, TRUE AS untagged_unreadable,
+       b.n AS baseline_n, b.ks AS baseline_key_sum,
+       b.ps AS baseline_price_sum,
+       cur.n AS latest_n, cur.ks AS latest_key_sum,
+       cur.ps AS latest_price_sum
+FROM b, cur
+"""
+
+
+def stage_check_constraints(spark, sf_dir):
+    """Table-level CHECK constraints on the versioned stage table —
+    Delta's ``ALTER TABLE ADD CONSTRAINT`` (``operators/versioned.py
+    add_constraint``): adding validates EXISTING data first; every
+    subsequent batch is checked and a FALSE row refuses the whole
+    commit (table unchanged — the atomicity the log protocol
+    provides), while NULL rows pass (SQL CHECK semantics). v0
+    overwrite (pre-1997), v1 set_constraint (key >= 0 — the key is
+    non-negative in every fixture shape, where prices are not), v2
+    good append (1997-H1), refused append (1997-H2 with negated
+    keys), v3 drop_constraint, v4 the same batch now landing. One
+    row pins the refusal booleans and the final state's aggregates —
+    the negated rows must appear exactly once."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConstraintViolationError,
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vchk"), "orders_versioned")
+    )
+    t.overwrite(
+        base.filter(F.col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_totalprice")
+    )
+    t.add_constraint("key_nonneg", "o_orderkey >= 0")
+    t.append(
+        base.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        ).select("o_orderkey", "o_totalprice")
+    )
+    v_before_refusal = t.latest_version()
+    bad = base.filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_totalprice"
+    )
+    try:
+        t.append(bad)
+        refused = False
+    except ConstraintViolationError:
+        refused = True
+    unchanged = t.latest_version() == v_before_refusal
+    carried = t.constraints() == {"key_nonneg": "o_orderkey >= 0"}
+    t.drop_constraint("key_nonneg")
+    t.append(bad)
+    agg = (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("ks"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias("ps"),
+            F.sum(
+                F.when(F.col("o_orderkey") < 0, 1).otherwise(0)
+            ).cast("long").alias("n_negative"),
+        )
+        .first()
+    )
+    ops = [h["op"] for h in t.history()]
+    return spark.createDataFrame(
+        [
+            (
+                refused,
+                unchanged,
+                carried,
+                bool(
+                    ops
+                    == [
+                        "overwrite",
+                        "set_constraint",
+                        "append",
+                        "drop_constraint",
+                        "append",
+                    ]
+                ),
+                int(agg["n"]),
+                int(agg["ks"]) if agg["ks"] is not None else None,
+                float(agg["ps"]) if agg["ps"] is not None else None,
+                int(agg["n_negative"]),
+            )
+        ],
+        "violation_refused boolean, table_unchanged boolean, "
+        "constraint_carried boolean, history_ops_exact boolean, "
+        "final_n bigint, final_key_sum bigint, final_price_sum double, "
+        "n_negative bigint",
+    )
+
+
+_CHECK_CONSTRAINTS_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+), final AS (
+  SELECT o_orderkey, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1997-07-01'
+  UNION ALL
+  SELECT -o_orderkey - 1, o_totalprice FROM base
+  WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT TRUE AS violation_refused, TRUE AS table_unchanged,
+       TRUE AS constraint_carried, TRUE AS history_ops_exact,
+       count(*) AS final_n,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS final_key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS final_price_sum,
+       CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM final
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -12024,6 +12357,10 @@ QUERIES = {
     "events_type_mad_profile": events_type_mad_profile,
     "events_ab_distribution_test": events_ab_distribution_test,
     "documents_chisq_lang_source": documents_chisq_lang_source,
+    # --- round-9 additions (behind the r8 window; lead the r9 one) ---
+    "stage_versioned_delete": stage_versioned_delete,
+    "stage_tagged_reads": stage_tagged_reads,
+    "stage_check_constraints": stage_check_constraints,
 }
 
 ORACLES = {
@@ -12244,6 +12581,9 @@ ORACLES = {
     "events_type_mad_profile": _TYPE_MAD_SQL,
     "events_ab_distribution_test": _AB_TEST_SQL,
     "documents_chisq_lang_source": _CHISQ_SQL,
+    "stage_versioned_delete": _VERSIONED_DELETE_SQL,
+    "stage_tagged_reads": _TAGGED_READS_SQL,
+    "stage_check_constraints": _CHECK_CONSTRAINTS_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -12281,6 +12621,9 @@ _MICRO_CANON_COLS = {
     "stage_restore_version": ['price_sum'],
     "stage_schema_evolution_versions": ['price_sum'],
     "streaming_versioned_ingest": ['price_sum'],
+    "stage_versioned_delete": ['price_sum'],
+    "stage_tagged_reads": ['baseline_price_sum', 'latest_price_sum'],
+    "stage_check_constraints": ['final_price_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "events_last_touch_attribution": ['total_value'],

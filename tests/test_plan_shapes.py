@@ -119,6 +119,9 @@ BUDGETS = [
     ("events_cumulative_distinct_users", 4, False),  # user first-touch + day rollup + day-grain window (single task by design) + sort
     ("graph_pagerank_event_transitions", 1, False),  # returned plan: KB rank-table sort; the corpus-scale edge aggregation is consumed upstream
     ("graph_reach_event_transitions", 1, False),  # returned plan: KB hop-table sort; edge aggregation consumed upstream
+    ("stage_versioned_delete", 3, False),  # three 1-row aggs over per-version manifest scans; COW delete + feeds are upstream jobs
+    ("stage_tagged_reads", 0, False),  # driver-assembled 1-row summary; tag/vacuum IO upstream
+    ("stage_check_constraints", 0, False),  # driver-assembled 1-row summary; constraint probes are bounded upstream counts
 ]
 
 
