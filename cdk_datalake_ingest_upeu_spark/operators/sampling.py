@@ -333,6 +333,7 @@ def dsir_importance_select(
     buckets: int = 4096,
     seed: str = "dsir",
     fraction: float = 0.25,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Data Selection via Importance Resampling over hashed unigrams —
     DSIR (Xie et al., NeurIPS 2023): score every pool document by how
@@ -384,7 +385,8 @@ def dsir_importance_select(
         F.trim(F.col(text_col)) != ""
     )
     index = dsir_count_index(
-        base, F.col("__t"), text_col=text_col, buckets=buckets, seed=seed
+        base, F.col("__t"), text_col=text_col, buckets=buckets, seed=seed,
+        ngram_max=ngram_max,
     )
     lam = dsir_lam_table(index, buckets=buckets)
     # doc-grain (id, n_tok, score_q4) — persisted because both the
@@ -398,6 +400,7 @@ def dsir_importance_select(
             text_col=text_col,
             buckets=buckets,
             seed=seed,
+            ngram_max=ngram_max,
         )
     )
     thr = dsir_top_fraction_threshold(perdoc, fraction)
@@ -414,14 +417,36 @@ def _dsir_token_stream(
     text_col: str,
     buckets: int,
     seed: str,
+    ngram_max: int = 1,
 ) -> DataFrame:
-    """(keep_cols..., __b) — one row per whitespace token, bucketed by
-    the md5 hash. Pure codegen map; no shuffle."""
+    """(keep_cols..., __b) — one row per hashed feature, bucketed by
+    the md5 hash. Pure codegen map; no shuffle.
+
+    ``ngram_max=1`` emits whitespace unigrams; ``ngram_max=2`` emits
+    unigrams PLUS space-joined bigrams — the feature set the DSIR paper
+    actually hashes (Xie et al. 2023 use unigrams+bigrams into the same
+    bucket space). A bigram string can never collide textually with a
+    unigram (tokens are split on whitespace, so no unigram contains a
+    space); both feature kinds share the bucket domain, exactly the
+    paper's hashing."""
+    if ngram_max not in (1, 2):
+        raise ValueError(f"ngram_max must be 1 or 2, got {ngram_max}")
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    feats = arr
+    if ngram_max == 2:
+        bigrams = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i + 1), F.element_at(arr, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(arr, bigrams)
     return docs.select(
         *keep_cols,
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "__tok"
-        ),
+        F.explode(feats).alias("__tok"),
     ).withColumn(
         "__b", hash_bucket(F.col("__tok"), seed=seed, buckets=buckets)
     )
@@ -434,6 +459,7 @@ def dsir_count_index(
     text_col: str = "text",
     buckets: int = 4096,
     seed: str = "dsir",
+    ngram_max: int = 1,
 ) -> DataFrame:
     """The DSIR model state: per hashed bucket, target and raw token
     counts ``(__b, __tc, __rc)`` — <= ``buckets`` rows regardless of
@@ -450,6 +476,7 @@ def dsir_count_index(
         text_col=text_col,
         buckets=buckets,
         seed=seed,
+        ngram_max=ngram_max,
     )
     return scratch_persist(
         toks.groupBy("__b").agg(
@@ -523,6 +550,7 @@ def dsir_score_batch(
     text_col: str = "text",
     buckets: int = 4096,
     seed: str = "dsir",
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Score a document batch against a (frozen) lam table: one token
     pass, broadcast join, one groupBy on the doc id — cost is the
@@ -538,6 +566,7 @@ def dsir_score_batch(
         text_col=text_col,
         buckets=buckets,
         seed=seed,
+        ngram_max=ngram_max,
     )
     return (
         toks.join(F.broadcast(lam), "__b")

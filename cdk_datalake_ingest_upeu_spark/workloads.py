@@ -12105,6 +12105,139 @@ FROM final
 """
 
 
+def dsir_bigram_selection(spark, sf_dir):
+    """DSIR with hashed unigrams+bigrams vs unigrams-only
+    (operators/sampling.dsir_importance_select ``ngram_max=2`` — the
+    feature set Xie et al. 2023 actually hash; both n-gram kinds share
+    the 4096-bucket domain). Both models run over the same target
+    split and 25% budget; the rollup pins, per (lang, source), the
+    pool size and the EXACT selected counts under each model plus
+    their overlap — the selection-agreement audit a practitioner runs
+    before switching feature sets. Every score follows the repo's
+    fixed-point canon (9dp nanolog lam, integer doc sums, rank-quantile
+    threshold walk), so the oracle reproduces both selections row for
+    row. Scale shape: twice the DSIR pipeline — two linear token maps,
+    two <=4096-row models, one doc-grain join."""
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        dsir_importance_select,
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_t = hash_bucket(F.col("doc_id"), seed="dsirT") < 100_000
+    uni = dsir_importance_select(docs, is_t, fraction=0.25).select(
+        "doc_id", "lang", "source", F.col("selected").alias("sel_u")
+    )
+    bi = dsir_importance_select(
+        docs, is_t, fraction=0.25, ngram_max=2
+    ).select("doc_id", F.col("selected").alias("sel_b"))
+    return finalize(
+        uni.join(bi, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pool"),
+            F.sum(F.col("sel_u").cast("long")).alias("n_sel_unigram"),
+            F.sum(F.col("sel_b").cast("long")).alias("n_sel_bigram"),
+            F.sum(
+                (F.col("sel_u") & F.col("sel_b")).cast("long")
+            ).alias("n_sel_both"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_DSIR_BIGRAM_SQL = """
+WITH d0 AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'dsirT'), 1, 8))::BIGINT
+           % 1000000 < 100000 AS is_t,
+         lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), tbu AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(tok || 'dsir'), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT doc_id, is_t, unnest(string_split_regex(t, '\\s+')) AS tok
+        FROM d0)
+), tbb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(tok || 'dsir'), 1, 8))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id, is_t, unnest(string_split_regex(t, '\\s+')) AS tok
+    FROM d0
+    UNION ALL
+    SELECT doc_id, is_t,
+           unnest(list_transform(range(1, len(arr)),
+                                 i -> arr[i] || ' ' || arr[i + 1])) AS tok
+    FROM (SELECT doc_id, is_t, string_split_regex(t, '\\s+') AS arr FROM d0)
+  )
+), bcu AS (
+  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc
+  FROM tbu GROUP BY b
+), bcb AS (
+  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc
+  FROM tbb GROUP BY b
+), totu AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
+  FROM bcu
+), totb AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr
+  FROM bcb
+), lamu AS (
+  SELECT b, CAST(CAST(CAST(ln(((CAST(tc AS DOUBLE) + 1.0)
+                / (CAST(rc AS DOUBLE) + 1.0))
+                * ((CAST(tr AS DOUBLE) + 4096.0)
+                   / (CAST(tt AS DOUBLE) + 4096.0))) AS DECIMAL(18,9))
+           AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
+  FROM bcu, totu
+), lamb AS (
+  SELECT b, CAST(CAST(CAST(ln(((CAST(tc AS DOUBLE) + 1.0)
+                / (CAST(rc AS DOUBLE) + 1.0))
+                * ((CAST(tr AS DOUBLE) + 4096.0)
+                   / (CAST(tt AS DOUBLE) + 4096.0))) AS DECIMAL(18,9))
+           AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS lam9
+  FROM bcb, totb
+), su AS (
+  SELECT doc_id,
+         ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+          // count(*)) // 100000 AS score_q4
+  FROM tbu t JOIN lamu USING (b) WHERE NOT is_t GROUP BY doc_id
+), sb AS (
+  SELECT doc_id,
+         ((CAST(sum(lam9) AS BIGINT) + count(*) * 50000000000)
+          // count(*)) // 100000 AS score_q4
+  FROM tbb t JOIN lamb USING (b) WHERE NOT is_t GROUP BY doc_id
+), thru AS (
+  SELECT max(score_q4) AS thr FROM (
+    SELECT score_q4, sum(c) OVER (ORDER BY score_q4 DESC) AS cumc,
+           sum(c) OVER () AS n
+    FROM (SELECT score_q4, count(*) AS c FROM su GROUP BY score_q4)
+  ) WHERE cumc >= ceil(n * 0.25)
+), thrb AS (
+  SELECT max(score_q4) AS thr FROM (
+    SELECT score_q4, sum(c) OVER (ORDER BY score_q4 DESC) AS cumc,
+           sum(c) OVER () AS n
+    FROM (SELECT score_q4, count(*) AS c FROM sb GROUP BY score_q4)
+  ) WHERE cumc >= ceil(n * 0.25)
+)
+SELECT d.lang, d.source, count(*) AS n_pool,
+       CAST(sum(CASE WHEN su.score_q4 >= thru.thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_sel_unigram,
+       CAST(sum(CASE WHEN sb.score_q4 >= thrb.thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_sel_bigram,
+       CAST(sum(CASE WHEN su.score_q4 >= thru.thr
+                      AND sb.score_q4 >= thrb.thr THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_sel_both
+FROM d0 d
+JOIN su ON su.doc_id = d.doc_id
+JOIN sb ON sb.doc_id = d.doc_id
+CROSS JOIN thru CROSS JOIN thrb
+WHERE NOT d.is_t
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -12361,6 +12494,7 @@ QUERIES = {
     "stage_versioned_delete": stage_versioned_delete,
     "stage_tagged_reads": stage_tagged_reads,
     "stage_check_constraints": stage_check_constraints,
+    "dsir_bigram_selection": dsir_bigram_selection,
 }
 
 ORACLES = {
@@ -12584,6 +12718,7 @@ ORACLES = {
     "stage_versioned_delete": _VERSIONED_DELETE_SQL,
     "stage_tagged_reads": _TAGGED_READS_SQL,
     "stage_check_constraints": _CHECK_CONSTRAINTS_SQL,
+    "dsir_bigram_selection": _DSIR_BIGRAM_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

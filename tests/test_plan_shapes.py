@@ -122,6 +122,7 @@ BUDGETS = [
     ("stage_versioned_delete", 3, False),  # three 1-row aggs over per-version manifest scans; COW delete + feeds are upstream jobs
     ("stage_tagged_reads", 0, False),  # driver-assembled 1-row summary; tag/vacuum IO upstream
     ("stage_check_constraints", 0, False),  # driver-assembled 1-row summary; constraint probes are bounded upstream counts
+    ("dsir_bigram_selection", 0, False),  # finalized rollup; upstream: two linear token maps + two <=4096-row models + one doc-grain join
 ]
 
 

@@ -3057,3 +3057,36 @@ def test_semantic_decontaminate_zero_norm_scores_zero(spark):
     }
     assert rows["z"] == (0, False)        # zero corpus vec: all cosines 0
     assert rows["u"] == (1_000_000, True)  # unit match ignores the zero bench
+
+
+def test_dsir_bigram_stream_features(spark):
+    """ngram_max=2 emits unigrams plus space-joined bigrams (2n-1
+    features for an n-token doc); a single-token doc emits just its
+    unigram; ngram_max outside {1,2} raises."""
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import (
+        _dsir_token_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo")], "doc_id long, text string"
+    )
+    uni = _dsir_token_stream(
+        docs, ["doc_id"], text_col="text", buckets=64, seed="s"
+    )
+    assert uni.count() == 4  # a b c solo
+    bi = _dsir_token_stream(
+        docs, ["doc_id"], text_col="text", buckets=64, seed="s", ngram_max=2
+    )
+    toks = sorted(
+        (r["doc_id"], r["__tok"]) for r in bi.select("doc_id", "__tok").collect()
+    )
+    assert toks == [
+        (1, "a"), (1, "a b"), (1, "b"), (1, "b c"), (1, "c"), (2, "solo")
+    ]
+    with _pytest.raises(ValueError, match="ngram_max"):
+        _dsir_token_stream(
+            docs, ["doc_id"], text_col="text", buckets=64, seed="s",
+            ngram_max=3,
+        )
