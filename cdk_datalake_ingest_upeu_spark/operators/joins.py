@@ -77,11 +77,16 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single most recent right row
     with right_time <= left_time (direction='backward'; 'forward' takes
     the earliest right row with right_time >= left_time), matched per
-    key. Right payload columns whose names collide with left columns are
+    key. ``tolerance`` (a SQL interval string, e.g. ``'1 hours'``)
+    additionally bounds the match the way pandas ``merge_asof`` does:
+    a backward match older than ``left_time - tolerance`` (or a forward
+    match beyond ``left_time + tolerance``) is discarded — the left row
+    keeps NULL payload. Requires timestamp-typed time columns. Right payload columns whose names collide with left columns are
     renamed ``<name><suffix>`` in the output (a double collision raises).
     Spark has no native ASOF JOIN; the classic scalable encoding is
     union + ordered window:
@@ -122,8 +127,13 @@ def asof_join(
     # even when all its fields are null, so the carry is all-or-nothing.
     from pyspark.sql import types as T
 
+    if tolerance is not None and "__rt" in payload:
+        raise ValueError("asof_join: right column name '__rt' is reserved")
+    # the matched row's own time rides in the struct so the tolerance
+    # check applies to the TRUE match, not a per-column backfill
     r_struct_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in payload]
+        [T.StructField("__rt", right.schema[right_time].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
     )
     l_tagged = left.select(
         *keys,
@@ -138,7 +148,10 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys],
-        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__r"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(c) for c in payload],
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -161,6 +174,18 @@ def asof_join(
         "*",
         F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c"),
     )
+    if tolerance is not None:
+        if direction == "backward":
+            within = F.col("__c.__rt") >= F.expr(
+                f"__t - INTERVAL {tolerance}"
+            )
+        else:
+            within = F.col("__c.__rt") <= F.expr(
+                f"__t + INTERVAL {tolerance}"
+            )
+        carried = carried.withColumn(
+            "__c", F.when(within, F.col("__c"))
+        )
     out = carried.filter(F.col("__is_left") == 1).select(
         *keys,
         F.col("__t").alias(left_time),

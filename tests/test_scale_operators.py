@@ -3090,3 +3090,28 @@ def test_dsir_bigram_stream_features(spark):
             docs, ["doc_id"], text_col="text", buckets=64, seed="s",
             ngram_max=3,
         )
+
+
+def test_asof_join_tolerance_bounds_the_match(spark):
+    """A backward match older than left_time - tolerance is discarded
+    (NULL payload), an in-window match survives, and exact-time still
+    matches — pandas merge_asof tolerance semantics."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "near", "2024-01-01 10:00:00"),
+         ("u", "far", "2024-01-01 18:00:00"),
+         ("u", "exact", "2024-01-01 09:00:00")],
+        "k string, tag string, lt string",
+    ).withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:00:00", 7.0)], "k string, rt string, v double"
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    got = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            tolerance="2 hours",
+        ).collect()
+    }
+    assert got == {"near": 7.0, "far": None, "exact": 7.0}
