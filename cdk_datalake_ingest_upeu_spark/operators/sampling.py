@@ -431,20 +431,32 @@ def _dsir_token_stream(
     paper's hashing."""
     if ngram_max not in (1, 2):
         raise ValueError(f"ngram_max must be 1 or 2, got {ngram_max}")
-    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # The token array must be a REAL projection column before any
+    # array-consuming construction: Catalyst does not common-subexpression
+    # -eliminate an outer expression embedded in a higher-order lambda, so
+    # building bigrams directly off the split(...) *expression* re-split
+    # the document once per produced element — O(n_tok × doc_len) per row.
+    # Off a materialized column, slice+zip_with touch the array only, and
+    # CollapseProject keeps the two projections separate because __arr is
+    # non-cheap and multiply-referenced.
+    prepared = docs.select(
+        *keep_cols,
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__arr"),
+    )
+    arr = F.col("__arr")
     feats = arr
     if ngram_max == 2:
-        bigrams = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(arr, i + 1), F.element_at(arr, i + 2)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # pairs (1,2)..(n-1,n): zip the array against itself shifted by
+        # one; n<2 yields zero-length slices, hence no bigrams — same
+        # semantics as the former size()>=2 guard without a branch.
+        pair_len = F.greatest(F.size(arr) - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(arr, 1, pair_len),
+            F.slice(arr, 2, pair_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
         feats = F.concat(arr, bigrams)
-    return docs.select(
+    return prepared.select(
         *keep_cols,
         F.explode(feats).alias("__tok"),
     ).withColumn(
