@@ -127,7 +127,12 @@ def asof_join(
     # even when all its fields are null, so the carry is all-or-nothing.
     from pyspark.sql import types as T
 
-    if tolerance is not None and "__rt" in payload:
+    # '__rt' is injected into the payload struct UNCONDITIONALLY (the
+    # tolerance check reads it when present) — with tolerance=None a
+    # right payload column of that name would duplicate the struct field
+    # and __c.__rt would silently resolve to the match time instead of
+    # the payload value, so the reservation holds regardless of tolerance
+    if "__rt" in payload:
         raise ValueError("asof_join: right column name '__rt' is reserved")
     # the matched row's own time rides in the struct so the tolerance
     # check applies to the TRUE match, not a per-column backfill

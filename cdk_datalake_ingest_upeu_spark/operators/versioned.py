@@ -513,7 +513,13 @@ class VersionedStageTable:
                 "merge", files, prev["schema"], version=hint,
                 constraints=cons,
             )
-        cur = self.spark.read.parquet(*[self._abs(f) for f in prev["files"]])
+        # manifest-schema read for the same reason delete() uses one: on
+        # a schema-evolved table, pre-evolution files must backfill NULL
+        # for the new columns rather than fail (or worse, drop them) on
+        # a footer-inferred schema
+        cur = self.spark.read.schema(prev_schema).parquet(
+            *[self._abs(f) for f in prev["files"]]
+        )
         keys = source.select(*key_columns).distinct()
         # candidate files: one key-projected scan (at 100 TB: per-file
         # stats instead — see module docstring). input_file_name() gives
@@ -529,7 +535,7 @@ class VersionedStageTable:
         # inside a class body gets Python name-mangled
         touched = sorted(self._rel_path(r["__file"]) for r in touched_rows)
         if touched:
-            kept = self.spark.read.parquet(
+            kept = self.spark.read.schema(prev_schema).parquet(
                 *[self._abs(f) for f in touched]
             ).join(F.broadcast(keys), key_columns, "left_anti")
             new_df = kept.unionByName(source)
@@ -567,7 +573,15 @@ class VersionedStageTable:
         if not prev["files"]:
             return prev["version"]
         cond = F.expr(condition).cast("boolean")
-        cur = self.spark.read.parquet(*[self._abs(f) for f in prev["files"]])
+        # read THROUGH the manifest schema, like read()/changes()/compact():
+        # on a schema-evolved table, pre-evolution files lack the new
+        # columns and a schemaless read would infer from an arbitrary
+        # footer — the rewrite could silently drop evolved-column values
+        # the committed manifest still declares
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        cur = self.spark.read.schema(schema).parquet(
+            *[self._abs(f) for f in prev["files"]]
+        )
         touched_rows = (
             cur.withColumn("__file", F.input_file_name())
             .filter(cond)
@@ -578,7 +592,7 @@ class VersionedStageTable:
         touched = sorted(self._rel_path(r["__file"]) for r in touched_rows)
         if not touched:
             return prev["version"]
-        kept = self.spark.read.parquet(
+        kept = self.spark.read.schema(schema).parquet(
             *[self._abs(f) for f in touched]
         ).filter(~F.coalesce(cond, F.lit(False)))
         new_files = self._write_files(kept, hint)
@@ -639,7 +653,15 @@ class VersionedStageTable:
         history stays readable (restore is an append to history, not a
         rewrite of it). The restored files must still exist: restoring
         past a vacuum raises :class:`VersionNotFoundError` exactly as
-        Delta refuses to restore beyond its retention."""
+        Delta refuses to restore beyond its retention.
+
+        The restored SNAPSHOT is validated against the table's CURRENT
+        CHECK constraints before committing — a restore is a commit
+        like any other, and without the check a table could end with an
+        active constraint its own content violates (subsequent appends
+        only probe the incoming batch). Restoring pre-constraint data
+        therefore raises :class:`ConstraintViolationError`; drop the
+        constraint first if that rollback is really wanted."""
         hint = self.latest_version() + 1
         m = self._manifest(version)
         missing = [f for f in m["files"] if not os.path.exists(self._abs(f))]
@@ -647,9 +669,12 @@ class VersionedStageTable:
             raise VersionNotFoundError(
                 f"{self.path}: version {version} files vacuumed: {missing[:3]}"
             )
+        cons = self.constraints()
+        if cons and m["files"]:
+            self._enforce(self.read(version), cons)
         return self._commit(
             "restore", m["files"], m["schema"], version=hint,
-            constraints=self.constraints(),
+            constraints=cons,
         )
 
     # -- maintenance -------------------------------------------------------

@@ -540,3 +540,139 @@ def test_check_constraints_enforced_on_commits(spark, table):
     assert table.constraints() == {}
     table.append(bad)  # now allowed
     assert (3, -5) in _rows(table.read())
+
+
+def test_two_writer_barrier_race_exactly_one_loser(spark, table):
+    """DETERMINISTIC contention on the os.link commit point — no
+    monkeypatching: a barrier lines two real writer threads up so both
+    pin version 1 off the same log snapshot and hit _commit together.
+    Exactly one wins version 1; the other observes
+    ConcurrentCommitError, re-reads the log, and lands version 2 with
+    BOTH batches' content intact."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    table.overwrite(_df(spark, [(0, "base")]))
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def writer(tag, batch):
+        # read-compute: pin against the CURRENT log, write data files,
+        # then meet at the barrier so both commits target version 1
+        prev = table._manifest(table.latest_version())
+        files = table._write_files(batch, prev["version"] + 1)
+        barrier.wait(timeout=60)
+        try:
+            v = table._commit(
+                "append", prev["files"] + files, prev["schema"],
+                version=prev["version"] + 1,
+            )
+            outcomes[tag] = ("won", v)
+        except ConcurrentCommitError:
+            cur = table._manifest(table.latest_version())
+            v = table._commit(
+                "append", cur["files"] + files, cur["schema"],
+                version=cur["version"] + 1,
+            )
+            outcomes[tag] = ("retried", v)
+
+    with ThreadPoolExecutor(2) as pool:
+        futs = [
+            pool.submit(writer, "w1", _df(spark, [(1, "a")])),
+            pool.submit(writer, "w2", _df(spark, [(2, "b")])),
+        ]
+        for f in futs:
+            f.result(timeout=300)
+
+    assert sorted(o for o, _ in outcomes.values()) == ["retried", "won"]
+    assert {v for _, v in outcomes.values()} == {1, 2}
+    assert _rows(table.read()) == [(0, "base"), (1, "a"), (2, "b")]
+    assert [h["op"] for h in table.history()] == [
+        "overwrite", "append", "append",
+    ]
+
+
+def test_delete_on_schema_evolved_table_keeps_evolved_values(spark, table):
+    """DELETE reads through the MANIFEST schema: on a schema-evolved
+    table the rewrite must backfill NULL for pre-evolution files and —
+    critically — must NOT drop evolved-column values from
+    post-evolution files when Spark would have inferred the schema from
+    a pre-evolution footer."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.append(
+        spark.createDataFrame(
+            [(3, "c", 30), (4, "d", 40)], "k int, v string, extra int"
+        ),
+        merge_schema=True,
+    )
+    v = table.delete("k = 3")
+    assert v == 2
+    got = _rows(table.read())
+    # evolved column survives the rewrite; pre-evolution rows read NULL
+    assert got == [(1, "a", None), (2, "b", None), (4, "d", 40)]
+
+
+def test_merge_on_schema_evolved_table_backfills_null(spark, table):
+    """MERGE reads the current snapshot through the manifest schema, so
+    an upsert against a table evolved via append(merge_schema=True)
+    works: pre-evolution files backfill NULL instead of failing on a
+    footer-inferred schema."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.append(
+        spark.createDataFrame([(3, "c", 30)], "k int, v string, extra int"),
+        merge_schema=True,
+    )
+    table.merge(
+        spark.createDataFrame(
+            [(2, "B", 20), (5, "e", 50)], "k int, v string, extra int"
+        ),
+        ["k"],
+    )
+    assert _rows(table.read()) == [
+        (1, "a", None), (2, "B", 20), (3, "c", 30), (5, "e", 50),
+    ]
+
+
+def test_restore_validates_current_constraints(spark, table):
+    """RESTORE is a commit like any other: restoring a snapshot that
+    violates an ACTIVE CHECK constraint raises and leaves the table
+    unchanged (otherwise the table would hold a constraint its own
+    content violates); restoring a conforming snapshot still works."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+
+    table.overwrite(
+        spark.createDataFrame([(1, -10)], "k int, v int")
+    )  # v0: pre-constraint, violating data
+    table.overwrite(
+        spark.createDataFrame([(2, 20)], "k int, v int")
+    )  # v1: conforming
+    table.add_constraint("v_positive", "v > 0")  # v2
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        table.restore(0)
+    assert table.latest_version() == 2  # refused commit left no version
+    v = table.restore(1)
+    assert v == 3
+    assert _rows(table.read()) == [(2, 20)]
+    assert table.constraints() == {"v_positive": "v > 0"}
+
+
+def test_asof_rt_reserved_even_without_tolerance(spark):
+    """'__rt' rides the payload struct unconditionally, so the
+    reservation must hold with tolerance=None too (a payload column of
+    that name would silently resolve to the match time)."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:05")], "id string, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:01", 1)], "id string, rt string, __rt int"
+    ).withColumn("rt", F.to_timestamp("rt"))
+    with pytest.raises(ValueError, match="__rt.*reserved"):
+        asof_join(left, right, on="id", left_time="t", right_time="rt")
