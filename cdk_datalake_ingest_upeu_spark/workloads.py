@@ -1605,6 +1605,54 @@ ORDER BY c.user_id, c.event_id
 """
 
 
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a tolerance bound (pandas ``merge_asof``'s
+    ``tolerance=``, the parity surface a reference user migrating
+    per-key point-in-time lookups hits): each click paired with the
+    user's most recent purchase at-or-before it, but only when that
+    purchase lies within 2 hours — an older most-recent match is
+    DISCARDED, not replaced (backward matches older than the most
+    recent are farther away by construction, so null-out-the-match
+    equals match-within-window exactly). Oracle: DuckDB native ASOF
+    JOIN with the identical null-out rewrite. Scale shape: same single
+    key-shuffle + ordered window as the unbounded as-of; the tolerance
+    is a post-carry row-local comparison, zero extra shuffles."""
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="p_ts",
+        tolerance="2 hours",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+_ASOF_TOLERANCE_SQL = """
+SELECT c.user_id, c.event_id, c.ts,
+       CASE WHEN p.ts >= c.ts - INTERVAL '2 hours'
+            THEN p.event_id END AS purchase_id,
+       CASE WHEN p.ts >= c.ts - INTERVAL '2 hours'
+            THEN round(p.value, 2) END AS purchase_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+) p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
 # ===========================================================================
 # window dedup / distinct / merge (W1, D1, S10)
 # ===========================================================================
@@ -12495,6 +12543,8 @@ QUERIES = {
     "stage_tagged_reads": stage_tagged_reads,
     "stage_check_constraints": stage_check_constraints,
     "dsir_bigram_selection": dsir_bigram_selection,
+    # --- round-9 additions ---
+    "asof_join_tolerance": asof_join_tolerance,
 }
 
 ORACLES = {
@@ -12719,6 +12769,7 @@ ORACLES = {
     "stage_tagged_reads": _TAGGED_READS_SQL,
     "stage_check_constraints": _CHECK_CONSTRAINTS_SQL,
     "dsir_bigram_selection": _DSIR_BIGRAM_SQL,
+    "asof_join_tolerance": _ASOF_TOLERANCE_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -12788,6 +12839,7 @@ _MICRO_CANON_COLS = {
     "sqlgen_incremental_delay_window": ['sum_price'],
     "sqlgen_bigint_dialect_range": ['sum_value'],
     "asof_join_last_purchase": ['purchase_value'],
+    "asof_join_tolerance": ['purchase_value'],
     "window_dedup_latest": ['value'],
     "merge_upsert_current_state": ['value'],
     "transform_bytemagic_casts": ['price_dbl', 'disc_num'],
@@ -13106,6 +13158,7 @@ _TS_CANON_COLS = {
     "q3_top_revenue_orders": ["o_orderdate"],
     "q18_large_volume_customers": ["o_orderdate"],
     "asof_join_last_purchase": ["ts"],
+    "asof_join_tolerance": ["ts"],
     "window_dedup_latest": ["ts"],
     "merge_upsert_current_state": ["ts"],
     "transform_datetimemagic": ["fh"],

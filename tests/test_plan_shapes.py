@@ -123,6 +123,7 @@ BUDGETS = [
     ("stage_tagged_reads", 0, False),  # driver-assembled 1-row summary; tag/vacuum IO upstream
     ("stage_check_constraints", 0, False),  # driver-assembled 1-row summary; constraint probes are bounded upstream counts
     ("dsir_bigram_selection", 0, False),  # finalized rollup; upstream: two linear token maps + two <=4096-row models + one doc-grain join
+    ("asof_join_tolerance", 2, False),  # ONE key shuffle for the union+window carry + output sort; tolerance is row-local, zero extra exchanges
 ]
 
 
