@@ -443,7 +443,12 @@ class VersionedStageTable:
             version=hint, constraints=cons,
         )
 
-    def merge(self, source: DataFrame, key_columns: list[str]) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        key_columns: list[str],
+        resolve_by: list[str] | None = None,
+    ) -> int:
         """Upsert ``source`` by ``key_columns`` — copy-on-write at file
         granularity, Delta MERGE's execution shape
         (``whenMatchedUpdateAll / whenNotMatchedInsertAll``, reference
@@ -457,17 +462,66 @@ class VersionedStageTable:
         them too, ``light_transform.py:1380``), but TWO DISTINCT source
         rows for the same key raise — Delta's multiple-match error —
         because silently keeping an arbitrary one would make the table's
-        content nondeterministic. The source's columns must match the
-        table's by name and type (the same compatibility check
-        :meth:`append` performs); merge does not evolve schema."""
+        content nondeterministic. ``resolve_by`` opts into the
+        documented deterministic resolution instead (the dedup-then-
+        merge pipeline W1 implies, reference
+        ``light_transform.py:1374-1392``): per key, keep the single row
+        that sorts LAST by the listed columns (descending, NULLS LAST —
+        "latest wins"); rows still tied on key + resolve columns with
+        differing payloads remain ambiguous and raise, so the table's
+        content never depends on execution order. The source's columns
+        must match the table's by name and type (the same compatibility
+        check :meth:`append` performs); merge does not evolve schema."""
         # merge is eager (it ends in file writes), so the batch-scale
         # source is persisted for its three scans here and unpersisted
         # before returning — no scratch leaks across queries.
         source = source.dropDuplicates().persist()
         try:
+            if resolve_by:
+                source = self._resolve_source(source, key_columns, resolve_by)
             return self._merge_impl(source, key_columns)
         finally:
             source.unpersist()
+
+    def _resolve_source(
+        self, source: DataFrame, key_columns: list[str], resolve_by: list[str]
+    ) -> DataFrame:
+        """Latest-wins dedup of the merge source: one row_number window
+        per key ordered by ``resolve_by`` descending (NULLS LAST, the
+        explicit order both engines agree on). Ambiguity — two distinct
+        rows tied on key AND resolve columns — raises rather than
+        letting the window pick arbitrarily."""
+        from pyspark.sql import Window
+
+        missing = [c for c in resolve_by if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"{self.path}: resolve_by columns {missing} not in source"
+            )
+        tie = (
+            source.groupBy(*key_columns, *resolve_by)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if tie:
+            tie_repr = {
+                c: tie[0][c] for c in (*key_columns, *resolve_by)
+            }
+            raise ValueError(
+                f"{self.path}: merge source has multiple distinct rows "
+                f"tied on key + resolve columns {tie_repr}; resolve_by "
+                f"cannot rank a unique winner — add a tie-breaking column"
+            )
+        w = Window.partitionBy(*key_columns).orderBy(
+            *[F.col(c).desc_nulls_last() for c in resolve_by]
+        )
+        return (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def _merge_impl(self, source: DataFrame, key_columns: list[str]) -> int:
         dup = (

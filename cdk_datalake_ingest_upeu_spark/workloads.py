@@ -12153,6 +12153,92 @@ FROM final
 """
 
 
+def stage_merge_resolve_last(spark, sf_dir):
+    """Versioned MERGE with deterministic multi-match resolution
+    (``operators/versioned.py merge(resolve_by=...)``): the reference's
+    W1 dedup-then-merge pipeline (``light_transform.py:1374-1392``)
+    implies "latest wins", so instead of Delta's multiple-match raise
+    the source is resolved per key to the row sorting LAST by
+    (ts, event_id) — NULLS LAST, the explicit order both engines agree
+    on — and any residual tie still raises. v0 = latest pre-cutoff row
+    per user; v1 = MERGE of the raw post-cutoff batch (many rows per
+    user) under resolve_by. The rollup pins the final table per
+    event_type plus the history ops, so an arbitrary-winner bug cannot
+    hash-match. Scale shape: resolution is one row_number window over
+    the BATCH (never the table) + the bounded tie probe; the merge
+    itself stays file-grain COW."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    cutoff = F.lit("2024-01-16 00:00:00")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vres"), "events_versioned")
+    )
+    t.overwrite(
+        dedup_latest(
+            ev.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"]
+        ).select(*cols)
+    )
+    t.merge(
+        ev.filter(F.col("ts") >= cutoff).select(*cols),
+        ["user_id"],
+        resolve_by=["ts", "event_id"],
+    )
+    ops_exact = [h["op"] for h in t.history()] == ["overwrite", "merge"]
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            (F.sum(_fp_c(F.col("value"), 100)) / 100.0).alias("value_sum"),
+        )
+        .select(
+            "event_type", "n_rows", "n_users", "value_sum",
+            F.lit(ops_exact).alias("history_ops_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MERGE_RESOLVE_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn = 1
+), batch AS (
+  SELECT DISTINCT user_id, event_id, ts, event_type, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+), resolved AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+    FROM batch
+  ) WHERE rn = 1
+), final AS (
+  SELECT * FROM resolved
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM resolved r WHERE r.user_id = b.user_id)
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum({_cents_sum_sql('value', 100)}) AS BIGINT) / 100.0
+         AS value_sum,
+       TRUE AS history_ops_exact
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def dsir_bigram_selection(spark, sf_dir):
     """DSIR with hashed unigrams+bigrams vs unigrams-only
     (operators/sampling.dsir_importance_select ``ngram_max=2`` — the
@@ -12545,6 +12631,7 @@ QUERIES = {
     "dsir_bigram_selection": dsir_bigram_selection,
     # --- round-9 additions ---
     "asof_join_tolerance": asof_join_tolerance,
+    "stage_merge_resolve_last": stage_merge_resolve_last,
 }
 
 ORACLES = {
@@ -12770,6 +12857,7 @@ ORACLES = {
     "stage_check_constraints": _CHECK_CONSTRAINTS_SQL,
     "dsir_bigram_selection": _DSIR_BIGRAM_SQL,
     "asof_join_tolerance": _ASOF_TOLERANCE_SQL,
+    "stage_merge_resolve_last": _MERGE_RESOLVE_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -12810,6 +12898,7 @@ _MICRO_CANON_COLS = {
     "stage_versioned_delete": ['price_sum'],
     "stage_tagged_reads": ['baseline_price_sum', 'latest_price_sum'],
     "stage_check_constraints": ['final_price_sum'],
+    "stage_merge_resolve_last": ['value_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "events_last_touch_attribution": ['total_value'],

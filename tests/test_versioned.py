@@ -676,3 +676,34 @@ def test_asof_rt_reserved_even_without_tolerance(spark):
     ).withColumn("rt", F.to_timestamp("rt"))
     with pytest.raises(ValueError, match="__rt.*reserved"):
         asof_join(left, right, on="id", left_time="t", right_time="rt")
+
+
+def test_merge_resolve_by_latest_wins_and_tie_raises(spark, table):
+    """resolve_by: per key the row sorting LAST by the listed columns
+    wins (latest-wins, NULLS LAST); rows still tied on key + resolve
+    columns with differing payloads raise — determinism is never
+    delegated to execution order. Without resolve_by the multi-row
+    source still raises (Delta's multiple-match error)."""
+    t = table
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k int, v string, seq int"
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, "old", 1), (2, "new", 2), (3, "c", 1)],
+        "k int, v string, seq int",
+    )
+    with pytest.raises(ValueError, match="multiple distinct rows"):
+        t.merge(src, ["k"])
+    t.merge(src, ["k"], resolve_by=["seq"])
+    assert _rows(t.read()) == [(1, "a", 0), (2, "new", 2), (3, "c", 1)]
+    # ambiguous: same key, same resolve value, different payload
+    bad = spark.createDataFrame(
+        [(5, "x", 9), (5, "y", 9)], "k int, v string, seq int"
+    )
+    with pytest.raises(ValueError, match="tied on key \\+ resolve"):
+        t.merge(bad, ["k"], resolve_by=["seq"])
+    assert t.latest_version() == 1  # refused merge committed nothing
+    with pytest.raises(ValueError, match="resolve_by columns"):
+        t.merge(src, ["k"], resolve_by=["nope"])
