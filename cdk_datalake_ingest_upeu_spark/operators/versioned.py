@@ -23,12 +23,15 @@ files stay plain parquet:
   readable.
 
 Scale shape: a commit's cost is the data it writes, never the table
-size — ``append`` writes only the batch; ``merge`` is copy-on-write at
-FILE granularity (only files that contain a matched key are rewritten,
-found with one key-projected scan; at 100 TB the candidate set would
-come from per-file min/max or Bloom stats exactly as
-``StageTable.lookup`` does — ``sources/file_index.py`` — instead of a
-scan, and the splice logic is unchanged). Manifests are KB-scale
+size — ``append`` writes only the batch; ``merge`` and ``delete`` are
+copy-on-write at FILE granularity, and their candidate files come
+FIRST from per-file [min, max] column stats stored in the manifest
+(collected at commit time, one batch-scale scan; the same discipline
+as ``StageTable.lookup`` — ``sources/file_index.py``): pruning is a
+zero-IO manifest walk, only surviving candidates pay the projected
+scan, and only files that truly contain a match are rewritten. The
+pruning decision per commit is recorded as manifest ``metrics``
+(Delta's operationMetrics analog). Manifests are KB-scale
 regardless of table size: they hold file NAMES, and a 100 TB table is
 ~10^5 files of 1 GB, a 10 MB manifest at worst — the same envelope
 Delta's checkpoints carry.
@@ -37,6 +40,7 @@ Delta's checkpoints carry.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import shutil
@@ -48,6 +52,212 @@ from pyspark.sql import types as T
 
 _MANIFEST_RE = re.compile(r"\d{8}\.json")
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+
+
+# -- per-file column statistics (Delta's stats-in-the-log analog) ----------
+#
+# Every commit stores per-file [min, max] bounds for the exactly-
+# representable atomic types (integers, float/double, string — decimals
+# are EXCLUDED: a decimal bound rounded through a JSON double could sit
+# strictly inside the true range and make a skip unsound; date/timestamp
+# are excluded for the same literal-parsing reason). DELETE and MERGE
+# use the bounds to prune candidate files WITHOUT the scan — the 100 TB
+# upgrade path the module docstring names: candidate discovery becomes
+# O(manifest), and only overlapping files pay IO.
+#
+# Pruning is strictly conservative: a file is skipped only when a
+# recognized conjunct PROVES no row can match. Anything outside the
+# supported fragment (OR/NOT/BETWEEN/IN anywhere, non-literal operands,
+# unparsed conjuncts, missing stats, unknown bounds from NaN) keeps the
+# file in the candidate set.
+
+_STAT_ATOMS = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType,
+)
+
+_PRUNE_BAIL_RE = re.compile(r"\b(or|not|between|in)\b", re.IGNORECASE)
+_CMP_OPS = r"(==|<=|>=|<>|!=|=|<|>)"
+_CMP_RE = re.compile(
+    r"^`?([A-Za-z_][A-Za-z0-9_]*)`?\s*" + _CMP_OPS + r"\s*(.+?)$"
+)
+_REV_CMP_RE = re.compile(
+    r"^(.+?)\s*" + _CMP_OPS + r"\s*`?([A-Za-z_][A-Za-z0-9_]*)`?$"
+)
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+         "=": "=", "==": "==", "<>": "<>", "!=": "!="}
+_INT_RE = re.compile(r"[+-]?\d+")
+_FLOAT_RE = re.compile(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?")
+
+
+def _stat_columns(schema: T.StructType) -> list[str]:
+    return [
+        f.name for f in schema.fields if isinstance(f.dataType, _STAT_ATOMS)
+    ]
+
+
+def _stat_value(v):
+    """JSON-safe bound; NaN maps to None = UNKNOWN (never a fake bound —
+    Spark's max returns NaN when any value is NaN)."""
+    if isinstance(v, float) and not math.isfinite(v) and math.isnan(v):
+        return None
+    return v
+
+
+def _split_top_and(cond: str) -> list[str] | None:
+    """Top-level AND conjuncts of ``cond``; None when the condition
+    leaves the supported fragment (OR/NOT/BETWEEN/IN anywhere — a
+    mis-split inside those could fabricate a conjunct the predicate
+    does not imply)."""
+    if _PRUNE_BAIL_RE.search(cond):
+        return None
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, quote, i, n = 0, None, 0, len(cond)
+    while i < n:
+        ch = cond[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif (
+            depth == 0
+            and cond[i:i + 3].upper() == "AND"
+            and (i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_"))
+            and (
+                i + 3 >= n
+                or not (cond[i + 3].isalnum() or cond[i + 3] == "_")
+            )
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        whole = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    whole = False
+                    break
+        if not whole:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_literal(tok: str):
+    t = tok.strip()
+    if _INT_RE.fullmatch(t):
+        return int(t)
+    if _FLOAT_RE.fullmatch(t):
+        return float(t)
+    if len(t) >= 2 and t[0] == t[-1] == "'" and "'" not in t[1:-1]:
+        return t[1:-1]
+    return None
+
+
+def _comparable(a, b) -> bool:
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _conjunct_excludes(
+    file_stats: dict, col: str, op: str, lit, stat_cols: set | None
+) -> bool:
+    """True ONLY when no row of the file can satisfy ``col op lit``."""
+    if col not in file_stats:
+        # Sound to exclude ONLY when the caller vouches (via stat_cols,
+        # the stat-supported columns of the CURRENT schema) that a file
+        # containing this column would have had bounds collected for
+        # it: then absence means the file predates the column (schema
+        # evolution — reads as all NULL, comparison never TRUE) or the
+        # file has zero rows. Without that knowledge the column might
+        # simply be of an unsupported type — never exclude.
+        return stat_cols is not None and col in stat_cols
+    lo, hi = file_stats[col]
+    lo_ok = lo is not None and _comparable(lit, lo)
+    hi_ok = hi is not None and _comparable(lit, hi)
+    if op in ("=", "=="):
+        return (lo_ok and lit < lo) or (hi_ok and lit > hi)
+    if op in ("<>", "!="):
+        return lo_ok and hi_ok and lo == hi == lit
+    if op == "<":
+        return lo_ok and not (lo < lit)
+    if op == "<=":
+        return lo_ok and not (lo <= lit)
+    if op == ">":
+        return hi_ok and not (hi > lit)
+    if op == ">=":
+        return hi_ok and not (hi >= lit)
+    return False
+
+
+def prune_candidate_files(
+    files: list[str],
+    stats: dict,
+    condition: str,
+    stat_cols: set | None = None,
+) -> list[str]:
+    """Files that MAY contain a row matching ``condition``, judged from
+    per-file [min, max] bounds — conservative data skipping. Files
+    without stats are always candidates. ``stat_cols`` (the current
+    schema's stat-supported columns) additionally lets a column MISSING
+    from a file's bounds exclude it — sound only then, because absence
+    proves schema-evolution NULL backfill or a zero-row file."""
+    conjuncts = _split_top_and(condition)
+    if conjuncts is None:
+        return list(files)
+    parsed: list[tuple[str, str, object]] = []
+    for c in conjuncts:
+        c = _strip_outer_parens(c)
+        m = _CMP_RE.fullmatch(c)
+        if m:
+            lit = _parse_literal(m.group(3))
+            if lit is not None:
+                parsed.append((m.group(1), m.group(2), lit))
+                continue
+        m = _REV_CMP_RE.fullmatch(c)
+        if m:
+            lit = _parse_literal(m.group(1))
+            if lit is not None:
+                parsed.append((m.group(3), _FLIP[m.group(2)], lit))
+        # unrecognized conjunct: contributes no pruning
+    if not parsed:
+        return list(files)
+    return [
+        f
+        for f in files
+        if f not in stats
+        or not any(
+            _conjunct_excludes(stats[f], col, op, lit, stat_cols)
+            for col, op, lit in parsed
+        )
+    ]
 
 
 class VersionNotFoundError(LookupError):
@@ -123,6 +333,8 @@ class VersionedStageTable:
         committed_at: float | None = None,
         version: int | None = None,
         constraints: dict | None = None,
+        stats: dict | None = None,
+        metrics: dict | None = None,
     ) -> int:
         """Atomically publish ``version``, which mutating callers pin
         when they read the previous manifest (``None`` recomputes from
@@ -152,6 +364,13 @@ class VersionedStageTable:
             manifest["epoch"] = epoch
         if constraints:
             manifest["constraints"] = constraints
+        if stats:
+            # only bounds for files this manifest actually references
+            kept = {f: stats[f] for f in manifest["files"] if f in stats}
+            if kept:
+                manifest["stats"] = kept
+        if metrics:
+            manifest["metrics"] = metrics
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
@@ -223,6 +442,7 @@ class VersionedStageTable:
         return self._commit(
             "set_constraint", prev["files"], prev["schema"],
             version=hint, constraints=cons,
+            stats=dict(prev.get("stats") or {}),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -236,6 +456,7 @@ class VersionedStageTable:
         return self._commit(
             "drop_constraint", prev["files"], prev["schema"],
             version=hint, constraints=cons,
+            stats=dict(prev.get("stats") or {}),
         )
 
     # -- named refs (tags) ---------------------------------------------------
@@ -285,17 +506,71 @@ class VersionedStageTable:
         os.remove(p)
 
     def history(self) -> list[dict]:
-        """Version, op, file count per commit — Delta's DESCRIBE HISTORY."""
+        """Version, op, file count, and (for DELETE/MERGE) the pruning
+        metrics per commit — Delta's DESCRIBE HISTORY with
+        operationMetrics."""
         return [
             {
                 "version": v,
                 "op": (m := self._manifest(v))["op"],
                 "n_files": len(m["files"]),
+                **(
+                    {"metrics": m["metrics"]} if "metrics" in m else {}
+                ),
             }
             for v in self.versions()
         ]
 
     # -- data IO -----------------------------------------------------------
+
+    def _collect_stats(self, rels: list[str], schema_json: str) -> dict:
+        """Per-file [min, max] bounds for the stat-supported columns of
+        the NEW files ``rels`` — ONE batch-scale scan grouped by
+        input_file_name (the local analog of Delta collecting stats
+        during the write itself; cost tracks the commit's data, never
+        the table). Files whose group never appears (zero-row parts)
+        keep an empty dict — no information, never pruned by it."""
+        out: dict = {r: {} for r in rels}
+        if not rels:
+            return out
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        cols = _stat_columns(schema)
+        if not cols:
+            return out
+        df = self.spark.read.schema(schema).parquet(
+            *[self._abs(r) for r in rels]
+        )
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
+            aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+        rows = (
+            df.withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        for row in rows:
+            rel = self._rel_path(row["__f"])
+            if rel in out:
+                out[rel] = {
+                    c: [
+                        _stat_value(row[f"__mn{i}"]),
+                        _stat_value(row[f"__mx{i}"]),
+                    ]
+                    for i, c in enumerate(cols)
+                }
+        return out
+
+    def _stats_for(
+        self, prev: dict | None, new_files: list[str], schema_json: str
+    ) -> dict:
+        """Carried bounds from the previous manifest plus freshly
+        collected bounds for ``new_files`` (immutable files keep their
+        stats forever; only the commit's own data is scanned)."""
+        carried = dict((prev or {}).get("stats") or {})
+        carried.update(self._collect_stats(new_files, schema_json))
+        return carried
 
     def _write_files(self, df: DataFrame, version_hint: int) -> list[str]:
         """Write ``df`` into a fresh commit subdirectory; return the new
@@ -375,6 +650,7 @@ class VersionedStageTable:
         return self._commit(
             "overwrite", files, df.schema.json(), version=hint,
             constraints=cons,
+            stats=self._collect_stats(files, df.schema.json()),
         )
 
     def append(
@@ -412,6 +688,7 @@ class VersionedStageTable:
             return self._commit(
                 "overwrite", files, df.schema.json(), epoch=epoch,
                 version=hint,
+                stats=self._collect_stats(files, df.schema.json()),
             )
         prev = self._manifest(self.latest_version())
         cons = dict(prev.get("constraints") or {})
@@ -441,6 +718,7 @@ class VersionedStageTable:
         return self._commit(
             "append", prev["files"] + files, schema.json(), epoch=epoch,
             version=hint, constraints=cons,
+            stats=self._stats_for(prev, files, schema.json()),
         )
 
     def merge(
@@ -566,28 +844,45 @@ class VersionedStageTable:
             return self._commit(
                 "merge", files, prev["schema"], version=hint,
                 constraints=cons,
+                stats=self._stats_for(prev, files, prev["schema"]),
             )
-        # manifest-schema read for the same reason delete() uses one: on
-        # a schema-evolved table, pre-evolution files must backfill NULL
-        # for the new columns rather than fail (or worse, drop them) on
-        # a footer-inferred schema
-        cur = self.spark.read.schema(prev_schema).parquet(
-            *[self._abs(f) for f in prev["files"]]
-        )
+        # candidate pruning from per-file key bounds BEFORE any scan:
+        # a file whose [min, max] range for some key column misses the
+        # source's key range cannot hold a matched key (NULL keys never
+        # equi-match on either side). The key-projected scan below then
+        # touches only the surviving candidates — at 100 TB this is the
+        # difference between a manifest walk and a table scan.
+        candidates = self._prune_merge_candidates(prev, source, key_columns)
+        metrics = {
+            "files_total": len(prev["files"]),
+            "files_candidate": len(candidates),
+        }
         keys = source.select(*key_columns).distinct()
-        # candidate files: one key-projected scan (at 100 TB: per-file
-        # stats instead — see module docstring). input_file_name() gives
-        # file: URIs; normalize back to table-relative paths.
-        touched_rows = (
-            cur.withColumn("__file", F.input_file_name())
-            .join(F.broadcast(keys), key_columns, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        # NB: r["__file"], not attribute access — a dunder attribute
-        # inside a class body gets Python name-mangled
-        touched = sorted(self._rel_path(r["__file"]) for r in touched_rows)
+        if candidates:
+            # manifest-schema read for the same reason delete() uses
+            # one: on a schema-evolved table, pre-evolution files must
+            # backfill NULL for the new columns rather than fail (or
+            # worse, drop them) on a footer-inferred schema
+            cur = self.spark.read.schema(prev_schema).parquet(
+                *[self._abs(f) for f in candidates]
+            )
+            # input_file_name() gives file: URIs; normalize back to
+            # table-relative paths.
+            touched_rows = (
+                cur.withColumn("__file", F.input_file_name())
+                .join(F.broadcast(keys), key_columns, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            # NB: r["__file"], not attribute access — a dunder attribute
+            # inside a class body gets Python name-mangled
+            touched = sorted(
+                self._rel_path(r["__file"]) for r in touched_rows
+            )
+        else:
+            touched = []
+        metrics["files_rewritten"] = len(touched)
         if touched:
             kept = self.spark.read.schema(prev_schema).parquet(
                 *[self._abs(f) for f in touched]
@@ -600,7 +895,63 @@ class VersionedStageTable:
         return self._commit(
             "merge", carried + new_files, prev["schema"], version=hint,
             constraints=cons,
+            stats=self._stats_for(prev, new_files, prev["schema"]),
+            metrics=metrics,
         )
+
+    def _prune_merge_candidates(
+        self, prev: dict, source: DataFrame, key_columns: list[str]
+    ) -> list[str]:
+        """Files that may hold a key present in ``source``, judged by
+        overlap of per-file key bounds with the source's key envelope —
+        one bounded aggregation over the batch (2 scalars per key
+        column), zero table IO. Conservative: files without stats, and
+        key columns without a usable envelope, never exclude."""
+        stats = prev.get("stats") or {}
+        if not stats:
+            return list(prev["files"])
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        by_name = {f.name: f.dataType for f in schema.fields}
+        cols = [
+            c for c in key_columns
+            if isinstance(by_name.get(c), _STAT_ATOMS)
+        ]
+        if not cols:
+            return list(prev["files"])
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
+            aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+        row = source.agg(*aggs).first()
+        out = []
+        for f in prev["files"]:
+            st = stats.get(f)
+            if not st:
+                out.append(f)
+                continue
+            excluded = False
+            for i, c in enumerate(cols):
+                smn, smx = _stat_value(row[f"__mn{i}"]), _stat_value(
+                    row[f"__mx{i}"]
+                )
+                if c not in st:
+                    # file predates the key column: all NULL there,
+                    # an equi-join can never match
+                    excluded = True
+                    break
+                fmn, fmx = st[c]
+                if (
+                    smx is not None and fmn is not None
+                    and _comparable(smx, fmn) and smx < fmn
+                ) or (
+                    smn is not None and fmx is not None
+                    and _comparable(smn, fmx) and smn > fmx
+                ):
+                    excluded = True
+                    break
+            if not excluded:
+                out.append(f)
+        return out
 
     def _rel_path(self, uri: str) -> str:
         p = uri
@@ -619,12 +970,24 @@ class VersionedStageTable:
         new version, or the current one unchanged when nothing matched
         (Delta likewise skips the empty commit).
 
-        Scale shape: cost is the matched files, never the table; at
-        100 TB the candidate set would come from per-file min/max or
-        Bloom stats (see module docstring) instead of the scan."""
+        Scale shape: candidate files come FIRST from the manifest's
+        per-file [min, max] bounds (:func:`prune_candidate_files` —
+        zero IO, O(manifest)); only the surviving candidates pay the
+        condition-projected scan, and only files actually CONTAINING a
+        matching row are rewritten. The commit records
+        files_total/files_candidate/files_rewritten in its manifest
+        metrics (Delta's operationMetrics analog), so pruning behavior
+        is pinnable by tests and queries."""
         prev = self._manifest(self.latest_version())
         hint = prev["version"] + 1
         if not prev["files"]:
+            return prev["version"]
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        candidates = prune_candidate_files(
+            prev["files"], prev.get("stats") or {}, condition,
+            stat_cols=set(_stat_columns(schema)),
+        )
+        if not candidates:
             return prev["version"]
         cond = F.expr(condition).cast("boolean")
         # read THROUGH the manifest schema, like read()/changes()/compact():
@@ -632,9 +995,8 @@ class VersionedStageTable:
         # columns and a schemaless read would infer from an arbitrary
         # footer — the rewrite could silently drop evolved-column values
         # the committed manifest still declares
-        schema = T.StructType.fromJson(json.loads(prev["schema"]))
         cur = self.spark.read.schema(schema).parquet(
-            *[self._abs(f) for f in prev["files"]]
+            *[self._abs(f) for f in candidates]
         )
         touched_rows = (
             cur.withColumn("__file", F.input_file_name())
@@ -654,6 +1016,12 @@ class VersionedStageTable:
         return self._commit(
             "delete", carried + new_files, prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
+            stats=self._stats_for(prev, new_files, prev["schema"]),
+            metrics={
+                "files_total": len(prev["files"]),
+                "files_candidate": len(candidates),
+                "files_rewritten": len(touched),
+            },
         )
 
     # -- change feed ---------------------------------------------------------
@@ -729,6 +1097,7 @@ class VersionedStageTable:
         return self._commit(
             "restore", m["files"], m["schema"], version=hint,
             constraints=cons,
+            stats=dict(m.get("stats") or {}),
         )
 
     # -- maintenance -------------------------------------------------------
@@ -763,6 +1132,7 @@ class VersionedStageTable:
         return self._commit(
             "compact", carried + packed, prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
+            stats=self._stats_for(prev, packed, prev["schema"]),
         )
 
     def vacuum(self, retain_last: int = 1) -> dict:

@@ -12153,6 +12153,84 @@ FROM final
 """
 
 
+def stage_stats_pruned_delete(spark, sf_dir):
+    """File-skipping DELETE from manifest stats
+    (``operators/versioned.py prune_candidate_files`` + the per-file
+    [min, max] bounds every commit now stores — Delta's
+    stats-in-the-log; the reference gets data skipping from Delta
+    itself). Three single-file commits over DISJOINT o_orderkey thirds,
+    then DELETE of a range strictly inside the middle third: the
+    manifest bounds must prove files 1 and 3 can't match, so the commit
+    metrics — pinned as output columns — must read files_total=3,
+    files_candidate=1, files_rewritten=1; the oracle rebuilds the same
+    thirds arithmetic and the surviving content. Scale shape: candidate
+    discovery is a zero-IO manifest walk; only the one overlapping file
+    pays the scan + rewrite — at 100 TB this is the difference between
+    O(manifest) and O(table)."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = int(orders.agg(F.max(k.cast("long"))).first()[0])
+    b1, b2 = mx // 3, (2 * mx) // 3
+    mid = b1 + (b2 - b1) // 2
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vprune"), "orders_pruned")
+    )
+    t.overwrite(orders.filter(k <= b1).coalesce(1))
+    t.append(orders.filter((k > b1) & (k <= b2)).coalesce(1))
+    t.append(orders.filter(k > b2).coalesce(1))
+    v = t.delete(f"o_orderkey > {b1} AND o_orderkey <= {mid}")
+    met = t._manifest(v)["metrics"]
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(k.cast("long")).alias("key_sum"),
+            (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+                "price_sum"
+            ),
+        )
+        .select(
+            F.lit(met["files_total"]).cast("long").alias("files_total"),
+            F.lit(met["files_candidate"]).cast("long").alias(
+                "files_candidate"
+            ),
+            F.lit(met["files_rewritten"]).cast("long").alias(
+                "files_rewritten"
+            ),
+            "*",
+        )
+    )
+
+
+_STATS_PRUNED_DELETE_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(max(o_orderkey) AS BIGINT) // 3 AS b1,
+         (2 * CAST(max(o_orderkey) AS BIGINT)) // 3 AS b2
+  FROM orders
+), mids AS (
+  SELECT b1, b2, b1 + (b2 - b1) // 2 AS mid FROM bounds
+), final AS (
+  SELECT o_orderkey, o_totalprice FROM orders, mids
+  WHERE (o_orderkey <= b1
+         OR (o_orderkey > b1 AND o_orderkey <= b2)
+         OR o_orderkey > b2)
+    AND NOT coalesce(o_orderkey > b1 AND o_orderkey <= mid, FALSE)
+)
+SELECT CAST(3 AS BIGINT) AS files_total,
+       CAST(1 AS BIGINT) AS files_candidate,
+       CAST(1 AS BIGINT) AS files_rewritten,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM final
+"""
+
+
 def stage_merge_resolve_last(spark, sf_dir):
     """Versioned MERGE with deterministic multi-match resolution
     (``operators/versioned.py merge(resolve_by=...)``): the reference's
@@ -12632,6 +12710,7 @@ QUERIES = {
     # --- round-9 additions ---
     "asof_join_tolerance": asof_join_tolerance,
     "stage_merge_resolve_last": stage_merge_resolve_last,
+    "stage_stats_pruned_delete": stage_stats_pruned_delete,
 }
 
 ORACLES = {
@@ -12858,6 +12937,7 @@ ORACLES = {
     "dsir_bigram_selection": _DSIR_BIGRAM_SQL,
     "asof_join_tolerance": _ASOF_TOLERANCE_SQL,
     "stage_merge_resolve_last": _MERGE_RESOLVE_SQL,
+    "stage_stats_pruned_delete": _STATS_PRUNED_DELETE_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -12899,6 +12979,7 @@ _MICRO_CANON_COLS = {
     "stage_tagged_reads": ['baseline_price_sum', 'latest_price_sum'],
     "stage_check_constraints": ['final_price_sum'],
     "stage_merge_resolve_last": ['value_sum'],
+    "stage_stats_pruned_delete": ['price_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "events_last_touch_attribution": ['total_value'],

@@ -707,3 +707,89 @@ def test_merge_resolve_by_latest_wins_and_tie_raises(spark, table):
     assert t.latest_version() == 1  # refused merge committed nothing
     with pytest.raises(ValueError, match="resolve_by columns"):
         t.merge(src, ["k"], resolve_by=["nope"])
+
+
+def test_prune_candidate_files_soundness():
+    """Pure pruner semantics: recognized conjuncts skip only provably
+    non-matching files; anything outside the fragment keeps everything."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        prune_candidate_files,
+    )
+
+    stats = {
+        "a": {"k": [1, 10], "s": ["a", "m"]},
+        "b": {"k": [11, 20], "s": ["n", "z"]},
+        "c": {},                    # zero-row / no info
+    }
+    files = ["a", "b", "c", "d"]    # d has no stats entry at all
+    pr = prune_candidate_files
+    # without stat_cols knowledge, a missing column NEVER excludes
+    # (it might be an unsupported type, not schema evolution)
+    assert pr(files, stats, "k = 15") == ["b", "c", "d"]
+    assert pr(files, stats, "k < 5") == ["a", "c", "d"]
+    assert pr(files, stats, "k >= 11") == ["b", "c", "d"]
+    assert pr(files, stats, "15 <= k") == ["b", "c", "d"]   # flipped
+    assert pr(files, stats, "(k > 3) AND (k < 8)") == ["a", "c", "d"]
+    assert pr(files, stats, "s = 'q'") == ["b", "c", "d"]
+    # contradiction across conjuncts: both ranged files drop
+    assert pr(files, stats, "k > 25") == ["c", "d"]
+    # with stat_cols, absence proves all-NULL / zero rows: 'c' drops too
+    assert pr(files, stats, "k = 15", stat_cols={"k", "s"}) == ["b", "d"]
+    # unsupported shapes never prune
+    assert pr(files, stats, "k = 15 OR k = 2") == files
+    assert pr(files, stats, "k BETWEEN 2 AND 3") == files
+    assert pr(files, stats, "k % 7 = 3") == files
+    assert pr(files, stats, "upper(s) = 'Q'") == files
+    # schema evolution: column absent from the pre-evolution file's
+    # bounds excludes it only under stat_cols
+    stats2 = {"old": {"k": [1, 5]}, "new": {"k": [6, 9], "v": [0, 1]}}
+    assert pr(["old", "new"], stats2, "v = 1") == ["old", "new"]
+    assert pr(["old", "new"], stats2, "v = 1",
+              stat_cols={"k", "v"}) == ["new"]
+    # a column of UNSUPPORTED type (not in stat_cols) never excludes
+    assert pr(["old", "new"], stats2, "dec_col = 1",
+              stat_cols={"k", "v"}) == ["old", "new"]
+    # unknown bound (NaN) never excludes
+    stats3 = {"x": {"d": [0.5, None]}}
+    assert pr(["x"], stats3, "d > 99") == ["x"]
+    assert pr(["x"], stats3, "d < 0.1") == []
+
+
+def test_delete_and_merge_record_pruning_metrics(spark, table):
+    """Stats land in the manifest at commit time; DELETE and MERGE
+    prune candidates from them and record files_total/candidate/
+    rewritten metrics (Delta operationMetrics analog). Three one-file
+    commits with disjoint key ranges; a predicate inside one range must
+    scan exactly one candidate."""
+    for lo in (0, 100, 200):
+        rows = [(lo + i, f"v{lo + i}") for i in range(5)]
+        if lo == 0:
+            table.overwrite(_df(spark, rows).coalesce(1))
+        else:
+            table.append(_df(spark, rows).coalesce(1))
+    m = table._manifest(2)
+    assert len(m["files"]) == 3 and set(m["stats"]) == set(m["files"])
+    ks = sorted(tuple(s["k"]) for s in m["stats"].values())
+    assert ks == [(0, 4), (100, 104), (200, 204)]
+    v = table.delete("k >= 100 AND k <= 101")
+    met = table._manifest(v)["metrics"]
+    assert met == {
+        "files_total": 3, "files_candidate": 1, "files_rewritten": 1,
+    }
+    assert _rows(table.read()) == [
+        (k, f"v{k}") for k in [0, 1, 2, 3, 4, 102, 103, 104,
+                               200, 201, 202, 203, 204]
+    ]
+    # merge whose source keys fall inside ONE file's range: one candidate
+    table.merge(_df(spark, [(201, "X"), (250, "new")]), ["k"])
+    met2 = table._manifest(table.latest_version())["metrics"]
+    assert met2["files_total"] == 3  # post-delete snapshot: still 3 files
+    assert met2["files_candidate"] == 1 and met2["files_rewritten"] == 1
+    got = dict(_rows(table.read()))
+    assert got[201] == "X" and got[250] == "new" and got[202] == "v202"
+    # a predicate excluded by EVERY file's stats is a zero-IO no-op
+    v_before = table.latest_version()
+    assert table.delete("k > 9999") == v_before
+    # history surfaces the metrics
+    hist = {h["version"]: h.get("metrics") for h in table.history()}
+    assert hist[v] == met
