@@ -1102,7 +1102,13 @@ class VersionedStageTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self, max_file_bytes: int = 32 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        max_file_bytes: int = 32 * 1024 * 1024,
+        *,
+        zorder_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> int:
         """OPTIMIZE: bin-pack the current snapshot's SMALL files (< the
         threshold) into one rewrite, carrying every already-large file
         over by name — Delta ``OPTIMIZE``'s execution shape, where
@@ -1111,7 +1117,22 @@ class VersionedStageTable:
         identical logical content; prior versions stay readable until
         :meth:`vacuum`. Returns the new version (or the current one
         unchanged when fewer than two files are under the threshold —
-        rewriting a single small file buys nothing)."""
+        rewriting a single small file buys nothing).
+
+        ``zorder_by`` switches to Delta ``OPTIMIZE ZORDER BY``'s
+        semantics instead: the WHOLE snapshot is rewritten clustered on
+        the interleaved Morton key of the listed columns
+        (``sources/files.zorder_value``) into ``target_files`` files
+        (``op='zorder'``), so each file covers a small hyper-rectangle
+        of the cluster-column space and the per-file [min, max] stats
+        every commit stores become sharp — stats-pruned DELETE/MERGE
+        then skip most files on predicates over ANY clustered column.
+        Like Delta's, this is a deliberate full rewrite of the
+        optimized scope (here: the snapshot); cost is the snapshot
+        size, paid once to make every later selective operation
+        O(files-touched)."""
+        if zorder_by is not None:
+            return self._compact_zorder(zorder_by, target_files)
         prev = self._manifest(self.latest_version())
         small = [
             f
@@ -1133,6 +1154,46 @@ class VersionedStageTable:
             "compact", carried + packed, prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._stats_for(prev, packed, prev["schema"]),
+        )
+
+    def _compact_zorder(
+        self, zorder_by: list[str], target_files: int | None
+    ) -> int:
+        from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
+
+        prev = self._manifest(self.latest_version())
+        if not prev["files"]:
+            return prev["version"]
+        hint = prev["version"] + 1
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        missing = [c for c in zorder_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"{self.path}: zorder_by columns {missing} not in table"
+            )
+        cur = self.spark.read.schema(schema).parquet(
+            *[self._abs(f) for f in prev["files"]]
+        )
+        # one column: Morton interleaving degenerates to a plain range
+        # clustering on that column (Delta's ZORDER BY (c) likewise)
+        z = (
+            F.col(zorder_by[0])
+            if len(zorder_by) == 1
+            else zorder_value(cur, zorder_by)
+        )
+        clustered = cur.withColumn("__z", z)
+        clustered = (
+            clustered.repartitionByRange(target_files, "__z")
+            if target_files
+            else clustered.repartitionByRange("__z")
+        )
+        packed = self._write_files(
+            clustered.sortWithinPartitions("__z").drop("__z"), hint
+        )
+        return self._commit(
+            "zorder", packed, prev["schema"], version=hint,
+            constraints=dict(prev.get("constraints") or {}),
+            stats=self._collect_stats(packed, prev["schema"]),
         )
 
     def vacuum(self, retain_last: int = 1) -> dict:

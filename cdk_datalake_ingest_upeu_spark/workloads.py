@@ -12231,6 +12231,99 @@ FROM final
 """
 
 
+def stage_zorder_stats_pruning(spark, sf_dir):
+    """Layout x stats = skipping (``versioned.compact(zorder_by=...)``
+    — Delta OPTIMIZE ZORDER's analog feeding the manifest stats the
+    round-9 pruner consumes). A hash-scattered layout (3 files, each
+    spanning the full key range) makes data skipping powerless: a
+    range DELETE must scan and rewrite ALL 3 files (pinned 3/3).
+    RESTORE the snapshot, OPTIMIZE ZORDER it into 3 range-clustered
+    files, re-run the IDENTICAL delete: the manifest bounds now prove
+    most files can't match (pinned: strictly fewer candidates, at most
+    2 even if the predicate straddles a sampled range boundary) while
+    the surviving content is byte-identical either way (pinned via
+    equal aggregates). Scale shape: the clustering rewrite is paid
+    once, snapshot-sized; every later selective DELETE/MERGE drops from
+    O(table) to O(files-touched)."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = int(orders.agg(F.max(k.cast("long"))).first()[0])
+    b1, b2 = mx // 3, (2 * mx) // 3
+    lo, hi = b1 + (b2 - b1) // 4, b1 + (b2 - b1) // 2
+    pred = f"o_orderkey > {lo} AND o_orderkey <= {hi}"
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("vzord"), "orders_zorder")
+    )
+    t.overwrite(orders.repartition(3))  # scattered: no range locality
+    v1 = t.delete(pred)
+    m1 = t._manifest(v1)["metrics"]
+    t.restore(0)
+    v3 = t.compact(zorder_by=["o_orderkey"], target_files=3)
+    n_zfiles = len(t._manifest(v3)["files"])
+    v4 = t.delete(pred)
+    m2 = t._manifest(v4)["metrics"]
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(k.cast("long")).alias("key_sum"),
+        (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+            "price_sum"
+        ),
+    ]
+    a1 = t.read(v1).agg(*agg_cols).first()
+    return (
+        t.read(v4)
+        .agg(*agg_cols)
+        .select(
+            F.lit(m1["files_candidate"]).cast("long").alias(
+                "scattered_candidates"
+            ),
+            F.lit(m1["files_rewritten"]).cast("long").alias(
+                "scattered_rewritten"
+            ),
+            F.lit(n_zfiles == 3).alias("zorder_files_3"),
+            F.lit(
+                m2["files_candidate"] < m1["files_candidate"]
+            ).alias("zorder_pruned"),
+            F.lit(m2["files_candidate"] <= 2).alias("zorder_tight"),
+            (
+                (F.col("n_rows") == F.lit(int(a1["n_rows"])))
+                & (F.col("key_sum") == F.lit(int(a1["key_sum"])))
+                & (F.col("price_sum") == F.lit(float(a1["price_sum"])))
+            ).alias("deletes_equal"),
+            "*",
+        )
+    )
+
+
+_ZORDER_STATS_PRUNING_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(max(o_orderkey) AS BIGINT) // 3 AS b1,
+         (2 * CAST(max(o_orderkey) AS BIGINT)) // 3 AS b2
+  FROM orders
+), m AS (
+  SELECT b1 + (b2 - b1) // 4 AS lo, b1 + (b2 - b1) // 2 AS hi FROM bounds
+), final AS (
+  SELECT o_orderkey, o_totalprice FROM orders, m
+  WHERE NOT coalesce(o_orderkey > lo AND o_orderkey <= hi, FALSE)
+)
+SELECT CAST(3 AS BIGINT) AS scattered_candidates,
+       CAST(3 AS BIGINT) AS scattered_rewritten,
+       TRUE AS zorder_files_3,
+       TRUE AS zorder_pruned,
+       TRUE AS zorder_tight,
+       TRUE AS deletes_equal,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM final
+"""
+
+
 def stage_merge_resolve_last(spark, sf_dir):
     """Versioned MERGE with deterministic multi-match resolution
     (``operators/versioned.py merge(resolve_by=...)``): the reference's
@@ -12711,6 +12804,7 @@ QUERIES = {
     "asof_join_tolerance": asof_join_tolerance,
     "stage_merge_resolve_last": stage_merge_resolve_last,
     "stage_stats_pruned_delete": stage_stats_pruned_delete,
+    "stage_zorder_stats_pruning": stage_zorder_stats_pruning,
 }
 
 ORACLES = {
@@ -12938,6 +13032,7 @@ ORACLES = {
     "asof_join_tolerance": _ASOF_TOLERANCE_SQL,
     "stage_merge_resolve_last": _MERGE_RESOLVE_SQL,
     "stage_stats_pruned_delete": _STATS_PRUNED_DELETE_SQL,
+    "stage_zorder_stats_pruning": _ZORDER_STATS_PRUNING_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -12980,6 +13075,7 @@ _MICRO_CANON_COLS = {
     "stage_check_constraints": ['final_price_sum'],
     "stage_merge_resolve_last": ['value_sum'],
     "stage_stats_pruned_delete": ['price_sum'],
+    "stage_zorder_stats_pruning": ['price_sum'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "events_last_touch_attribution": ['total_value'],

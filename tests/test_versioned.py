@@ -793,3 +793,33 @@ def test_delete_and_merge_record_pruning_metrics(spark, table):
     # history surfaces the metrics
     hist = {h["version"]: h.get("metrics") for h in table.history()}
     assert hist[v] == met
+
+
+def test_compact_zorder_clusters_and_sharpens_stats(spark, table):
+    """OPTIMIZE ZORDER analog: content identical after the rewrite, op
+    recorded as 'zorder', and the per-file key bounds become disjoint
+    enough that a range DELETE prunes to fewer candidates than the
+    scattered layout needed."""
+    import random
+
+    rows = [(i, f"v{i}") for i in range(300)]
+    random.Random(7).shuffle(rows)
+    table.overwrite(_df(spark, rows).repartition(3))
+    before = _rows(table.read())
+    v = table.compact(zorder_by=["k"], target_files=3)
+    assert table._manifest(v)["op"] == "zorder"
+    assert _rows(table.read()) == before
+    m = table._manifest(v)
+    assert len(m["files"]) == 3
+    spans = sorted(tuple(s["k"]) for s in m["stats"].values())
+    # clustered: ranges are non-overlapping (each file a key interval)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+    dv = table.delete("k >= 120 AND k < 160")
+    met = table._manifest(dv)["metrics"]
+    assert met["files_total"] == 3 and met["files_candidate"] <= 2
+    assert sorted(r[0] for r in table.read().collect()) == [
+        i for i in range(300) if not (120 <= i < 160)
+    ]
+    with pytest.raises(ValueError, match="zorder_by columns"):
+        table.compact(zorder_by=["nope"])
