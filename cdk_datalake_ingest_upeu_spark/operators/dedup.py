@@ -1992,3 +1992,112 @@ def boilerplate_strip_with_index(
             F.lit(""),
         ).alias("text_clean"),
     )
+
+
+class BandBucketTooLargeError(ValueError):
+    """A band bucket exceeded the sweep's pair-work guard — the audit
+    would go quadratic on one key. Run the sweep on a sample (its
+    normal mode at corpus scale) or pre-strip exact-duplicate clusters
+    with :func:`exact_dedup` first."""
+
+
+def band_candidate_pairs(
+    band_table: DataFrame,
+    *,
+    max_band_bucket: int = 4096,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a
+    ``(doc_id, band, bhash)`` band table — the bucket-aggregation shape
+    of :func:`minhash_lsh_pairs` (one exchange, i<j pairs emitted by a
+    JVM HOF inside each bucket row) WITHOUT the verification join and
+    WITHOUT star-capping: the banding sweep's nesting invariant
+    (candidates at aligned finer banding ⊇ candidates at coarser) only
+    holds for the uncapped sets, so oversized buckets raise
+    :class:`BandBucketTooLargeError` instead of silently dropping
+    pairs. Returned persisted (scratch registry) — the sweep reads each
+    config's pair set twice (count + nesting probe)."""
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import (
+        scratch_persist,
+    )
+
+    buckets = scratch_persist(
+        band_table.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    mx = buckets.agg(F.max(F.size("ids")).alias("m")).first()["m"]
+    if mx is not None and mx > max_band_bucket:
+        raise BandBucketTooLargeError(
+            f"band bucket of {mx} members exceeds the sweep guard "
+            f"{max_band_bucket} ({mx*mx} pairs on one key)"
+        )
+    all_pairs = F.flatten(
+        F.expr(
+            "transform(ids, (x, i) -> transform("
+            "slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b)))"
+        )
+    )
+    return scratch_persist(
+        buckets.select(F.explode(all_pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_banding_sweep(
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands_list: tuple[int, ...] = (2, 4, 8),
+    max_band_bucket: int = 4096,
+) -> list[dict]:
+    """The LSH S-curve knob ablation, measured from ONE signature
+    table: for each banding (bands b, rows r = num_hashes/b), the
+    uncapped candidate-pair set, its size, and the NESTING proof.
+
+    With aligned band boundaries (band k covers lanes [k*r, (k+1)*r)),
+    agreement on a coarse band implies agreement on both its aligned
+    finer halves, so the candidate set at finer banding (more bands,
+    shorter rows) is a SUPERSET of the coarser one — the measured twin
+    of the 1-(1-s^r)^b S-curve being monotone in b at fixed b*r.
+    Returns one dict per config, coarse→fine:
+    ``{bands, rows, n_candidates, superset_of_coarser}`` where the
+    superset flag is an EXACT anti-join emptiness probe against the
+    previous config's pairs (trivially True for the first). A False
+    means the banding machinery broke, not that the data is odd.
+
+    Cost shape: the signatures are computed once upstream (256 B/doc);
+    each config re-bands the SIGNATURE table (KB-grain per doc, no
+    text) and pays one bucket aggregation — the sweep is how a user
+    prices candidate volume against recall before committing a banding
+    to a 100 TB dedup run. At corpus scale it runs on a sample; the
+    bucket guard raises rather than going quadratic."""
+    out: list[dict] = []
+    prev_pairs = None
+    for bands in bands_list:
+        _band_rows(num_hashes, bands)  # validates divisibility
+        bt = minhash_band_table(sigs, num_hashes=num_hashes, bands=bands)
+        pairs = band_candidate_pairs(bt, max_band_bucket=max_band_bucket)
+        n = pairs.count()
+        if prev_pairs is None:
+            superset = True
+        else:
+            superset = (
+                prev_pairs.join(
+                    pairs, ["id_a", "id_b"], "left_anti"
+                ).limit(1).count()
+                == 0
+            )
+        out.append(
+            {
+                "bands": bands,
+                "rows": num_hashes // bands,
+                "n_candidates": n,
+                "superset_of_coarser": superset,
+                # the persisted pair set itself — callers audit against
+                # planted duplicates / ground truth without re-banding
+                "pairs": pairs,
+            }
+        )
+        prev_pairs = pairs
+    return out

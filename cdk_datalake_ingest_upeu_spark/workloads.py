@@ -12410,6 +12410,99 @@ ORDER BY event_type
 """
 
 
+def dedup_banding_sweep(spark, sf_dir):
+    """The LSH banding ablation, measured
+    (``operators/dedup.minhash_banding_sweep``): from ONE 32-lane
+    signature table, candidate sets at bands=2/4/8 (rows 16/8/4), with
+    the NESTING invariant pinned per step — aligned finer banding must
+    yield a candidate SUPERSET of the coarser one (the measured twin of
+    the 1-(1-s^r)^b S-curve being monotone in b at fixed b*r), proven
+    by an exact anti-join emptiness probe, plus planted-recall: a 5%
+    hash-deterministic sample of documents is re-injected verbatim
+    under new ids, and every planted exact-duplicate pair must surface
+    at EVERY banding (identical signatures agree on all lanes). This is
+    how a user prices candidate volume against recall before committing
+    a banding to a 100 TB dedup run. Scale shape: signatures once
+    (256 B/doc), each config re-bands signatures only (no text), bucket
+    guard raises before any quadratic key."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        minhash_banding_sweep,
+        minhash_signature_table,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) >= 50
+    )
+    sample = docs.filter(
+        hash_bucket(F.col("doc_id"), seed="bandsweep") < 50_000
+    )
+    planted = sample.select(
+        F.concat(F.lit("bsdup::"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).unionByName(planted)
+    sigs = scratch_persist(minhash_signature_table(corpus))
+    configs = minhash_banding_sweep(sigs)
+    planted_pairs = scratch_persist(
+        sample.select(
+            F.least(
+                F.col("doc_id").cast("string"),
+                F.concat(F.lit("bsdup::"), F.col("doc_id").cast("string")),
+            ).alias("id_a"),
+            F.greatest(
+                F.col("doc_id").cast("string"),
+                F.concat(F.lit("bsdup::"), F.col("doc_id").cast("string")),
+            ).alias("id_b"),
+        )
+    )
+    n_planted = planted_pairs.count()
+    rows = []
+    for cfg in configs:
+        detected = (
+            cfg["pairs"]
+            .join(F.broadcast(planted_pairs), ["id_a", "id_b"], "left_semi")
+            .count()
+        )
+        rows.append(
+            (
+                cfg["bands"],
+                cfg["rows"],
+                n_planted,
+                detected == n_planted,
+                cfg["superset_of_coarser"],
+            )
+        )
+    return finalize(
+        spark.createDataFrame(
+            rows,
+            "bands int, rows_per_band int, planted_expected bigint, "
+            "planted_recall_1 boolean, superset_of_coarser boolean",
+        ).orderBy("bands")
+    )
+
+
+_BANDING_SWEEP_SQL = """
+WITH planted AS (
+  SELECT count(*) AS n FROM documents
+  WHERE length(trim(coalesce(text, ''))) >= 50
+    AND ('0x' || substr(md5(doc_id::VARCHAR || 'bandsweep'), 1, 8))::BIGINT
+        % 1000000 < 50000
+)
+SELECT CAST(b.bands AS INT) AS bands,
+       CAST(32 / b.bands AS INT) AS rows_per_band,
+       CAST(n AS BIGINT) AS planted_expected,
+       TRUE AS planted_recall_1,
+       TRUE AS superset_of_coarser
+FROM (VALUES (2), (4), (8)) b(bands), planted
+ORDER BY bands
+"""
+
+
 def dsir_bigram_selection(spark, sf_dir):
     """DSIR with hashed unigrams+bigrams vs unigrams-only
     (operators/sampling.dsir_importance_select ``ngram_max=2`` — the
@@ -12805,6 +12898,7 @@ QUERIES = {
     "stage_merge_resolve_last": stage_merge_resolve_last,
     "stage_stats_pruned_delete": stage_stats_pruned_delete,
     "stage_zorder_stats_pruning": stage_zorder_stats_pruning,
+    "dedup_banding_sweep": dedup_banding_sweep,
 }
 
 ORACLES = {
@@ -13033,6 +13127,7 @@ ORACLES = {
     "stage_merge_resolve_last": _MERGE_RESOLVE_SQL,
     "stage_stats_pruned_delete": _STATS_PRUNED_DELETE_SQL,
     "stage_zorder_stats_pruning": _ZORDER_STATS_PRUNING_SQL,
+    "dedup_banding_sweep": _BANDING_SWEEP_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible

@@ -3115,3 +3115,49 @@ def test_asof_join_tolerance_bounds_the_match(spark):
         ).collect()
     }
     assert got == {"near": 7.0, "far": None, "exact": 7.0}
+
+
+def test_minhash_banding_sweep_nesting_and_guard(spark):
+    """Aligned finer banding yields a candidate SUPERSET of coarser
+    (agreement on a 16-lane band implies agreement on its two 8-lane
+    halves); exact duplicates surface at every banding; an oversized
+    bucket raises instead of going quadratic."""
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        BandBucketTooLargeError,
+        band_candidate_pairs,
+        minhash_band_table,
+        minhash_banding_sweep,
+        minhash_signature_table,
+    )
+
+    base = [
+        (f"d{i}", f"unique document number {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30)))
+        for i in range(40)
+    ]
+    dups = [(f"dup_d{i}", base[i][1]) for i in range(10)]  # exact copies
+    docs = spark.createDataFrame(base + dups, "doc_id string, text string")
+    sigs = minhash_signature_table(docs)
+    cfgs = minhash_banding_sweep(sigs, bands_list=(2, 4, 8))
+    assert [c["bands"] for c in cfgs] == [2, 4, 8]
+    assert all(c["superset_of_coarser"] for c in cfgs)
+    ns = [c["n_candidates"] for c in cfgs]
+    assert ns[0] <= ns[1] <= ns[2]
+    # every exact-dup pair is a candidate at EVERY banding
+    for c in cfgs:
+        got = {(r["id_a"], r["id_b"]) for r in c["pairs"].collect()}
+        for i in range(10):
+            a, b = sorted((f"d{i}", f"dup_d{i}"))
+            assert (a, b) in got, (c["bands"], i)
+    # guard: many identical docs collide in one bucket per band
+    blob = [(f"s{i}", "same text " * 20) for i in range(12)]
+    bt = minhash_band_table(
+        minhash_signature_table(
+            spark.createDataFrame(blob, "doc_id string, text string")
+        ),
+        bands=8,
+    )
+    with _pytest.raises(BandBucketTooLargeError):
+        band_candidate_pairs(bt, max_band_bucket=8)
