@@ -13477,9 +13477,82 @@ _R8_WINDOW = [
     "ann_topk_int8",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+
+
+# ===========================================================================
+# round-9 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) EVERY never-driver-checked query leads: the 4 r8-new ones the r8
+# verdict flagged (judge-local green, never driver-green) plus the 5
+# r9-new ones (asof tolerance, latest-wins merge, stats-pruned delete,
+# zorder-vs-skipping, LSH banding sweep) — all carry local + sweep
+# evidence this round; (b) the long tail rotates onto the OLDEST driver
+# evidence: all 25 queries whose newest green is r4, then 16 of the 43
+# last-green-r5, chosen for family coverage (ann, dedup, embedding,
+# text/LM, events, multimodal, packing, scd2, streaming). After this
+# window every catalog query's driver evidence is r6+ except the
+# remaining 27 r5 rows, which rotate in r10.
+_R9_WINDOW = [
+    # (a) never driver-checked: r8-new
+    "stage_versioned_delete",
+    "stage_tagged_reads",
+    "stage_check_constraints",
+    "dsir_bigram_selection",
+    # (a) never driver-checked: r9-new
+    "asof_join_tolerance",
+    "stage_merge_resolve_last",
+    "stage_stats_pruned_delete",
+    "stage_zorder_stats_pruning",
+    "dedup_banding_sweep",
+    # (b) last driver-green in r4
+    "bpe_merge_pairs",
+    "corpus_quality_filter",
+    "corpus_unigram_logprob",
+    "corpus_vocab_coverage",
+    "curriculum_quality_quartiles",
+    "embedding_norm_outliers",
+    "embedding_quantize_stats",
+    "events_anomaly_zscore",
+    "export_training_shards",
+    "profile_drift_generations",
+    "sample_capped_per_source",
+    "sample_hash_deterministic",
+    "set_ops_customer_activity",
+    "skew_salted_join_segment",
+    "stage_catalog_sql_read",
+    "stage_change_feed_apply_evolution",
+    "stage_compaction_roundtrip",
+    "stage_dpp_pruned_join",
+    "stage_retention_prune",
+    "stage_snapshot_diff",
+    "streaming_anomaly_zscore",
+    "streaming_change_feed_ingest",
+    "text_bm25_topk",
+    "text_repetition_stats",
+    "train_test_split_counts",
+    # (b) last driver-green in r5 — family coverage
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "dedup_minhash_pairs",
+    "dedup_simhash_corpus",
+    "dedup_paragraph_corpus",
+    "dedup_cluster_components",
+    "embedding_kmeans_stats",
+    "embedding_pca_variance",
+    "corpus_bpe_encode",
+    "corpus_bigram_logprob",
+    "events_funnel",
+    "events_unpivot_daily",
+    "multimodal_image_resize",
+    "pack_documents_stats",
+    "scd2_point_in_time_enrich",
+    "streaming_quarantine_ingest",
+]
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_R8_WINDOW, *(n for n in QUERIES if n not in set(_R8_WINDOW)))
+    for name in (*_R9_WINDOW, *(n for n in QUERIES if n not in set(_R9_WINDOW)))
 }
 
 

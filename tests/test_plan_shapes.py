@@ -124,6 +124,10 @@ BUDGETS = [
     ("stage_check_constraints", 0, False),  # driver-assembled 1-row summary; constraint probes are bounded upstream counts
     ("dsir_bigram_selection", 0, False),  # finalized rollup; upstream: two linear token maps + two <=4096-row models + one doc-grain join
     ("asof_join_tolerance", 2, False),  # ONE key shuffle for the union+window carry + output sort; tolerance is row-local, zero extra exchanges
+    ("stage_stats_pruned_delete", 1, False),  # returned plan: 1-row agg over the final snapshot; pruning/COW jobs upstream
+    ("stage_zorder_stats_pruning", 1, False),  # returned plan: 1-row agg; clustering rewrite + both deletes upstream
+    ("stage_merge_resolve_last", 3, False),  # rollup + distinct-count expand + output sort; resolve window runs upstream on the batch
+    ("dedup_banding_sweep", 0, False),  # finalized driver-assembled 3-row report; banding aggregations upstream
 ]
 
 
