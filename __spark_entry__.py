@@ -5,7 +5,7 @@
   plus the training-data-pipeline operators (dedup / similarity / text /
   multimodal / streaming).
 - ``oracle_sql()``: DuckDB-equivalent SQL for EVERY declared query
-  (209/209 as of round 7). Approximate/iterative operators (MinHash,
+  (226/226 as of round 9). Approximate/iterative operators (MinHash,
   ANN, k-means, PCA, connected components, sketches, packing, BPE)
   are oracle-checked through their CONTRACTS: exact SQL-reproducible
   columns plus self-checking invariant booleans the oracle pins to

@@ -540,10 +540,23 @@ class VersionedStageTable:
         df = self.spark.read.schema(schema).parquet(
             *[self._abs(r) for r in rels]
         )
+        # String bounds are TRUNCATED to keep manifests KB-scale with
+        # long text columns (Delta truncates string stats the same way):
+        # substring to cap+1 chars BEFORE collect so the driver never
+        # ships a document-sized value. Soundness: a 64-char PREFIX of
+        # the true min is still <= every value (valid lower bound), but
+        # a prefix of the true max is < the true max — so a truncated
+        # max degrades to None (unknown), never a fake bound.
+        cap = 64
+        by_name = {f.name: f.dataType for f in schema.fields}
         aggs = []
         for i, c in enumerate(cols):
-            aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
-            aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+            mn, mx = F.min(F.col(f"`{c}`")), F.max(F.col(f"`{c}`"))
+            if isinstance(by_name[c], T.StringType):
+                mn = F.substring(mn, 1, cap + 1)
+                mx = F.substring(mx, 1, cap + 1)
+            aggs.append(mn.alias(f"__mn{i}"))
+            aggs.append(mx.alias(f"__mx{i}"))
         rows = (
             df.withColumn("__f", F.input_file_name())
             .groupBy("__f")
@@ -552,14 +565,19 @@ class VersionedStageTable:
         )
         for row in rows:
             rel = self._rel_path(row["__f"])
-            if rel in out:
-                out[rel] = {
-                    c: [
-                        _stat_value(row[f"__mn{i}"]),
-                        _stat_value(row[f"__mx{i}"]),
-                    ]
-                    for i, c in enumerate(cols)
-                }
+            if rel not in out:
+                continue
+            st = {}
+            for i, c in enumerate(cols):
+                lo = _stat_value(row[f"__mn{i}"])
+                hi = _stat_value(row[f"__mx{i}"])
+                if isinstance(by_name[c], T.StringType):
+                    if lo is not None and len(lo) > cap:
+                        lo = lo[:cap]
+                    if hi is not None and len(hi) > cap:
+                        hi = None
+                st[c] = [lo, hi]
+            out[rel] = st
         return out
 
     def _stats_for(

@@ -1,5 +1,6 @@
 """VersionedStageTable: commit log, time travel, COW merge, vacuum."""
 
+import json
 import os
 
 import pytest
@@ -823,3 +824,30 @@ def test_compact_zorder_clusters_and_sharpens_stats(spark, table):
     ]
     with pytest.raises(ValueError, match="zorder_by columns"):
         table.compact(zorder_by=["nope"])
+
+
+def test_string_stats_truncated_soundly(spark, table):
+    """Long string bounds never land in the manifest verbatim: the min
+    truncates to a 64-char prefix (still a valid lower bound), the max
+    degrades to None (a truncated prefix would be a FAKE upper bound);
+    pruning against the truncated bounds stays conservative."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        prune_candidate_files,
+    )
+
+    long_a = "a" * 500
+    long_z = "z" * 500
+    table.overwrite(
+        spark.createDataFrame(
+            [(1, long_a), (2, long_z)], "k int, v string"
+        ).coalesce(1)
+    )
+    st = next(iter(table._manifest(0)["stats"].values()))
+    lo, hi = st["v"]
+    assert lo == "a" * 64 and hi is None
+    assert len(json.dumps(table._manifest(0))) < 4096
+    # lower bound still prunes; upper bound (unknown) never does
+    files = list(table._manifest(0)["files"])
+    stats = table._manifest(0)["stats"]
+    assert prune_candidate_files(files, stats, "v < 'a'") == []
+    assert prune_candidate_files(files, stats, "v > 'zzz'") == files
