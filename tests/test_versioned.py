@@ -308,9 +308,12 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
         return spark.createDataFrame(sorted(d.items()), "k int, v string")
 
     state: dict[int, str] = {}
-    for step in range(10):
-        op = rng.choice(["overwrite", "append", "merge", "compact", "restore"])
-        if not history and op in ("append", "merge", "compact", "restore"):
+    for step in range(14):
+        op = rng.choice(
+            ["overwrite", "append", "merge", "merge_resolve", "compact",
+             "zorder", "restore", "delete"]
+        )
+        if not history and op != "overwrite":
             op = "overwrite"
         if op == "overwrite":
             state = {rng.randrange(20): "o%d" % step for _ in range(3)}
@@ -323,9 +326,32 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
             src = {rng.randrange(25): "m%d" % step for _ in range(3)}
             state = {**state, **src}
             v = t.merge(_frame(src), ["k"])
+        elif op == "merge_resolve":
+            # two distinct rows per key, resolved latest-wins on v —
+            # the model takes the lexically LAST value per key, exactly
+            # resolve_by's desc_nulls_last contract
+            ks = sorted({rng.randrange(25) for _ in range(2)})
+            lo2 = {k: "r%d_a" % step for k in ks}
+            hi2 = {k: "r%d_b" % step for k in ks}
+            both = spark.createDataFrame(
+                sorted(lo2.items()) + sorted(hi2.items()),
+                "k int, v string",
+            )
+            v = t.merge(both, ["k"], resolve_by=["v"])
+            state = {**state, **{k: max(lo2[k], hi2[k]) for k in ks}}
+        elif op == "delete":
+            cut = rng.randrange(25)
+            state = {k: vv for k, vv in state.items() if not (k > cut)}
+            v = t.delete(f"k > {cut}")
+            if v in live:  # no row matched: no new commit
+                continue
         elif op == "compact":
             v = t.compact(max_file_bytes=1 << 30)
             if v in live:  # no-op compact (fewer than 2 small files)
+                continue
+        elif op == "zorder":
+            v = t.compact(zorder_by=["k"], target_files=2)
+            if v in live:  # empty table: no-op
                 continue
         else:
             target = rng.choice(sorted(live))
