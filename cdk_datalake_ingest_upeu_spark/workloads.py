@@ -12410,6 +12410,301 @@ ORDER BY event_type
 """
 
 
+def referential_integrity_audit(spark, sf_dir):
+    """Cross-table foreign-key audit — the expectations-family check a
+    lake runs before promoting a landing zone: per FK relation, row
+    count, NULL-FK count (not an orphan under SQL semantics), and the
+    ORPHAN count (non-NULL key with no parent), via one anti-join per
+    relation. Scale shape: each check is one equi-anti-join on the key
+    (broadcastable parent key sets for dims; shuffle join for fact→fact)
+    and a bounded driver-assembled report — never a row-level export."""
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child_t, fk, parent_t, pk in checks:
+        child = _t(spark, sf_dir, child_t)
+        parent = _t(spark, sf_dir, parent_t).select(pk).distinct()
+        n_rows = child.count()
+        n_null = child.filter(F.col(fk).isNull()).count()
+        n_orphans = (
+            child.filter(F.col(fk).isNotNull())
+            .join(parent, child[fk] == parent[pk], "left_anti")
+            .count()
+        )
+        rows.append((name, n_rows, n_null, n_orphans))
+    return finalize(
+        spark.createDataFrame(
+            rows,
+            "relation string, n_rows bigint, n_null_fk bigint, "
+            "n_orphans bigint",
+        ).orderBy("relation")
+    )
+
+
+_RI_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer' AS relation,
+         (SELECT count(*) FROM orders) AS n_rows,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk,
+         (SELECT count(*) FROM orders o
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+         (SELECT count(*) FROM lineitem l
+          WHERE l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+         (SELECT count(*) FROM lineitem l
+          WHERE l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+         (SELECT count(*) FROM lineitem l
+          WHERE l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+         (SELECT count(*) FROM customer c
+          WHERE c_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+) ORDER BY relation
+"""
+
+
+def events_hll_accuracy(spark, sf_dir):
+    """HyperLogLog sketch accuracy contract: per event_type, the EXACT
+    distinct-user count (SQL-reproducible) alongside Spark's
+    ``approx_count_distinct`` at rsd=0.05, pinned to land within the
+    3-sigma HLL envelope (plus a +10 floor for tiny groups, where HLL
+    switches to near-exact linear counting). At 100 TB the sketch is
+    the only affordable per-window cardinality — this query prices its
+    error against ground truth at a scale where ground truth is still
+    computable. The approx value itself is engine-specific and never
+    hashed; only the exactness-checkable columns and the contract
+    boolean are."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.greatest(
+                    (F.lit(3 * 0.05) * F.col("exact_users")).cast("long"),
+                    F.lit(10),
+                )
+            ).alias("within_3sigma"),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+_HLL_ACCURACY_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_3sigma
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_skew_diagnostics(spark, sf_dir):
+    """Join/groupBy key-skew report for events.user_id — what a user
+    consults before picking a salt factor or enabling AQE skew-join:
+    total rows, distinct keys, the heaviest key's row count, the skew
+    factor max/avg, and the suggested salt bucket count
+    ceil(max_key_rows / avg) that would level the heaviest key to the
+    average. One (key)-grain aggregation plus a bounded rollup — the
+    per-key count table is the only corpus-scale exchange. NULL keys
+    form a group like any other (they hash together in a real join,
+    which is exactly why they matter for skew)."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_key.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        )
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            (
+                F.col("max_key_rows").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                )
+            ).alias("skew_factor"),
+            F.ceil(
+                F.col("max_key_rows").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                )
+            ).cast("long").alias("suggested_salt_buckets"),
+        )
+    )
+
+
+_SKEW_DIAG_SQL = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_key_rows
+  FROM per_key
+)
+SELECT n_rows, n_keys, max_key_rows,
+       CAST(max_key_rows AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor,
+       CAST(ceil(CAST(max_key_rows AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) AS BIGINT)
+         AS suggested_salt_buckets
+FROM agg
+"""
+
+
+def embedding_matryoshka_quality(spark, sf_dir):
+    """Matryoshka truncation audit (Kusupati et al. 2022): how much
+    cosine similarity to the FULL vector survives keeping only the
+    first 8/16/32 dimensions — the question a user answers before
+    shipping truncated embeddings to a cheaper ANN tier. For prefix
+    truncation cos(full, trunc_d) = sqrt(E_d / E) where E_d is the
+    prefix energy (sum of squared components), so the report is exact
+    integer arithmetic end-to-end: per-value round(x*x*1e9) quantized
+    energies (bit-identical on both engines), per-vector cosines as
+    identical IEEE sqrt of integer ratios re-quantized at 1e9, exact
+    integer sums, one division at the end. Zero-energy vectors carry no
+    direction and are excluded (both engines). Monotonicity (E_d
+    nondecreasing in d ⇒ cosine nondecreasing) is pinned per step.
+    Scale shape: one posexplode pass, one per-vector rollup, a 3-row
+    report — no pairwise anything."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qxx = F.round(
+        F.col("x") * F.col("x") * F.lit(1e9), 0
+    ).cast("decimal(28,0)")
+    per_vec = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+        .select("vec_id", "dim", qxx.alias("qxx"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.when(F.col("dim") < 8, F.col("qxx"))).alias("e8"),
+            F.sum(F.when(F.col("dim") < 16, F.col("qxx"))).alias("e16"),
+            F.sum(F.when(F.col("dim") < 32, F.col("qxx"))).alias("e32"),
+            F.sum("qxx").alias("e"),
+        )
+        .filter(F.col("e") > 0)
+    )
+    qcos = [
+        F.sum(
+            F.round(
+                F.sqrt(
+                    F.coalesce(F.col(f"e{d}"), F.lit(0)).cast("double")
+                    / F.col("e").cast("double")
+                )
+                * F.lit(1e9),
+                0,
+            ).cast("long")
+        ).alias(f"s{d}")
+        for d in (8, 16, 32)
+    ]
+    row = per_vec.agg(F.count(F.lit(1)).alias("n"), *qcos).first()
+    n = int(row["n"])
+    means = {d: (int(row[f"s{d}"]) / n / 1e9) if n else None for d in (8, 16, 32)}
+    rows = []
+    prev = None
+    for d in (8, 16, 32):
+        rows.append(
+            (
+                d,
+                n,
+                means[d],
+                prev is None or means[d] >= prev,
+            )
+        )
+        prev = means[d]
+    return finalize(
+        spark.createDataFrame(
+            rows,
+            "prefix_dims int, n_vectors bigint, mean_cos double, "
+            "monotone_ok boolean",
+        ).orderBy("prefix_dims")
+    )
+
+
+_MATRYOSHKA_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), q AS (
+  SELECT vec_id, dim,
+         CAST(round(x * x * 1000000000.0, 0) AS DECIMAL(28,0)) AS qxx
+  FROM x
+), per_vec AS (
+  SELECT vec_id,
+         coalesce(sum(CASE WHEN dim < 8 THEN qxx END), 0) AS e8,
+         coalesce(sum(CASE WHEN dim < 16 THEN qxx END), 0) AS e16,
+         coalesce(sum(CASE WHEN dim < 32 THEN qxx END), 0) AS e32,
+         sum(qxx) AS e
+  FROM q GROUP BY vec_id
+  HAVING sum(qxx) > 0
+), rolled AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(sqrt(CAST(e8 AS DOUBLE) / CAST(e AS DOUBLE))
+             * 1000000000.0, 0) AS BIGINT)) AS s8,
+         sum(CAST(round(sqrt(CAST(e16 AS DOUBLE) / CAST(e AS DOUBLE))
+             * 1000000000.0, 0) AS BIGINT)) AS s16,
+         sum(CAST(round(sqrt(CAST(e32 AS DOUBLE) / CAST(e AS DOUBLE))
+             * 1000000000.0, 0) AS BIGINT)) AS s32
+  FROM per_vec
+)
+SELECT CAST(d.prefix_dims AS INT) AS prefix_dims,
+       CAST(n AS BIGINT) AS n_vectors,
+       CAST(CASE d.prefix_dims WHEN 8 THEN s8 WHEN 16 THEN s16
+            ELSE s32 END AS DOUBLE) / n / 1000000000.0 AS mean_cos,
+       TRUE AS monotone_ok
+FROM (VALUES (8), (16), (32)) d(prefix_dims), rolled
+ORDER BY prefix_dims
+"""
+
+
 def dedup_banding_sweep(spark, sf_dir):
     """The LSH banding ablation, measured
     (``operators/dedup.minhash_banding_sweep``): from ONE 32-lane
@@ -12899,6 +13194,10 @@ QUERIES = {
     "stage_stats_pruned_delete": stage_stats_pruned_delete,
     "stage_zorder_stats_pruning": stage_zorder_stats_pruning,
     "dedup_banding_sweep": dedup_banding_sweep,
+    "referential_integrity_audit": referential_integrity_audit,
+    "events_hll_accuracy": events_hll_accuracy,
+    "events_skew_diagnostics": events_skew_diagnostics,
+    "embedding_matryoshka_quality": embedding_matryoshka_quality,
 }
 
 ORACLES = {
@@ -13128,6 +13427,10 @@ ORACLES = {
     "stage_stats_pruned_delete": _STATS_PRUNED_DELETE_SQL,
     "stage_zorder_stats_pruning": _ZORDER_STATS_PRUNING_SQL,
     "dedup_banding_sweep": _BANDING_SWEEP_SQL,
+    "referential_integrity_audit": _RI_AUDIT_SQL,
+    "events_hll_accuracy": _HLL_ACCURACY_SQL,
+    "events_skew_diagnostics": _SKEW_DIAG_SQL,
+    "embedding_matryoshka_quality": _MATRYOSHKA_SQL,
     # every declared query now has an oracle entry: the hash-family /
     # iterative results (LSH pairs, k-means, PCA, components) are
     # oracle-checked through their CONTRACTS — exact SQL-reproducible
@@ -13171,6 +13474,8 @@ _MICRO_CANON_COLS = {
     "stage_merge_resolve_last": ['value_sum'],
     "stage_stats_pruned_delete": ['price_sum'],
     "stage_zorder_stats_pruning": ['price_sum'],
+    "events_skew_diagnostics": ['skew_factor'],
+    "embedding_matryoshka_quality": ['mean_cos'],
     "events_mad_outliers": ['median', 'mad'],
     "events_interarrival_robust": ['median', 'mad'],
     "events_last_touch_attribution": ['total_value'],
@@ -13484,15 +13789,17 @@ assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 # ===========================================================================
 
 # (a) EVERY never-driver-checked query leads: the 4 r8-new ones the r8
-# verdict flagged (judge-local green, never driver-green) plus the 5
+# verdict flagged (judge-local green, never driver-green) plus the 9
 # r9-new ones (asof tolerance, latest-wins merge, stats-pruned delete,
-# zorder-vs-skipping, LSH banding sweep) — all carry local + sweep
-# evidence this round; (b) the long tail rotates onto the OLDEST driver
-# evidence: all 25 queries whose newest green is r4, then 16 of the 43
-# last-green-r5, chosen for family coverage (ann, dedup, embedding,
-# text/LM, events, multimodal, packing, scd2, streaming). After this
-# window every catalog query's driver evidence is r6+ except the
-# remaining 27 r5 rows, which rotate in r10.
+# zorder-vs-skipping, LSH banding sweep, FK-integrity audit, HLL
+# accuracy contract, key-skew diagnostics, matryoshka truncation) —
+# all carry local + 5-hostile-variant evidence this round
+# (CORRECTNESS_LOCAL_r09 / PERTURB_r09); (b) the long tail rotates onto
+# the OLDEST driver evidence: all 25 queries whose newest green is r4,
+# then 12 of the 43 last-green-r5, chosen for family coverage (ann,
+# dedup, embedding, text/LM, events, multimodal, packing, scd2,
+# streaming). After this window every catalog query's driver evidence
+# is r6+ except the remaining 31 r5 rows, which rotate in r10.
 _R9_WINDOW = [
     # (a) never driver-checked: r8-new
     "stage_versioned_delete",
@@ -13505,6 +13812,10 @@ _R9_WINDOW = [
     "stage_stats_pruned_delete",
     "stage_zorder_stats_pruning",
     "dedup_banding_sweep",
+    "referential_integrity_audit",
+    "events_hll_accuracy",
+    "events_skew_diagnostics",
+    "embedding_matryoshka_quality",
     # (b) last driver-green in r4
     "bpe_merge_pairs",
     "corpus_quality_filter",
@@ -13539,11 +13850,7 @@ _R9_WINDOW = [
     "dedup_paragraph_corpus",
     "dedup_cluster_components",
     "embedding_kmeans_stats",
-    "embedding_pca_variance",
     "corpus_bpe_encode",
-    "corpus_bigram_logprob",
-    "events_funnel",
-    "events_unpivot_daily",
     "multimodal_image_resize",
     "pack_documents_stats",
     "scd2_point_in_time_enrich",

@@ -128,6 +128,10 @@ BUDGETS = [
     ("stage_zorder_stats_pruning", 1, False),  # returned plan: 1-row agg; clustering rewrite + both deletes upstream
     ("stage_merge_resolve_last", 3, False),  # rollup + distinct-count expand + output sort; resolve window runs upstream on the batch
     ("dedup_banding_sweep", 0, False),  # finalized driver-assembled 3-row report; banding aggregations upstream
+    ("referential_integrity_audit", 0, False),  # finalized driver-assembled 5-row report; one anti-join per relation upstream
+    ("events_hll_accuracy", 3, False),  # exact-distinct expand + partial/final agg + output sort; HLL rides the same agg
+    ("events_skew_diagnostics", 2, False),  # one per-key count shuffle + 1-row rollup
+    ("embedding_matryoshka_quality", 0, False),  # finalized 3-row report; posexplode + per-vector rollup upstream
 ]
 
 
