@@ -486,3 +486,138 @@ def test_global_ids_rank_property(spark, keys, n_parts):
         release_scratch()
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+# --- stats-pruning soundness (versioned-table data skipping) -------------
+
+_PRUNE_OPS = ["=", "==", "<", "<=", ">", ">=", "<>", "!="]
+
+
+def _tri_eval(op, val, lit):
+    """SQL tri-valued comparison: None (NULL) -> unknown (False for
+    'row matches'); mixed types never occur (strategy keeps columns
+    typed)."""
+    if val is None:
+        return False
+    if isinstance(val, float) and val != val:  # NaN: Spark treats NaN
+        # as greater than any non-NaN value in comparisons
+        if isinstance(lit, float) and lit != lit:
+            return op in ("=", "==", "<=", ">=")
+        return {
+            "=": False, "==": False, "<>": True, "!=": True,
+            "<": False, "<=": False, ">": True, ">=": True,
+        }[op]
+    if op in ("=", "=="):
+        return val == lit
+    if op in ("<>", "!="):
+        return val != lit
+    if op == "<":
+        return val < lit
+    if op == "<=":
+        return val <= lit
+    if op == ">":
+        return val > lit
+    return val >= lit
+
+
+@given(
+    data=st.data(),
+    n_files=st.integers(min_value=1, max_value=4),
+    n_conj=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_prune_candidate_files_never_skips_a_matching_file(
+    data, n_files, n_conj
+):
+    """SOUNDNESS property: for any generated per-file contents, the
+    stats built with the production rules (NaN->unknown bound, string
+    min truncated to a prefix / max dropped when long), and any
+    condition in the supported fragment, a file containing a row where
+    the conjunction is TRUE must survive pruning. (Completeness — that
+    pruning removes anything — is NOT required; an over-conservative
+    pruner is merely slow, an under-conservative one corrupts DELETE.)"""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        prune_candidate_files,
+    )
+
+    int_vals = st.one_of(st.none(), st.integers(-50, 50))
+    dbl_vals = st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-50, max_value=50, allow_nan=False,
+            allow_infinity=False,
+        ),
+        st.just(float("nan")),
+    )
+    str_vals = st.one_of(
+        st.none(), st.from_regex(r"[a-c]{0,80}", fullmatch=True)
+    )
+    cols = {"k": int_vals, "d": dbl_vals, "s": str_vals}
+    cap = 64
+    files, stats = [], {}
+    contents = {}
+    for fi in range(n_files):
+        name = f"f{fi}"
+        files.append(name)
+        rows = data.draw(
+            st.lists(
+                st.fixed_dictionaries(
+                    {c: strat for c, strat in cols.items()}
+                ),
+                min_size=0,
+                max_size=6,
+            )
+        )
+        contents[name] = rows
+        st_f = {}
+        for c in cols:
+            vals = [r[c] for r in rows if r[c] is not None]
+            nonnan = [
+                v for v in vals
+                if not (isinstance(v, float) and v != v)
+            ]
+            has_nan = len(nonnan) != len(vals)
+            lo = min(nonnan) if nonnan else None
+            # production rule: any NaN makes max() NaN -> unknown bound
+            hi = None if has_nan else (max(nonnan) if nonnan else None)
+            if c == "s":
+                if lo is not None and len(lo) > cap:
+                    lo = lo[:cap]
+                if hi is not None and len(hi) > cap:
+                    hi = None
+            st_f[c] = [lo, hi]
+        stats[name] = st_f
+    conjs = []
+    for _ in range(n_conj):
+        c = data.draw(st.sampled_from(list(cols)))
+        op = data.draw(st.sampled_from(_PRUNE_OPS))
+        if c == "k":
+            lit = data.draw(st.integers(-50, 50))
+            lit_txt = str(lit)
+        elif c == "d":
+            lit = data.draw(
+                st.floats(
+                    min_value=-50, max_value=50, allow_nan=False,
+                    allow_infinity=False,
+                )
+            )
+            lit_txt = repr(lit)
+        else:
+            lit = data.draw(st.from_regex(r"[a-c]{0,80}", fullmatch=True))
+            lit_txt = f"'{lit}'"
+        conjs.append((c, op, lit, f"{c} {op} {lit_txt}"))
+    condition = " AND ".join(txt for _, _, _, txt in conjs)
+    candidates = set(
+        prune_candidate_files(
+            files, stats, condition, stat_cols=set(cols)
+        )
+    )
+    for name, rows in contents.items():
+        has_match = any(
+            all(_tri_eval(op, r[c], lit) for c, op, lit, _ in conjs)
+            for r in rows
+        )
+        if has_match:
+            assert name in candidates, (
+                name, condition, stats[name], rows
+            )
