@@ -621,3 +621,76 @@ def test_prune_candidate_files_never_skips_a_matching_file(
             assert name in candidates, (
                 name, condition, stats[name], rows
             )
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 120)),
+        min_size=1,
+        max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 120),
+            st.integers(-5, 5),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 10]),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_equals_bruteforce(spark, left, right, direction, tol):
+    """asof_join (both directions, with and without tolerance) equals
+    the per-row brute force: the single nearest right row at-or-before
+    (backward) / at-or-after (forward) per key, discarded when outside
+    the tolerance window — pandas merge_asof semantics. Right times are
+    deduped per key (ties make the match ambiguous by definition)."""
+    import datetime as _dt
+
+    from cdk_datalake_ingest_upeu_spark.operators.joins import asof_join
+
+    epoch = _dt.datetime(2024, 1, 1)
+    seen = set()
+    r_rows = []
+    for k, rt, p in right:
+        if (k, rt) not in seen:
+            seen.add((k, rt))
+            r_rows.append((k, epoch + _dt.timedelta(seconds=rt), p))
+    l_df = spark.createDataFrame(
+        [(k, epoch + _dt.timedelta(seconds=t)) for k, t in left],
+        "id string, t timestamp",
+    )
+    r_df = spark.createDataFrame(
+        r_rows or [("zzz", epoch, 0)], "id string, rt timestamp, p int"
+    )
+    if not r_rows:
+        r_df = r_df.limit(0)
+    out = asof_join(
+        l_df, r_df, on="id", left_time="t", right_time="rt",
+        direction=direction,
+        tolerance=None if tol is None else f"{tol} seconds",
+    )
+    got = sorted(
+        (r["id"], r["t"].second + r["t"].minute * 60, r["p"])
+        for r in out.collect()
+    )
+    r_secs = [
+        (k, int((rt - epoch).total_seconds()), p) for (k, rt, p) in r_rows
+    ]
+    expect = []
+    for k, t in left:
+        if direction == "backward":
+            cands = [(rt, p) for (rk, rt, p) in r_secs
+                     if rk == k and rt <= t]
+            match = max(cands) if cands else None
+            ok = match is not None and (tol is None or match[0] >= t - tol)
+        else:
+            cands = [(rt, p) for (rk, rt, p) in r_secs
+                     if rk == k and rt >= t]
+            match = min(cands) if cands else None
+            ok = match is not None and (tol is None or match[0] <= t + tol)
+        expect.append((k, t, match[1] if ok else None))
+    assert got == sorted(expect)
