@@ -656,6 +656,44 @@ class VersionedStageTable:
             *[self._abs(f) for f in m["files"]]
         )
 
+    def lookup(
+        self,
+        condition: str,
+        version: int | None = None,
+        *,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Filtered read that scans ONLY the stats-pruned candidate
+        files — the read-side twin of DELETE's data skipping (Delta
+        reads get this from the log automatically). Returns the rows
+        where ``condition`` is TRUE; files whose manifest bounds prove
+        no row can match never enter the plan, so a selective point or
+        range lookup on a clustered table is O(files-touched). Falls
+        back to the full snapshot scan for conditions outside the
+        supported pruning fragment — same result, just unpruned."""
+        if tag is not None:
+            refs = self.tags()
+            if tag not in refs:
+                raise VersionNotFoundError(
+                    f"{self.path}: no tag {tag!r} (have {sorted(refs)})"
+                )
+            version = refs[tag]
+        if version is None:
+            version = self.latest_version()
+        m = self._manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        candidates = prune_candidate_files(
+            m["files"], m.get("stats") or {}, condition,
+            stat_cols=set(_stat_columns(schema)),
+        )
+        if not candidates:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .parquet(*[self._abs(f) for f in candidates])
+            .filter(F.expr(condition).cast("boolean"))
+        )
+
     def overwrite(self, df: DataFrame) -> int:
         """Full-replace commit. Old files stay on disk (time travel)
         until vacuumed. CHECK constraints carry forward and the new

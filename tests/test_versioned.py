@@ -877,3 +877,30 @@ def test_string_stats_truncated_soundly(spark, table):
     stats = table._manifest(0)["stats"]
     assert prune_candidate_files(files, stats, "v < 'a'") == []
     assert prune_candidate_files(files, stats, "v > 'zzz'") == files
+
+
+def test_lookup_scans_only_pruned_candidates(spark, table):
+    """lookup(): result equals read().filter(), but only stats-surviving
+    files enter the plan (checked via inputFiles); unsupported
+    predicates fall back to the full scan with identical results."""
+    for lo in (0, 100, 200):
+        rows = [(lo + i, f"v{lo + i}") for i in range(5)]
+        (table.overwrite if lo == 0 else table.append)(
+            _df(spark, rows).coalesce(1)
+        )
+    out = table.lookup("k >= 100 AND k <= 102")
+    assert _rows(out) == [(100, "v100"), (101, "v101"), (102, "v102")]
+    m = table._manifest(table.latest_version())
+    scanned = {table._rel_path(f) for f in out.inputFiles()}
+    assert len(scanned) == 1 and scanned <= set(m["files"])
+    # proven-empty range: zero files scanned, schema intact
+    empty = table.lookup("k > 9999")
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # unsupported fragment: full scan, same rows as read().filter()
+    got = _rows(table.lookup("k % 100 = 3"))
+    assert got == [(3, "v3"), (103, "v103"), (203, "v203")]
+    # time travel + tags compose
+    table.tag("base", 0)
+    assert _rows(table.lookup("k <= 1", tag="base")) == [(0, "v0"), (1, "v1")]
+    with pytest.raises(VersionNotFoundError):
+        table.lookup("k = 1", tag="nope")
