@@ -10,12 +10,25 @@ window. ``delta-spark`` is image-blocked in this environment
 itself — the part of Delta that is pure bookkeeping — while the data
 files stay plain parquet:
 
-- ``<path>/_log/<version 8-digit>.json`` — one manifest per commit,
-  holding the COMPLETE file list of the table at that version (relative
-  paths), the operation name, and the schema as JSON. The manifest's
-  atomic create-if-absent (``os.link``) is the commit point, exactly
-  Delta's optimistic-concurrency protocol: a racing writer that loses
-  version N gets :class:`ConcurrentCommitError` and retries on N+1.
+- ``<path>/_log/<version 8-digit>.json`` — one DELTA-ENCODED commit
+  record per version: the files the commit ``add``s and ``remove``s
+  (relative paths), the operation name, the schema as JSON, and
+  per-file stats for the ADDED files only. A record's size is
+  O(files changed by the commit), never O(table) — exactly Delta's
+  add/remove-action log, and the reason a 10^6-file, 10^4-commit
+  table stays appendable: an append to a million-file table writes a
+  one-file record. The record's atomic create-if-absent (the
+  :class:`PosixLinkLogStore` commit point) is Delta's
+  optimistic-concurrency protocol: a racing writer that loses version
+  N gets :class:`ConcurrentCommitError` and retries on N+1.
+- ``<path>/_log/<version 8-digit>.checkpoint.json`` — every
+  ``checkpoint_interval`` commits (and at :meth:`vacuum` boundaries) a
+  full resolved snapshot (file list + accumulated stats) is
+  checkpointed, Delta's parquet-checkpoint analog: snapshot resolution
+  reads ONE checkpoint plus at most ``checkpoint_interval`` delta
+  records, never the whole log. Checkpoints are derived data — a crash
+  between commit and checkpoint loses nothing (the next resolution
+  anchors one checkpoint earlier).
 - ``<path>/data/c<version>-<uuid>/part-*.parquet`` — each commit's new
   files land in a fresh subdirectory, so file names never collide and
   no commit ever mutates another commit's files. Old files are left in
@@ -31,10 +44,18 @@ as ``StageTable.lookup`` — ``sources/file_index.py``): pruning is a
 zero-IO manifest walk, only surviving candidates pay the projected
 scan, and only files that truly contain a match are rewritten. The
 pruning decision per commit is recorded as manifest ``metrics``
-(Delta's operationMetrics analog). Manifests are KB-scale
-regardless of table size: they hold file NAMES, and a 100 TB table is
-~10^5 files of 1 GB, a 10 MB manifest at worst — the same envelope
-Delta's checkpoints carry.
+(Delta's operationMetrics analog). Commit records are O(changed
+files); the periodic checkpoint is the only O(table-files) artifact,
+and a 100 TB table is ~10^5 files of 1 GB — a 10 MB checkpoint at
+worst, the same envelope Delta's parquet checkpoints carry, paid once
+per ``checkpoint_interval`` commits instead of on every commit and
+every read.
+
+The commit point itself is seamed out as a log store
+(:class:`PosixLinkLogStore`): atomic create-if-absent via ``os.link``
+on POSIX. On an object store the same seam maps to a conditional PUT
+(S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) — swap the
+store, keep the protocol.
 """
 
 from __future__ import annotations
@@ -51,7 +72,52 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_RE = re.compile(r"\d{8}\.json")
+_CHECKPOINT_RE = re.compile(r"\d{8}\.checkpoint\.json")
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+
+
+class PosixLinkLogStore:
+    """The commit primitive, seamed out of the table (Delta's LogStore
+    abstraction): publish complete content at a path exactly once.
+
+    POSIX strategy: write a temp file in the target's directory, then
+    ``os.link`` it to the target — an atomic create-if-absent of the
+    COMPLETE content (no reader ever sees a partial record;
+    ``os.replace`` would silently clobber a racing winner). Object-store
+    mapping, same contract, different primitive: S3 conditional PUT
+    with ``If-None-Match: *`` (supported natively since 2024), GCS
+    ``ifGenerationMatch=0``, ADLS ``If-None-Match: *`` — a LogStore for
+    those is this one method re-targeted; every operator above the seam
+    is unchanged.
+    """
+
+    def put_if_absent(self, target: str, content: str) -> bool:
+        """Atomically create ``target`` holding ``content``; False when
+        the path already exists (the optimistic-concurrency loss)."""
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        return True
+
+    def put_overwrite(self, target: str, content: str) -> None:
+        """Atomically publish ``content`` at ``target``, replacing any
+        prior content — for DERIVED artifacts only (checkpoints, tag
+        refs), where racing writers produce identical or equally-valid
+        content and last-writer-wins is correct."""
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        os.replace(tmp, target)
 
 
 # -- per-file column statistics (Delta's stats-in-the-log analog) ----------
@@ -108,7 +174,12 @@ def _split_top_and(cond: str) -> list[str] | None:
     """Top-level AND conjuncts of ``cond``; None when the condition
     leaves the supported fragment (OR/NOT/BETWEEN/IN anywhere — a
     mis-split inside those could fabricate a conjunct the predicate
-    does not imply)."""
+    does not imply). Quote tracking follows Spark's lexer: inside a
+    string literal a backslash escapes the next character and a
+    doubled quote is an escaped quote — without both rules a
+    predicate like ``c1 = 'x\\' AND c2 = 5 AND tail = \\'y'`` (ONE
+    literal to Spark) would fabricate the conjunct ``c2 = 5`` and
+    make pruning exclude files that DO contain matching rows."""
     if _PRUNE_BAIL_RE.search(cond):
         return None
     parts: list[str] = []
@@ -118,8 +189,21 @@ def _split_top_and(cond: str) -> list[str] | None:
         ch = cond[i]
         if quote:
             cur.append(ch)
+            if ch == "\\" and i + 1 < n:
+                # backslash escape: the next char (quote or not) is
+                # part of the literal, never a closer
+                cur.append(cond[i + 1])
+                i += 2
+                continue
             if ch == quote:
+                if i + 1 < n and cond[i + 1] == quote:
+                    # doubled quote = escaped quote, still in-string
+                    cur.append(cond[i + 1])
+                    i += 2
+                    continue
                 quote = None
+            i += 1
+            continue
         elif ch in ("'", '"'):
             quote = ch
             cur.append(ch)
@@ -145,6 +229,9 @@ def _split_top_and(cond: str) -> list[str] | None:
         else:
             cur.append(ch)
         i += 1
+    if quote is not None:
+        # unterminated string literal: the split is not trustworthy
+        return None
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
 
@@ -286,11 +373,22 @@ class VersionedStageTable:
     versions. See the module docstring for the on-disk protocol.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        log_store: PosixLinkLogStore | None = None,
+        checkpoint_interval: int = 10,
+    ):
+        if checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1")
         self.spark = spark
         self.path = os.fspath(path)
         self.log_dir = os.path.join(self.path, "_log")
         self.data_dir = os.path.join(self.path, "data")
+        self.log_store = log_store or PosixLinkLogStore()
+        self.checkpoint_interval = checkpoint_interval
 
     # -- log bookkeeping ---------------------------------------------------
 
@@ -314,7 +412,11 @@ class VersionedStageTable:
             raise VersionNotFoundError(f"{self.path}: no commits")
         return vs[-1]
 
-    def _manifest(self, version: int) -> dict:
+    def _commit_record(self, version: int) -> dict:
+        """The raw on-disk record for one commit — delta-encoded
+        (``add``/``remove``) in the current format, or a legacy full
+        ``files`` snapshot (still accepted: such a record is
+        self-contained and resets resolution)."""
         p = os.path.join(self.log_dir, f"{version:08d}.json")
         if not os.path.exists(p):
             raise VersionNotFoundError(
@@ -324,10 +426,110 @@ class VersionedStageTable:
         with open(p, "r", encoding="utf-8") as fh:
             return json.load(fh)
 
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[:8])
+            for f in os.listdir(self.log_dir)
+            if _CHECKPOINT_RE.fullmatch(f)
+        )
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Publish the resolved snapshot of ``version`` as a checkpoint
+        — derived data (last-writer-wins is safe: two writers
+        checkpointing the same version serialize identical content)."""
+        snap = self._manifest(version)
+        self.log_store.put_overwrite(
+            self._checkpoint_path(version),
+            json.dumps(
+                {
+                    "version": version,
+                    "files": snap["files"],
+                    "schema": snap["schema"],
+                    "constraints": snap.get("constraints") or {},
+                    "stats": snap.get("stats") or {},
+                }
+            ),
+        )
+
+    def _manifest(self, version: int) -> dict:
+        """The RESOLVED snapshot at ``version``: complete file list,
+        schema, constraints, and accumulated per-file stats, plus the
+        commit's own op/committed_at/epoch/metrics. Resolution anchors
+        at the newest checkpoint <= version (or at genesis / a legacy
+        full-snapshot record) and applies at most
+        ``checkpoint_interval`` delta records — never the whole log."""
+        rec = self._commit_record(version)
+        if "files" in rec:
+            # legacy full-snapshot record: self-contained
+            return rec
+        cps = [c for c in self.checkpoints() if c <= version]
+        start = -1
+        files: list[str] = []
+        stats: dict = {}
+        schema = None
+        constraints: dict = {}
+        if cps:
+            with open(self._checkpoint_path(cps[-1]), encoding="utf-8") as fh:
+                cp = json.load(fh)
+            start = cps[-1]
+            files = list(cp["files"])
+            stats = dict(cp.get("stats") or {})
+            schema = cp["schema"]
+            constraints = dict(cp.get("constraints") or {})
+        chain = [u for u in self.versions() if start < u <= version]
+        if chain != list(range(start + 1, version + 1)):
+            raise VersionNotFoundError(
+                f"{self.path}: version {version} is not resolvable — "
+                f"commit chain {chain} from anchor {start} has gaps "
+                f"(vacuumed past retention?)"
+            )
+        fset = set(files)
+        last = rec
+        for u in chain:
+            r = rec if u == version else self._commit_record(u)
+            if "files" in r:
+                # legacy snapshot record mid-chain: resolution resets
+                fset = set(r["files"])
+                stats = dict(r.get("stats") or {})
+            else:
+                removed = r.get("remove") or []
+                fset.difference_update(removed)
+                for f in removed:
+                    stats.pop(f, None)
+                fset.update(r.get("add") or [])
+                stats.update(r.get("stats") or {})
+            schema = r["schema"]
+            constraints = dict(r.get("constraints") or {})
+            last = r
+        out = {
+            "version": version,
+            "op": last["op"],
+            "files": sorted(fset),
+            "schema": schema,
+            "committed_at": last.get("committed_at", 0.0),
+        }
+        if constraints:
+            out["constraints"] = constraints
+        kept_stats = {f: stats[f] for f in out["files"] if f in stats}
+        if kept_stats:
+            out["stats"] = kept_stats
+        if "epoch" in last:
+            out["epoch"] = last["epoch"]
+        if "metrics" in last:
+            out["metrics"] = last["metrics"]
+        return out
+
     def _commit(
         self,
         op: str,
-        files: list[str],
+        *,
+        add: list[str] | tuple = (),
+        remove: list[str] | tuple = (),
         schema_json: str,
         epoch: int | None = None,
         committed_at: float | None = None,
@@ -336,23 +538,27 @@ class VersionedStageTable:
         stats: dict | None = None,
         metrics: dict | None = None,
     ) -> int:
-        """Atomically publish ``version``, which mutating callers pin
-        when they read the previous manifest (``None`` recomputes from
-        the current log — only for direct sequential use in tests). For
-        real commits the version is deliberately
-        NOT recomputed from the log here: a writer whose snapshot went
-        stale mid-build would otherwise link a higher version built
-        from old files — a silent lost update instead of the
-        :class:`ConcurrentCommitError` the protocol promises."""
+        """Atomically publish ``version`` as a DELTA-encoded record —
+        the files the commit adds and removes, with stats for the added
+        files only; record size is O(changed files), never O(table).
+        Mutating callers pin ``version`` when they read the previous
+        snapshot (``None`` recomputes from the current log — only for
+        direct sequential use in tests). For real commits the version
+        is deliberately NOT recomputed from the log here: a writer
+        whose snapshot went stale mid-build would otherwise link a
+        higher version built from old files — a silent lost update
+        instead of the :class:`ConcurrentCommitError` the protocol
+        promises."""
         import time as _time
 
         os.makedirs(self.log_dir, exist_ok=True)
         if version is None:
             version = self.versions()[-1] + 1 if self.versions() else 0
-        manifest = {
+        record = {
             "version": version,
             "op": op,
-            "files": sorted(files),
+            "add": sorted(add),
+            "remove": sorted(remove),
             "schema": schema_json,
             # wall-clock commit instant, for timestamp time travel
             # (Delta's timestampAsOf); injectable for deterministic tests
@@ -361,35 +567,29 @@ class VersionedStageTable:
             ),
         }
         if epoch is not None:
-            manifest["epoch"] = epoch
+            record["epoch"] = epoch
         if constraints:
-            manifest["constraints"] = constraints
+            record["constraints"] = constraints
         if stats:
-            # only bounds for files this manifest actually references
-            kept = {f: stats[f] for f in manifest["files"] if f in stats}
+            # only bounds for files this commit actually adds
+            kept = {f: stats[f] for f in record["add"] if f in stats}
             if kept:
-                manifest["stats"] = kept
+                record["stats"] = kept
         if metrics:
-            manifest["metrics"] = metrics
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh)
+            record["metrics"] = metrics
         # the commit point — optimistic concurrency, Delta's protocol:
-        # version N's manifest may be created exactly once; a racing
+        # version N's record may be created exactly once; a racing
         # writer that lost must re-read the log and retry on N+1.
-        # os.link is an atomic create-if-absent of the COMPLETE tmp
-        # content (no reader ever sees a partial manifest; os.replace
-        # would silently clobber the winner).
         target = os.path.join(self.log_dir, f"{version:08d}.json")
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
+        if not self.log_store.put_if_absent(target, json.dumps(record)):
             raise ConcurrentCommitError(
                 f"{self.path}: version {version} was committed by another "
                 f"writer; re-read the log and retry"
-            ) from None
-        finally:
-            os.remove(tmp)
+            )
+        # periodic checkpoint AFTER the commit lands: derived data, so a
+        # crash here loses nothing (resolution anchors one earlier)
+        if version > 0 and version % self.checkpoint_interval == 0:
+            self._write_checkpoint(version)
         return version
 
     def constraints(self) -> dict:
@@ -406,20 +606,35 @@ class VersionedStageTable:
         """Refuse a batch whose rows violate any CHECK constraint.
 
         SQL CHECK semantics (Delta's too): a row violates only when the
-        expression is FALSE — NULL/unknown passes. The probe is a
-        bounded ``limit(1).count()`` per constraint, batch-scale."""
-        for name in sorted(constraints):
-            expr = constraints[name]
-            bad = (
-                df.filter(F.expr(expr).cast("boolean") == F.lit(False))
-                .limit(1)
-                .count()
+        expression is FALSE — NULL/unknown passes. ALL constraints are
+        probed in ONE Spark job: a single projection computes every
+        violation flag, one ``limit(1)`` finds any violating row (early
+        exit), and the flags on that row name the violated constraint —
+        k constraints never cost k job launches."""
+        if not constraints:
+            return
+        names = sorted(constraints)
+        flags = [
+            (
+                F.expr(constraints[n]).cast("boolean") == F.lit(False)
+            ).alias(f"__viol{i}")
+            for i, n in enumerate(names)
+        ]
+        probe = df.select(*flags)
+        cond = F.col("__viol0")
+        for i in range(1, len(names)):
+            cond = cond | F.col(f"__viol{i}")
+        bad = probe.filter(cond).limit(1).collect()
+        if bad:
+            row = bad[0]
+            name = next(
+                n for i, n in enumerate(names) if row[f"__viol{i}"]
             )
-            if bad:
-                raise ConstraintViolationError(
-                    f"{self.path}: batch violates CHECK constraint "
-                    f"{name!r} ({expr}); commit refused, table unchanged"
-                )
+            raise ConstraintViolationError(
+                f"{self.path}: batch violates CHECK constraint "
+                f"{name!r} ({constraints[name]}); commit refused, "
+                f"table unchanged"
+            )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (expr) — validates the
@@ -439,10 +654,10 @@ class VersionedStageTable:
             )
         self._enforce(self.read(), {name: expr})
         cons[name] = expr
+        # pure bookkeeping commit: zero files change hands — O(1) record
         return self._commit(
-            "set_constraint", prev["files"], prev["schema"],
+            "set_constraint", schema_json=prev["schema"],
             version=hint, constraints=cons,
-            stats=dict(prev.get("stats") or {}),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -454,9 +669,8 @@ class VersionedStageTable:
             raise ValueError(f"{self.path}: no constraint {name!r}")
         del cons[name]
         return self._commit(
-            "drop_constraint", prev["files"], prev["schema"],
+            "drop_constraint", schema_json=prev["schema"],
             version=hint, constraints=cons,
-            stats=dict(prev.get("stats") or {}),
         )
 
     # -- named refs (tags) ---------------------------------------------------
@@ -508,33 +722,160 @@ class VersionedStageTable:
     def history(self) -> list[dict]:
         """Version, op, file count, and (for DELETE/MERGE) the pruning
         metrics per commit — Delta's DESCRIBE HISTORY with
-        operationMetrics."""
-        return [
-            {
-                "version": v,
-                "op": (m := self._manifest(v))["op"],
-                "n_files": len(m["files"]),
-                **(
-                    {"metrics": m["metrics"]} if "metrics" in m else {}
-                ),
-            }
-            for v in self.versions()
-        ]
+        operationMetrics. File counts accumulate incrementally over the
+        delta records (one small JSON read per commit); only a chain
+        gap (post-vacuum) or a legacy snapshot record pays a full
+        resolution."""
+        out: list[dict] = []
+        n: int | None = None
+        prev_v: int | None = None
+        for v in self.versions():
+            rec = self._commit_record(v)
+            if "files" in rec:
+                n = len(rec["files"])
+            elif n is None or (prev_v is not None and v != prev_v + 1):
+                n = len(self._manifest(v)["files"])
+            else:
+                n = n - len(rec.get("remove") or ()) + len(
+                    rec.get("add") or ()
+                )
+            entry = {"version": v, "op": rec["op"], "n_files": n}
+            if "metrics" in rec:
+                entry["metrics"] = rec["metrics"]
+            out.append(entry)
+            prev_v = v
+        return out
 
     # -- data IO -----------------------------------------------------------
 
+    def _footer_stats(
+        self,
+        out: dict,
+        rels: list[str],
+        footer_cols: list[str],
+        by_name: dict,
+    ) -> bool:
+        """Fill ``out`` with [min, max] bounds for ``footer_cols`` read
+        straight from the parquet footers — no Spark job. Returns False
+        (caller falls back to the Spark scan, ``out`` reset) when
+        pyarrow is unavailable or any footer is unreadable.
+
+        Soundness: parquet footer min/max are VALID bounds even when
+        the writer truncated them (truncated max gets its last byte
+        incremented to stay an upper bound), and every pruning rule
+        needs only validity, not exactness. UTF-8 byte order equals
+        code-point order, so string footer bounds compare consistently
+        with Spark/Python semantics. A row group without usable stats
+        degrades that column to [None, None] (unknown — never pruned
+        on), EXCEPT the all-NULL case, which contributes nothing by the
+        same rule Spark's min/max use. Float/double columns never take
+        this path: footers exclude NaN, Spark's max is NaN-greatest."""
+        if not footer_cols:
+            return True
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow is baked in
+            return False
+        cap = 64
+        try:
+            for rel in rels:
+                md = pq.ParquetFile(self._abs(rel)).metadata
+                if md.num_rows == 0:
+                    out[rel] = {}
+                    continue
+                bounds = {c: [None, None, True] for c in footer_cols}
+                # [lo, hi, empty_so_far]
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    seen = set()
+                    for ci in range(rg.num_columns):
+                        cc = rg.column(ci)
+                        name = cc.path_in_schema
+                        if name not in bounds:
+                            continue
+                        seen.add(name)
+                        b = bounds[name]
+                        st = cc.statistics
+                        if st is None:
+                            b[0] = b[1] = None
+                            b[2] = False
+                            continue
+                        if not st.has_min_max:
+                            if st.null_count == cc.num_values + st.null_count:
+                                # all-NULL chunk: contributes no values
+                                continue
+                            b[0] = b[1] = None
+                            b[2] = False
+                            continue
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes) or isinstance(hi, bytes):
+                            # undecoded binary: don't guess an ordering
+                            b[0] = b[1] = None
+                            b[2] = False
+                            continue
+                        if b[2]:
+                            b[0], b[1], b[2] = lo, hi, False
+                        else:
+                            if b[0] is not None and lo is not None:
+                                b[0] = min(b[0], lo)
+                            else:
+                                b[0] = None
+                            if b[1] is not None and hi is not None:
+                                b[1] = max(b[1], hi)
+                            else:
+                                b[1] = None
+                    missing = set(footer_cols) - seen
+                    for name in missing:
+                        # column absent from the row group footer:
+                        # bounds unknowable from here
+                        bounds[name] = [None, None, False]
+                st_out = {}
+                for c, (lo, hi, empty) in bounds.items():
+                    # empty==True means every chunk was all-NULL: bounds
+                    # stay unknown (matches the Spark scan: min/max of
+                    # all-NULL is NULL)
+                    if isinstance(by_name[c], T.StringType):
+                        if lo is not None and len(lo) > cap:
+                            lo = lo[:cap]
+                        if hi is not None and len(hi) > cap:
+                            hi = None
+                    st_out[c] = [lo, hi]
+                out[rel] = st_out
+        except (OSError, ValueError, KeyError):
+            for rel in rels:
+                out[rel] = {}
+            return False
+        return True
+
     def _collect_stats(self, rels: list[str], schema_json: str) -> dict:
         """Per-file [min, max] bounds for the stat-supported columns of
-        the NEW files ``rels`` — ONE batch-scale scan grouped by
-        input_file_name (the local analog of Delta collecting stats
-        during the write itself; cost tracks the commit's data, never
-        the table). Files whose group never appears (zero-row parts)
-        keep an empty dict — no information, never pruned by it."""
+        the NEW files ``rels``. Integer and string bounds come from the
+        parquet FOOTERS (milliseconds per file, no Spark job — Delta
+        likewise reads stats off the write path); float/double bounds
+        need a Spark scan because footer stats EXCLUDE NaN while
+        Spark's max() is NaN-greatest — a footer upper bound below NaN
+        would make pruning unsound (the r9 soundness note). Files whose
+        footer shows zero rows keep an empty dict — by convention
+        "provably empty", prunable under stat_cols."""
         out: dict = {r: {} for r in rels}
         if not rels:
             return out
         schema = T.StructType.fromJson(json.loads(schema_json))
         cols = _stat_columns(schema)
+        if not cols:
+            return out
+        by_name_all = {f.name: f.dataType for f in schema.fields}
+        float_cols = [
+            c for c in cols
+            if isinstance(by_name_all[c], (T.FloatType, T.DoubleType))
+        ]
+        footer_cols = [c for c in cols if c not in float_cols]
+        footer_ok = self._footer_stats(out, rels, footer_cols, by_name_all)
+        if not footer_ok:
+            # pyarrow unavailable / unreadable footer: everything falls
+            # back to the Spark scan
+            float_cols = cols
+        cols = float_cols
         if not cols:
             return out
         df = self.spark.read.schema(schema).parquet(
@@ -566,8 +907,15 @@ class VersionedStageTable:
         for row in rows:
             rel = self._rel_path(row["__f"])
             if rel not in out:
-                continue
-            st = {}
+                # every scanned group MUST map back to a committed file
+                # — silently dropping one would leave {} stats for a
+                # rows-bearing file, which the stat_cols missing-column
+                # rule then wrongly treats as zero-row/prunable
+                raise RuntimeError(
+                    f"{self.path}: stats group {row['__f']!r} does not "
+                    f"map to a committed file (got {rel!r}); refusing "
+                    f"to commit unsound empty stats"
+                )
             for i, c in enumerate(cols):
                 lo = _stat_value(row[f"__mn{i}"])
                 hi = _stat_value(row[f"__mx{i}"])
@@ -576,19 +924,10 @@ class VersionedStageTable:
                         lo = lo[:cap]
                     if hi is not None and len(hi) > cap:
                         hi = None
-                st[c] = [lo, hi]
-            out[rel] = st
+                # merge INTO the footer-collected bounds (the scan here
+                # covers only the columns the footers could not)
+                out[rel][c] = [lo, hi]
         return out
-
-    def _stats_for(
-        self, prev: dict | None, new_files: list[str], schema_json: str
-    ) -> dict:
-        """Carried bounds from the previous manifest plus freshly
-        collected bounds for ``new_files`` (immutable files keep their
-        stats forever; only the commit's own data is scanned)."""
-        carried = dict((prev or {}).get("stats") or {})
-        carried.update(self._collect_stats(new_files, schema_json))
-        return carried
 
     def _write_files(self, df: DataFrame, version_hint: int) -> list[str]:
         """Write ``df`` into a fresh commit subdirectory; return the new
@@ -614,7 +953,7 @@ class VersionedStageTable:
         before this field existed sort as 0 (always eligible)."""
         best = None
         for v in self.versions():
-            if self._manifest(v).get("committed_at", 0.0) <= timestamp:
+            if self._commit_record(v).get("committed_at", 0.0) <= timestamp:
                 best = v
         if best is None:
             raise VersionNotFoundError(
@@ -698,13 +1037,17 @@ class VersionedStageTable:
         """Full-replace commit. Old files stay on disk (time travel)
         until vacuumed. CHECK constraints carry forward and the new
         content must satisfy them."""
-        cons = self.constraints()
+        prev = (
+            self._manifest(self.latest_version()) if self.versions() else None
+        )
+        cons = dict((prev or {}).get("constraints") or {})
         if cons:
             self._enforce(df, cons)
-        hint = (self.versions()[-1] + 1) if self.versions() else 0
+        hint = prev["version"] + 1 if prev else 0
         files = self._write_files(df, hint)
         return self._commit(
-            "overwrite", files, df.schema.json(), version=hint,
+            "overwrite", add=files, remove=(prev or {}).get("files") or (),
+            schema_json=df.schema.json(), version=hint,
             constraints=cons,
             stats=self._collect_stats(files, df.schema.json()),
         )
@@ -736,14 +1079,14 @@ class VersionedStageTable:
         (that is a rewrite, not an append)."""
         if epoch is not None:
             for v in self.versions():
-                if self._manifest(v).get("epoch") == epoch:
+                if self._commit_record(v).get("epoch") == epoch:
                     return v
         if not self.versions():
             hint = 0
             files = self._write_files(df, hint)
             return self._commit(
-                "overwrite", files, df.schema.json(), epoch=epoch,
-                version=hint,
+                "overwrite", add=files, schema_json=df.schema.json(),
+                epoch=epoch, version=hint,
                 stats=self._collect_stats(files, df.schema.json()),
             )
         prev = self._manifest(self.latest_version())
@@ -771,10 +1114,11 @@ class VersionedStageTable:
             schema = schema.add(f)
         hint = prev["version"] + 1
         files = self._write_files(df, hint)
+        # the append's record is O(batch files): adds only, no removes
         return self._commit(
-            "append", prev["files"] + files, schema.json(), epoch=epoch,
+            "append", add=files, schema_json=schema.json(), epoch=epoch,
             version=hint, constraints=cons,
-            stats=self._stats_for(prev, files, schema.json()),
+            stats=self._collect_stats(files, schema.json()),
         )
 
     def merge(
@@ -808,14 +1152,20 @@ class VersionedStageTable:
         check :meth:`append` performs); merge does not evolve schema."""
         # merge is eager (it ends in file writes), so the batch-scale
         # source is persisted for its three scans here and unpersisted
-        # before returning — no scratch leaks across queries.
-        source = source.dropDuplicates().persist()
+        # before returning — no scratch leaks across queries. The
+        # persisted handle stays in its own variable: rebinding
+        # ``source`` through _resolve_source would leave the cached DF
+        # unreachable by the finally block (a cache leak per call).
+        persisted = source.dropDuplicates().persist()
         try:
+            resolved = persisted
             if resolve_by:
-                source = self._resolve_source(source, key_columns, resolve_by)
-            return self._merge_impl(source, key_columns)
+                resolved = self._resolve_source(
+                    persisted, key_columns, resolve_by
+                )
+            return self._merge_impl(resolved, key_columns)
         finally:
-            source.unpersist()
+            persisted.unpersist()
 
     def _resolve_source(
         self, source: DataFrame, key_columns: list[str], resolve_by: list[str]
@@ -898,9 +1248,9 @@ class VersionedStageTable:
         if not prev["files"]:
             files = self._write_files(source, hint)
             return self._commit(
-                "merge", files, prev["schema"], version=hint,
-                constraints=cons,
-                stats=self._stats_for(prev, files, prev["schema"]),
+                "merge", add=files, schema_json=prev["schema"],
+                version=hint, constraints=cons,
+                stats=self._collect_stats(files, prev["schema"]),
             )
         # candidate pruning from per-file key bounds BEFORE any scan:
         # a file whose [min, max] range for some key column misses the
@@ -947,11 +1297,13 @@ class VersionedStageTable:
         else:
             new_df = source
         new_files = self._write_files(new_df, hint)
-        carried = [f for f in prev["files"] if f not in set(touched)]
+        # record = adds + removes only; untouched files carry over
+        # implicitly (zero record bytes AND zero IO for them)
         return self._commit(
-            "merge", carried + new_files, prev["schema"], version=hint,
+            "merge", add=new_files, remove=touched,
+            schema_json=prev["schema"], version=hint,
             constraints=cons,
-            stats=self._stats_for(prev, new_files, prev["schema"]),
+            stats=self._collect_stats(new_files, prev["schema"]),
             metrics=metrics,
         )
 
@@ -1010,9 +1362,14 @@ class VersionedStageTable:
         return out
 
     def _rel_path(self, uri: str) -> str:
+        # input_file_name() returns URL-encoded file: URIs — a table
+        # path with a space or '%' must decode back to the on-disk
+        # name, or stats/touched-file bookkeeping silently misses it
+        from urllib.parse import unquote
+
         p = uri
         if p.startswith("file:"):
-            p = "/" + p[5:].lstrip("/")
+            p = "/" + unquote(p[5:]).lstrip("/")
         return os.path.relpath(p, self.path)
 
     def delete(self, condition: str) -> int:
@@ -1068,11 +1425,11 @@ class VersionedStageTable:
             *[self._abs(f) for f in touched]
         ).filter(~F.coalesce(cond, F.lit(False)))
         new_files = self._write_files(kept, hint)
-        carried = [f for f in prev["files"] if f not in set(touched)]
         return self._commit(
-            "delete", carried + new_files, prev["schema"], version=hint,
+            "delete", add=new_files, remove=touched,
+            schema_json=prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
-            stats=self._stats_for(prev, new_files, prev["schema"]),
+            stats=self._collect_stats(new_files, prev["schema"]),
             metrics={
                 "files_total": len(prev["files"]),
                 "files_candidate": len(candidates),
@@ -1140,20 +1497,27 @@ class VersionedStageTable:
         only probe the incoming batch). Restoring pre-constraint data
         therefore raises :class:`ConstraintViolationError`; drop the
         constraint first if that rollback is really wanted."""
-        hint = self.latest_version() + 1
+        cur = self._manifest(self.latest_version())
+        hint = cur["version"] + 1
         m = self._manifest(version)
         missing = [f for f in m["files"] if not os.path.exists(self._abs(f))]
         if missing:
             raise VersionNotFoundError(
                 f"{self.path}: version {version} files vacuumed: {missing[:3]}"
             )
-        cons = self.constraints()
+        cons = dict(cur.get("constraints") or {})
         if cons and m["files"]:
             self._enforce(self.read(version), cons)
+        # delta against the CURRENT snapshot: re-add what the target had
+        # and we dropped, remove what we gained since — zero data IO,
+        # and the re-added files bring their original stats along
+        add = sorted(set(m["files"]) - set(cur["files"]))
+        remove = sorted(set(cur["files"]) - set(m["files"]))
+        target_stats = m.get("stats") or {}
         return self._commit(
-            "restore", m["files"], m["schema"], version=hint,
-            constraints=cons,
-            stats=dict(m.get("stats") or {}),
+            "restore", add=add, remove=remove, schema_json=m["schema"],
+            version=hint, constraints=cons,
+            stats={f: target_stats[f] for f in add if f in target_stats},
         )
 
     # -- maintenance -------------------------------------------------------
@@ -1205,11 +1569,11 @@ class VersionedStageTable:
             .coalesce(1),
             hint,
         )
-        carried = [f for f in prev["files"] if f not in set(small)]
         return self._commit(
-            "compact", carried + packed, prev["schema"], version=hint,
+            "compact", add=packed, remove=small,
+            schema_json=prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
-            stats=self._stats_for(prev, packed, prev["schema"]),
+            stats=self._collect_stats(packed, prev["schema"]),
         )
 
     def _compact_zorder(
@@ -1247,7 +1611,8 @@ class VersionedStageTable:
             clustered.sortWithinPartitions("__z").drop("__z"), hint
         )
         return self._commit(
-            "zorder", packed, prev["schema"], version=hint,
+            "zorder", add=packed, remove=prev["files"],
+            schema_json=prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(packed, prev["schema"]),
         )
@@ -1269,6 +1634,33 @@ class VersionedStageTable:
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._manifest(v)["files"])
+        # before dropping any record, every KEPT version must remain
+        # resolvable from the surviving log alone: a kept version whose
+        # resolution chain crosses a dropped record gets its own
+        # checkpoint first (Delta's retention works the same way — the
+        # checkpoint is what lets old log segments be deleted)
+        have_cp = set(self.checkpoints())
+
+        def _resolves_after_drop(v: int) -> bool:
+            if "files" in self._commit_record(v):
+                return True  # legacy snapshot record: self-contained
+            anchors = sorted(
+                (c for c in have_cp if c <= v and c in keep), reverse=True
+            )
+            for c in anchors:
+                chain = [u for u in vs if c < u <= v]
+                if chain == list(range(c + 1, v + 1)) and all(
+                    u in keep for u in chain
+                ):
+                    return True
+            # from genesis: the full contiguous 0..v chain must survive
+            pre = [u for u in vs if u <= v]
+            return pre == list(range(v + 1)) and all(u in keep for u in pre)
+
+        for v in sorted(keep):
+            if v in vs and not _resolves_after_drop(v):
+                self._write_checkpoint(v)
+                have_cp.add(v)
         deleted = 0
         if os.path.isdir(self.data_dir):
             for sub in sorted(os.listdir(self.data_dir)):
@@ -1290,4 +1682,9 @@ class VersionedStageTable:
         dropped = [v for v in vs if v not in keep]
         for v in dropped:
             os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+        # checkpoints of dropped versions are unreachable (their record
+        # is gone, so the version itself reads as not-found)
+        for c in self.checkpoints():
+            if c in dropped:
+                os.remove(self._checkpoint_path(c))
         return {"versions_dropped": dropped, "files_deleted": deleted}

@@ -283,10 +283,10 @@ def test_concurrent_commit_loser_detected(spark, table):
     with open(_os.path.join(table.log_dir, "00000001.json"), "w") as fh:
         _json.dump(winner, fh)
     with pytest.raises(ConcurrentCommitError):
-        table._commit("append", files, schema)
+        table._commit("append", add=files, schema_json=schema)
     # loser retries after re-reading the log: next version is 2
     table.versions = real_versions
-    v = table._commit("append", files, schema)
+    v = table._commit("append", add=files, schema_json=schema)
     assert v == 2
     assert table._manifest(1)["op"] == "append"  # winner untouched
 
@@ -381,11 +381,13 @@ def test_timestamp_as_of_resolution(spark, table):
     asking before the earliest retained commit refuses (Delta's
     past-retention behavior). Commit instants injected for determinism."""
     files0 = table._write_files(_df(spark, [(1, "a")]), 0)
-    table._commit("overwrite", files0, _df(spark, [(1, "a")]).schema.json(),
+    table._commit("overwrite", add=files0,
+                  schema_json=_df(spark, [(1, "a")]).schema.json(),
                   committed_at=100.0)
     files1 = table._write_files(_df(spark, [(2, "b")]), 1)
-    table._commit("append", files0 + files1,
-                  _df(spark, [(2, "b")]).schema.json(), committed_at=200.0)
+    table._commit("append", add=files1,
+                  schema_json=_df(spark, [(2, "b")]).schema.json(),
+                  committed_at=200.0)
     assert table.version_at(150.0) == 0
     assert table.version_at(200.0) == 1
     assert _rows(table.read(timestamp_as_of=150.0)) == [(1, "a")]
@@ -595,14 +597,14 @@ def test_two_writer_barrier_race_exactly_one_loser(spark, table):
         barrier.wait(timeout=60)
         try:
             v = table._commit(
-                "append", prev["files"] + files, prev["schema"],
+                "append", add=files, schema_json=prev["schema"],
                 version=prev["version"] + 1,
             )
             outcomes[tag] = ("won", v)
         except ConcurrentCommitError:
             cur = table._manifest(table.latest_version())
             v = table._commit(
-                "append", cur["files"] + files, cur["schema"],
+                "append", add=files, schema_json=cur["schema"],
                 version=cur["version"] + 1,
             )
             outcomes[tag] = ("retried", v)
@@ -904,3 +906,231 @@ def test_lookup_scans_only_pruned_candidates(spark, table):
     assert _rows(table.lookup("k <= 1", tag="base")) == [(0, "v0"), (1, "v1")]
     with pytest.raises(VersionNotFoundError):
         table.lookup("k = 1", tag="nope")
+
+
+# ===========================================================================
+# round-10: delta-encoded log, checkpoints, LogStore seam, footer stats
+# ===========================================================================
+
+
+def test_commit_record_is_o_changed_files(spark, table):
+    """The 100 TB log-growth fix: a commit's on-disk record lists only
+    the files it ADDS and REMOVES — an append of one file to a
+    many-file table writes a one-file record, never the table's file
+    list (Delta's add/remove-action encoding)."""
+    table.overwrite(_df(spark, [(0, "seed")]).coalesce(1))
+    # grow the table to many files without crossing a checkpoint
+    t = VersionedStageTable(spark, table.path, checkpoint_interval=1000)
+    for k in range(1, 8):
+        t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
+    assert len(t._manifest(t.latest_version())["files"]) == 8
+    rec = t._commit_record(t.latest_version())
+    assert "files" not in rec
+    assert len(rec["add"]) == 1 and rec["remove"] == []
+    assert set(rec["stats"]) == set(rec["add"])
+    # the record stays O(1)-file-sized no matter the table
+    import os as _os
+
+    sizes = [
+        _os.path.getsize(_os.path.join(t.log_dir, f"{v:08d}.json"))
+        for v in t.versions()[1:]
+    ]
+    assert max(sizes) - min(sizes) < 200  # no per-version growth
+
+
+def test_checkpoint_written_and_anchors_resolution(spark, tmp_path):
+    """Every checkpoint_interval commits a full-snapshot checkpoint
+    lands; snapshot resolution anchors there (reads at most interval
+    records) and reproduces exactly the state the incremental log
+    implies — including accumulated per-file stats."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "cp"), checkpoint_interval=4
+    )
+    for k in range(10):
+        t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
+    assert t.checkpoints() == [4, 8]
+    m = t._manifest(9)
+    assert len(m["files"]) == 10
+    assert _rows(t.read(9)) == [(k, f"v{k}") for k in range(10)]
+    # stats accumulated across the checkpoint boundary: every file has
+    # bounds, including ones committed before version 8's checkpoint
+    assert set(m["stats"]) == set(m["files"])
+    assert sorted(s["k"] for s in m["stats"].values()) == [
+        [k, k] for k in range(10)
+    ]
+    # time travel to a pre-checkpoint version still resolves
+    assert _rows(t.read(2)) == [(0, "v0"), (1, "v1"), (2, "v2")]
+
+
+def test_vacuum_keeps_every_retained_version_resolvable(spark, tmp_path):
+    """Vacuum drops old delta records; retained versions (including a
+    TAGGED one far in the past) must still resolve — vacuum writes the
+    checkpoints that replace the dropped resolution chains."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vk"), checkpoint_interval=100
+    )
+    for k in range(12):
+        t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
+    t.tag("old", 3)
+    got = t.vacuum(retain_last=2)
+    assert got["versions_dropped"] == [v for v in range(12) if v not in
+                                       (3, 10, 11)]
+    # all three survivors resolve with full content
+    assert _rows(t.read(tag="old")) == [(k, f"v{k}") for k in range(4)]
+    assert _rows(t.read(10)) == [(k, f"v{k}") for k in range(11)]
+    assert _rows(t.read(11)) == [(k, f"v{k}") for k in range(12)]
+    # and their stats survived the re-anchoring
+    assert set(t._manifest(11)["stats"]) == set(t._manifest(11)["files"])
+    # dropped versions raise, exactly as before
+    with pytest.raises(VersionNotFoundError):
+        t.read(5)
+    # the table keeps working after the re-anchor
+    t.append(_df(spark, [(99, "post")]).coalesce(1))
+    assert (99, "post") in set(_rows(t.read()))
+
+
+def test_log_store_seam_carries_the_commit(spark, tmp_path):
+    """The commit point is the LogStore, not os.link inline: a counting
+    store sees exactly one put_if_absent per commit, and a store that
+    reports 'already exists' surfaces as ConcurrentCommitError — the
+    documented S3 conditional-PUT mapping drops into this seam."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConcurrentCommitError,
+        PosixLinkLogStore,
+    )
+
+    class CountingStore(PosixLinkLogStore):
+        def __init__(self):
+            self.puts = []
+            self.lose_next = False
+
+        def put_if_absent(self, target, content):
+            self.puts.append(target)
+            if self.lose_next:
+                self.lose_next = False
+                return False
+            return super().put_if_absent(target, content)
+
+    store = CountingStore()
+    t = VersionedStageTable(
+        spark, str(tmp_path / "seam"), log_store=store
+    )
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    assert [os.path.basename(p) for p in store.puts] == [
+        "00000000.json", "00000001.json",
+    ]
+    store.lose_next = True
+    with pytest.raises(ConcurrentCommitError):
+        t.append(_df(spark, [(3, "c")]))
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_enforce_probes_all_constraints_in_one_job(spark, table):
+    """k CHECK constraints cost ONE Spark job per commit, not k: the
+    violation flags are computed in a single projection with an
+    early-exit limit(1), and the violated constraint is still named
+    exactly."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.add_constraint("k_pos", "k > 0")
+    table.add_constraint("v_nonempty", "length(v) > 0")
+    table.add_constraint("k_small", "k < 1000")
+    # CollectLimitExec may run a couple of scale-up jobs for ONE
+    # limit(1); the pin is that job count does NOT scale with k —
+    # probing 3 constraints costs exactly what probing 1 costs
+    sc = spark.sparkContext
+    batch = _df(spark, [(5, "ok"), (6, "fine")])
+
+    def _jobs(group: str, constraints: dict) -> int:
+        sc.setJobGroup(group, "count jobs in _enforce")
+        table._enforce(batch, constraints)
+        sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n1 = _jobs("enforce-one", {"k_pos": "k > 0"})
+    n3 = _jobs("enforce-three", table.constraints())
+    assert len(table.constraints()) == 3
+    assert n3 == n1, f"3 constraints cost {n3} jobs vs {n1} for 1"
+    # violation still names the right constraint
+    with pytest.raises(ConstraintViolationError, match="v_nonempty"):
+        table.append(_df(spark, [(7, "")]))
+    with pytest.raises(ConstraintViolationError, match="k_small"):
+        table.append(_df(spark, [(7777, "x")]))
+
+
+def test_footer_stats_match_spark_scan_for_nan_free_types(spark, table):
+    """Footer-collected bounds (int + string, no Spark job) must equal
+    what the Spark scan would compute — including NULL handling, the
+    64-char string truncation discipline, and zero-row files; doubles
+    stay on the Spark scan (NaN-greatest vs footers excluding NaN)."""
+    df = spark.createDataFrame(
+        [
+            (1, "apple", 1.5),
+            (2, None, float("nan")),
+            (3, "z" * 500, -2.0),
+            (None, "mid", 0.0),
+        ],
+        "k int, s string, d double",
+    ).coalesce(1)
+    table.overwrite(df)
+    st = next(iter(table._manifest(0)["stats"].values()))
+    assert st["k"] == [1, 3]            # footer path, NULL excluded
+    assert st["s"][0] == "apple"        # min intact
+    assert st["s"][1] is None           # >64-char max degrades to None
+    assert st["d"] == [-2.0, None]      # NaN-greatest → unknown upper
+    # all-NULL column: bounds unknown, never prunes
+    df2 = spark.createDataFrame(
+        [(None, None)], "k int, s string"
+    ).coalesce(1)
+    t2 = VersionedStageTable(spark, table.path + "_nulls")
+    t2.overwrite(df2)
+    st2 = next(iter(t2._manifest(0)["stats"].values()))
+    assert st2["k"] == [None, None] and st2["s"] == [None, None]
+
+
+def test_split_top_and_respects_spark_string_escapes():
+    """ADVICE r9 (medium): a backslash-escaped or doubled quote inside
+    a string literal must not close the quote — the splitter would
+    otherwise fabricate conjuncts Spark's parser never sees, and
+    pruning would silently exclude files containing matching rows."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        _split_top_and,
+        prune_candidate_files,
+    )
+
+    # ONE literal to Spark: "x' AND c2 = 5 AND tail = 'y"
+    cond = r"c1 = 'x\' AND c2 = 5 AND tail = \'y'"
+    assert _split_top_and(cond) == [cond]
+    # doubled-quote escape, same story
+    cond2 = "c1 = 'x'' AND c2 = 5 AND tail = ''y'"
+    assert _split_top_and(cond2) == [cond2]
+    # unterminated literal: no split is trustworthy → no pruning
+    assert _split_top_and("c1 = 'dangling") is None
+    # end-to-end: a file whose c2 bounds exclude 5 must NOT be pruned,
+    # because 'c2 = 5' is inside a string literal, not a conjunct
+    stats = {"f": {"c2": [100, 200]}}
+    got = prune_candidate_files(["f"], stats, cond, stat_cols={"c2"})
+    assert got == ["f"]
+    # plain conjuncts still split and prune as before
+    assert _split_top_and("a = 1 AND b = 'two'") == ["a = 1", "b = 'two'"]
+    assert prune_candidate_files(
+        ["f"], stats, "c2 = 5", stat_cols={"c2"}
+    ) == []
+
+
+def test_rel_path_url_decodes_input_file_name(spark, tmp_path):
+    """ADVICE r9 (low): input_file_name() returns URL-encoded URIs; a
+    table path with a space must still map stats groups back to the
+    committed files (a silent miss would leave unsound empty stats)."""
+    t = VersionedStageTable(spark, str(tmp_path / "with space"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    st = t._manifest(0)["stats"]
+    assert set(st) == set(t._manifest(0)["files"])
+    assert next(iter(st.values()))["k"] == [1, 2]
+    # delete's touched-file bookkeeping also goes through _rel_path
+    t.delete("k = 1")
+    assert _rows(t.read()) == [(2, "b")]
