@@ -256,6 +256,158 @@ def ivf_index_append(
     )
 
 
+def ivf_rebalance(
+    index: DataFrame,
+    centroids,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    overload_factor: float = 2.0,
+    split_k: int = 2,
+    sample_size: int = 2048,
+    seed: int = 42,
+):
+    """Re-split ONLY the overloaded IVF cells — the maintenance step
+    :func:`ivf_index_append` defers: appends assign into FROZEN
+    centroids, so under distribution drift mass concentrates in a few
+    cells, probes of those cells degenerate toward brute force, and
+    recall-per-IO decays. A full retrain rereads the corpus; this
+    rebalance touches exactly the hot cells.
+
+    Mechanics (cold cells are never read, reassigned, or rewritten):
+
+    1. Per-cell counts from ONE aggregation of the index's
+       (id, cluster_id) columns — n_clusters rows, driver-bounded.
+    2. Cells with count > overload_factor * mean are overloaded.
+    3. Each overloaded cell trains a local ``split_k``-means on a
+       deterministic hash-bucket sample of ITS OWN members (bounded,
+       scan-side filter); the first sub-centroid keeps the cell's id —
+       so every cold cell's stored ``cluster_id`` remains valid — and
+       the rest take fresh ids appended after the existing centroids.
+    4. Only the overloaded cells' rows are reassigned (a
+       partition-pruned read when the index is stored
+       ``partitionBy(cluster_id)``) and rewritten.
+
+    Returns ``(new_centroids, reassigned_df, report)`` where
+    ``reassigned_df`` holds the NEW (id, vec, cluster_id) rows for the
+    overloaded cells only (the caller overwrites those partitions) and
+    ``report`` is a driver-side dict: cells_split, rows_reassigned,
+    max_cell_fraction before/after (from counts, no extra scan).
+
+    Scale shape: cost = per-cell count agg (one shuffle of (id, cid))
+    + sample + reassignment scan of the hot cells only. A 100 TB index
+    with one hot cell pays IO proportional to that cell.
+    """
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+
+    C = np.asarray(centroids, dtype=np.float64)
+    counts = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in index.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    n_cells = len(C)
+    mean = total / max(n_cells, 1)
+    overloaded = sorted(
+        cid for cid, n in counts.items() if n > overload_factor * mean
+    )
+    report = {
+        "cells_total": n_cells,
+        "cells_split": len(overloaded),
+        "cells": list(overloaded),
+        "rows_reassigned": sum(counts[c] for c in overloaded),
+        "max_cell_fraction_before": (
+            max(counts.values()) / total if total else 0.0
+        ),
+    }
+    if not overloaded:
+        report["max_cell_fraction_after"] = report[
+            "max_cell_fraction_before"
+        ]
+        return C, None, report
+    new_rows = [C[i] for i in range(n_cells)]
+    sub_ids: dict[int, list[int]] = {}
+    next_id = n_cells
+    hot = index.filter(F.col("cluster_id").isin(overloaded))
+    for cid in overloaded:
+        cell = hot.filter(F.col("cluster_id") == cid)
+        cut = max(
+            1, int(min(1.0, 2 * sample_size / counts[cid]) * 1_000_000)
+        )
+        sampled = (
+            cell.filter(
+                hash_bucket(F.col(corpus_id), seed=f"ivf-reb-{cid}") < cut
+            )
+            .orderBy(corpus_id)
+            .limit(sample_size)
+            .select(corpus_vec)
+            .collect()
+        )
+        if len(sampled) < split_k:
+            sampled = (
+                cell.orderBy(corpus_id)
+                .limit(sample_size)
+                .select(corpus_vec)
+                .collect()
+            )
+        sub = _kmeans_centroids(
+            [r[0] for r in sampled], split_k, seed=seed + cid
+        )
+        ids = [cid]
+        new_rows[cid] = sub[0]
+        for s in sub[1:]:
+            ids.append(next_id)
+            new_rows.append(s)
+            next_id += 1
+        sub_ids[cid] = ids
+    newC = np.stack(new_rows)
+    # reassign hot-cell rows among THEIR OWN sub-centroids only: a row
+    # split out of cell c must land in one of c's splits (otherwise a
+    # neighboring cold cell would need rewriting too)
+    sub_map = {
+        cid: np.stack([newC[i] for i in ids])
+        for cid, ids in sub_ids.items()
+    }
+    id_map = dict(sub_ids)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def reassign(v: pd.Series, cid: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+        out = np.empty(len(M), dtype="int32")
+        for c in np.unique(cid.to_numpy()):
+            mask = cid.to_numpy() == c
+            sims = M[mask] @ sub_map[int(c)].T
+            picks = sims.argmax(axis=1)
+            out[mask] = np.asarray(id_map[int(c)], dtype="int32")[picks]
+        return pd.Series(out)
+
+    reassigned = hot.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        reassign(F.col(corpus_vec), F.col("cluster_id")).alias("cluster_id"),
+    )
+    # post-split max fraction: every non-split cell keeps its count;
+    # split cells are bounded above by their pre-split count, so the
+    # exact post number needs the reassigned counts — one bounded agg
+    # over the reassigned rows only
+    re_counts = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in reassigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    after = {c: n for c, n in counts.items() if c not in overloaded}
+    after.update(re_counts)
+    report["max_cell_fraction_after"] = (
+        max(after.values()) / total if total else 0.0
+    )
+    return newC, reassigned, report
+
+
 def ivf_index_probe(
     index: DataFrame,
     centroids,

@@ -7781,6 +7781,142 @@ FROM embeddings WHERE vec_id < 8
 """
 
 
+def ann_rebalance(spark, sf_dir):
+    """IVF cell REBALANCE after drift (operators/similarity.py
+    ivf_rebalance — the maintenance step ivf_index_append defers):
+    appends assign into frozen centroids, so a drifted batch piles into
+    a few cells and probes of those cells decay toward brute force.
+    The rebalance detects overloaded cells from ONE per-cell count
+    aggregation, re-splits ONLY those (local k-means on a bounded
+    in-cell sample; the first sub-centroid keeps the cell's id so cold
+    cells' stored assignments stay valid), reassigns only the hot
+    cells' rows, and lands them via dynamic partition overwrite — cold
+    partitions are never read or rewritten.
+
+    Drift here is deterministic: the largest built cell's members are
+    re-landed twice under fresh ids (mass concentrating where mass
+    already was — the canonical drift shape). Contract: pooled recall
+    >= 0.75 vs the exact top-k over the FULL drifted corpus, at least
+    one cell split, the max cell fraction strictly decreased, rows
+    rewritten == exactly the overloaded cells' rows, and the stored
+    index stays complete."""
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_rebalance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _tmpdir("ivfrebal")
+    idx_path = os.path.join(work, "index")
+    C, index = ivf_index_build(emb, n_clusters=16, sample_size=4096)
+    index.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    # deterministic drift: re-land the largest cell's members twice
+    # with fresh ids (drift concentrates where mass already is)
+    counts = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in stored.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot_cid = max(sorted(counts), key=lambda c: counts[c])
+    # membership computed from emb + frozen centroids (NOT from the
+    # stored files: those get replaced below, and a lazy plan holding
+    # the old file list would fail after the dynamic overwrite)
+    hot_members = ivf_index_append(C, emb).filter(
+        F.col("cluster_id") == hot_cid
+    ).select("vec_id", "embedding")
+    for bump in (1_000_000, 2_000_000):
+        batch = hot_members.select(
+            (F.col("vec_id") + F.lit(bump)).alias("vec_id"), "embedding"
+        )
+        ivf_index_append(C, batch).repartition("cluster_id").write.mode(
+            "append"
+        ).partitionBy("cluster_id").parquet(idx_path)
+    drifted = spark.read.parquet(idx_path)
+    # independent recount BEFORE the rebalance overwrite replaces the
+    # hot partitions (a post-overwrite plan would read dead files)
+    drifted_counts = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in drifted.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    newC, reassigned, report = ivf_rebalance(
+        drifted, C, overload_factor=1.5, split_k=2, sample_size=2048
+    )
+    # dynamic partition overwrite: only the split cells' partitions
+    # (old hot id + fresh sub-ids) are replaced on disk. The reassigned
+    # rows READ the hot partitions this write replaces — materialize
+    # them first (bounded: the hot cells' rows) or the lazy plan races
+    # its own overwrite.
+    reassigned = reassigned.localCheckpoint()
+    reassigned.repartition("cluster_id").write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(idx_path)
+    rebalanced = spark.read.parquet(idx_path)
+    # full drifted corpus = originals + the two re-landed batches
+    hot_members = emb.join(hot_members.select("vec_id"), "vec_id", "left_semi")
+    corpus = emb.unionByName(
+        hot_members.selectExpr(
+            "vec_id + 1000000 AS vec_id", "embedding", "label"
+        )
+    ).unionByName(
+        hot_members.selectExpr(
+            "vec_id + 2000000 AS vec_id", "embedding", "label"
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = ivf_index_probe(rebalanced, newC, queries, k=10, n_probe=8)
+    exact = cosine_topk_bruteforce(corpus, queries, k=10)
+    rep = _ann_recall_report(
+        spark, approx, exact, n_queries=8, k=10, floor=0.75
+    )
+    n_corpus = corpus.count()
+    # bookkeeping cross-check: the operator's rows_reassigned must equal
+    # the drifted index's own pre-overwrite counts over exactly the
+    # cells it split, and the split must be PARTIAL (cold cells
+    # untouched) and include the deliberately-overloaded cell
+    expected_rewrite = sum(drifted_counts[c] for c in report["cells"])
+    rewrite_bounded = bool(
+        report["rows_reassigned"] == expected_rewrite
+        and report["cells_split"] < report["cells_total"]
+    )
+    return rep.select(
+        "*",
+        F.lit(
+            bool(report["cells_split"] >= 1 and hot_cid in report["cells"])
+        ).alias("split_happened"),
+        F.lit(
+            bool(
+                report["max_cell_fraction_after"]
+                < report["max_cell_fraction_before"]
+            )
+        ).alias("rebalanced_tighter"),
+        F.lit(rewrite_bounded).alias("rewrite_bounded"),
+        F.lit(bool(rebalanced.count() == n_corpus)).alias(
+            "index_complete"
+        ),
+    )
+
+
+_ANN_REBALANCE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(*) * 10 AS BIGINT) AS n_results,
+       TRUE AS full_k, TRUE AS recall_ok,
+       TRUE AS split_happened, TRUE AS rebalanced_tighter,
+       TRUE AS rewrite_bounded, TRUE AS index_complete
+FROM embeddings WHERE vec_id < 8
+"""
+
+
 def corpus_gopher_quality(spark, sf_dir):
     """Gopher document-quality rules (operators/text.py
     gopher_quality_flags — Rae et al. 2021's published heuristics) over
@@ -13018,6 +13154,7 @@ QUERIES = {
     # ---
     "forget_everywhere": forget_everywhere,
     "ann_incremental_index_append": ann_incremental_index_append,
+    "ann_rebalance": ann_rebalance,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
@@ -13377,6 +13514,7 @@ ORACLES = {
     "stage_forget_roundtrip": _STAGE_FORGET_SQL,
     "forget_everywhere": _FORGET_EVERYWHERE_SQL,
     "ann_incremental_index_append": _ANN_APPEND_SQL,
+    "ann_rebalance": _ANN_REBALANCE_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,

@@ -132,6 +132,7 @@ BUDGETS = [
     ("events_hll_accuracy", 3, False),  # exact-distinct expand + partial/final agg + output sort; HLL rides the same agg
     ("events_skew_diagnostics", 2, False),  # one per-key count shuffle + 1-row rollup
     ("embedding_matryoshka_quality", 0, False),  # finalized 3-row report; posexplode + per-vector rollup upstream
+    ("ann_rebalance", 0, False),  # driver-assembled 1-row report; hot-cell recount/reassign/probe jobs upstream (Arrow UDFs confined there)
 ]
 
 

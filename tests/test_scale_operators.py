@@ -1939,6 +1939,114 @@ def test_c4_clean_lines_rules(spark):
     assert got[2].n_kept_lines == 0 and not got[2].c4_keep
 
 
+def test_ivf_rebalance_splits_only_hot_cells(spark, tmp_path):
+    """IVF maintenance after drift: only cells over the overload factor
+    are split; cold cells' parquet files AND assignments survive the
+    dynamic-partition-overwrite untouched; reassigned rows stay within
+    their old cell's sub-centroids; the max cell fraction drops; a
+    balanced index is a no-op (reassigned is None)."""
+    import os as _os
+
+    import numpy as _np
+
+    from cdk_datalake_ingest_upeu_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_rebalance,
+    )
+
+    rng = _np.random.default_rng(23)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(600)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C, index = ivf_index_build(corpus, n_clusters=8, sample_size=600)
+    path = str(tmp_path / "ivf")
+    index.repartition("cluster_id").write.partitionBy("cluster_id").parquet(
+        path
+    )
+    stored = spark.read.parquet(path)
+    counts = {
+        r.cluster_id: r.n
+        for r in stored.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    hot = max(sorted(counts), key=lambda c: counts[c])
+    # drift: pile 3 more copies of the hot cell's members into it
+    members = stored.filter(F.col("cluster_id") == hot).select(
+        "vec_id", "embedding"
+    )
+    for bump in (10_000, 20_000, 30_000):
+        batch = members.select(
+            (F.col("vec_id") + bump).alias("vec_id"), "embedding"
+        )
+        ivf_index_append(C, batch).repartition("cluster_id").write.mode(
+            "append"
+        ).partitionBy("cluster_id").parquet(path)
+    drifted = spark.read.parquet(path)
+    n_total = drifted.count()
+    cold_assign = {
+        r.vec_id: r.cluster_id
+        for r in drifted.filter(F.col("cluster_id") != hot).collect()
+    }
+    newC, reassigned, report = ivf_rebalance(
+        drifted, C, overload_factor=2.0, split_k=2, sample_size=512
+    )
+    assert report["cells_split"] >= 1 and hot in report["cells"]
+    assert report["rows_reassigned"] == sum(
+        n for c, n in {
+            r.cluster_id: r.n
+            for r in drifted.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }.items() if c in report["cells"]
+    )
+    assert (
+        report["max_cell_fraction_after"]
+        < report["max_cell_fraction_before"]
+    )
+    # reassignment stays within each split cell's own sub-ids
+    reassigned = reassigned.localCheckpoint()
+    split_ids = set(report["cells"]) | set(range(8, len(newC)))
+    got_cells = {
+        r.cluster_id for r in reassigned.select("cluster_id").distinct().collect()
+    }
+    assert got_cells <= split_ids
+    cold_before = {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and f"cluster_id={hot}" not in dp
+        and not any(f"cluster_id={c}" in dp for c in report["cells"])
+    }
+    reassigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    cold_after = {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+        and not any(f"cluster_id={c}" in dp for c in split_ids)
+    }
+    assert cold_before == cold_after  # cold partitions never rewritten
+    rebal = spark.read.parquet(path)
+    assert rebal.count() == n_total  # no rows lost or duplicated
+    got_cold = {
+        r.vec_id: r.cluster_id
+        for r in rebal.filter(~F.col("cluster_id").isin(sorted(split_ids)))
+        .collect()
+    }
+    assert got_cold == {
+        k: v for k, v in cold_assign.items() if v not in report["cells"]
+    }
+    # a balanced index: nothing to split, no rewrite handed back
+    C2, re2, rep2 = ivf_rebalance(rebal, newC, overload_factor=10.0)
+    assert re2 is None and rep2["cells_split"] == 0
+    assert (C2 == newC).all()
+
+
 def test_substring_span_dedup_removes_shared_spans(spark):
     """A >= window-length span shared by two docs is removed from BOTH
     (occurrence count >= 2 corpus-wide), a within-doc repeat is caught,
