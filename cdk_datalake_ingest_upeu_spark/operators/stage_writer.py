@@ -344,15 +344,32 @@ class StageTable:
                 .execute()
             )
             return -1
-        upserts = latest.filter(F.col(op_column) != "D").drop(
-            op_column, seq_column
-        )
-        deletes = latest.filter(F.col(op_column) == "D").select(*key_columns)
-        if upserts.take(1):  # a delete-only feed must not rewrite the table
-            self.merge(upserts, key_columns, evolve_schema=evolve_schema)
-        if deletes.take(1):
-            return self.delete_keys(deletes, key_columns)
-        return 0
+        # the feed plan (often a corpus join upstream) is consumed by the
+        # op-presence probe, the merge, and the delete — persist the
+        # batch-scale deduped feed so it computes ONCE. The presence of
+        # upserts/deletes is ONE aggregate, not two take(1)s: take(1) on
+        # an op class the feed doesn't contain (e.g. a delete-only
+        # takedown feed probing for upserts) scales up through EVERY
+        # partition before concluding empty — a full extra feed pass.
+        latest = latest.persist()
+        try:
+            flags = latest.agg(
+                F.max((F.col(op_column) == "D").cast("int")).alias("__d"),
+                F.max((F.col(op_column) != "D").cast("int")).alias("__u"),
+            ).first()
+            upserts = latest.filter(F.col(op_column) != "D").drop(
+                op_column, seq_column
+            )
+            deletes = latest.filter(F.col(op_column) == "D").select(
+                *key_columns
+            )
+            if flags["__u"]:  # delete-only feed must not rewrite the table
+                self.merge(upserts, key_columns, evolve_schema=evolve_schema)
+            if flags["__d"]:
+                return self.delete_keys(deletes, key_columns)
+            return 0
+        finally:
+            latest.unpersist()
 
     def delete_keys(self, deletes: DataFrame, key_columns: list[str]) -> int:
         """Remove every row matching a delete-key set. Returns the number

@@ -13995,9 +13995,83 @@ _R9_WINDOW = [
     "streaming_quarantine_ingest",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+
+
+# ===========================================================================
+# round-10 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) the one r10-new query (never driver-checked) leads; (b) ALL 31
+# queries whose newest driver-green is still r5 — they have survived
+# five rounds of engine churn on local evidence only (histogram after
+# r9: r5x31, r6x49, r7x50, r8x50, r9x50; list reproduced by parsing
+# CORRECTNESS_r0N for hash_match per name); (c) 18 of the 49
+# last-green-r6 rows fill the window, chosen for family coverage
+# (TPC-H, sqlgen, sinks, stage, streaming, merge/watermark, config,
+# asof). After this window no catalog query's driver evidence is older
+# than r6.
+_R10_WINDOW = [
+    # (a) r10-new, never driver-checked
+    "ann_rebalance",
+    # (b) last driver-green in r5 — all 31
+    "ann_incremental_probe",
+    "bloom_semi_join_lineitems",
+    "cms_event_type_totals",
+    "copurchase_part_pairs",
+    "corpus_bigram_logprob",
+    "corpus_boilerplate_strip",
+    "corpus_filter_attrition",
+    "corpus_forget_documents",
+    "dedup_cluster_jaccard",
+    "dedup_exact_keep_best",
+    "dedup_incremental_minhash",
+    "dedup_incremental_paragraph",
+    "dedup_ngram_containment",
+    "dedup_simhash_pairs",
+    "embedding_dim_stats",
+    "embedding_pca_variance",
+    "events_funnel",
+    "events_transition_bigrams",
+    "events_unpivot_daily",
+    "events_value_histogram",
+    "expectations_report_events",
+    "global_ids_documents",
+    "q12_priority_shipping",
+    "sample_weighted_quality",
+    "sketch_weekly_rollup",
+    "stage_bloom_indexed_write_lookup",
+    "stage_bloom_pruned_lookup",
+    "streaming_bloom_dedup",
+    "streaming_paragraph_dedup",
+    "text_winnow_fingerprints",
+    "vocab_typo_pairs",
+    # (c) last driver-green in r6 — family coverage fill
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q9_profit_by_nation_year",
+    "q19_disjunctive_pushdown",
+    "merge_upsert_current_state",
+    "incremental_watermark_2phase",
+    "stage_pipeline_e2e",
+    "stage_schema_evolution",
+    "stage_forget_roundtrip",
+    "stage_partition_pruned_read",
+    "streaming_merge_ingest",
+    "streaming_watermarked_rollup",
+    "sink_csv_gz_roundtrip",
+    "sink_orc_roundtrip",
+    "sqlgen_projection_filter",
+    "sqlgen_dual_range_filter",
+    "config_csv_pipeline",
+    "asof_join_last_purchase",
+]
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_R9_WINDOW, *(n for n in QUERIES if n not in set(_R9_WINDOW)))
+    for name in (
+        *_R10_WINDOW,
+        *(n for n in QUERIES if n not in set(_R10_WINDOW)),
+    )
 }
 
 
