@@ -452,6 +452,7 @@ class VersionedStageTable:
                     "schema": snap["schema"],
                     "constraints": snap.get("constraints") or {},
                     "stats": snap.get("stats") or {},
+                    "dv": snap.get("dv") or {},
                 }
             ),
         )
@@ -471,6 +472,7 @@ class VersionedStageTable:
         start = -1
         files: list[str] = []
         stats: dict = {}
+        dv: dict = {}
         schema = None
         constraints: dict = {}
         if cps:
@@ -479,6 +481,7 @@ class VersionedStageTable:
             start = cps[-1]
             files = list(cp["files"])
             stats = dict(cp.get("stats") or {})
+            dv = {f: list(s) for f, s in (cp.get("dv") or {}).items()}
             schema = cp["schema"]
             constraints = dict(cp.get("constraints") or {})
         chain = [u for u in self.versions() if start < u <= version]
@@ -496,13 +499,24 @@ class VersionedStageTable:
                 # legacy snapshot record mid-chain: resolution resets
                 fset = set(r["files"])
                 stats = dict(r.get("stats") or {})
+                dv = {}
             else:
                 removed = r.get("remove") or []
                 fset.difference_update(removed)
                 for f in removed:
                     stats.pop(f, None)
+                    dv.pop(f, None)
                 fset.update(r.get("add") or [])
                 stats.update(r.get("stats") or {})
+                # deletion-vector sidecars UNION per file (a file's DV
+                # only grows until the file is removed/rewritten; a
+                # restore that must SHRINK a dv lists the file in both
+                # remove and add, which resets it here first)
+                for f, sidecars in (r.get("dv") or {}).items():
+                    cur = dv.setdefault(f, [])
+                    for s in sidecars:
+                        if s not in cur:
+                            cur.append(s)
             schema = r["schema"]
             constraints = dict(r.get("constraints") or {})
             last = r
@@ -518,6 +532,9 @@ class VersionedStageTable:
         kept_stats = {f: stats[f] for f in out["files"] if f in stats}
         if kept_stats:
             out["stats"] = kept_stats
+        kept_dv = {f: dv[f] for f in out["files"] if f in dv and dv[f]}
+        if kept_dv:
+            out["dv"] = kept_dv
         if "epoch" in last:
             out["epoch"] = last["epoch"]
         if "metrics" in last:
@@ -537,6 +554,7 @@ class VersionedStageTable:
         constraints: dict | None = None,
         stats: dict | None = None,
         metrics: dict | None = None,
+        dv: dict | None = None,
     ) -> int:
         """Atomically publish ``version`` as a DELTA-encoded record —
         the files the commit adds and removes, with stats for the added
@@ -577,6 +595,10 @@ class VersionedStageTable:
                 record["stats"] = kept
         if metrics:
             record["metrics"] = metrics
+        if dv:
+            # deletion-vector sidecar refs for this commit only (union
+            # semantics in resolution): {data file rel: [sidecar rels]}
+            record["dv"] = {f: sorted(s) for f, s in dv.items() if s}
         # the commit point — optimistic concurrency, Delta's protocol:
         # version N's record may be created exactly once; a racing
         # writer that lost must re-read the log and retry on N+1.
@@ -944,6 +966,100 @@ class VersionedStageTable:
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, rel)
 
+    # -- deletion vectors (merge-on-read) ------------------------------------
+    #
+    # A DV delete never rewrites data: it writes a SIDECAR parquet of
+    # (file_name, row_index) pairs and commits a zero-data-IO record
+    # whose "dv" field maps each touched data file to the sidecar.
+    # Reads apply the mask with one anti-join on Spark's
+    # _metadata.file_name/row_index columns; files without a DV keep
+    # the clean codegen scan path. This is Delta's deletion-vector
+    # design: the COW rewrite (delete(mode="cow")) pays O(matched
+    # files) WRITE per delete; the DV path pays O(matched rows) sidecar
+    # write now and a small read-side anti-join until OPTIMIZE purges —
+    # the only acceptable shape for frequent small takedowns on a
+    # 100 TB table. File NAMES key the mask (Spark part files are
+    # uuid-unique), so the mask survives table moves. At 100 TB the
+    # sidecar would be a roaring bitmap per file; parquet pairs keep it
+    # engine-readable here with the identical join plan.
+
+    _DV_SCHEMA = "file_name string, row_index long"
+
+    def _dv_sidecar_rows(self, sidecars: list[str]) -> DataFrame:
+        return self.spark.read.schema(self._DV_SCHEMA).parquet(
+            *[self._abs(s) for s in sorted(set(sidecars))]
+        )
+
+    def _scan(
+        self,
+        rels: list[str],
+        schema: T.StructType,
+        dv: dict | None = None,
+        *,
+        file_col: str | None = None,
+    ) -> DataFrame:
+        """DV-aware scan of the given data files: files without a
+        deletion vector read clean (whole-stage codegen, no metadata
+        columns); files with one read _metadata.file_name/row_index and
+        anti-join their masked rows out — merge-on-read.
+
+        ``file_col`` additionally projects each row's data-file
+        BASENAME (``_metadata.file_name`` — unique per table, Spark
+        uuid-names part files). Callers that need per-file bookkeeping
+        (COW touched-file detection) use this instead of
+        ``input_file_name()``, which cannot bind over the DV arm's
+        two-source join."""
+        if not rels:
+            out = self.spark.createDataFrame([], schema)
+            if file_col:
+                out = out.withColumn(file_col, F.lit(None).cast("string"))
+            return out
+        rset = set(rels)
+        dv = {f: s for f, s in (dv or {}).items() if f in rset and s}
+        clean = [r for r in rels if r not in dv]
+        cols = schema.fieldNames()
+        parts = []
+        if clean:
+            c = self.spark.read.schema(schema).parquet(
+                *[self._abs(f) for f in clean]
+            )
+            if file_col:
+                c = c.select(
+                    *cols, F.col("_metadata.file_name").alias(file_col)
+                )
+            parts.append(c)
+        if dv:
+            masked = (
+                self.spark.read.schema(schema)
+                .parquet(*[self._abs(f) for f in sorted(dv)])
+                .select(
+                    *cols,
+                    F.col("_metadata.file_name").alias("__fn"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+            )
+            mask = self._dv_sidecar_rows(
+                [s for lst in dv.values() for s in lst]
+            ).select(
+                F.col("file_name").alias("__fn"),
+                F.col("row_index").alias("__ri"),
+            )
+            joined = masked.join(mask, ["__fn", "__ri"], "left_anti")
+            if file_col:
+                joined = joined.select(
+                    *cols, F.col("__fn").alias(file_col)
+                )
+            else:
+                joined = joined.select(*cols)
+            parts.append(joined)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _rels_by_name(self, rels: list[str]) -> dict:
+        return {os.path.basename(f): f for f in rels}
+
     def version_at(self, timestamp: float) -> int:
         """Latest version committed at or before ``timestamp`` (unix
         seconds) — Delta's ``timestampAsOf`` resolution. Raises
@@ -989,11 +1105,7 @@ class VersionedStageTable:
             version = self.latest_version()
         m = self._manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[self._abs(f) for f in m["files"]]
-        )
+        return self._scan(m["files"], schema, m.get("dv"))
 
     def lookup(
         self,
@@ -1027,10 +1139,8 @@ class VersionedStageTable:
         )
         if not candidates:
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.schema(schema)
-            .parquet(*[self._abs(f) for f in candidates])
-            .filter(F.expr(condition).cast("boolean"))
+        return self._scan(candidates, schema, m.get("dv")).filter(
+            F.expr(condition).cast("boolean")
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -1268,31 +1378,28 @@ class VersionedStageTable:
             # manifest-schema read for the same reason delete() uses
             # one: on a schema-evolved table, pre-evolution files must
             # backfill NULL for the new columns rather than fail (or
-            # worse, drop them) on a footer-inferred schema
-            cur = self.spark.read.schema(prev_schema).parquet(
-                *[self._abs(f) for f in candidates]
+            # worse, drop them) on a footer-inferred schema. DV-aware:
+            # a key that only exists in masked rows matches nothing.
+            cur = self._scan(
+                candidates, prev_schema, prev.get("dv"), file_col="__file"
             )
-            # input_file_name() gives file: URIs; normalize back to
-            # table-relative paths.
             touched_rows = (
-                cur.withColumn("__file", F.input_file_name())
-                .join(F.broadcast(keys), key_columns, "left_semi")
+                cur.join(F.broadcast(keys), key_columns, "left_semi")
                 .select("__file")
                 .distinct()
                 .collect()
             )
             # NB: r["__file"], not attribute access — a dunder attribute
             # inside a class body gets Python name-mangled
-            touched = sorted(
-                self._rel_path(r["__file"]) for r in touched_rows
-            )
+            by_name = self._rels_by_name(candidates)
+            touched = sorted(by_name[r["__file"]] for r in touched_rows)
         else:
             touched = []
         metrics["files_rewritten"] = len(touched)
         if touched:
-            kept = self.spark.read.schema(prev_schema).parquet(
-                *[self._abs(f) for f in touched]
-            ).join(F.broadcast(keys), key_columns, "left_anti")
+            kept = self._scan(touched, prev_schema, prev.get("dv")).join(
+                F.broadcast(keys), key_columns, "left_anti"
+            )
             new_df = kept.unionByName(source)
         else:
             new_df = source
@@ -1372,25 +1479,34 @@ class VersionedStageTable:
             p = "/" + unquote(p[5:]).lstrip("/")
         return os.path.relpath(p, self.path)
 
-    def delete(self, condition: str) -> int:
-        """DELETE FROM table WHERE condition — copy-on-write at file
-        granularity, Delta DELETE's execution shape: one
-        condition-projected scan finds the files that CONTAIN a
-        matching row, only those are rewritten without their matching
-        rows, everything else carries over by name with zero IO. Rows
-        where the condition is NULL are kept (SQL DELETE semantics:
-        only rows where the predicate is TRUE are removed). Returns the
-        new version, or the current one unchanged when nothing matched
-        (Delta likewise skips the empty commit).
+    def delete(self, condition: str, *, mode: str = "cow") -> int:
+        """DELETE FROM table WHERE condition. Rows where the condition
+        is NULL are kept (SQL DELETE semantics: only TRUE removes).
+        Returns the new version, or the current one unchanged when
+        nothing matched (Delta likewise skips the empty commit).
 
-        Scale shape: candidate files come FIRST from the manifest's
-        per-file [min, max] bounds (:func:`prune_candidate_files` —
-        zero IO, O(manifest)); only the surviving candidates pay the
-        condition-projected scan, and only files actually CONTAINING a
-        matching row are rewritten. The commit records
-        files_total/files_candidate/files_rewritten in its manifest
-        metrics (Delta's operationMetrics analog), so pruning behavior
-        is pinnable by tests and queries."""
+        ``mode="cow"`` (default) — copy-on-write at file granularity,
+        Delta DELETE's classic shape: one condition-projected scan
+        finds the files that CONTAIN a matching row, only those are
+        rewritten without their matching rows, everything else carries
+        over by name with zero IO.
+
+        ``mode="dv"`` — deletion vectors, Delta's merge-on-read shape:
+        NO data file is rewritten at all; the matched rows' positions
+        land in a sidecar parquet and the commit's ``dv`` field masks
+        them, applied by every subsequent read as one anti-join.
+        :meth:`compact` purges the masks. The right mode for frequent
+        small takedowns where COW would re-write a large file per
+        handful of rows.
+
+        Scale shape (both modes): candidate files come FIRST from the
+        manifest's per-file [min, max] bounds
+        (:func:`prune_candidate_files` — zero IO, O(manifest)); only
+        the surviving candidates pay the condition-projected scan. The
+        commit records files_total/files_candidate/files_rewritten
+        (+ dv_rows for mode="dv") in its manifest metrics."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
         prev = self._manifest(self.latest_version())
         hint = prev["version"] + 1
         if not prev["files"]:
@@ -1403,27 +1519,25 @@ class VersionedStageTable:
         if not candidates:
             return prev["version"]
         cond = F.expr(condition).cast("boolean")
+        if mode == "dv":
+            return self._delete_dv(prev, schema, candidates, cond, hint)
         # read THROUGH the manifest schema, like read()/changes()/compact():
         # on a schema-evolved table, pre-evolution files lack the new
         # columns and a schemaless read would infer from an arbitrary
         # footer — the rewrite could silently drop evolved-column values
-        # the committed manifest still declares
-        cur = self.spark.read.schema(schema).parquet(
-            *[self._abs(f) for f in candidates]
-        )
+        # the committed manifest still declares. The scan is DV-aware:
+        # already-masked rows are neither matched nor resurrected.
+        cur = self._scan(candidates, schema, prev.get("dv"), file_col="__file")
         touched_rows = (
-            cur.withColumn("__file", F.input_file_name())
-            .filter(cond)
-            .select("__file")
-            .distinct()
-            .collect()
+            cur.filter(cond).select("__file").distinct().collect()
         )
-        touched = sorted(self._rel_path(r["__file"]) for r in touched_rows)
+        by_name = self._rels_by_name(candidates)
+        touched = sorted(by_name[r["__file"]] for r in touched_rows)
         if not touched:
             return prev["version"]
-        kept = self.spark.read.schema(schema).parquet(
-            *[self._abs(f) for f in touched]
-        ).filter(~F.coalesce(cond, F.lit(False)))
+        kept = self._scan(touched, schema, prev.get("dv")).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
         new_files = self._write_files(kept, hint)
         return self._commit(
             "delete", add=new_files, remove=touched,
@@ -1434,6 +1548,76 @@ class VersionedStageTable:
                 "files_total": len(prev["files"]),
                 "files_candidate": len(candidates),
                 "files_rewritten": len(touched),
+            },
+        )
+
+    def _delete_dv(
+        self,
+        prev: dict,
+        schema: T.StructType,
+        candidates: list[str],
+        cond,
+        hint: int,
+    ) -> int:
+        """Merge-on-read DELETE: write the matched row positions as a
+        sidecar, commit a zero-data-IO record masking them. One scan of
+        the candidates with metadata columns; the previous mask is
+        anti-joined first so already-deleted rows are never re-listed."""
+        cols = schema.fieldNames()
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*[self._abs(f) for f in candidates])
+            .select(
+                *cols,
+                F.col("_metadata.file_name").alias("__fn"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        prev_sidecars = [
+            s
+            for f, lst in (prev.get("dv") or {}).items()
+            if f in set(candidates)
+            for s in lst
+        ]
+        if prev_sidecars:
+            mask = self._dv_sidecar_rows(prev_sidecars).select(
+                F.col("file_name").alias("__fn"),
+                F.col("row_index").alias("__ri"),
+            )
+            scan = scan.join(mask, ["__fn", "__ri"], "left_anti")
+        hits = scan.filter(cond).select(
+            F.col("__fn").alias("file_name"),
+            F.col("__ri").alias("row_index"),
+        )
+        sidecar_files = self._write_files(hits.coalesce(1), hint)
+        # map the touched basenames back to data-file rels for the
+        # record's dv field (bounded: one row per candidate file max)
+        touched_names = {
+            r["file_name"]
+            for r in self._dv_sidecar_rows(sidecar_files)
+            .select("file_name")
+            .distinct()
+            .collect()
+        }
+        if not touched_names:
+            # nothing matched: drop the empty sidecar dir, no commit
+            shutil.rmtree(os.path.dirname(self._abs(sidecar_files[0])))
+            return prev["version"]
+        touched = [
+            f for f in candidates
+            if os.path.basename(f) in touched_names
+        ]
+        n_rows = self._dv_sidecar_rows(sidecar_files).count()
+        return self._commit(
+            "delete_dv", schema_json=prev["schema"], version=hint,
+            constraints=dict(prev.get("constraints") or {}),
+            dv={f: sidecar_files for f in touched},
+            metrics={
+                "files_total": len(prev["files"]),
+                "files_candidate": len(candidates),
+                "files_rewritten": 0,
+                "dv_files": len(touched),
+                "dv_rows": n_rows,
             },
         )
 
@@ -1463,23 +1647,78 @@ class VersionedStageTable:
                 f"from_version {from_version} is newer than {to_version}"
             )
         m0, m1 = self._manifest(from_version), self._manifest(to_version)
+        dv0 = m0.get("dv") or {}
+        dv1 = m1.get("dv") or {}
         only0 = sorted(set(m0["files"]) - set(m1["files"]))
         only1 = sorted(set(m1["files"]) - set(m0["files"]))
         schema = T.StructType.fromJson(json.loads(m1["schema"]))
-
-        def _scan(rels: list[str]) -> DataFrame:
-            if not rels:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *[self._abs(f) for f in rels]
-            )
-
-        before, after = _scan(only0), _scan(only1)
+        # each side reads through ITS OWN deletion vectors: the feed
+        # compares live rows as of each version, not raw file bytes
+        before = self._scan(only0, schema, dv0)
+        after = self._scan(only1, schema, dv1)
         deleted = before.exceptAll(after)
         inserted = after.exceptAll(before)
+        # DV-delta arms: a file carried by BOTH versions never enters
+        # the file diff, but sidecars added (or, via restore, dropped)
+        # between the versions change its LIVE rows — read exactly the
+        # newly-masked (resp. unmasked) positions from the shared file.
+        common = set(m0["files"]) & set(m1["files"])
+        deleted = deleted.unionByName(
+            self._dv_delta_rows(common, schema, dv0, dv1)
+        )
+        inserted = inserted.unionByName(
+            self._dv_delta_rows(common, schema, dv1, dv0)
+        )
         return deleted.withColumn(
             "_change_type", F.lit("delete")
         ).unionByName(inserted.withColumn("_change_type", F.lit("insert")))
+
+    def _dv_delta_rows(
+        self,
+        common: set,
+        schema: T.StructType,
+        dv_base: dict,
+        dv_new: dict,
+    ) -> DataFrame:
+        """Rows of files in ``common`` masked by ``dv_new`` but NOT by
+        ``dv_base`` — the rows a DV commit deleted (or a restore
+        resurrected, with the argument order flipped). Reads only the
+        affected files, semi-joined to only the delta sidecars."""
+        delta = {}
+        for f in common:
+            base = set(dv_base.get(f) or [])
+            fresh = [s for s in (dv_new.get(f) or []) if s not in base]
+            if fresh:
+                delta[f] = fresh
+        if not delta:
+            return self.spark.createDataFrame([], schema)
+        cols = schema.fieldNames()
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*[self._abs(f) for f in sorted(delta)])
+            .select(
+                *cols,
+                F.col("_metadata.file_name").alias("__fn"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        fresh_mask = self._dv_sidecar_rows(
+            [s for lst in delta.values() for s in lst]
+        ).select(
+            F.col("file_name").alias("__fn"),
+            F.col("row_index").alias("__ri"),
+        )
+        out = scan.join(fresh_mask, ["__fn", "__ri"], "left_semi")
+        base_sidecars = [
+            s for f in delta for s in (dv_base.get(f) or [])
+        ]
+        if base_sidecars:
+            base_mask = self._dv_sidecar_rows(base_sidecars).select(
+                F.col("file_name").alias("__fn"),
+                F.col("row_index").alias("__ri"),
+            )
+            out = out.join(base_mask, ["__fn", "__ri"], "left_anti")
+        return out.select(*cols)
 
     def restore(self, version: int) -> int:
         """Delta RESTORE's analog: a NEW commit whose manifest is the
@@ -1500,7 +1739,10 @@ class VersionedStageTable:
         cur = self._manifest(self.latest_version())
         hint = cur["version"] + 1
         m = self._manifest(version)
-        missing = [f for f in m["files"] if not os.path.exists(self._abs(f))]
+        needed = list(m["files"]) + [
+            s for lst in (m.get("dv") or {}).values() for s in lst
+        ]
+        missing = [f for f in needed if not os.path.exists(self._abs(f))]
         if missing:
             raise VersionNotFoundError(
                 f"{self.path}: version {version} files vacuumed: {missing[:3]}"
@@ -1510,14 +1752,26 @@ class VersionedStageTable:
             self._enforce(self.read(version), cons)
         # delta against the CURRENT snapshot: re-add what the target had
         # and we dropped, remove what we gained since — zero data IO,
-        # and the re-added files bring their original stats along
-        add = sorted(set(m["files"]) - set(cur["files"]))
-        remove = sorted(set(cur["files"]) - set(m["files"]))
+        # and the re-added files bring their original stats along.
+        # Files carried by BOTH whose deletion vectors DIFFER are listed
+        # in remove+add: resolution clears the dv on remove and the
+        # record re-sets the target's — DV state is restored exactly
+        # (a plain union could never SHRINK a mask).
+        cur_dv = cur.get("dv") or {}
+        target_dv = m.get("dv") or {}
+        add = set(m["files"]) - set(cur["files"])
+        remove = set(cur["files"]) - set(m["files"])
+        for f in set(m["files"]) & set(cur["files"]):
+            if sorted(cur_dv.get(f) or []) != sorted(target_dv.get(f) or []):
+                add.add(f)
+                remove.add(f)
         target_stats = m.get("stats") or {}
         return self._commit(
-            "restore", add=add, remove=remove, schema_json=m["schema"],
+            "restore", add=sorted(add), remove=sorted(remove),
+            schema_json=m["schema"],
             version=hint, constraints=cons,
             stats={f: target_stats[f] for f in add if f in target_stats},
+            dv={f: target_dv[f] for f in add if target_dv.get(f)},
         )
 
     # -- maintenance -------------------------------------------------------
@@ -1554,19 +1808,21 @@ class VersionedStageTable:
         if zorder_by is not None:
             return self._compact_zorder(zorder_by, target_files)
         prev = self._manifest(self.latest_version())
+        dv = prev.get("dv") or {}
+        # a file carrying a deletion vector is ALWAYS rewritten (Delta's
+        # REORG/PURGE folded into OPTIMIZE): the rewrite materializes
+        # the mask and frees the read path from its anti-join
         small = [
             f
             for f in prev["files"]
-            if os.path.getsize(self._abs(f)) < max_file_bytes
+            if f in dv or os.path.getsize(self._abs(f)) < max_file_bytes
         ]
-        if len(small) < 2:
+        if len(small) < 2 and not any(f in dv for f in small):
             return prev["version"]
         hint = prev["version"] + 1
         schema = T.StructType.fromJson(json.loads(prev["schema"]))
         packed = self._write_files(
-            self.spark.read.schema(schema)
-            .parquet(*[self._abs(f) for f in small])
-            .coalesce(1),
+            self._scan(small, schema, dv).coalesce(1),
             hint,
         )
         return self._commit(
@@ -1574,6 +1830,10 @@ class VersionedStageTable:
             schema_json=prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(packed, prev["schema"]),
+            metrics={
+                "files_compacted": len(small),
+                "dv_purged": sum(1 for f in small if f in dv),
+            },
         )
 
     def _compact_zorder(
@@ -1591,9 +1851,7 @@ class VersionedStageTable:
             raise ValueError(
                 f"{self.path}: zorder_by columns {missing} not in table"
             )
-        cur = self.spark.read.schema(schema).parquet(
-            *[self._abs(f) for f in prev["files"]]
-        )
+        cur = self._scan(prev["files"], schema, prev.get("dv"))
         # one column: Morton interleaving degenerates to a plain range
         # clustering on that column (Delta's ZORDER BY (c) likewise)
         z = (
@@ -1633,7 +1891,12 @@ class VersionedStageTable:
         keep = set(vs[-retain_last:]) | set(self.tags().values())
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["files"])
+            snap = self._manifest(v)
+            referenced.update(snap["files"])
+            # deletion-vector sidecars are data too: a retained version
+            # whose mask got deleted would silently resurrect rows
+            for sidecars in (snap.get("dv") or {}).values():
+                referenced.update(sidecars)
         # before dropping any record, every KEPT version must remain
         # resolvable from the surviving log alone: a kept version whose
         # resolution chain crosses a dropped record gets its own

@@ -13067,6 +13067,355 @@ GROUP BY d.lang, d.source ORDER BY d.lang, d.source
 """
 
 
+def corpus_ngram_decontaminate(spark, sf_dir):
+    """Exact 13-gram benchmark decontamination — the GPT-3/Gopher
+    published method: a corpus document is CONTAMINATED when it shares
+    any exact word 13-gram with a held-out benchmark document (short
+    docs contribute their full token join as one gram, the
+    operators/text.word_grams rule both engines reproduce). The
+    benchmark here is the deterministic doc_id % 97 == 0 slice; the
+    report is per-source corpus size vs contaminated count.
+
+    Scale shape: the benchmark gram set is the SMALL side — distinct
+    grams of the benchmark broadcast; the corpus side explodes grams
+    and left-semi joins at the scan, so the only corpus-sized work is
+    the linear gram stream and one per-source rollup (contaminated ids
+    are distinct-counted per source, never materialized). At 100 TB the
+    gram STRINGS would be xxhash64-hashed before the join (identical
+    plan, narrower shuffle); the string form here keeps the gate
+    byte-exact across engines."""
+    from cdk_datalake_ingest_upeu_spark.operators.text import word_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_grams = (
+        bench.select(
+            F.explode(word_grams(F.col("text"), 13)).alias("g")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        "doc_id", "source", F.explode(word_grams(F.col("text"), 13)).alias("g")
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        corpus.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            contaminated.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_contaminated")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+_NGRAM_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(tk) = 0 THEN []
+              WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
+              ELSE [array_to_string(tk[i:i+12], ' ')
+                    for i in range(1, len(tk) - 11)]
+         END AS gs
+  FROM toks
+), bench_g AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+), corpus_g AS (
+  SELECT doc_id, source, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+), contaminated AS (
+  SELECT DISTINCT c.doc_id, c.source
+  FROM corpus_g c JOIN bench_g b ON c.g = b.g
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(max(x.n), 0) AS BIGINT) AS n_contaminated
+FROM documents d
+LEFT JOIN (
+  SELECT source, count(*) AS n FROM contaminated GROUP BY source
+) x ON x.source = d.source
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def split_leakage_audit(spark, sf_dir):
+    """Train/validation leakage audit — the gate run before any split
+    ships: documents split by deterministic content-independent hash
+    (sampling.hash_bucket on doc_id, 80/20), then (a) EXACT leakage =
+    validation docs whose normalized-text fingerprint also appears in
+    train (a crawl holds the same page under many ids, and an id-hash
+    split happily puts twins on both sides), reported per-source and
+    SQL-exact; (b) the near-dup arm re-uses the minhash band index
+    RESTRICTED to cross-split candidate pairs and pins the containment
+    contract that exact twins are always band candidates (identical
+    fingerprint => identical signature => same buckets), so
+    ``near_covers_exact`` proves the cheap exact audit is a floor of
+    the near-dup one, never a substitute.
+
+    Scale shape: the exact arm is one fingerprint projection + one
+    broadcastable semi-join of val fingerprints against train
+    fingerprints per source (train side stays un-shuffled: fingerprints
+    aggregate map-side); the near arm re-bands the signature table only
+    (256 B/doc) — no text moves."""
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signature_table,
+    )
+    from cdk_datalake_ingest_upeu_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.withColumn(
+        "__is_train",
+        hash_bucket(F.col("doc_id"), seed="split") < 800_000,
+    ).withColumn("__fp", fingerprint(F.col("text")))
+    split = scratch_persist(split)
+    train = split.filter(F.col("__is_train"))
+    val = split.filter(~F.col("__is_train"))
+    train_fps = train.select("__fp").distinct()
+    leaked = val.join(train_fps, "__fp", "left_semi")
+    exact = (
+        val.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_val"))
+        .join(
+            leaked.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_exact_leaked")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_val",
+            F.coalesce("n_exact_leaked", F.lit(0)).alias("n_exact_leaked"),
+        )
+    )
+    if _skip_contracts():
+        near_covers_exact = None
+    else:
+        sigs = minhash_signature_table(docs)
+        bands = minhash_band_table(sigs)
+        flags = split.select("doc_id", "__is_train")
+        tagged = bands.join(flags, "doc_id")
+        # cross-split band-candidate doc pairs at the VAL grain: a val
+        # doc is a near-leak candidate when it shares any band bucket
+        # with a train doc
+        near_val_ids = (
+            tagged.filter(~F.col("__is_train"))
+            .select("band", "bhash", "doc_id")
+            .join(
+                tagged.filter(F.col("__is_train")).select(
+                    "band", "bhash"
+                ).distinct(),
+                ["band", "bhash"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        exact_leaked_ids = leaked.select("doc_id")
+        uncovered = exact_leaked_ids.join(
+            near_val_ids, "doc_id", "left_anti"
+        ).count()
+        near_covers_exact = bool(uncovered == 0)
+    out = exact.withColumn(
+        "near_covers_exact",
+        F.lit(True if near_covers_exact is None else near_covers_exact),
+    ).orderBy("source")
+    return finalize(out)
+
+
+_SPLIT_LEAKAGE_SQL = """
+WITH tagged AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)) AS BIGINT)
+          % 1000000) < 800000 AS is_train
+  FROM documents
+), train_fps AS (
+  SELECT DISTINCT fp FROM tagged WHERE is_train
+), val AS (
+  SELECT * FROM tagged WHERE NOT is_train
+)
+SELECT v.source,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(count(*) FILTER (WHERE v.fp IN (SELECT fp FROM train_fps))
+            AS BIGINT) AS n_exact_leaked,
+       TRUE AS near_covers_exact
+FROM val v GROUP BY v.source ORDER BY v.source
+"""
+
+
+def stage_incremental_commit_log(spark, sf_dir):
+    """The versioned table's DELTA-ENCODED commit log observed from the
+    outside (round 10's 100 TB fix): ten appends with
+    checkpoint_interval=4, then the query reports row counts at two
+    time-travel points (SQL-exact) plus the log-shape invariants —
+    every post-genesis commit RECORD lists only its own files
+    (O(changed files), never a snapshot), checkpoints landed exactly on
+    the interval, resolution through a checkpoint equals the
+    incremental truth, and a vacuum that drops delta records re-anchors
+    the survivors so they stay readable."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        VersionNotFoundError,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("incrlog")
+    t = VersionedStageTable(
+        spark, os.path.join(work, "vt"), checkpoint_interval=4
+    )
+    for b in range(10):
+        t.append(docs.filter(F.col("doc_id") % 10 == b).coalesce(1))
+    records_delta_only = all(
+        "files" not in t._commit_record(v)
+        and len(t._commit_record(v).get("add") or ()) == 1
+        and not t._commit_record(v).get("remove")
+        for v in t.versions()
+    )
+    checkpoints_on_interval = t.checkpoints() == [4, 8]
+    n_rows_latest = t.read().count()
+    n_rows_v2 = t.read(2).count()
+    stats_complete = set(t._manifest(9).get("stats") or {}) == set(
+        t._manifest(9)["files"]
+    )
+    t.tag("keep3", 3)
+    t.vacuum(retain_last=2)
+    n_rows_v3 = t.read(tag="keep3").count()
+    survivors_readable = (
+        n_rows_v3 == t.read(3).count()
+        and t.read(8).count() < n_rows_latest
+        and t.read(9).count() == n_rows_latest
+    )
+    try:
+        t.read(5)
+        dropped_unreadable = False
+    except VersionNotFoundError:
+        dropped_unreadable = True
+    return spark.createDataFrame(
+        [
+            (
+                n_rows_latest,
+                n_rows_v2,
+                bool(records_delta_only),
+                bool(checkpoints_on_interval),
+                bool(stats_complete),
+                bool(survivors_readable),
+                bool(dropped_unreadable),
+            )
+        ],
+        "n_rows_latest long, n_rows_v2 long, records_delta_only boolean, "
+        "checkpoints_on_interval boolean, stats_complete boolean, "
+        "survivors_readable boolean, dropped_unreadable boolean",
+    )
+
+
+_INCR_LOG_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows_latest,
+       CAST(count(*) FILTER (WHERE doc_id % 10 <= 2) AS BIGINT) AS n_rows_v2,
+       TRUE AS records_delta_only, TRUE AS checkpoints_on_interval,
+       TRUE AS stats_complete, TRUE AS survivors_readable,
+       TRUE AS dropped_unreadable
+FROM documents
+"""
+
+
+def stage_deletion_vectors(spark, sf_dir):
+    """Merge-on-read DELETE — deletion vectors (round 10,
+    operators/versioned.delete(mode='dv'), Delta's DV design): the
+    delete writes ONLY a sidecar of (file, row_index) positions and a
+    log record; not one data file is rewritten (names and byte sizes
+    pinned identical). Every read applies the mask as one anti-join —
+    read(), stats-pruned lookup(), the change feed (row-level deletes
+    despite an identical file set), and time travel back across the DV
+    commit. OPTIMIZE then purges the mask: same rows, clean files, dv
+    gone from the manifest. The shape frequent small takedowns need at
+    100 TB — O(matched rows) sidecar write instead of an O(matched
+    files) rewrite per request."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    work = _tmpdir("dvtable")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(docs.repartition(3))
+    m0 = t._manifest(0)
+    sizes0 = {f: os.path.getsize(t._abs(f)) for f in m0["files"]}
+    n_total = t.read().count()
+    v_dv = t.delete("doc_id >= 10 AND doc_id < 60", mode="dv")
+    m1 = t._manifest(v_dv)
+    met = m1.get("metrics") or {}
+    zero_rewrite = bool(
+        met.get("files_rewritten") == 0
+        and m1["files"] == m0["files"]
+        and {f: os.path.getsize(t._abs(f)) for f in m0["files"]} == sizes0
+    )
+    n_after = t.read().count()
+    n_lookup = t.lookup("doc_id >= 0 AND doc_id <= 79").count()
+    feed = t.changes(0, v_dv)
+    feed_deletes = feed.filter(F.col("_change_type") == "delete").count()
+    feed_row_exact = bool(
+        feed.count() == feed_deletes and feed_deletes == n_total - n_after
+    )
+    time_travel_intact = bool(t.read(0).count() == n_total)
+    v_opt = t.compact()
+    purge_equivalent = bool(
+        t.read().count() == n_after
+        and "dv" not in t._manifest(v_opt)
+        and t.read().filter(
+            (F.col("doc_id") >= 10) & (F.col("doc_id") < 60)
+        ).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                n_after,
+                n_lookup,
+                zero_rewrite,
+                feed_row_exact,
+                time_travel_intact,
+                purge_equivalent,
+            )
+        ],
+        "n_rows_total long, n_rows_after long, n_lookup long, "
+        "zero_rewrite boolean, feed_row_exact boolean, "
+        "time_travel_intact boolean, purge_equivalent boolean",
+    )
+
+
+_DV_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows_total,
+       CAST(count(*) FILTER (WHERE NOT (doc_id >= 10 AND doc_id < 60))
+            AS BIGINT) AS n_rows_after,
+       CAST(count(*) FILTER (WHERE doc_id >= 0 AND doc_id <= 79
+                             AND NOT (doc_id >= 10 AND doc_id < 60))
+            AS BIGINT) AS n_lookup,
+       TRUE AS zero_rewrite, TRUE AS feed_row_exact,
+       TRUE AS time_travel_intact, TRUE AS purge_equivalent
+FROM documents
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -13155,6 +13504,10 @@ QUERIES = {
     "forget_everywhere": forget_everywhere,
     "ann_incremental_index_append": ann_incremental_index_append,
     "ann_rebalance": ann_rebalance,
+    "corpus_ngram_decontaminate": corpus_ngram_decontaminate,
+    "split_leakage_audit": split_leakage_audit,
+    "stage_incremental_commit_log": stage_incremental_commit_log,
+    "stage_deletion_vectors": stage_deletion_vectors,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
@@ -13515,6 +13868,10 @@ ORACLES = {
     "forget_everywhere": _FORGET_EVERYWHERE_SQL,
     "ann_incremental_index_append": _ANN_APPEND_SQL,
     "ann_rebalance": _ANN_REBALANCE_SQL,
+    "corpus_ngram_decontaminate": _NGRAM_DECONTAMINATE_SQL,
+    "split_leakage_audit": _SPLIT_LEAKAGE_SQL,
+    "stage_incremental_commit_log": _INCR_LOG_SQL,
+    "stage_deletion_vectors": _DV_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
@@ -14001,11 +14358,11 @@ assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 # round-10 driver window (first 50 entries of QUERIES)
 # ===========================================================================
 
-# (a) the one r10-new query (never driver-checked) leads; (b) ALL 31
+# (a) the five r10-new queries (never driver-checked) lead; (b) ALL 31
 # queries whose newest driver-green is still r5 — they have survived
 # five rounds of engine churn on local evidence only (histogram after
 # r9: r5x31, r6x49, r7x50, r8x50, r9x50; list reproduced by parsing
-# CORRECTNESS_r0N for hash_match per name); (c) 18 of the 49
+# CORRECTNESS_r0N for hash_match per name); (c) 14 of the 49
 # last-green-r6 rows fill the window, chosen for family coverage
 # (TPC-H, sqlgen, sinks, stage, streaming, merge/watermark, config,
 # asof). After this window no catalog query's driver evidence is older
@@ -14013,6 +14370,10 @@ assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 _R10_WINDOW = [
     # (a) r10-new, never driver-checked
     "ann_rebalance",
+    "corpus_ngram_decontaminate",
+    "split_leakage_audit",
+    "stage_incremental_commit_log",
+    "stage_deletion_vectors",
     # (b) last driver-green in r5 — all 31
     "ann_incremental_probe",
     "bloom_semi_join_lineitems",
@@ -14048,8 +14409,6 @@ _R10_WINDOW = [
     # (c) last driver-green in r6 — family coverage fill
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q9_profit_by_nation_year",
-    "q19_disjunctive_pushdown",
     "merge_upsert_current_state",
     "incremental_watermark_2phase",
     "stage_pipeline_e2e",
@@ -14059,9 +14418,7 @@ _R10_WINDOW = [
     "streaming_merge_ingest",
     "streaming_watermarked_rollup",
     "sink_csv_gz_roundtrip",
-    "sink_orc_roundtrip",
     "sqlgen_projection_filter",
-    "sqlgen_dual_range_filter",
     "config_csv_pipeline",
     "asof_join_last_purchase",
 ]

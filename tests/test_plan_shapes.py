@@ -133,6 +133,9 @@ BUDGETS = [
     ("events_skew_diagnostics", 2, False),  # one per-key count shuffle + 1-row rollup
     ("embedding_matryoshka_quality", 0, False),  # finalized 3-row report; posexplode + per-vector rollup upstream
     ("ann_rebalance", 0, False),  # driver-assembled 1-row report; hot-cell recount/reassign/probe jobs upstream (Arrow UDFs confined there)
+    ("corpus_ngram_decontaminate", 5, False),  # gram stream + bench semi-join are 0-shuffle (broadcast at the scan); all 5 exchanges are doc-/source-grain: contaminated-id distinct, two 20-row rollups, their join, output sort
+    ("stage_incremental_commit_log", 0, False),  # driver-assembled 1-row report; commits/reads/vacuum are upstream jobs
+    ("stage_deletion_vectors", 0, False),  # driver-assembled 1-row report; DV delete/read/feed/compact are upstream jobs
 ]
 
 

@@ -1134,3 +1134,134 @@ def test_rel_path_url_decodes_input_file_name(spark, tmp_path):
     # delete's touched-file bookkeeping also goes through _rel_path
     t.delete("k = 1")
     assert _rows(t.read()) == [(2, "b")]
+
+
+# ===========================================================================
+# round-10: deletion vectors (merge-on-read DELETE)
+# ===========================================================================
+
+
+def test_dv_delete_rewrites_nothing_and_reads_right(spark, table):
+    """delete(mode='dv'): zero data files rewritten (names AND bytes
+    identical), the commit is a sidecar + log record, and every read
+    path applies the mask — read(), lookup(), time travel back across
+    the DV commit."""
+    for lo in (0, 100, 200):
+        rows = [(lo + i, f"v{lo + i}") for i in range(5)]
+        (table.overwrite if lo == 0 else table.append)(
+            _df(spark, rows).coalesce(1)
+        )
+    files_before = table._manifest(2)["files"]
+    sizes_before = {f: os.path.getsize(table._abs(f)) for f in files_before}
+    v = table.delete("k >= 100 AND k <= 101", mode="dv")
+    m = table._manifest(v)
+    assert m["files"] == files_before  # no file added or removed
+    assert {
+        f: os.path.getsize(table._abs(f)) for f in files_before
+    } == sizes_before  # no byte rewritten
+    met = m["metrics"]
+    assert met["files_rewritten"] == 0 and met["dv_rows"] == 2
+    assert met["files_candidate"] == 1 and met["dv_files"] == 1
+    assert _rows(table.read()) == [
+        (k, f"v{k}") for k in [0, 1, 2, 3, 4, 102, 103, 104,
+                               200, 201, 202, 203, 204]
+    ]
+    # lookup composes stats pruning with the mask
+    assert _rows(table.lookup("k >= 100 AND k <= 102")) == [(102, "v102")]
+    # time travel: the pre-delete snapshot still shows the rows
+    assert (100, "v100") in set(_rows(table.read(2)))
+    # a second DV delete on the SAME file unions masks (and never
+    # re-lists already-masked rows)
+    v2 = table.delete("k = 103", mode="dv")
+    assert table._manifest(v2)["metrics"]["dv_rows"] == 1
+    assert _rows(table.lookup("k >= 100 AND k <= 104")) == [
+        (102, "v102"), (104, "v104"),
+    ]
+
+
+def test_dv_interacts_with_merge_cow_delete_and_compact(spark, table):
+    """Masked rows are dead for every operator: MERGE can't match them
+    (an upsert of a masked key INSERTS), a later COW delete doesn't
+    resurrect neighbors, and compact() purges the mask — same rows,
+    clean files, dv gone from the manifest."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    table.delete("k = 2", mode="dv")
+    assert _rows(table.read()) == [(1, "a"), (3, "c")]
+    # merge on the masked key: no match -> pure insert, and the
+    # rewritten file purges its mask (file removed => dv dropped)
+    table.merge(_df(spark, [(2, "B2")]), ["k"])
+    assert _rows(table.read()) == [(1, "a"), (2, "B2"), (3, "c")]
+    # fresh dv + COW delete of a different key: masked row stays dead
+    table.delete("k = 3", mode="dv")
+    table.delete("k = 1")  # cow
+    assert _rows(table.read()) == [(2, "B2")]
+    # compact purges any remaining mask
+    v = table.compact()
+    m = table._manifest(v)
+    assert "dv" not in m
+    assert _rows(table.read()) == [(2, "B2")]
+    assert m["metrics"]["dv_purged"] >= 0
+
+
+def test_dv_change_feed_and_restore(spark, table):
+    """The change feed sees a DV delete as row-level deletes even
+    though the file set is identical; restore back across a DV commit
+    resurrects the rows exactly (mask reset, not unioned)."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    v1 = table.delete("k = 2", mode="dv")
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in table.changes(0, v1).collect()
+    )
+    assert got == [("delete", 2)]
+    # restore to v0: the mask must SHRINK back to empty
+    v2 = table.restore(0)
+    assert _rows(table.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert "dv" not in table._manifest(v2)
+    # the feed across the restore shows the resurrection as an insert
+    got2 = sorted(
+        (r["_change_type"], r["k"]) for r in table.changes(v1, v2).collect()
+    )
+    assert got2 == [("insert", 2)]
+    # and v1 time-travels with the mask applied
+    assert _rows(table.read(v1)) == [(1, "a"), (3, "c")]
+
+
+def test_dv_vacuum_protects_sidecars(spark, table):
+    """VACUUM must keep the sidecars of retained versions (deleting one
+    would resurrect masked rows) and reclaim them once no retained
+    version references the mask."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v1 = table.delete("k = 1", mode="dv")
+    sidecars = [
+        s for lst in table._manifest(v1)["dv"].values() for s in lst
+    ]
+    assert sidecars and all(
+        os.path.exists(table._abs(s)) for s in sidecars
+    )
+    table.vacuum(retain_last=1)
+    # the DV version is the latest: its mask survives and still applies
+    assert all(os.path.exists(table._abs(s)) for s in sidecars)
+    assert _rows(table.read()) == [(2, "b")]
+    # rewrite everything, then vacuum: the mask is unreferenced -> gone
+    table.compact()
+    table.vacuum(retain_last=1)
+    assert not any(os.path.exists(table._abs(s)) for s in sidecars)
+    assert _rows(table.read()) == [(2, "b")]
+
+
+def test_dv_checkpoint_carries_masks(spark, tmp_path):
+    """Snapshot resolution through a checkpoint keeps deletion vectors:
+    a read anchored at the checkpoint must still apply masks committed
+    BEFORE it."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "dvcp"), checkpoint_interval=3
+    )
+    t.overwrite(_df(spark, [(k, f"v{k}") for k in range(6)]).coalesce(1))
+    t.delete("k = 1", mode="dv")
+    t.append(_df(spark, [(10, "x")]).coalesce(1))
+    t.append(_df(spark, [(11, "y")]).coalesce(1))  # v3 -> checkpoint
+    assert 3 in t.checkpoints()
+    t.append(_df(spark, [(12, "z")]).coalesce(1))
+    # resolution of v4 anchors at checkpoint 3; mask from v1 must hold
+    assert (1, "v1") not in set(_rows(t.read()))
+    assert t._manifest(4).get("dv")
