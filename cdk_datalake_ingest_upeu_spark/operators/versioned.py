@@ -34,6 +34,11 @@ files stay plain parquet:
   no commit ever mutates another commit's files. Old files are left in
   place until :meth:`vacuum` — which is what makes old versions
   readable.
+- deletion vectors (``delete(mode='dv')``): a record's ``dv`` field
+  maps data files to SIDECAR parquet files of masked
+  (file_name, row_index) positions — merge-on-read DELETE with zero
+  data rewrite; reads apply the mask as one anti-join and
+  :meth:`compact` purges it. See the "deletion vectors" section below.
 
 Scale shape: a commit's cost is the data it writes, never the table
 size — ``append`` writes only the batch; ``merge`` and ``delete`` are
