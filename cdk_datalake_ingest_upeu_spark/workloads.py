@@ -13416,6 +13416,141 @@ FROM documents
 """
 
 
+def mixture_token_budget(spark, sf_dir):
+    """Training-mixture planning — per-source sampling rates for a
+    global token budget under temperature-scaled weights (the data-mix
+    step every LLM run fronts): target weight w_s ∝ sqrt(n_s tokens)
+    (alpha = 0.5 upweights the tail exactly as temperature sampling
+    does), target tokens = budget * w_s / Σw, sampling rate =
+    min(1, target/available), expected epochs = target/available
+    (sources over 1 epoch repeat, the standard over-sampling signal).
+
+    ONE per-source token rollup is the only corpus-scale work; the
+    20-row mixture arithmetic is exact integer/micro-unit math so both
+    engines agree bit-for-bit: weights quantize to 1e6ths BEFORE the
+    sum (double sqrt is IEEE-correctly-rounded — identical on both
+    engines — but a 20-term double SUM is order-dependent; integer
+    sums are not)."""
+    docs = _t(spark, sf_dir, "documents")
+    budget = 1_000_000  # tokens
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count_ws(F.col("text"))).alias("n_tokens")
+    )
+    weighted = per_source.withColumn(
+        "w", F.round(F.sqrt(F.col("n_tokens")) * 1e6).cast("long")
+    )
+    total_w = weighted.agg(F.sum("w")).first()[0] or 1
+    return (
+        weighted.withColumn(
+            "target_tokens",
+            F.round(F.lit(budget) * F.col("w") / F.lit(total_w)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "sample_rate_ppm",
+            F.least(
+                F.lit(1_000_000),
+                F.round(
+                    F.col("target_tokens") * 1e6 / F.col("n_tokens")
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.round(
+                F.col("target_tokens") * 1e6 / F.col("n_tokens")
+            ).cast("long"),
+        )
+        .select(
+            "source", "n_tokens", "target_tokens",
+            "sample_rate_ppm", "epochs_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_BUDGET_SQL = """
+WITH toks AS (
+  SELECT source,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(n_tokens) * 1e6) AS BIGINT) AS w
+  FROM toks
+), tot AS (SELECT sum(w) AS tw FROM weighted)
+SELECT source, n_tokens,
+       CAST(round(1000000 * w / tw) AS BIGINT) AS target_tokens,
+       least(1000000,
+             CAST(round(round(1000000 * w / tw) * 1e6 / n_tokens)
+                  AS BIGINT)) AS sample_rate_ppm,
+       CAST(round(round(1000000 * w / tw) * 1e6 / n_tokens)
+            AS BIGINT) AS epochs_ppm
+FROM weighted CROSS JOIN tot
+ORDER BY source
+"""
+
+
+def corpus_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — chars per whitespace token
+    and per BPE-ish token, plus their ratio (how much a subword
+    tokenizer fragments each language relative to words): the number a
+    team checks before fixing a token budget across a multilingual
+    corpus. One codegen-only scan + a 6-group rollup; ratios are
+    micro-unit integers of exact BIGINT sums, so the gate is
+    bit-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(token_count_ws(F.col("text"))).alias("n_ws"),
+        F.sum(token_count_bpe(F.col("text"))).alias("n_bpe"),
+    )
+    return (
+        per.withColumn(
+            "chars_per_ws_ppm",
+            F.round(F.col("n_chars") * 1e6 / F.greatest(F.col("n_ws"), F.lit(1))).cast("long"),
+        )
+        .withColumn(
+            "chars_per_bpe_ppm",
+            F.round(F.col("n_chars") * 1e6 / F.greatest(F.col("n_bpe"), F.lit(1))).cast("long"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.round(F.col("n_bpe") * 1e6 / F.greatest(F.col("n_ws"), F.lit(1))).cast("long"),
+        )
+        .select(
+            "lang", "n_chars", "n_ws", "n_bpe",
+            "chars_per_ws_ppm", "chars_per_bpe_ppm", "fertility_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_FERTILITY_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(sum(len(text)) AS BIGINT) AS n_chars,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_ws,
+         CAST(sum(len(regexp_extract_all(text,
+              '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpe
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_chars, n_ws, n_bpe,
+       CAST(round(n_chars * 1e6 / greatest(n_ws, 1)) AS BIGINT)
+         AS chars_per_ws_ppm,
+       CAST(round(n_chars * 1e6 / greatest(n_bpe, 1)) AS BIGINT)
+         AS chars_per_bpe_ppm,
+       CAST(round(n_bpe * 1e6 / greatest(n_ws, 1)) AS BIGINT)
+         AS fertility_ppm
+FROM per ORDER BY lang
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -13508,6 +13643,8 @@ QUERIES = {
     "split_leakage_audit": split_leakage_audit,
     "stage_incremental_commit_log": stage_incremental_commit_log,
     "stage_deletion_vectors": stage_deletion_vectors,
+    "mixture_token_budget": mixture_token_budget,
+    "corpus_token_fertility": corpus_token_fertility,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
@@ -13872,6 +14009,8 @@ ORACLES = {
     "split_leakage_audit": _SPLIT_LEAKAGE_SQL,
     "stage_incremental_commit_log": _INCR_LOG_SQL,
     "stage_deletion_vectors": _DV_SQL,
+    "mixture_token_budget": _MIXTURE_BUDGET_SQL,
+    "corpus_token_fertility": _TOKEN_FERTILITY_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
@@ -14358,11 +14497,11 @@ assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 # round-10 driver window (first 50 entries of QUERIES)
 # ===========================================================================
 
-# (a) the five r10-new queries (never driver-checked) lead; (b) ALL 31
+# (a) the seven r10-new queries (never driver-checked) lead; (b) ALL 31
 # queries whose newest driver-green is still r5 — they have survived
 # five rounds of engine churn on local evidence only (histogram after
 # r9: r5x31, r6x49, r7x50, r8x50, r9x50; list reproduced by parsing
-# CORRECTNESS_r0N for hash_match per name); (c) 14 of the 49
+# CORRECTNESS_r0N for hash_match per name); (c) 12 of the 49
 # last-green-r6 rows fill the window, chosen for family coverage
 # (TPC-H, sqlgen, sinks, stage, streaming, merge/watermark, config,
 # asof). After this window no catalog query's driver evidence is older
@@ -14374,6 +14513,8 @@ _R10_WINDOW = [
     "split_leakage_audit",
     "stage_incremental_commit_log",
     "stage_deletion_vectors",
+    "mixture_token_budget",
+    "corpus_token_fertility",
     # (b) last driver-green in r5 — all 31
     "ann_incremental_probe",
     "bloom_semi_join_lineitems",
@@ -14408,7 +14549,6 @@ _R10_WINDOW = [
     "vocab_typo_pairs",
     # (c) last driver-green in r6 — family coverage fill
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
     "merge_upsert_current_state",
     "incremental_watermark_2phase",
     "stage_pipeline_e2e",
@@ -14416,7 +14556,6 @@ _R10_WINDOW = [
     "stage_forget_roundtrip",
     "stage_partition_pruned_read",
     "streaming_merge_ingest",
-    "streaming_watermarked_rollup",
     "sink_csv_gz_roundtrip",
     "sqlgen_projection_filter",
     "config_csv_pipeline",

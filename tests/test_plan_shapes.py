@@ -136,6 +136,8 @@ BUDGETS = [
     ("corpus_ngram_decontaminate", 5, False),  # gram stream + bench semi-join are 0-shuffle (broadcast at the scan); all 5 exchanges are doc-/source-grain: contaminated-id distinct, two 20-row rollups, their join, output sort
     ("stage_incremental_commit_log", 0, False),  # driver-assembled 1-row report; commits/reads/vacuum are upstream jobs
     ("stage_deletion_vectors", 0, False),  # driver-assembled 1-row report; DV delete/read/feed/compact are upstream jobs
+    ("mixture_token_budget", 2, False),  # one per-source token rollup + output sort; mixture math is 20-row literals
+    ("corpus_token_fertility", 2, False),  # one per-lang rollup + output sort; scan-side token counts
 ]
 
 

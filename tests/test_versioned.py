@@ -300,7 +300,12 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
     import random
 
     rng = random.Random(20260815)
-    t = VersionedStageTable(spark, str(tmp_path / "model_vt"))
+    # checkpoint_interval=3: the random walk crosses several checkpoint
+    # boundaries, so snapshot resolution (anchor + delta suffix) and
+    # deletion-vector carry-through are both exercised mid-sequence
+    t = VersionedStageTable(
+        spark, str(tmp_path / "model_vt"), checkpoint_interval=3
+    )
     history: list[dict[int, str]] = []  # model state per version
     live: dict[int, int] = {}  # table version -> history index
 
@@ -308,10 +313,10 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
         return spark.createDataFrame(sorted(d.items()), "k int, v string")
 
     state: dict[int, str] = {}
-    for step in range(14):
+    for step in range(18):
         op = rng.choice(
             ["overwrite", "append", "merge", "merge_resolve", "compact",
-             "zorder", "restore", "delete"]
+             "zorder", "restore", "delete", "delete_dv"]
         )
         if not history and op != "overwrite":
             op = "overwrite"
@@ -345,6 +350,20 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
             v = t.delete(f"k > {cut}")
             if v in live:  # no row matched: no new commit
                 continue
+        elif op == "delete_dv":
+            # merge-on-read: same logical semantics as COW delete, but
+            # zero data files rewritten — the model cannot tell the
+            # difference, which is exactly the property under test
+            lo = rng.randrange(25)
+            state = {
+                k: vv for k, vv in state.items()
+                if not (lo <= k < lo + 4)
+            }
+            files_before = t._manifest(t.latest_version())["files"]
+            v = t.delete(f"k >= {lo} AND k < {lo + 4}", mode="dv")
+            if v in live:  # no row matched: no new commit
+                continue
+            assert t._manifest(v)["files"] == files_before
         elif op == "compact":
             v = t.compact(max_file_bytes=1 << 30)
             if v in live:  # no-op compact (fewer than 2 small files)
@@ -1265,3 +1284,81 @@ def test_dv_checkpoint_carries_masks(spark, tmp_path):
     # resolution of v4 anchors at checkpoint 3; mask from v1 must hold
     assert (1, "v1") not in set(_rows(t.read()))
     assert t._manifest(4).get("dv")
+
+
+def test_dv_free_read_plan_has_no_join(spark, table):
+    """The DV machinery must cost NOTHING on tables without masks: a
+    read of a DV-less table is a plain parquet scan (no join, no
+    metadata columns), and after compact() purges a mask the plan is
+    clean again."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "_metadata" not in plan
+    table.delete("k = 1", mode="dv")
+    plan_dv = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_dv  # the mask arm pays exactly one anti-join
+    table.compact()
+    plan2 = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan2 and "_metadata" not in plan2
+
+
+def test_dv_delete_on_schema_evolved_table(spark, table):
+    """DV delete reads through the MANIFEST schema: on an evolved table
+    the mask lands correctly for both pre- and post-evolution files,
+    evolved values survive (no rewrite at all), and pre-evolution rows
+    read NULL for the new column as ever."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    table.append(
+        spark.createDataFrame(
+            [(3, "c", 30), (4, "d", 40)], "k int, v string, extra int"
+        ).coalesce(1),
+        merge_schema=True,
+    )
+    v = table.delete("k = 3 OR k = 1", mode="dv")
+    met = table._manifest(v)["metrics"]
+    assert met["files_rewritten"] == 0 and met["dv_rows"] == 2
+    assert _rows(table.read()) == [(2, "b", None), (4, "d", 40)]
+    # purge keeps the evolved values byte-exact
+    table.compact()
+    assert _rows(table.read()) == [(2, "b", None), (4, "d", 40)]
+
+
+def test_two_writer_race_across_checkpoint_boundary(spark, tmp_path):
+    """Optimistic concurrency with checkpoints in play: two writers
+    contend across versions where every other commit also writes a
+    checkpoint; exactly one winner per version, and the final snapshot
+    (resolved THROUGH a checkpoint) holds every batch exactly once."""
+    import threading
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "cprace")
+    VersionedStageTable(
+        spark, path, checkpoint_interval=2
+    ).overwrite(_df(spark, [(0, "seed")]))
+    losses = []
+
+    def writer(tag, keys):
+        t = VersionedStageTable(spark, path, checkpoint_interval=2)
+        for k in keys:
+            batch = _df(spark, [(k, tag)])
+            while True:
+                try:
+                    t.append(batch)
+                    break
+                except ConcurrentCommitError:
+                    losses.append((tag, k))
+
+    t1 = threading.Thread(target=writer, args=("w1", [1, 2, 3]))
+    t2 = threading.Thread(target=writer, args=("w2", [11, 12, 13]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    t = VersionedStageTable(spark, path, checkpoint_interval=2)
+    assert t.latest_version() == 6
+    assert t.checkpoints() == [2, 4, 6]
+    got = _rows(t.read())
+    assert got == [(0, "seed"), (1, "w1"), (2, "w1"), (3, "w1"),
+                   (11, "w2"), (12, "w2"), (13, "w2")]
+    # mid-history versions resolve through their checkpoint anchors
+    assert len(_rows(t.read(3))) == 4
