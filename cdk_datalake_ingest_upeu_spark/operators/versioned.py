@@ -1880,6 +1880,47 @@ class VersionedStageTable:
             stats=self._collect_stats(packed, prev["schema"]),
         )
 
+    def consolidate_dv(self) -> int:
+        """Merge every accumulated deletion-vector sidecar into ONE new
+        sidecar — data files untouched (Delta compacts DV files the
+        same way, separately from rewriting data). A takedown-heavy
+        table accretes one tiny sidecar per DV delete; each read's mask
+        arm must open all of them. Consolidation reads the masked
+        positions once, writes them as a single file, and commits a
+        zero-data-IO record that RESETS each masked file's sidecar list
+        (the same remove+add-of-the-shared-file mechanism restore uses
+        — a plain union could only grow the list). Old sidecars are
+        reclaimed by :meth:`vacuum` once no retained version references
+        them. Returns the new version, or the current one when there is
+        nothing to consolidate (zero or one sidecar)."""
+        prev = self._manifest(self.latest_version())
+        dv = prev.get("dv") or {}
+        all_sidecars = sorted({s for lst in dv.values() for s in lst})
+        if len(all_sidecars) < 2:
+            return prev["version"]
+        hint = prev["version"] + 1
+        merged = self._write_files(
+            self._dv_sidecar_rows(all_sidecars).distinct().coalesce(1),
+            hint,
+        )
+        files = sorted(dv)
+        target_stats = prev.get("stats") or {}
+        return self._commit(
+            "consolidate_dv",
+            add=files,
+            remove=files,
+            schema_json=prev["schema"],
+            version=hint,
+            constraints=dict(prev.get("constraints") or {}),
+            stats={f: target_stats[f] for f in files if f in target_stats},
+            dv={f: merged for f in files},
+            metrics={
+                "sidecars_before": len(all_sidecars),
+                "sidecars_after": len(merged),
+                "dv_files": len(files),
+            },
+        )
+
     def vacuum(self, retain_last: int = 1) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions
         and every data file no retained manifest references — Delta's

@@ -138,6 +138,7 @@ BUDGETS = [
     ("stage_deletion_vectors", 0, False),  # driver-assembled 1-row report; DV delete/read/feed/compact are upstream jobs
     ("mixture_token_budget", 2, False),  # one per-source token rollup + output sort; mixture math is 20-row literals
     ("corpus_token_fertility", 2, False),  # one per-lang rollup + output sort; scan-side token counts
+    ("streaming_dv_takedown", 0, False),  # driver-assembled 1-row report; stream/DV/consolidation jobs upstream
 ]
 
 

@@ -1362,3 +1362,53 @@ def test_two_writer_race_across_checkpoint_boundary(spark, tmp_path):
                    (11, "w2"), (12, "w2"), (13, "w2")]
     # mid-history versions resolve through their checkpoint anchors
     assert len(_rows(t.read(3))) == 4
+
+
+def test_consolidate_dv_merges_sidecars_without_touching_data(spark, table):
+    """Many small DV deletes accrete one sidecar each; consolidate_dv
+    merges them into ONE (data files byte-identical, mask semantics
+    unchanged), old sidecars age out via vacuum, and a balanced table
+    is a no-op."""
+    table.overwrite(
+        _df(spark, [(k, f"v{k}") for k in range(12)]).coalesce(1)
+    )
+    for k in (1, 3, 5):
+        table.delete(f"k = {k}", mode="dv")
+    m = table._manifest(table.latest_version())
+    old_sidecars = sorted({s for lst in m["dv"].values() for s in lst})
+    assert len(old_sidecars) == 3
+    sizes = {f: os.path.getsize(table._abs(f)) for f in m["files"]}
+    before = _rows(table.read())
+    v = table.consolidate_dv()
+    m2 = table._manifest(v)
+    new_sidecars = sorted({s for lst in m2["dv"].values() for s in lst})
+    assert len(new_sidecars) == 1 and not set(new_sidecars) & set(
+        old_sidecars
+    )
+    assert m2["files"] == m["files"]
+    assert {
+        f: os.path.getsize(table._abs(f)) for f in m2["files"]
+    } == sizes
+    assert _rows(table.read()) == before
+    assert m2["metrics"] == {
+        "sidecars_before": 3, "sidecars_after": 1, "dv_files": 1,
+    }
+    # pre-consolidation versions still read with their own masks
+    assert len(_rows(table.read(1))) == 11
+    # further DV deletes stack on the consolidated mask
+    table.delete("k = 7", mode="dv")
+    assert _rows(table.read()) == [
+        (k, f"v{k}") for k in range(12) if k not in (1, 3, 5, 7)
+    ]
+    # vacuum reclaims the old sidecars once unreferenced
+    table.vacuum(retain_last=1)
+    assert not any(os.path.exists(table._abs(s)) for s in old_sidecars)
+    assert all(os.path.exists(table._abs(s)) for s in new_sidecars)
+    assert _rows(table.read()) == [
+        (k, f"v{k}") for k in range(12) if k not in (1, 3, 5, 7)
+    ]
+    # nothing to consolidate: no-op
+    table.consolidate_dv()  # one sidecar group post-vacuum state
+    v_before = table.latest_version()
+    table.compact()  # purge all masks
+    assert table.consolidate_dv() == table.latest_version() >= v_before
