@@ -694,3 +694,197 @@ def test_asof_join_equals_bruteforce(spark, left, right, direction, tol):
             ok = match is not None and (tol is None or match[0] <= t + tol)
         expect.append((k, t, match[1] if ok else None))
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# round-10: delta-encoded commit-log resolution vs a pure-Python replay
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_commit_log_resolution_equals_full_replay(tmp_path_factory, data):
+    """Snapshot resolution (checkpoint anchor + delta suffix) must be
+    EXTENSIONALLY identical to replaying every record from genesis —
+    for random add/remove/dv sequences, random checkpoint intervals,
+    and after a vacuum with random retention + tags. Pure bookkeeping:
+    no Spark session, no data files — the log protocol alone."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        VersionNotFoundError,
+    )
+
+    tmp = tmp_path_factory.mktemp("logprop")
+    interval = data.draw(st.integers(min_value=1, max_value=5))
+    t = VersionedStageTable(
+        None, str(tmp / "t"), checkpoint_interval=interval
+    )
+    # the model: files + dv per version, replayed in plain Python
+    model_files: list[set] = []
+    model_dv: list[dict] = []
+    cur: set = set()
+    cur_dv: dict = {}
+    n_steps = data.draw(st.integers(min_value=3, max_value=12))
+    next_file = 0
+    schema = '{"type":"struct","fields":[]}'
+    for step in range(n_steps):
+        op = data.draw(
+            st.sampled_from(["add", "remove", "replace", "dv", "reset_dv"])
+        )
+        add: list = []
+        remove: list = []
+        dv: dict = {}
+        if op == "add" or not cur:
+            add = [f"data/f{next_file}", f"data/f{next_file + 1}"]
+            next_file += 2
+        elif op == "remove":
+            remove = [sorted(cur)[0]]
+        elif op == "replace":
+            remove = sorted(cur)[: data.draw(
+                st.integers(min_value=1, max_value=len(cur))
+            )]
+            add = [f"data/f{next_file}"]
+            next_file += 1
+        elif op == "dv":
+            target = sorted(cur)[0]
+            dv = {target: [f"data/s{step}"]}
+        else:  # reset_dv on a masked file (restore's mechanism)
+            masked = sorted(f for f in cur if cur_dv.get(f))
+            if masked:
+                target = masked[0]
+                add = [target]
+                remove = [target]
+                dv = {target: [f"data/s{step}r"]} if data.draw(
+                    st.booleans()
+                ) else {}
+        t._commit(
+            f"op{step}", add=add, remove=remove, schema_json=schema,
+            dv=dv or None,
+        )
+        for f in remove:
+            cur.discard(f)
+            cur_dv.pop(f, None)
+        cur.update(add)
+        for f, sidecars in dv.items():
+            lst = cur_dv.setdefault(f, [])
+            for s in sidecars:
+                if s not in lst:
+                    lst.append(s)
+        model_files.append(set(cur))
+        model_dv.append({f: list(v) for f, v in cur_dv.items() if v})
+    # every version resolves to exactly the model state
+    for v in range(n_steps):
+        m = t._manifest(v)
+        assert set(m["files"]) == model_files[v], v
+        got_dv = {
+            f: sorted(s) for f, s in (m.get("dv") or {}).items()
+        }
+        want_dv = {
+            f: sorted(s)
+            for f, s in model_dv[v].items()
+            if f in model_files[v]
+        }
+        assert got_dv == want_dv, v
+    # vacuum with random retention + a random tag: every survivor
+    # still resolves to its model state, dropped versions refuse
+    tag_v = data.draw(st.integers(min_value=0, max_value=n_steps - 1))
+    t.tag("anchor", tag_v)
+    retain = data.draw(st.integers(min_value=1, max_value=n_steps))
+    t.vacuum(retain_last=retain)
+    keep = set(range(n_steps))
+    keep = set(sorted(keep)[-retain:]) | {tag_v}
+    for v in range(n_steps):
+        if v in keep:
+            m = t._manifest(v)
+            assert set(m["files"]) == model_files[v], ("post-vacuum", v)
+        else:
+            try:
+                t._manifest(v)
+                raise AssertionError(f"dropped version {v} still resolves")
+            except VersionNotFoundError:
+                pass
+    # the log keeps working after the re-anchor: one more commit
+    t._commit("tail", add=["data/tail"], schema_json=schema)
+    assert "data/tail" in t._manifest(n_steps)["files"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-2**31, 2**31 - 1)),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_categories=("Cs",)
+                    ),
+                    max_size=100,
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.floats(allow_infinity=False, width=64),
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_footer_stats_bounds_are_true_bounds(spark, tmp_path_factory, rows):
+    """Property: the manifest bounds _collect_stats commits (footer
+    path for int/string, Spark scan for doubles) are TRUE bounds of the
+    file's live values under the documented rules — int/string lo <=
+    every value, hi >= every value (string min may be a 64-char prefix,
+    oversized string max degrades to None), double hi is None whenever
+    NaN is present (never a fake bound), all-NULL columns stay
+    unknown."""
+    import math as _math
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    tmp = tmp_path_factory.mktemp("fsprop")
+    t = VersionedStageTable(None, str(tmp / "t"))
+    t.spark = spark
+    df = spark.createDataFrame(rows, "k int, s string, d double").coalesce(1)
+    t.overwrite(df)
+    m = t._manifest(0)
+    stats = m.get("stats") or {}
+    if not rows:
+        # zero-row file: empty dict = provably-empty convention
+        assert all(s == {} for s in stats.values())
+        return
+    assert set(stats) == set(m["files"])
+    st_all = {}
+    for s in stats.values():
+        st_all.update(s)
+    ks = [r[0] for r in rows if r[0] is not None]
+    ss = [r[1] for r in rows if r[1] is not None]
+    ds = [r[2] for r in rows if r[2] is not None]
+    lo, hi = st_all["k"]
+    if ks:
+        assert (lo is None or lo <= min(ks)) and (
+            hi is None or hi >= max(ks)
+        )
+        # footers are exact for ints
+        assert lo == min(ks) and hi == max(ks)
+    else:
+        assert lo is None and hi is None
+    lo, hi = st_all["s"]
+    if ss:
+        true_min, true_max = min(ss), max(ss)
+        assert lo is None or (lo <= true_min and len(lo) <= 64)
+        assert hi is None or hi >= true_max
+    else:
+        assert lo is None and hi is None
+    lo, hi = st_all["d"]
+    finite = [d for d in ds if not _math.isnan(d)]
+    has_nan = any(_math.isnan(d) for d in ds)
+    if has_nan:
+        assert hi is None  # NaN-greatest: an upper bound would be fake
+    elif finite:
+        assert hi == max(finite)
+    if finite and not any(_math.isnan(d) for d in ds):
+        assert lo == min(finite)
