@@ -1412,3 +1412,21 @@ def test_consolidate_dv_merges_sidecars_without_touching_data(spark, table):
     v_before = table.latest_version()
     table.compact()  # purge all masks
     assert table.consolidate_dv() == table.latest_version() >= v_before
+
+
+def test_history_file_counts_across_vacuum_gap(spark, tmp_path):
+    """history() accumulates n_files incrementally over delta records;
+    after vacuum leaves a non-contiguous version set it must fall back
+    to full resolution at each gap rather than applying a delta onto
+    the wrong base."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "hist"), checkpoint_interval=100
+    )
+    for k in range(6):
+        t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
+    t.tag("old", 1)
+    t.vacuum(retain_last=2)  # survivors: 1 (tagged), 4, 5
+    got = {h["version"]: h["n_files"] for h in t.history()}
+    assert got == {1: 2, 4: 5, 5: 6}
+    # v0 (the bootstrap overwrite) was vacuumed; survivors are appends
+    assert [h["op"] for h in t.history()] == ["append"] * 3
