@@ -1430,3 +1430,29 @@ def test_history_file_counts_across_vacuum_gap(spark, tmp_path):
     assert got == {1: 2, 4: 5, 5: 6}
     # v0 (the bootstrap overwrite) was vacuumed; survivors are appends
     assert [h["op"] for h in t.history()] == ["append"] * 3
+
+
+def test_lookup_composes_stats_pruning_with_dv(spark, table):
+    """lookup() on a clustered table with a deletion vector: stats
+    pruning still excludes non-overlapping files (zero IO for them) AND
+    the surviving candidate's mask applies — the two skipping layers
+    compose instead of one disabling the other."""
+    for lo in (0, 100, 200):
+        rows = [(lo + i, f"v{lo + i}") for i in range(5)]
+        (table.overwrite if lo == 0 else table.append)(
+            _df(spark, rows).coalesce(1)
+        )
+    table.delete("k = 101", mode="dv")
+    out = table.lookup("k >= 100 AND k <= 103")
+    assert _rows(out) == [(100, "v100"), (102, "v102"), (103, "v103")]
+    # only the one overlapping data file (plus its sidecar) is scanned
+    data_files = {
+        table._rel_path(f)
+        for f in out.inputFiles()
+        if "/c" in f
+    }
+    m = table._manifest(table.latest_version())
+    candidates = {f for f in data_files if f in set(m["files"])}
+    assert len(candidates) == 1
+    # the excluded-range lookup still proves empty without any scan
+    assert table.lookup("k > 9999").count() == 0
