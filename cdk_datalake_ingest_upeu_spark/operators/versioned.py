@@ -21,24 +21,34 @@ files stay plain parquet:
   :class:`PosixLinkLogStore` commit point) is Delta's
   optimistic-concurrency protocol: a racing writer that loses version
   N gets :class:`ConcurrentCommitError` and retries on N+1.
-- ``<path>/_log/<version 8-digit>.checkpoint.json`` — every
+- ``<path>/_log/<version 8-digit>.checkpoint.parquet`` — every
   ``checkpoint_interval`` commits (and at :meth:`vacuum` boundaries) a
-  full resolved snapshot (file list + accumulated stats) is
-  checkpointed, Delta's parquet-checkpoint analog: snapshot resolution
-  reads ONE checkpoint plus at most ``checkpoint_interval`` delta
-  records, never the whole log. Checkpoints are derived data — a crash
-  between commit and checkpoint loses nothing (the next resolution
-  anchors one checkpoint earlier).
+  full resolved snapshot (file list + accumulated stats + deletion
+  vectors as COLUMNS, table schema/constraints as parquet key-value
+  footer metadata) is checkpointed — Delta's parquet checkpoint, not
+  an analog: columnar, so a reader that needs only the file list
+  prunes the stats/dv columns, and splittable, so a 10^6-file
+  checkpoint is not one monolithic JSON parse on the driver. Snapshot
+  resolution reads ONE checkpoint plus at most ``checkpoint_interval``
+  delta records, never the whole log, and resolved snapshots are
+  memoized per table instance (versions are immutable, so the cache
+  needs no invalidation except vacuum). Checkpoints are derived data —
+  a crash between commit and checkpoint loses nothing (the next
+  resolution anchors one checkpoint earlier), and a checkpoint-write
+  failure never fails the already-durable commit. Legacy
+  ``.checkpoint.json`` files remain readable.
 - ``<path>/data/c<version>-<uuid>/part-*.parquet`` — each commit's new
   files land in a fresh subdirectory, so file names never collide and
   no commit ever mutates another commit's files. Old files are left in
   place until :meth:`vacuum` — which is what makes old versions
   readable.
 - deletion vectors (``delete(mode='dv')``): a record's ``dv`` field
-  maps data files to SIDECAR parquet files of masked
-  (file_name, row_index) positions — merge-on-read DELETE with zero
-  data rewrite; reads apply the mask as one anti-join and
-  :meth:`compact` purges it. See the "deletion vectors" section below.
+  maps data files to SIDECAR parquet files of RUN-LENGTH-ENCODED
+  masked positions — (file_name, start, n) runs, roaring-bitmap-style
+  compression, so a contiguous takedown's sidecar is bytes, not rows —
+  merge-on-read DELETE with zero data rewrite; reads decode the runs
+  and apply the mask as one anti-join and :meth:`compact` purges it.
+  See the "deletion vectors" section below.
 
 Scale shape: a commit's cost is the data it writes, never the table
 size — ``append`` writes only the batch; ``merge`` and ``delete`` are
@@ -77,8 +87,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_RE = re.compile(r"\d{8}\.json")
-_CHECKPOINT_RE = re.compile(r"\d{8}\.checkpoint\.json")
+_CHECKPOINT_RE = re.compile(r"\d{8}\.checkpoint\.(parquet|json)")
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+_TMP_RE = re.compile(r"\.tmp-[0-9a-f]{8}\.(json|parquet)")
 
 
 class PosixLinkLogStore:
@@ -96,14 +107,25 @@ class PosixLinkLogStore:
     is unchanged.
     """
 
-    def put_if_absent(self, target: str, content: str) -> bool:
-        """Atomically create ``target`` holding ``content``; False when
-        the path already exists (the optimistic-concurrency loss)."""
+    @staticmethod
+    def _write_tmp(target: str, content) -> str:
         d = os.path.dirname(target)
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(content)
+        ext = "parquet" if target.endswith(".parquet") else "json"
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.{ext}")
+        if isinstance(content, bytes):
+            with open(tmp, "wb") as fh:
+                fh.write(content)
+        else:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(content)
+        return tmp
+
+    def put_if_absent(self, target: str, content) -> bool:
+        """Atomically create ``target`` holding ``content`` (str or
+        bytes); False when the path already exists (the
+        optimistic-concurrency loss)."""
+        tmp = self._write_tmp(target, content)
         try:
             os.link(tmp, target)
         except FileExistsError:
@@ -112,16 +134,12 @@ class PosixLinkLogStore:
             os.remove(tmp)
         return True
 
-    def put_overwrite(self, target: str, content: str) -> None:
-        """Atomically publish ``content`` at ``target``, replacing any
-        prior content — for DERIVED artifacts only (checkpoints, tag
-        refs), where racing writers produce identical or equally-valid
-        content and last-writer-wins is correct."""
-        d = os.path.dirname(target)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(content)
+    def put_overwrite(self, target: str, content) -> None:
+        """Atomically publish ``content`` (str or bytes) at ``target``,
+        replacing any prior content — for DERIVED artifacts only
+        (checkpoints, tag refs), where racing writers produce identical
+        or equally-valid content and last-writer-wins is correct."""
+        tmp = self._write_tmp(target, content)
         os.replace(tmp, target)
 
 
@@ -394,6 +412,18 @@ class VersionedStageTable:
         self.data_dir = os.path.join(self.path, "data")
         self.log_store = log_store or PosixLinkLogStore()
         self.checkpoint_interval = checkpoint_interval
+        # resolved-snapshot memo: versions are immutable once committed,
+        # so entries never go stale — except vacuum, which drops
+        # versions and therefore clears the cache (Delta's snapshot
+        # cache has the same per-instance scope). Bounded FIFO so a
+        # history walk cannot hold every snapshot alive.
+        self._snapshot_cache: dict[int, dict] = {}
+        self._snapshot_cache_max = 16
+        # observability: physical log reads (commit records +
+        # checkpoints) — lets tests pin that repeated reads of one
+        # version resolve the log exactly once
+        self._log_reads = 0
+        self._last_checkpoint_error: Exception | None = None
 
     # -- log bookkeeping ---------------------------------------------------
 
@@ -428,6 +458,7 @@ class VersionedStageTable:
                 f"{self.path}: version {version} not found "
                 f"(have {self.versions()})"
             )
+        self._log_reads += 1
         with open(p, "r", encoding="utf-8") as fh:
             return json.load(fh)
 
@@ -435,32 +466,99 @@ class VersionedStageTable:
         if not os.path.isdir(self.log_dir):
             return []
         return sorted(
-            int(f[:8])
-            for f in os.listdir(self.log_dir)
-            if _CHECKPOINT_RE.fullmatch(f)
+            {
+                int(f[:8])
+                for f in os.listdir(self.log_dir)
+                if _CHECKPOINT_RE.fullmatch(f)
+            }
         )
 
     def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+        return os.path.join(
+            self.log_dir, f"{version:08d}.checkpoint.parquet"
+        )
 
     def _write_checkpoint(self, version: int) -> None:
-        """Publish the resolved snapshot of ``version`` as a checkpoint
-        — derived data (last-writer-wins is safe: two writers
-        checkpointing the same version serialize identical content)."""
+        """Publish the resolved snapshot of ``version`` as a COLUMNAR
+        (parquet) checkpoint — derived data (last-writer-wins is safe:
+        two writers checkpointing the same version serialize identical
+        content). Layout is Delta's: one row per live data file with
+        ``path`` / ``stats`` (per-file bounds as a JSON string column) /
+        ``dv`` (sidecar list) columns, and the table-wide singletons
+        (version, schema, constraints) in the parquet footer's
+        key-value metadata — so the footer answers "what schema?"
+        without touching a row, and a file-list-only reader prunes the
+        stats/dv columns. Written driver-side via pyarrow: no Spark job
+        on the commit path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         snap = self._manifest(version)
-        self.log_store.put_overwrite(
-            self._checkpoint_path(version),
-            json.dumps(
-                {
-                    "version": version,
-                    "files": snap["files"],
-                    "schema": snap["schema"],
-                    "constraints": snap.get("constraints") or {},
-                    "stats": snap.get("stats") or {},
-                    "dv": snap.get("dv") or {},
-                }
-            ),
+        files = snap["files"]
+        stats = snap.get("stats") or {}
+        dv = snap.get("dv") or {}
+        tbl = pa.table(
+            {
+                "path": pa.array(files, pa.string()),
+                "stats": pa.array(
+                    [
+                        json.dumps(stats[f]) if f in stats else None
+                        for f in files
+                    ],
+                    pa.string(),
+                ),
+                "dv": pa.array(
+                    [dv.get(f) for f in files], pa.list_(pa.string())
+                ),
+            }
+        ).replace_schema_metadata(
+            {
+                b"version": str(version).encode(),
+                b"schema": snap["schema"].encode(),
+                b"constraints": json.dumps(
+                    snap.get("constraints") or {}
+                ).encode(),
+            }
         )
+        buf = pa.BufferOutputStream()
+        pq.write_table(tbl, buf)
+        self.log_store.put_overwrite(
+            self._checkpoint_path(version), buf.getvalue().to_pybytes()
+        )
+
+    def _read_checkpoint(self, version: int) -> dict:
+        """Load a checkpoint as the resolved-snapshot dict. Prefers the
+        columnar parquet form; falls back to the legacy monolithic JSON
+        (pre-r11 tables stay readable)."""
+        import pyarrow.parquet as pq
+
+        self._log_reads += 1
+        p = self._checkpoint_path(version)
+        if not os.path.exists(p):
+            legacy = os.path.join(
+                self.log_dir, f"{version:08d}.checkpoint.json"
+            )
+            with open(legacy, encoding="utf-8") as fh:
+                return json.load(fh)
+        tbl = pq.read_table(p)
+        meta = tbl.schema.metadata or {}
+        files, stats, dv = [], {}, {}
+        for row in tbl.to_pylist():
+            files.append(row["path"])
+            if row["stats"] is not None:
+                stats[row["path"]] = json.loads(row["stats"])
+            if row["dv"]:
+                dv[row["path"]] = list(row["dv"])
+        return {
+            "version": int(meta[b"version"].decode()),
+            "files": files,
+            "schema": meta[b"schema"].decode(),
+            "constraints": json.loads(
+                meta.get(b"constraints", b"{}").decode()
+            ),
+            "stats": stats,
+            "dv": dv,
+        }
 
     def _manifest(self, version: int) -> dict:
         """The RESOLVED snapshot at ``version``: complete file list,
@@ -468,11 +566,20 @@ class VersionedStageTable:
         commit's own op/committed_at/epoch/metrics. Resolution anchors
         at the newest checkpoint <= version (or at genesis / a legacy
         full-snapshot record) and applies at most
-        ``checkpoint_interval`` delta records — never the whole log."""
+        ``checkpoint_interval`` delta records — never the whole log.
+        Resolved snapshots are MEMOIZED per instance (committed
+        versions are immutable; vacuum clears the cache because it can
+        drop versions): repeated read()/lookup() of one version pays
+        the log resolution exactly once. Callers must treat the
+        returned snapshot as read-only."""
+        cached = self._snapshot_cache.get(version)
+        if cached is not None:
+            return dict(cached)
         rec = self._commit_record(version)
         if "files" in rec:
             # legacy full-snapshot record: self-contained
-            return rec
+            self._cache_snapshot(version, rec)
+            return dict(rec)
         cps = [c for c in self.checkpoints() if c <= version]
         start = -1
         files: list[str] = []
@@ -481,8 +588,7 @@ class VersionedStageTable:
         schema = None
         constraints: dict = {}
         if cps:
-            with open(self._checkpoint_path(cps[-1]), encoding="utf-8") as fh:
-                cp = json.load(fh)
+            cp = self._read_checkpoint(cps[-1])
             start = cps[-1]
             files = list(cp["files"])
             stats = dict(cp.get("stats") or {})
@@ -544,7 +650,15 @@ class VersionedStageTable:
             out["epoch"] = last["epoch"]
         if "metrics" in last:
             out["metrics"] = last["metrics"]
-        return out
+        self._cache_snapshot(version, out)
+        return dict(out)
+
+    def _cache_snapshot(self, version: int, snap: dict) -> None:
+        if len(self._snapshot_cache) >= self._snapshot_cache_max:
+            # FIFO eviction: the oldest inserted entry goes (dict
+            # preserves insertion order)
+            self._snapshot_cache.pop(next(iter(self._snapshot_cache)))
+        self._snapshot_cache[version] = snap
 
     def _commit(
         self,
@@ -614,9 +728,15 @@ class VersionedStageTable:
                 f"writer; re-read the log and retry"
             )
         # periodic checkpoint AFTER the commit lands: derived data, so a
-        # crash here loses nothing (resolution anchors one earlier)
+        # crash here loses nothing (resolution anchors one earlier) —
+        # and a FAILURE here must not fail the already-durable commit:
+        # a retrying caller would double-land its batch (Delta likewise
+        # treats post-commit checkpointing as best-effort)
         if version > 0 and version % self.checkpoint_interval == 0:
-            self._write_checkpoint(version)
+            try:
+                self._write_checkpoint(version)
+            except Exception as exc:  # noqa: BLE001 - derived artifact
+                self._last_checkpoint_error = exc
         return version
 
     def constraints(self) -> dict:
@@ -828,8 +948,18 @@ class VersionedStageTable:
                             b[2] = False
                             continue
                         if not st.has_min_max:
-                            if st.null_count == cc.num_values + st.null_count:
-                                # all-NULL chunk: contributes no values
+                            # all-NULL chunk: ColumnChunkMetaData's
+                            # num_values INCLUDES nulls, so all-NULL is
+                            # null_count == num_values (equivalently:
+                            # zero non-null values). Such a chunk
+                            # contributes no values — skip it so the
+                            # file's OTHER row groups still yield
+                            # bounds, exactly like Spark's min/max
+                            # ignoring NULLs.
+                            if (
+                                st.has_null_count
+                                and st.null_count == cc.num_values
+                            ) or st.num_values == 0:
                                 continue
                             b[0] = b[1] = None
                             b[2] = False
@@ -984,15 +1114,77 @@ class VersionedStageTable:
     # write now and a small read-side anti-join until OPTIMIZE purges —
     # the only acceptable shape for frequent small takedowns on a
     # 100 TB table. File NAMES key the mask (Spark part files are
-    # uuid-unique), so the mask survives table moves. At 100 TB the
-    # sidecar would be a roaring bitmap per file; parquet pairs keep it
-    # engine-readable here with the identical join plan.
+    # uuid-unique), so the mask survives table moves.
+    #
+    # Sidecar ENCODING is run-length (the RLE container of a roaring
+    # bitmap): one row per maximal run of consecutive masked positions
+    # — (file_name, start, n) — so a contiguous-range takedown of 10^9
+    # rows is a HANDFUL of sidecar rows, not 10^9 (sidecar bytes track
+    # the mask's run structure, sublinear in deleted rows; Delta's DV
+    # files are roaring bitmaps for exactly this reason). Runs are
+    # capped at _DV_RUN_CAP positions so decode never materializes an
+    # unbounded array in one task. Every consumer goes through
+    # :meth:`_dv_sidecar_rows`, which decodes runs back to positions —
+    # the anti-join plan above the seam is unchanged.
 
-    _DV_SCHEMA = "file_name string, row_index long"
+    _DV_SCHEMA = "file_name string, start long, n long"
+    _DV_RUN_CAP = 1 << 18  # max positions decoded per sidecar row
 
-    def _dv_sidecar_rows(self, sidecars: list[str]) -> DataFrame:
+    def _dv_sidecar_runs(self, sidecars: list[str]) -> DataFrame:
+        """Raw (file_name, start, n) runs of the given sidecars."""
         return self.spark.read.schema(self._DV_SCHEMA).parquet(
             *[self._abs(s) for s in sorted(set(sidecars))]
+        )
+
+    def _dv_sidecar_rows(self, sidecars: list[str]) -> DataFrame:
+        """Masked positions as (file_name, row_index) — the decode of
+        the run-length sidecar encoding; one sequence-explode per run."""
+        return self._dv_sidecar_runs(sidecars).select(
+            "file_name",
+            F.explode(
+                F.sequence(
+                    F.col("start"), F.col("start") + F.col("n") - F.lit(1)
+                )
+            ).alias("row_index"),
+        )
+
+    def _encode_dv_runs(self, positions: DataFrame) -> DataFrame:
+        """Collapse DISTINCT (file_name, row_index) positions into
+        maximal runs — gaps-and-islands: positions sorted per file get
+        a group key of ``row_index - row_number()`` (constant exactly
+        along a consecutive run), one groupBy yields (start, n). Runs
+        longer than ``_DV_RUN_CAP`` are split so the decode's
+        sequence-explode is bounded per row."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("file_name").orderBy("row_index")
+        cap = F.lit(self._DV_RUN_CAP)
+        runs = (
+            positions.select("file_name", "row_index")
+            .withColumn(
+                "__grp", F.col("row_index") - F.row_number().over(w)
+            )
+            .groupBy("file_name", "__grp")
+            .agg(
+                F.min("row_index").alias("start"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        return (
+            runs.withColumn(
+                "__k",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        ((F.col("n") - F.lit(1)) / cap).cast("long"),
+                    )
+                ),
+            )
+            .select(
+                "file_name",
+                (F.col("start") + F.col("__k") * cap).alias("start"),
+                F.least(cap, F.col("n") - F.col("__k") * cap).alias("n"),
+            )
         )
 
     def _scan(
@@ -1484,7 +1676,9 @@ class VersionedStageTable:
             p = "/" + unquote(p[5:]).lstrip("/")
         return os.path.relpath(p, self.path)
 
-    def delete(self, condition: str, *, mode: str = "cow") -> int:
+    def delete(
+        self, condition: str, *, mode: str = "cow", epoch: int | None = None
+    ) -> int:
         """DELETE FROM table WHERE condition. Rows where the condition
         is NULL are kept (SQL DELETE semantics: only TRUE removes).
         Returns the new version, or the current one unchanged when
@@ -1509,9 +1703,21 @@ class VersionedStageTable:
         (:func:`prune_candidate_files` — zero IO, O(manifest)); only
         the surviving candidates pay the condition-projected scan. The
         commit records files_total/files_candidate/files_rewritten
-        (+ dv_rows for mode="dv") in its manifest metrics."""
+        (+ dv_rows for mode="dv") in its manifest metrics.
+
+        ``epoch`` makes the delete IDEMPOTENT for streaming writers,
+        exactly like :meth:`append`'s (Delta's txn-version pattern): a
+        replayed foreachBatch re-delivers the same epoch id, and a
+        delete whose epoch is already committed returns that version
+        untouched — no duplicate sidecar, no duplicate rewrite.
+        Idempotence keys on the epoch alone (the caller promises a
+        replayed epoch carries the same condition)."""
         if mode not in ("cow", "dv"):
             raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
+        if epoch is not None:
+            for v in self.versions():
+                if self._commit_record(v).get("epoch") == epoch:
+                    return v
         prev = self._manifest(self.latest_version())
         hint = prev["version"] + 1
         if not prev["files"]:
@@ -1525,7 +1731,9 @@ class VersionedStageTable:
             return prev["version"]
         cond = F.expr(condition).cast("boolean")
         if mode == "dv":
-            return self._delete_dv(prev, schema, candidates, cond, hint)
+            return self._delete_dv(
+                prev, schema, candidates, cond, hint, epoch=epoch
+            )
         # read THROUGH the manifest schema, like read()/changes()/compact():
         # on a schema-evolved table, pre-evolution files lack the new
         # columns and a schemaless read would infer from an arbitrary
@@ -1546,7 +1754,7 @@ class VersionedStageTable:
         new_files = self._write_files(kept, hint)
         return self._commit(
             "delete", add=new_files, remove=touched,
-            schema_json=prev["schema"], version=hint,
+            schema_json=prev["schema"], version=hint, epoch=epoch,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(new_files, prev["schema"]),
             metrics={
@@ -1563,6 +1771,8 @@ class VersionedStageTable:
         candidates: list[str],
         cond,
         hint: int,
+        *,
+        epoch: int | None = None,
     ) -> int:
         """Merge-on-read DELETE: write the matched row positions as a
         sidecar, commit a zero-data-IO record masking them. One scan of
@@ -1594,16 +1804,22 @@ class VersionedStageTable:
             F.col("__fn").alias("file_name"),
             F.col("__ri").alias("row_index"),
         )
-        sidecar_files = self._write_files(hits.coalesce(1), hint)
+        # run-length encode before writing: sidecar bytes track the
+        # mask's RUN structure (a contiguous takedown is a few rows),
+        # never one row per deleted position
+        sidecar_files = self._write_files(
+            self._encode_dv_runs(hits).coalesce(1), hint
+        )
         # map the touched basenames back to data-file rels for the
-        # record's dv field (bounded: one row per candidate file max)
-        touched_names = {
-            r["file_name"]
-            for r in self._dv_sidecar_rows(sidecar_files)
-            .select("file_name")
-            .distinct()
+        # record's dv field, and count masked rows, off the RUNS —
+        # bounded (one row per run), no decode
+        agg = (
+            self._dv_sidecar_runs(sidecar_files)
+            .groupBy("file_name")
+            .agg(F.sum("n").alias("__rows"))
             .collect()
-        }
+        )
+        touched_names = {r["file_name"] for r in agg}
         if not touched_names:
             # nothing matched: drop the empty sidecar dir, no commit
             shutil.rmtree(os.path.dirname(self._abs(sidecar_files[0])))
@@ -1612,9 +1828,10 @@ class VersionedStageTable:
             f for f in candidates
             if os.path.basename(f) in touched_names
         ]
-        n_rows = self._dv_sidecar_rows(sidecar_files).count()
+        n_rows = sum(r["__rows"] for r in agg)
         return self._commit(
             "delete_dv", schema_json=prev["schema"], version=hint,
+            epoch=epoch,
             constraints=dict(prev.get("constraints") or {}),
             dv={f: sidecar_files for f in touched},
             metrics={
@@ -1899,8 +2116,13 @@ class VersionedStageTable:
         if len(all_sidecars) < 2:
             return prev["version"]
         hint = prev["version"] + 1
+        # decode -> distinct -> re-encode: merging at POSITION level
+        # fuses runs that were split across sidecars (and dedups any
+        # overlap), so the consolidated sidecar is maximally-run-length
         merged = self._write_files(
-            self._dv_sidecar_rows(all_sidecars).distinct().coalesce(1),
+            self._encode_dv_runs(
+                self._dv_sidecar_rows(all_sidecars).distinct()
+            ).coalesce(1),
             hint,
         )
         files = sorted(dv)
@@ -1921,14 +2143,22 @@ class VersionedStageTable:
             },
         )
 
-    def vacuum(self, retain_last: int = 1) -> dict:
+    def vacuum(
+        self, retain_last: int = 1, *, tmp_grace_seconds: float = 3600.0
+    ) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions
         and every data file no retained manifest references — Delta's
         VACUUM with a version-count retention (Delta's is time-based;
         version count is the deterministic twin for tests). Returns
         ``{"versions_dropped": [...], "files_deleted": n}``. Vacuumed
         versions subsequently raise :class:`VersionNotFoundError` on
-        read, exactly like Delta past its retention window."""
+        read, exactly like Delta past its retention window. Also sweeps
+        ``.tmp-*`` orphans in ``_log/`` older than
+        ``tmp_grace_seconds`` — a writer that died between its temp
+        write and the atomic link leaves one behind; readers already
+        ignore them, vacuum is what reclaims them (the grace period
+        protects an IN-FLIGHT commit's temp file from a concurrent
+        vacuum)."""
         vs = self.versions()
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
@@ -1993,7 +2223,18 @@ class VersionedStageTable:
             os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
         # checkpoints of dropped versions are unreachable (their record
         # is gone, so the version itself reads as not-found)
-        for c in self.checkpoints():
-            if c in dropped:
-                os.remove(self._checkpoint_path(c))
+        dropped_set = set(dropped)
+        for f in os.listdir(self.log_dir):
+            if _CHECKPOINT_RE.fullmatch(f) and int(f[:8]) in dropped_set:
+                os.remove(os.path.join(self.log_dir, f))
+        # stale .tmp-* orphans from crashed writers
+        import time as _time
+
+        cutoff = _time.time() - tmp_grace_seconds
+        for f in os.listdir(self.log_dir):
+            p = os.path.join(self.log_dir, f)
+            if _TMP_RE.fullmatch(f) and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+        # dropped versions must now raise on read — flush the memo
+        self._snapshot_cache.clear()
         return {"versions_dropped": dropped, "files_deleted": deleted}
