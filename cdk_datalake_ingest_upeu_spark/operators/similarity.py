@@ -355,6 +355,12 @@ def ivf_rebalance(
         sub = _kmeans_centroids(
             [r[0] for r in sampled], split_k, seed=seed + cid
         )
+        if len(sub) < 2:
+            # the cell's sample has fewer than 2 distinct members: a
+            # "split" would rewrite every row back to the same single
+            # id — pure IO with no balance gain. Leave the cell alone
+            # (and out of the report's split set).
+            continue
         ids = [cid]
         new_rows[cid] = sub[0]
         for s in sub[1:]:
@@ -362,6 +368,19 @@ def ivf_rebalance(
             new_rows.append(s)
             next_id += 1
         sub_ids[cid] = ids
+    # the report counts cells that actually SPLIT (k-means on a
+    # too-small / too-uniform sample can decline a split above)
+    split_cells = sorted(sub_ids)
+    report["cells_split"] = len(split_cells)
+    report["cells"] = split_cells
+    report["rows_reassigned"] = sum(counts[c] for c in split_cells)
+    if not split_cells:
+        report["max_cell_fraction_after"] = report[
+            "max_cell_fraction_before"
+        ]
+        return C, None, report
+    if split_cells != overloaded:
+        hot = index.filter(F.col("cluster_id").isin(split_cells))
     newC = np.stack(new_rows)
     # reassign hot-cell rows among THEIR OWN sub-centroids only: a row
     # split out of cell c must land in one of c's splits (otherwise a
@@ -400,7 +419,7 @@ def ivf_rebalance(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    after = {c: n for c, n in counts.items() if c not in overloaded}
+    after = {c: n for c, n in counts.items() if c not in set(split_cells)}
     after.update(re_counts)
     report["max_cell_fraction_after"] = (
         max(after.values()) / total if total else 0.0

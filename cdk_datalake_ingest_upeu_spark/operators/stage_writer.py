@@ -501,7 +501,10 @@ class StageTable:
             DeltaTable.forPath(self.spark, self.path).vacuum(168)
             return
         df = self.read()
-        n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+        # 4:1 bin-packing sized from the scan's INPUT FILE count —
+        # driver-side metadata, never a df.rdd materialization of the
+        # analyzed plan just to read a partition count
+        n = target_partitions or max(1, len(df.inputFiles()) // 4)
         self._checkpointed_overwrite(df.coalesce(n), dynamic=False)
 
     def drop_partitions(self, column: str, *, before: str) -> int:

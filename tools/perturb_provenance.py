@@ -16,8 +16,11 @@ Fingerprint of a query = sha256 over:
 - the FILE hash of every package module whose imported names the
   closure references (so editing ``operators/versioned.py`` marks every
   ``stage_*`` query changed without any manual mapping),
-- module-level string constants referenced by name (shared SQL
-  fragments).
+- module-level plain-data constants referenced by name: strings
+  (shared SQL fragments) AND dict/list/tuple/scalar values via a
+  canonical JSON dump (canon-column maps, threshold tables — an edit
+  to one changes behavior and must re-flag its queries, or the
+  "over-approximation only" claim breaks).
 
 Conservative by construction: over-approximation only (a module-file
 edit re-sweeps every query touching that module, even for an unrelated
@@ -101,6 +104,19 @@ def _closure_parts(fn, wl, file_cache: dict) -> list[str]:
                 parts[f"mod:{mod}"] = _module_file_hash(mod, file_cache)
             elif isinstance(obj, str):
                 parts[f"const:{name}"] = obj
+            elif isinstance(obj, (dict, list, tuple, int, float, bool)):
+                # non-string module-level constants a query reads
+                # (canon maps, threshold tables): canonical JSON so an
+                # edit re-flags the query. Values that JSON can't
+                # serialize deterministically (e.g. a dict holding
+                # functions) are skipped — their behavior-bearing parts
+                # are covered by the function/module hashes above.
+                try:
+                    parts[f"const:{name}"] = json.dumps(
+                        obj, sort_keys=True
+                    )
+                except (TypeError, ValueError):
+                    pass
 
     try:
         own = inspect.getsource(fn)
