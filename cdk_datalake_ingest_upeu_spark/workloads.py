@@ -13341,9 +13341,9 @@ FROM documents
 def stage_deletion_vectors(spark, sf_dir):
     """Merge-on-read DELETE — deletion vectors (round 10,
     operators/versioned.delete(mode='dv'), Delta's DV design): the
-    delete writes ONLY a sidecar of (file, row_index) positions and a
-    log record; not one data file is rewritten (names and byte sizes
-    pinned identical). Every read applies the mask as one anti-join —
+    delete writes ONLY a sidecar of run-length-encoded masked positions
+    and a log record; not one data file is rewritten (names and byte
+    sizes pinned identical). Every read applies the mask as one anti-join —
     read(), stats-pruned lookup(), the change feed (row-level deletes
     despite an identical file set), and time travel back across the DV
     commit. OPTIMIZE then purges the mask: same rows, clean files, dv
@@ -13423,8 +13423,13 @@ def streaming_dv_takedown(spark, sf_dir):
     zero data files rewritten across the whole run (names and bytes
     pinned), which is the only viable takedown shape at 100 TB
     (mode='cow' would rewrite a file per handful of rows per request).
-    Retries are naturally idempotent: re-applying a served batch finds
-    its rows already masked and commits nothing. After the stream
+    Retries are EXACTLY-ONCE via the commit epoch (round 11 — Delta's
+    txn-version pattern threaded into ``delete``): a replayed
+    foreachBatch re-delivers its epoch id and the delete returns the
+    already-committed version untouched — no re-scan, no duplicate
+    sidecar, not even a re-list of already-masked rows (r10's version
+    was only semantically idempotent: replays silently accreted
+    duplicate mask rows the anti-join hid). After the stream
     drains, consolidate_dv folds the per-batch sidecars into one (data
     still untouched) — the maintenance step a takedown-heavy table
     runs on a schedule. Final state is SQL-exact; the mechanics ride
@@ -13456,12 +13461,13 @@ def streaming_dv_takedown(spark, sf_dir):
                     (1_700_000_000 + i, 1_700_000_000 + i),
                 )
 
-    def _serve(batch, _epoch):
+    def _serve(batch, epoch):
         ids = sorted(r["doc_id"] for r in batch.collect())
         if ids:
             t.delete(
                 "doc_id IN (%s)" % ", ".join(str(i) for i in ids),
                 mode="dv",
+                epoch=int(epoch),
             )
 
     q = (
@@ -13487,10 +13493,24 @@ def streaming_dv_takedown(spark, sf_dir):
             if h["op"] == "delete_dv"
         )
     )
-    # idempotence: re-serving batch 0 finds its rows already masked
+    # exactly-once replay: re-serving batch 0 with ITS epoch is a no-op
+    # commit — same latest version AND the identical sidecar set (the
+    # epoch short-circuit, not just the anti-join hiding duplicates)
     v_before = t.latest_version()
+    sidecars_pre_replay = sorted(
+        s
+        for lst in (t._manifest(v_before).get("dv") or {}).values()
+        for s in lst
+    )
     _serve(reqs[0], 0)
-    idempotent = bool(t.latest_version() == v_before)
+    idempotent = bool(
+        t.latest_version() == v_before
+        and sorted(
+            s
+            for lst in (t._manifest(v_before).get("dv") or {}).values()
+            for s in lst
+        ) == sidecars_pre_replay
+    )
     sidecars_before = len(
         {s for lst in (m_end.get("dv") or {}).values() for s in lst}
     )
@@ -13527,6 +13547,304 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows_total,
             AS BIGINT) AS n_rows_after,
        TRUE AS zero_rewrite, TRUE AS takedown_idempotent,
        TRUE AS sidecars_consolidated
+FROM documents
+"""
+
+
+def stage_checkpoint_columnar(spark, sf_dir):
+    """Columnar checkpoints + resolved-snapshot memoization (round 11 —
+    the r10 verdict's successor bottleneck closed): checkpoints are
+    PARQUET, one row per live file with path/stats/dv columns and the
+    table schema in the footer key-value metadata, so at 10^6 files a
+    file-list reader column-prunes instead of re-parsing a ~100 MB
+    monolithic JSON on the driver; and resolved snapshots are memoized
+    per instance, so repeated read()/lookup() of one version pays the
+    log resolution exactly once (pinned here by counting physical log
+    reads). Row counts at two time-travel points are SQL-exact; the
+    artifact-shape and zero-IO invariants ride the booleans."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("cpcol")
+    t = VersionedStageTable(
+        spark, os.path.join(work, "vt"), checkpoint_interval=4
+    )
+    for b in range(10):
+        t.append(docs.filter(F.col("doc_id") % 10 == b).coalesce(1))
+    cp = t._checkpoint_path(8)
+    cp_parquet = bool(
+        cp.endswith(".checkpoint.parquet") and os.path.exists(cp)
+    )
+    # a file-list-only reader prunes to the path column alone
+    pruned_read = pq.read_table(cp, columns=["path"])
+    m8 = t._manifest(8)
+    cp_row_per_file = bool(
+        sorted(pruned_read.column("path").to_pylist()) == sorted(m8["files"])
+    )
+    meta = pq.read_schema(cp).metadata or {}
+    cp_schema_in_footer = bool(
+        _json.loads(meta.get(b"schema", b"{}").decode()).get("type")
+        == "struct"
+    )
+    v = t.latest_version()
+    t.read(v).count()  # warm: resolves v once
+    before = t._log_reads
+    n_rows_latest = t.read(v).count()
+    n_lookup = t.lookup("doc_id % 10 <= 4", v).count()
+    resolved_once = bool(t._log_reads == before)
+    n_rows_v2 = t.read(2).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows_latest,
+                n_rows_v2,
+                n_lookup,
+                cp_parquet,
+                cp_row_per_file,
+                cp_schema_in_footer,
+                resolved_once,
+            )
+        ],
+        "n_rows_latest long, n_rows_v2 long, n_lookup long, "
+        "cp_parquet boolean, cp_row_per_file boolean, "
+        "cp_schema_in_footer boolean, resolved_once boolean",
+    )
+
+
+_CP_COLUMNAR_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows_latest,
+       CAST(count(*) FILTER (WHERE doc_id % 10 <= 2) AS BIGINT) AS n_rows_v2,
+       CAST(count(*) FILTER (WHERE doc_id % 10 <= 4) AS BIGINT) AS n_lookup,
+       TRUE AS cp_parquet, TRUE AS cp_row_per_file,
+       TRUE AS cp_schema_in_footer, TRUE AS resolved_once
+FROM documents
+"""
+
+
+def stage_dv_rle_sidecar(spark, sf_dir):
+    """Run-length-encoded deletion vectors (round 11 — the roaring-
+    bitmap property behind Delta's DV files): a takedown of a
+    CONTIGUOUS position range stores (file, start, n) RUNS, so the
+    sidecar is a constant handful of bytes no matter how many rows the
+    range covers — a 10^9-row takedown cannot be a 10^9-row sidecar,
+    and here a whole middle-third delete stays under 8 KB. The table is
+    written sorted by doc_id into one file, so a doc_id interval IS a
+    position interval; the masked read, the stats-pruned lookup, and
+    the row-level change feed stay exact through the decode."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("dvrle")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(docs.orderBy("doc_id").coalesce(1))
+    max_id = int(
+        docs.agg(F.max(F.col("doc_id").cast("long"))).first()[0]
+    )
+    lo, hi = max_id // 3, 2 * (max_id // 3)
+    n_total = t.read().count()
+    v = t.delete(f"doc_id >= {lo} AND doc_id < {hi}", mode="dv")
+    m = t._manifest(v)
+    sidecars = sorted({s for lst in m["dv"].values() for s in lst})
+    runs = t._dv_sidecar_runs(sidecars).collect()
+    n_deleted = n_total - t.read().count()
+    # the RLE contract: one maximal run per contiguous range (cap
+    # splits allowed), sidecar bytes CONSTANT-bounded — strictly
+    # sublinear in deleted rows
+    runs_compact = bool(
+        1 <= len(runs) <= 4
+        and sum(r["n"] for r in runs) == n_deleted
+        and (m.get("metrics") or {}).get("dv_rows") == n_deleted
+    )
+    sidecar_bytes = sum(os.path.getsize(t._abs(s)) for s in sidecars)
+    sidecar_sublinear = bool(n_deleted > 100 and sidecar_bytes < 8192)
+    zero_rewrite = bool(
+        (m.get("metrics") or {}).get("files_rewritten") == 0
+        and m["files"] == t._manifest(0)["files"]
+    )
+    n_lookup_hole = t.lookup(
+        f"doc_id >= {lo} AND doc_id < {hi}"
+    ).count()
+    feed = t.changes(0, v)
+    feed_exact = bool(
+        feed.count() == n_deleted
+        and feed.filter(F.col("_change_type") == "delete").count()
+        == n_deleted
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                n_deleted,
+                n_lookup_hole,
+                runs_compact,
+                sidecar_sublinear,
+                zero_rewrite,
+                feed_exact,
+            )
+        ],
+        "n_rows_total long, n_deleted long, n_lookup_hole long, "
+        "runs_compact boolean, sidecar_sublinear boolean, "
+        "zero_rewrite boolean, feed_exact boolean",
+    )
+
+
+_DV_RLE_SQL = """
+WITH b AS (
+  SELECT max(CAST(doc_id AS BIGINT)) // 3 AS lo,
+         2 * (max(CAST(doc_id AS BIGINT)) // 3) AS hi
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows_total,
+       CAST(count(*) FILTER (
+            WHERE doc_id >= (SELECT lo FROM b)
+              AND doc_id < (SELECT hi FROM b)) AS BIGINT) AS n_deleted,
+       CAST(0 AS BIGINT) AS n_lookup_hole,
+       TRUE AS runs_compact, TRUE AS sidecar_sublinear,
+       TRUE AS zero_rewrite, TRUE AS feed_exact
+FROM documents
+"""
+
+
+def stage_delete_epoch_replay(spark, sf_dir):
+    """Epoch-idempotent DELETE (round 11 — Delta's txn-version pattern
+    extended from append to delete): a retrying writer (foreachBatch
+    replay, job restart) re-delivers its epoch id, and a delete whose
+    epoch is already committed returns that version UNTOUCHED — the
+    latest version, the sidecar set, and the change feed are all
+    bit-identical after the replay, in both dv and cow modes. Final
+    row counts are SQL-exact."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("epochdel")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(docs.repartition(2))
+    v1 = t.delete("doc_id % 7 = 3", mode="dv", epoch=11)
+    sidecars1 = sorted(
+        s for lst in (t._manifest(v1).get("dv") or {}).values() for s in lst
+    )
+    feed_n = t.changes(0, v1).count()
+    v1_replay = t.delete("doc_id % 7 = 3", mode="dv", epoch=11)
+    dv_replay_noop = bool(
+        v1_replay == v1
+        and t.latest_version() == v1
+        and sorted(
+            s
+            for lst in (t._manifest(v1).get("dv") or {}).values()
+            for s in lst
+        ) == sidecars1
+        and t.changes(0, v1).count() == feed_n
+    )
+    v2 = t.delete("doc_id % 7 = 5", epoch=12)  # cow mode
+    files2 = t._manifest(v2)["files"]
+    v2_replay = t.delete("doc_id % 7 = 5", epoch=12)
+    cow_replay_noop = bool(
+        v2_replay == v2
+        and t.latest_version() == v2
+        and t._manifest(v2)["files"] == files2
+    )
+    # a FRESH epoch with the same condition is a real (empty) retry:
+    # nothing matches anymore, so no commit lands either way
+    v3 = t.delete("doc_id % 7 = 3", mode="dv", epoch=13)
+    fresh_epoch_empty = bool(v3 == v2)
+    n_after = t.read().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_after,
+                feed_n,
+                dv_replay_noop,
+                cow_replay_noop,
+                fresh_epoch_empty,
+            )
+        ],
+        "n_rows_after long, n_feed_deletes long, dv_replay_noop boolean, "
+        "cow_replay_noop boolean, fresh_epoch_empty boolean",
+    )
+
+
+_EPOCH_REPLAY_SQL = """
+SELECT CAST(count(*) FILTER (WHERE doc_id % 7 <> 3 AND doc_id % 7 <> 5)
+            AS BIGINT) AS n_rows_after,
+       CAST(count(*) FILTER (WHERE doc_id % 7 = 3) AS BIGINT)
+            AS n_feed_deletes,
+       TRUE AS dv_replay_noop, TRUE AS cow_replay_noop,
+       TRUE AS fresh_epoch_empty
+FROM documents
+"""
+
+
+def stage_lookup_multipredicate_pruned(spark, sf_dir):
+    """Multi-column stats-pruned lookup (round 11): the table is
+    Z-ORDERED on (doc_id, n_chars) — versioned.compact(zorder_by=…) —
+    so every file covers a small hyper-rectangle of BOTH columns and
+    the per-file [min, max] bounds each commit stores become sharp on
+    both; a conjunctive lookup over the two columns then skips files by
+    MANIFEST WALK alone (zero IO for them). The query pins
+    files_candidate < files_total via the same
+    ``prune_candidate_files`` decision ``lookup`` executes, and
+    soundness (pruned result == full-scan filter) as a boolean; the
+    row count is SQL-exact."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        prune_candidate_files,
+        _stat_columns,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    work = _tmpdir("mplookup")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(docs)
+    t.compact(zorder_by=["doc_id", "n_chars"], target_files=8)
+    row = docs.agg(
+        F.max(F.col("doc_id").cast("long")).alias("mi"),
+        F.max(F.col("n_chars").cast("long")).alias("mc"),
+    ).first()
+    id_cut, chars_cut = int(row["mi"]) // 4, int(row["mc"]) // 2
+    cond = f"doc_id < {id_cut} AND n_chars >= {chars_cut}"
+    m = t._manifest(t.latest_version())
+    import json as _json
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    candidates = prune_candidate_files(
+        m["files"], m.get("stats") or {}, cond,
+        stat_cols=set(_stat_columns(schema)),
+    )
+    # the metrics assertion the lookup's scale claim rests on: some
+    # files pruned (zero IO for them), some kept, and the pruned plan
+    # returns exactly the full-scan answer (soundness)
+    pruned_some = bool(0 < len(candidates) < len(m["files"]))
+    n_lookup = t.lookup(cond).count()
+    n_fullscan = t.read().filter(F.expr(cond)).count()
+    prune_sound = bool(n_lookup == n_fullscan)
+    return spark.createDataFrame(
+        [(n_lookup, pruned_some, prune_sound)],
+        "n_rows long, pruned_some boolean, prune_sound boolean",
+    )
+
+
+_MP_LOOKUP_SQL = """
+WITH b AS (
+  SELECT max(CAST(doc_id AS BIGINT)) // 4 AS id_cut,
+         max(CAST(n_chars AS BIGINT)) // 2 AS chars_cut
+  FROM documents
+)
+SELECT CAST(count(*) FILTER (
+            WHERE doc_id < (SELECT id_cut FROM b)
+              AND n_chars >= (SELECT chars_cut FROM b)) AS BIGINT)
+            AS n_rows,
+       TRUE AS pruned_some, TRUE AS prune_sound
 FROM documents
 """
 
@@ -13761,6 +14079,10 @@ QUERIES = {
     "mixture_token_budget": mixture_token_budget,
     "corpus_token_fertility": corpus_token_fertility,
     "streaming_dv_takedown": streaming_dv_takedown,
+    "stage_checkpoint_columnar": stage_checkpoint_columnar,
+    "stage_dv_rle_sidecar": stage_dv_rle_sidecar,
+    "stage_delete_epoch_replay": stage_delete_epoch_replay,
+    "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
     "corpus_substring_span_dedup": corpus_substring_span_dedup,
@@ -14128,6 +14450,10 @@ ORACLES = {
     "mixture_token_budget": _MIXTURE_BUDGET_SQL,
     "corpus_token_fertility": _TOKEN_FERTILITY_SQL,
     "streaming_dv_takedown": _STREAMING_DV_TAKEDOWN_SQL,
+    "stage_checkpoint_columnar": _CP_COLUMNAR_SQL,
+    "stage_dv_rle_sidecar": _DV_RLE_SQL,
+    "stage_delete_epoch_replay": _EPOCH_REPLAY_SQL,
+    "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
     "corpus_substring_span_dedup": _SUBSTRING_SPAN_SQL,
@@ -14679,11 +15005,82 @@ _R10_WINDOW = [
     "asof_join_last_purchase",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+
+
+# ===========================================================================
+# round-11 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) the four r11-new queries (never driver-checked) lead; (b) ALL 38
+# queries whose newest driver-green is still r6 — after this window no
+# catalog query's driver evidence is older than r7 (histogram after
+# r10: r6x38, r7x50, r8x50, r9x50, r10x50; list reproduced by parsing
+# CORRECTNESS_r0N for hash_match per name); (c) 8 of the 50
+# last-green-r7 rows fill the window, chosen for family coverage
+# (takedown, semantic dedup, ANN, TPC-H, stateful streaming,
+# multimodal, transforms, corpus pipeline) — streaming_stateful_
+# sessionization doubles as the r10 bench's flagged streaming mover.
+_R11_WINDOW = [
+    # (a) r11-new, never driver-checked
+    "stage_checkpoint_columnar",
+    "stage_dv_rle_sidecar",
+    "stage_delete_epoch_replay",
+    "stage_lookup_multipredicate_pruned",
+    # (b) last driver-green in r6 — all 38
+    "corpus_language_stats",
+    "date_range_extract_union",
+    "days_off_window_extract",
+    "dedup_ngram_jaccard",
+    "events_gapfill_hourly",
+    "events_hourly_rollup",
+    "events_json_props",
+    "export_length_bucketed_shards",
+    "incremental_boilerplate_strip",
+    "incremental_rollup_maintenance",
+    "q10_returned_items",
+    "q11_revenue_concentration",
+    "q14_promo_revenue_share",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_pushdown",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "range_partition_union",
+    "sink_csv_gz_roundtrip",
+    "sink_json_gz_roundtrip",
+    "sink_orc_roundtrip",
+    "sqlgen_bigint_dialect_range",
+    "sqlgen_dual_range_filter",
+    "sqlgen_incremental_delay_window",
+    "streaming_rollup_maintenance",
+    "streaming_watermarked_rollup",
+    "text_features",
+    "transform_bytemagic_casts",
+    "window_dedup_latest",
+    # (c) last driver-green in r7 — family coverage fill
+    "forget_everywhere",
+    "semantic_semdedup",
+    "ann_topk_bruteforce",
+    "q4_late_shipment_priority",
+    "streaming_stateful_sessionization",
+    "multimodal_image_features",
+    "transform_datemagic",
+    "corpus_pipeline_e2e",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
     name: QUERIES[name]
     for name in (
-        *_R10_WINDOW,
-        *(n for n in QUERIES if n not in set(_R10_WINDOW)),
+        *_R11_WINDOW,
+        *(n for n in QUERIES if n not in set(_R11_WINDOW)),
     )
 }
 
