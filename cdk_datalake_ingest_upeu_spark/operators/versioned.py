@@ -1884,13 +1884,18 @@ class VersionedStageTable:
         # the file diff, but sidecars added (or, via restore, dropped)
         # between the versions change its LIVE rows — read exactly the
         # newly-masked (resp. unmasked) positions from the shared file.
+        # Arms are attached ONLY when a delta exists: unioning an empty
+        # relation onto every feed cost ~0.5 s/call of pure plan
+        # overhead on DV-free tables (the r10->r11
+        # stage_versioned_delete regression, isolated A/B in
+        # DRIFT_r11.md).
         common = set(m0["files"]) & set(m1["files"])
-        deleted = deleted.unionByName(
-            self._dv_delta_rows(common, schema, dv0, dv1)
-        )
-        inserted = inserted.unionByName(
-            self._dv_delta_rows(common, schema, dv1, dv0)
-        )
+        dv_deleted = self._dv_delta_rows(common, schema, dv0, dv1)
+        if dv_deleted is not None:
+            deleted = deleted.unionByName(dv_deleted)
+        dv_inserted = self._dv_delta_rows(common, schema, dv1, dv0)
+        if dv_inserted is not None:
+            inserted = inserted.unionByName(dv_inserted)
         return deleted.withColumn(
             "_change_type", F.lit("delete")
         ).unionByName(inserted.withColumn("_change_type", F.lit("insert")))
@@ -1901,11 +1906,13 @@ class VersionedStageTable:
         schema: T.StructType,
         dv_base: dict,
         dv_new: dict,
-    ) -> DataFrame:
+    ) -> DataFrame | None:
         """Rows of files in ``common`` masked by ``dv_new`` but NOT by
         ``dv_base`` — the rows a DV commit deleted (or a restore
         resurrected, with the argument order flipped). Reads only the
-        affected files, semi-joined to only the delta sidecars."""
+        affected files, semi-joined to only the delta sidecars. Returns
+        None when no file's mask changed — the caller skips the union
+        entirely (DV-free feeds pay zero DV plan overhead)."""
         delta = {}
         for f in common:
             base = set(dv_base.get(f) or [])
@@ -1913,7 +1920,7 @@ class VersionedStageTable:
             if fresh:
                 delta[f] = fresh
         if not delta:
-            return self.spark.createDataFrame([], schema)
+            return None
         cols = schema.fieldNames()
         scan = (
             self.spark.read.schema(schema)
