@@ -888,3 +888,61 @@ def test_footer_stats_bounds_are_true_bounds(spark, tmp_path_factory, rows):
         assert hi == max(finite)
     if finite and not any(_math.isnan(d) for d in ds):
         assert lo == min(finite)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    positions=st.lists(
+        st.tuples(
+            st.sampled_from(["fa.parquet", "fb.parquet"]),
+            st.integers(min_value=0, max_value=600_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_dv_rle_encode_decode_roundtrip(spark, tmp_path_factory, positions):
+    """Run-length DV encoding is lossless for ANY (file, position) set:
+    decode(encode(S)) == S exactly, runs never overlap within a file,
+    and no run exceeds the decode cap (positions above _DV_RUN_CAP
+    force split runs)."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    t = VersionedStageTable(
+        spark, str(tmp_path_factory.mktemp("rle") / "vt")
+    )
+    df = spark.createDataFrame(
+        positions, "file_name string, row_index long"
+    )
+    runs = t._encode_dv_runs(df).collect()
+    # decode via the same seam the read path uses
+    import pyspark.sql.functions as F
+
+    decoded = sorted(
+        (r["file_name"], r["row_index"])
+        for r in t._encode_dv_runs(df)
+        .select(
+            "file_name",
+            F.explode(
+                F.sequence(
+                    F.col("start"), F.col("start") + F.col("n") - F.lit(1)
+                )
+            ).alias("row_index"),
+        )
+        .collect()
+    )
+    assert decoded == sorted(positions)
+    cap = VersionedStageTable._DV_RUN_CAP
+    by_file: dict[str, list] = {}
+    for r in runs:
+        assert 1 <= r["n"] <= cap
+        by_file.setdefault(r["file_name"], []).append(
+            (r["start"], r["n"])
+        )
+    for rs in by_file.values():
+        rs.sort()
+        for (s1, n1), (s2, _n2) in zip(rs, rs[1:]):
+            assert s1 + n1 <= s2  # disjoint, ordered
