@@ -424,6 +424,13 @@ class VersionedStageTable:
         # version resolve the log exactly once
         self._log_reads = 0
         self._last_checkpoint_error: Exception | None = None
+        # epoch -> version map for idempotent streaming commits,
+        # built INCREMENTALLY: each check scans only records newer
+        # than the last scan (a 10^4-commit table's per-batch epoch
+        # check is O(new commits), not O(log)). Delta's txn actions
+        # carry the same in its checkpoints.
+        self._epoch_versions: dict[int, int] = {}
+        self._epoch_scan_upto = -1
 
     # -- log bookkeeping ---------------------------------------------------
 
@@ -660,6 +667,24 @@ class VersionedStageTable:
             self._snapshot_cache.pop(next(iter(self._snapshot_cache)))
         self._snapshot_cache[version] = snap
 
+    def _epoch_version(self, epoch: int) -> int | None:
+        """Version already committed under ``epoch``, or None. The scan
+        over commit records is incremental per instance — only records
+        newer than the previous check are read, so a streaming writer's
+        per-batch idempotence probe costs O(commits since last batch),
+        never O(log)."""
+        vs = self.versions()
+        for v in vs:
+            if v > self._epoch_scan_upto:
+                e = self._commit_record(v).get("epoch")
+                if e is not None:
+                    self._epoch_versions[e] = v
+        if vs:
+            self._epoch_scan_upto = max(
+                self._epoch_scan_upto, vs[-1]
+            )
+        return self._epoch_versions.get(epoch)
+
     def _commit(
         self,
         op: str,
@@ -727,6 +752,10 @@ class VersionedStageTable:
                 f"{self.path}: version {version} was committed by another "
                 f"writer; re-read the log and retry"
             )
+        if epoch is not None:
+            # register in the idempotence map directly — the writer's
+            # own commit never needs a log re-read to be remembered
+            self._epoch_versions[epoch] = version
         # periodic checkpoint AFTER the commit lands: derived data, so a
         # crash here loses nothing (resolution anchors one earlier) —
         # and a FAILURE here must not fail the already-durable commit:
@@ -1385,9 +1414,9 @@ class VersionedStageTable:
         mixed table; evolving a column's TYPE is refused either way
         (that is a rewrite, not an append)."""
         if epoch is not None:
-            for v in self.versions():
-                if self._commit_record(v).get("epoch") == epoch:
-                    return v
+            v = self._epoch_version(epoch)
+            if v is not None:
+                return v
         if not self.versions():
             hint = 0
             files = self._write_files(df, hint)
@@ -1715,9 +1744,9 @@ class VersionedStageTable:
         if mode not in ("cow", "dv"):
             raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
         if epoch is not None:
-            for v in self.versions():
-                if self._commit_record(v).get("epoch") == epoch:
-                    return v
+            v = self._epoch_version(epoch)
+            if v is not None:
+                return v
         prev = self._manifest(self.latest_version())
         hint = prev["version"] + 1
         if not prev["files"]:

@@ -1682,3 +1682,25 @@ def test_vacuum_sweeps_stale_tmp_orphans(spark, table):
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # inside the grace period
     assert table.versions() == [1]
+
+
+def test_epoch_check_is_incremental_not_o_log(spark, table):
+    """A streaming writer's per-batch idempotence probe reads only the
+    commit records NEWER than its previous probe — never the whole log
+    (a 10^4-commit table would otherwise pay 10^4 reads per batch)."""
+    table.overwrite(_df(spark, [(0, "seed")]))
+    for e in range(1, 6):
+        table.append(_df(spark, [(e, f"v{e}")]), epoch=e)
+    # prime the scan cursor
+    assert table.append(_df(spark, [(99, "x")]), epoch=3) == 3
+    before = table._log_reads
+    # replay of an already-seen epoch: zero further record reads
+    assert table.append(_df(spark, [(99, "x")]), epoch=5) == 5
+    assert table._log_reads == before
+    # a NEW commit by a second writer is picked up incrementally —
+    # exactly one extra record read, and its epoch dedups correctly
+    t2 = VersionedStageTable(spark, table.path)
+    v7 = t2.append(_df(spark, [(7, "w2")]), epoch=7)
+    before = table._log_reads
+    assert table.append(_df(spark, [(7, "dup")]), epoch=7) == v7
+    assert table._log_reads == before + 1
