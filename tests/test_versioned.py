@@ -1704,3 +1704,44 @@ def test_epoch_check_is_incremental_not_o_log(spark, table):
     before = table._log_reads
     assert table.append(_df(spark, [(7, "dup")]), epoch=7) == v7
     assert table._log_reads == before + 1
+
+
+def test_legacy_json_checkpoint_still_resolves(spark, tmp_path):
+    """Pre-r11 tables carry monolithic .checkpoint.json files; the
+    columnar reader must fall back to them — resolution anchored at a
+    legacy checkpoint reproduces the same snapshot (files, stats, dv)
+    the parquet form would."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "legacy"), checkpoint_interval=3
+    )
+    for k in range(5):
+        t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
+    t.delete("k = 1", mode="dv")
+    # rewrite checkpoint 3 in the LEGACY JSON format and drop the
+    # parquet one, as a pre-r11 writer would have left it
+    t._snapshot_cache.clear()
+    snap = t._manifest(3)
+    legacy = os.path.join(t.log_dir, "00000003.checkpoint.json")
+    with open(legacy, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "version": 3,
+                "files": snap["files"],
+                "schema": snap["schema"],
+                "constraints": snap.get("constraints") or {},
+                "stats": snap.get("stats") or {},
+                "dv": snap.get("dv") or {},
+            },
+            fh,
+        )
+    os.remove(t._checkpoint_path(3))
+    t2 = VersionedStageTable(spark, t.path, checkpoint_interval=3)
+    assert 3 in t2.checkpoints()
+    m = t2._manifest(t2.latest_version())
+    assert sorted(m["files"]) == sorted(
+        t._manifest(t.latest_version())["files"]
+    )
+    got = _rows(t2.read())
+    assert got == [(k, f"v{k}") for k in range(5) if k != 1]
+    # stats survived the legacy anchor too
+    assert set(m.get("stats") or {}) == set(m["files"])
