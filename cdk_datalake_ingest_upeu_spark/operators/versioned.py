@@ -381,10 +381,46 @@ class ConcurrentCommitError(RuntimeError):
     The loser re-reads the latest manifest and retries its commit."""
 
 
+class ConcurrentAppendError(ConcurrentCommitError):
+    """A concurrent commit ADDED files this transaction's outcome
+    depends on — rows its predicate may match (DELETE/MERGE) or table
+    contents it replaces (OVERWRITE/RESTORE). Delta's
+    ``ConcurrentAppendException``. The add-vs-predicate judgment uses
+    the winner's own per-file [min, max] stats through
+    :func:`prune_candidate_files`, so a provably-disjoint append never
+    conflicts with a stats-prunable DELETE."""
+
+
+class ConcurrentDeleteDeleteError(ConcurrentCommitError):
+    """A concurrent commit REMOVED a file this transaction also
+    removes — two writers rewrote/deleted the same data. Delta's
+    ``ConcurrentDeleteDeleteException``."""
+
+
+class ConcurrentDeleteReadError(ConcurrentCommitError):
+    """A concurrent commit REMOVED (or re-masked via deletion vectors)
+    a file this transaction READ — its outcome was computed from data
+    that no longer exists at the rebased version. Delta's
+    ``ConcurrentDeleteReadException``."""
+
+
+class MetadataChangedError(ConcurrentCommitError):
+    """A concurrent commit changed the table's schema or CHECK
+    constraints between this transaction's snapshot and its commit.
+    Delta's ``MetadataChangedException`` — retry from a fresh
+    snapshot so enforcement/evolution sees the new metadata."""
+
+
 class ConstraintViolationError(ValueError):
     """An incoming batch violates a table CHECK constraint — Delta's
     ``DeltaInvariantViolationException``. The commit is refused and the
     table is unchanged."""
+
+
+# commit-retry bound: each rebase re-checks only the NEW winners since
+# the last attempt, so the loop is O(concurrent commits), and the bound
+# only trips when another writer keeps winning the race for this long
+_MAX_COMMIT_REBASES = 20
 
 
 class VersionedStageTable:
@@ -699,6 +735,7 @@ class VersionedStageTable:
         stats: dict | None = None,
         metrics: dict | None = None,
         dv: dict | None = None,
+        txn: dict | None = None,
     ) -> int:
         """Atomically publish ``version`` as a DELTA-encoded record —
         the files the commit adds and removes, with stats for the added
@@ -710,7 +747,17 @@ class VersionedStageTable:
         whose snapshot went stale mid-build would otherwise link a
         higher version built from old files — a silent lost update
         instead of the :class:`ConcurrentCommitError` the protocol
-        promises."""
+        promises.
+
+        ``txn`` (built by :meth:`_txn`) declares the transaction's READ
+        SET; with it, losing the version race triggers Delta's
+        commit-retry protocol instead of an immediate error: each
+        winning commit is checked for a LOGICAL conflict
+        (:meth:`_check_txn_conflict`) and, when all are compatible —
+        e.g. blind appends racing each other, or a compaction racing an
+        append — the same delta record is re-attempted at the next
+        version. A real conflict raises the matching typed subclass of
+        :class:`ConcurrentCommitError`."""
         import time as _time
 
         os.makedirs(self.log_dir, exist_ok=True)
@@ -744,14 +791,44 @@ class VersionedStageTable:
             # semantics in resolution): {data file rel: [sidecar rels]}
             record["dv"] = {f: sorted(s) for f, s in dv.items() if s}
         # the commit point — optimistic concurrency, Delta's protocol:
-        # version N's record may be created exactly once; a racing
-        # writer that lost must re-read the log and retry on N+1.
-        target = os.path.join(self.log_dir, f"{version:08d}.json")
-        if not self.log_store.put_if_absent(target, json.dumps(record)):
-            raise ConcurrentCommitError(
-                f"{self.path}: version {version} was committed by another "
-                f"writer; re-read the log and retry"
-            )
+        # version N's record may be created exactly once. With a ``txn``
+        # read-set a losing writer REBASES automatically: it replays the
+        # winning commits through _check_txn_conflict and, when none
+        # logically conflicts, re-attempts the SAME delta record at the
+        # next version (Delta's commit-retry loop). Without ``txn`` the
+        # loss surfaces as ConcurrentCommitError exactly as before.
+        checked_upto = version - 1
+        rebases = 0
+        while True:
+            record["version"] = version
+            target = os.path.join(self.log_dir, f"{version:08d}.json")
+            if self.log_store.put_if_absent(target, json.dumps(record)):
+                break
+            if txn is None:
+                raise ConcurrentCommitError(
+                    f"{self.path}: version {version} was committed by "
+                    f"another writer; re-read the log and retry"
+                )
+            rebases += 1
+            if rebases > _MAX_COMMIT_REBASES:
+                raise ConcurrentCommitError(
+                    f"{self.path}: gave up after {rebases} rebase "
+                    f"attempts — a hot writer keeps winning the log race"
+                )
+            winners = [v for v in self.versions() if v > checked_upto]
+            for w in winners:
+                wrec = self._commit_record(w)
+                if epoch is not None and wrec.get("epoch") == epoch:
+                    # another writer landed THIS batch (same epoch id,
+                    # e.g. two retries of one streaming micro-batch):
+                    # idempotence wins over rebase — return its version;
+                    # our just-written data files are unreferenced and
+                    # vacuum's orphan sweep reclaims them
+                    self._epoch_versions[epoch] = w
+                    return w
+                self._check_txn_conflict(txn, record, wrec)
+            checked_upto = max(winners) if winners else checked_upto
+            version = checked_upto + 1
         if epoch is not None:
             # register in the idempotence map directly — the writer's
             # own commit never needs a log re-read to be remembered
@@ -767,6 +844,145 @@ class VersionedStageTable:
             except Exception as exc:  # noqa: BLE001 - derived artifact
                 self._last_checkpoint_error = exc
         return version
+
+    def _txn(
+        self,
+        prev: dict | None,
+        *,
+        read_files=(),
+        reads_all: bool = False,
+        read_predicate: str | None = None,
+        conflict_on_add: bool = False,
+    ) -> dict:
+        """Declare a transaction's read set for :meth:`_commit`'s
+        rebase protocol. ``read_files`` are the snapshot files the
+        outcome was computed FROM (a winner removing or re-masking one
+        invalidates us); ``reads_all`` marks full-state dependence
+        (OVERWRITE/RESTORE — any concurrent change conflicts);
+        ``read_predicate`` lets a winner's adds conflict only when
+        their stats say rows could match (DELETE); ``conflict_on_add``
+        makes EVERY winner add conflict (MERGE — matched keys cannot
+        be expressed as one conjunctive predicate)."""
+        schema_json = prev["schema"] if prev else None
+        stat_cols = None
+        if schema_json is not None:
+            stat_cols = set(
+                _stat_columns(T.StructType.fromJson(json.loads(schema_json)))
+            )
+        return {
+            "base_schema": schema_json,
+            "base_constraints": dict((prev or {}).get("constraints") or {}),
+            "read_files": frozenset(read_files),
+            "reads_all": reads_all,
+            "read_predicate": read_predicate,
+            "conflict_on_add": conflict_on_add,
+            "stat_cols": stat_cols,
+        }
+
+    def _check_txn_conflict(
+        self, txn: dict, record: dict, wrec: dict
+    ) -> None:
+        """Raise the typed conflict if the winning commit ``wrec``
+        logically invalidates this transaction (read set ``txn``, our
+        pending delta ``record``); return silently when a rebase is
+        sound. The rules are Delta's Serializable conflict matrix:
+
+        - winner changed schema/constraints        -> MetadataChanged
+        - winner removed a file we also remove     -> DeleteDelete
+        - winner removed/re-masked a file we read  -> DeleteRead
+        - winner added rows we should have seen
+          (reads_all, conflict_on_add, or stats say
+          the add may match read_predicate)        -> ConcurrentAppend
+
+        A winner's adds are judged against ``read_predicate`` with the
+        winner's OWN per-file stats via :func:`prune_candidate_files` —
+        the same tri-valued, sound-by-construction evaluator the
+        DELETE used to pick its candidates, so a stats-provably
+        disjoint concurrent append rebases instead of failing."""
+        wv = wrec.get("version")
+        where = f"{self.path}: concurrent commit {wv}"
+        if "files" in wrec:
+            # legacy full-snapshot record = an overwrite of everything:
+            # only a blind append can rebase across it
+            if (
+                txn["reads_all"]
+                or txn["read_files"]
+                or record.get("remove")
+                or txn["conflict_on_add"]
+                or txn["read_predicate"] is not None
+            ):
+                raise ConcurrentDeleteReadError(
+                    f"{where} replaced the whole table (full-snapshot "
+                    f"record) under this transaction"
+                )
+            if txn["base_schema"] is not None and (
+                wrec.get("schema") != txn["base_schema"]
+            ):
+                raise MetadataChangedError(
+                    f"{where} changed the table schema under this "
+                    f"transaction"
+                )
+            return
+        if txn["base_schema"] is not None:
+            if wrec.get("schema") != txn["base_schema"]:
+                raise MetadataChangedError(
+                    f"{where} changed the table schema under this "
+                    f"transaction; retry from a fresh snapshot"
+                )
+            if (wrec.get("constraints") or {}) != txn["base_constraints"]:
+                raise MetadataChangedError(
+                    f"{where} changed the CHECK constraints under this "
+                    f"transaction; retry from a fresh snapshot"
+                )
+        w_removed = set(wrec.get("remove") or ())
+        ours_removed = set(record.get("remove") or ())
+        both = w_removed & ours_removed
+        if both:
+            raise ConcurrentDeleteDeleteError(
+                f"{where} removed {sorted(both)[:3]} which this "
+                f"transaction also removes"
+            )
+        read_hit = w_removed & txn["read_files"]
+        if read_hit:
+            raise ConcurrentDeleteReadError(
+                f"{where} removed {sorted(read_hit)[:3]} which this "
+                f"transaction read"
+            )
+        w_masked = set(wrec.get("dv") or {})
+        mask_hit = w_masked & (txn["read_files"] | ours_removed)
+        if mask_hit:
+            raise ConcurrentDeleteReadError(
+                f"{where} re-masked (deletion vector) "
+                f"{sorted(mask_hit)[:3]} which this transaction read"
+            )
+        w_added = list(wrec.get("add") or ())
+        if txn["reads_all"] and (w_added or w_removed or w_masked):
+            if w_added:
+                raise ConcurrentAppendError(
+                    f"{where} added {len(w_added)} file(s) to table "
+                    f"state this transaction replaces"
+                )
+            raise ConcurrentDeleteReadError(
+                f"{where} changed table state this transaction replaces"
+            )
+        if w_added and txn["conflict_on_add"]:
+            raise ConcurrentAppendError(
+                f"{where} added {len(w_added)} file(s) that may hold "
+                f"keys this transaction matched on"
+            )
+        if w_added and txn["read_predicate"] is not None:
+            may_match = prune_candidate_files(
+                w_added,
+                wrec.get("stats") or {},
+                txn["read_predicate"],
+                stat_cols=txn["stat_cols"],
+            )
+            if may_match:
+                raise ConcurrentAppendError(
+                    f"{where} added file(s) {may_match[:3]} whose stats "
+                    f"admit rows matching this transaction's predicate "
+                    f"{txn['read_predicate']!r}"
+                )
 
     def constraints(self) -> dict:
         """Active CHECK constraints (name -> SQL boolean expression) at
@@ -830,10 +1046,13 @@ class VersionedStageTable:
             )
         self._enforce(self.read(), {name: expr})
         cons[name] = expr
-        # pure bookkeeping commit: zero files change hands — O(1) record
+        # pure bookkeeping commit: zero files change hands — O(1) record.
+        # conflict_on_add: a batch landing between our validation scan
+        # and the commit was never checked against the new constraint
         return self._commit(
             "set_constraint", schema_json=prev["schema"],
             version=hint, constraints=cons,
+            txn=self._txn(prev, conflict_on_add=True),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -844,9 +1063,12 @@ class VersionedStageTable:
         if name not in cons:
             raise ValueError(f"{self.path}: no constraint {name!r}")
         del cons[name]
+        # relaxing a constraint invalidates no concurrent writer's work:
+        # rebases over anything except another metadata change
         return self._commit(
             "drop_constraint", schema_json=prev["schema"],
             version=hint, constraints=cons,
+            txn=self._txn(prev),
         )
 
     # -- named refs (tags) ---------------------------------------------------
@@ -1386,6 +1608,10 @@ class VersionedStageTable:
             schema_json=df.schema.json(), version=hint,
             constraints=cons,
             stats=self._collect_stats(files, df.schema.json()),
+            # full-state dependence: replacing a table whose contents
+            # changed underneath is a lost update — typed conflict, no
+            # silent rebase (Delta Serializable for INSERT OVERWRITE)
+            txn=self._txn(prev, reads_all=True) if prev else None,
         )
 
     def append(
@@ -1450,11 +1676,15 @@ class VersionedStageTable:
             schema = schema.add(f)
         hint = prev["version"] + 1
         files = self._write_files(df, hint)
-        # the append's record is O(batch files): adds only, no removes
+        # the append's record is O(batch files): adds only, no removes.
+        # BLIND append: reads nothing, so it auto-rebases over any
+        # concurrent commit except a metadata change (Delta's
+        # ConcurrentAppend never conflicts with itself)
         return self._commit(
             "append", add=files, schema_json=schema.json(), epoch=epoch,
             version=hint, constraints=cons,
             stats=self._collect_stats(files, schema.json()),
+            txn=self._txn(prev),
         )
 
     def merge(
@@ -1587,6 +1817,7 @@ class VersionedStageTable:
                 "merge", add=files, schema_json=prev["schema"],
                 version=hint, constraints=cons,
                 stats=self._collect_stats(files, prev["schema"]),
+                txn=self._txn(prev, conflict_on_add=True),
             )
         # candidate pruning from per-file key bounds BEFORE any scan:
         # a file whose [min, max] range for some key column misses the
@@ -1638,6 +1869,12 @@ class VersionedStageTable:
             constraints=cons,
             stats=self._collect_stats(new_files, prev["schema"]),
             metrics=metrics,
+            # read set = the key-bounds candidates; any concurrent ADD
+            # conflicts (it may hold a matched key the key-envelope
+            # pruning cannot rule out after the fact)
+            txn=self._txn(
+                prev, read_files=candidates, conflict_on_add=True
+            ),
         )
 
     def _prune_merge_candidates(
@@ -1761,7 +1998,8 @@ class VersionedStageTable:
         cond = F.expr(condition).cast("boolean")
         if mode == "dv":
             return self._delete_dv(
-                prev, schema, candidates, cond, hint, epoch=epoch
+                prev, schema, candidates, cond, hint, epoch=epoch,
+                condition=condition,
             )
         # read THROUGH the manifest schema, like read()/changes()/compact():
         # on a schema-evolved table, pre-evolution files lack the new
@@ -1791,6 +2029,11 @@ class VersionedStageTable:
                 "files_candidate": len(candidates),
                 "files_rewritten": len(touched),
             },
+            # read set = the stats candidates; concurrent adds conflict
+            # only when THEIR stats admit rows matching our predicate
+            txn=self._txn(
+                prev, read_files=candidates, read_predicate=condition
+            ),
         )
 
     def _delete_dv(
@@ -1802,6 +2045,7 @@ class VersionedStageTable:
         hint: int,
         *,
         epoch: int | None = None,
+        condition: str | None = None,
     ) -> int:
         """Merge-on-read DELETE: write the matched row positions as a
         sidecar, commit a zero-data-IO record masking them. One scan of
@@ -1870,6 +2114,9 @@ class VersionedStageTable:
                 "dv_files": len(touched),
                 "dv_rows": n_rows,
             },
+            txn=self._txn(
+                prev, read_files=candidates, read_predicate=condition
+            ),
         )
 
     # -- change feed ---------------------------------------------------------
@@ -2030,6 +2277,9 @@ class VersionedStageTable:
             version=hint, constraints=cons,
             stats={f: target_stats[f] for f in add if f in target_stats},
             dv={f: target_dv[f] for f in add if target_dv.get(f)},
+            # the restore delta was computed against the CURRENT
+            # snapshot: any concurrent change invalidates it (typed)
+            txn=self._txn(cur, reads_all=True),
         )
 
     # -- maintenance -------------------------------------------------------
@@ -2092,6 +2342,10 @@ class VersionedStageTable:
                 "files_compacted": len(small),
                 "dv_purged": sum(1 for f in small if f in dv),
             },
+            # read set = the compacted inputs only: OPTIMIZE rebases
+            # freely over concurrent appends (Delta's does too) and
+            # conflicts only when a writer removed/re-masked an input
+            txn=self._txn(prev, read_files=small),
         )
 
     def _compact_zorder(
@@ -2131,6 +2385,10 @@ class VersionedStageTable:
             schema_json=prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(packed, prev["schema"]),
+            # rebases over pure appends (the appended file simply stays
+            # unclustered, like Delta OPTIMIZE); conflicts when a writer
+            # removed/re-masked any snapshot file we re-clustered
+            txn=self._txn(prev, read_files=prev["files"]),
         )
 
     def consolidate_dv(self) -> int:
@@ -2177,6 +2435,10 @@ class VersionedStageTable:
                 "sidecars_after": len(merged),
                 "dv_files": len(files),
             },
+            # read set = the masked files whose sidecar lists we reset:
+            # rebases over appends and unrelated rewrites; conflicts if
+            # a writer removed or re-masked any of them
+            txn=self._txn(prev, read_files=files),
         )
 
     def vacuum(

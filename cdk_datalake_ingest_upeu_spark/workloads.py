@@ -13783,6 +13783,131 @@ FROM documents
 """
 
 
+def stage_concurrent_rebase(spark, sf_dir):
+    """Optimistic concurrency with automatic commit rebase (round 11,
+    operators/versioned._commit txn protocol — Delta's commit-retry
+    loop + Serializable conflict matrix; the reference's stage zone
+    gets this from delta-spark on the tables light_transform.py:
+    1363-1392 writes). Races are injected deterministically: a wrapping
+    LogStore runs an interloper commit right before the victim's
+    commit point, so the victim always loses the version race. Pinned
+    behaviors: (1) a BLIND append loser rebases automatically — both
+    batches land exactly once; (2) a predicate DELETE racing an append
+    whose per-file stats PROVE disjointness rebases too; (3) the same
+    DELETE racing an append whose stats admit matching rows refuses
+    with the typed ConcurrentAppendError instead of silently leaving
+    rows behind; (4) two writers committing the same epoch id collapse
+    to ONE version (idempotence beats rebase). Row counts are
+    SQL-exact over the surviving state."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConcurrentAppendError,
+        PosixLinkLogStore,
+        VersionedStageTable,
+    )
+
+    class _RaceOnce(PosixLinkLogStore):
+        def __init__(self, interloper):
+            self.interloper = interloper
+            self.fired = False
+
+        def put_if_absent(self, target, content):
+            if not self.fired:
+                self.fired = True
+                self.interloper()
+            return super().put_if_absent(target, content)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    far = docs.filter(F.col("doc_id") % 4 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000).cast("long")
+    )
+    work = _tmpdir("ccrebase")
+    path = os.path.join(work, "vt")
+    other = VersionedStageTable(spark, path)
+    other.overwrite(base)
+
+    # (1) blind-append race: victim loses v1 to b2, rebases onto v2
+    victim = VersionedStageTable(
+        spark, path, log_store=_RaceOnce(lambda: other.append(b2))
+    )
+    v_app = victim.append(b1)
+    n_both = victim.read().count()
+    append_rebased = bool(
+        v_app == 2
+        and [h["op"] for h in victim.history()]
+        == ["overwrite", "append", "append"]
+        and victim.read().select("doc_id").distinct().count() == n_both
+    )
+
+    # (2) DELETE racing a stats-provably-DISJOINT append: rebases
+    # (the far batch's doc_id bounds start at 10M, the predicate tops
+    # out at 25 — the winner's own manifest stats prove no overlap)
+    victim2 = VersionedStageTable(
+        spark, path, log_store=_RaceOnce(lambda: other.append(far))
+    )
+    victim2.delete("doc_id < 25")
+    n_after_delete = victim2.read().count()
+
+    # (3) DELETE racing an append that may hold matching rows: typed
+    # refusal, no silent lost rows (the re-appended b1 slice sits
+    # squarely inside the predicate; the 25..49 band is still live so
+    # the delete reaches its commit point)
+    b1_mid = b1.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+    victim3 = VersionedStageTable(
+        spark, path, log_store=_RaceOnce(lambda: other.append(b1_mid))
+    )
+    try:
+        victim3.delete("doc_id < 50")
+        typed_conflict = False
+    except ConcurrentAppendError:
+        typed_conflict = True
+    # converge: the interloper's conflicting batch DID land; a fresh
+    # delete removes it again
+    other.delete("doc_id < 50")
+
+    # (4) same-epoch double-commit: one version, rows land once
+    tiny = spark.createDataFrame(
+        [(30_000_000, "epoch-batch")], victim.read().schema
+    )
+    victim4 = VersionedStageTable(
+        spark, path, log_store=_RaceOnce(lambda: other.append(tiny, epoch=42))
+    )
+    v_a = victim4.append(tiny, epoch=42)
+    epoch_once = bool(v_a == other.latest_version())
+    n_final = victim4.read().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_both,
+                n_after_delete,
+                n_final,
+                append_rebased,
+                typed_conflict,
+                epoch_once,
+            )
+        ],
+        "n_both long, n_after_delete long, n_final long, "
+        "append_rebased boolean, typed_conflict boolean, "
+        "epoch_once boolean",
+    )
+
+
+_CONCURRENT_REBASE_SQL = """
+SELECT CAST(count(*) FILTER (WHERE doc_id % 4 <= 2) AS BIGINT) AS n_both,
+       CAST(count(*) FILTER (WHERE doc_id % 4 <= 2 AND doc_id >= 25)
+            + count(*) FILTER (WHERE doc_id % 4 = 3) AS BIGINT)
+            AS n_after_delete,
+       CAST(count(*) FILTER (WHERE doc_id % 4 <= 2 AND doc_id >= 50)
+            + count(*) FILTER (WHERE doc_id % 4 = 3)
+            + 1 AS BIGINT) AS n_final,
+       TRUE AS append_rebased, TRUE AS typed_conflict,
+       TRUE AS epoch_once
+FROM documents
+"""
+
+
 def stage_lookup_multipredicate_pruned(spark, sf_dir):
     """Multi-column stats-pruned lookup (round 11): the table is
     Z-ORDERED on (doc_id, n_chars) — versioned.compact(zorder_by=…) —
@@ -14082,6 +14207,7 @@ QUERIES = {
     "stage_checkpoint_columnar": stage_checkpoint_columnar,
     "stage_dv_rle_sidecar": stage_dv_rle_sidecar,
     "stage_delete_epoch_replay": stage_delete_epoch_replay,
+    "stage_concurrent_rebase": stage_concurrent_rebase,
     "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
@@ -14453,6 +14579,7 @@ ORACLES = {
     "stage_checkpoint_columnar": _CP_COLUMNAR_SQL,
     "stage_dv_rle_sidecar": _DV_RLE_SQL,
     "stage_delete_epoch_replay": _EPOCH_REPLAY_SQL,
+    "stage_concurrent_rebase": _CONCURRENT_REBASE_SQL,
     "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,

@@ -1026,11 +1026,13 @@ def test_vacuum_keeps_every_retained_version_resolvable(spark, tmp_path):
 
 def test_log_store_seam_carries_the_commit(spark, tmp_path):
     """The commit point is the LogStore, not os.link inline: a counting
-    store sees exactly one put_if_absent per commit, and a store that
-    reports 'already exists' surfaces as ConcurrentCommitError — the
-    documented S3 conditional-PUT mapping drops into this seam."""
+    store sees exactly one put_if_absent per clean commit — the
+    documented S3 conditional-PUT mapping drops into this seam. A
+    reported loss with NO real winner in the log (a transient store
+    refusal) is retried at the same version by the commit-rebase
+    protocol and wins; real-winner races are covered in
+    test_concurrency.py."""
     from cdk_datalake_ingest_upeu_spark.operators.versioned import (
-        ConcurrentCommitError,
         PosixLinkLogStore,
     )
 
@@ -1056,9 +1058,12 @@ def test_log_store_seam_carries_the_commit(spark, tmp_path):
         "00000000.json", "00000001.json",
     ]
     store.lose_next = True
-    with pytest.raises(ConcurrentCommitError):
-        t.append(_df(spark, [(3, "c")]))
-    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    v = t.append(_df(spark, [(3, "c")]))
+    assert v == 2
+    assert [os.path.basename(p) for p in store.puts][-2:] == [
+        "00000002.json", "00000002.json",
+    ]
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
 
 
 def test_enforce_probes_all_constraints_in_one_job(spark, table):

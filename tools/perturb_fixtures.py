@@ -240,9 +240,10 @@ def main() -> None:
     failed = []
     for d in dirs:
         print(f"\n=== sweep: {os.path.basename(d)} ===", flush=True)
+        report = os.path.join(out_root, f"report_{os.path.basename(d)}.json")
         rc = subprocess.call(
             [sys.executable, os.path.join(here, "compare_oracle.py"), d,
-             *queries]
+             f"--report={report}", *queries]
         )
         if rc != 0:
             failed.append(os.path.basename(d))
