@@ -2442,7 +2442,8 @@ class VersionedStageTable:
         )
 
     def vacuum(
-        self, retain_last: int = 1, *, tmp_grace_seconds: float = 3600.0
+        self, retain_last: int = 1, *, tmp_grace_seconds: float = 3600.0,
+        data_grace_seconds: float = 0.0,
     ) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions
         and every data file no retained manifest references — Delta's
@@ -2456,7 +2457,18 @@ class VersionedStageTable:
         write and the atomic link leaves one behind; readers already
         ignore them, vacuum is what reclaims them (the grace period
         protects an IN-FLIGHT commit's temp file from a concurrent
-        vacuum)."""
+        vacuum).
+
+        ``data_grace_seconds`` is the same protection for DATA files:
+        a commit in flight on another writer has already written its
+        parquet but not yet linked its record, so those files look
+        unreferenced — exactly like the orphans a raced/conflicted
+        commit leaves behind for vacuum to reclaim. Only unreferenced
+        files whose mtime is older than the grace are deleted (Delta's
+        VACUUM retention plays this role; its default is 7 days). The
+        default 0.0 reclaims immediately — right for a single writer
+        and for deterministic tests; with CONCURRENT writers set it
+        beyond the longest expected commit duration."""
         vs = self.versions()
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
@@ -2498,20 +2510,27 @@ class VersionedStageTable:
             if v in vs and not _resolves_after_drop(v):
                 self._write_checkpoint(v)
                 have_cp.add(v)
+        import time as _time
+
+        data_cutoff = _time.time() - data_grace_seconds
         deleted = 0
         if os.path.isdir(self.data_dir):
             for sub in sorted(os.listdir(self.data_dir)):
                 subdir = os.path.join(self.data_dir, sub)
                 for fn in sorted(os.listdir(subdir)):
                     rel = os.path.join("data", sub, fn)
-                    if fn.endswith(".parquet") and rel not in referenced:
-                        os.remove(os.path.join(subdir, fn))
+                    p = os.path.join(subdir, fn)
+                    if (
+                        fn.endswith(".parquet")
+                        and rel not in referenced
+                        and os.path.getmtime(p) <= data_cutoff
+                    ):
+                        os.remove(p)
                         deleted += 1
-                    crc = os.path.join(subdir, f".{fn}.crc")
-                    # Spark's local-FS committer writes .crc siblings
-                    if fn.endswith(".parquet") and rel not in referenced \
-                            and os.path.exists(crc):
-                        os.remove(crc)
+                        crc = os.path.join(subdir, f".{fn}.crc")
+                        # Spark's local-FS committer writes .crc siblings
+                        if os.path.exists(crc):
+                            os.remove(crc)
                 if not any(
                     f.endswith(".parquet") for f in os.listdir(subdir)
                 ):
@@ -2526,8 +2545,6 @@ class VersionedStageTable:
             if _CHECKPOINT_RE.fullmatch(f) and int(f[:8]) in dropped_set:
                 os.remove(os.path.join(self.log_dir, f))
         # stale .tmp-* orphans from crashed writers
-        import time as _time
-
         cutoff = _time.time() - tmp_grace_seconds
         for f in os.listdir(self.log_dir):
             p = os.path.join(self.log_dir, f)

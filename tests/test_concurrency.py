@@ -9,6 +9,8 @@ interloper commit immediately before the victim's first commit-point
 attempt, so the victim always loses the version race and must rebase
 or raise."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -229,3 +231,46 @@ def test_rebased_append_survives_read_after_checkpoint(spark, tmp_path):
     assert v == 2 and v in victim.checkpoints()
     fresh = VersionedStageTable(spark, path, checkpoint_interval=2)
     assert _rows(fresh.read()) == [(1, "base"), (2, "win"), (3, "lose")]
+
+
+def _unreferenced_parquet(table):
+    referenced = set()
+    for v in table.versions():
+        m = table._manifest(v)
+        referenced.update(m["files"])
+        for lst in (m.get("dv") or {}).values():
+            referenced.update(lst)
+    out = []
+    data = os.path.join(table.path, "data")
+    for sub in os.listdir(data):
+        for fn in os.listdir(os.path.join(data, sub)):
+            rel = os.path.join("data", sub, fn)
+            if fn.endswith(".parquet") and rel not in referenced:
+                out.append(rel)
+    return sorted(out)
+
+
+def test_vacuum_reclaims_conflict_orphans_with_grace(spark, tmp_path):
+    """A conflicted commit has already written its data files when it
+    raises — they are orphans no manifest references. vacuum reclaims
+    them, but only past data_grace_seconds: a fresh in-flight writer's
+    files (indistinguishable from orphans) survive a concurrent
+    vacuum."""
+    victim, other = _pair(
+        spark, tmp_path, lambda o: o.append(_df(spark, [(5, "missed")]))
+    )
+    other.overwrite(_df(spark, [(i, "x") for i in range(20)]))
+    with pytest.raises(ConcurrentAppendError):
+        victim.delete("k < 10")
+    orphans = _unreferenced_parquet(other)
+    assert orphans  # the refused delete's rewrite landed as files
+    # a long grace treats them as possibly-in-flight: kept
+    rep = other.vacuum(retain_last=100, data_grace_seconds=1e6)
+    assert rep["files_deleted"] == 0
+    assert _unreferenced_parquet(other) == orphans
+    # zero grace reclaims them; every retained version stays readable
+    n_before = other.read().count()
+    rep = other.vacuum(retain_last=100, data_grace_seconds=0.0)
+    assert rep["files_deleted"] == len(orphans)
+    assert _unreferenced_parquet(other) == []
+    assert other.read().count() == n_before
