@@ -417,10 +417,32 @@ class ConstraintViolationError(ValueError):
     table is unchanged."""
 
 
+class TableFeatureError(RuntimeError):
+    """The table's commit log requires a protocol feature this engine
+    does not implement — Delta's table-features gate
+    (``minReaderVersion``/``readerFeatures``). Failing CLOSED here is
+    the point: a reader that ignored, say, an unknown deletion-vector
+    encoding would silently resurrect deleted rows."""
+
+
 # commit-retry bound: each rebase re-checks only the NEW winners since
 # the last attempt, so the loop is O(concurrent commits), and the bound
 # only trips when another writer keeps winning the race for this long
 _MAX_COMMIT_REBASES = 20
+
+# protocol features THIS engine implements. Reader features change what
+# a correct READ requires (ignoring one corrupts results); writer
+# features change only what a correct WRITE must maintain (a pure
+# reader may ignore them). Commit records declare the features their
+# content actually uses; resolution accumulates the union and gates.
+_READER_FEATURES = frozenset({
+    "deletion-vectors",      # dv field masks rows via sidecars
+    "rle-deletion-vectors",  # sidecars hold run-length (start, n) rows
+})
+_WRITER_FEATURES = frozenset({
+    "check-constraints",     # batches must satisfy table CHECKs
+    "txn-epochs",            # epoch ids make commits idempotent
+})
 
 
 class VersionedStageTable:
@@ -561,6 +583,9 @@ class VersionedStageTable:
                 b"constraints": json.dumps(
                     snap.get("constraints") or {}
                 ).encode(),
+                b"protocol": json.dumps(
+                    snap.get("protocol") or {}
+                ).encode(),
             }
         )
         buf = pa.BufferOutputStream()
@@ -599,6 +624,9 @@ class VersionedStageTable:
             "constraints": json.loads(
                 meta.get(b"constraints", b"{}").decode()
             ),
+            "protocol": json.loads(
+                meta.get(b"protocol", b"{}").decode()
+            ),
             "stats": stats,
             "dv": dv,
         }
@@ -630,6 +658,8 @@ class VersionedStageTable:
         dv: dict = {}
         schema = None
         constraints: dict = {}
+        proto_reader: set = set()
+        proto_writer: set = set()
         if cps:
             cp = self._read_checkpoint(cps[-1])
             start = cps[-1]
@@ -638,6 +668,8 @@ class VersionedStageTable:
             dv = {f: list(s) for f, s in (cp.get("dv") or {}).items()}
             schema = cp["schema"]
             constraints = dict(cp.get("constraints") or {})
+            proto_reader.update((cp.get("protocol") or {}).get("reader", ()))
+            proto_writer.update((cp.get("protocol") or {}).get("writer", ()))
         chain = [u for u in self.versions() if start < u <= version]
         if chain != list(range(start + 1, version + 1)):
             raise VersionNotFoundError(
@@ -673,7 +705,19 @@ class VersionedStageTable:
                             cur.append(s)
             schema = r["schema"]
             constraints = dict(r.get("constraints") or {})
+            # protocol is MONOTONE over history (Delta's is too): a
+            # feature once required stays required — union, never reset
+            proto_reader.update((r.get("protocol") or {}).get("reader", ()))
+            proto_writer.update((r.get("protocol") or {}).get("writer", ()))
             last = r
+        unknown = proto_reader - _READER_FEATURES
+        if unknown:
+            raise TableFeatureError(
+                f"{self.path}: version {version} requires reader "
+                f"feature(s) {sorted(unknown)} this engine does not "
+                f"implement; reading anyway could corrupt results — "
+                f"upgrade the engine"
+            )
         out = {
             "version": version,
             "op": last["op"],
@@ -689,6 +733,11 @@ class VersionedStageTable:
         kept_dv = {f: dv[f] for f in out["files"] if f in dv and dv[f]}
         if kept_dv:
             out["dv"] = kept_dv
+        if proto_reader or proto_writer:
+            out["protocol"] = {
+                "reader": sorted(proto_reader),
+                "writer": sorted(proto_writer),
+            }
         if "epoch" in last:
             out["epoch"] = last["epoch"]
         if "metrics" in last:
@@ -790,6 +839,22 @@ class VersionedStageTable:
             # deletion-vector sidecar refs for this commit only (union
             # semantics in resolution): {data file rel: [sidecar rels]}
             record["dv"] = {f: sorted(s) for f, s in dv.items() if s}
+        # protocol: declare the features this record's content USES
+        # (Delta's table features). Absent on plain commits, so legacy
+        # logs and feature-free tables carry zero overhead; resolution
+        # accumulates the union and readers/writers gate on it.
+        reader_req, writer_req = set(), set()
+        if record.get("dv"):
+            reader_req |= {"deletion-vectors", "rle-deletion-vectors"}
+        if constraints:
+            writer_req.add("check-constraints")
+        if epoch is not None:
+            writer_req.add("txn-epochs")
+        if reader_req or writer_req:
+            record["protocol"] = {
+                "reader": sorted(reader_req),
+                "writer": sorted(writer_req),
+            }
         # the commit point — optimistic concurrency, Delta's protocol:
         # version N's record may be created exactly once. With a ``txn``
         # read-set a losing writer REBASES automatically: it replays the
@@ -862,7 +927,21 @@ class VersionedStageTable:
         ``read_predicate`` lets a winner's adds conflict only when
         their stats say rows could match (DELETE); ``conflict_on_add``
         makes EVERY winner add conflict (MERGE — matched keys cannot
-        be expressed as one conjunctive predicate)."""
+        be expressed as one conjunctive predicate).
+
+        Doubling as every mutator's chokepoint, this is also where the
+        WRITER-feature gate lives: committing onto a table that
+        requires a writer feature this engine lacks could break an
+        invariant the unknown feature maintains."""
+        unknown_w = set(
+            ((prev or {}).get("protocol") or {}).get("writer", ())
+        ) - _WRITER_FEATURES
+        if unknown_w:
+            raise TableFeatureError(
+                f"{self.path}: table requires writer feature(s) "
+                f"{sorted(unknown_w)} this engine does not implement; "
+                f"writing anyway could break them — upgrade the engine"
+            )
         schema_json = prev["schema"] if prev else None
         stat_cols = None
         if schema_json is not None:
@@ -983,6 +1062,17 @@ class VersionedStageTable:
                     f"admit rows matching this transaction's predicate "
                     f"{txn['read_predicate']!r}"
                 )
+
+    def protocol(self) -> dict:
+        """Accumulated protocol features the latest version requires:
+        ``{"reader": [...], "writer": [...]}`` (empty when the log
+        never used a gated feature) — Delta's table-features surface.
+        Derived from commit content, monotone over history."""
+        if not self.versions():
+            return {}
+        return dict(
+            self._manifest(self.latest_version()).get("protocol") or {}
+        )
 
     def constraints(self) -> dict:
         """Active CHECK constraints (name -> SQL boolean expression) at

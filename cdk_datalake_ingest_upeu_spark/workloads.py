@@ -13908,6 +13908,73 @@ FROM documents
 """
 
 
+def stage_protocol_features(spark, sf_dir):
+    """Protocol table features (round 11, operators/versioned —
+    Delta's minReaderVersion/readerFeatures gate): commit records
+    declare the features their content uses (deletion vectors -> reader
+    features, epochs/CHECKs -> writer features), resolution accumulates
+    the monotone union, and the engine FAILS CLOSED on features it does
+    not implement — a planted future-engine record makes reads of that
+    version raise TableFeatureError while versions before it stay
+    readable, and an unknown writer feature blocks commits but not
+    reads. Feature-free tables carry no protocol at all (zero
+    overhead). Row counts are SQL-exact."""
+    import json
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        TableFeatureError,
+        VersionedStageTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("proto")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    v0 = t.overwrite(docs)
+    clean_start = bool(t.protocol() == {})
+    v_dv = t.delete("doc_id % 9 = 4", mode="dv")
+    p = t.protocol()
+    dv_declares = bool(
+        set(p.get("reader", ())) == {
+            "deletion-vectors", "rle-deletion-vectors",
+        }
+    )
+    n_after = t.read().count()
+    # plant a record only a NEWER engine could have written
+    v_future = t.latest_version() + 1
+    rec = {
+        "version": v_future, "op": "append", "add": [], "remove": [],
+        "schema": t._manifest(v_dv)["schema"], "committed_at": 0.0,
+        "protocol": {"reader": ["future-mask-codec"], "writer": []},
+    }
+    t.log_store.put_if_absent(
+        os.path.join(t.log_dir, f"{v_future:08d}.json"), json.dumps(rec)
+    )
+    fresh = VersionedStageTable(spark, os.path.join(work, "vt"))
+    try:
+        fresh.read()
+        fails_closed = False
+    except TableFeatureError:
+        fails_closed = True
+    n_old = fresh.read(v_dv).count()  # pre-future versions readable
+    n_v0 = fresh.read(v0).count()
+    return spark.createDataFrame(
+        [(n_v0, n_old, n_after, clean_start, dv_declares, fails_closed)],
+        "n_rows_v0 long, n_rows_old long, n_rows_after long, "
+        "clean_start boolean, dv_declares boolean, fails_closed boolean",
+    )
+
+
+_PROTOCOL_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows_v0,
+       CAST(count(*) FILTER (WHERE doc_id % 9 <> 4) AS BIGINT)
+            AS n_rows_old,
+       CAST(count(*) FILTER (WHERE doc_id % 9 <> 4) AS BIGINT)
+            AS n_rows_after,
+       TRUE AS clean_start, TRUE AS dv_declares, TRUE AS fails_closed
+FROM documents
+"""
+
+
 def stage_lookup_multipredicate_pruned(spark, sf_dir):
     """Multi-column stats-pruned lookup (round 11): the table is
     Z-ORDERED on (doc_id, n_chars) — versioned.compact(zorder_by=…) —
@@ -14208,6 +14275,7 @@ QUERIES = {
     "stage_dv_rle_sidecar": stage_dv_rle_sidecar,
     "stage_delete_epoch_replay": stage_delete_epoch_replay,
     "stage_concurrent_rebase": stage_concurrent_rebase,
+    "stage_protocol_features": stage_protocol_features,
     "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
@@ -14580,6 +14648,7 @@ ORACLES = {
     "stage_dv_rle_sidecar": _DV_RLE_SQL,
     "stage_delete_epoch_replay": _EPOCH_REPLAY_SQL,
     "stage_concurrent_rebase": _CONCURRENT_REBASE_SQL,
+    "stage_protocol_features": _PROTOCOL_SQL,
     "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,

@@ -274,3 +274,87 @@ def test_vacuum_reclaims_conflict_orphans_with_grace(spark, tmp_path):
     assert rep["files_deleted"] == len(orphans)
     assert _unreferenced_parquet(other) == []
     assert other.read().count() == n_before
+
+
+def test_concurrency_model_based_random_races(spark, tmp_path):
+    """Model-based check under contention: a random op sequence where
+    most commits LOSE the version race to an interloper blind append
+    at the commit point. The pure-Python model applies the interloper
+    first (it always wins), then the op — unless the op raised a typed
+    conflict, in which case only the interloper's batch lands. After
+    every step the latest version must read back exactly the model
+    state; no rebase may lose, duplicate, or resurrect a row."""
+    import random
+
+    rng = random.Random(20260816)
+    path = str(tmp_path / "vt")
+    other = VersionedStageTable(spark, path)
+
+    def _frame(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "k int, v string"
+        )
+
+    state = {k: "base" for k in range(0, 40, 2)}
+    other.overwrite(_frame(state))
+    nxt = 1000  # interloper keys: disjoint from every predicate below
+    for step in range(14):
+        op = rng.choice(
+            ["append", "delete", "delete_dv", "merge", "compact",
+             "consolidate_dv"]
+        )
+        race = rng.random() < 0.7
+        ibatch = {nxt: f"i{step}"}
+        nxt += 1
+        if race:
+            store = RaceOnceStore(lambda b=ibatch: other.append(_frame(b)))
+            t = VersionedStageTable(spark, path, log_store=store)
+        else:
+            store = None
+            t = other
+        applied = True
+        pending = None  # model delta if the op commits
+        try:
+            if op == "append":
+                batch = {50 + step: f"a{step}"}
+                t.append(_frame(batch))
+                pending = ("upsert", batch)
+            elif op == "delete":
+                cut = rng.randrange(40)
+                t.delete(f"k < {cut}")
+                pending = ("delete", lambda k: k < cut)
+            elif op == "delete_dv":
+                lo = rng.randrange(40)
+                t.delete(f"k >= {lo} AND k < {lo + 6}", mode="dv")
+                pending = ("delete", lambda k: lo <= k < lo + 6)
+            elif op == "merge":
+                src = {rng.randrange(45): f"m{step}"}
+                t.merge(_frame(src), ["k"])
+                pending = ("upsert", src)
+            elif op == "compact":
+                t.compact(max_file_bytes=1 << 30)
+            else:
+                t.consolidate_dv()
+        except ConcurrentCommitError:
+            applied = False
+        # the interloper commits iff the victim actually reached its
+        # commit point (a no-op delete/compact never races)
+        if race and store.fired:
+            state.update(ibatch)
+        if applied and pending:
+            kind, arg = pending
+            if kind == "upsert":
+                state.update(arg)
+            else:
+                state = {
+                    k: v for k, v in state.items()
+                    if not (k < 1000 and arg(k))
+                }
+        got = {r["k"]: r["v"] for r in other.read().collect()}
+        assert got == state, (step, op, race, applied)
+    # maintenance under the accumulated masks/rebases stays logically
+    # invisible, and vacuum leaves the survivor exact
+    other.consolidate_dv()
+    other.vacuum(retain_last=1)
+    got = {r["k"]: r["v"] for r in other.read().collect()}
+    assert got == state

@@ -1750,3 +1750,90 @@ def test_legacy_json_checkpoint_still_resolves(spark, tmp_path):
     assert got == [(k, f"v{k}") for k in range(5) if k != 1]
     # stats survived the legacy anchor too
     assert set(m.get("stats") or {}) == set(m["files"])
+
+
+# -- protocol table features ----------------------------------------------
+
+
+def test_protocol_derived_from_commit_content(spark, table):
+    """Feature-free tables carry NO protocol; a DV delete makes the
+    manifest require the deletion-vector reader features from that
+    version on (monotone), and an epoch commit adds its writer
+    feature."""
+    table.overwrite(_df(spark, [(i, "x") for i in range(10)]).coalesce(1))
+    assert table.protocol() == {}
+    table.delete("k < 3", mode="dv")
+    p = table.protocol()
+    assert set(p["reader"]) == {"deletion-vectors", "rle-deletion-vectors"}
+    table.append(_df(spark, [(99, "z")]), epoch=5)
+    assert "txn-epochs" in table.protocol()["writer"]
+    # monotone: compaction purges the masks but the features stay
+    table.compact()
+    assert "deletion-vectors" in table.protocol()["reader"]
+
+
+def _plant_future_record(table, *, reader=(), writer=()):
+    """Hand-craft a next-version commit record requiring features this
+    engine does not implement — simulates a table a NEWER engine wrote."""
+    v = table.latest_version() + 1
+    rec = {
+        "version": v,
+        "op": "append",
+        "add": [],
+        "remove": [],
+        "schema": table._manifest(table.latest_version())["schema"],
+        "committed_at": 0.0,
+        "protocol": {"reader": list(reader), "writer": list(writer)},
+    }
+    target = os.path.join(table.log_dir, f"{v:08d}.json")
+    assert table.log_store.put_if_absent(target, json.dumps(rec))
+    return v
+
+
+def test_unknown_reader_feature_fails_closed(spark, table):
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        TableFeatureError,
+    )
+
+    v0 = table.overwrite(_df(spark, [(1, "a")]))
+    v1 = _plant_future_record(table, reader=["v9-frobnicated-masks"])
+    with pytest.raises(TableFeatureError, match="v9-frobnicated-masks"):
+        table.read(v1)
+    with pytest.raises(TableFeatureError):
+        table.read()  # latest resolves through the future record
+    # versions BEFORE the future feature stay readable
+    assert _rows(table.read(v0)) == [(1, "a")]
+
+
+def test_unknown_writer_feature_blocks_writes_not_reads(spark, table):
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        TableFeatureError,
+    )
+
+    table.overwrite(_df(spark, [(1, "a")]))
+    _plant_future_record(table, writer=["auto-compaction-v2"])
+    # a pure reader may ignore writer features
+    assert _rows(table.read()) == [(1, "a")]
+    # but committing could break the invariant the feature maintains
+    with pytest.raises(TableFeatureError, match="auto-compaction-v2"):
+        table.append(_df(spark, [(2, "b")]))
+    with pytest.raises(TableFeatureError):
+        table.delete("k = 1")
+
+
+def test_protocol_survives_checkpoint_anchor(spark, tmp_path):
+    """Resolution anchored at a checkpoint must still see features
+    declared BEFORE it — the checkpoint carries the accumulated
+    protocol in its footer metadata."""
+    t = VersionedStageTable(spark, str(tmp_path / "vt"),
+                            checkpoint_interval=2)
+    t.overwrite(_df(spark, [(i, "x") for i in range(10)]).coalesce(1))
+    t.delete("k < 2", mode="dv")          # v1: declares dv features
+    t.append(_df(spark, [(50, "y")]))     # v2: checkpointed
+    t.append(_df(spark, [(51, "y")]))     # v3
+    assert 2 in t.checkpoints()
+    fresh = VersionedStageTable(spark, str(tmp_path / "vt"),
+                                checkpoint_interval=2)
+    # fresh instance resolves v3 from the v2 checkpoint + one delta:
+    # the dv feature from v1 must survive the anchor hop
+    assert "deletion-vectors" in fresh.protocol()["reader"]
