@@ -13999,9 +13999,17 @@ def stage_lookup_multipredicate_pruned(spark, sf_dir):
     t = VersionedStageTable(spark, os.path.join(work, "vt"))
     t.overwrite(docs)
     t.compact(zorder_by=["doc_id", "n_chars"], target_files=8)
+    # NaN-safe envelope: hostile drops re-type n_chars to double with
+    # NaN holes; NaN maps to NULL (ignored by max) in BOTH engines —
+    # a bare CAST would error in DuckDB and silently yield 0 in Spark
     row = docs.agg(
         F.max(F.col("doc_id").cast("long")).alias("mi"),
-        F.max(F.col("n_chars").cast("long")).alias("mc"),
+        F.max(
+            F.nanvl(
+                F.col("n_chars").cast("double"),
+                F.lit(None).cast("double"),
+            ).cast("long")
+        ).alias("mc"),
     ).first()
     id_cut, chars_cut = int(row["mi"]) // 4, int(row["mc"]) // 2
     cond = f"doc_id < {id_cut} AND n_chars >= {chars_cut}"
@@ -14029,7 +14037,8 @@ def stage_lookup_multipredicate_pruned(spark, sf_dir):
 _MP_LOOKUP_SQL = """
 WITH b AS (
   SELECT max(CAST(doc_id AS BIGINT)) // 4 AS id_cut,
-         max(CAST(n_chars AS BIGINT)) // 2 AS chars_cut
+         max(CASE WHEN isnan(CAST(n_chars AS DOUBLE)) THEN NULL
+                  ELSE CAST(n_chars AS BIGINT) END) // 2 AS chars_cut
   FROM documents
 )
 SELECT CAST(count(*) FILTER (
