@@ -2380,6 +2380,7 @@ class VersionedStageTable:
         *,
         zorder_by: list[str] | None = None,
         target_files: int | None = None,
+        incremental: bool = False,
     ) -> int:
         """OPTIMIZE: bin-pack the current snapshot's SMALL files (< the
         threshold) into one rewrite, carrying every already-large file
@@ -2402,9 +2403,24 @@ class VersionedStageTable:
         Like Delta's, this is a deliberate full rewrite of the
         optimized scope (here: the snapshot); cost is the snapshot
         size, paid once to make every later selective operation
-        O(files-touched)."""
+        O(files-touched).
+
+        ``incremental=True`` (with ``zorder_by``) clusters ONLY the
+        TAIL — files not yet present at the last ``zorder`` commit with
+        the same columns (liquid-clustering's maintenance shape): the
+        already-clustered base carries over by NAME with zero IO, the
+        tail is rewritten clustered, and per-file stats are sharp on
+        both old and new files, so pruning quality accrues while each
+        maintenance pass costs only the data added since the previous
+        one. The steady-state 100 TB pattern: hourly appends + a
+        scheduled incremental cluster, never a full rewrite. Also
+        composes with the commit-rebase protocol better than a full
+        ZORDER: its read set is the tail alone, so it rebases over
+        concurrent rewrites of base files instead of conflicting."""
         if zorder_by is not None:
-            return self._compact_zorder(zorder_by, target_files)
+            return self._compact_zorder(
+                zorder_by, target_files, incremental=incremental
+            )
         prev = self._manifest(self.latest_version())
         dv = prev.get("dv") or {}
         # a file carrying a deletion vector is ALWAYS rewritten (Delta's
@@ -2439,7 +2455,8 @@ class VersionedStageTable:
         )
 
     def _compact_zorder(
-        self, zorder_by: list[str], target_files: int | None
+        self, zorder_by: list[str], target_files: int | None,
+        incremental: bool = False,
     ) -> int:
         from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
 
@@ -2453,7 +2470,28 @@ class VersionedStageTable:
             raise ValueError(
                 f"{self.path}: zorder_by columns {missing} not in table"
             )
-        cur = self._scan(prev["files"], schema, prev.get("dv"))
+        scope = list(prev["files"])
+        anchor = None
+        if incremental:
+            # the tail = files absent from the snapshot of the last
+            # zorder commit on the SAME columns (a COW rewrite of a
+            # clustered file re-enters the tail — it lost its layout).
+            # Finding the anchor walks commit records newest-first:
+            # O(commits since last cluster), tiny delta records only.
+            for v in reversed(self.versions()):
+                rec = self._commit_record(v)
+                if rec.get("op") == "zorder" and (
+                    (rec.get("metrics") or {}).get("zorder_by")
+                    == list(zorder_by)
+                ):
+                    anchor = v
+                    break
+            if anchor is not None:
+                base = set(self._manifest(anchor)["files"])
+                scope = [f for f in prev["files"] if f not in base]
+            if not scope:
+                return prev["version"]
+        cur = self._scan(scope, schema, prev.get("dv"))
         # one column: Morton interleaving degenerates to a plain range
         # clustering on that column (Delta's ZORDER BY (c) likewise)
         z = (
@@ -2471,14 +2509,22 @@ class VersionedStageTable:
             clustered.sortWithinPartitions("__z").drop("__z"), hint
         )
         return self._commit(
-            "zorder", add=packed, remove=prev["files"],
+            "zorder", add=packed, remove=scope,
             schema_json=prev["schema"], version=hint,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(packed, prev["schema"]),
+            metrics={
+                "zorder_by": list(zorder_by),
+                "files_clustered": len(scope),
+                "files_carried": len(prev["files"]) - len(scope),
+                "incremental": bool(incremental and anchor is not None),
+            },
             # rebases over pure appends (the appended file simply stays
             # unclustered, like Delta OPTIMIZE); conflicts when a writer
-            # removed/re-masked any snapshot file we re-clustered
-            txn=self._txn(prev, read_files=prev["files"]),
+            # removed/re-masked a file we re-clustered — for an
+            # incremental pass that is the TAIL alone, so it also
+            # rebases over concurrent rewrites of base files
+            txn=self._txn(prev, read_files=scope),
         )
 
     def consolidate_dv(self) -> int:

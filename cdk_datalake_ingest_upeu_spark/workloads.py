@@ -13908,6 +13908,81 @@ FROM documents
 """
 
 
+def stage_incremental_clustering(spark, sf_dir):
+    """Incremental Z-order maintenance (round 11,
+    versioned.compact(zorder_by=…, incremental=True) — liquid
+    clustering's maintenance shape): after a full ZORDER, appends
+    accumulate an unclustered tail; the incremental pass rewrites ONLY
+    that tail (the clustered base carries over BY NAME, zero IO — file
+    identity pinned), keying the anchor on the cluster columns. Pruning
+    stays sharp across old and new files: a predicate over the
+    appended id range skips every base file by manifest walk alone.
+    The steady-state 100 TB pattern — hourly appends + scheduled
+    incremental clustering, never a full rewrite. Row counts are
+    SQL-exact."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        prune_candidate_files,
+        _stat_columns,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("inccluster")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(docs.repartition(4))
+    v_full = t.compact(zorder_by=["doc_id"], target_files=4)
+    base = set(t._manifest(v_full)["files"])
+    shift = F.lit(100_000).cast("long")
+    a = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + shift
+    )
+    b = docs.filter(F.col("doc_id") % 5 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 2 * shift
+    )
+    t.append(a)
+    t.append(b)
+    tail_n = len(set(t._manifest(t.latest_version())["files"]) - base)
+    v_inc = t.compact(zorder_by=["doc_id"], incremental=True)
+    m = t._manifest(v_inc)
+    met = m.get("metrics") or {}
+    base_carried = bool(
+        base <= set(m["files"])
+        and met.get("incremental") is True
+        and met.get("files_clustered") == tail_n
+    )
+    n_total = t.read().count()
+    # pruning across old+new: the appended range skips EVERY base file
+    import json as _json
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    cand = prune_candidate_files(
+        m["files"], m.get("stats") or {}, "doc_id >= 100000",
+        stat_cols=set(_stat_columns(schema)),
+    )
+    base_pruned = bool(not (set(cand) & base) and len(cand) > 0)
+    n_hi = t.lookup("doc_id >= 100000").count()
+    # nothing new since the pass: the next incremental is a no-op
+    noop_when_clean = bool(
+        t.compact(zorder_by=["doc_id"], incremental=True) == v_inc
+    )
+    return spark.createDataFrame(
+        [(n_total, n_hi, base_carried, base_pruned, noop_when_clean)],
+        "n_total long, n_hi long, base_carried boolean, "
+        "base_pruned boolean, noop_when_clean boolean",
+    )
+
+
+_INC_CLUSTER_SQL = """
+SELECT CAST(count(*)
+            + count(*) FILTER (WHERE doc_id % 5 = 0)
+            + count(*) FILTER (WHERE doc_id % 5 = 1) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE doc_id % 5 = 0)
+            + count(*) FILTER (WHERE doc_id % 5 = 1) AS BIGINT) AS n_hi,
+       TRUE AS base_carried, TRUE AS base_pruned, TRUE AS noop_when_clean
+FROM documents
+"""
+
+
 def stage_protocol_features(spark, sf_dir):
     """Protocol table features (round 11, operators/versioned —
     Delta's minReaderVersion/readerFeatures gate): commit records
@@ -14285,6 +14360,7 @@ QUERIES = {
     "stage_delete_epoch_replay": stage_delete_epoch_replay,
     "stage_concurrent_rebase": stage_concurrent_rebase,
     "stage_protocol_features": stage_protocol_features,
+    "stage_incremental_clustering": stage_incremental_clustering,
     "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
@@ -14658,6 +14734,7 @@ ORACLES = {
     "stage_delete_epoch_replay": _EPOCH_REPLAY_SQL,
     "stage_concurrent_rebase": _CONCURRENT_REBASE_SQL,
     "stage_protocol_features": _PROTOCOL_SQL,
+    "stage_incremental_clustering": _INC_CLUSTER_SQL,
     "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,

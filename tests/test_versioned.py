@@ -1837,3 +1837,90 @@ def test_protocol_survives_checkpoint_anchor(spark, tmp_path):
     # fresh instance resolves v3 from the v2 checkpoint + one delta:
     # the dv feature from v1 must survive the anchor hop
     assert "deletion-vectors" in fresh.protocol()["reader"]
+
+
+# -- incremental zorder clustering ------------------------------------------
+
+
+def test_incremental_zorder_clusters_only_the_tail(spark, table):
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = [(k, "v") for k in rng.sample(range(1000), 60)]
+    table.overwrite(_df(spark, rows).repartition(3))
+    v_full = table.compact(zorder_by=["k"], target_files=4)
+    base = set(table._manifest(v_full)["files"])
+    table.append(_df(spark, [(2000 + i, "t1") for i in range(10)]))
+    table.append(_df(spark, [(3000 + i, "t2") for i in range(10)]))
+    n_before = table.read().count()
+    v_inc = table.compact(zorder_by=["k"], incremental=True)
+    m = table._manifest(v_inc)
+    met = m["metrics"]
+    # the clustered base carried over BY NAME — zero IO for it
+    assert base <= set(m["files"])
+    assert met["incremental"] is True
+    assert met["files_carried"] >= len(base)
+    assert met["files_clustered"] == len(
+        set(table._manifest(v_inc - 1)["files"]) - base
+    )
+    assert table.read().count() == n_before
+    # a second pass with nothing new is a no-op
+    assert table.compact(zorder_by=["k"], incremental=True) == v_inc
+
+
+def test_incremental_zorder_without_prior_full_is_full(spark, table):
+    table.overwrite(_df(spark, [(k, "v") for k in range(30)]).repartition(3))
+    v = table.compact(zorder_by=["k"], target_files=2, incremental=True)
+    met = table._manifest(v)["metrics"]
+    # no anchor: the whole snapshot is the tail
+    assert met["incremental"] is False
+    assert met["files_carried"] == 0
+    assert table.read().count() == 30
+
+
+def test_incremental_zorder_anchor_keys_on_columns(spark, table):
+    """A zorder on DIFFERENT columns is not an anchor: clustering by k
+    after a cluster by v re-clusters everything."""
+    table.overwrite(
+        spark.createDataFrame(
+            [(k, "s%02d" % (k % 7)) for k in range(40)], "k int, v string"
+        ).repartition(3)
+    )
+    table.compact(zorder_by=["v"], target_files=3)
+    v = table.compact(zorder_by=["k"], incremental=True)
+    met = table._manifest(v)["metrics"]
+    assert met["incremental"] is False and met["files_carried"] == 0
+
+
+def test_incremental_zorder_rebases_over_base_file_rewrite(spark, tmp_path):
+    """Unlike a full ZORDER (whole-snapshot read set), the incremental
+    pass reads only the tail — a concurrent COW delete that rewrites a
+    BASE file is no conflict: the rebased commit lands and the
+    winner's rewrite simply joins the next tail."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        PosixLinkLogStore,
+    )
+
+    class RaceOnce(PosixLinkLogStore):
+        def __init__(self, fn):
+            self.fn, self.fired = fn, False
+
+        def put_if_absent(self, target, content):
+            if not self.fired:
+                self.fired = True
+                self.fn()
+            return super().put_if_absent(target, content)
+
+    path = str(tmp_path / "vt")
+    other = VersionedStageTable(spark, path)
+    other.overwrite(_df(spark, [(k, "v") for k in range(40)]).repartition(2))
+    other.compact(zorder_by=["k"], target_files=4)
+    other.append(_df(spark, [(5000, "tail")]))
+    victim = VersionedStageTable(
+        spark, path, log_store=RaceOnce(lambda: other.delete("k = 3"))
+    )
+    n = other.read().count()
+    v = victim.compact(zorder_by=["k"], incremental=True)
+    assert victim._manifest(v)["metrics"]["incremental"] is True
+    got = {r["k"] for r in victim.read().collect()}
+    assert 3 not in got and 5000 in got and len(got) == n - 1
