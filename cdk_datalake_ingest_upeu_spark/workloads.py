@@ -15308,6 +15308,9 @@ _R11_WINDOW = [
     "stage_dv_rle_sidecar",
     "stage_delete_epoch_replay",
     "stage_lookup_multipredicate_pruned",
+    "stage_concurrent_rebase",
+    "stage_protocol_features",
+    "stage_incremental_clustering",
     # (b) last driver-green in r6 — all 38
     "corpus_language_stats",
     "date_range_extract_union",
@@ -15347,15 +15350,14 @@ _R11_WINDOW = [
     "text_features",
     "transform_bytemagic_casts",
     "window_dedup_latest",
-    # (c) last driver-green in r7 — family coverage fill
+    # (c) last driver-green in r7 — family coverage fill (three slots
+    # ceded to the never-checked (a) queries: q4/transform_datemagic/
+    # corpus_pipeline_e2e's families are already covered in (b))
     "forget_everywhere",
     "semantic_semdedup",
     "ann_topk_bruteforce",
-    "q4_late_shipment_priority",
     "streaming_stateful_sessionization",
     "multimodal_image_features",
-    "transform_datemagic",
-    "corpus_pipeline_e2e",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
