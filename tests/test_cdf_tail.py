@@ -1,0 +1,115 @@
+"""Checkpointed change-feed tail: a versioned table consumed as a
+micro-batch stream (Delta readStream CDF analog), with exactly-once
+replication into a second versioned table via batch epochs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+    VersionedStageTable,
+)
+from cdk_datalake_ingest_upeu_spark.streaming.cdf_tail import (
+    FeedTruncatedError,
+    VersionedChangeFeedReader,
+    apply_cdf_batch,
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path):
+    src = VersionedStageTable(spark, str(tmp_path / "src"))
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    rdr = VersionedChangeFeedReader(src, str(tmp_path / "ckpt"))
+    handler = lambda df, f, t: apply_cdf_batch(tgt, df, ["k"], epoch=t)
+    return src, tgt, rdr, handler
+
+
+def test_tail_replicates_source_through_all_op_kinds(spark, tmp_path):
+    src, tgt, rdr, handler = _mk(spark, tmp_path)
+    src.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    assert rdr.poll(handler)["delivered"]  # initial snapshot
+    assert _rows(tgt.read()) == _rows(src.read())
+    src.append(_df(spark, [(4, "d")]))
+    src.merge(_df(spark, [(2, "B"), (5, "e")]), ["k"])
+    rdr.drain(handler)
+    assert _rows(tgt.read()) == _rows(src.read())
+    src.delete("k <= 2")
+    src.append(_df(spark, [(6, "f")]))
+    rdr.drain(handler)
+    assert _rows(tgt.read()) == _rows(src.read())
+    # cursor is at the head; an idle poll delivers nothing
+    assert rdr.poll(handler)["delivered"] is False
+
+
+def test_failed_handler_redelivers_and_epoch_dedups(spark, tmp_path):
+    src, tgt, rdr, handler = _mk(spark, tmp_path)
+    src.overwrite(_df(spark, [(1, "a")]))
+    rdr.poll(handler)
+    src.append(_df(spark, [(2, "b")]))
+
+    calls = {"n": 0}
+
+    def flaky(df, f, t):
+        apply_cdf_batch(tgt, df, ["k"], epoch=t)  # work LANDS ...
+        calls["n"] += 1
+        raise RuntimeError("crash before cursor advance")
+
+    with pytest.raises(RuntimeError):
+        rdr.poll(flaky)
+    # cursor did NOT advance: a fresh reader re-delivers the range
+    rdr2 = VersionedChangeFeedReader(src, str(tmp_path / "ckpt"))
+    assert rdr2.last_consumed() == 0
+    v_before = tgt.latest_version()
+    rdr2.poll(handler)
+    # the re-delivered batch's epoch was already committed: no-op
+    assert tgt.latest_version() == v_before
+    assert _rows(tgt.read()) == _rows(src.read())
+
+
+def test_vacuumed_cursor_raises_truncation(spark, tmp_path):
+    src, tgt, rdr, handler = _mk(spark, tmp_path)
+    src.overwrite(_df(spark, [(1, "a")]))
+    rdr.poll(handler)
+    for i in range(4):
+        src.append(_df(spark, [(10 + i, "x")]))
+    src.vacuum(retain_last=1)  # drops the consumer's cursor version
+    with pytest.raises(FeedTruncatedError, match="retention"):
+        rdr.poll(handler)
+
+
+def test_two_independent_consumers(spark, tmp_path):
+    src = VersionedStageTable(spark, str(tmp_path / "src"))
+    src.overwrite(_df(spark, [(1, "a")]))
+    seen_a, seen_b = [], []
+    ra = VersionedChangeFeedReader(src, str(tmp_path / "ca"))
+    rb = VersionedChangeFeedReader(src, str(tmp_path / "cb"))
+    ra.poll(lambda df, f, t: seen_a.append((f, t, df.count())))
+    src.append(_df(spark, [(2, "b")]))
+    ra.poll(lambda df, f, t: seen_a.append((f, t, df.count())))
+    # b starts late and catches up independently: snapshot then nothing
+    rb.poll(lambda df, f, t: seen_b.append((f, t, df.count())))
+    src.append(_df(spark, [(3, "c")]))
+    rb.poll(lambda df, f, t: seen_b.append((f, t, df.count())))
+    assert seen_a == [(0, 0, 1), (0, 1, 1)]
+    assert seen_b == [(0, 0, 1), (0, 2, 2)]
+
+
+def test_merge_epoch_replay_is_noop(spark, tmp_path):
+    t = VersionedStageTable(spark, str(tmp_path / "vt"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v = t.merge(_df(spark, [(2, "B"), (3, "c")]), ["k"], epoch=9)
+    files = t._manifest(v)["files"]
+    v2 = t.merge(_df(spark, [(2, "B"), (3, "c")]), ["k"], epoch=9)
+    assert v2 == v == t.latest_version()
+    assert t._manifest(v)["files"] == files
+    # genesis merge records its epoch too
+    t2 = VersionedStageTable(spark, str(tmp_path / "vt2"))
+    g = t2.merge(_df(spark, [(1, "a")]), ["k"], epoch=4)
+    assert t2.merge(_df(spark, [(1, "a")]), ["k"], epoch=4) == g == 0
