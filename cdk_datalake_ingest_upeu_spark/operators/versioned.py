@@ -1988,6 +1988,94 @@ class VersionedStageTable:
             ),
         )
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key_columns: list[str],
+        *,
+        epoch: int | None = None,
+    ) -> int:
+        """DELETE every row whose key appears in ``keys`` — the keyed
+        twin of :meth:`delete` for when the victims arrive as a
+        DATAFRAME (change-feed appliers, takedown id lists) rather than
+        a predicate. One commit, merge's exact execution shape minus
+        the re-insert: candidate files are pruned by per-file key
+        bounds against the batch's key envelope (zero IO), only files
+        actually holding a matched key are rewritten without those
+        rows, everything else carries by name. NULL keys never match
+        (equi-join semantics), duplicate keys in the batch are
+        harmless. ``epoch`` gives the same idempotent-replay contract
+        as :meth:`append`/:meth:`merge`/:meth:`delete`.
+
+        The scale point: k victim keys cost ONE pruned scan + one
+        commit — never k DELETE statements (a change-feed applier that
+        loops per-key pays k full job launches and k commits)."""
+        if epoch is not None and self.versions():
+            v = self._epoch_version(epoch)
+            if v is not None:
+                return v
+        if not self.versions():
+            raise VersionNotFoundError(f"{self.path}: no commits")
+        prev = self._manifest(self.latest_version())
+        if not prev["files"]:
+            return prev["version"]
+        missing = [
+            c for c in key_columns
+            if c not in T.StructType.fromJson(
+                json.loads(prev["schema"])
+            ).fieldNames()
+        ]
+        if missing:
+            raise ValueError(
+                f"{self.path}: key columns {missing} not in table"
+            )
+        kdf = keys.select(*key_columns).dropDuplicates().persist()
+        try:
+            candidates = self._prune_merge_candidates(
+                prev, kdf, key_columns
+            )
+            metrics = {
+                "files_total": len(prev["files"]),
+                "files_candidate": len(candidates),
+            }
+            if not candidates:
+                return prev["version"]
+            schema = T.StructType.fromJson(json.loads(prev["schema"]))
+            cur = self._scan(
+                candidates, schema, prev.get("dv"), file_col="__file"
+            )
+            touched_rows = (
+                cur.join(F.broadcast(kdf), key_columns, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            if not touched_rows:
+                return prev["version"]
+            by_name = self._rels_by_name(candidates)
+            touched = sorted(by_name[r["__file"]] for r in touched_rows)
+            metrics["files_rewritten"] = len(touched)
+            hint = prev["version"] + 1
+            kept = self._scan(touched, schema, prev.get("dv")).join(
+                F.broadcast(kdf), key_columns, "left_anti"
+            )
+            new_files = self._write_files(kept, hint)
+            return self._commit(
+                "delete", add=new_files, remove=touched,
+                schema_json=prev["schema"], version=hint, epoch=epoch,
+                constraints=dict(prev.get("constraints") or {}),
+                stats=self._collect_stats(new_files, prev["schema"]),
+                metrics=metrics,
+                # same conflict posture as merge: the read set is the
+                # key-bounds candidates, and any concurrent ADD may
+                # hold a victim key the envelope cannot rule out
+                txn=self._txn(
+                    prev, read_files=candidates, conflict_on_add=True
+                ),
+            )
+        finally:
+            kdf.unpersist()
+
     def _prune_merge_candidates(
         self, prev: dict, source: DataFrame, key_columns: list[str]
     ) -> list[str]:

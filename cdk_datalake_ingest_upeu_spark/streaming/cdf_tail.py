@@ -153,19 +153,16 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
         deletes = pdf.filter(F.col("_change_type") == "delete").drop(
             "_change_type"
         )
-        # keys deleted and NOT re-inserted in the same range vanish
+        # keys deleted and NOT re-inserted in the same range vanish —
+        # applied as ONE keyed anti-delete (one pruned rewrite, one
+        # commit), never a per-key DELETE loop
         gone = deletes.select(*key_columns).exceptAll(
             inserts.select(*key_columns)
-        ).distinct().collect()
+        ).distinct()
         if not target.versions():
             return target.append(inserts, epoch=epoch)
-        for row in gone:
-            cond = " AND ".join(
-                f"{c} = {row[c]!r}" if isinstance(row[c], str)
-                else f"{c} = {row[c]}"
-                for c in key_columns
-            )
-            target.delete(cond)
+        if not gone.isEmpty():
+            target.delete_keys(gone, key_columns)
         if inserts.isEmpty():
             # nothing to merge: land the epoch as a zero-row append so
             # a re-delivery is still a no-op

@@ -1924,3 +1924,29 @@ def test_incremental_zorder_rebases_over_base_file_rewrite(spark, tmp_path):
     assert victim._manifest(v)["metrics"]["incremental"] is True
     got = {r["k"] for r in victim.read().collect()}
     assert 3 not in got and 5000 in got and len(got) == n - 1
+
+
+def test_delete_keys_one_commit_pruned(spark, table):
+    """k victim keys = ONE commit and a key-bounds-pruned rewrite —
+    the keyed twin of predicate DELETE (change-feed appliers must
+    never loop per key)."""
+    table.overwrite(
+        _df(spark, [(k, "x") for k in range(100)]).repartition(4)
+    )
+    table.compact(zorder_by=["k"], target_files=4)
+    v0 = table.latest_version()
+    victims = spark.createDataFrame([(k,) for k in range(5, 15)], "k int")
+    v = table.delete_keys(victims, ["k"])
+    assert v == v0 + 1  # exactly one commit for 10 victims
+    m = table._manifest(v)
+    met = m["metrics"]
+    assert met["files_candidate"] < met["files_total"]  # bounds pruned
+    got = {r["k"] for r in table.read().collect()}
+    assert got == set(range(100)) - set(range(5, 15))
+    # replay with the same epoch is a no-op
+    v2 = table.delete_keys(victims, ["k"], epoch=3)
+    v3 = table.delete_keys(victims, ["k"], epoch=3)
+    assert v3 == v2  # nothing matched the 2nd time anyway, but pinned
+    # no matching key: version unchanged, no commit
+    far = spark.createDataFrame([(10_000,)], "k int")
+    assert table.delete_keys(far, ["k"]) == table.latest_version()
