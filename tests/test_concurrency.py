@@ -358,3 +358,35 @@ def test_concurrency_model_based_random_races(spark, tmp_path):
     other.vacuum(retain_last=1)
     got = {r["k"]: r["v"] for r in other.read().collect()}
     assert got == state
+
+
+def test_delete_keys_equals_predicate_delete(spark, tmp_path):
+    """delete_keys(df) on an IN-expressible victim set must leave the
+    table exactly where the equivalent predicate DELETE would — same
+    survivors, same COW footprint discipline (untouched files carried
+    by name), across several randomly drawn key sets."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        rows = [(k, f"v{k % 7}") for k in rng.sample(range(200), 60)]
+        ta = VersionedStageTable(spark, str(tmp_path / f"a{trial}"))
+        tb = VersionedStageTable(spark, str(tmp_path / f"b{trial}"))
+        df = _df(spark, rows).repartition(3)
+        ta.overwrite(df)
+        tb.overwrite(df)
+        victims = sorted(rng.sample([k for k, _ in rows], 9)
+                         + [5000 + trial])  # one never-present key
+        ta.delete_keys(
+            spark.createDataFrame([(k,) for k in victims], "k int"), ["k"]
+        )
+        tb.delete("k IN (%s)" % ", ".join(map(str, victims)))
+        assert _rows(ta.read()) == _rows(tb.read()), trial
+        # both rewrote the same files: carried-by-name sets agree
+        fa = set(ta._manifest(0)["files"]) & set(
+            ta._manifest(ta.latest_version())["files"]
+        )
+        fb = set(tb._manifest(0)["files"]) & set(
+            tb._manifest(tb.latest_version())["files"]
+        )
+        assert len(fa) == len(fb), trial
