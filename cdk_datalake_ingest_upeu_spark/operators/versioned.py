@@ -1704,12 +1704,63 @@ class VersionedStageTable:
             txn=self._txn(prev, reads_all=True) if prev else None,
         )
 
+    def _last_zorder_columns(self) -> list[str] | None:
+        """Cluster columns of the table's newest ``zorder`` commit, or
+        None when the table was never clustered. Walks delta records
+        newest-first: O(commits since the last cluster)."""
+        for v in reversed(self.versions()):
+            rec = self._commit_record(v)
+            if rec.get("op") == "zorder":
+                cols = (rec.get("metrics") or {}).get("zorder_by")
+                return list(cols) if cols else None
+        return None
+
+    def _cluster_batch(
+        self, df: DataFrame, cluster_files: int | None
+    ) -> DataFrame | None:
+        """Range-partition + sort ``df`` on the table's active cluster
+        key so the batch's files land with DISJOINT cluster-column
+        ranges (sharp stats from the first commit, no maintenance pass
+        needed). None when the table has no active clustering or the
+        batch lacks a cluster column. File count defaults to driver-side
+        metadata sizing (~32 MB clustered files for file-backed
+        batches, one file otherwise — the micro-batch case)."""
+        from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
+
+        cols = self._last_zorder_columns()
+        if not cols or any(c not in df.columns for c in cols):
+            return None
+        if cluster_files is None:
+            total = 0
+            try:
+                from urllib.parse import unquote
+
+                for uri in df.inputFiles():
+                    p = uri
+                    if p.startswith("file:"):
+                        p = "/" + unquote(p[5:]).lstrip("/")
+                    total += os.path.getsize(p)
+            except Exception:
+                total = 0
+            cluster_files = max(1, min(256, total // (32 << 20) + 1))
+        z = (
+            F.col(cols[0]) if len(cols) == 1 else zorder_value(df, cols)
+        )
+        return (
+            df.withColumn("__z", z)
+            .repartitionByRange(cluster_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+
     def append(
         self,
         df: DataFrame,
         *,
         merge_schema: bool = False,
         epoch: int | None = None,
+        cluster: bool = False,
+        cluster_files: int | None = None,
     ) -> int:
         """Append-only commit: manifest = previous files + the batch's
         files. Cost is the batch, independent of table size.
@@ -1728,7 +1779,17 @@ class VersionedStageTable:
         rewrite of history. Without the flag, a batch whose columns
         differ from the table's raises instead of silently committing a
         mixed table; evolving a column's TYPE is refused either way
-        (that is a rewrite, not an append)."""
+        (that is a rewrite, not an append).
+
+        ``cluster=True`` lands the batch PRE-CLUSTERED on the table's
+        active Z-order columns (the newest ``zorder`` commit's):
+        range-partitioned + sorted, so the new files carry disjoint
+        cluster-key ranges and stats-prune sharply from the first
+        commit — liquid clustering's eager-write optimization, which
+        also shrinks the next incremental maintenance pass's tail. A
+        no-op (plain append) when the table was never clustered or the
+        batch lacks a cluster column. ``cluster_files`` overrides the
+        metadata-sized file count (~32 MB clustered files)."""
         if epoch is not None:
             v = self._epoch_version(epoch)
             if v is not None:
@@ -1765,7 +1826,12 @@ class VersionedStageTable:
         for f in added:
             schema = schema.add(f)
         hint = prev["version"] + 1
-        files = self._write_files(df, hint)
+        clustered = None
+        if cluster:
+            clustered = self._cluster_batch(df, cluster_files)
+        files = self._write_files(
+            clustered if clustered is not None else df, hint
+        )
         # the append's record is O(batch files): adds only, no removes.
         # BLIND append: reads nothing, so it auto-rebases over any
         # concurrent commit except a metadata change (Delta's
@@ -1774,6 +1840,11 @@ class VersionedStageTable:
             "append", add=files, schema_json=schema.json(), epoch=epoch,
             version=hint, constraints=cons,
             stats=self._collect_stats(files, schema.json()),
+            metrics=(
+                {"clustered": True, "files": len(files)}
+                if clustered is not None
+                else None
+            ),
             txn=self._txn(prev),
         )
 

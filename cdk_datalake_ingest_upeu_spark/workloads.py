@@ -14077,6 +14077,70 @@ FROM documents
 """
 
 
+def stage_clustered_append(spark, sf_dir):
+    """Eager-write clustering (round 11, versioned.append(cluster=True)
+    — liquid clustering's write-side optimization): on a table with an
+    active Z-order, an appended batch lands range-partitioned + sorted
+    on the cluster key, so its files carry DISJOINT key ranges and
+    stats-prune sharply from the FIRST commit — no maintenance pass
+    needed, and the next incremental pass's tail shrinks to whatever
+    arrived unclustered. Pinned: the batch's per-file [min,max] ranges
+    are pairwise disjoint, a predicate over the appended range skips
+    every base file AND all but one batch file by manifest walk alone,
+    and a never-clustered table appends plainly. Counts SQL-exact."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+        prune_candidate_files,
+        _stat_columns,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    work = _tmpdir("clapp")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(docs)
+    t.compact(zorder_by=["doc_id"], target_files=4)
+    batch = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000).cast("long")
+    )
+    v = t.append(batch.repartition(5), cluster=True, cluster_files=3)
+    m = t._manifest(v)
+    met = m.get("metrics") or {}
+    new = [
+        f for f in m["files"]
+        if f not in set(t._manifest(v - 1)["files"])
+    ]
+    stats = m.get("stats") or {}
+    ranges = sorted(tuple(stats[f]["doc_id"]) for f in new)
+    disjoint = bool(
+        met.get("clustered") is True
+        and len(ranges) == 3
+        and all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+    )
+    import json as _json
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    cand = prune_candidate_files(
+        m["files"], stats, f"doc_id >= {ranges[-1][0]}",
+        stat_cols=set(_stat_columns(schema)),
+    )
+    pruned_sharp = bool(set(cand) <= set(new) and len(cand) == 1)
+    n_hi = t.lookup("doc_id >= 1000000").count()
+    n_total = t.read().count()
+    return spark.createDataFrame(
+        [(n_total, n_hi, disjoint, pruned_sharp)],
+        "n_total long, n_hi long, disjoint boolean, pruned_sharp boolean",
+    )
+
+
+_CLUSTERED_APPEND_SQL = """
+SELECT CAST(count(*) + count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT)
+           AS n_total,
+       CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_hi,
+       TRUE AS disjoint, TRUE AS pruned_sharp
+FROM documents
+"""
+
+
 def stage_protocol_features(spark, sf_dir):
     """Protocol table features (round 11, operators/versioned —
     Delta's minReaderVersion/readerFeatures gate): commit records
@@ -14456,6 +14520,7 @@ QUERIES = {
     "stage_protocol_features": stage_protocol_features,
     "stage_incremental_clustering": stage_incremental_clustering,
     "streaming_cdf_tail": streaming_cdf_tail,
+    "stage_clustered_append": stage_clustered_append,
     "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
@@ -14831,6 +14896,7 @@ ORACLES = {
     "stage_protocol_features": _PROTOCOL_SQL,
     "stage_incremental_clustering": _INC_CLUSTER_SQL,
     "streaming_cdf_tail": _CDF_TAIL_SQL,
+    "stage_clustered_append": _CLUSTERED_APPEND_SQL,
     "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
@@ -15408,6 +15474,7 @@ _R11_WINDOW = [
     "stage_protocol_features",
     "stage_incremental_clustering",
     "streaming_cdf_tail",
+    "stage_clustered_append",
     # (b) last driver-green in r6 — all 38
     "corpus_language_stats",
     "date_range_extract_union",
@@ -15453,7 +15520,6 @@ _R11_WINDOW = [
     "forget_everywhere",
     "semantic_semdedup",
     "ann_topk_bruteforce",
-    "streaming_stateful_sessionization",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {

@@ -1950,3 +1950,44 @@ def test_delete_keys_one_commit_pruned(spark, table):
     # no matching key: version unchanged, no commit
     far = spark.createDataFrame([(10_000,)], "k int")
     assert table.delete_keys(far, ["k"]) == table.latest_version()
+
+
+def test_clustered_append_lands_disjoint_ranges(spark, table):
+    """append(cluster=True) on a zordered table: the batch's files
+    carry DISJOINT cluster-key ranges (sharp stats without waiting for
+    maintenance); the next incremental pass still treats them as tail,
+    and a table never clustered appends plainly (no-op flag)."""
+    import random as _random
+
+    rng = _random.Random(11)
+    table.overwrite(_df(spark, [(k, "x") for k in range(100)]))
+    table.compact(zorder_by=["k"], target_files=4)
+    batch = [(1000 + k, "c") for k in rng.sample(range(400), 120)]
+    v = table.append(_df(spark, batch).repartition(5), cluster=True,
+                     cluster_files=3)
+    m = table._manifest(v)
+    assert m["metrics"] == {"clustered": True, "files": 3}
+    new = [f for f in m["files"]
+           if f not in set(table._manifest(v - 1)["files"])]
+    stats = m["stats"]
+    ranges = sorted(tuple(stats[f]["k"]) for f in new)
+    assert len(ranges) == 3
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: range partitioning did its job
+    # the appended range prunes without any maintenance pass
+    from pyspark.sql import types as T
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        prune_candidate_files, _stat_columns,
+    )
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    cand = prune_candidate_files(
+        m["files"], stats, f"k >= {ranges[2][0]}",
+        stat_cols=set(_stat_columns(schema)),
+    )
+    assert set(cand) <= set(new) and len(cand) < len(m["files"])
+    # never-clustered table: cluster=True is a plain append
+    t2 = VersionedStageTable(spark, table.path + "2")
+    t2.overwrite(_df(spark, [(1, "a")]))
+    v2 = t2.append(_df(spark, [(2, "b")]), cluster=True)
+    assert "metrics" not in t2._manifest(v2)
