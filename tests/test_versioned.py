@@ -316,7 +316,8 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
     for step in range(18):
         op = rng.choice(
             ["overwrite", "append", "merge", "merge_resolve", "compact",
-             "zorder", "restore", "delete", "delete_dv", "consolidate_dv"]
+             "zorder", "restore", "delete", "delete_dv", "consolidate_dv",
+             "delete_keys", "cluster_append", "zorder_incremental"]
         )
         if not history and op != "overwrite":
             op = "overwrite"
@@ -327,6 +328,27 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
             batch = {k: "a%d" % step for k in range(20 + step, 23 + step)}
             state = {**state, **batch}
             v = t.append(_frame(batch))
+        elif op == "cluster_append":
+            # logically identical to append — file LAYOUT changes (the
+            # batch lands range-partitioned on the active cluster key,
+            # a plain write when the table was never zordered), which
+            # the model cannot tell apart: the property under test
+            batch = {k: "ca%d" % step for k in range(40 + step, 44 + step)}
+            state = {**state, **batch}
+            v = t.append(_frame(batch), cluster=True, cluster_files=2)
+        elif op == "delete_keys":
+            ks = sorted({rng.randrange(30) for _ in range(3)})
+            state = {k: vv for k, vv in state.items() if k not in ks}
+            v = t.delete_keys(
+                spark.createDataFrame([(k,) for k in ks], "k int"), ["k"]
+            )
+            if v in live:  # no key present: no new commit
+                continue
+        elif op == "zorder_incremental":
+            v = t.compact(zorder_by=["k"], target_files=2,
+                          incremental=True)
+            if v in live:  # clean tail: no-op
+                continue
         elif op == "merge":
             src = {rng.randrange(25): "m%d" % step for _ in range(3)}
             state = {**state, **src}
