@@ -2446,6 +2446,40 @@ class VersionedStageTable:
             "_change_type", F.lit("delete")
         ).unionByName(inserted.withColumn("_change_type", F.lit("insert")))
 
+    def changes_by_commit(
+        self, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Delta CDF's FULL schema: the change feed at per-commit
+        granularity, each row stamped with the ``_commit_version`` and
+        ``_commit_timestamp`` that produced it (:meth:`changes`
+        collapses the whole range — a row inserted then deleted inside
+        it nets out; here it appears under both commits). Built as the
+        union of the consecutive single-step feeds, so the plan grows
+        with the RANGE, not the table — poll bounded ranges (the
+        change-feed tail reader does by construction)."""
+        if from_version >= to_version:
+            raise ValueError(
+                f"need from_version < to_version, got "
+                f"{from_version} >= {to_version}"
+            )
+        out = None
+        for v in range(from_version, to_version):
+            rec = self._commit_record(v + 1)
+            step = (
+                self.changes(v, v + 1)
+                .withColumn(
+                    "_commit_version", F.lit(v + 1).cast("long")
+                )
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(
+                        float(rec.get("committed_at", 0.0))
+                    ).cast("double"),
+                )
+            )
+            out = step if out is None else out.unionByName(step)
+        return out
+
     def _dv_delta_rows(
         self,
         common: set,
@@ -2561,6 +2595,7 @@ class VersionedStageTable:
         zorder_by: list[str] | None = None,
         target_files: int | None = None,
         incremental: bool = False,
+        where: str | None = None,
     ) -> int:
         """OPTIMIZE: bin-pack the current snapshot's SMALL files (< the
         threshold) into one rewrite, carrying every already-large file
@@ -2585,6 +2620,12 @@ class VersionedStageTable:
         size, paid once to make every later selective operation
         O(files-touched).
 
+        ``where`` (Delta's ``OPTIMIZE ... WHERE``) scopes the bin-pack
+        to files whose manifest stats MAY match the predicate — judged
+        with zero IO by the same tri-valued evaluator DELETE uses —
+        so a hot region's small-file debt is paid without rewriting
+        (or even statting) the cold rest of the table.
+
         ``incremental=True`` (with ``zorder_by``) clusters ONLY the
         TAIL — files not yet present at the last ``zorder`` commit with
         the same columns (liquid-clustering's maintenance shape): the
@@ -2603,12 +2644,22 @@ class VersionedStageTable:
             )
         prev = self._manifest(self.latest_version())
         dv = prev.get("dv") or {}
+        # ``where`` = Delta's OPTIMIZE WHERE: only files whose stats MAY
+        # match the predicate enter the bin-pack (zero IO to decide) —
+        # scoped maintenance of a hot region without touching the rest
+        scope = prev["files"]
+        if where is not None:
+            schema = T.StructType.fromJson(json.loads(prev["schema"]))
+            scope = prune_candidate_files(
+                prev["files"], prev.get("stats") or {}, where,
+                stat_cols=set(_stat_columns(schema)),
+            )
         # a file carrying a deletion vector is ALWAYS rewritten (Delta's
         # REORG/PURGE folded into OPTIMIZE): the rewrite materializes
         # the mask and frees the read path from its anti-join
         small = [
             f
-            for f in prev["files"]
+            for f in scope
             if f in dv or os.path.getsize(self._abs(f)) < max_file_bytes
         ]
         if len(small) < 2 and not any(f in dv for f in small):

@@ -14141,6 +14141,77 @@ FROM documents
 """
 
 
+def stage_optimize_where_cdc(spark, sf_dir):
+    """Scoped OPTIMIZE + per-commit CDF (round 11,
+    versioned.compact(where=…) / changes_by_commit — Delta's
+    ``OPTIMIZE ... WHERE`` and the full CDF schema): the bin-pack
+    touches ONLY files whose manifest stats may match the predicate
+    (cold files carried by name, zero IO even to decide), and the
+    per-commit change feed stamps every row with its
+    ``_commit_version`` — under which the compaction commit contributes
+    ZERO rows (identical content, rewritten layout) while each append
+    contributes exactly its batch. Counts SQL-exact."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000).cast("long")
+    )
+    work = _tmpdir("optwhere")
+    t = VersionedStageTable(spark, os.path.join(work, "vt"))
+    t.overwrite(lo.coalesce(1))                      # v0 cold
+    t.append(lo.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(500_000).cast("long")
+    ).coalesce(1))                                    # v1 cold
+    t.append(hi.coalesce(1))                          # v2 hot
+    t.append(hi.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000).cast("long")
+    ).coalesce(1))                                    # v3 hot
+    before = set(t._manifest(3)["files"])
+    v_opt = t.compact(where="doc_id >= 1000000")
+    m = t._manifest(v_opt)
+    cold_untouched = bool(
+        m["metrics"]["files_compacted"] == 2
+        and len(before & set(m["files"])) == 2
+    )
+    feed = t.changes_by_commit(0, v_opt)
+    per_commit = {
+        r["_commit_version"]: r["n"]
+        for r in feed.groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_hi = hi.count()
+    n_lo = lo.count()
+    compact_feed_empty = bool(
+        v_opt not in per_commit
+        and per_commit.get(1) == n_lo
+        and per_commit.get(2) == n_hi
+        and per_commit.get(3) == n_hi
+    )
+    n_total = t.read().count()
+    n_hot = t.lookup("doc_id >= 1000000").count()
+    return spark.createDataFrame(
+        [(n_total, n_hot, cold_untouched, compact_feed_empty)],
+        "n_total long, n_hot long, cold_untouched boolean, "
+        "compact_feed_empty boolean",
+    )
+
+
+_OPTIMIZE_WHERE_SQL = """
+SELECT CAST(2 * count(*) FILTER (WHERE doc_id % 2 = 0)
+            + 2 * count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+           AS n_total,
+       CAST(2 * count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+           AS n_hot,
+       TRUE AS cold_untouched, TRUE AS compact_feed_empty
+FROM documents
+"""
+
+
 def stage_protocol_features(spark, sf_dir):
     """Protocol table features (round 11, operators/versioned —
     Delta's minReaderVersion/readerFeatures gate): commit records
@@ -14521,6 +14592,7 @@ QUERIES = {
     "stage_incremental_clustering": stage_incremental_clustering,
     "streaming_cdf_tail": streaming_cdf_tail,
     "stage_clustered_append": stage_clustered_append,
+    "stage_optimize_where_cdc": stage_optimize_where_cdc,
     "stage_lookup_multipredicate_pruned": stage_lookup_multipredicate_pruned,
     "corpus_gopher_quality": corpus_gopher_quality,
     "corpus_c4_line_filter": corpus_c4_line_filter,
@@ -14897,6 +14969,7 @@ ORACLES = {
     "stage_incremental_clustering": _INC_CLUSTER_SQL,
     "streaming_cdf_tail": _CDF_TAIL_SQL,
     "stage_clustered_append": _CLUSTERED_APPEND_SQL,
+    "stage_optimize_where_cdc": _OPTIMIZE_WHERE_SQL,
     "stage_lookup_multipredicate_pruned": _MP_LOOKUP_SQL,
     "corpus_gopher_quality": _GOPHER_QUALITY_SQL,
     "corpus_c4_line_filter": _C4_LINE_FILTER_SQL,
@@ -15475,6 +15548,7 @@ _R11_WINDOW = [
     "stage_incremental_clustering",
     "streaming_cdf_tail",
     "stage_clustered_append",
+    "stage_optimize_where_cdc",
     # (b) last driver-green in r6 — all 38
     "corpus_language_stats",
     "date_range_extract_union",
@@ -15519,7 +15593,6 @@ _R11_WINDOW = [
     # corpus_pipeline_e2e's families are already covered in (b))
     "forget_everywhere",
     "semantic_semdedup",
-    "ann_topk_bruteforce",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {

@@ -2013,3 +2013,61 @@ def test_clustered_append_lands_disjoint_ranges(spark, table):
     t2.overwrite(_df(spark, [(1, "a")]))
     v2 = t2.append(_df(spark, [(2, "b")]), cluster=True)
     assert "metrics" not in t2._manifest(v2)
+
+
+def test_compact_where_scopes_the_binpack(spark, table):
+    """OPTIMIZE WHERE: only stats-matching small files enter the
+    rewrite; the cold region's files carry over by name untouched."""
+    table.overwrite(_df(spark, [(k, "lo") for k in range(10)]).coalesce(1))
+    table.append(_df(spark, [(k, "lo2") for k in range(10, 20)]).coalesce(1))
+    table.append(
+        _df(spark, [(k, "hi") for k in range(1000, 1010)]).coalesce(1)
+    )
+    table.append(
+        _df(spark, [(k, "hi2") for k in range(1010, 1020)]).coalesce(1)
+    )
+    before = set(table._manifest(table.latest_version())["files"])
+    v = table.compact(where="k >= 1000")
+    m = table._manifest(v)
+    # the two hot files packed into one; both cold files untouched
+    assert m["metrics"]["files_compacted"] == 2
+    cold_kept = {f for f in before if f in set(m["files"])}
+    assert len(cold_kept) == 2
+    got = {r["k"] for r in table.read().collect()}
+    assert got == set(range(20)) | set(range(1000, 1020))
+    # a scope with nothing to pack is a no-op
+    assert table.compact(where="k < 0") == v
+
+
+def test_changes_by_commit_stamps_each_commit(spark, table):
+    """Per-commit CDF: rows carry the commit that produced them, and
+    the per-step union refines changes() — a row inserted then deleted
+    INSIDE the range nets out of changes() but shows under both
+    commits here."""
+    table.overwrite(_df(spark, [(1, "a")]))           # v0
+    table.append(_df(spark, [(2, "transient")]))      # v1
+    table.delete("k = 2")                             # v2
+    table.append(_df(spark, [(3, "c")]))              # v3
+    feed = table.changes_by_commit(0, 3)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in feed.collect()
+    )
+    assert rows == [
+        (1, "insert", 2),
+        (2, "delete", 2),
+        (3, "insert", 3),
+    ]
+    # timestamps come from the records and are non-decreasing
+    ts = [
+        r["_commit_timestamp"]
+        for r in feed.select("_commit_version", "_commit_timestamp")
+        .distinct().orderBy("_commit_version").collect()
+    ]
+    assert ts == sorted(ts)
+    # the collapsed feed nets the transient row out
+    net = sorted(
+        (r["_change_type"], r["k"])
+        for r in table.changes(0, 3).collect()
+    )
+    assert net == [("insert", 3)]
