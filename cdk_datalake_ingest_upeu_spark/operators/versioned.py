@@ -869,6 +869,19 @@ class VersionedStageTable:
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             if self.log_store.put_if_absent(target, json.dumps(record)):
                 break
+            winners = [v for v in self.versions() if v > checked_upto]
+            if epoch is not None:
+                # idempotence beats rebase AND beats the txn-less raise:
+                # another writer landing THIS batch (same epoch id, e.g.
+                # two retries of one streaming micro-batch — including
+                # the GENESIS race where both writers target version 0)
+                # means our work is already durable; return its version.
+                # Our just-written data files are unreferenced and
+                # vacuum's orphan sweep reclaims them.
+                for w in winners:
+                    if self._commit_record(w).get("epoch") == epoch:
+                        self._epoch_versions[epoch] = w
+                        return w
             if txn is None:
                 raise ConcurrentCommitError(
                     f"{self.path}: version {version} was committed by "
@@ -880,18 +893,8 @@ class VersionedStageTable:
                     f"{self.path}: gave up after {rebases} rebase "
                     f"attempts — a hot writer keeps winning the log race"
                 )
-            winners = [v for v in self.versions() if v > checked_upto]
             for w in winners:
-                wrec = self._commit_record(w)
-                if epoch is not None and wrec.get("epoch") == epoch:
-                    # another writer landed THIS batch (same epoch id,
-                    # e.g. two retries of one streaming micro-batch):
-                    # idempotence wins over rebase — return its version;
-                    # our just-written data files are unreferenced and
-                    # vacuum's orphan sweep reclaims them
-                    self._epoch_versions[epoch] = w
-                    return w
-                self._check_txn_conflict(txn, record, wrec)
+                self._check_txn_conflict(txn, record, self._commit_record(w))
             checked_upto = max(winners) if winners else checked_upto
             version = checked_upto + 1
         if epoch is not None:
@@ -980,6 +983,20 @@ class VersionedStageTable:
         disjoint concurrent append rebases instead of failing."""
         wv = wrec.get("version")
         where = f"{self.path}: concurrent commit {wv}"
+        # a winner whose record declares protocol features THIS engine
+        # lacks closes the gate the pre-commit check enforced against
+        # the (now stale) base snapshot: rebasing past it would write
+        # onto a table whose invariants we cannot maintain — exactly
+        # what a direct retry from a fresh snapshot would refuse
+        wproto = wrec.get("protocol") or {}
+        unknown = (
+            set(wproto.get("writer", ())) - _WRITER_FEATURES
+        ) | (set(wproto.get("reader", ())) - _READER_FEATURES)
+        if unknown:
+            raise TableFeatureError(
+                f"{where} requires feature(s) {sorted(unknown)} this "
+                f"engine does not implement; refusing to rebase onto it"
+            )
         if "files" in wrec:
             # legacy full-snapshot record = an overwrite of everything:
             # only a blind append can rebase across it
@@ -1000,6 +1017,13 @@ class VersionedStageTable:
                 raise MetadataChangedError(
                     f"{where} changed the table schema under this "
                     f"transaction"
+                )
+            if txn["base_schema"] is not None and (
+                (wrec.get("constraints") or {}) != txn["base_constraints"]
+            ):
+                raise MetadataChangedError(
+                    f"{where} changed the CHECK constraints under this "
+                    f"transaction (full-snapshot record)"
                 )
             return
         if txn["base_schema"] is not None:
@@ -1706,14 +1730,24 @@ class VersionedStageTable:
 
     def _last_zorder_columns(self) -> list[str] | None:
         """Cluster columns of the table's newest ``zorder`` commit, or
-        None when the table was never clustered. Walks delta records
-        newest-first: O(commits since the last cluster)."""
-        for v in reversed(self.versions()):
-            rec = self._commit_record(v)
-            if rec.get("op") == "zorder":
-                cols = (rec.get("metrics") or {}).get("zorder_by")
-                return list(cols) if cols else None
-        return None
+        None when the table was never clustered. The walk is
+        INCREMENTAL per instance: only records newer than the previous
+        call are read, so a streaming writer calling
+        ``append(cluster=True)`` per micro-batch pays O(new commits) —
+        never a full log walk, even on a never-clustered table."""
+        vs = self.versions()
+        if not hasattr(self, "_zorder_scan_upto"):
+            self._zorder_scan_upto = -1
+            self._zorder_cols: list[str] | None = None
+        for v in vs:
+            if v > self._zorder_scan_upto:
+                rec = self._commit_record(v)
+                if rec.get("op") == "zorder":
+                    cols = (rec.get("metrics") or {}).get("zorder_by")
+                    self._zorder_cols = list(cols) if cols else None
+        if vs:
+            self._zorder_scan_upto = max(self._zorder_scan_upto, vs[-1])
+        return self._zorder_cols
 
     def _cluster_batch(
         self, df: DataFrame, cluster_files: int | None
@@ -2477,7 +2511,15 @@ class VersionedStageTable:
                     ).cast("double"),
                 )
             )
-            out = step if out is None else out.unionByName(step)
+            # allowMissingColumns: a merge_schema append inside the
+            # range widens later steps' schemas; earlier steps
+            # NULL-backfill the new columns, matching read()'s own
+            # pre-evolution-file semantics
+            out = (
+                step
+                if out is None
+                else out.unionByName(step, allowMissingColumns=True)
+            )
         return out
 
     def _dv_delta_rows(

@@ -90,9 +90,14 @@ class VersionedChangeFeedReader:
         ``_change_type``); the cursor advances only after the handler
         returns. Returns ``{"from": ..., "to": ..., "delivered": bool}``
         (``delivered=False`` when the feed is already drained —
-        idle-poll, no handler call, no cursor write)."""
-        head = self.table.latest_version()
+        idle-poll, no handler call, no cursor write). A producer with
+        ZERO commits yet (consumer wired up first — the normal
+        deployment order) is an idle poll too, not an error."""
         cur = self.last_consumed()
+        if not self.table.versions():
+            at = cur if cur is not None else -1
+            return {"from": at, "to": at, "delivered": False}
+        head = self.table.latest_version()
         if cur is None:
             # initial snapshot: the seed version's full content as
             # inserts (an empty table seeds to an empty batch)

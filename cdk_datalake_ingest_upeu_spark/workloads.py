@@ -15588,9 +15588,16 @@ _R11_WINDOW = [
     "text_features",
     "transform_bytemagic_casts",
     "window_dedup_latest",
-    # (c) last driver-green in r7 — family coverage fill (three slots
-    # ceded to the never-checked (a) queries: q4/transform_datemagic/
-    # corpus_pipeline_e2e's families are already covered in (b))
+    # (c) last driver-green in r7 — family coverage fill. SIX of the
+    # original eight slots were ceded to the never-driver-checked (a)
+    # queries as round 11 added them: q4_late_shipment_priority /
+    # transform_datemagic / corpus_pipeline_e2e (families covered in
+    # (b)), then ann_topk_bruteforce / multimodal_image_features /
+    # streaming_stateful_sessionization — those three families keep
+    # their r7 driver evidence plus THIS round's full local + 5-variant
+    # hostile-sweep evidence (CORRECTNESS_LOCAL_r11 / PERTURB_r11);
+    # only their driver-window recency ages, and they lead the r12
+    # rotation.
     "forget_everywhere",
     "semantic_semdedup",
 ]

@@ -113,3 +113,16 @@ def test_merge_epoch_replay_is_noop(spark, tmp_path):
     t2 = VersionedStageTable(spark, str(tmp_path / "vt2"))
     g = t2.merge(_df(spark, [(1, "a")]), ["k"], epoch=4)
     assert t2.merge(_df(spark, [(1, "a")]), ["k"], epoch=4) == g == 0
+
+
+def test_poll_before_first_commit_is_idle(spark, tmp_path):
+    """Consumer wired up before the producer's first commit: polls are
+    idle, not errors; the seed arrives with the first commit."""
+    src = VersionedStageTable(spark, str(tmp_path / "src"))
+    rdr = VersionedChangeFeedReader(src, str(tmp_path / "ckpt"))
+    seen = []
+    assert rdr.poll(lambda df, f, t: seen.append(t))["delivered"] is False
+    assert seen == [] and rdr.last_consumed() is None
+    src.overwrite(_df(spark, [(1, "a")]))
+    assert rdr.poll(lambda df, f, t: seen.append(df.count()))["delivered"]
+    assert seen == [1]

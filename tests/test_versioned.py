@@ -2071,3 +2071,87 @@ def test_changes_by_commit_stamps_each_commit(spark, table):
         for r in table.changes(0, 3).collect()
     )
     assert net == [("insert", 3)]
+
+
+def test_changes_by_commit_across_schema_evolution(spark, table):
+    """A merge_schema append inside the range widens later steps'
+    schemas; earlier steps NULL-backfill the new column instead of
+    failing the union."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]))
+    table.append(
+        spark.createDataFrame([(3, "c", 1.5)], "k int, v string, w double"),
+        merge_schema=True,
+    )
+    rows = sorted(
+        (r["_commit_version"], r["k"], r["w"])
+        for r in table.changes_by_commit(0, 2).collect()
+    )
+    assert rows == [(1, 2, None), (2, 3, 1.5)]
+
+
+def test_rebase_refuses_winner_with_unknown_features(spark, tmp_path):
+    """A winner whose record declares features this engine lacks must
+    STOP the rebase (the pre-commit writer gate checked only the stale
+    base snapshot)."""
+    import json as _json
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        PosixLinkLogStore, TableFeatureError,
+    )
+
+    path = str(tmp_path / "vt")
+    other = VersionedStageTable(spark, path)
+
+    def plant_future():
+        v = other.latest_version() + 1
+        rec = {
+            "version": v, "op": "append", "add": [], "remove": [],
+            "schema": other._manifest(other.latest_version())["schema"],
+            "committed_at": 0.0,
+            "protocol": {"reader": [], "writer": ["future-w"]},
+        }
+        other.log_store.put_if_absent(
+            os.path.join(other.log_dir, f"{v:08d}.json"), _json.dumps(rec)
+        )
+
+    class RaceOnce(PosixLinkLogStore):
+        def __init__(self):
+            self.fired = False
+
+        def put_if_absent(self, target, content):
+            if not self.fired:
+                self.fired = True
+                plant_future()
+            return super().put_if_absent(target, content)
+
+    other.overwrite(_df(spark, [(1, "a")]))
+    victim = VersionedStageTable(spark, path, log_store=RaceOnce())
+    with pytest.raises(TableFeatureError, match="future-w"):
+        victim.append(_df(spark, [(2, "b")]))
+
+
+def test_genesis_epoch_race_adopts_winner(spark, tmp_path):
+    """Two writers racing the SAME epoch onto an EMPTY table: the loser
+    adopts the winner's version 0 instead of raising."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        PosixLinkLogStore,
+    )
+
+    path = str(tmp_path / "vt")
+    other = VersionedStageTable(spark, path)
+
+    class RaceOnce(PosixLinkLogStore):
+        def __init__(self):
+            self.fired = False
+
+        def put_if_absent(self, target, content):
+            if not self.fired:
+                self.fired = True
+                other.append(_df(spark, [(1, "once")]), epoch=7)
+            return super().put_if_absent(target, content)
+
+    victim = VersionedStageTable(spark, path, log_store=RaceOnce())
+    v = victim.append(_df(spark, [(1, "once")]), epoch=7)
+    assert v == 0 == victim.latest_version()
+    assert _rows(victim.read()) == [(1, "once")]
