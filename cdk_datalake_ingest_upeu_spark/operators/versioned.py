@@ -185,6 +185,62 @@ def _stat_columns(schema: T.StructType) -> list[str]:
     ]
 
 
+# -- column mapping (Delta's name-mode analog) -------------------------------
+#
+# RENAME/DROP COLUMN are zero-IO metadata commits: each field's
+# StructField metadata carries a stable ``physical_name`` — the column
+# name actually written into parquet — while the field's .name is the
+# LOGICAL name users query. Data files are never rewritten for a
+# rename; scans read by physical name and alias back to logical.
+# Per-file stats are keyed by PHYSICAL name (stable across renames, so
+# a rename invalidates no manifest bounds); pruning translates
+# logical predicates through the mapping. A column re-added after a
+# drop gets a FRESH uuid physical name (Delta's col-<uuid> scheme), so
+# the dropped column's bytes never resurrect. Tables that never
+# rename/drop carry no mapping metadata at all — identical layout and
+# plans to pre-mapping tables. Public design: Delta Lake column
+# mapping, name mode (delta.columnMapping.mode = 'name').
+
+_PHYSICAL_KEY = "physical_name"
+
+
+def _physical_names(schema: T.StructType) -> dict:
+    """logical -> physical column name; identity until mapping is
+    activated by the first rename/drop."""
+    return {
+        f.name: (f.metadata or {}).get(_PHYSICAL_KEY, f.name)
+        for f in schema.fields
+    }
+
+
+def _mapping_active(schema: T.StructType) -> bool:
+    return any(_PHYSICAL_KEY in (f.metadata or {}) for f in schema.fields)
+
+
+def _physical_schema(schema: T.StructType) -> T.StructType:
+    """The on-disk twin of a logical schema (metadata stripped — the
+    physical schema exists only to drive the parquet reader)."""
+    return T.StructType(
+        [
+            T.StructField(
+                (f.metadata or {}).get(_PHYSICAL_KEY, f.name),
+                f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _fresh_physical(logical: str) -> str:
+    """Physical name for a column BORN under active mapping: unique
+    against every physical name ever used by this table (including
+    dropped columns still present in old files), so re-adding a
+    dropped column's logical name can never resurrect its bytes —
+    Delta's col-<uuid> physical-name scheme."""
+    return f"col-{uuid.uuid4().hex[:12]}"
+
+
 def _stat_value(v):
     """JSON-safe bound; NaN maps to None = UNKNOWN (never a fake bound —
     Spark's max returns NaN when any value is NaN)."""
@@ -332,16 +388,24 @@ def prune_candidate_files(
     stats: dict,
     condition: str,
     stat_cols: set | None = None,
+    rename: dict | None = None,
 ) -> list[str]:
     """Files that MAY contain a row matching ``condition``, judged from
     per-file [min, max] bounds — conservative data skipping. Files
     without stats are always candidates. ``stat_cols`` (the current
     schema's stat-supported columns) additionally lets a column MISSING
     from a file's bounds exclude it — sound only then, because absence
-    proves schema-evolution NULL backfill or a zero-row file."""
+    proves schema-evolution NULL backfill or a zero-row file.
+    ``rename`` (logical -> physical, from column mapping) translates
+    the predicate's column names into the stats' key space — stats are
+    keyed by PHYSICAL name, which is what keeps every manifest bound
+    valid across renames."""
     conjuncts = _split_top_and(condition)
     if conjuncts is None:
         return list(files)
+    rename = rename or {}
+    if stat_cols is not None:
+        stat_cols = {rename.get(c, c) for c in stat_cols}
     parsed: list[tuple[str, str, object]] = []
     for c in conjuncts:
         c = _strip_outer_parens(c)
@@ -349,13 +413,17 @@ def prune_candidate_files(
         if m:
             lit = _parse_literal(m.group(3))
             if lit is not None:
-                parsed.append((m.group(1), m.group(2), lit))
+                parsed.append(
+                    (rename.get(m.group(1), m.group(1)), m.group(2), lit)
+                )
                 continue
         m = _REV_CMP_RE.fullmatch(c)
         if m:
             lit = _parse_literal(m.group(1))
             if lit is not None:
-                parsed.append((m.group(3), _FLIP[m.group(2)], lit))
+                parsed.append(
+                    (rename.get(m.group(3), m.group(3)), _FLIP[m.group(2)], lit)
+                )
         # unrecognized conjunct: contributes no pruning
     if not parsed:
         return list(files)
@@ -862,6 +930,20 @@ class VersionedStageTable:
         # logically conflicts, re-attempts the SAME delta record at the
         # next version (Delta's commit-retry loop). Without ``txn`` the
         # loss surfaces as ConcurrentCommitError exactly as before.
+        if epoch is not None:
+            # close the epoch TOCTOU window: the CALLER's idempotence
+            # probe ran before it read its base snapshot, so a
+            # same-epoch commit landing between that probe and here
+            # would make our put_if_absent target a FRESH version and
+            # succeed — double-landing the batch. Re-scanning the log
+            # immediately before the commit point means the check and
+            # the claimed version cover the same log prefix (Delta
+            # reads txn versions from the snapshot itself for exactly
+            # this reason). Our just-written data files are orphans;
+            # vacuum's grace-period sweep reclaims them.
+            w = self._epoch_version(epoch)
+            if w is not None:
+                return w
         checked_upto = version - 1
         rebases = 0
         while True:
@@ -2505,10 +2587,14 @@ class VersionedStageTable:
                     "_commit_version", F.lit(v + 1).cast("long")
                 )
                 .withColumn(
+                    # TIMESTAMP, not epoch-seconds DOUBLE: Delta CDF's
+                    # _commit_timestamp is a timestamp column, and
+                    # consumers ported from it (date filters, window
+                    # joins on commit time) type against that
                     "_commit_timestamp",
-                    F.lit(
-                        float(rec.get("committed_at", 0.0))
-                    ).cast("double"),
+                    F.timestamp_seconds(
+                        F.lit(float(rec.get("committed_at", 0.0)))
+                    ),
                 )
             )
             # allowMissingColumns: a merge_schema append inside the
@@ -2666,7 +2752,13 @@ class VersionedStageTable:
         to files whose manifest stats MAY match the predicate — judged
         with zero IO by the same tri-valued evaluator DELETE uses —
         so a hot region's small-file debt is paid without rewriting
-        (or even statting) the cold rest of the table.
+        (or even statting) the cold rest of the table. Composes with
+        ``zorder_by`` (Delta's ``OPTIMIZE ... WHERE ... ZORDER BY``):
+        only the predicate's candidate files are re-clustered.
+        ``incremental=True`` WITHOUT ``zorder_by`` raises — a plain
+        bin-pack has no clustering anchor to be incremental against,
+        and silently running the full bin-pack the caller asked to
+        scope would be a lie.
 
         ``incremental=True`` (with ``zorder_by``) clusters ONLY the
         TAIL — files not yet present at the last ``zorder`` commit with
@@ -2682,7 +2774,14 @@ class VersionedStageTable:
         concurrent rewrites of base files instead of conflicting."""
         if zorder_by is not None:
             return self._compact_zorder(
-                zorder_by, target_files, incremental=incremental
+                zorder_by, target_files, incremental=incremental,
+                where=where,
+            )
+        if incremental:
+            raise ValueError(
+                f"{self.path}: compact(incremental=True) needs "
+                f"zorder_by — a plain bin-pack has no clustering "
+                f"anchor to be incremental against"
             )
         prev = self._manifest(self.latest_version())
         dv = prev.get("dv") or {}
@@ -2729,7 +2828,7 @@ class VersionedStageTable:
 
     def _compact_zorder(
         self, zorder_by: list[str], target_files: int | None,
-        incremental: bool = False,
+        incremental: bool = False, where: str | None = None,
     ) -> int:
         from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
 
@@ -2744,6 +2843,17 @@ class VersionedStageTable:
                 f"{self.path}: zorder_by columns {missing} not in table"
             )
         scope = list(prev["files"])
+        if where is not None:
+            # Delta's OPTIMIZE ... WHERE ZORDER BY: only files whose
+            # manifest stats MAY match the predicate are re-clustered
+            # (zero IO to decide); the cold rest carries over by name.
+            # Composes with incremental below by intersection.
+            scope = prune_candidate_files(
+                scope, prev.get("stats") or {}, where,
+                stat_cols=set(_stat_columns(schema)),
+            )
+            if not scope:
+                return prev["version"]
         anchor = None
         if incremental:
             # the tail = files absent from the snapshot of the last
@@ -2761,7 +2871,7 @@ class VersionedStageTable:
                     break
             if anchor is not None:
                 base = set(self._manifest(anchor)["files"])
-                scope = [f for f in prev["files"] if f not in base]
+                scope = [f for f in scope if f not in base]
             if not scope:
                 return prev["version"]
         cur = self._scan(scope, schema, prev.get("dv"))
@@ -2852,7 +2962,7 @@ class VersionedStageTable:
 
     def vacuum(
         self, retain_last: int = 1, *, tmp_grace_seconds: float = 3600.0,
-        data_grace_seconds: float = 0.0,
+        data_grace_seconds: float = 3600.0,
     ) -> dict:
         """Drop manifests older than the newest ``retain_last`` versions
         and every data file no retained manifest references — Delta's
@@ -2875,9 +2985,14 @@ class VersionedStageTable:
         commit leaves behind for vacuum to reclaim. Only unreferenced
         files whose mtime is older than the grace are deleted (Delta's
         VACUUM retention plays this role; its default is 7 days). The
-        default 0.0 reclaims immediately — right for a single writer
-        and for deterministic tests; with CONCURRENT writers set it
-        beyond the longest expected commit duration."""
+        default (one hour, matching ``tmp_grace_seconds``) is
+        deliberately conservative: a default-arg vacuum racing a
+        concurrent writer must never delete parquet that writer has
+        produced but not yet linked — that would publish a manifest
+        referencing missing files, silent data loss. Deterministic
+        single-writer tests pass ``0.0`` explicitly to reclaim
+        immediately; with slow CONCURRENT writers set it beyond the
+        longest expected commit duration."""
         vs = self.versions()
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")

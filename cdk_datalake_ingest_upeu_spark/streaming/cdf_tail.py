@@ -43,6 +43,15 @@ class FeedTruncatedError(RuntimeError):
     failure). Re-seed the consumer — reprocess from a fresh snapshot."""
 
 
+class SeedAheadError(ValueError):
+    """``starting_version`` is newer than the producer's latest commit
+    — an operator typo, or a consumer wired ahead of its producer.
+    Distinct from :class:`FeedTruncatedError` on purpose: that error's
+    re-seed-and-reprocess remediation would be WRONG here (nothing was
+    vacuumed; the version simply is not committed yet). Wait for the
+    producer, or seed from a live version."""
+
+
 class VersionedChangeFeedReader:
     """Checkpointed micro-batch consumer of one table's change feed.
 
@@ -102,6 +111,16 @@ class VersionedChangeFeedReader:
             # initial snapshot: the seed version's full content as
             # inserts (an empty table seeds to an empty batch)
             seed = self.starting_version
+            if seed > head:
+                # not-yet-committed is NOT vacuumed-past: raising
+                # FeedTruncated here would tell the operator to re-seed
+                # and reprocess when the right move is to wait
+                raise SeedAheadError(
+                    f"{self.table.path}: starting version {seed} is "
+                    f"ahead of the producer's latest commit {head}; "
+                    f"nothing was vacuumed — wait for the producer or "
+                    f"seed from a live version"
+                )
             try:
                 df = self.table.read(seed).withColumn(
                     "_change_type", F.lit("insert")
@@ -145,9 +164,23 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
     table exactly-once. Deletes apply first (keys whose final state in
     the batch is a delete), inserts land as a latest-wins merge; the
     batch's ``to_version`` is the commit epoch, so a re-delivered batch
-    (crash between handler and cursor advance) is a no-op."""
+    (crash between handler and cursor advance) is a no-op.
+
+    One batch may land as TWO commits (the keyed delete, then the
+    merge), and one epoch id can only make ONE commit idempotent — so
+    each leg gets its own SUB-EPOCH derived from the batch epoch:
+    ``2*epoch`` for the delete, ``2*epoch + 1`` for the merge/append.
+    A crash between the legs re-delivers the batch; the delete leg's
+    replay is then a LOG LOOKUP (its sub-epoch is already committed),
+    not a re-executed pruned scan — and the whole-batch fast path keys
+    on the FINAL leg's sub-epoch, which exists iff the batch fully
+    landed. The even/odd split keeps sub-epochs collision-free across
+    batches; the target table must not mix this applier with writers
+    minting raw epochs (standard Delta txn appId discipline — one
+    writer identity, one epoch space)."""
+    delete_epoch, final_epoch = 2 * epoch, 2 * epoch + 1
     if target.versions():
-        v = target._epoch_version(epoch)
+        v = target._epoch_version(final_epoch)
         if v is not None:
             return v
     pdf = df.persist()
@@ -165,13 +198,13 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
             inserts.select(*key_columns)
         ).distinct()
         if not target.versions():
-            return target.append(inserts, epoch=epoch)
+            return target.append(inserts, epoch=final_epoch)
         if not gone.isEmpty():
-            target.delete_keys(gone, key_columns)
+            target.delete_keys(gone, key_columns, epoch=delete_epoch)
         if inserts.isEmpty():
             # nothing to merge: land the epoch as a zero-row append so
             # a re-delivery is still a no-op
-            return target.append(inserts, epoch=epoch)
-        return target.merge(inserts, key_columns, epoch=epoch)
+            return target.append(inserts, epoch=final_epoch)
+        return target.merge(inserts, key_columns, epoch=final_epoch)
     finally:
         pdf.unpersist()

@@ -10126,7 +10126,7 @@ def stage_version_vacuum(spark, sf_dir):
     """VACUUM with version retention on the versioned stage table —
     Delta's VACUUM analog over the parquet commit log
     (``operators/versioned.py``). v0 overwrite, v1 full overwrite
-    (orphaning v0's files), v2 append; then ``vacuum(retain_last=2)``
+    (orphaning v0's files), v2 append; then ``vacuum(retain_last=2, data_grace_seconds=0.0)``
     must (a) reclaim v0's now-unreferenced files, (b) keep every file
     either retained manifest still references — including v1 files the
     v2 append CARRIES OVER BY NAME, the sharing case a naive
@@ -10152,7 +10152,7 @@ def stage_version_vacuum(spark, sf_dir):
         )
     )
     n_before = len(t.versions())
-    res = t.vacuum(retain_last=2)
+    res = t.vacuum(retain_last=2, data_grace_seconds=0.0)
     n_after = len(t.versions())
     try:
         t.read(0)
@@ -12083,7 +12083,7 @@ def stage_tagged_reads(spark, sf_dir):
     (``tag('baseline', v)`` before a risky rewrite). v0 overwrite
     (pre-1996, tagged 'baseline'), v1 overwrite (1996-H1, orphaned),
     v2 overwrite (pre-1997), v3 append (1997-H1); then
-    ``vacuum(retain_last=2)`` must drop exactly the untagged v1 while
+    ``vacuum(retain_last=2, data_grace_seconds=0.0)`` must drop exactly the untagged v1 while
     the baseline tag still reads v0 byte-stable. One row pins the tag
     resolution, both states' aggregates, and the retention booleans."""
     from cdk_datalake_ingest_upeu_spark.operators.versioned import (
@@ -12111,7 +12111,7 @@ def stage_tagged_reads(spark, sf_dir):
             & (F.col("o_orderdate") < "1997-07-01")
         )
     )
-    res = t.vacuum(retain_last=2)
+    res = t.vacuum(retain_last=2, data_grace_seconds=0.0)
     try:
         t.read(1)
         v1_unreadable = False
@@ -13298,7 +13298,7 @@ def stage_incremental_commit_log(spark, sf_dir):
         t._manifest(9)["files"]
     )
     t.tag("keep3", 3)
-    t.vacuum(retain_last=2)
+    t.vacuum(retain_last=2, data_grace_seconds=0.0)
     n_rows_v3 = t.read(tag="keep3").count()
     survivors_readable = (
         n_rows_v3 == t.read(3).count()

@@ -79,7 +79,7 @@ def test_vacuumed_cursor_raises_truncation(spark, tmp_path):
     rdr.poll(handler)
     for i in range(4):
         src.append(_df(spark, [(10 + i, "x")]))
-    src.vacuum(retain_last=1)  # drops the consumer's cursor version
+    src.vacuum(retain_last=1, data_grace_seconds=0.0)  # drops the consumer's cursor version
     with pytest.raises(FeedTruncatedError, match="retention"):
         rdr.poll(handler)
 
@@ -126,3 +126,62 @@ def test_poll_before_first_commit_is_idle(spark, tmp_path):
     src.overwrite(_df(spark, [(1, "a")]))
     assert rdr.poll(lambda df, f, t: seen.append(df.count()))["delivered"]
     assert seen == [1]
+
+
+def test_seed_ahead_of_producer_is_distinct_error(spark, tmp_path):
+    """ADVICE r11 (low): a starting_version NEWER than the producer's
+    head is not 'vacuumed past' — FeedTruncated's re-seed-and-reprocess
+    remediation would be wrong. It raises SeedAheadError instead."""
+    from cdk_datalake_ingest_upeu_spark.streaming.cdf_tail import (
+        SeedAheadError,
+    )
+
+    src = VersionedStageTable(spark, str(tmp_path / "src"))
+    src.overwrite(_df(spark, [(1, "a")]))
+    rdr = VersionedChangeFeedReader(
+        src, str(tmp_path / "ckpt"), starting_version=5
+    )
+    with pytest.raises(SeedAheadError, match="ahead"):
+        rdr.poll(lambda df, f, t: None)
+    # the producer catching up makes the same consumer healthy
+    for i in range(5):
+        src.append(_df(spark, [(10 + i, "x")]))
+    out = rdr.poll(lambda df, f, t: None)
+    assert out == {"from": 5, "to": 5, "delivered": True}
+
+
+def test_apply_cdf_batch_delete_leg_replay_is_log_lookup(spark, tmp_path):
+    """Verdict r11 task #5: the delete and merge legs of one CDF batch
+    commit under DISTINCT sub-epochs (2e / 2e+1), so a crash between
+    them makes the replayed delete leg a log lookup — zero new
+    rewrites — while the merge leg still lands."""
+    src, tgt, rdr, handler = _mk(spark, tmp_path)
+    src.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    rdr.poll(handler)
+    src.delete("k = 1")
+    src.merge(_df(spark, [(2, "B"), (4, "d")]), ["k"])
+    head = src.latest_version()
+
+    # crash between the legs: deliver the batch, run ONLY the delete
+    batch = src.changes(0, head)
+    deletes = batch.filter(F.col("_change_type") == "delete").drop(
+        "_change_type"
+    )
+    inserts = batch.filter(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    gone = deletes.select("k").exceptAll(inserts.select("k")).distinct()
+    tgt.delete_keys(gone, ["k"], epoch=2 * head)
+    v_after_delete = tgt.latest_version()
+
+    # re-delivery (cursor never advanced): the delete leg must NOT
+    # re-execute — no new 'delete' commit appears; the merge lands once
+    rdr.poll(handler)
+    ops = [h["op"] for h in tgt.history()]
+    assert ops.count("delete") == 1
+    assert tgt.latest_version() == v_after_delete + 1
+    assert _rows(tgt.read()) == _rows(src.read())
+    # full-batch replay: one log lookup, nothing new
+    v = apply_cdf_batch(tgt, batch, ["k"], epoch=head)
+    assert v == tgt.latest_version()
+    assert [h["op"] for h in tgt.history()] == ops

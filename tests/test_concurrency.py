@@ -355,7 +355,7 @@ def test_concurrency_model_based_random_races(spark, tmp_path):
     # maintenance under the accumulated masks/rebases stays logically
     # invisible, and vacuum leaves the survivor exact
     other.consolidate_dv()
-    other.vacuum(retain_last=1)
+    other.vacuum(retain_last=1, data_grace_seconds=0.0)
     got = {r["k"]: r["v"] for r in other.read().collect()}
     assert got == state
 

@@ -790,7 +790,7 @@ def test_commit_log_resolution_equals_full_replay(tmp_path_factory, data):
     tag_v = data.draw(st.integers(min_value=0, max_value=n_steps - 1))
     t.tag("anchor", tag_v)
     retain = data.draw(st.integers(min_value=1, max_value=n_steps))
-    t.vacuum(retain_last=retain)
+    t.vacuum(retain_last=retain, data_grace_seconds=0.0)
     keep = set(range(n_steps))
     keep = set(sorted(keep)[-retain:]) | {tag_v}
     for v in range(n_steps):

@@ -75,7 +75,7 @@ def test_vacuum_retention(spark, table):
     table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
     table.overwrite(_df(spark, [(3, "c")]))
     table.append(_df(spark, [(4, "d")]))
-    out = table.vacuum(retain_last=2)
+    out = table.vacuum(retain_last=2, data_grace_seconds=0.0)
     assert out["versions_dropped"] == [0]
     assert out["files_deleted"] > 0  # v0's files referenced nowhere else
     # retained versions still read intact
@@ -100,7 +100,7 @@ def test_vacuum_keeps_shared_files(spark, table):
     vacuuming the older one must not delete them."""
     table.overwrite(_df(spark, [(1, "a")]))
     table.append(_df(spark, [(2, "b")]))
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
 
 
@@ -217,7 +217,7 @@ def test_restore_rolls_back_without_data_io(spark, table):
 def test_restore_past_vacuum_refuses(spark, table):
     table.overwrite(_df(spark, [(1, "a")]))
     table.overwrite(_df(spark, [(2, "b")]))
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     with pytest.raises(VersionNotFoundError):
         table.restore(0)
 
@@ -423,7 +423,7 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
     # vacuum to the last two versions: dropped ones must refuse reads,
     # survivors must still match the model
     keep = sorted(live)[-2:]
-    t.vacuum(retain_last=2)
+    t.vacuum(retain_last=2, data_grace_seconds=0.0)
     for ver in live:
         if ver in keep:
             got = {r["k"]: r["v"] for r in t.read(ver).collect()}
@@ -467,7 +467,7 @@ def test_leaked_tmp_manifest_does_not_poison_log(spark, table):
     v1 = table.append(_df(spark, [(2, "b")]))
     assert v1 == 1
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert table.versions() == [1]
 
 
@@ -581,13 +581,13 @@ def test_tags_read_and_survive_vacuum(spark, table):
     table.tag("baseline", 0)
     assert table.tags() == {"baseline": 0}
     assert _rows(table.read(tag="baseline")) == [(1, "a")]
-    out = table.vacuum(retain_last=1)
+    out = table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert out["versions_dropped"] == [1]  # 0 is tagged, 2 retained
     assert _rows(table.read(tag="baseline")) == [(1, "a")]
     with pytest.raises(VersionNotFoundError):
         table.read(1)
     table.untag("baseline")
-    out2 = table.vacuum(retain_last=1)
+    out2 = table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert out2["versions_dropped"] == [0]
     with pytest.raises(VersionNotFoundError):
         table.read(tag="baseline")
@@ -1029,7 +1029,7 @@ def test_vacuum_keeps_every_retained_version_resolvable(spark, tmp_path):
     for k in range(12):
         t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
     t.tag("old", 3)
-    got = t.vacuum(retain_last=2)
+    got = t.vacuum(retain_last=2, data_grace_seconds=0.0)
     assert got["versions_dropped"] == [v for v in range(12) if v not in
                                        (3, 10, 11)]
     # all three survivors resolve with full content
@@ -1300,13 +1300,13 @@ def test_dv_vacuum_protects_sidecars(spark, table):
     assert sidecars and all(
         os.path.exists(table._abs(s)) for s in sidecars
     )
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     # the DV version is the latest: its mask survives and still applies
     assert all(os.path.exists(table._abs(s)) for s in sidecars)
     assert _rows(table.read()) == [(2, "b")]
     # rewrite everything, then vacuum: the mask is unreferenced -> gone
     table.compact()
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert not any(os.path.exists(table._abs(s)) for s in sidecars)
     assert _rows(table.read()) == [(2, "b")]
 
@@ -1444,7 +1444,7 @@ def test_consolidate_dv_merges_sidecars_without_touching_data(spark, table):
         (k, f"v{k}") for k in range(12) if k not in (1, 3, 5, 7)
     ]
     # vacuum reclaims the old sidecars once unreferenced
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert not any(os.path.exists(table._abs(s)) for s in old_sidecars)
     assert all(os.path.exists(table._abs(s)) for s in new_sidecars)
     assert _rows(table.read()) == [
@@ -1468,7 +1468,7 @@ def test_history_file_counts_across_vacuum_gap(spark, tmp_path):
     for k in range(6):
         t.append(_df(spark, [(k, f"v{k}")]).coalesce(1))
     t.tag("old", 1)
-    t.vacuum(retain_last=2)  # survivors: 1 (tagged), 4, 5
+    t.vacuum(retain_last=2, data_grace_seconds=0.0)  # survivors: 1 (tagged), 4, 5
     got = {h["version"]: h["n_files"] for h in t.history()}
     assert got == {1: 2, 4: 5, 5: 6}
     # v0 (the bootstrap overwrite) was vacuumed; survivors are appends
@@ -1705,7 +1705,7 @@ def test_vacuum_sweeps_stale_tmp_orphans(spark, table):
         with open(p, "w", encoding="utf-8") as fh:
             fh.write("{}")
     os.utime(stale, (1.0, 1.0))  # ancient mtime
-    table.vacuum(retain_last=1)
+    table.vacuum(retain_last=1, data_grace_seconds=0.0)
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # inside the grace period
     assert table.versions() == [1]
@@ -2155,3 +2155,95 @@ def test_genesis_epoch_race_adopts_winner(spark, tmp_path):
     v = victim.append(_df(spark, [(1, "once")]), epoch=7)
     assert v == 0 == victim.latest_version()
     assert _rows(victim.read()) == [(1, "once")]
+
+
+def test_epoch_toctou_same_epoch_winner_between_probe_and_commit(
+    spark, tmp_path
+):
+    """ADVICE r11 (medium): a same-epoch commit landing BETWEEN the
+    caller's idempotence probe and its snapshot read used to make the
+    loser's put_if_absent target a fresh version and SUCCEED — the
+    batch landed twice. _commit now re-scans the epoch immediately
+    before the commit point, so the loser adopts the winner instead."""
+    path = str(tmp_path / "vt")
+    other = VersionedStageTable(spark, path)
+    other.overwrite(_df(spark, [(1, "base")]))
+    victim = VersionedStageTable(spark, path)
+
+    fired = {"done": False}
+    orig = victim.latest_version
+
+    def hooked():
+        # the hostile interleaving: the winner lands THIS batch (same
+        # epoch) after victim's append() already probed the epoch map
+        # but before it reads its base snapshot
+        if not fired["done"]:
+            fired["done"] = True
+            other.append(_df(spark, [(2, "batch")]), epoch=42)
+        return orig()
+
+    victim.latest_version = hooked
+    v = victim.append(_df(spark, [(2, "batch")]), epoch=42)
+    assert v == other.latest_version() == 1
+    # the batch landed exactly ONCE
+    assert _rows(victim.read()) == [(1, "base"), (2, "batch")]
+
+
+def test_vacuum_default_grace_protects_inflight_writers(spark, table):
+    """ADVICE r11 (medium): a default-arg vacuum must NOT reclaim
+    just-written unreferenced parquet — a concurrent writer writes its
+    files BEFORE linking its commit record, and deleting them would
+    publish a manifest referencing missing files. Explicit 0.0 keeps
+    the deterministic immediate-reclaim behavior."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.overwrite(_df(spark, [(2, "b")]))
+    out = table.vacuum(retain_last=1)  # default grace: fresh files survive
+    assert out["files_deleted"] == 0
+    # the files are physically still there even though v0's record is gone
+    out2 = table.vacuum(retain_last=1, data_grace_seconds=0.0)
+    assert out2["files_deleted"] >= 1
+
+
+def test_compact_incremental_without_zorder_raises(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="incremental"):
+        table.compact(incremental=True)
+
+
+def test_compact_zorder_honors_where_scope(spark, table):
+    """compact(zorder_by=..., where=...) re-clusters ONLY the
+    predicate's stats-candidate files; cold files carry over by name
+    (it used to silently ignore `where` and rewrite everything)."""
+    lo = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"), F.lit("lo").alias("v")
+    )
+    hi = spark.range(1000, 1100).select(
+        F.col("id").cast("int").alias("k"), F.lit("hi").alias("v")
+    )
+    table.overwrite(lo.coalesce(1))
+    table.append(hi.coalesce(2))
+    before = set(table._manifest(table.latest_version())["files"])
+    v = table.compact(zorder_by=["k"], where="k >= 1000")
+    m = table._manifest(v)
+    # the lo file survived untouched; the hi files were re-clustered
+    assert m["metrics"]["files_clustered"] == 2
+    lo_files = {f for f in before if f in set(m["files"])}
+    assert len(lo_files) == 1
+    assert _rows(table.read()) == _rows(lo.unionByName(hi))
+    # a predicate matching nothing is a no-op commit-wise
+    assert table.compact(zorder_by=["k"], where="k < 0") == v
+
+
+def test_changes_by_commit_timestamp_is_timestamp_typed(spark, table):
+    """ADVICE r11 (low): Delta CDF's _commit_timestamp is a TIMESTAMP
+    column; consumers ported from the reference type against that."""
+    from pyspark.sql import types as T
+
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]))
+    feed = table.changes_by_commit(0, 1)
+    assert isinstance(
+        feed.schema["_commit_timestamp"].dataType, T.TimestampType
+    )
+    ts = [r["_commit_timestamp"] for r in feed.collect()]
+    assert all(t is not None for t in ts)
