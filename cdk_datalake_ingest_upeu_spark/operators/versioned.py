@@ -89,6 +89,9 @@ from pyspark.sql import types as T
 _MANIFEST_RE = re.compile(r"\d{8}\.json")
 _CHECKPOINT_RE = re.compile(r"\d{8}\.checkpoint\.(parquet|json)")
 _TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+# rename targets stay plain identifiers: the pruning grammar, CHECK
+# expressions, and unquoted user SQL all assume them
+_COLNAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _TMP_RE = re.compile(r"\.tmp-[0-9a-f]{8}\.(json|parquet)")
 
 
@@ -506,11 +509,152 @@ _MAX_COMMIT_REBASES = 20
 _READER_FEATURES = frozenset({
     "deletion-vectors",      # dv field masks rows via sidecars
     "rle-deletion-vectors",  # sidecars hold run-length (start, n) rows
+    "column-mapping",        # fields carry stable physical_name; scans
+                             # must read by physical name (Delta's
+                             # columnMapping name mode)
 })
 _WRITER_FEATURES = frozenset({
     "check-constraints",     # batches must satisfy table CHECKs
     "txn-epochs",            # epoch ids make commits idempotent
+    "column-mapping",        # writers must land batches under physical
+                             # names and mint fresh ones for new columns
 })
+
+
+class _LazyCheckpointStats:
+    """Per-file stats of a resolved snapshot, backed by a columnar
+    checkpoint whose ``stats`` column is NOT read until some caller
+    actually needs bounds. File-list-only resolutions — ``read()``,
+    ``changes()``'s manifest diff, vacuum's reference walk — therefore
+    never deserialize a single stats JSON string, which is what keeps
+    driver-side snapshot materialization narrow at 10^6-file scale
+    (the checkpoint's path/dv columns are the only ones decoded).
+    Mapping-shaped: pruning code uses ``in``/``get``/``[]`` unchanged;
+    the first such access reads the checkpoint's path+stats columns
+    once (one counted ``stats_loads`` event on the owning table) and
+    decodes JSON per accessed file, memoized. Chain deltas layer on
+    top via ``update``/``pop`` without any load."""
+
+    def __init__(self, owner, cp_path: str):
+        self._owner = owner
+        self._cp_path = cp_path
+        self._decoded: dict = {}
+        self._removed: set = set()
+        self._live: set | None = None
+        self._raw: dict | None = None
+
+    def _load(self) -> None:
+        if self._raw is not None:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self._cp_path, columns=["path", "stats"])
+        self._owner._stats_loads += 1
+        self._raw = {
+            p: s
+            for p, s in zip(
+                tbl.column("path").to_pylist(),
+                tbl.column("stats").to_pylist(),
+            )
+            if s is not None
+        }
+
+    def _visible(self, key) -> bool:
+        if key in self._removed:
+            return False
+        return self._live is None or key in self._live or (
+            key in self._decoded
+        )
+
+    def __contains__(self, key) -> bool:
+        if key in self._decoded:
+            return True
+        if not self._visible(key):
+            return False
+        self._load()
+        return key in self._raw
+
+    def __getitem__(self, key):
+        if key in self._decoded:
+            return self._decoded[key]
+        if not self._visible(key):
+            raise KeyError(key)
+        self._load()
+        v = json.loads(self._raw[key])
+        self._decoded[key] = v
+        return v
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def raw_json(self, key) -> str | None:
+        """The stats JSON string for ``key`` without a decode/encode
+        round-trip — the checkpoint writer's passthrough."""
+        if key in self._decoded:
+            return json.dumps(self._decoded[key])
+        if not self._visible(key):
+            return None
+        self._load()
+        return self._raw.get(key)
+
+    def pop(self, key, default=None):
+        # deliberately lazy: returns the decoded value only if one is
+        # already materialized (resolution's only caller discards the
+        # return) — a strict dict.pop would force the column load on
+        # every chain delta that removes a file
+        out = self._decoded.pop(key, default)
+        self._removed.add(key)
+        return out
+
+    def update(self, other: dict) -> None:
+        self._decoded.update(other)
+        self._removed.difference_update(other)
+
+    def prune_to(self, live) -> None:
+        """Restrict visibility to ``live`` file keys — O(decoded), no
+        load; checkpoint-resident keys outside ``live`` just become
+        invisible."""
+        live = set(live)
+        self._live = live
+        self._decoded = {
+            k: v for k, v in self._decoded.items() if k in live
+        }
+
+    # full-materialization surface (introspection / checkpoint write):
+    # these DO load — callers here genuinely need every bound
+
+    def _all_keys(self) -> list:
+        self._load()
+        keys = set(self._decoded) | (set(self._raw) - self._removed)
+        if self._live is not None:
+            keys = {
+                k for k in keys if k in self._live or k in self._decoded
+            }
+        return sorted(keys)
+
+    def __iter__(self):
+        return iter(self._all_keys())
+
+    def __len__(self) -> int:
+        return len(self._all_keys())
+
+    def __bool__(self) -> bool:
+        # cheap and conservative: an unbacked empty overlay is falsy,
+        # anything checkpoint-backed is truthy without a load (callers
+        # use truthiness only as a skip-pruning fast path)
+        return True
+
+    def keys(self):
+        return self._all_keys()
+
+    def values(self):
+        return [self[k] for k in self._all_keys()]
+
+    def items(self):
+        return [(k, self[k]) for k in self._all_keys()]
 
 
 class VersionedStageTable:
@@ -549,6 +693,10 @@ class VersionedStageTable:
         # checkpoints) — lets tests pin that repeated reads of one
         # version resolve the log exactly once
         self._log_reads = 0
+        # observability: checkpoint STATS-column loads — lets tests pin
+        # that file-list-only resolutions (read/changes/vacuum) never
+        # deserialize per-file stats (the 10^6-file driver-width axis)
+        self._stats_loads = 0
         self._last_checkpoint_error: Exception | None = None
         # epoch -> version map for idempotent streaming commits,
         # built INCREMENTALLY: each check scans only records newer
@@ -630,16 +778,19 @@ class VersionedStageTable:
         files = snap["files"]
         stats = snap.get("stats") or {}
         dv = snap.get("dv") or {}
+        if isinstance(stats, _LazyCheckpointStats):
+            # passthrough: re-checkpoint raw JSON strings without a
+            # decode/encode round-trip per file
+            stats_col = [stats.raw_json(f) for f in files]
+        else:
+            stats_col = [
+                json.dumps(stats[f]) if f in stats else None
+                for f in files
+            ]
         tbl = pa.table(
             {
                 "path": pa.array(files, pa.string()),
-                "stats": pa.array(
-                    [
-                        json.dumps(stats[f]) if f in stats else None
-                        for f in files
-                    ],
-                    pa.string(),
-                ),
+                "stats": pa.array(stats_col, pa.string()),
                 "dv": pa.array(
                     [dv.get(f) for f in files], pa.list_(pa.string())
                 ),
@@ -664,8 +815,13 @@ class VersionedStageTable:
 
     def _read_checkpoint(self, version: int) -> dict:
         """Load a checkpoint as the resolved-snapshot dict. Prefers the
-        columnar parquet form; falls back to the legacy monolithic JSON
-        (pre-r11 tables stay readable)."""
+        columnar parquet form — COLUMN-PRUNED: only ``path`` and ``dv``
+        are decoded here (the table singletons live in the footer);
+        ``stats`` comes back as a :class:`_LazyCheckpointStats` that
+        reads its column only when some caller actually prunes on
+        bounds, so a file-list-only resolution at 10^6 files never
+        deserializes 10^6 stats JSON strings on the driver. Falls back
+        to the legacy monolithic JSON (pre-r11 tables stay readable)."""
         import pyarrow.parquet as pq
 
         self._log_reads += 1
@@ -676,15 +832,14 @@ class VersionedStageTable:
             )
             with open(legacy, encoding="utf-8") as fh:
                 return json.load(fh)
-        tbl = pq.read_table(p)
+        tbl = pq.read_table(p, columns=["path", "dv"])
         meta = tbl.schema.metadata or {}
-        files, stats, dv = [], {}, {}
-        for row in tbl.to_pylist():
-            files.append(row["path"])
-            if row["stats"] is not None:
-                stats[row["path"]] = json.loads(row["stats"])
-            if row["dv"]:
-                dv[row["path"]] = list(row["dv"])
+        files = tbl.column("path").to_pylist()
+        dv = {
+            f: list(s)
+            for f, s in zip(files, tbl.column("dv").to_pylist())
+            if s
+        }
         return {
             "version": int(meta[b"version"].decode()),
             "files": files,
@@ -695,7 +850,7 @@ class VersionedStageTable:
             "protocol": json.loads(
                 meta.get(b"protocol", b"{}").decode()
             ),
-            "stats": stats,
+            "stats": _LazyCheckpointStats(self, p),
             "dv": dv,
         }
 
@@ -732,7 +887,14 @@ class VersionedStageTable:
             cp = self._read_checkpoint(cps[-1])
             start = cps[-1]
             files = list(cp["files"])
-            stats = dict(cp.get("stats") or {})
+            cp_stats = cp.get("stats")
+            # keep the lazy object AS the accumulator: chain deltas
+            # (update/pop) layer on it without forcing the column load
+            stats = (
+                cp_stats
+                if isinstance(cp_stats, _LazyCheckpointStats)
+                else dict(cp_stats or {})
+            )
             dv = {f: list(s) for f, s in (cp.get("dv") or {}).items()}
             schema = cp["schema"]
             constraints = dict(cp.get("constraints") or {})
@@ -751,6 +913,7 @@ class VersionedStageTable:
             r = rec if u == version else self._commit_record(u)
             if "files" in r:
                 # legacy snapshot record mid-chain: resolution resets
+                # (including any lazy checkpoint backing)
                 fset = set(r["files"])
                 stats = dict(r.get("stats") or {})
                 dv = {}
@@ -795,9 +958,17 @@ class VersionedStageTable:
         }
         if constraints:
             out["constraints"] = constraints
-        kept_stats = {f: stats[f] for f in out["files"] if f in stats}
-        if kept_stats:
-            out["stats"] = kept_stats
+        if isinstance(stats, _LazyCheckpointStats):
+            # restrict to live files WITHOUT materializing: the stats
+            # column stays unread until a pruning caller needs bounds
+            stats.prune_to(out["files"])
+            out["stats"] = stats
+        else:
+            kept_stats = {
+                f: stats[f] for f in out["files"] if f in stats
+            }
+            if kept_stats:
+                out["stats"] = kept_stats
         kept_dv = {f: dv[f] for f in out["files"] if f in dv and dv[f]}
         if kept_dv:
             out["dv"] = kept_dv
@@ -918,6 +1089,14 @@ class VersionedStageTable:
             writer_req.add("check-constraints")
         if epoch is not None:
             writer_req.add("txn-epochs")
+        # the substring probe is a cheap pre-filter; the json parse
+        # confirms the key sits in FIELD METADATA (where this engine
+        # puts it), not in some user string literal
+        if _PHYSICAL_KEY in schema_json and _mapping_active(
+            T.StructType.fromJson(json.loads(schema_json))
+        ):
+            reader_req.add("column-mapping")
+            writer_req.add("column-mapping")
         if reader_req or writer_req:
             record["protocol"] = {
                 "reader": sorted(reader_req),
@@ -1029,10 +1208,11 @@ class VersionedStageTable:
             )
         schema_json = prev["schema"] if prev else None
         stat_cols = None
+        rename = None
         if schema_json is not None:
-            stat_cols = set(
-                _stat_columns(T.StructType.fromJson(json.loads(schema_json)))
-            )
+            base = T.StructType.fromJson(json.loads(schema_json))
+            stat_cols = set(_stat_columns(base))
+            rename = _physical_names(base)
         return {
             "base_schema": schema_json,
             "base_constraints": dict((prev or {}).get("constraints") or {}),
@@ -1041,6 +1221,11 @@ class VersionedStageTable:
             "read_predicate": read_predicate,
             "conflict_on_add": conflict_on_add,
             "stat_cols": stat_cols,
+            # logical->physical map of the base schema: a winner's adds
+            # carry physical-keyed stats, and rebase is only reached
+            # when the winner's schema EQUALS the base (metadata
+            # changes raise first), so the base map is the right one
+            "rename": rename,
         }
 
     def _check_txn_conflict(
@@ -1161,6 +1346,7 @@ class VersionedStageTable:
                 wrec.get("stats") or {},
                 txn["read_predicate"],
                 stat_cols=txn["stat_cols"],
+                rename=txn["rename"],
             )
             if may_match:
                 raise ConcurrentAppendError(
@@ -1264,6 +1450,131 @@ class VersionedStageTable:
         return self._commit(
             "drop_constraint", schema_json=prev["schema"],
             version=hint, constraints=cons,
+            txn=self._txn(prev),
+        )
+
+    # -- column mapping (rename / drop) --------------------------------------
+
+    @staticmethod
+    def _constraints_referencing(cons: dict, column: str) -> list[str]:
+        """Constraint names whose expression mentions ``column`` as an
+        identifier (word-boundary or backtick-quoted) — conservative:
+        a hit inside a string literal also counts, because silently
+        keeping a constraint that no longer binds would be worse than
+        asking the user to drop and re-add it."""
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_]){re.escape(column)}(?![A-Za-z0-9_])"
+        )
+        return sorted(n for n, e in cons.items() if pat.search(e))
+
+    def _activate_mapping(
+        self, schema: T.StructType, drop: str | None = None,
+        rename: tuple | None = None,
+    ) -> T.StructType:
+        """The schema with column mapping ACTIVE: every surviving field
+        carries a ``physical_name`` frozen to its current physical
+        (first activation freezes the on-disk names as they are —
+        existing files need no rewrite), with ``drop`` removed and
+        ``rename=(old, new)`` applied to logical names only."""
+        fields = []
+        for f in schema.fields:
+            if drop is not None and f.name == drop:
+                continue
+            md = dict(f.metadata or {})
+            md.setdefault(_PHYSICAL_KEY, f.name)
+            name = f.name
+            if rename is not None and f.name == rename[0]:
+                name = rename[1]
+            fields.append(T.StructField(name, f.dataType, f.nullable, md))
+        return T.StructType(fields)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — a zero-IO metadata commit,
+        Delta column mapping's NAME mode (the public design this
+        implements; the reference's stage tables are Delta,
+        ``light_transform.py:1363-1392``): the field's stable
+        ``physical_name`` keeps pointing at the bytes every existing
+        file already holds, only the LOGICAL name users query changes.
+        Old versions time-travel under their own schema (pre-rename
+        reads still say ``old``); per-file stats stay valid because
+        they are keyed by physical name; new writes land under the
+        same physical name. The commit requires the ``column-mapping``
+        reader+writer features, so a pre-mapping engine fails closed
+        instead of mis-reading physical files.
+
+        Constraints referencing the old name raise — their expressions
+        would silently stop binding; drop and re-add them under the
+        new name. Active Z-order metadata is left as-is: a clustering
+        anchor naming the old column simply stops matching, so the
+        next ``compact(zorder_by=[new])`` does a full (correct,
+        conservative) re-cluster."""
+        prev = self._manifest(self.latest_version())
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(
+                f"{self.path}: no column {old!r} (have {names})"
+            )
+        if new in names:
+            raise ValueError(
+                f"{self.path}: column {new!r} already exists"
+            )
+        if not _COLNAME_RE.fullmatch(new):
+            raise ValueError(
+                f"{self.path}: invalid column name {new!r}"
+            )
+        cons = dict(prev.get("constraints") or {})
+        hit = self._constraints_referencing(cons, old)
+        if hit:
+            raise ValueError(
+                f"{self.path}: CHECK constraint(s) {hit} reference "
+                f"column {old!r}; drop them first and re-add under the "
+                f"new name"
+            )
+        new_schema = self._activate_mapping(schema, rename=(old, new))
+        return self._commit(
+            "rename_column", schema_json=new_schema.json(),
+            version=prev["version"] + 1, constraints=cons,
+            metrics={"renamed": [old, new]},
+            # a metadata change: concurrent writers' rebases raise
+            # MetadataChanged against it; our own commit rebases over
+            # data-only winners (their files keep their physical names)
+            txn=self._txn(prev),
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — zero-IO metadata commit (Delta
+        column mapping's drop): the field leaves the logical schema,
+        its bytes stay in existing files, scans simply never select
+        its physical column. Re-adding the same LOGICAL name later
+        (``append(merge_schema=True)``) mints a fresh physical name,
+        so the dropped bytes can never resurrect — the exact hazard
+        Delta's uuid physical names exist to prevent. Dropping the
+        last column, or a column a CHECK constraint references,
+        raises."""
+        prev = self._manifest(self.latest_version())
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(
+                f"{self.path}: no column {name!r} (have {names})"
+            )
+        if len(names) == 1:
+            raise ValueError(
+                f"{self.path}: cannot drop the table's only column"
+            )
+        cons = dict(prev.get("constraints") or {})
+        hit = self._constraints_referencing(cons, name)
+        if hit:
+            raise ValueError(
+                f"{self.path}: CHECK constraint(s) {hit} reference "
+                f"column {name!r}; drop them first"
+            )
+        new_schema = self._activate_mapping(schema, drop=name)
+        return self._commit(
+            "drop_column", schema_json=new_schema.json(),
+            version=prev["version"] + 1, constraints=cons,
+            metrics={"dropped": name},
             txn=self._txn(prev),
         )
 
@@ -1464,7 +1775,14 @@ class VersionedStageTable:
         out: dict = {r: {} for r in rels}
         if not rels:
             return out
-        schema = T.StructType.fromJson(json.loads(schema_json))
+        # stats are keyed by PHYSICAL column name: that is what the
+        # files contain, and it is what keeps every already-committed
+        # bound valid across renames (a rename is zero-IO — rewriting
+        # stats would defeat it). Pruning translates logical
+        # predicates through the mapping at lookup time.
+        schema = _physical_schema(
+            T.StructType.fromJson(json.loads(schema_json))
+        )
         cols = _stat_columns(schema)
         if not cols:
             return out
@@ -1533,9 +1851,28 @@ class VersionedStageTable:
                 out[rel][c] = [lo, hi]
         return out
 
-    def _write_files(self, df: DataFrame, version_hint: int) -> list[str]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        version_hint: int,
+        schema: T.StructType | None = None,
+    ) -> list[str]:
         """Write ``df`` into a fresh commit subdirectory; return the new
-        files as table-relative paths."""
+        files as table-relative paths. ``schema`` (the commit's LOGICAL
+        schema) routes the batch through column mapping when active:
+        columns are aliased to their stable physical names before the
+        parquet write, so a post-rename batch lands under the same
+        on-disk names as pre-rename files. Unmapped tables (and DV
+        sidecars, which pass no schema) write names as-is."""
+        if schema is not None and _mapping_active(schema):
+            phys = _physical_names(schema)
+            if any(phys.get(c, c) != c for c in df.columns):
+                df = df.select(
+                    *[
+                        F.col(f"`{c}`").alias(phys.get(c, c))
+                        for c in df.columns
+                    ]
+                )
         sub = f"c{version_hint:08d}-{uuid.uuid4().hex[:8]}"
         dest = os.path.join(self.data_dir, sub)
         df.write.mode("overwrite").parquet(dest)
@@ -1596,43 +1933,70 @@ class VersionedStageTable:
         )
 
     def _encode_dv_runs(self, positions: DataFrame) -> DataFrame:
-        """Collapse DISTINCT (file_name, row_index) positions into
-        maximal runs — gaps-and-islands: positions sorted per file get
-        a group key of ``row_index - row_number()`` (constant exactly
-        along a consecutive run), one groupBy yields (start, n). Runs
-        longer than ``_DV_RUN_CAP`` are split so the decode's
-        sequence-explode is bounded per row."""
+        """Collapse DISTINCT (file_name, row_index) positions into runs
+        — gaps-and-islands: positions sorted within a window get a
+        group key of ``row_index - row_number()`` (constant exactly
+        along a consecutive run), one groupBy yields (start, n).
+
+        The window partitions by (file_name, ``row_index div
+        _DV_RUN_CAP``), NOT by file alone: a 10^9-row takedown on one
+        file would otherwise sort the whole victim set in a single
+        task (one file = one window partition — the skew AQE cannot
+        split, because a window needs its partition whole). Chunking
+        bounds every window partition at _DV_RUN_CAP rows, so encode
+        parallelism tracks deleted volume, not file count. Runs can
+        therefore never cross a cap-aligned boundary — which also
+        enforces the decode bound directly (a run is at most one chunk
+        long), at the cost of at most one extra sidecar row per cap
+        window on a longer takedown: asymptotically the same sidecar
+        size the old encode-then-split produced."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy("file_name").orderBy("row_index")
         cap = F.lit(self._DV_RUN_CAP)
-        runs = (
+        w = Window.partitionBy("file_name", "__chunk").orderBy(
+            "row_index"
+        )
+        return (
             positions.select("file_name", "row_index")
+            .withColumn(
+                "__chunk", F.floor(F.col("row_index") / cap).cast("long")
+            )
             .withColumn(
                 "__grp", F.col("row_index") - F.row_number().over(w)
             )
-            .groupBy("file_name", "__grp")
+            .groupBy("file_name", "__chunk", "__grp")
             .agg(
                 F.min("row_index").alias("start"),
                 F.count(F.lit(1)).alias("n"),
             )
+            .select("file_name", "start", "n")
         )
-        return (
-            runs.withColumn(
-                "__k",
-                F.explode(
-                    F.sequence(
-                        F.lit(0).cast("long"),
-                        ((F.col("n") - F.lit(1)) / cap).cast("long"),
-                    )
-                ),
-            )
-            .select(
-                "file_name",
-                (F.col("start") + F.col("__k") * cap).alias("start"),
-                F.least(cap, F.col("n") - F.col("__k") * cap).alias("n"),
-            )
+
+    def _read_physical(
+        self,
+        rels: list[str],
+        schema: T.StructType,
+        meta: tuple = (),
+    ) -> DataFrame:
+        """Parquet scan of data files under the LOGICAL schema: files
+        are read by PHYSICAL column name (stable across renames —
+        column mapping) and aliased back to the logical names callers
+        and plans use. ``meta`` adds ``_metadata`` projections as
+        ``(source_field, alias)`` pairs. On an unmapped table this is
+        the plain schema'd scan — zero extra plan nodes."""
+        phys = _physical_schema(schema)
+        r = self.spark.read.schema(phys).parquet(
+            *[self._abs(f) for f in rels]
         )
+        identity = phys.fieldNames() == schema.fieldNames()
+        if identity and not meta:
+            return r
+        sel = [
+            F.col(f"`{p}`").alias(n)
+            for p, n in zip(phys.fieldNames(), schema.fieldNames())
+        ]
+        sel += [F.col(f"_metadata.{m}").alias(a) for m, a in meta]
+        return r.select(*sel)
 
     def _scan(
         self,
@@ -1664,23 +2028,15 @@ class VersionedStageTable:
         cols = schema.fieldNames()
         parts = []
         if clean:
-            c = self.spark.read.schema(schema).parquet(
-                *[self._abs(f) for f in clean]
+            c = self._read_physical(
+                clean, schema,
+                meta=(("file_name", file_col),) if file_col else (),
             )
-            if file_col:
-                c = c.select(
-                    *cols, F.col("_metadata.file_name").alias(file_col)
-                )
             parts.append(c)
         if dv:
-            masked = (
-                self.spark.read.schema(schema)
-                .parquet(*[self._abs(f) for f in sorted(dv)])
-                .select(
-                    *cols,
-                    F.col("_metadata.file_name").alias("__fn"),
-                    F.col("_metadata.row_index").alias("__ri"),
-                )
+            masked = self._read_physical(
+                sorted(dv), schema,
+                meta=(("file_name", "__fn"), ("row_index", "__ri")),
             )
             mask = self._dv_sidecar_rows(
                 [s for lst in dv.values() for s in lst]
@@ -1780,6 +2136,7 @@ class VersionedStageTable:
         candidates = prune_candidate_files(
             m["files"], m.get("stats") or {}, condition,
             stat_cols=set(_stat_columns(schema)),
+            rename=_physical_names(schema),
         )
         if not candidates:
             return self.spark.createDataFrame([], schema)
@@ -1939,14 +2296,25 @@ class VersionedStageTable:
                 f"columns {sorted(prev_names)}; pass merge_schema=True"
             )
         schema = prev_schema
+        mapped = _mapping_active(prev_schema)
         for f in added:
+            if mapped:
+                # a column born under active mapping gets a FRESH
+                # physical name: if its logical name was ever dropped,
+                # reusing it would resurrect the dropped column's bytes
+                # from old files
+                f = T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    {**(f.metadata or {}), _PHYSICAL_KEY: _fresh_physical(f.name)},
+                )
             schema = schema.add(f)
         hint = prev["version"] + 1
         clustered = None
         if cluster:
             clustered = self._cluster_batch(df, cluster_files)
         files = self._write_files(
-            clustered if clustered is not None else df, hint
+            clustered if clustered is not None else df, hint,
+            schema=schema,
         )
         # the append's record is O(batch files): adds only, no removes.
         # BLIND append: reads nothing, so it auto-rebases over any
@@ -2110,7 +2478,7 @@ class VersionedStageTable:
             )
         hint = prev["version"] + 1
         if not prev["files"]:
-            files = self._write_files(source, hint)
+            files = self._write_files(source, hint, schema=prev_schema)
             return self._commit(
                 "merge", add=files, schema_json=prev["schema"],
                 version=hint, constraints=cons, epoch=epoch,
@@ -2158,7 +2526,7 @@ class VersionedStageTable:
             new_df = kept.unionByName(source)
         else:
             new_df = source
-        new_files = self._write_files(new_df, hint)
+        new_files = self._write_files(new_df, hint, schema=prev_schema)
         # record = adds + removes only; untouched files carry over
         # implicitly (zero record bytes AND zero IO for them)
         return self._commit(
@@ -2246,7 +2614,7 @@ class VersionedStageTable:
             kept = self._scan(touched, schema, prev.get("dv")).join(
                 F.broadcast(kdf), key_columns, "left_anti"
             )
-            new_files = self._write_files(kept, hint)
+            new_files = self._write_files(kept, hint, schema=schema)
             return self._commit(
                 "delete", add=new_files, remove=touched,
                 schema_json=prev["schema"], version=hint, epoch=epoch,
@@ -2276,6 +2644,7 @@ class VersionedStageTable:
             return list(prev["files"])
         schema = T.StructType.fromJson(json.loads(prev["schema"]))
         by_name = {f.name: f.dataType for f in schema.fields}
+        phys = _physical_names(schema)
         cols = [
             c for c in key_columns
             if isinstance(by_name.get(c), _STAT_ATOMS)
@@ -2287,6 +2656,9 @@ class VersionedStageTable:
             aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
             aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
         row = source.agg(*aggs).first()
+        # per-file stats are keyed by PHYSICAL name (stable across
+        # renames); the source envelope above is logical
+        pcols = [phys.get(c, c) for c in cols]
         out = []
         for f in prev["files"]:
             st = stats.get(f)
@@ -2294,7 +2666,7 @@ class VersionedStageTable:
                 out.append(f)
                 continue
             excluded = False
-            for i, c in enumerate(cols):
+            for i, c in enumerate(pcols):
                 smn, smx = _stat_value(row[f"__mn{i}"]), _stat_value(
                     row[f"__mx{i}"]
                 )
@@ -2378,6 +2750,7 @@ class VersionedStageTable:
         candidates = prune_candidate_files(
             prev["files"], prev.get("stats") or {}, condition,
             stat_cols=set(_stat_columns(schema)),
+            rename=_physical_names(schema),
         )
         if not candidates:
             return prev["version"]
@@ -2404,7 +2777,7 @@ class VersionedStageTable:
         kept = self._scan(touched, schema, prev.get("dv")).filter(
             ~F.coalesce(cond, F.lit(False))
         )
-        new_files = self._write_files(kept, hint)
+        new_files = self._write_files(kept, hint, schema=schema)
         return self._commit(
             "delete", add=new_files, remove=touched,
             schema_json=prev["schema"], version=hint, epoch=epoch,
@@ -2437,15 +2810,9 @@ class VersionedStageTable:
         sidecar, commit a zero-data-IO record masking them. One scan of
         the candidates with metadata columns; the previous mask is
         anti-joined first so already-deleted rows are never re-listed."""
-        cols = schema.fieldNames()
-        scan = (
-            self.spark.read.schema(schema)
-            .parquet(*[self._abs(f) for f in candidates])
-            .select(
-                *cols,
-                F.col("_metadata.file_name").alias("__fn"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
+        scan = self._read_physical(
+            candidates, schema,
+            meta=(("file_name", "__fn"), ("row_index", "__ri")),
         )
         prev_sidecars = [
             s
@@ -2630,14 +2997,9 @@ class VersionedStageTable:
         if not delta:
             return None
         cols = schema.fieldNames()
-        scan = (
-            self.spark.read.schema(schema)
-            .parquet(*[self._abs(f) for f in sorted(delta)])
-            .select(
-                *cols,
-                F.col("_metadata.file_name").alias("__fn"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
+        scan = self._read_physical(
+            sorted(delta), schema,
+            meta=(("file_name", "__fn"), ("row_index", "__ri")),
         )
         fresh_mask = self._dv_sidecar_rows(
             [s for lst in delta.values() for s in lst]
@@ -2794,6 +3156,7 @@ class VersionedStageTable:
             scope = prune_candidate_files(
                 prev["files"], prev.get("stats") or {}, where,
                 stat_cols=set(_stat_columns(schema)),
+                rename=_physical_names(schema),
             )
         # a file carrying a deletion vector is ALWAYS rewritten (Delta's
         # REORG/PURGE folded into OPTIMIZE): the rewrite materializes
@@ -2810,6 +3173,7 @@ class VersionedStageTable:
         packed = self._write_files(
             self._scan(small, schema, dv).coalesce(1),
             hint,
+            schema=schema,
         )
         return self._commit(
             "compact", add=packed, remove=small,
@@ -2851,6 +3215,7 @@ class VersionedStageTable:
             scope = prune_candidate_files(
                 scope, prev.get("stats") or {}, where,
                 stat_cols=set(_stat_columns(schema)),
+                rename=_physical_names(schema),
             )
             if not scope:
                 return prev["version"]
@@ -2889,7 +3254,8 @@ class VersionedStageTable:
             else clustered.repartitionByRange("__z")
         )
         packed = self._write_files(
-            clustered.sortWithinPartitions("__z").drop("__z"), hint
+            clustered.sortWithinPartitions("__z").drop("__z"), hint,
+            schema=schema,
         )
         return self._commit(
             "zorder", add=packed, remove=scope,
@@ -2931,7 +3297,8 @@ class VersionedStageTable:
         hint = prev["version"] + 1
         # decode -> distinct -> re-encode: merging at POSITION level
         # fuses runs that were split across sidecars (and dedups any
-        # overlap), so the consolidated sidecar is maximally-run-length
+        # overlap), so the consolidated sidecar is maximal-run-length
+        # within the encoder's cap-aligned chunks
         merged = self._write_files(
             self._encode_dv_runs(
                 self._dv_sidecar_rows(all_sidecars).distinct()

@@ -10533,6 +10533,154 @@ FROM st GROUP BY o_channel ORDER BY o_channel
 """
 
 
+def stage_column_mapping(spark, sf_dir):
+    """Column mapping, rename leg (round 12,
+    ``operators/versioned.rename_column`` — Delta column mapping's
+    NAME mode, the reference's stage tables being Delta,
+    ``light_transform.py:1363-1392``): RENAME COLUMN is a ZERO-IO
+    metadata commit. Every field carries a stable ``physical_name``;
+    existing files are never rewritten (``rename_zero_io`` pins the
+    manifest file list unchanged), scans read by physical name and
+    alias to logical, post-rename writes (append AND a keyed merge)
+    land under the SAME physical name (``physical_stable`` checks the
+    parquet footers of every live file), time travel across the rename
+    reads the OLD logical schema (``v0_cols``), and the rename commit
+    contributes zero change-feed rows (``feed_clean``). The final
+    aggregate is SQL-exact against orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("colmap"), "orders_mapped")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    files0 = t._manifest(0)["files"]
+    v1 = t.rename_column("o_totalprice", "price")
+    rename_zero_io = bool(t._manifest(v1)["files"] == files0)
+    feed_clean = bool(t.changes(0, v1).count() == 0)
+    v0_cols = ",".join(t.read(0).columns)
+    h1 = base.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).withColumnRenamed("o_totalprice", "price")
+    t.append(h1)
+    updates = (
+        t.read()
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("price", F.lit(-1.0))
+    )
+    t.merge(updates, ["o_orderkey"])
+    import pyarrow.parquet as pq
+
+    physical_stable = True
+    for rel in t._manifest(t.latest_version())["files"]:
+        names = pq.read_schema(t._abs(rel)).names
+        if "o_totalprice" not in names or "price" in names:
+            physical_stable = False
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            F.sum(_fp_c(F.col("price"), 100)).alias("price_cents"),
+        )
+        .withColumn("v0_cols", F.lit(v0_cols))
+        .withColumn("rename_zero_io", F.lit(rename_zero_io))
+        .withColumn("physical_stable", F.lit(physical_stable))
+        .withColumn("feed_clean", F.lit(feed_clean))
+    )
+
+
+_COLUMN_MAPPING_SQL = f"""
+WITH st AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -1.0
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-07-01'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('price', 100)}) AS BIGINT) AS price_cents,
+       'o_orderkey,o_totalprice,o_orderdate' AS v0_cols,
+       TRUE AS rename_zero_io,
+       TRUE AS physical_stable,
+       TRUE AS feed_clean
+FROM st
+"""
+
+
+def stage_column_drop_readd(spark, sf_dir):
+    """Column mapping, drop leg (round 12,
+    ``operators/versioned.drop_column`` — Delta column mapping's DROP:
+    zero-IO metadata commit, bytes stay in old files, scans never
+    select the dropped physical column). The hazard this query pins is
+    RESURRECTION: re-adding the same LOGICAL name via
+    ``append(merge_schema=True)`` mints a FRESH uuid physical name, so
+    pre-drop rows read NULL (``n_null_price`` equals the pre-drop row
+    count exactly) while the new batch carries values
+    (``readd_cents``) — and time travel to the pre-drop version still
+    returns the original values (``v0_price_cents``). All counts and
+    sums SQL-exact against orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("coldrop"), "orders_dropped")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    t.drop_column("o_totalprice")
+    h1 = base.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+    t.append(h1, merge_schema=True)
+    ops_ok = bool(
+        [h["op"] for h in t.history()]
+        == ["overwrite", "drop_column", "append"]
+    )
+    v0_price = (
+        t.read(0)
+        .agg(F.sum(_fp_c(F.col("o_totalprice"), 100)).alias("s"))
+        .first()["s"]
+    )
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(
+                F.when(F.col("o_totalprice").isNull(), F.lit(1))
+            ).alias("n_null_price"),
+            F.sum(_fp_c(F.col("o_totalprice"), 100)).alias("readd_cents"),
+        )
+        .withColumn("v0_price_cents", F.lit(v0_price).cast("long"))
+        .withColumn("ops_ok", F.lit(ops_ok))
+    )
+
+
+_COLUMN_DROP_READD_SQL = f"""
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-07-01') AS n_total,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01') AS n_null_price,
+  (SELECT CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT)
+     FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01') AS readd_cents,
+  (SELECT CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT)
+     FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01') AS v0_price_cents,
+  TRUE AS ops_ok
+"""
+
+
 def streaming_versioned_ingest(spark, sf_dir):
     """Continuous ingestion into the versioned stage table
     (streaming/incremental.stream_versioned_append): two chronological
@@ -14739,6 +14887,8 @@ QUERIES = {
     "stage_compact_small_files": stage_compact_small_files,
     "stage_restore_version": stage_restore_version,
     "stage_schema_evolution_versions": stage_schema_evolution_versions,
+    "stage_column_mapping": stage_column_mapping,
+    "stage_column_drop_readd": stage_column_drop_readd,
     "streaming_versioned_ingest": streaming_versioned_ingest,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "graph_reach_event_transitions": graph_reach_event_transitions,
@@ -14992,6 +15142,8 @@ ORACLES = {
     "stage_compact_small_files": _COMPACT_SQL,
     "stage_restore_version": _RESTORE_SQL,
     "stage_schema_evolution_versions": _SCHEMA_EVOLUTION_SQL,
+    "stage_column_mapping": _COLUMN_MAPPING_SQL,
+    "stage_column_drop_readd": _COLUMN_DROP_READD_SQL,
     "streaming_versioned_ingest": _STREAM_VERSIONED_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "graph_reach_event_transitions": _GRAPH_REACH_SQL,
@@ -15602,11 +15754,80 @@ _R11_WINDOW = [
     "semantic_semdedup",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+
+
+# ===========================================================================
+# round-12 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) the two r12-new queries (column mapping — never driver-checked)
+# lead; (b) ALL 48 queries whose newest driver-green is still r7 — the
+# histogram after r11 is r7x48, r8x50, r9x50, r10x50, r11x50 (parse
+# CORRECTNESS_r0N for rows/schema/hash green per name), and 2 + 48
+# fills the window exactly, so after this round NO catalog query's
+# driver evidence is older than r8. The three queries the r11 verdict
+# named for rotation (ann_topk_bruteforce, multimodal_image_features,
+# streaming_stateful_sessionization) are all in (b).
+_R12_WINDOW = [
+    # (a) r12-new, never driver-checked
+    "stage_column_mapping",
+    "stage_column_drop_readd",
+    # (b) last driver-green in r7 — all 48
+    "ann_incremental_index_append",
+    "ann_topk_bruteforce",
+    "corpus_c4_line_filter",
+    "corpus_checksum",
+    "corpus_filter_dedup_funnel",
+    "corpus_gopher_quality",
+    "corpus_pipeline_e2e",
+    "corpus_substring_span_dedup",
+    "decontaminate_against_benchmark",
+    "dedup_exact_corpus",
+    "dedup_exact_stats",
+    "dedup_incremental_batch",
+    "distinct_flag_status",
+    "embedding_label_stats",
+    "empty_result_schema",
+    "events_pivot_by_type",
+    "events_retention_cohorts",
+    "events_rolling_window",
+    "events_sessionization",
+    "events_value_quantiles",
+    "export_epoch_shuffle",
+    "incremental_substring_span_dedup",
+    "interval_join_clicks_before_purchase",
+    "load_mode_lifecycle",
+    "minmax_bounds",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "orders_priority_rollup",
+    "pipeline_group_run",
+    "profile_events_table",
+    "q13_customer_order_histogram",
+    "q16_supplier_variety",
+    "q21_waiting_suppliers",
+    "q4_late_shipment_priority",
+    "scd2_user_event_history",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "streaming_stateful_sessionization",
+    "streaming_topk_state",
+    "text_chunk_windows",
+    "text_langid",
+    "topk_ngrams",
+    "transform_case_status",
+    "transform_clearstring",
+    "transform_concat_period",
+    "transform_date_formats",
+    "transform_datemagic",
+    "transform_datetimemagic",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
     name: QUERIES[name]
     for name in (
-        *_R11_WINDOW,
-        *(n for n in QUERIES if n not in set(_R11_WINDOW)),
+        *_R12_WINDOW,
+        *(n for n in QUERIES if n not in set(_R12_WINDOW)),
     )
 }
 

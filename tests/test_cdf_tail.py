@@ -185,3 +185,84 @@ def test_apply_cdf_batch_delete_leg_replay_is_log_lookup(spark, tmp_path):
     v = apply_cdf_batch(tgt, batch, ["k"], epoch=head)
     assert v == tgt.latest_version()
     assert [h["op"] for h in tgt.history()] == ops
+
+
+def test_retention_interleaving_property_never_skips(spark, tmp_path):
+    """Verdict r11 task #9: random producer-append / producer-vacuum /
+    consumer-poll interleavings (random retention, random idle spans).
+    The consumer either drains EXACTLY-ONCE — delivered ranges are
+    gapless and contiguous, and applying every batch reproduces the
+    source snapshot at the consumed version — or raises
+    FeedTruncatedError when vacuum outran its cursor. It must never
+    silently skip a range."""
+    import random
+
+    rng = random.Random(20260819)
+    src = VersionedStageTable(spark, str(tmp_path / "src"))
+    rdr = VersionedChangeFeedReader(src, str(tmp_path / "ckpt"))
+    src.overwrite(_df(spark, [(0, "seed")]))
+
+    replica = {}  # k -> v, rebuilt from delivered change batches
+    ranges = []   # delivered (from, to)
+
+    def handler(df, f, t):
+        for r in df.collect():
+            if r["_change_type"] == "insert":
+                replica[r["k"]] = r["v"]
+            else:
+                # delete of the exact pre-image row
+                if replica.get(r["k"]) == r["v"]:
+                    del replica[r["k"]]
+        ranges.append((f, t))
+
+    nxt = 1
+    truncated = False
+    for _ in range(60):
+        roll = rng.random()
+        try:
+            if roll < 0.45:
+                batch = {nxt + j: f"b{nxt}" for j in range(rng.randint(1, 3))}
+                nxt += len(batch)
+                if rng.random() < 0.3 and replica:
+                    src.delete_keys(
+                        spark.createDataFrame(
+                            [(rng.choice(sorted(replica)),)], "k int"
+                        ),
+                        ["k"],
+                    )
+                src.append(_df(spark, sorted(batch.items())))
+            elif roll < 0.65:
+                src.vacuum(
+                    retain_last=rng.randint(1, 4),
+                    data_grace_seconds=0.0,
+                )
+            else:
+                out = rdr.poll(handler)
+                if out["delivered"]:
+                    # exactly-once: no gap, no overlap with prior range
+                    assert len(ranges) == 1 or (
+                        ranges[-1][0] == ranges[-2][1]
+                    ), ranges
+                    # the replica equals the source AT the consumed
+                    # version (modulo that version being retained)
+                    got = {
+                        r["k"]: r["v"]
+                        for r in src.read(out["to"]).collect()
+                    }
+                    assert replica == got, (out, ranges)
+        except FeedTruncatedError:
+            truncated = True
+            break
+    if not truncated:
+        # final drain must converge the replica onto the head
+        try:
+            rdr.drain(handler)
+            head = src.latest_version()
+            got = {r["k"]: r["v"] for r in src.read(head).collect()}
+            assert replica == got
+            assert ranges and ranges[-1][1] == head or not ranges
+        except FeedTruncatedError:
+            truncated = True
+    # whichever path: the delivered ranges were contiguous throughout
+    for a, b in zip(ranges, ranges[1:]):
+        assert a[1] == b[0], ranges

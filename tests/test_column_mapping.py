@@ -1,0 +1,195 @@
+"""Column mapping (rename/drop with stable physical names) — Delta
+column mapping's NAME mode re-expressed over the versioned stage
+table: renames and drops are zero-IO metadata commits, scans read by
+physical name and alias to logical, stats stay valid (physical-keyed),
+and a re-added logical name never resurrects dropped bytes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+    VersionedStageTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedStageTable(spark, str(tmp_path / "vt"))
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v string")
+
+
+def test_rename_is_zero_io_and_time_travels(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    files_before = table._manifest(0)["files"]
+    v = table.rename_column("v", "val")
+    m = table._manifest(v)
+    # zero IO: the rename commit adds/removes no files
+    assert m["files"] == files_before
+    assert table.read().columns == ["k", "val"]
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    # time travel: the pre-rename version still reads under OLD names
+    assert table.read(0).columns == ["k", "v"]
+    assert _rows(table.read(0)) == [(1, "a"), (2, "b")]
+    # the op is in history and the protocol gates pre-mapping engines
+    assert table.history()[-1]["op"] == "rename_column"
+    proto = table.protocol()
+    assert "column-mapping" in proto["reader"]
+    assert "column-mapping" in proto["writer"]
+
+
+def test_rename_then_write_lands_same_physical_name(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.rename_column("v", "val")
+    table.append(
+        spark.createDataFrame([(2, "b")], "k int, val string")
+    )
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    # on disk, BOTH files carry the stable physical name 'v'
+    import pyarrow.parquet as pq
+
+    for rel in table._manifest(table.latest_version())["files"]:
+        names = pq.read_schema(table._abs(rel)).names
+        assert "v" in names and "val" not in names
+
+
+def test_rename_keeps_stats_pruning_sound_and_sharp(spark, table):
+    lo = spark.createDataFrame([(i, "lo") for i in range(10)], "k int, v string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(1000, 1010)], "k int, v string")
+    table.overwrite(lo.coalesce(1))
+    table.append(hi.coalesce(1))
+    table.rename_column("k", "key")
+    # lookup on the NEW logical name: correct rows, and the manifest
+    # bounds (keyed by the stable physical name) still prune
+    got = table.lookup("key >= 1000")
+    assert got.count() == 10
+    m = table._manifest(table.latest_version())
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        _physical_names,
+        _stat_columns,
+        prune_candidate_files,
+    )
+    import json as _json
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    cands = prune_candidate_files(
+        m["files"], m.get("stats") or {}, "key >= 1000",
+        stat_cols=set(_stat_columns(schema)),
+        rename=_physical_names(schema),
+    )
+    assert len(cands) == 1  # the lo file was pruned via old-name stats
+
+
+def test_rename_key_then_merge_and_delete(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.rename_column("k", "id")
+    table.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id int, v string"),
+        ["id"],
+    )
+    assert _rows(table.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    table.delete("id <= 1")
+    assert _rows(table.read()) == [(2, "B"), (3, "c"), (4, "d")]
+    # DV delete through the mapping too
+    table.delete("id = 3", mode="dv")
+    assert _rows(table.read()) == [(2, "B"), (4, "d")]
+    # and compact purges the mask under the mapped schema
+    table.compact()
+    assert _rows(table.read()) == [(2, "B"), (4, "d")]
+
+
+def test_rename_validation(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no column"):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("v", "k")
+    with pytest.raises(ValueError, match="invalid column name"):
+        table.rename_column("v", "bad name")
+    table.add_constraint("k_pos", "k > 0")
+    with pytest.raises(ValueError, match="k_pos"):
+        table.rename_column("k", "key")
+    # the constraint blocks only the referenced column
+    assert table.rename_column("v", "val") > 0
+
+
+def test_drop_column_and_no_resurrection_on_readd(spark, table):
+    table.overwrite(_df(spark, [(1, "secret1"), (2, "secret2")]))
+    v = table.drop_column("v")
+    assert table.read().columns == ["k"]
+    assert _rows(table.read()) == [(1,), (2,)]
+    # pre-drop version still shows the column (time travel)
+    assert _rows(table.read(v - 1)) == [(1, "secret1"), (2, "secret2")]
+    # re-adding the same logical name must NOT resurrect dropped bytes
+    table.append(
+        spark.createDataFrame([(3, "fresh")], "k int, v string"),
+        merge_schema=True,
+    )
+    assert _rows(table.read()) == [(1, None), (2, None), (3, "fresh")]
+    assert table.history()[-2]["op"] == "drop_column"
+
+
+def test_drop_validation(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("nope")
+    table.add_constraint("v_nonempty", "length(v) > 0")
+    with pytest.raises(ValueError, match="v_nonempty"):
+        table.drop_column("v")
+    table.drop_constraint("v_nonempty")
+    table.drop_column("v")
+    with pytest.raises(ValueError, match="only column"):
+        table.drop_column("k")
+
+
+def test_changes_across_rename_is_row_exact(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))        # v0
+    table.rename_column("v", "val")                 # v1 (no row changes)
+    table.append(
+        spark.createDataFrame([(2, "b")], "k int, val string")
+    )                                               # v2
+    # the rename contributes zero feed rows; the append exactly its batch
+    feed = table.changes(0, 2)
+    assert feed.columns[:2] == ["k", "val"]
+    assert _rows(feed) == [(2, "b", "insert")]
+    assert table.changes(0, 1).count() == 0
+
+
+def test_rename_survives_checkpoint_roundtrip(spark, tmp_path):
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame([(2, "b")], "k int, val string"))
+    t.append(spark.createDataFrame([(3, "c")], "k int, val string"))
+    assert t.checkpoints()  # interval hit: resolution anchors here
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    assert fresh.read().columns == ["k", "val"]
+    assert _rows(fresh.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # the mapped schema survived the checkpoint: a further rename
+    # still sees the frozen physical names
+    fresh.rename_column("val", "value")
+    assert _rows(fresh.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert fresh.read().columns == ["k", "value"]
+
+
+def test_rename_then_zorder_clusters_on_new_name(spark, table):
+    rows = [(i % 7, f"s{i}") for i in range(100)]
+    table.overwrite(_df(spark, rows).repartition(4))
+    table.rename_column("k", "key")
+    v = table.compact(zorder_by=["key"], target_files=2)
+    assert table._manifest(v)["metrics"]["zorder_by"] == ["key"]
+    assert table.read().count() == 100
+    assert table.lookup("key = 3").count() == len(
+        [r for r in rows if r[0] == 3]
+    )

@@ -390,3 +390,146 @@ def test_delete_keys_equals_predicate_delete(spark, tmp_path):
             tb._manifest(tb.latest_version())["files"]
         )
         assert len(fa) == len(fb), trial
+
+
+def test_two_writer_random_vocabulary_against_sequential_oracle(
+    spark, tmp_path
+):
+    """Verdict r11 task #6: randomized two-writer interleavings over
+    the FULL op vocabulary — append / delete / delete_keys / merge /
+    OPTIMIZE (bin-pack + zorder) / rename_column — with occasional
+    same-epoch retries. The interloper fires at the victim's commit
+    point and always wins; the pure-Python oracle therefore applies
+    interloper-then-victim SEQUENTIALLY (victim skipped when it raised
+    a typed conflict). After every step the table must read back
+    exactly the oracle state under the oracle's current column names —
+    no rebase may lose, duplicate, resurrect, or mis-map a row."""
+    import random
+
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        TableFeatureError,
+    )
+
+    rng = random.Random(20260818)
+    path = str(tmp_path / "vt")
+    other = VersionedStageTable(spark, path)
+
+    vcol = ["v"]  # current logical name of the value column (model)
+
+    def _frame(d, col=None):
+        return spark.createDataFrame(
+            sorted(d.items()), f"k int, {col or vcol[0]} string"
+        )
+
+    state = {k: "base" for k in range(0, 40, 2)}
+    other.overwrite(_frame(state))
+    nxt = [1000]  # interloper keys: disjoint from victim predicates
+    committed_epochs = {}  # epoch -> (batch, version)
+
+    def _interlope(o, step):
+        roll = rng.random()
+        if roll < 0.55:
+            b = {nxt[0]: f"i{step}"}
+            nxt[0] += 1
+            o.append(_frame(b))
+            return ("upsert", b)
+        if roll < 0.75:
+            victims = [k for k in state if k < 1000]
+            if not victims:
+                return None
+            k = rng.choice(victims)
+            o.delete_keys(
+                spark.createDataFrame([(k,)], "k int"), ["k"]
+            )
+            return ("delete", {k})
+        new = f"v{step}"
+        o.rename_column(vcol[0], new)
+        return ("rename", new)
+
+    for step in range(16):
+        op = rng.choice(
+            ["append", "delete", "delete_keys", "merge", "compact",
+             "zorder", "epoch_retry"]
+        )
+        race = rng.random() < 0.6
+        idelta = [None]
+        if race:
+            def _fire(s=step):
+                idelta[0] = _interlope(other, s)
+
+            t = VersionedStageTable(
+                spark, path, log_store=RaceOnceStore(_fire)
+            )
+        else:
+            t = other
+        applied = True
+        pending = None
+        col_at_start = vcol[0]
+        try:
+            if op == "append":
+                batch = {100 + step: f"a{step}"}
+                e = rng.choice([None, 10_000 + step])
+                v = t.append(_frame(batch, col_at_start), epoch=e)
+                pending = ("upsert", batch)
+                if e is not None:
+                    committed_epochs[e] = (batch, v)
+            elif op == "delete":
+                cut = rng.randrange(40)
+                t.delete(f"k < {cut}")
+                pending = ("delpred", cut)
+            elif op == "delete_keys":
+                ks = rng.sample(range(200), 4)
+                t.delete_keys(
+                    spark.createDataFrame([(k,) for k in ks], "k int"),
+                    ["k"],
+                )
+                pending = ("delete", set(ks))
+            elif op == "merge":
+                src = {rng.randrange(45): f"m{step}"}
+                t.merge(_frame(src, col_at_start), ["k"])
+                pending = ("upsert", src)
+            elif op == "compact":
+                t.compact(max_file_bytes=1 << 30)
+            elif op == "zorder":
+                t.compact(zorder_by=["k"], target_files=2)
+            else:  # epoch_retry: replay a committed batch verbatim
+                if committed_epochs:
+                    e, (batch, v0) = rng.choice(
+                        sorted(committed_epochs.items())
+                    )
+                    v = t.append(_frame(batch, col_at_start), epoch=e)
+                    assert v == v0, "epoch replay must adopt the original"
+                applied = False  # replay never changes state
+        except (ConcurrentCommitError, TableFeatureError, ValueError):
+            applied = False
+        # sequential oracle: interloper first (it won), then the victim
+        if idelta[0] is not None:
+            kind, arg = idelta[0]
+            if kind == "upsert":
+                state.update(arg)
+            elif kind == "delete":
+                for k in arg:
+                    state.pop(k, None)
+            else:
+                vcol[0] = arg
+        if applied and pending:
+            kind, arg = pending
+            if kind == "upsert":
+                state.update(arg)
+            elif kind == "delete":
+                for k in arg:
+                    state.pop(k, None)
+            else:
+                state = {
+                    k: v for k, v in state.items()
+                    if not (k < 1000 and k < arg)
+                }
+        cur = other.read()
+        assert cur.columns == ["k", vcol[0]], (step, op, cur.columns)
+        got = {r["k"]: r[vcol[0]] for r in cur.collect()}
+        assert got == state, (step, op, race, applied)
+    # the survivor stays exact through maintenance + vacuum
+    other.compact(max_file_bytes=1 << 30)
+    other.vacuum(retain_last=1, data_grace_seconds=0.0)
+    got = {r["k"]: r[vcol[0]] for r in other.read().collect()}
+    assert got == state

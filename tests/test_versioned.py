@@ -1756,7 +1756,9 @@ def test_legacy_json_checkpoint_still_resolves(spark, tmp_path):
                 "files": snap["files"],
                 "schema": snap["schema"],
                 "constraints": snap.get("constraints") or {},
-                "stats": snap.get("stats") or {},
+                # materialize: the r12 lazy stats mapping is not JSON-
+                # serializable by design (a legacy writer had dicts)
+                "stats": dict((snap.get("stats") or {}).items()),
                 "dv": snap.get("dv") or {},
             },
             fh,
@@ -2247,3 +2249,170 @@ def test_changes_by_commit_timestamp_is_timestamp_typed(spark, table):
     )
     ts = [r["_commit_timestamp"] for r in feed.collect()]
     assert all(t is not None for t in ts)
+
+
+def test_checkpoint_stats_column_is_lazily_loaded(spark, tmp_path):
+    """Verdict r11 task #2: file-list-only resolutions off a columnar
+    checkpoint (read / changes / vacuum) must never deserialize the
+    per-file stats column — at 10^6 files that column IS the driver
+    width. Only a pruning caller (lookup/merge/delete) pays the load,
+    exactly once per resolved snapshot."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    lo = spark.createDataFrame(
+        [(i, "lo") for i in range(10)], "k int, v string"
+    )
+    hi = spark.createDataFrame(
+        [(i, "hi") for i in range(1000, 1010)], "k int, v string"
+    )
+    t.overwrite(lo.coalesce(1))                    # v0
+    t.append(hi.coalesce(1))                       # v1
+    t.merge(_df(spark, [(3, "X")]), ["k"])         # v2
+    t.append(_df(spark, [(77, "y")]))              # v3 -> checkpoint
+    t.append(_df(spark, [(78, "z")]))              # v4
+    assert t.checkpoints() == [3]
+
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    # file-list-only paths: zero stats-column loads
+    assert fresh.read().count() == 22
+    assert fresh.read(3).count() == 21
+    assert fresh.changes(3, 4).count() == 1
+    assert fresh._stats_loads == 0
+    # a pruning path loads the column exactly once per snapshot...
+    got = fresh.lookup("k >= 1000")
+    assert got.count() == 10
+    assert fresh._stats_loads == 1
+    # ...and the memoized snapshot never re-loads
+    assert fresh.lookup("k >= 1000").count() == 10
+    assert fresh._stats_loads == 1
+    # stats survive the lazy path intact: a merge prunes candidates off
+    # checkpoint-resident bounds and the result is exact
+    fresh.merge(_df(spark, [(1005, "H")]), ["k"])
+    assert fresh.lookup("k = 1005").first()["v"] == "H"
+    # vacuum keeping only the checkpointed head: reference walk only
+    t2 = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    t2.append(_df(spark, [(99, "w")]))             # v6 -> checkpoint
+    assert t2.latest_version() == 6 and 6 in t2.checkpoints()
+    t3 = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    # the kept head resolves off its own checkpoint: the reference
+    # walk needs files+dv only — zero stats-column loads
+    t3.vacuum(retain_last=1, data_grace_seconds=0.0)
+    assert t3._stats_loads == 0
+
+
+def test_lazy_checkpoint_stats_rewrite_roundtrip(spark, tmp_path):
+    """A checkpoint re-written FROM a lazily-resolved snapshot (the
+    raw_json passthrough) carries identical bounds: pruning off the
+    second-generation checkpoint still skips the disjoint file."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    lo = spark.createDataFrame(
+        [(i, "lo") for i in range(10)], "k int, v string"
+    )
+    hi = spark.createDataFrame(
+        [(i, "hi") for i in range(1000, 1010)], "k int, v string"
+    )
+    t.overwrite(lo.coalesce(1))                    # v0
+    t.append(hi.coalesce(1))                       # v1
+    t.append(_df(spark, [(50, "m")]))              # v2 -> checkpoint
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    fresh.append(_df(spark, [(51, "n")]))          # v3
+    fresh.append(_df(spark, [(52, "o")]))          # v4 -> checkpoint,
+    #                     written off the lazily-resolved v4 snapshot
+    assert 4 in fresh.checkpoints()
+    reader = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    m = reader._manifest(4)
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        _stat_columns,
+        prune_candidate_files,
+    )
+    import json as _json
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    cands = prune_candidate_files(
+        m["files"], m.get("stats") or {}, "k >= 1000",
+        stat_cols=set(_stat_columns(schema)),
+    )
+    assert len(cands) == 1
+    assert reader.lookup("k >= 1000").count() == 10
+
+
+def test_dv_encode_window_is_chunk_partitioned(spark, table):
+    """Verdict r11 task #10: the RLE encoder's gaps-and-islands window
+    must partition by (file_name, cap-chunk), never by file alone — a
+    10^9-row single-file takedown would otherwise sort the whole
+    victim set in ONE task (a window partition cannot be split by
+    AQE). Pins the plan shape and the run-cap invariant."""
+    positions = spark.createDataFrame(
+        [("f1.parquet", i) for i in range(100)]
+        + [("f2.parquet", i) for i in range(5)],
+        "file_name string, row_index long",
+    )
+    table.overwrite(_df(spark, [(1, "a")]))  # just to build the helper
+    runs = table._encode_dv_runs(positions)
+    plan = runs._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all(
+        "file_name" in s and "__chunk" in s for s in specs
+    ), specs
+    # the run-cap bound now falls out of the chunking itself
+    got = runs.collect()
+    assert all(r["n"] <= table._DV_RUN_CAP for r in got)
+    assert sorted(
+        (r["file_name"], r["start"], r["n"]) for r in got
+    ) == [("f1.parquet", 0, 100), ("f2.parquet", 0, 5)]
+
+
+def test_dv_encode_runs_split_only_at_cap_boundaries(spark, table):
+    """A contiguous run longer than the cap splits at cap-aligned
+    boundaries (bounded decode per sidecar row), and round-trips."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    table._DV_RUN_CAP = 16  # shrink for the test
+    n = 40
+    positions = spark.createDataFrame(
+        [("f.parquet", i) for i in range(3, 3 + n)],
+        "file_name string, row_index long",
+    )
+    runs = sorted(
+        (r["start"], r["n"])
+        for r in table._encode_dv_runs(positions).collect()
+    )
+    assert all(cnt <= 16 for _, cnt in runs)
+    # cap-aligned: every run except possibly the first starts on a
+    # multiple of the cap
+    assert all(s % 16 == 0 for s, _ in runs[1:])
+    assert sum(cnt for _, cnt in runs) == n
+    # decode reproduces the exact position set
+    back = sorted(
+        r["row_index"]
+        for r in spark.createDataFrame(
+            [("f.parquet", s, c) for s, c in runs],
+            "file_name string, start long, n long",
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.col("start") + F.col("n") - F.lit(1),
+                )
+            ).alias("row_index")
+        )
+        .collect()
+    )
+    assert back == list(range(3, 3 + n))
