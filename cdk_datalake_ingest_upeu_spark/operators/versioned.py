@@ -235,13 +235,32 @@ def _physical_schema(schema: T.StructType) -> T.StructType:
     )
 
 
-def _fresh_physical(logical: str) -> str:
+def _fresh_physical() -> str:
     """Physical name for a column BORN under active mapping: unique
     against every physical name ever used by this table (including
     dropped columns still present in old files), so re-adding a
     dropped column's logical name can never resurrect its bytes —
     Delta's col-<uuid> physical-name scheme."""
     return f"col-{uuid.uuid4().hex[:12]}"
+
+
+def _sanitize_user_schema(schema: T.StructType) -> T.StructType:
+    """Strip the RESERVED ``physical_name`` metadata key from a
+    user-supplied schema. Only this engine's rename/drop paths may
+    mint physical names: a df whose schema round-tripped from an
+    external system (e.g. a real column-mapped Delta table) could
+    otherwise activate mapping with physical names the just-written
+    files do not contain — every read would NULL-backfill real data."""
+    if not _mapping_active(schema):
+        return schema
+    fields = []
+    for f in schema.fields:
+        md = {
+            k: v for k, v in (f.metadata or {}).items()
+            if k != _PHYSICAL_KEY
+        }
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields)
 
 
 def _stat_value(v):
@@ -402,31 +421,38 @@ def prune_candidate_files(
     ``rename`` (logical -> physical, from column mapping) translates
     the predicate's column names into the stats' key space — stats are
     keyed by PHYSICAL name, which is what keeps every manifest bound
-    valid across renames."""
+    valid across renames. When a map is given it is the FULL logical
+    schema: a conjunct naming a column outside it (a stale pre-rename
+    name, a typo) contributes NO pruning — untranslated it could alias
+    another column's physical key and silently exclude files, where
+    the downstream filter would have raised."""
     conjuncts = _split_top_and(condition)
     if conjuncts is None:
         return list(files)
-    rename = rename or {}
-    if stat_cols is not None:
+    if stat_cols is not None and rename is not None:
         stat_cols = {rename.get(c, c) for c in stat_cols}
+
+    def _col(name: str) -> str | None:
+        if rename is None:
+            return name
+        return rename.get(name)
+
     parsed: list[tuple[str, str, object]] = []
     for c in conjuncts:
         c = _strip_outer_parens(c)
         m = _CMP_RE.fullmatch(c)
         if m:
             lit = _parse_literal(m.group(3))
-            if lit is not None:
-                parsed.append(
-                    (rename.get(m.group(1), m.group(1)), m.group(2), lit)
-                )
+            col = _col(m.group(1))
+            if lit is not None and col is not None:
+                parsed.append((col, m.group(2), lit))
                 continue
         m = _REV_CMP_RE.fullmatch(c)
         if m:
             lit = _parse_literal(m.group(1))
-            if lit is not None:
-                parsed.append(
-                    (rename.get(m.group(3), m.group(3)), _FLIP[m.group(2)], lit)
-                )
+            col = _col(m.group(3))
+            if lit is not None and col is not None:
+                parsed.append((col, _FLIP[m.group(2)], lit))
         # unrecognized conjunct: contributes no pruning
     if not parsed:
         return list(files)
@@ -548,7 +574,19 @@ class _LazyCheckpointStats:
             return
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(self._cp_path, columns=["path", "stats"])
+        try:
+            tbl = pq.read_table(self._cp_path, columns=["path", "stats"])
+        except (FileNotFoundError, OSError) as exc:
+            # the deferred read races vacuum: another writer may have
+            # dropped this checkpoint after our snapshot resolved.
+            # Degrade to NO stats — sound by the pruning contract
+            # (files without bounds are always candidates), so the
+            # holder's lookup/merge/delete stays CORRECT, just unpruned
+            # — where a crash here would fail work an eager decode
+            # would have completed.
+            self._owner._last_stats_load_error = exc
+            self._raw = {}
+            return
         self._owner._stats_loads += 1
         self._raw = {
             p: s
@@ -698,6 +736,9 @@ class VersionedStageTable:
         # deserialize per-file stats (the 10^6-file driver-width axis)
         self._stats_loads = 0
         self._last_checkpoint_error: Exception | None = None
+        # set when a deferred stats load found its checkpoint vacuumed
+        # (the holder degraded to unpruned-but-correct)
+        self._last_stats_load_error: Exception | None = None
         # epoch -> version map for idempotent streaming commits,
         # built INCREMENTALLY: each check scans only records newer
         # than the last scan (a 10^4-commit table's per-batch epoch
@@ -2155,12 +2196,17 @@ class VersionedStageTable:
         if cons:
             self._enforce(df, cons)
         hint = prev["version"] + 1 if prev else 0
+        # overwrite re-derives schema from the batch: files are all new
+        # and written under logical names, so any prior column mapping
+        # RESETS here — and a user schema can never smuggle the
+        # reserved physical_name key in
+        schema_json = _sanitize_user_schema(df.schema).json()
         files = self._write_files(df, hint)
         return self._commit(
             "overwrite", add=files, remove=(prev or {}).get("files") or (),
-            schema_json=df.schema.json(), version=hint,
+            schema_json=schema_json, version=hint,
             constraints=cons,
-            stats=self._collect_stats(files, df.schema.json()),
+            stats=self._collect_stats(files, schema_json),
             # full-state dependence: replacing a table whose contents
             # changed underneath is a lost update — typed conflict, no
             # silent rebase (Delta Serializable for INSERT OVERWRITE)
@@ -2168,12 +2214,14 @@ class VersionedStageTable:
         )
 
     def _last_zorder_columns(self) -> list[str] | None:
-        """Cluster columns of the table's newest ``zorder`` commit, or
-        None when the table was never clustered. The walk is
-        INCREMENTAL per instance: only records newer than the previous
-        call are read, so a streaming writer calling
-        ``append(cluster=True)`` per micro-batch pays O(new commits) —
-        never a full log walk, even on a never-clustered table."""
+        """PHYSICAL cluster columns of the table's newest ``zorder``
+        commit, or None when the table was never clustered (legacy
+        records without the physical twin fall back to the logical
+        list — identical on unmapped tables). The walk is INCREMENTAL
+        per instance: only records newer than the previous call are
+        read, so a streaming writer calling ``append(cluster=True)``
+        per micro-batch pays O(new commits) — never a full log walk,
+        even on a never-clustered table."""
         vs = self.versions()
         if not hasattr(self, "_zorder_scan_upto"):
             self._zorder_scan_upto = -1
@@ -2182,7 +2230,10 @@ class VersionedStageTable:
             if v > self._zorder_scan_upto:
                 rec = self._commit_record(v)
                 if rec.get("op") == "zorder":
-                    cols = (rec.get("metrics") or {}).get("zorder_by")
+                    met = rec.get("metrics") or {}
+                    cols = met.get(
+                        "zorder_by_physical", met.get("zorder_by")
+                    )
                     self._zorder_cols = list(cols) if cols else None
         if vs:
             self._zorder_scan_upto = max(self._zorder_scan_upto, vs[-1])
@@ -2200,8 +2251,19 @@ class VersionedStageTable:
         batches, one file otherwise — the micro-batch case)."""
         from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
 
-        cols = self._last_zorder_columns()
-        if not cols or any(c not in df.columns for c in cols):
+        phys_cols = self._last_zorder_columns()  # physical names
+        if not phys_cols or not self.versions():
+            return None
+        # map back to the CURRENT logical names (the batch's columns):
+        # a physical without a live logical (column dropped, or renamed
+        # away and the anchor now stale) disables eager clustering —
+        # plain append, conservative
+        cur_schema = T.StructType.fromJson(
+            json.loads(self._manifest(self.latest_version())["schema"])
+        )
+        rev = {p: l for l, p in _physical_names(cur_schema).items()}
+        cols = [rev.get(p) for p in phys_cols]
+        if any(c is None or c not in df.columns for c in cols):
             return None
         if cluster_files is None:
             total = 0
@@ -2269,11 +2331,12 @@ class VersionedStageTable:
                 return v
         if not self.versions():
             hint = 0
+            schema_json = _sanitize_user_schema(df.schema).json()
             files = self._write_files(df, hint)
             return self._commit(
-                "overwrite", add=files, schema_json=df.schema.json(),
+                "overwrite", add=files, schema_json=schema_json,
                 epoch=epoch, version=hint,
-                stats=self._collect_stats(files, df.schema.json()),
+                stats=self._collect_stats(files, schema_json),
             )
         prev = self._manifest(self.latest_version())
         cons = dict(prev.get("constraints") or {})
@@ -2298,15 +2361,18 @@ class VersionedStageTable:
         schema = prev_schema
         mapped = _mapping_active(prev_schema)
         for f in added:
+            # user metadata never smuggles a physical name in (the
+            # reserved key is this engine's alone); under active
+            # mapping the born column gets a FRESH one — if its
+            # logical name was ever dropped, reusing it would
+            # resurrect the dropped column's bytes from old files
+            md = {
+                k: v for k, v in (f.metadata or {}).items()
+                if k != _PHYSICAL_KEY
+            }
             if mapped:
-                # a column born under active mapping gets a FRESH
-                # physical name: if its logical name was ever dropped,
-                # reusing it would resurrect the dropped column's bytes
-                # from old files
-                f = T.StructField(
-                    f.name, f.dataType, f.nullable,
-                    {**(f.metadata or {}), _PHYSICAL_KEY: _fresh_physical(f.name)},
-                )
+                md[_PHYSICAL_KEY] = _fresh_physical()
+            f = T.StructField(f.name, f.dataType, f.nullable, md)
             schema = schema.add(f)
         hint = prev["version"] + 1
         clustered = None
@@ -2451,11 +2517,12 @@ class VersionedStageTable:
         if not self.versions():
             # genesis merge: commit directly so ``epoch`` is recorded
             # (overwrite() would drop it and a replay would re-land)
+            schema_json = _sanitize_user_schema(source.schema).json()
             files = self._write_files(source, 0)
             return self._commit(
-                "overwrite", add=files, schema_json=source.schema.json(),
+                "overwrite", add=files, schema_json=schema_json,
                 version=0, epoch=epoch,
-                stats=self._collect_stats(files, source.schema.json()),
+                stats=self._collect_stats(files, schema_json),
             )
         prev = self._manifest(self.latest_version())
         cons = dict(prev.get("constraints") or {})
@@ -3207,6 +3274,7 @@ class VersionedStageTable:
                 f"{self.path}: zorder_by columns {missing} not in table"
             )
         scope = list(prev["files"])
+        phys = _physical_names(schema)
         if where is not None:
             # Delta's OPTIMIZE ... WHERE ZORDER BY: only files whose
             # manifest stats MAY match the predicate are re-clustered
@@ -3215,22 +3283,27 @@ class VersionedStageTable:
             scope = prune_candidate_files(
                 scope, prev.get("stats") or {}, where,
                 stat_cols=set(_stat_columns(schema)),
-                rename=_physical_names(schema),
+                rename=phys,
             )
             if not scope:
                 return prev["version"]
         anchor = None
         if incremental:
             # the tail = files absent from the snapshot of the last
-            # zorder commit on the SAME columns (a COW rewrite of a
-            # clustered file re-enters the tail — it lost its layout).
-            # Finding the anchor walks commit records newest-first:
-            # O(commits since last cluster), tiny delta records only.
+            # zorder commit on the SAME columns — compared by PHYSICAL
+            # name (stable across renames; matching logical names
+            # could false-match a column renamed ONTO a previously
+            # clustered name). A COW rewrite of a clustered file
+            # re-enters the tail — it lost its layout. Finding the
+            # anchor walks commit records newest-first: O(commits
+            # since last cluster), tiny delta records only.
+            want = [phys.get(c, c) for c in zorder_by]
             for v in reversed(self.versions()):
                 rec = self._commit_record(v)
+                met = rec.get("metrics") or {}
                 if rec.get("op") == "zorder" and (
-                    (rec.get("metrics") or {}).get("zorder_by")
-                    == list(zorder_by)
+                    met.get("zorder_by_physical", met.get("zorder_by"))
+                    == want
                 ):
                     anchor = v
                     break
@@ -3264,6 +3337,12 @@ class VersionedStageTable:
             stats=self._collect_stats(packed, prev["schema"]),
             metrics={
                 "zorder_by": list(zorder_by),
+                # physical twin: anchors and eager-write clustering key
+                # on THIS, so they survive renames and never
+                # false-match a reused logical name
+                "zorder_by_physical": [
+                    phys.get(c, c) for c in zorder_by
+                ],
                 "files_clustered": len(scope),
                 "files_carried": len(prev["files"]) - len(scope),
                 "incremental": bool(incremental and anchor is not None),

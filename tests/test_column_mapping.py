@@ -193,3 +193,153 @@ def test_rename_then_zorder_clusters_on_new_name(spark, table):
     assert table.lookup("key = 3").count() == len(
         [r for r in rows if r[0] == 3]
     )
+
+
+def test_stale_name_predicate_raises_not_silently_empty(spark, table):
+    """Review r12 #1: a predicate naming a column OUTSIDE the logical
+    schema (here: a DROPPED column, whose physical key still sits in
+    every old file's stats dict) must surface as an analysis error
+    from the scan filter — pruning may not translate it through the
+    mapping's key space and silently return an empty result."""
+    lo = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "a int, v string"
+    )
+    table.overwrite(lo.coalesce(1))
+    table.drop_column("a")
+    m = table._manifest(table.latest_version())
+    # the dropped column's bounds are still in the per-file stats dict
+    assert any("a" in (m["stats"].get(f) or {}) for f in m["files"])
+    from pyspark.errors import AnalysisException
+
+    # pre-fix: 'a > 100' matched the stats key 'a', excluded the file,
+    # and lookup returned EMPTY; now the conjunct contributes no
+    # pruning and the filter raises like any unknown column
+    with pytest.raises(AnalysisException):
+        table.lookup("a > 100").count()
+    with pytest.raises(AnalysisException):
+        table.delete("a > 100")
+    # a STALE renamed name keeps Spark's own resolve-through-project
+    # semantics (same physical column, same data) — consistent, and
+    # critically never a pruning-fabricated empty
+    t2 = VersionedStageTable(spark, table.path + "2")
+    t2.overwrite(lo.coalesce(1))
+    t2.rename_column("a", "c")
+    assert t2.lookup("c >= 0").count() == 10
+    assert t2.lookup("a >= 0").count() in (0, 10)  # resolved or raises
+    assert t2.lookup("a >= 0").count() == t2.lookup("c >= 0").count()
+
+
+def test_user_schema_cannot_smuggle_physical_name(spark, table):
+    """Review r12 #2: a df whose schema carries the reserved
+    physical_name metadata key (e.g. round-tripped from a real
+    column-mapped Delta table) must NOT activate mapping — the files
+    are written under logical names, so honoring the foreign physical
+    names would NULL-backfill real data."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), True),
+            T.StructField(
+                "v", T.StringType(), True, {"physical_name": "col-alien"}
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, "real"), (2, "data")], schema)
+    table.overwrite(df)
+    assert _rows(table.read()) == [(1, "real"), (2, "data")]  # not NULL
+    assert "column-mapping" not in (
+        table.protocol().get("reader") or []
+    )
+    # append with merge_schema smuggling the key on a NEW column
+    df2 = spark.createDataFrame(
+        [(3, "more", 7.5)],
+        T.StructType(
+            schema.fields
+            + [
+                T.StructField(
+                    "w", T.DoubleType(), True, {"physical_name": "col-bad"}
+                )
+            ]
+        ),
+    )
+    table.append(df2, merge_schema=True)
+    got = sorted(
+        tuple(r) for r in table.read().select("k", "v", "w").collect()
+    )
+    assert got == [(1, "real", None), (2, "data", None), (3, "more", 7.5)]
+
+
+def test_lazy_stats_survive_checkpoint_vacuumed_under_holder(
+    spark, tmp_path
+):
+    """Review r12 #3: a holder that resolved its snapshot off a
+    checkpoint whose stats it never read must stay CORRECT (just
+    unpruned) if another writer vacuums that checkpoint away before
+    the deferred load — degraded, recorded, never a crash."""
+    import os
+
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    lo = spark.createDataFrame(
+        [(i, "lo") for i in range(10)], "k int, v string"
+    )
+    hi = spark.createDataFrame(
+        [(i, "hi") for i in range(1000, 1010)], "k int, v string"
+    )
+    t.overwrite(lo.coalesce(1))
+    t.append(hi.coalesce(1))  # v1... v2 checkpoints at interval 2
+    t.append(spark.createDataFrame([(77, "m")], "k int, v string"))
+    assert 2 in t.checkpoints()
+    holder = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    m = holder._manifest(2)  # lazy stats, column unread
+    os.remove(holder._checkpoint_path(2))  # "vacuum" races the holder
+    got = holder.lookup("k >= 1000", version=2)
+    assert got.count() == 10  # correct, merely unpruned
+    assert holder._last_stats_load_error is not None
+    assert m is not None
+
+
+def test_rename_onto_reused_name_never_misclusters(spark, table):
+    """Review r12 #4: zorder on k, rename k->key, rename v->k — the
+    clustering anchor records PHYSICAL names, so the reused logical
+    name must not false-match: incremental zorder on the new 'k'
+    reclusters in full, and eager-write clustering does not fire on
+    the wrong column."""
+    rows = [(i % 7, f"s{i}") for i in range(60)]
+    table.overwrite(_df(spark, rows).repartition(3))
+    v_z = table.compact(zorder_by=["k"], target_files=2)
+    assert table._manifest(v_z)["metrics"]["zorder_by_physical"] == ["k"]
+    table.rename_column("k", "key")
+    table.rename_column("v", "k")  # reuse the old logical name
+    # eager-write clustering keys on the PHYSICAL anchor: a batch
+    # carrying only the REUSED logical name 'k' (the former v — a
+    # string) must NOT be clustered on it (pre-fix it was); a batch
+    # carrying 'key' (the physical anchor's current logical) is.
+    batch_wrong = spark.createDataFrame([("zz",)], "k string")
+    v_a = table.append(batch_wrong, cluster=True, merge_schema=True)
+    assert "clustered" not in (table._manifest(v_a).get("metrics") or {})
+    batch_right = spark.createDataFrame([(9, "zz")], "key int, k string")
+    v_b = table.append(batch_right, cluster=True)
+    assert (table._manifest(v_b)["metrics"] or {}).get("clustered")
+    # incremental zorder on the REUSED name must not adopt the stale
+    # anchor: it clusters the full snapshot (anchor physical differs)
+    v2 = table.compact(zorder_by=["k"], incremental=True)
+    m2 = table._manifest(v2)
+    assert m2["metrics"]["incremental"] is False
+    assert m2["metrics"]["files_carried"] == 0
+    # and a follow-up incremental pass against the NEW anchor is exact:
+    # it clusters exactly the files appended since the full rewrite
+    v_app = table.append(
+        spark.createDataFrame([(10, "tail")], "key int, k string")
+    )
+    tail = set(table._manifest(v_app)["files"]) - set(m2["files"])
+    v3 = table.compact(zorder_by=["k"], incremental=True)
+    m3 = table._manifest(v3)
+    assert m3["metrics"]["incremental"] is True
+    assert m3["metrics"]["files_clustered"] == len(tail)
+    assert set(m2["files"]) <= set(m3["files"])  # base carried by name
+    assert table.read().count() == 63
