@@ -244,6 +244,38 @@ def _fresh_physical() -> str:
     return f"col-{uuid.uuid4().hex[:12]}"
 
 
+def _widens(src: T.DataType, dst: T.DataType) -> bool:
+    """True when ``src -> dst`` is a LOSSLESS type widening this
+    engine supports — Delta Lake's type-widening matrix, restricted to
+    the conversions Spark's parquet reader performs natively on
+    narrow files under a wider read schema (verified: INT32 read as
+    long/decimal, FLOAT as double):
+
+    - integer chain: byte -> short -> int -> long
+    - byte/short/int -> double (exact: |int| < 2^53)
+    - float -> double
+    - byte/short/int/long -> decimal(p, s>=0) with enough integer
+      digits (3 / 5 / 10 / 20)
+
+    long -> double is NOT widening (loses exactness past 2^53)."""
+    _ichain = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(src, _ichain) and isinstance(dst, _ichain):
+        return _ichain.index(type(src)) < _ichain.index(type(dst))
+    if isinstance(src, (T.ByteType, T.ShortType, T.IntegerType)) and (
+        isinstance(dst, T.DoubleType)
+    ):
+        return True
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, _ichain) and isinstance(dst, T.DecimalType):
+        need = {
+            T.ByteType: 3, T.ShortType: 5,
+            T.IntegerType: 10, T.LongType: 20,
+        }[type(src)]
+        return dst.scale >= 0 and (dst.precision - dst.scale) >= need
+    return False
+
+
 def _sanitize_user_schema(schema: T.StructType) -> T.StructType:
     """Strip the RESERVED ``physical_name`` metadata key from a
     user-supplied schema. Only this engine's rename/drop paths may
@@ -538,12 +570,18 @@ _READER_FEATURES = frozenset({
     "column-mapping",        # fields carry stable physical_name; scans
                              # must read by physical name (Delta's
                              # columnMapping name mode)
+    "type-widening",         # files narrower than the schema exist;
+                             # readers must upcast narrow parquet under
+                             # the wider read schema (Delta's
+                             # typeWidening feature)
 })
 _WRITER_FEATURES = frozenset({
     "check-constraints",     # batches must satisfy table CHECKs
     "txn-epochs",            # epoch ids make commits idempotent
     "column-mapping",        # writers must land batches under physical
                              # names and mint fresh ones for new columns
+    "type-widening",         # writers must preserve widened schemas
+                             # (never re-narrow on schema comparison)
 })
 
 
@@ -1065,6 +1103,7 @@ class VersionedStageTable:
         metrics: dict | None = None,
         dv: dict | None = None,
         txn: dict | None = None,
+        features: dict | None = None,
     ) -> int:
         """Atomically publish ``version`` as a DELTA-encoded record —
         the files the commit adds and removes, with stats for the added
@@ -1138,6 +1177,12 @@ class VersionedStageTable:
         ):
             reader_req.add("column-mapping")
             writer_req.add("column-mapping")
+        if features:
+            # ops whose requirement is not derivable from record
+            # content (type widening: the narrow files look normal,
+            # only the schema knows) declare theirs explicitly
+            reader_req.update(features.get("reader", ()))
+            writer_req.update(features.get("writer", ()))
         if reader_req or writer_req:
             record["protocol"] = {
                 "reader": sorted(reader_req),
@@ -1616,6 +1661,68 @@ class VersionedStageTable:
             "drop_column", schema_json=new_schema.json(),
             version=prev["version"] + 1, constraints=cons,
             metrics={"dropped": name},
+            txn=self._txn(prev),
+        )
+
+    def widen_column(self, name: str, new_type) -> int:
+        """ALTER TABLE ALTER COLUMN ... TYPE — Delta's type-widening
+        feature: a ZERO-IO metadata commit replacing the column's type
+        with a lossless wider one (:func:`_widens` — integer chain,
+        float->double, small-int->double, integer->decimal). Existing
+        files keep their narrow parquet encoding; every scan reads them
+        under the wider schema (Spark's parquet reader upcasts
+        natively), new batches land wide, and narrower batches remain
+        appendable forever (reads widen them too). Values are
+        preserved exactly, so CHECK constraints keep binding. Old
+        versions time-travel under their own (narrow) schema. The
+        commit requires the ``type-widening`` reader+writer features —
+        an engine that would mis-read narrow files under a wide schema
+        fails closed instead. ``new_type`` is a DataType or a DDL
+        string (``"bigint"``, ``"decimal(20,0)"``)."""
+        if isinstance(new_type, str):
+            new_type = T.StructType.fromDDL(
+                f"__w {new_type}"
+            ).fields[0].dataType
+        prev = self._manifest(self.latest_version())
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(
+                f"{self.path}: no column {name!r} (have {names})"
+            )
+        old = schema[name].dataType
+        if old == new_type:
+            return prev["version"]
+        if not _widens(old, new_type):
+            raise ValueError(
+                f"{self.path}: {old.simpleString()} -> "
+                f"{new_type.simpleString()} is not a supported lossless "
+                f"widening for column {name!r} (integer chain, "
+                f"float->double, byte/short/int->double, "
+                f"integer->decimal)"
+            )
+        fields = [
+            T.StructField(
+                f.name,
+                new_type if f.name == name else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        return self._commit(
+            "widen_column", schema_json=T.StructType(fields).json(),
+            version=prev["version"] + 1,
+            constraints=dict(prev.get("constraints") or {}),
+            metrics={
+                "widened": [
+                    name, old.simpleString(), new_type.simpleString()
+                ]
+            },
+            features={
+                "reader": ["type-widening"],
+                "writer": ["type-widening"],
+            },
             txn=self._txn(prev),
         )
 
@@ -2346,12 +2453,30 @@ class VersionedStageTable:
         prev_names = {f.name: f for f in prev_schema.fields}
         new_names = {f.name: f for f in df.schema.fields}
         added = [f for f in df.schema.fields if f.name not in prev_names]
+        widen_to: dict = {}
+        narrow_files = False
         for name, f in new_names.items():
             if name in prev_names and f.dataType != prev_names[name].dataType:
+                old_t = prev_names[name].dataType
+                if _widens(f.dataType, old_t):
+                    # batch NARROWER than the table: always fine — the
+                    # narrow file reads up under the wide schema
+                    # (type-widening's standing promise); the commit
+                    # declares the feature, because narrow files under
+                    # a wider schema now exist
+                    narrow_files = True
+                    continue
+                if merge_schema and _widens(old_t, f.dataType):
+                    # batch WIDER: mergeSchema widens the table type
+                    # (Delta's automatic type widening under
+                    # schema evolution)
+                    widen_to[name] = f.dataType
+                    continue
                 raise ValueError(
                     f"{self.path}: column {name!r} type change "
-                    f"{prev_names[name].dataType} -> {f.dataType} is not "
-                    f"an append; rewrite via overwrite/merge"
+                    f"{old_t} -> {f.dataType} is not an append; use "
+                    f"widen_column for a lossless widening, or "
+                    f"overwrite/merge for a rewrite"
                 )
         if (added or set(prev_names) - set(new_names)) and not merge_schema:
             raise ValueError(
@@ -2359,6 +2484,18 @@ class VersionedStageTable:
                 f"columns {sorted(prev_names)}; pass merge_schema=True"
             )
         schema = prev_schema
+        if widen_to:
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        pf.name,
+                        widen_to.get(pf.name, pf.dataType),
+                        pf.nullable,
+                        pf.metadata,
+                    )
+                    for pf in prev_schema.fields
+                ]
+            )
         mapped = _mapping_active(prev_schema)
         for f in added:
             # user metadata never smuggles a physical name in (the
@@ -2393,6 +2530,14 @@ class VersionedStageTable:
             metrics=(
                 {"clustered": True, "files": len(files)}
                 if clustered is not None
+                else None
+            ),
+            features=(
+                {
+                    "reader": ["type-widening"],
+                    "writer": ["type-widening"],
+                }
+                if (widen_to or narrow_files)
                 else None
             ),
             txn=self._txn(prev),
@@ -2533,9 +2678,20 @@ class VersionedStageTable:
         src_names = {f.name: f for f in source.schema.fields}
         for name, f in src_names.items():
             if name in prev_names and f.dataType != prev_names[name].dataType:
+                old_t = prev_names[name].dataType
+                if _widens(f.dataType, old_t):
+                    # narrower source after a widen: cast up so the
+                    # kept-rows union and the written files carry the
+                    # table's (wider) type — lossless by _widens
+                    source = source.withColumn(
+                        name, F.col(f"`{name}`").cast(old_t)
+                    )
+                    continue
                 raise ValueError(
                     f"{self.path}: merge source column {name!r} type "
-                    f"{f.dataType} != table type {prev_names[name].dataType}"
+                    f"{f.dataType} != table type {old_t}; merge does "
+                    f"not evolve schema (use widen_column first for a "
+                    f"lossless widening)"
                 )
         if set(prev_names) != set(src_names):
             raise ValueError(

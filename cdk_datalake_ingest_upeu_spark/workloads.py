@@ -10681,6 +10681,93 @@ SELECT
 """
 
 
+def stage_type_widening(spark, sf_dir):
+    """Type widening (round 12, ``operators/versioned.widen_column`` —
+    Delta's typeWidening feature): ``ALTER COLUMN TYPE`` to a lossless
+    wider type is a ZERO-IO metadata commit (``zero_io`` pins the file
+    list unchanged). The H1-1997 batch then lands values only a BIGINT
+    can hold, an H2 batch arrives NARROW again (int — reads upcast it
+    under the wide schema forever), and a narrow merge source is cast
+    up losslessly. Time travel reads the pre-widen version under its
+    own int type (``v0_type``); the commit gates readers via the
+    ``type-widening`` protocol feature (``gated``). The final count and
+    BIGINT sum are SQL-exact against orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        _fp_c(F.col("o_totalprice"), 100).cast("int").alias("cents"),
+        "o_orderdate",
+    )
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("widen"), "orders_widened")
+    )
+    t.overwrite(base.filter(F.col("o_orderdate") < "1997-01-01"))
+    files0 = t._manifest(0)["files"]
+    v1 = t.widen_column("cents", "bigint")
+    zero_io = bool(t._manifest(v1)["files"] == files0)
+    v0_type = dict(t.read(0).dtypes)["cents"]
+    h1 = base.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).withColumn(
+        "cents",
+        (F.col("cents").cast("long") + F.lit(3_000_000_000)),
+    )
+    t.append(h1)
+    h2 = base.filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    t.append(h2)  # narrow int batch post-widen
+    updates = (
+        t.read()
+        .filter(F.col("o_orderkey") % 89 == 0)
+        .withColumn("cents", F.lit(7).cast("int"))  # narrow source
+    )
+    t.merge(updates, ["o_orderkey"])
+    gated = bool(
+        "type-widening" in (t.protocol().get("reader") or [])
+    )
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("cents")).alias("cents_sum"),
+        )
+        .withColumn("type_now", F.lit(dict(t.read().dtypes)["cents"]))
+        .withColumn("v0_type", F.lit(v0_type))
+        .withColumn("zero_io", F.lit(zero_io))
+        .withColumn("gated", F.lit(gated))
+    )
+
+
+_TYPE_WIDENING_SQL = f"""
+WITH st AS (
+  SELECT o_orderkey,
+         CASE
+           WHEN o_orderkey % 89 = 0 THEN 7
+           WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-07-01'
+             THEN {_cents_sum_sql('o_totalprice', 100)} + 3000000000
+           ELSE {_cents_sum_sql('o_totalprice', 100)}
+         END AS cents
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       'bigint' AS type_now,
+       'int' AS v0_type,
+       TRUE AS zero_io,
+       TRUE AS gated
+FROM st
+"""
+
+
 def streaming_versioned_ingest(spark, sf_dir):
     """Continuous ingestion into the versioned stage table
     (streaming/incremental.stream_versioned_append): two chronological
@@ -14889,6 +14976,7 @@ QUERIES = {
     "stage_schema_evolution_versions": stage_schema_evolution_versions,
     "stage_column_mapping": stage_column_mapping,
     "stage_column_drop_readd": stage_column_drop_readd,
+    "stage_type_widening": stage_type_widening,
     "streaming_versioned_ingest": streaming_versioned_ingest,
     "graph_pagerank_event_transitions": graph_pagerank_event_transitions,
     "graph_reach_event_transitions": graph_reach_event_transitions,
@@ -15144,6 +15232,7 @@ ORACLES = {
     "stage_schema_evolution_versions": _SCHEMA_EVOLUTION_SQL,
     "stage_column_mapping": _COLUMN_MAPPING_SQL,
     "stage_column_drop_readd": _COLUMN_DROP_READD_SQL,
+    "stage_type_widening": _TYPE_WIDENING_SQL,
     "streaming_versioned_ingest": _STREAM_VERSIONED_SQL,
     "graph_pagerank_event_transitions": _PAGERANK_SQL,
     "graph_reach_event_transitions": _GRAPH_REACH_SQL,
@@ -15760,7 +15849,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # round-12 driver window (first 50 entries of QUERIES)
 # ===========================================================================
 
-# (a) the two r12-new queries (column mapping — never driver-checked)
+# (a) the two r12-early queries (column mapping — never driver-checked)
 # lead; (b) ALL 48 queries whose newest driver-green is still r7 — the
 # histogram after r11 is r7x48, r8x50, r9x50, r10x50, r11x50 (parse
 # CORRECTNESS_r0N for rows/schema/hash green per name), and 2 + 48
@@ -15768,6 +15857,10 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 # driver evidence is older than r8. The three queries the r11 verdict
 # named for rotation (ann_topk_bruteforce, multimodal_image_features,
 # streaming_stateful_sessionization) are all in (b).
+# stage_type_widening (r12-late, catalog 250 -> 251) carries this
+# round's local + hostile-sweep evidence and LEADS the r13 rotation —
+# giving it a slot now would push one r7-evidence query past the
+# no-older-than-r8 line this window exists to close.
 _R12_WINDOW = [
     # (a) r12-new, never driver-checked
     "stage_column_mapping",

@@ -239,9 +239,23 @@ def test_append_merge_schema_evolves_and_backfills_null(spark, table):
 
 def test_append_refuses_type_change(spark, table):
     table.overwrite(_df(spark, [(1, "a")]))
+    # int -> double is a LOSSLESS WIDENING since r12: with merge_schema
+    # it evolves the table type instead of raising...
     retyped = spark.createDataFrame([(2.5, "b")], "k double, v string")
-    with pytest.raises(ValueError):
-        table.append(retyped, merge_schema=True)
+    table.append(retyped, merge_schema=True)
+    assert dict(table.read().dtypes)["k"] == "double"
+    # ...but a non-widening change still refuses, with or without
+    # merge_schema (string<->numeric, and any NARROWING)
+    with pytest.raises(ValueError, match="type change"):
+        table.append(
+            spark.createDataFrame([("x", "c")], "k string, v string"),
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="type change"):
+        table.append(
+            spark.createDataFrame([("d", 7)], "v string, k long"),
+            merge_schema=True,
+        )  # double -> long would narrow
 
 
 def test_append_epoch_idempotent(spark, table):
