@@ -578,6 +578,10 @@ _READER_FEATURES = frozenset({
 _WRITER_FEATURES = frozenset({
     "check-constraints",     # batches must satisfy table CHECKs
     "txn-epochs",            # epoch ids make commits idempotent
+    "txn-app-ids",           # epochs are namespaced per writer id
+                             # (Delta's txn {appId, version}); a writer
+                             # that keys idempotence on the bare epoch
+                             # integer would mis-read these records
     "column-mapping",        # writers must land batches under physical
                              # names and mint fresh ones for new columns
     "type-widening",         # writers must preserve widened schemas
@@ -777,12 +781,15 @@ class VersionedStageTable:
         # set when a deferred stats load found its checkpoint vacuumed
         # (the holder degraded to unpruned-but-correct)
         self._last_stats_load_error: Exception | None = None
-        # epoch -> version map for idempotent streaming commits,
-        # built INCREMENTALLY: each check scans only records newer
+        # (app_id, epoch) -> version map for idempotent streaming
+        # commits — Delta's txn {appId, version} discipline, so two
+        # writers' epoch counters live in DISJOINT namespaces and can
+        # never collide (app_id None is the legacy/anonymous space).
+        # Built INCREMENTALLY: each check scans only records newer
         # than the last scan (a 10^4-commit table's per-batch epoch
         # check is O(new commits), not O(log)). Delta's txn actions
         # carry the same in its checkpoints.
-        self._epoch_versions: dict[int, int] = {}
+        self._epoch_versions: dict[tuple[str | None, int], int] = {}
         self._epoch_scan_upto = -1
 
     # -- log bookkeeping ---------------------------------------------------
@@ -1058,6 +1065,8 @@ class VersionedStageTable:
             }
         if "epoch" in last:
             out["epoch"] = last["epoch"]
+            if "app_id" in last:
+                out["app_id"] = last["app_id"]
         if "metrics" in last:
             out["metrics"] = last["metrics"]
         self._cache_snapshot(version, out)
@@ -1070,23 +1079,30 @@ class VersionedStageTable:
             self._snapshot_cache.pop(next(iter(self._snapshot_cache)))
         self._snapshot_cache[version] = snap
 
-    def _epoch_version(self, epoch: int) -> int | None:
-        """Version already committed under ``epoch``, or None. The scan
-        over commit records is incremental per instance — only records
+    def _epoch_version(
+        self, epoch: int, app_id: str | None = None
+    ) -> int | None:
+        """Version already committed under ``(app_id, epoch)``, or None
+        — Delta's txn {appId, version} lookup: each writer identity
+        owns its own epoch counter, so an applier's derived sub-epochs
+        can never collide with another writer's raw epochs. ``app_id``
+        None probes the legacy/anonymous namespace only. The scan over
+        commit records is incremental per instance — only records
         newer than the previous check are read, so a streaming writer's
         per-batch idempotence probe costs O(commits since last batch),
         never O(log)."""
         vs = self.versions()
         for v in vs:
             if v > self._epoch_scan_upto:
-                e = self._commit_record(v).get("epoch")
+                rec = self._commit_record(v)
+                e = rec.get("epoch")
                 if e is not None:
-                    self._epoch_versions[e] = v
+                    self._epoch_versions[(rec.get("app_id"), e)] = v
         if vs:
             self._epoch_scan_upto = max(
                 self._epoch_scan_upto, vs[-1]
             )
-        return self._epoch_versions.get(epoch)
+        return self._epoch_versions.get((app_id, epoch))
 
     def _commit(
         self,
@@ -1096,6 +1112,7 @@ class VersionedStageTable:
         remove: list[str] | tuple = (),
         schema_json: str,
         epoch: int | None = None,
+        app_id: str | None = None,
         committed_at: float | None = None,
         version: int | None = None,
         constraints: dict | None = None,
@@ -1145,6 +1162,11 @@ class VersionedStageTable:
         }
         if epoch is not None:
             record["epoch"] = epoch
+            if app_id is not None:
+                # Delta's txn appId: the epoch's namespace. Recorded
+                # only alongside an epoch — app_id without an epoch
+                # has no idempotence meaning.
+                record["app_id"] = app_id
         if constraints:
             record["constraints"] = constraints
         if stats:
@@ -1169,6 +1191,11 @@ class VersionedStageTable:
             writer_req.add("check-constraints")
         if epoch is not None:
             writer_req.add("txn-epochs")
+            if app_id is not None:
+                # a writer keying idempotence on the BARE epoch integer
+                # would treat this record's namespaced epoch as its own
+                # and silently skip a batch — gate it out
+                writer_req.add("txn-app-ids")
         # the substring probe is a cheap pre-filter; the json parse
         # confirms the key sits in FIELD METADATA (where this engine
         # puts it), not in some user string literal
@@ -1206,7 +1233,7 @@ class VersionedStageTable:
             # reads txn versions from the snapshot itself for exactly
             # this reason). Our just-written data files are orphans;
             # vacuum's grace-period sweep reclaims them.
-            w = self._epoch_version(epoch)
+            w = self._epoch_version(epoch, app_id)
             if w is not None:
                 return w
         checked_upto = version - 1
@@ -1226,8 +1253,12 @@ class VersionedStageTable:
                 # Our just-written data files are unreferenced and
                 # vacuum's orphan sweep reclaims them.
                 for w in winners:
-                    if self._commit_record(w).get("epoch") == epoch:
-                        self._epoch_versions[epoch] = w
+                    rec = self._commit_record(w)
+                    if (
+                        rec.get("epoch") == epoch
+                        and rec.get("app_id") == app_id
+                    ):
+                        self._epoch_versions[(app_id, epoch)] = w
                         return w
             if txn is None:
                 raise ConcurrentCommitError(
@@ -1247,7 +1278,7 @@ class VersionedStageTable:
         if epoch is not None:
             # register in the idempotence map directly — the writer's
             # own commit never needs a log re-read to be remembered
-            self._epoch_versions[epoch] = version
+            self._epoch_versions[(app_id, epoch)] = version
         # periodic checkpoint AFTER the commit lands: derived data, so a
         # crash here loses nothing (resolution anchors one earlier) —
         # and a FAILURE here must not fail the already-durable commit:
@@ -2401,6 +2432,7 @@ class VersionedStageTable:
         *,
         merge_schema: bool = False,
         epoch: int | None = None,
+        app_id: str | None = None,
         cluster: bool = False,
         cluster_files: int | None = None,
     ) -> int:
@@ -2411,7 +2443,15 @@ class VersionedStageTable:
         (Delta's txn-version pattern): a foreachBatch retry re-delivers
         the same epoch id, and an append whose epoch is already
         committed returns that version untouched instead of
-        double-landing the batch.
+        double-landing the batch. ``app_id`` namespaces the epoch per
+        WRITER IDENTITY (Delta's txn ``{appId, version}``): two writers
+        landing into the same table each keep their own epoch counter,
+        and one writer's epoch ids can never satisfy — and therefore
+        never skip — another's. Records carrying an app_id declare the
+        ``txn-app-ids`` writer feature so a bare-epoch-keyed legacy
+        writer fails closed instead of mis-reading them. The same
+        parameter exists on :meth:`merge`, :meth:`delete`, and
+        :meth:`delete_keys` with identical semantics.
 
         With ``merge_schema=True`` (Delta's ``mergeSchema`` option) the
         batch may carry NEW columns: the committed schema becomes the
@@ -2433,7 +2473,7 @@ class VersionedStageTable:
         batch lacks a cluster column. ``cluster_files`` overrides the
         metadata-sized file count (~32 MB clustered files)."""
         if epoch is not None:
-            v = self._epoch_version(epoch)
+            v = self._epoch_version(epoch, app_id)
             if v is not None:
                 return v
         if not self.versions():
@@ -2442,7 +2482,7 @@ class VersionedStageTable:
             files = self._write_files(df, hint)
             return self._commit(
                 "overwrite", add=files, schema_json=schema_json,
-                epoch=epoch, version=hint,
+                epoch=epoch, app_id=app_id, version=hint,
                 stats=self._collect_stats(files, schema_json),
             )
         prev = self._manifest(self.latest_version())
@@ -2525,6 +2565,7 @@ class VersionedStageTable:
         # ConcurrentAppend never conflicts with itself)
         return self._commit(
             "append", add=files, schema_json=schema.json(), epoch=epoch,
+            app_id=app_id,
             version=hint, constraints=cons,
             stats=self._collect_stats(files, schema.json()),
             metrics=(
@@ -2550,6 +2591,7 @@ class VersionedStageTable:
         resolve_by: list[str] | None = None,
         *,
         epoch: int | None = None,
+        app_id: str | None = None,
     ) -> int:
         """Upsert ``source`` by ``key_columns`` — copy-on-write at file
         granularity, Delta MERGE's execution shape
@@ -2580,7 +2622,7 @@ class VersionedStageTable:
         pattern): a replayed batch whose epoch is already committed
         returns that version untouched — no re-scan, no rewrite."""
         if epoch is not None and self.versions():
-            v = self._epoch_version(epoch)
+            v = self._epoch_version(epoch, app_id)
             if v is not None:
                 return v
         # merge is eager (it ends in file writes), so the batch-scale
@@ -2596,7 +2638,9 @@ class VersionedStageTable:
                 resolved = self._resolve_source(
                     persisted, key_columns, resolve_by
                 )
-            return self._merge_impl(resolved, key_columns, epoch=epoch)
+            return self._merge_impl(
+                resolved, key_columns, epoch=epoch, app_id=app_id
+            )
         finally:
             persisted.unpersist()
 
@@ -2642,7 +2686,7 @@ class VersionedStageTable:
 
     def _merge_impl(
         self, source: DataFrame, key_columns: list[str],
-        epoch: int | None = None,
+        epoch: int | None = None, app_id: str | None = None,
     ) -> int:
         dup = (
             source.groupBy(*key_columns)
@@ -2666,7 +2710,7 @@ class VersionedStageTable:
             files = self._write_files(source, 0)
             return self._commit(
                 "overwrite", add=files, schema_json=schema_json,
-                version=0, epoch=epoch,
+                version=0, epoch=epoch, app_id=app_id,
                 stats=self._collect_stats(files, schema_json),
             )
         prev = self._manifest(self.latest_version())
@@ -2705,6 +2749,7 @@ class VersionedStageTable:
             return self._commit(
                 "merge", add=files, schema_json=prev["schema"],
                 version=hint, constraints=cons, epoch=epoch,
+                app_id=app_id,
                 stats=self._collect_stats(files, prev["schema"]),
                 txn=self._txn(prev, conflict_on_add=True),
             )
@@ -2755,7 +2800,7 @@ class VersionedStageTable:
         return self._commit(
             "merge", add=new_files, remove=touched,
             schema_json=prev["schema"], version=hint,
-            constraints=cons, epoch=epoch,
+            constraints=cons, epoch=epoch, app_id=app_id,
             stats=self._collect_stats(new_files, prev["schema"]),
             metrics=metrics,
             # read set = the key-bounds candidates; any concurrent ADD
@@ -2772,6 +2817,7 @@ class VersionedStageTable:
         key_columns: list[str],
         *,
         epoch: int | None = None,
+        app_id: str | None = None,
     ) -> int:
         """DELETE every row whose key appears in ``keys`` — the keyed
         twin of :meth:`delete` for when the victims arrive as a
@@ -2789,7 +2835,7 @@ class VersionedStageTable:
         commit — never k DELETE statements (a change-feed applier that
         loops per-key pays k full job launches and k commits)."""
         if epoch is not None and self.versions():
-            v = self._epoch_version(epoch)
+            v = self._epoch_version(epoch, app_id)
             if v is not None:
                 return v
         if not self.versions():
@@ -2841,6 +2887,7 @@ class VersionedStageTable:
             return self._commit(
                 "delete", add=new_files, remove=touched,
                 schema_json=prev["schema"], version=hint, epoch=epoch,
+                app_id=app_id,
                 constraints=dict(prev.get("constraints") or {}),
                 stats=self._collect_stats(new_files, prev["schema"]),
                 metrics=metrics,
@@ -2924,7 +2971,8 @@ class VersionedStageTable:
         return os.path.relpath(p, self.path)
 
     def delete(
-        self, condition: str, *, mode: str = "cow", epoch: int | None = None
+        self, condition: str, *, mode: str = "cow",
+        epoch: int | None = None, app_id: str | None = None,
     ) -> int:
         """DELETE FROM table WHERE condition. Rows where the condition
         is NULL are kept (SQL DELETE semantics: only TRUE removes).
@@ -2962,7 +3010,7 @@ class VersionedStageTable:
         if mode not in ("cow", "dv"):
             raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
         if epoch is not None:
-            v = self._epoch_version(epoch)
+            v = self._epoch_version(epoch, app_id)
             if v is not None:
                 return v
         prev = self._manifest(self.latest_version())
@@ -2981,6 +3029,7 @@ class VersionedStageTable:
         if mode == "dv":
             return self._delete_dv(
                 prev, schema, candidates, cond, hint, epoch=epoch,
+                app_id=app_id,
                 condition=condition,
             )
         # read THROUGH the manifest schema, like read()/changes()/compact():
@@ -3004,6 +3053,7 @@ class VersionedStageTable:
         return self._commit(
             "delete", add=new_files, remove=touched,
             schema_json=prev["schema"], version=hint, epoch=epoch,
+            app_id=app_id,
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(new_files, prev["schema"]),
             metrics={
@@ -3027,6 +3077,7 @@ class VersionedStageTable:
         hint: int,
         *,
         epoch: int | None = None,
+        app_id: str | None = None,
         condition: str | None = None,
     ) -> int:
         """Merge-on-read DELETE: write the matched row positions as a
@@ -3080,7 +3131,7 @@ class VersionedStageTable:
         n_rows = sum(r["__rows"] for r in agg)
         return self._commit(
             "delete_dv", schema_json=prev["schema"], version=hint,
-            epoch=epoch,
+            epoch=epoch, app_id=app_id,
             constraints=dict(prev.get("constraints") or {}),
             dv={f: sidecar_files for f in touched},
             metrics={

@@ -159,7 +159,8 @@ class VersionedChangeFeedReader:
 
 
 def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
-                    key_columns: list[str], epoch: int) -> int:
+                    key_columns: list[str], epoch: int,
+                    app_id: str = "cdf-apply") -> int:
     """Reference handler: land one CDF batch into ANOTHER versioned
     table exactly-once. Deletes apply first (keys whose final state in
     the batch is a delete), inserts land as a latest-wins merge; the
@@ -175,12 +176,16 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
     not a re-executed pruned scan — and the whole-batch fast path keys
     on the FINAL leg's sub-epoch, which exists iff the batch fully
     landed. The even/odd split keeps sub-epochs collision-free across
-    batches; the target table must not mix this applier with writers
-    minting raw epochs (standard Delta txn appId discipline — one
-    writer identity, one epoch space)."""
+    batches, and ``app_id`` keeps them collision-free across WRITERS:
+    every leg commits under this applier's own txn namespace (Delta's
+    txn ``{appId, version}``), so a second writer minting raw epochs
+    into the same target lives in a disjoint epoch space and neither
+    can satisfy — or skip — the other's idempotence probe. Two
+    DISTINCT CDF pipelines feeding one target must pass distinct
+    app_ids (one writer identity, one epoch counter)."""
     delete_epoch, final_epoch = 2 * epoch, 2 * epoch + 1
     if target.versions():
-        v = target._epoch_version(final_epoch)
+        v = target._epoch_version(final_epoch, app_id)
         if v is not None:
             return v
     pdf = df.persist()
@@ -198,13 +203,17 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
             inserts.select(*key_columns)
         ).distinct()
         if not target.versions():
-            return target.append(inserts, epoch=final_epoch)
+            return target.append(inserts, epoch=final_epoch, app_id=app_id)
         if not gone.isEmpty():
-            target.delete_keys(gone, key_columns, epoch=delete_epoch)
+            target.delete_keys(
+                gone, key_columns, epoch=delete_epoch, app_id=app_id
+            )
         if inserts.isEmpty():
             # nothing to merge: land the epoch as a zero-row append so
             # a re-delivery is still a no-op
-            return target.append(inserts, epoch=final_epoch)
-        return target.merge(inserts, key_columns, epoch=final_epoch)
+            return target.append(inserts, epoch=final_epoch, app_id=app_id)
+        return target.merge(
+            inserts, key_columns, epoch=final_epoch, app_id=app_id
+        )
     finally:
         pdf.unpersist()

@@ -266,3 +266,88 @@ def test_retention_interleaving_property_never_skips(spark, tmp_path):
     # whichever path: the delivered ranges were contiguous throughout
     for a, b in zip(ranges, ranges[1:]):
         assert a[1] == b[0], ranges
+
+
+def test_mixed_writer_epoch_namespaces_never_collide(spark, tmp_path):
+    """The r12-verdict hazard, now structurally closed: a CDF applier's
+    derived sub-epochs (2e / 2e+1 under its app_id) share a target with
+    a second writer minting RAW epoch integers. Before txn app-id
+    namespacing, the raw writer's epoch=2e+1 would match the applier's
+    final-leg record and silently SKIP the raw batch; now each writer's
+    counter lives in its own namespace and both land exactly once."""
+    src = VersionedStageTable(spark, str(tmp_path / "src"))
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    rdr = VersionedChangeFeedReader(src, str(tmp_path / "ckpt"))
+    handler = lambda df, f, t: apply_cdf_batch(tgt, df, ["k"], epoch=t)
+    src.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    rdr.drain(handler)  # applier lands snapshot under epoch 2*0+1 = 1
+    assert tgt._manifest(tgt.latest_version())["epoch"] == 1
+    assert tgt._manifest(tgt.latest_version())["app_id"] == "cdf-apply"
+    # raw-epoch writer uses the SAME integer the applier just committed
+    v_raw = tgt.append(_df(spark, [(10, "raw")]), epoch=1)
+    assert v_raw == tgt.latest_version()
+    assert tgt._manifest(v_raw)["epoch"] == 1
+    assert "app_id" not in tgt._manifest(v_raw)
+    assert _rows(tgt.read()) == [(1, "a"), (2, "b"), (10, "raw")]
+    # each writer's REPLAY is still a no-op within its own namespace
+    assert tgt.append(_df(spark, [(10, "raw")]), epoch=1) == v_raw
+    head = tgt.latest_version()
+    handler(
+        src.read().withColumn("_change_type", F.lit("insert")), 0, 0
+    )
+    assert tgt.latest_version() == head  # applier replay: log lookup
+    # and a SECOND applier identity gets its own namespace too
+    v2 = apply_cdf_batch(
+        tgt,
+        _df(spark, [(20, "p2")]).withColumn("_change_type", F.lit("insert")),
+        ["k"], epoch=0, app_id="pipeline-2",
+    )
+    assert v2 == tgt.latest_version() != head
+    # namespaced records declare the writer feature; raw ones don't
+    assert "txn-app-ids" in tgt.protocol()["writer"]
+
+
+def test_mixed_writer_epoch_model_random_sequence(spark, tmp_path):
+    """Model check over random MIXED-writer epoch draws: three writer
+    identities (two app_ids + the anonymous raw space) interleave
+    appends whose epoch integers deliberately overlap across writers,
+    with replays drawn at random. Exactly-once per (writer, epoch):
+    the table must hold one row per distinct (writer, epoch) pair and
+    every replay must return the original version."""
+    import random
+
+    rng = random.Random(20260816)
+    t = VersionedStageTable(spark, str(tmp_path / "vt"),
+                            checkpoint_interval=4)
+    t.overwrite(_df(spark, [(0, "seed")]))
+    writers = [None, "app-a", "app-b"]
+    landed: dict[tuple, int] = {}  # (app_id, epoch) -> version
+    for step in range(24):
+        w = rng.choice(writers)
+        # small epoch range FORCES cross-writer integer collisions
+        e = rng.randrange(5)
+        batch = _df(spark, [(1000 + step, f"{w}:{e}")])
+        if w is None:
+            v = t.append(batch, epoch=e)
+        else:
+            v = t.append(batch, epoch=e, app_id=w)
+        if (w, e) in landed:
+            assert v == landed[(w, e)], (step, w, e)
+        else:
+            assert v == t.latest_version(), (step, w, e)
+            landed[(w, e)] = v
+    # one committed row per distinct (writer, epoch) pair, none skipped
+    vals = sorted(
+        r["v"] for r in t.read().collect() if r["k"] >= 1000
+    )
+    assert vals == sorted(f"{w}:{e}" for (w, e) in landed)
+    # a FRESH instance (cold epoch map) replays every pair as a no-op
+    t2 = VersionedStageTable(spark, str(tmp_path / "vt"))
+    head = t2.latest_version()
+    for (w, e), v in landed.items():
+        b = _df(spark, [(9999, "replay")])
+        got = t2.append(b, epoch=e) if w is None else t2.append(
+            b, epoch=e, app_id=w
+        )
+        assert got == v
+    assert t2.latest_version() == head
