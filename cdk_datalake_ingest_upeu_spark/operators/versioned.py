@@ -458,9 +458,30 @@ def prune_candidate_files(
     name, a typo) contributes NO pruning — untranslated it could alias
     another column's physical key and silently exclude files, where
     the downstream filter would have raised."""
+    parsed, stat_cols = _parsed_pruners(condition, stat_cols, rename)
+    if not parsed:
+        return list(files)
+    return [
+        f
+        for f in files
+        if f not in stats
+        or not _stats_exclude(stats[f], parsed, stat_cols)
+    ]
+
+
+def _parsed_pruners(
+    condition: str,
+    stat_cols: set | None = None,
+    rename: dict | None = None,
+) -> tuple[list[tuple[str, str, object]], set | None]:
+    """The pruning FRAGMENT of ``condition``: top-level AND conjuncts of
+    the form ``col <op> literal`` parsed into (physical col, op, lit)
+    triples, plus ``stat_cols`` translated into the same physical key
+    space. Empty list when the condition contributes no pruning (then
+    every file is a candidate — callers skip the per-file walk)."""
     conjuncts = _split_top_and(condition)
     if conjuncts is None:
-        return list(files)
+        return [], stat_cols
     if stat_cols is not None and rename is not None:
         stat_cols = {rename.get(c, c) for c in stat_cols}
 
@@ -486,17 +507,24 @@ def prune_candidate_files(
             if lit is not None and col is not None:
                 parsed.append((col, _FLIP[m.group(2)], lit))
         # unrecognized conjunct: contributes no pruning
-    if not parsed:
-        return list(files)
-    return [
-        f
-        for f in files
-        if f not in stats
-        or not any(
-            _conjunct_excludes(stats[f], col, op, lit, stat_cols)
-            for col, op, lit in parsed
-        )
-    ]
+    return parsed, stat_cols
+
+
+def _stats_exclude(
+    st: dict | None,
+    parsed: list[tuple[str, str, object]],
+    stat_cols: set | None,
+) -> bool:
+    """True when ``st`` (one file's bounds) PROVES no row can match the
+    parsed conjuncts — the single-file core of
+    :func:`prune_candidate_files`, shared with the streaming
+    checkpoint-scoped resolution so both paths prune identically."""
+    if st is None:
+        return False
+    return any(
+        _conjunct_excludes(st, col, op, lit, stat_cols)
+        for col, op, lit in parsed
+    )
 
 
 class VersionNotFoundError(LookupError):
@@ -769,6 +797,12 @@ class VersionedStageTable:
         # history walk cannot hold every snapshot alive.
         self._snapshot_cache: dict[int, dict] = {}
         self._snapshot_cache_max = 16
+        # memo of PARTIAL (stats-pruned) snapshots keyed by
+        # (version, condition): a repeated identical lookup must not
+        # re-stream the checkpoint — same once-per-snapshot guarantee
+        # the full-path memo gives, at O(candidates) per entry
+        self._pruned_cache: dict[tuple[int, str], dict] = {}
+        self._pruned_cache_max = 8
         # observability: physical log reads (commit records +
         # checkpoints) — lets tests pin that repeated reads of one
         # version resolve the log exactly once
@@ -777,6 +811,11 @@ class VersionedStageTable:
         # that file-list-only resolutions (read/changes/vacuum) never
         # deserialize per-file stats (the 10^6-file driver-width axis)
         self._stats_loads = 0
+        # observability: file-list entries materialized into driver
+        # Python (checkpoint to_pylist + pruned-resolution survivors) —
+        # lets tests pin that a stats-scoped lookup on a checkpointed
+        # table materializes O(candidates), never O(table files)
+        self._files_materialized = 0
         self._last_checkpoint_error: Exception | None = None
         # set when a deferred stats load found its checkpoint vacuumed
         # (the holder degraded to unpruned-but-correct)
@@ -921,6 +960,7 @@ class VersionedStageTable:
         tbl = pq.read_table(p, columns=["path", "dv"])
         meta = tbl.schema.metadata or {}
         files = tbl.column("path").to_pylist()
+        self._files_materialized += len(files)
         dv = {
             f: list(s)
             for f, s in zip(files, tbl.column("dv").to_pylist())
@@ -1078,6 +1118,160 @@ class VersionedStageTable:
             # preserves insertion order)
             self._snapshot_cache.pop(next(iter(self._snapshot_cache)))
         self._snapshot_cache[version] = snap
+
+    def _manifest_pruned(self, version: int, condition: str) -> dict | None:
+        """Checkpoint-anchored PARTIAL snapshot: only the files whose
+        manifest bounds cannot exclude ``condition``'s pruning fragment
+        are materialized into driver Python — the successor to the lazy
+        checkpoint stats on the 10^6-file driver-width axis. Where
+        :meth:`_manifest` turns every checkpoint row into a Python path
+        (O(table files) driver RAM even when the caller reads one key
+        range), this streams the columnar checkpoint in record batches,
+        applies the SAME per-file bounds test pruning uses downstream
+        (:func:`_stats_exclude`), and keeps survivors only; the at-most
+        ``checkpoint_interval`` chain deltas then prune their adds the
+        same way. Driver memory is O(candidates + one batch), exactly
+        Delta's partition-scoped log replay shape.
+
+        Returns None — caller falls back to the full resolution — when
+        the condition contributes no pruning, no columnar checkpoint
+        anchors at-or-before ``version``, or a legacy full-snapshot
+        record interrupts the chain. The partial snapshot is NEVER
+        cached (the snapshot cache holds complete manifests only)."""
+        import pyarrow.parquet as pq
+
+        if version in self._snapshot_cache:
+            # the complete snapshot is already materialized — pruning
+            # the in-memory list beats re-streaming the checkpoint
+            return None
+        memo = self._pruned_cache.get((version, condition))
+        if memo is not None:
+            return dict(memo)
+        rec = self._commit_record(version)
+        if "files" in rec:
+            return None  # legacy full-snapshot record: already tiny
+        cps = [c for c in self.checkpoints() if c <= version]
+        if not cps:
+            return None
+        anchor = cps[-1]
+        cp_path = self._checkpoint_path(anchor)
+        if not os.path.exists(cp_path):
+            return None  # legacy JSON checkpoint
+        chain = [u for u in self.versions() if anchor < u <= version]
+        if chain != list(range(anchor + 1, version + 1)):
+            raise VersionNotFoundError(
+                f"{self.path}: version {version} is not resolvable — "
+                f"commit chain {chain} from anchor {anchor} has gaps "
+                f"(vacuumed past retention?)"
+            )
+        chain_recs = [
+            rec if u == version else self._commit_record(u)
+            for u in chain
+        ]
+        if any("files" in r for r in chain_recs):
+            return None  # legacy snapshot mid-chain: resolution resets
+        # parse the pruning fragment against the FINAL schema — sound
+        # for every file regardless of commit age, because stats are
+        # keyed by stable PHYSICAL names
+        schema_json = chain_recs[-1]["schema"] if chain_recs else None
+        pf = pq.ParquetFile(cp_path)
+        meta = pf.schema_arrow.metadata or {}
+        if schema_json is None:
+            schema_json = meta[b"schema"].decode()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        parsed, stat_cols = _parsed_pruners(
+            condition,
+            set(_stat_columns(schema)),
+            _physical_names(schema),
+        )
+        if not parsed:
+            return None  # no pruning fragment: full path is just as good
+        proto = json.loads(meta.get(b"protocol", b"{}").decode())
+        proto_reader = set(proto.get("reader", ()))
+        proto_writer = set(proto.get("writer", ()))
+        constraints = json.loads(meta.get(b"constraints", b"{}").decode())
+        # stream the checkpoint: one pass over path/stats/dv, survivors
+        # only ever reach Python
+        self._log_reads += 1
+        self._stats_loads += 1
+        files: list[str] = []
+        stats: dict = {}
+        dv: dict = {}
+        for batch in pf.iter_batches(
+            columns=["path", "stats", "dv"], batch_size=8192
+        ):
+            paths = batch.column(0)
+            stats_col = batch.column(1)
+            dv_col = batch.column(2)
+            for i in range(batch.num_rows):
+                raw = stats_col[i].as_py()
+                st = json.loads(raw) if raw else None
+                if _stats_exclude(st, parsed, stat_cols):
+                    continue
+                f = paths[i].as_py()
+                files.append(f)
+                if st:
+                    stats[f] = st
+                s = dv_col[i].as_py()
+                if s:
+                    dv[f] = list(s)
+        fset = set(files)
+        last: dict = chain_recs[-1] if chain_recs else {}
+        for r in chain_recs:
+            removed = r.get("remove") or []
+            fset.difference_update(removed)
+            for f in removed:
+                stats.pop(f, None)
+                dv.pop(f, None)
+            r_stats = r.get("stats") or {}
+            for f in r.get("add") or []:
+                st = r_stats.get(f)
+                if _stats_exclude(st, parsed, stat_cols):
+                    continue
+                fset.add(f)
+                if st:
+                    stats[f] = st
+            for f, sidecars in (r.get("dv") or {}).items():
+                if f not in fset:
+                    continue  # pruned-out or removed: mask irrelevant
+                cur = dv.setdefault(f, [])
+                for s in sidecars:
+                    if s not in cur:
+                        cur.append(s)
+            constraints = dict(r.get("constraints") or {})
+            proto_reader.update((r.get("protocol") or {}).get("reader", ()))
+            proto_writer.update((r.get("protocol") or {}).get("writer", ()))
+        unknown = proto_reader - _READER_FEATURES
+        if unknown:
+            raise TableFeatureError(
+                f"{self.path}: version {version} requires reader "
+                f"feature(s) {sorted(unknown)} this engine does not "
+                f"implement; reading anyway could corrupt results — "
+                f"upgrade the engine"
+            )
+        out = {
+            "version": version,
+            "files": sorted(fset),
+            "schema": schema_json,
+        }
+        self._files_materialized += len(out["files"])
+        kept_stats = {f: stats[f] for f in out["files"] if f in stats}
+        if kept_stats:
+            out["stats"] = kept_stats
+        kept_dv = {f: dv[f] for f in out["files"] if f in dv and dv[f]}
+        if kept_dv:
+            out["dv"] = kept_dv
+        if constraints:
+            out["constraints"] = constraints
+        if proto_reader or proto_writer:
+            out["protocol"] = {
+                "reader": sorted(proto_reader),
+                "writer": sorted(proto_writer),
+            }
+        if len(self._pruned_cache) >= self._pruned_cache_max:
+            self._pruned_cache.pop(next(iter(self._pruned_cache)))
+        self._pruned_cache[(version, condition)] = out
+        return dict(out)
 
     def _epoch_version(
         self, epoch: int, app_id: str | None = None
@@ -2310,13 +2504,21 @@ class VersionedStageTable:
             version = refs[tag]
         if version is None:
             version = self.latest_version()
-        m = self._manifest(version)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        candidates = prune_candidate_files(
-            m["files"], m.get("stats") or {}, condition,
-            stat_cols=set(_stat_columns(schema)),
-            rename=_physical_names(schema),
-        )
+        # checkpoint-anchored tables resolve a PARTIAL snapshot: the
+        # checkpoint streams through the bounds test and only candidate
+        # files ever become driver Python — O(candidates), not O(table)
+        m = self._manifest_pruned(version, condition)
+        if m is not None:
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            candidates = m["files"]
+        else:
+            m = self._manifest(version)
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            candidates = prune_candidate_files(
+                m["files"], m.get("stats") or {}, condition,
+                stat_cols=set(_stat_columns(schema)),
+                rename=_physical_names(schema),
+            )
         if not candidates:
             return self.spark.createDataFrame([], schema)
         return self._scan(candidates, schema, m.get("dv")).filter(
@@ -3729,4 +3931,5 @@ class VersionedStageTable:
                 os.remove(p)
         # dropped versions must now raise on read — flush the memo
         self._snapshot_cache.clear()
+        self._pruned_cache.clear()
         return {"versions_dropped": dropped, "files_deleted": deleted}

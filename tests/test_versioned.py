@@ -2430,3 +2430,86 @@ def test_dv_encode_runs_split_only_at_cap_boundaries(spark, table):
         .collect()
     )
     assert back == list(range(3, 3 + n))
+
+
+def test_lookup_materializes_only_pruned_files_from_checkpoint(
+    spark, tmp_path
+):
+    """The 10^6-file driver-width successor to lazy stats: a pruned
+    lookup on a checkpoint-anchored table must materialize into driver
+    Python ONLY the candidate files — the checkpoint streams through
+    the bounds test, non-candidates never become Python objects. Pinned
+    by the _files_materialized counter; results stay exact vs the full
+    scan, chain deltas past the anchor prune identically, and repeated
+    identical lookups hit the partial-snapshot memo (no re-stream)."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    # four disjoint single-file ranges, checkpoint lands at v3
+    for i, lo in enumerate((0, 100, 200, 300)):
+        rows = [(lo + j, f"v{lo + j}") for j in range(5)]
+        (t.overwrite if i == 0 else t.append)(_df(spark, rows).coalesce(1))
+    assert t.checkpoints() == [3]
+    # chain delta past the anchor: one more disjoint file at v4
+    t.append(_df(spark, [(400 + j, f"v{400 + j}") for j in range(5)])
+             .coalesce(1))
+
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    out = fresh.lookup("k >= 100 AND k <= 102")
+    assert _rows(out) == [(100, "v100"), (101, "v101"), (102, "v102")]
+    # exactly ONE file (the 100-range) became driver Python — not the
+    # checkpoint's four, not the table's five
+    assert fresh._files_materialized == 1
+    assert len(out.inputFiles()) == 1
+    # a chain-delta file is pruned by its RECORD stats the same way
+    assert _rows(fresh.lookup("k = 401")) == [(401, "v401")]
+    assert fresh._files_materialized == 2
+    # repeated identical lookup: partial-snapshot memo, zero re-streams
+    loads = fresh._stats_loads
+    assert _rows(fresh.lookup("k = 401")) == [(401, "v401")]
+    assert fresh._stats_loads == loads and fresh._files_materialized == 2
+    # proven-empty range: zero files materialized, schema intact
+    empty = fresh.lookup("k > 9999")
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    assert fresh._files_materialized == 2
+    # unprunable predicate falls back to the full path, results exact
+    assert len(_rows(fresh.lookup("k % 100 = 3"))) == 5
+    # and once the FULL snapshot is cached, lookups reuse it in memory:
+    # the cached lazy stats pay their one load on first access, then
+    # further pruned lookups are free
+    before = fresh._stats_loads
+    assert _rows(fresh.lookup("k = 201")) == [(201, "v201")]
+    assert fresh._stats_loads == before + 1
+    assert _rows(fresh.lookup("k = 202")) == [(202, "v202")]
+    assert fresh._stats_loads == before + 1
+
+
+def test_pruned_lookup_respects_dv_and_removes_past_anchor(
+    spark, tmp_path
+):
+    """Chain records AFTER the checkpoint anchor that delete rows (DV
+    sidecars) or rewrite files (COW) must reach the pruned partial
+    snapshot: a lookup must never resurrect rows a post-anchor commit
+    deleted."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    for i, lo in enumerate((0, 100, 200, 300)):
+        rows = [(lo + j, f"v{lo + j}") for j in range(5)]
+        (t.overwrite if i == 0 else t.append)(_df(spark, rows).coalesce(1))
+    assert t.checkpoints() == [3]
+    t.delete("k = 101", mode="dv")    # v4: DV on the 100-range file
+    t.delete("k = 303")               # v5: COW rewrite of the 300-range
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    assert _rows(fresh.lookup("k >= 100 AND k <= 102")) == [
+        (100, "v100"), (102, "v102")
+    ]
+    assert _rows(fresh.lookup("k >= 300")) == [
+        (300, "v300"), (301, "v301"), (302, "v302"), (304, "v304")
+    ]
+    # time travel through the pruned path still sees the old rows
+    assert (101, "v101") in _rows(fresh.lookup("k <= 101", version=3))
