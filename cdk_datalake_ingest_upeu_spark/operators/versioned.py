@@ -1778,6 +1778,83 @@ class VersionedStageTable:
         )
         return sorted(n for n, e in cons.items() if pat.search(e))
 
+    @staticmethod
+    def _rewrite_constraint_expr(
+        expr: str, old: str, new: str
+    ) -> str | None:
+        """``expr`` with column REFERENCES to ``old`` renamed ``new``
+        (Delta rewrites constraint expressions under column mapping the
+        same way), or None when the rewrite cannot be proven sound —
+        the caller then fails closed exactly as before.
+
+        A single lexer pass distinguishes the contexts a regex cannot:
+        string literals ('...' / \"...\", '' escapes) are left verbatim
+        (they are values, not references); backtick-quoted identifiers
+        rewrite by exact content; bare identifiers rewrite on word
+        boundary EXCEPT struct-member accesses (``s.old`` names a field
+        of ``s``, not the column) and function calls (``old(...)``
+        names a function). Unsound cases returning None: the expression
+        contains a lambda (``->`` — an occurrence of ``old`` inside may
+        be the lambda's bound variable, not the column), or already
+        uses ``new`` as an identifier (the rewrite would capture it)."""
+        out: list[str] = []
+        i, n = 0, len(expr)
+        prev_sig = ""  # last non-space char emitted, for the '.' test
+        if "->" in expr:
+            return None
+        while i < n:
+            ch = expr[i]
+            if ch == "'" or ch == '"':
+                j = i + 1
+                while j < n:
+                    if expr[j] == ch:
+                        if ch == "'" and j + 1 < n and expr[j + 1] == "'":
+                            j += 2  # '' escape
+                            continue
+                        break
+                    j += 1
+                out.append(expr[i:j + 1])
+                i = j + 1
+                prev_sig = ch
+                continue
+            if ch == "`":
+                j = expr.find("`", i + 1)
+                if j < 0:
+                    return None  # unterminated quote: refuse
+                ident = expr[i + 1:j]
+                if ident == new:
+                    return None  # capture hazard
+                if ident == old and prev_sig != ".":
+                    out.append(f"`{new}`")
+                else:
+                    out.append(expr[i:j + 1])
+                i = j + 1
+                prev_sig = "`"
+                continue
+            if ch.isalpha() or ch == "_":
+                j = i
+                while j < n and (expr[j].isalnum() or expr[j] == "_"):
+                    j += 1
+                word = expr[i:j]
+                k = j
+                while k < n and expr[k].isspace():
+                    k += 1
+                is_call = k < n and expr[k] == "("
+                if word == new and prev_sig != ".":
+                    return None  # capture hazard
+                if word == old and prev_sig != "." and not is_call:
+                    out.append(new)
+                else:
+                    out.append(word)
+                i = j
+                prev_sig = word[-1]
+                continue
+            out.append(ch)
+            if not ch.isspace():
+                prev_sig = ch
+            i += 1
+        return "".join(out)
+
     def _activate_mapping(
         self, schema: T.StructType, drop: str | None = None,
         rename: tuple | None = None,
@@ -1813,11 +1890,17 @@ class VersionedStageTable:
         reader+writer features, so a pre-mapping engine fails closed
         instead of mis-reading physical files.
 
-        Constraints referencing the old name raise — their expressions
-        would silently stop binding; drop and re-add them under the
-        new name. Active Z-order metadata is left as-is: a clustering
-        anchor naming the old column simply stops matching, so the
-        next ``compact(zorder_by=[new])`` does a full (correct,
+        CHECK constraints referencing the old name are REWRITTEN to
+        the new name in the same commit (Delta rewrites constraint
+        expressions under column mapping) — the constraint keeps
+        enforcing across the rename with zero user action; per-file
+        stats stay keyed by untouched physical names. Expressions the
+        rewriter cannot prove sound (lambdas, where an occurrence may
+        be a bound variable; expressions already using the new name as
+        an identifier) raise instead — drop and re-add those by hand.
+        Active Z-order metadata is left as-is: a clustering anchor
+        naming the old column simply stops matching, so the next
+        ``compact(zorder_by=[new])`` does a full (correct,
         conservative) re-cluster."""
         prev = self._manifest(self.latest_version())
         schema = T.StructType.fromJson(json.loads(prev["schema"]))
@@ -1835,13 +1918,25 @@ class VersionedStageTable:
                 f"{self.path}: invalid column name {new!r}"
             )
         cons = dict(prev.get("constraints") or {})
-        hit = self._constraints_referencing(cons, old)
-        if hit:
-            raise ValueError(
-                f"{self.path}: CHECK constraint(s) {hit} reference "
-                f"column {old!r}; drop them first and re-add under the "
-                f"new name"
-            )
+        for cname in self._constraints_referencing(cons, old):
+            rewritten = self._rewrite_constraint_expr(cons[cname], old, new)
+            if rewritten is None:
+                raise ValueError(
+                    f"{self.path}: CHECK constraint {cname!r} "
+                    f"({cons[cname]!r}) references column {old!r} in a "
+                    f"form the rewriter cannot prove sound; drop it "
+                    f"first and re-add under the new name"
+                )
+            try:
+                F.expr(rewritten)  # must still parse post-rewrite
+            except Exception as exc:
+                raise ValueError(
+                    f"{self.path}: rewriting CHECK constraint "
+                    f"{cname!r} for the rename produced an unparsable "
+                    f"expression {rewritten!r}; drop it first and "
+                    f"re-add under the new name"
+                ) from exc
+            cons[cname] = rewritten
         new_schema = self._activate_mapping(schema, rename=(old, new))
         return self._commit(
             "rename_column", schema_json=new_schema.json(),

@@ -10613,6 +10613,85 @@ FROM st
 """
 
 
+def stage_constraint_rename(spark, sf_dir):
+    """CHECK-constraint rewrite under RENAME COLUMN (round 13,
+    ``operators/versioned.rename_column`` — Delta rewrites constraint
+    expressions under column mapping; reference stage tables are
+    Delta, ``light_transform.py:1363-1392``): renaming a constrained
+    column REWRITES the stored expression to the new logical name in
+    the same zero-IO commit, so the constraint keeps enforcing with no
+    drop/re-add. Flags pinned into the result row: the stored text
+    after rename (``rewritten_expr``), a post-rename violating batch
+    still RAISES (``enforced_post_rename``) and commits nothing
+    (``violation_left_no_commit``), a string-literal occurrence of the
+    old name survives verbatim (``literal_untouched``), and the final
+    aggregate over a post-rename valid append is SQL-exact against
+    orders."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConstraintViolationError,
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    t = VersionedStageTable(
+        spark, os.path.join(_tmpdir("consren"), "orders_cons")
+    )
+    t.overwrite(base.filter(F.col("o_orderkey") % 3 == 0))
+    t.add_constraint("price_pos", "o_totalprice > 0")
+    # 'o_totalprice' HERE is a string VALUE, not a reference
+    t.add_constraint("status_lit", "o_orderstatus != 'o_totalprice'")
+    v = t.rename_column("o_totalprice", "price")
+    cons = t._manifest(v)["constraints"]
+    rewritten_expr = cons["price_pos"]
+    literal_untouched = bool(
+        cons["status_lit"] == "o_orderstatus != 'o_totalprice'"
+    )
+    bad = spark.createDataFrame(
+        [(-1, -5.0, "F")], "o_orderkey long, price double, o_orderstatus string"
+    )
+    try:
+        t.append(bad)
+        enforced_post_rename = False
+    except ConstraintViolationError:
+        enforced_post_rename = True
+    violation_left_no_commit = bool(t.latest_version() == v)
+    good = base.filter(F.col("o_orderkey") % 3 == 1).withColumnRenamed(
+        "o_totalprice", "price"
+    )
+    t.append(good)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+            F.sum(_fp_c(F.col("price"), 100)).alias("price_cents"),
+        )
+        .withColumn("rewritten_expr", F.lit(rewritten_expr))
+        .withColumn("literal_untouched", F.lit(literal_untouched))
+        .withColumn(
+            "enforced_post_rename", F.lit(enforced_post_rename)
+        )
+        .withColumn(
+            "violation_left_no_commit", F.lit(violation_left_no_commit)
+        )
+    )
+
+
+_CONSTRAINT_RENAME_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT)
+         AS price_cents,
+       'price > 0' AS rewritten_expr,
+       TRUE AS literal_untouched,
+       TRUE AS enforced_post_rename,
+       TRUE AS violation_left_no_commit
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
 def stage_column_drop_readd(spark, sf_dir):
     """Column mapping, drop leg (round 12,
     ``operators/versioned.drop_column`` — Delta column mapping's DROP:
@@ -14975,6 +15054,7 @@ QUERIES = {
     "stage_restore_version": stage_restore_version,
     "stage_schema_evolution_versions": stage_schema_evolution_versions,
     "stage_column_mapping": stage_column_mapping,
+    "stage_constraint_rename": stage_constraint_rename,
     "stage_column_drop_readd": stage_column_drop_readd,
     "stage_type_widening": stage_type_widening,
     "streaming_versioned_ingest": streaming_versioned_ingest,
@@ -15231,6 +15311,7 @@ ORACLES = {
     "stage_restore_version": _RESTORE_SQL,
     "stage_schema_evolution_versions": _SCHEMA_EVOLUTION_SQL,
     "stage_column_mapping": _COLUMN_MAPPING_SQL,
+    "stage_constraint_rename": _CONSTRAINT_RENAME_SQL,
     "stage_column_drop_readd": _COLUMN_DROP_READD_SQL,
     "stage_type_widening": _TYPE_WIDENING_SQL,
     "streaming_versioned_ingest": _STREAM_VERSIONED_SQL,

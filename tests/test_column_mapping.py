@@ -113,10 +113,8 @@ def test_rename_validation(spark, table):
         table.rename_column("v", "k")
     with pytest.raises(ValueError, match="invalid column name"):
         table.rename_column("v", "bad name")
+    # a rename under a constraint REWRITES the expression (no raise)
     table.add_constraint("k_pos", "k > 0")
-    with pytest.raises(ValueError, match="k_pos"):
-        table.rename_column("k", "key")
-    # the constraint blocks only the referenced column
     assert table.rename_column("v", "val") > 0
 
 
@@ -343,3 +341,60 @@ def test_rename_onto_reused_name_never_misclusters(spark, table):
     assert m3["metrics"]["files_clustered"] == len(tail)
     assert set(m2["files"]) <= set(m3["files"])  # base carried by name
     assert table.read().count() == 63
+
+
+def test_rename_rewrites_check_constraints(spark, table):
+    """ALTER RENAME under a CHECK constraint: the expression is
+    rewritten to the new logical name in the same commit (Delta's
+    column-mapping behavior) — the constraint keeps enforcing with no
+    drop/re-add, string literals and function names survive verbatim,
+    and per-file stats stay keyed by the untouched physical name."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.add_constraint("k_pos", "k > 0 AND coalesce(k, 1) < 100")
+    table.add_constraint("v_lit", "v != 'k'")  # 'k' here is a VALUE
+    v = table.rename_column("k", "key")
+    cons = table._manifest(v)["constraints"]
+    assert cons["k_pos"] == "key > 0 AND coalesce(key, 1) < 100"
+    assert cons["v_lit"] == "v != 'k'"  # literal untouched
+    # the rewritten constraint still ENFORCES post-rename...
+    with pytest.raises(ConstraintViolationError):
+        table.append(
+            spark.createDataFrame([(-5, "x")], "key int, v string")
+        )
+    table.append(spark.createDataFrame([(3, "c")], "key int, v string"))
+    assert sorted(r["key"] for r in table.read().collect()) == [1, 2, 3]
+    # ...and stats-pruned reads still bind (stats keyed physical)
+    assert _rows(table.lookup("key = 3")) == [(3, "c")]
+    # backtick-quoted references rewrite by content too
+    table.add_constraint("kq", "`key` >= 0")
+    v2 = table.rename_column("key", "id")
+    assert table._manifest(v2)["constraints"]["kq"] == "`id` >= 0"
+    assert table._manifest(v2)["constraints"]["k_pos"] == (
+        "id > 0 AND coalesce(id, 1) < 100"
+    )
+
+
+def test_rename_refuses_unrewritable_constraint_exprs(spark, table):
+    """Fail-closed residue: expressions where an occurrence of the old
+    name may NOT be a column reference (lambda bound variables), or
+    where the rewrite would capture an existing identifier, still
+    raise — with the constraint named in the error."""
+    table.overwrite(
+        spark.createDataFrame([([1, 2], 1)], "arr array<int>, k int")
+    )
+    # lambda: the 'k' inside could be the bound variable, refuse
+    table.add_constraint("lam", "exists(arr, k -> k > 0)")
+    with pytest.raises(ValueError, match="lam"):
+        table.rename_column("k", "key")
+    table.drop_constraint("lam")
+    # sanity: without the lambda the same rename rewrites fine
+    table.add_constraint("k_pos", "k > 0")
+    assert table.rename_column("k", "key") > 0
+    assert (
+        table._manifest(table.latest_version())["constraints"]["k_pos"]
+        == "key > 0"
+    )
