@@ -392,36 +392,49 @@ def test_delete_keys_equals_predicate_delete(spark, tmp_path):
         assert len(fa) == len(fb), trial
 
 
-def test_two_writer_random_vocabulary_against_sequential_oracle(
-    spark, tmp_path
-):
-    """Verdict r11 task #6: randomized two-writer interleavings over
-    the FULL op vocabulary — append / delete / delete_keys / merge /
-    OPTIMIZE (bin-pack + zorder) / rename_column — with occasional
-    same-epoch retries. The interloper fires at the victim's commit
-    point and always wins; the pure-Python oracle therefore applies
-    interloper-then-victim SEQUENTIALLY (victim skipped when it raised
-    a typed conflict). After every step the table must read back
-    exactly the oracle state under the oracle's current column names —
-    no rebase may lose, duplicate, resurrect, or mis-map a row."""
+def run_vocab_sequence(spark, path, seed, steps=16):
+    """Randomized two-writer interleavings over the FULL op vocabulary
+    — data ops (append / delete / delete_keys / merge), maintenance
+    (bin-pack + zorder OPTIMIZE), epoch retries, and ALL schema ops
+    (rename_column / drop_column / re-add-after-drop / widen_column) —
+    against a sequential pure-Python oracle. The interloper fires at
+    the victim's commit point and always wins; the oracle therefore
+    applies interloper-then-victim SEQUENTIALLY (victim skipped when it
+    raised a typed conflict). After every step the table must read back
+    exactly the oracle state under the oracle's current column names
+    and types — no rebase may lose, duplicate, resurrect, mis-map, or
+    mis-type a row. Module-level so ``tools/model_soak.py`` can drive
+    many seeds; the in-suite test keeps a fixed few."""
     import random
 
     from cdk_datalake_ingest_upeu_spark.operators.versioned import (
         TableFeatureError,
     )
 
-    rng = random.Random(20260818)
-    path = str(tmp_path / "vt")
+    rng = random.Random(seed)
     other = VersionedStageTable(spark, path)
 
-    vcol = ["v"]  # current logical name of the value column (model)
+    vcol = ["v"]      # current logical name of the value column (model)
+    has_w = [True]    # extra column w present in the logical schema?
+    w_type = ["int"]  # current declared type of w: "int" -> "bigint"
+
+    def _schema(col=None):
+        s = f"k int, {col or vcol[0]} string"
+        if has_w[0]:
+            s += f", w {w_type[0]}"
+        return s
 
     def _frame(d, col=None):
-        return spark.createDataFrame(
-            sorted(d.items()), f"k int, {col or vcol[0]} string"
-        )
+        # d: k -> v string; w (when present) is derived k*7 so the
+        # oracle can recompute it without tracking a second dict
+        rows = [
+            ((k, v, k * 7) if has_w[0] else (k, v))
+            for k, v in sorted(d.items())
+        ]
+        return spark.createDataFrame(rows, _schema(col))
 
     state = {k: "base" for k in range(0, 40, 2)}
+    wnull: set = set()  # keys whose w is NULL (pre-re-add rows)
     other.overwrite(_frame(state))
     nxt = [1000]  # interloper keys: disjoint from victim predicates
     committed_epochs = {}  # epoch -> (batch, version)
@@ -446,10 +459,10 @@ def test_two_writer_random_vocabulary_against_sequential_oracle(
         o.rename_column(vcol[0], new)
         return ("rename", new)
 
-    for step in range(16):
+    for step in range(steps):
         op = rng.choice(
             ["append", "delete", "delete_keys", "merge", "compact",
-             "zorder", "epoch_retry"]
+             "zorder", "epoch_retry", "drop_w", "readd_w", "widen_w"]
         )
         race = rng.random() < 0.6
         idelta = [None]
@@ -492,11 +505,45 @@ def test_two_writer_random_vocabulary_against_sequential_oracle(
                 t.compact(max_file_bytes=1 << 30)
             elif op == "zorder":
                 t.compact(zorder_by=["k"], target_files=2)
+            elif op == "drop_w":
+                if has_w[0]:
+                    t.drop_column("w")
+                    pending = ("drop_w", None)
+                else:
+                    applied = False
+            elif op == "readd_w":
+                if has_w[0]:
+                    applied = False
+                else:
+                    # re-add AFTER drop: merge_schema append mints a
+                    # fresh physical name — every pre-existing row must
+                    # read w as NULL (dropped bytes never resurrect)
+                    batch = {140 + step: f"w{step}"}
+                    has_w[0] = True  # frame builder needs the column
+                    w_type[0] = "int"
+                    try:
+                        t.append(
+                            _frame(batch, col_at_start),
+                            merge_schema=True,
+                        )
+                        pending = ("readd_w", batch)
+                    except Exception:
+                        has_w[0] = False
+                        raise
+            elif op == "widen_w":
+                if has_w[0] and w_type[0] == "int":
+                    t.widen_column("w", "bigint")
+                    pending = ("widen_w", None)
+                else:
+                    applied = False
             else:  # epoch_retry: replay a committed batch verbatim
                 if committed_epochs:
                     e, (batch, v0) = rng.choice(
                         sorted(committed_epochs.items())
                     )
+                    # the idempotence probe returns BEFORE any schema
+                    # validation, so the replay frame's current shape
+                    # is never inspected — exactly Delta txn semantics
                     v = t.append(_frame(batch, col_at_start), epoch=e)
                     assert v == v0, "epoch replay must adopt the original"
                 applied = False  # replay never changes state
@@ -507,29 +554,79 @@ def test_two_writer_random_vocabulary_against_sequential_oracle(
             kind, arg = idelta[0]
             if kind == "upsert":
                 state.update(arg)
+                wnull.difference_update(arg)
             elif kind == "delete":
                 for k in arg:
                     state.pop(k, None)
+                    wnull.discard(k)
             else:
                 vcol[0] = arg
         if applied and pending:
             kind, arg = pending
             if kind == "upsert":
                 state.update(arg)
+                wnull.difference_update(arg)
             elif kind == "delete":
                 for k in arg:
                     state.pop(k, None)
-            else:
+                    wnull.discard(k)
+            elif kind == "delpred":
                 state = {
                     k: v for k, v in state.items()
                     if not (k < 1000 and k < arg)
                 }
+                wnull = {k for k in wnull if k in state}
+            elif kind == "drop_w":
+                has_w[0] = False
+                wnull = set()
+            elif kind == "readd_w":
+                # committed inside the try: batch rows carry w, every
+                # other surviving row reads NULL
+                wnull = set(state)
+                state.update(arg)
+            elif kind == "widen_w":
+                w_type[0] = "bigint"
+        elif not applied and pending and pending[0] == "readd_w":
+            has_w[0] = False  # the schema never evolved
         cur = other.read()
-        assert cur.columns == ["k", vcol[0]], (step, op, cur.columns)
-        got = {r["k"]: r[vcol[0]] for r in cur.collect()}
-        assert got == state, (step, op, race, applied)
+        want_cols = ["k", vcol[0]] + (["w"] if has_w[0] else [])
+        assert cur.columns == want_cols, (step, op, cur.columns)
+        if has_w[0]:
+            want_t = "bigint" if w_type[0] == "bigint" else "int"
+            assert dict(cur.dtypes)["w"] == want_t, (step, op)
+            got = {
+                r["k"]: (r[vcol[0]], r["w"]) for r in cur.collect()
+            }
+            want = {
+                k: (v, None if k in wnull else k * 7)
+                for k, v in state.items()
+            }
+        else:
+            got = {r["k"]: r[vcol[0]] for r in cur.collect()}
+            want = dict(state)
+        assert got == want, (step, op, race, applied)
     # the survivor stays exact through maintenance + vacuum
     other.compact(max_file_bytes=1 << 30)
     other.vacuum(retain_last=1, data_grace_seconds=0.0)
-    got = {r["k"]: r[vcol[0]] for r in other.read().collect()}
-    assert got == state
+    if has_w[0]:
+        got = {r["k"]: (r[vcol[0]], r["w"]) for r in other.read().collect()}
+        want = {
+            k: (v, None if k in wnull else k * 7)
+            for k, v in state.items()
+        }
+    else:
+        got = {r["k"]: r[vcol[0]] for r in other.read().collect()}
+        want = dict(state)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [20260818, 13, 517])
+def test_two_writer_random_vocabulary_against_sequential_oracle(
+    spark, tmp_path, seed
+):
+    """Verdict r12 task #7: the two-writer generator draws the full op
+    vocabulary INCLUDING every schema op (rename / drop / re-add-after-
+    drop / widen) against the sequential-history oracle. Three pinned
+    seeds here; ``tools/model_soak.py`` drives the same sequence over
+    hundreds of seeds for round evidence."""
+    run_vocab_sequence(spark, str(tmp_path / f"vt{seed}"), seed)
