@@ -7468,6 +7468,127 @@ ORDER BY day, metric
 """
 
 
+def multimodal_codec_roundtrip(spark, sf_dir):
+    """REAL codec decode through the registry (round 13,
+    ``operators/multimodal.py`` decode_ppm / decode_wav — the decoder
+    extension point earlier rounds documented, now executing
+    end-to-end with stdlib codecs): per selected document the query
+    SYNTHESIZES a genuine binary P6 PPM image and a genuine RIFF/WAVE
+    PCM-16 clip (deterministic pixel/sample laws in doc_id), runs both
+    through the registered ``image/ppm`` / ``audio/wav`` decoders on
+    the standard Arrow ``mapInPandas`` path, and aggregates the DECODED
+    properties — dimensions, exact pixel sums, frame counts, exact
+    sample sums. The oracle recomputes every law in closed form, so a
+    parser that mis-reads a header, drops a sample, or mis-signs PCM
+    shows up as a value mismatch, not just a row-count change."""
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 17 == 0)
+    )
+
+    def synth(batches):
+        import io
+        import struct
+        import wave as wavmod
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ppm, wav = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 8, 4 + d % 4
+                raster = bytes((d * 7 + i) % 256 for i in range(3 * w * h))
+                ppm.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+                n = 64 + d % 64
+                rate = 8000 + (d % 3) * 4000
+                pcm = [((d * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(rate)
+                    wv.writeframes(struct.pack(f"<{n}h", *pcm))
+                wav.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ppm": ppm,
+                    "wav": wav,
+                }
+            )
+
+    media = docs.mapInPandas(synth, "doc_id long, ppm binary, wav binary")
+    f = F.col("feature")
+    img = extract_image_features(
+        media.select("doc_id", F.col("ppm").alias("payload")),
+        media_type="image/ppm",
+    ).select(
+        "doc_id",
+        f[0].alias("w"), f[1].alias("h"),
+        f[2].alias("maxval"), f[6].alias("px"),
+    )
+    aud = extract_image_features(
+        media.select("doc_id", F.col("wav").alias("payload")),
+        media_type="audio/wav",
+    ).select(
+        "doc_id", f[0].alias("frames"), f[1].alias("rate"),
+        f[3].alias("samp"),
+    )
+    return (
+        img.join(aud, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("w").cast("long")).alias("w_sum"),
+            F.sum(F.col("h").cast("long")).alias("h_sum"),
+            F.sum(F.col("px").cast("long")).alias("px_sum"),
+            F.sum(F.col("frames").cast("long")).alias("frames_sum"),
+            F.sum(F.col("samp").cast("long")).alias("samp_sum"),
+            F.expr("bool_and(maxval = 255.0D)").alias("maxval_ok"),
+            F.expr(
+                "bool_and(rate = CAST(8000 + (doc_id % 3) * 4000 AS DOUBLE))"
+            ).alias("rate_ok"),
+        )
+    )
+
+
+_CODEC_ROUNDTRIP_SQL = """
+WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 17 = 0
+), px AS (
+  SELECT doc_id,
+         unnest(range(0, 3 * (8 + doc_id % 8) * (4 + doc_id % 4))) AS i
+  FROM docs
+), ppm AS (
+  SELECT doc_id, sum((doc_id * 7 + i) % 256) AS px_sum
+  FROM px GROUP BY doc_id
+), sm AS (
+  SELECT doc_id, unnest(range(0, 64 + doc_id % 64)) AS i
+  FROM docs
+), wav AS (
+  SELECT doc_id, count(*) AS frames,
+         sum((doc_id * 31 + i * 17) % 2048 - 1024) AS samp_sum
+  FROM sm GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(8 + d.doc_id % 8) AS BIGINT) AS w_sum,
+       CAST(sum(4 + d.doc_id % 4) AS BIGINT) AS h_sum,
+       CAST(sum(ppm.px_sum) AS BIGINT) AS px_sum,
+       CAST(sum(wav.frames) AS BIGINT) AS frames_sum,
+       CAST(sum(wav.samp_sum) AS BIGINT) AS samp_sum,
+       TRUE AS maxval_ok,
+       TRUE AS rate_ok
+FROM docs d
+JOIN ppm ON ppm.doc_id = d.doc_id
+JOIN wav ON wav.doc_id = d.doc_id
+"""
+
+
 def multimodal_image_resize(spark, sf_dir):
     """Batch image-resize plumbing (operators/multimodal.py
     resize_images): binary payloads through byte-budget partitioning and
@@ -14846,6 +14967,7 @@ QUERIES = {
     "scd2_point_in_time_enrich": scd2_point_in_time_enrich,
     "vocab_typo_pairs": vocab_typo_pairs,
     "events_unpivot_daily": events_unpivot_daily,
+    "multimodal_codec_roundtrip": multimodal_codec_roundtrip,
     "multimodal_image_resize": multimodal_image_resize,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q12_priority_shipping": q12_priority_shipping,
@@ -15247,6 +15369,7 @@ ORACLES = {
     "scd2_point_in_time_enrich": _PIT_SQL,
     "vocab_typo_pairs": _TYPO_PAIRS_SQL,
     "events_unpivot_daily": _UNPIVOT_SQL,
+    "multimodal_codec_roundtrip": _CODEC_ROUNDTRIP_SQL,
     "multimodal_image_resize": _RESIZE_SQL,
     "sketch_weekly_rollup": _SKETCH_WEEKLY_SQL,
     "pack_documents_stats": _PACK_STATS_SQL,

@@ -3269,3 +3269,81 @@ def test_minhash_banding_sweep_nesting_and_guard(spark):
     )
     with _pytest.raises(BandBucketTooLargeError):
         band_candidate_pairs(bt, max_band_bucket=8)
+
+
+def test_ppm_decoder_real_format_roundtrip(spark):
+    """decode_ppm is a REAL P6 parser: header with comments decodes to
+    exact dimensions and per-channel sums; malformed payloads raise;
+    the registry path ('image/ppm') runs it through the same Arrow
+    mapInPandas plumbing as every other decoder."""
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    raster = bytes(range(2 * 2 * 3))  # 2x2 RGB, bytes 0..11
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    m = decode_ppm(ppm)
+    assert (m["width"], m["height"], m["maxval"]) == (2, 2, 255)
+    assert m["sum_r"] == 0 + 3 + 6 + 9
+    assert m["sum_g"] == 1 + 4 + 7 + 10
+    assert m["sum_b"] == 2 + 5 + 8 + 11
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n2 2\n255\n" + raster)
+    with _pytest.raises(ValueError, match="raster"):
+        decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    media = spark.createDataFrame(
+        [(1, ppm)], "doc_id long, payload binary"
+    )
+    row = extract_image_features(media, media_type="image/ppm").first()
+    assert row["feature"][:3] == [2.0, 2.0, 255.0]
+    assert row["feature"][6] == float(sum(raster))
+
+
+def test_wav_decoder_real_format_roundtrip(spark):
+    """decode_wav parses a genuine RIFF/WAVE container (stdlib wave):
+    the exact PCM-16 samples round-trip (sum + peak), non-16-bit
+    refuses, and the 'audio/wav' registry entry drives the standard
+    mapInPandas feature path."""
+    import io
+    import struct
+    import wave as wavmod
+
+    from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = [0, 100, -200, 300, -400, 32767, -32768, 5]
+
+    def _wav_bytes(rate=8000, sampwidth=2):
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            w.writeframes(
+                struct.pack(f"<{len(samples)}h", *samples)
+                if sampwidth == 2
+                else bytes(len(samples))
+            )
+        return buf.getvalue()
+
+    m = decode_wav(_wav_bytes())
+    assert m["n_frames"] == len(samples)
+    assert m["framerate"] == 8000 and m["n_channels"] == 1
+    assert m["sample_sum"] == sum(samples)
+    assert m["peak"] == 32768
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(_wav_bytes(sampwidth=1))
+    media = spark.createDataFrame(
+        [(7, _wav_bytes(rate=16000))], "doc_id long, payload binary"
+    )
+    row = extract_image_features(media, media_type="audio/wav").first()
+    assert row["feature"] == [
+        float(len(samples)), 16000.0, 1.0, float(sum(samples)), 32768.0,
+    ]
