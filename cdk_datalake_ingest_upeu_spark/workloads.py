@@ -16129,6 +16129,85 @@ QUERIES = {
 }
 
 
+# ===========================================================================
+# round-13 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) the three never-driver-checked queries lead: stage_type_widening
+# (r12-late — the _R12_WINDOW note promised it this slot) plus the two
+# r13-new (stage_constraint_rename, multimodal_codec_roundtrip); (b) 47
+# of the 50 queries whose newest driver-green is r8 (histogram after
+# r12: r8x50, r9x50, r10x50, r11x50, r12x50 — parse CORRECTNESS_r0N for
+# rows/schema/hash green per name). 3 + 47 fills the window exactly;
+# the three r8-evidence queries deferred to lead the r14 rotation are
+# text_pii_redaction, text_quality_classifier, topk_bigram_pmi — all
+# three are pure text.py Column-expression kernels whose module carries
+# fresh r12 driver evidence via text_langid / text_chunk_windows /
+# topk_ngrams, so they are the lowest-risk residue of the 50.
+_R13_WINDOW = [
+    # (a) never driver-checked
+    "stage_type_widening",
+    "stage_constraint_rename",
+    "multimodal_codec_roundtrip",
+    # (b) last driver-green in r8 — 47 of 50
+    "ann_topk_int8",
+    "bucketed_join_segment_revenue",
+    "ccnet_perplexity_buckets",
+    "corpus_mixture_sample",
+    "corpus_token_encoding",
+    "corpus_zipf_slope",
+    "decontaminate_semantic_benchmark",
+    "documents_chisq_lang_source",
+    "dsir_incremental_scoring",
+    "dsir_target_domain_selection",
+    "embedding_neardup",
+    "events_ab_distribution_test",
+    "events_cumulative_distinct_users",
+    "events_daily_ewma",
+    "events_daily_trend_theilsen",
+    "events_grouping_sets",
+    "events_interarrival_robust",
+    "events_last_touch_attribution",
+    "events_mad_outliers",
+    "events_session_window",
+    "events_type_mad_profile",
+    "graph_pagerank_event_transitions",
+    "graph_reach_event_transitions",
+    "hybrid_rrf_retrieval",
+    "incremental_novelty_rate",
+    "leakage_safe_split_counts",
+    "mixture_temperature_allocation",
+    "multimodal_audio_energy",
+    "quality_threshold_sweep",
+    "quarantine_replay_roundtrip",
+    "sample_stratified_lang",
+    "semantic_neardup_planted",
+    "source_token_kl",
+    "span_dedup_window_sweep",
+    "stage_change_feed_apply",
+    "stage_change_feed_versions",
+    "stage_compact_small_files",
+    "stage_dynamic_partition_overwrite",
+    "stage_restore_version",
+    "stage_schema_evolution_versions",
+    "stage_time_travel_read",
+    "stage_version_vacuum",
+    "stage_zorder_pruned_read",
+    "streaming_dsir_scoring",
+    "streaming_session_window",
+    "streaming_span_dedup",
+    "streaming_versioned_ingest",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+QUERIES = {
+    name: QUERIES[name]
+    for name in (
+        *_R13_WINDOW,
+        *(n for n in QUERIES if n not in set(_R13_WINDOW)),
+    )
+}
+
+
 # Oracle twin of the _t documents normalization (NULL text ≡ ''): every
 # oracle reference to the documents table reads through this view, so
 # both engines see the identical corpus under hostile NULL-text drops.
