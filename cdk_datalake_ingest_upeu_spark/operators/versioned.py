@@ -527,6 +527,20 @@ def _stats_exclude(
     )
 
 
+def _rec_epoch_key(rec: dict) -> tuple[str | None, int] | None:
+    """The (app_id, epoch) idempotence key a commit record carries, or
+    None. Anonymous epochs live under the legacy ``epoch`` field;
+    writer-namespaced ones under the separate ``app_epoch`` action
+    (Delta's txn action), which legacy bare-epoch probes never read."""
+    ae = rec.get("app_epoch")
+    if ae is not None:
+        return (ae["app_id"], ae["epoch"])
+    e = rec.get("epoch")
+    if e is not None:
+        return (None, e)
+    return None
+
+
 class VersionNotFoundError(LookupError):
     """Requested version has no manifest (never committed, or vacuumed
     past its retention)."""
@@ -1103,10 +1117,11 @@ class VersionedStageTable:
                 "reader": sorted(proto_reader),
                 "writer": sorted(proto_writer),
             }
-        if "epoch" in last:
-            out["epoch"] = last["epoch"]
-            if "app_id" in last:
-                out["app_id"] = last["app_id"]
+        ekey = _rec_epoch_key(last)
+        if ekey is not None:
+            out["epoch"] = ekey[1]
+            if ekey[0] is not None:
+                out["app_id"] = ekey[0]
         if "metrics" in last:
             out["metrics"] = last["metrics"]
         self._cache_snapshot(version, out)
@@ -1172,20 +1187,31 @@ class VersionedStageTable:
             return None  # legacy snapshot mid-chain: resolution resets
         # parse the pruning fragment against the FINAL schema — sound
         # for every file regardless of commit age, because stats are
-        # keyed by stable PHYSICAL names
+        # keyed by stable PHYSICAL names. When chain records exist the
+        # schema comes from the last one, so an unprunable condition
+        # bails before the checkpoint file is even opened.
         schema_json = chain_recs[-1]["schema"] if chain_recs else None
+        if schema_json is not None:
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            parsed, stat_cols = _parsed_pruners(
+                condition,
+                set(_stat_columns(schema)),
+                _physical_names(schema),
+            )
+            if not parsed:
+                return None  # no pruning fragment: full path as good
         pf = pq.ParquetFile(cp_path)
         meta = pf.schema_arrow.metadata or {}
         if schema_json is None:
             schema_json = meta[b"schema"].decode()
-        schema = T.StructType.fromJson(json.loads(schema_json))
-        parsed, stat_cols = _parsed_pruners(
-            condition,
-            set(_stat_columns(schema)),
-            _physical_names(schema),
-        )
-        if not parsed:
-            return None  # no pruning fragment: full path is just as good
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            parsed, stat_cols = _parsed_pruners(
+                condition,
+                set(_stat_columns(schema)),
+                _physical_names(schema),
+            )
+            if not parsed:
+                return None
         proto = json.loads(meta.get(b"protocol", b"{}").decode())
         proto_reader = set(proto.get("reader", ()))
         proto_writer = set(proto.get("writer", ()))
@@ -1216,7 +1242,6 @@ class VersionedStageTable:
                 if s:
                     dv[f] = list(s)
         fset = set(files)
-        last: dict = chain_recs[-1] if chain_recs else {}
         for r in chain_recs:
             removed = r.get("remove") or []
             fset.difference_update(removed)
@@ -1288,10 +1313,9 @@ class VersionedStageTable:
         vs = self.versions()
         for v in vs:
             if v > self._epoch_scan_upto:
-                rec = self._commit_record(v)
-                e = rec.get("epoch")
-                if e is not None:
-                    self._epoch_versions[(rec.get("app_id"), e)] = v
+                key = _rec_epoch_key(self._commit_record(v))
+                if key is not None:
+                    self._epoch_versions[key] = v
         if vs:
             self._epoch_scan_upto = max(
                 self._epoch_scan_upto, vs[-1]
@@ -1355,12 +1379,18 @@ class VersionedStageTable:
             ),
         }
         if epoch is not None:
-            record["epoch"] = epoch
-            if app_id is not None:
-                # Delta's txn appId: the epoch's namespace. Recorded
-                # only alongside an epoch — app_id without an epoch
-                # has no idempotence meaning.
-                record["app_id"] = app_id
+            if app_id is None:
+                record["epoch"] = epoch
+            else:
+                # Delta's separate txn action, deliberately NOT the
+                # shared "epoch" key: a legacy writer's idempotence
+                # probe reads record["epoch"] BEFORE any feature gate
+                # runs, so a namespaced epoch stored there could alias
+                # a legacy writer's bare epoch and silently skip its
+                # batch — the exact hazard this namespacing closes.
+                # Under a distinct key, legacy probes simply never see
+                # namespaced epochs.
+                record["app_epoch"] = {"app_id": app_id, "epoch": epoch}
         if constraints:
             record["constraints"] = constraints
         if stats:
@@ -1447,10 +1477,8 @@ class VersionedStageTable:
                 # Our just-written data files are unreferenced and
                 # vacuum's orphan sweep reclaims them.
                 for w in winners:
-                    rec = self._commit_record(w)
-                    if (
-                        rec.get("epoch") == epoch
-                        and rec.get("app_id") == app_id
+                    if _rec_epoch_key(self._commit_record(w)) == (
+                        app_id, epoch
                     ):
                         self._epoch_versions[(app_id, epoch)] = w
                         return w
@@ -1807,12 +1835,17 @@ class VersionedStageTable:
             if ch == "'" or ch == '"':
                 j = i + 1
                 while j < n:
+                    if expr[j] == "\\":
+                        j += 2  # backslash escape (Spark SQL literals)
+                        continue
                     if expr[j] == ch:
                         if ch == "'" and j + 1 < n and expr[j + 1] == "'":
                             j += 2  # '' escape
                             continue
                         break
                     j += 1
+                if j >= n:
+                    return None  # unterminated literal: refuse
                 out.append(expr[i:j + 1])
                 i = j + 1
                 prev_sig = ch

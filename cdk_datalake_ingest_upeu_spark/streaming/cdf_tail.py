@@ -182,10 +182,23 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
     into the same target lives in a disjoint epoch space and neither
     can satisfy — or skip — the other's idempotence probe. Two
     DISTINCT CDF pipelines feeding one target must pass distinct
-    app_ids (one writer identity, one epoch counter)."""
+    app_ids (one writer identity, one epoch counter). The DEFAULT
+    identity additionally probes the legacy bare-epoch space for
+    upgrade continuity (pre-namespacing batches replay exactly-once),
+    so a target that mixes the default applier with raw-epoch writers
+    keeps the old aliasing hazard — pass an explicit app_id there."""
     delete_epoch, final_epoch = 2 * epoch, 2 * epoch + 1
     if target.versions():
         v = target._epoch_version(final_epoch, app_id)
+        if v is None and app_id == "cdf-apply":
+            # upgrade continuity, DEFAULT identity only: batches landed
+            # by the pre-namespacing applier recorded bare sub-epochs,
+            # and that applier could only have been the default
+            # identity (app_id did not exist). Probing the legacy space
+            # keeps a replay spanning the upgrade exactly-once. An
+            # EXPLICIT app_id is a new-style multi-pipeline setup and
+            # must never alias a bare-epoch writer's commits.
+            v = target._epoch_version(final_epoch)
         if v is not None:
             return v
     pdf = df.persist()

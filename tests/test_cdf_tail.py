@@ -351,3 +351,48 @@ def test_mixed_writer_epoch_model_random_sequence(spark, tmp_path):
         )
         assert got == v
     assert t2.latest_version() == head
+
+
+def test_namespaced_epoch_uses_separate_record_action(spark, tmp_path):
+    """The review-found aliasing hazard: a namespaced epoch stored in
+    the shared \"epoch\" field would satisfy a LEGACY writer's bare
+    probe (which runs before any feature gate) and silently skip its
+    batch. Namespaced commits therefore carry a separate app_epoch
+    action and NO \"epoch\" key — a legacy probe structurally cannot
+    see them."""
+    t = VersionedStageTable(spark, str(tmp_path / "vt"))
+    t.overwrite(_df(spark, [(0, "seed")]))
+    v = t.append(_df(spark, [(1, "a")]), epoch=5, app_id="writer-a")
+    rec = t._commit_record(v)
+    assert "epoch" not in rec
+    assert rec["app_epoch"] == {"app_id": "writer-a", "epoch": 5}
+    # a bare-epoch probe on a FRESH instance misses it...
+    t2 = VersionedStageTable(spark, str(tmp_path / "vt"))
+    assert t2._epoch_version(5) is None
+    # ...and the snapshot still surfaces both for observability
+    m = t._manifest(v)
+    assert m["epoch"] == 5 and m["app_id"] == "writer-a"
+    # anonymous commits keep the legacy layout byte-for-byte
+    v2 = t.append(_df(spark, [(2, "b")]), epoch=6)
+    rec2 = t._commit_record(v2)
+    assert rec2["epoch"] == 6 and "app_epoch" not in rec2
+
+
+def test_apply_cdf_batch_upgrade_probes_legacy_epoch_space(
+    spark, tmp_path
+):
+    """A batch landed by the PRE-namespacing applier recorded bare
+    sub-epochs; a post-upgrade replay of the same batch must adopt that
+    commit (exactly-once across the upgrade), not re-land it."""
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    tgt.overwrite(_df(spark, [(1, "a")]))
+    batch = _df(spark, [(2, "b")]).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    # legacy applier: final leg landed under BARE epoch 2*epoch+1
+    v_legacy = tgt.merge(
+        _df(spark, [(2, "b")]), ["k"], epoch=2 * 7 + 1
+    )
+    head = tgt.latest_version()
+    assert apply_cdf_batch(tgt, batch, ["k"], epoch=7) == v_legacy
+    assert tgt.latest_version() == head  # nothing re-landed

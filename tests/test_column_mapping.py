@@ -398,3 +398,15 @@ def test_rename_refuses_unrewritable_constraint_exprs(spark, table):
         table._manifest(table.latest_version())["constraints"]["k_pos"]
         == "key > 0"
     )
+
+
+def test_rewrite_skips_backslash_escaped_literals(spark, table):
+    """Review finding: Spark SQL string literals support backslash
+    escapes; the rewriter must not end the literal at an escaped quote
+    and rewrite its tail as identifiers."""
+    rw = table._rewrite_constraint_expr
+    assert rw(r"v != 'it\'s k'", "k", "key") == r"v != 'it\'s k'"
+    assert rw(r"k > 0 AND v != 'no\'t k'", "k", "key") == (
+        r"key > 0 AND v != 'no\'t k'"
+    )
+    assert rw("v != 'unterminated", "k", "key") is None
