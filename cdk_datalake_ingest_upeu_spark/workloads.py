@@ -10754,7 +10754,14 @@ def stage_constraint_rename(spark, sf_dir):
     )
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    # seed rows must SATISFY the constraint about to be added under any
+    # data shape (the hostile doubles variant injects negative totals):
+    # the > 0 filter drops violators identically in both engines
+    # (NULL > 0 is not TRUE; NaN > 0 is TRUE in Spark AND DuckDB — NaN
+    # sorts greater than every number in both)
+    base = orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).filter(F.col("o_totalprice") > 0)
     t = VersionedStageTable(
         spark, os.path.join(_tmpdir("consren"), "orders_cons")
     )
@@ -10809,7 +10816,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        TRUE AS enforced_post_rename,
        TRUE AS violation_left_no_commit
 FROM orders
-WHERE o_orderkey % 3 IN (0, 1)
+WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice > 0
 """
 
 
