@@ -1135,33 +1135,102 @@ class VersionedStageTable:
         self._snapshot_cache[version] = snap
 
     def _manifest_pruned(self, version: int, condition: str) -> dict | None:
-        """Checkpoint-anchored PARTIAL snapshot: only the files whose
-        manifest bounds cannot exclude ``condition``'s pruning fragment
-        are materialized into driver Python — the successor to the lazy
-        checkpoint stats on the 10^6-file driver-width axis. Where
-        :meth:`_manifest` turns every checkpoint row into a Python path
-        (O(table files) driver RAM even when the caller reads one key
-        range), this streams the columnar checkpoint in record batches,
-        applies the SAME per-file bounds test pruning uses downstream
-        (:func:`_stats_exclude`), and keeps survivors only; the at-most
-        ``checkpoint_interval`` chain deltas then prune their adds the
-        same way. Driver memory is O(candidates + one batch), exactly
-        Delta's partition-scoped log replay shape.
+        """Checkpoint-anchored PARTIAL snapshot for a predicate: only
+        the files whose manifest bounds cannot exclude ``condition``'s
+        pruning fragment materialize into driver Python. Thin wrapper
+        over :meth:`_resolve_pruned` (which carries the streaming
+        machinery); repeated identical conditions hit the partial-
+        snapshot memo."""
 
-        Returns None — caller falls back to the full resolution — when
-        the condition contributes no pruning, no columnar checkpoint
-        anchors at-or-before ``version``, or a legacy full-snapshot
-        record interrupts the chain. The partial snapshot is NEVER
-        cached (the snapshot cache holds complete manifests only)."""
+        def build(schema: T.StructType):
+            parsed, stat_cols = _parsed_pruners(
+                condition,
+                set(_stat_columns(schema)),
+                _physical_names(schema),
+            )
+            if not parsed:
+                return None  # no pruning fragment: full path as good
+            return lambda st: _stats_exclude(st, parsed, stat_cols)
+
+        return self._resolve_pruned(version, build, memo_key=condition)
+
+    def _manifest_pruned_keys(
+        self, version: int, source: DataFrame, key_columns: list[str]
+    ) -> dict | None:
+        """Checkpoint-anchored PARTIAL snapshot for a KEYED write
+        (MERGE / delete_keys): the pruning judge is the source batch's
+        per-key-column [min, max] envelope — exactly
+        :meth:`_prune_merge_candidates`'s per-file test (missing key
+        column excludes: the file predates the column, an equi-join
+        can never match), applied WHILE streaming the checkpoint, so a
+        keyed write against a 10^6-file table materializes only its
+        candidate files driver-side. One bounded aggregation over the
+        batch (2 scalars per key column); not memoized — every batch
+        has its own envelope."""
+
+        def build(schema: T.StructType):
+            by_name = {f.name: f.dataType for f in schema.fields}
+            phys = _physical_names(schema)
+            cols = [
+                c for c in key_columns
+                if isinstance(by_name.get(c), _STAT_ATOMS)
+            ]
+            if not cols:
+                return None
+            aggs = []
+            for i, c in enumerate(cols):
+                aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
+                aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+            row = source.agg(*aggs).first()
+            parsed: list[tuple[str, str, object]] = []
+            pset = set()
+            for i, c in enumerate(cols):
+                pc = phys.get(c, c)
+                mn = _stat_value(row[f"__mn{i}"])
+                mx = _stat_value(row[f"__mx{i}"])
+                if mn is not None:
+                    parsed.append((pc, ">=", mn))
+                if mx is not None:
+                    parsed.append((pc, "<=", mx))
+                if mn is not None or mx is not None:
+                    pset.add(pc)
+            if not parsed:
+                return None  # all-NULL envelope: no pruning power
+            return lambda st: _stats_exclude(st, parsed, pset)
+
+        return self._resolve_pruned(version, build)
+
+    def _resolve_pruned(
+        self, version: int, build_excluder, memo_key: str | None = None
+    ) -> dict | None:
+        """Stream-resolve a PARTIAL snapshot at ``version``: anchor at
+        the newest columnar checkpoint, judge every row with the
+        excluder ``build_excluder(schema)`` returns, keep survivors
+        only, then apply the chain deltas (their adds judged by record
+        stats). The partial carries version/schema/constraints/protocol
+        plus candidate files/stats/dv and ``n_files_total`` (the FULL
+        live-file count, maintained without materializing paths) so
+        mutators can distinguish an empty table from an empty candidate
+        set. Driver memory is O(candidates + one record batch) — the
+        10^6-file driver-width shape, Delta's partition-scoped log
+        replay.
+
+        Returns None — caller falls back to full resolution — when the
+        excluder builder declines (no pruning power), no columnar
+        checkpoint anchors at-or-before ``version``, a legacy snapshot
+        interrupts the chain, or the full snapshot is already cached
+        in memory. Partial snapshots never enter the snapshot cache;
+        ``memo_key`` (predicate callers) keys the small partial memo."""
         import pyarrow.parquet as pq
 
         if version in self._snapshot_cache:
             # the complete snapshot is already materialized — pruning
             # the in-memory list beats re-streaming the checkpoint
             return None
-        memo = self._pruned_cache.get((version, condition))
-        if memo is not None:
-            return dict(memo)
+        if memo_key is not None:
+            memo = self._pruned_cache.get((version, memo_key))
+            if memo is not None:
+                return dict(memo)
         rec = self._commit_record(version)
         if "files" in rec:
             return None  # legacy full-snapshot record: already tiny
@@ -1185,32 +1254,24 @@ class VersionedStageTable:
         ]
         if any("files" in r for r in chain_recs):
             return None  # legacy snapshot mid-chain: resolution resets
-        # parse the pruning fragment against the FINAL schema — sound
-        # for every file regardless of commit age, because stats are
-        # keyed by stable PHYSICAL names. When chain records exist the
-        # schema comes from the last one, so an unprunable condition
-        # bails before the checkpoint file is even opened.
+        # build the excluder against the FINAL schema — sound for every
+        # file regardless of commit age, because stats are keyed by
+        # stable PHYSICAL names. When chain records exist the schema
+        # comes from the last one, so a no-pruning-power judge bails
+        # before the checkpoint file is even opened.
         schema_json = chain_recs[-1]["schema"] if chain_recs else None
         if schema_json is not None:
             schema = T.StructType.fromJson(json.loads(schema_json))
-            parsed, stat_cols = _parsed_pruners(
-                condition,
-                set(_stat_columns(schema)),
-                _physical_names(schema),
-            )
-            if not parsed:
-                return None  # no pruning fragment: full path as good
+            exclude = build_excluder(schema)
+            if exclude is None:
+                return None
         pf = pq.ParquetFile(cp_path)
         meta = pf.schema_arrow.metadata or {}
         if schema_json is None:
             schema_json = meta[b"schema"].decode()
             schema = T.StructType.fromJson(json.loads(schema_json))
-            parsed, stat_cols = _parsed_pruners(
-                condition,
-                set(_stat_columns(schema)),
-                _physical_names(schema),
-            )
-            if not parsed:
+            exclude = build_excluder(schema)
+            if exclude is None:
                 return None
         proto = json.loads(meta.get(b"protocol", b"{}").decode())
         proto_reader = set(proto.get("reader", ()))
@@ -1223,16 +1284,18 @@ class VersionedStageTable:
         files: list[str] = []
         stats: dict = {}
         dv: dict = {}
+        n_total = 0  # FULL live-file count, no paths materialized
         for batch in pf.iter_batches(
             columns=["path", "stats", "dv"], batch_size=8192
         ):
+            n_total += batch.num_rows
             paths = batch.column(0)
             stats_col = batch.column(1)
             dv_col = batch.column(2)
             for i in range(batch.num_rows):
                 raw = stats_col[i].as_py()
                 st = json.loads(raw) if raw else None
-                if _stats_exclude(st, parsed, stat_cols):
+                if exclude(st):
                     continue
                 f = paths[i].as_py()
                 files.append(f)
@@ -1244,14 +1307,19 @@ class VersionedStageTable:
         fset = set(files)
         for r in chain_recs:
             removed = r.get("remove") or []
+            # removes always name live files (commit protocol), so the
+            # running total stays exact without knowing the paths
+            n_total -= len(removed)
             fset.difference_update(removed)
             for f in removed:
                 stats.pop(f, None)
                 dv.pop(f, None)
             r_stats = r.get("stats") or {}
-            for f in r.get("add") or []:
+            adds = r.get("add") or []
+            n_total += len(adds)
+            for f in adds:
                 st = r_stats.get(f)
-                if _stats_exclude(st, parsed, stat_cols):
+                if exclude(st):
                     continue
                 fset.add(f)
                 if st:
@@ -1278,6 +1346,7 @@ class VersionedStageTable:
             "version": version,
             "files": sorted(fset),
             "schema": schema_json,
+            "n_files_total": n_total,
         }
         self._files_materialized += len(out["files"])
         kept_stats = {f: stats[f] for f in out["files"] if f in stats}
@@ -1293,9 +1362,10 @@ class VersionedStageTable:
                 "reader": sorted(proto_reader),
                 "writer": sorted(proto_writer),
             }
-        if len(self._pruned_cache) >= self._pruned_cache_max:
-            self._pruned_cache.pop(next(iter(self._pruned_cache)))
-        self._pruned_cache[(version, condition)] = out
+        if memo_key is not None:
+            if len(self._pruned_cache) >= self._pruned_cache_max:
+                self._pruned_cache.pop(next(iter(self._pruned_cache)))
+            self._pruned_cache[(version, memo_key)] = out
         return dict(out)
 
     def _epoch_version(
@@ -3043,7 +3113,15 @@ class VersionedStageTable:
                 version=0, epoch=epoch, app_id=app_id,
                 stats=self._collect_stats(files, schema_json),
             )
-        prev = self._manifest(self.latest_version())
+        head = self.latest_version()
+        # keyed pruned resolution: on a checkpoint-anchored table only
+        # the envelope-surviving candidate files materialize driver-side
+        # (O(candidates) at 10^6 files); full resolution is the fallback
+        prev = self._manifest_pruned_keys(head, source, key_columns)
+        pre_pruned = prev is not None
+        if not pre_pruned:
+            prev = self._manifest(head)
+        files_total = prev.get("n_files_total", len(prev["files"]))
         cons = dict(prev.get("constraints") or {})
         if cons:
             self._enforce(source, cons)
@@ -3074,7 +3152,7 @@ class VersionedStageTable:
                 f"schema (use append(merge_schema=True) for new columns)"
             )
         hint = prev["version"] + 1
-        if not prev["files"]:
+        if files_total == 0:
             files = self._write_files(source, hint, schema=prev_schema)
             return self._commit(
                 "merge", add=files, schema_json=prev["schema"],
@@ -3089,9 +3167,13 @@ class VersionedStageTable:
         # equi-match on either side). The key-projected scan below then
         # touches only the surviving candidates — at 100 TB this is the
         # difference between a manifest walk and a table scan.
-        candidates = self._prune_merge_candidates(prev, source, key_columns)
+        candidates = (
+            prev["files"]
+            if pre_pruned
+            else self._prune_merge_candidates(prev, source, key_columns)
+        )
         metrics = {
-            "files_total": len(prev["files"]),
+            "files_total": files_total,
             "files_candidate": len(candidates),
         }
         keys = source.select(*key_columns).distinct()
@@ -3170,26 +3252,35 @@ class VersionedStageTable:
                 return v
         if not self.versions():
             raise VersionNotFoundError(f"{self.path}: no commits")
-        prev = self._manifest(self.latest_version())
-        if not prev["files"]:
-            return prev["version"]
-        missing = [
-            c for c in key_columns
-            if c not in T.StructType.fromJson(
-                json.loads(prev["schema"])
-            ).fieldNames()
-        ]
-        if missing:
-            raise ValueError(
-                f"{self.path}: key columns {missing} not in table"
-            )
         kdf = keys.select(*key_columns).dropDuplicates().persist()
         try:
-            candidates = self._prune_merge_candidates(
-                prev, kdf, key_columns
+            head = self.latest_version()
+            # keyed pruned resolution — same driver-width shape as
+            # merge's: candidates only, never the full file list
+            prev = self._manifest_pruned_keys(head, kdf, key_columns)
+            pre_pruned = prev is not None
+            if not pre_pruned:
+                prev = self._manifest(head)
+            files_total = prev.get("n_files_total", len(prev["files"]))
+            if files_total == 0:
+                return prev["version"]
+            missing = [
+                c for c in key_columns
+                if c not in T.StructType.fromJson(
+                    json.loads(prev["schema"])
+                ).fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"{self.path}: key columns {missing} not in table"
+                )
+            candidates = (
+                prev["files"]
+                if pre_pruned
+                else self._prune_merge_candidates(prev, kdf, key_columns)
             )
             metrics = {
-                "files_total": len(prev["files"]),
+                "files_total": files_total,
                 "files_candidate": len(candidates),
             }
             if not candidates:

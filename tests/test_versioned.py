@@ -2513,3 +2513,51 @@ def test_pruned_lookup_respects_dv_and_removes_past_anchor(
     ]
     # time travel through the pruned path still sees the old rows
     assert (101, "v101") in _rows(fresh.lookup("k <= 101", version=3))
+
+
+def test_keyed_writes_materialize_only_candidate_files(spark, tmp_path):
+    """MERGE and delete_keys on a checkpoint-anchored table resolve a
+    keyed PARTIAL snapshot: only envelope-surviving candidate files
+    become driver Python (the same O(candidates) contract pruned
+    lookups pin), while the commit still records the FULL live-file
+    count in its metrics and untouched files carry over by name."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    for i, lo in enumerate((0, 100, 200, 300)):
+        rows = [(lo + j, f"v{lo + j}") for j in range(5)]
+        (t.overwrite if i == 0 else t.append)(_df(spark, rows).coalesce(1))
+    assert t.checkpoints() == [3]
+    t.append(_df(spark, [(400 + j, f"v{400 + j}") for j in range(5)])
+             .coalesce(1))  # v4: chain delta past the anchor
+
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    v = fresh.merge(_df(spark, [(201, "M"), (203, "M")]), ["k"])
+    # exactly ONE file (the 200-range) became driver Python
+    assert fresh._files_materialized == 1
+    m = fresh._commit_record(v)["metrics"]
+    assert m["files_total"] == 5 and m["files_candidate"] == 1
+    assert m["files_rewritten"] == 1
+    got = {r["k"]: r["v"] for r in fresh.read().collect()}
+    assert got[201] == "M" and got[203] == "M" and got[202] == "v202"
+    assert len(got) == 25
+
+    fresh2 = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    v2 = fresh2.delete_keys(
+        spark.createDataFrame([(400,), (404,)], "k int"), ["k"]
+    )
+    # the chain-delta 400-range file is the only candidate; the merge
+    # commit (v5) is also a chain delta judged by record stats
+    assert fresh2._files_materialized <= 2
+    m2 = fresh2._commit_record(v2)["metrics"]
+    # files_total tracks the FULL live count pre-delete (the merge may
+    # have split its rewrite across several files), counted without
+    # materializing paths
+    assert m2["files_candidate"] <= 2
+    assert m2["files_total"] == len(t._manifest(v2 - 1)["files"])
+    got2 = sorted(r["k"] for r in fresh2.read().collect())
+    assert 400 not in got2 and 404 not in got2 and len(got2) == 23
