@@ -1201,7 +1201,11 @@ class VersionedStageTable:
         return self._resolve_pruned(version, build)
 
     def _resolve_pruned(
-        self, version: int, build_excluder, memo_key: str | None = None
+        self,
+        version: int,
+        build_excluder,
+        memo_key: str | None = None,
+        path_set: set | None = None,
     ) -> dict | None:
         """Stream-resolve a PARTIAL snapshot at ``version``: anchor at
         the newest columnar checkpoint, judge every row with the
@@ -1215,12 +1219,29 @@ class VersionedStageTable:
         10^6-file driver-width shape, Delta's partition-scoped log
         replay.
 
+        ``path_set`` restricts the partial to a KNOWN file set (the
+        change feed's symmetric-difference files): rows are judged by
+        path membership BEFORE their stats JSON is ever decoded, then
+        by the excluder as usual.
+
+        ``build_excluder=None`` is HEADER-ONLY mode: no row is ever
+        read — the live-file count comes from the checkpoint's parquet
+        row count plus the chain's add/remove counts, and the partial
+        carries only the table-wide singletons (version, schema,
+        constraints, protocol, ``n_files_total``) with an empty file
+        list. The O(1) resolution for callers that need table metadata
+        and an exact count but bring their own file scope (incremental
+        ZORDER's chain-derived tail).
+
         Returns None — caller falls back to full resolution — when the
         excluder builder declines (no pruning power), no columnar
         checkpoint anchors at-or-before ``version``, a legacy snapshot
-        interrupts the chain, or the full snapshot is already cached
-        in memory. Partial snapshots never enter the snapshot cache;
-        ``memo_key`` (predicate callers) keys the small partial memo."""
+        interrupts the chain, the full snapshot is already cached
+        in memory, or a concurrent vacuum dropped the anchor checkpoint
+        between the exists-probe and the read (the same degrade-to-
+        correct posture as _LazyCheckpointStats._load). Partial
+        snapshots never enter the snapshot cache; ``memo_key``
+        (predicate callers) keys the small partial memo."""
         import pyarrow.parquet as pq
 
         if version in self._snapshot_cache:
@@ -1259,51 +1280,71 @@ class VersionedStageTable:
         # stable PHYSICAL names. When chain records exist the schema
         # comes from the last one, so a no-pruning-power judge bails
         # before the checkpoint file is even opened.
+        header_only = build_excluder is None
+        exclude = None
         schema_json = chain_recs[-1]["schema"] if chain_recs else None
-        if schema_json is not None:
+        if schema_json is not None and not header_only:
             schema = T.StructType.fromJson(json.loads(schema_json))
             exclude = build_excluder(schema)
             if exclude is None:
                 return None
-        pf = pq.ParquetFile(cp_path)
-        meta = pf.schema_arrow.metadata or {}
-        if schema_json is None:
-            schema_json = meta[b"schema"].decode()
-            schema = T.StructType.fromJson(json.loads(schema_json))
-            exclude = build_excluder(schema)
-            if exclude is None:
-                return None
-        proto = json.loads(meta.get(b"protocol", b"{}").decode())
-        proto_reader = set(proto.get("reader", ()))
-        proto_writer = set(proto.get("writer", ()))
-        constraints = json.loads(meta.get(b"constraints", b"{}").decode())
-        # stream the checkpoint: one pass over path/stats/dv, survivors
-        # only ever reach Python
-        self._log_reads += 1
-        self._stats_loads += 1
-        files: list[str] = []
-        stats: dict = {}
-        dv: dict = {}
-        n_total = 0  # FULL live-file count, no paths materialized
-        for batch in pf.iter_batches(
-            columns=["path", "stats", "dv"], batch_size=8192
-        ):
-            n_total += batch.num_rows
-            paths = batch.column(0)
-            stats_col = batch.column(1)
-            dv_col = batch.column(2)
-            for i in range(batch.num_rows):
-                raw = stats_col[i].as_py()
-                st = json.loads(raw) if raw else None
-                if exclude(st):
-                    continue
-                f = paths[i].as_py()
-                files.append(f)
-                if st:
-                    stats[f] = st
-                s = dv_col[i].as_py()
-                if s:
-                    dv[f] = list(s)
+        try:
+            pf = pq.ParquetFile(cp_path)
+            meta = pf.schema_arrow.metadata or {}
+            if schema_json is None:
+                schema_json = meta[b"schema"].decode()
+                if not header_only:
+                    schema = T.StructType.fromJson(json.loads(schema_json))
+                    exclude = build_excluder(schema)
+                    if exclude is None:
+                        return None
+            proto = json.loads(meta.get(b"protocol", b"{}").decode())
+            proto_reader = set(proto.get("reader", ()))
+            proto_writer = set(proto.get("writer", ()))
+            constraints = json.loads(
+                meta.get(b"constraints", b"{}").decode()
+            )
+            self._log_reads += 1
+            files: list[str] = []
+            stats: dict = {}
+            dv: dict = {}
+            if header_only:
+                # no row is read: the parquet footer already knows the
+                # live-file count at the anchor
+                n_total = pf.metadata.num_rows
+            else:
+                # stream the checkpoint: one pass over path/stats/dv,
+                # survivors only ever reach Python
+                self._stats_loads += 1
+                n_total = 0  # FULL live-file count, no paths materialized
+                for batch in pf.iter_batches(
+                    columns=["path", "stats", "dv"], batch_size=8192
+                ):
+                    n_total += batch.num_rows
+                    paths = batch.column(0)
+                    stats_col = batch.column(1)
+                    dv_col = batch.column(2)
+                    for i in range(batch.num_rows):
+                        f = paths[i].as_py()
+                        if path_set is not None and f not in path_set:
+                            continue
+                        raw = stats_col[i].as_py()
+                        st = json.loads(raw) if raw else None
+                        if exclude(st):
+                            continue
+                        files.append(f)
+                        if st:
+                            stats[f] = st
+                        s = dv_col[i].as_py()
+                        if s:
+                            dv[f] = list(s)
+        except (FileNotFoundError, OSError) as exc:
+            # a concurrent writer's vacuum can drop the checkpoint
+            # between the exists-probe above and the read — degrade to
+            # the full path (unpruned but correct), exactly like
+            # _LazyCheckpointStats._load
+            self._last_checkpoint_error = exc
+            return None
         fset = set(files)
         for r in chain_recs:
             removed = r.get("remove") or []
@@ -1317,20 +1358,28 @@ class VersionedStageTable:
             r_stats = r.get("stats") or {}
             adds = r.get("add") or []
             n_total += len(adds)
-            for f in adds:
-                st = r_stats.get(f)
-                if exclude(st):
-                    continue
-                fset.add(f)
-                if st:
-                    stats[f] = st
-            for f, sidecars in (r.get("dv") or {}).items():
-                if f not in fset:
-                    continue  # pruned-out or removed: mask irrelevant
-                cur = dv.setdefault(f, [])
-                for s in sidecars:
-                    if s not in cur:
-                        cur.append(s)
+            if not header_only:
+                for f in adds:
+                    if path_set is not None and f not in path_set:
+                        continue
+                    st = r_stats.get(f)
+                    if exclude(st):
+                        continue
+                    fset.add(f)
+                    if st:
+                        stats[f] = st
+                for f, sidecars in (r.get("dv") or {}).items():
+                    if f not in fset:
+                        continue  # pruned-out or removed: mask irrelevant
+                    cur = dv.setdefault(f, [])
+                    for s in sidecars:
+                        if s not in cur:
+                            cur.append(s)
+            # wholesale replace is sound ONLY because every commit
+            # record carries the table's FULL constraints dict (the
+            # _commit signature has no partial form) — mirror of
+            # _manifest's own chain step; a future partial-constraints
+            # record must change both sites together
             constraints = dict(r.get("constraints") or {})
             proto_reader.update((r.get("protocol") or {}).get("reader", ()))
             proto_writer.update((r.get("protocol") or {}).get("writer", ()))
@@ -1870,9 +1919,14 @@ class VersionedStageTable:
         identifier (word-boundary or backtick-quoted) — conservative:
         a hit inside a string literal also counts, because silently
         keeping a constraint that no longer binds would be worse than
-        asking the user to drop and re-add it."""
+        asking the user to drop and re-add it. CASE-INSENSITIVE, like
+        Spark's own column resolution: a constraint written
+        ``O_TOTALPRICE > 0`` binds the column ``o_totalprice`` and must
+        be detected on its rename (the rewriter then fails closed on
+        case-variant occurrences it cannot soundly rewrite)."""
         pat = re.compile(
-            rf"(?<![A-Za-z0-9_]){re.escape(column)}(?![A-Za-z0-9_])"
+            rf"(?<![A-Za-z0-9_]){re.escape(column)}(?![A-Za-z0-9_])",
+            re.IGNORECASE,
         )
         return sorted(n for n, e in cons.items() if pat.search(e))
 
@@ -1893,8 +1947,13 @@ class VersionedStageTable:
         of ``s``, not the column) and function calls (``old(...)``
         names a function). Unsound cases returning None: the expression
         contains a lambda (``->`` — an occurrence of ``old`` inside may
-        be the lambda's bound variable, not the column), or already
-        uses ``new`` as an identifier (the rewrite would capture it)."""
+        be the lambda's bound variable, not the column), already uses
+        ``new`` as an identifier in ANY case (Spark resolves columns
+        case-insensitively, so a case-variant capture is still a
+        capture), or references ``old`` in a case VARIANT (it binds the
+        column under Spark's resolution, but rewriting it would change
+        the text the user wrote beyond the mechanical rename — fail
+        closed, drop and re-add by hand)."""
         out: list[str] = []
         i, n = 0, len(expr)
         prev_sig = ""  # last non-space char emitted, for the '.' test
@@ -1925,9 +1984,11 @@ class VersionedStageTable:
                 if j < 0:
                     return None  # unterminated quote: refuse
                 ident = expr[i + 1:j]
-                if ident == new:
-                    return None  # capture hazard
-                if ident == old and prev_sig != ".":
+                if ident.lower() == new.lower():
+                    return None  # capture hazard (any case)
+                if prev_sig != "." and ident.lower() == old.lower():
+                    if ident != old:
+                        return None  # case-variant reference: refuse
                     out.append(f"`{new}`")
                 else:
                     out.append(expr[i:j + 1])
@@ -1943,9 +2004,15 @@ class VersionedStageTable:
                 while k < n and expr[k].isspace():
                     k += 1
                 is_call = k < n and expr[k] == "("
-                if word == new and prev_sig != ".":
-                    return None  # capture hazard
-                if word == old and prev_sig != "." and not is_call:
+                if word.lower() == new.lower() and prev_sig != ".":
+                    return None  # capture hazard (any case)
+                if (
+                    word.lower() == old.lower()
+                    and prev_sig != "."
+                    and not is_call
+                ):
+                    if word != old:
+                        return None  # case-variant reference: refuse
                     out.append(new)
                 else:
                     out.append(word)
@@ -2655,12 +2722,25 @@ class VersionedStageTable:
         *,
         timestamp_as_of: float | None = None,
         tag: str | None = None,
+        columns: list[str] | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest), as of a
         wall-clock instant via ``timestamp_as_of``, or at a named ref
         via ``tag``. Reading an old version is a plain parquet scan of
         that manifest's file list — no reconstruction, because
-        manifests are complete snapshots."""
+        manifests are complete snapshots.
+
+        ``where`` scopes the read to the rows where the predicate is
+        TRUE and — the driver-width point — resolves a PARTIAL
+        manifest on checkpoint-anchored tables (:meth:`lookup`'s
+        machinery): only stats-surviving candidate files ever
+        materialize into driver Python or enter the plan, so a
+        selective read of a 10^6-file table is O(candidates) on the
+        driver and O(files-touched) in IO. ``columns`` projects the
+        result; the select sits directly over the scan, so Catalyst
+        pushes it into the parquet reader (pruned ReadSchema) — the
+        predicate may reference non-projected columns."""
         if sum(x is not None for x in (version, timestamp_as_of, tag)) > 1:
             raise ValueError("pass at most one of version/timestamp_as_of/tag")
         if tag is not None:
@@ -2674,9 +2754,21 @@ class VersionedStageTable:
             version = self.version_at(timestamp_as_of)
         if version is None:
             version = self.latest_version()
-        m = self._manifest(version)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        return self._scan(m["files"], schema, m.get("dv"))
+        if where is not None:
+            out = self.lookup(where, version)
+        else:
+            m = self._manifest(version)
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            out = self._scan(m["files"], schema, m.get("dv"))
+        if columns is not None:
+            missing = [c for c in columns if c not in out.columns]
+            if missing:
+                raise ValueError(
+                    f"{self.path}: read columns {missing} not in table "
+                    f"(have {out.columns})"
+                )
+            out = out.select(*[F.col(f"`{c}`") for c in columns])
+        return out
 
     def lookup(
         self,
@@ -3415,9 +3507,13 @@ class VersionedStageTable:
         handful of rows.
 
         Scale shape (both modes): candidate files come FIRST from the
-        manifest's per-file [min, max] bounds
-        (:func:`prune_candidate_files` — zero IO, O(manifest)); only
-        the surviving candidates pay the condition-projected scan. The
+        manifest's per-file [min, max] bounds — on a checkpoint-
+        anchored table via :meth:`_manifest_pruned` (the checkpoint
+        streams through the bounds test; only candidates ever become
+        driver Python, O(candidates) at 10^6 files), else
+        :func:`prune_candidate_files` over the resolved manifest (zero
+        IO, O(manifest)); only the surviving candidates pay the
+        condition-projected scan. The
         commit records files_total/files_candidate/files_rewritten
         (+ dv_rows for mode="dv") in its manifest metrics.
 
@@ -3434,15 +3530,29 @@ class VersionedStageTable:
             v = self._epoch_version(epoch, app_id)
             if v is not None:
                 return v
-        prev = self._manifest(self.latest_version())
+        head = self.latest_version()
+        # predicate-pruned resolution — same driver-width shape as
+        # lookup()'s: on a checkpoint-anchored table only the files
+        # whose bounds cannot exclude the condition materialize into
+        # driver Python (O(candidates) at 10^6 files); full resolution
+        # is the fallback
+        prev = self._manifest_pruned(head, condition)
+        pre_pruned = prev is not None
+        if not pre_pruned:
+            prev = self._manifest(head)
+        files_total = prev.get("n_files_total", len(prev["files"]))
         hint = prev["version"] + 1
-        if not prev["files"]:
+        if files_total == 0:
             return prev["version"]
         schema = T.StructType.fromJson(json.loads(prev["schema"]))
-        candidates = prune_candidate_files(
-            prev["files"], prev.get("stats") or {}, condition,
-            stat_cols=set(_stat_columns(schema)),
-            rename=_physical_names(schema),
+        candidates = (
+            prev["files"]
+            if pre_pruned
+            else prune_candidate_files(
+                prev["files"], prev.get("stats") or {}, condition,
+                stat_cols=set(_stat_columns(schema)),
+                rename=_physical_names(schema),
+            )
         )
         if not candidates:
             return prev["version"]
@@ -3478,7 +3588,7 @@ class VersionedStageTable:
             constraints=dict(prev.get("constraints") or {}),
             stats=self._collect_stats(new_files, prev["schema"]),
             metrics={
-                "files_total": len(prev["files"]),
+                "files_total": files_total,
                 "files_candidate": len(candidates),
                 "files_rewritten": len(touched),
             },
@@ -3556,7 +3666,9 @@ class VersionedStageTable:
             constraints=dict(prev.get("constraints") or {}),
             dv={f: sidecar_files for f in touched},
             metrics={
-                "files_total": len(prev["files"]),
+                "files_total": prev.get(
+                    "n_files_total", len(prev["files"])
+                ),
                 "files_candidate": len(candidates),
                 "files_rewritten": 0,
                 "dv_files": len(touched),
@@ -3568,6 +3680,78 @@ class VersionedStageTable:
         )
 
     # -- change feed ---------------------------------------------------------
+
+    def _chain_delta(
+        self, from_version: int, to_version: int
+    ) -> dict | None:
+        """Manifest DIFF between two versions from the chain's delta
+        records alone — neither full manifest materializes (the
+        change-feed driver-width shape: a poll on a 10^6-file table
+        costs O(commits polled), never O(files)). Returns
+        ``{"only0", "only1", "dv1", "dv_common", "schema"}`` where
+        only0/only1 are the symmetric-difference file lists, dv1 the
+        chain-accumulated sidecars of only1 files, and dv_common the
+        FRESH sidecars of carried-over files (their m0 masks are
+        irrelevant: new sidecars exclude previously-masked positions at
+        write time). A file a chain record removes AND re-adds
+        (restore, consolidate_dv — the mask-reset mechanism) lands in
+        BOTH lists; the caller's exceptAll then nets its live-row delta
+        exactly, which is precisely the dv-delta/resurrect arm's
+        semantics. Returns None — caller falls back to the two-manifest
+        diff — when a legacy full-snapshot record interrupts the chain.
+        Raises :class:`VersionNotFoundError` when either endpoint or an
+        intermediate record was vacuumed, identical to the full path
+        (the feed reader's truncation signal depends on it)."""
+        vs = self.versions()
+        if from_version not in vs:
+            raise VersionNotFoundError(
+                f"{self.path}: version {from_version} not found "
+                f"(have {vs})"
+            )
+        chain = [u for u in vs if from_version < u <= to_version]
+        if chain != list(range(from_version + 1, to_version + 1)):
+            raise VersionNotFoundError(
+                f"{self.path}: versions {from_version}..{to_version} "
+                f"are not resolvable — commit chain {chain} has gaps "
+                f"(vacuumed past retention?)"
+            )
+        recs = [self._commit_record(u) for u in chain]
+        if any("files" in r for r in recs):
+            return None  # legacy snapshot resets resolution: fall back
+        added: set = set()
+        removed0: set = set()  # removed files that were live at m0
+        dv_added: dict = {}  # fresh sidecars per still-live file
+        schema = None
+        for r in recs:
+            for f in r.get("remove") or ():
+                # a removed file's mask is irrelevant; if re-added
+                # later (restore/consolidate) its sidecars re-accrue
+                dv_added.pop(f, None)
+                if f in added:
+                    added.discard(f)
+                else:
+                    removed0.add(f)
+            for f in r.get("add") or ():
+                added.add(f)
+            for f, sidecars in (r.get("dv") or {}).items():
+                cur = dv_added.setdefault(f, [])
+                for s in sidecars:
+                    if s not in cur:
+                        cur.append(s)
+            schema = r["schema"]
+        return {
+            "only0": sorted(removed0),
+            "only1": sorted(added),
+            "dv1": {
+                f: lst for f, lst in dv_added.items()
+                if f in added and lst
+            },
+            "dv_common": {
+                f: lst for f, lst in dv_added.items()
+                if f not in added and f not in removed0 and lst
+            },
+            "schema": schema,
+        }
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Row-level change feed between two versions — the Delta Change
@@ -3592,32 +3776,65 @@ class VersionedStageTable:
             raise ValueError(
                 f"from_version {from_version} is newer than {to_version}"
             )
-        m0, m1 = self._manifest(from_version), self._manifest(to_version)
-        dv0 = m0.get("dv") or {}
-        dv1 = m1.get("dv") or {}
-        only0 = sorted(set(m0["files"]) - set(m1["files"]))
-        only1 = sorted(set(m1["files"]) - set(m0["files"]))
-        schema = T.StructType.fromJson(json.loads(m1["schema"]))
+        # chain-record fast path: the file diff and every fresh sidecar
+        # come from the polled delta records alone; the ONLY per-file
+        # state needed from history is the m0 deletion vectors of the
+        # removed files, resolved as a path-filtered partial snapshot —
+        # no full manifest materializes on either side
+        delta = self._chain_delta(from_version, to_version)
+        dv_deleted = dv_inserted = None
+        if delta is not None:
+            only0, only1 = delta["only0"], delta["only1"]
+            dv1 = delta["dv1"]
+            if only0:
+                m0p = self._resolve_pruned(
+                    from_version,
+                    lambda _schema: (lambda _st: False),  # keep-all
+                    path_set=set(only0),
+                )
+                if m0p is None:
+                    delta = None  # no anchor / legacy: two-manifest path
+                else:
+                    dv0 = m0p.get("dv") or {}
+            else:
+                dv0 = {}
+        if delta is not None:
+            schema = T.StructType.fromJson(json.loads(delta["schema"]))
+            if delta["dv_common"]:
+                dv_deleted = self._dv_fresh_rows(
+                    delta["dv_common"], schema, {}
+                )
+        else:
+            m0, m1 = self._manifest(from_version), self._manifest(to_version)
+            dv0 = m0.get("dv") or {}
+            dv1 = m1.get("dv") or {}
+            only0 = sorted(set(m0["files"]) - set(m1["files"]))
+            only1 = sorted(set(m1["files"]) - set(m0["files"]))
+            schema = T.StructType.fromJson(json.loads(m1["schema"]))
+            # DV-delta arms: a file carried by BOTH versions never
+            # enters the file diff, but sidecars added (or, via
+            # restore, dropped) between the versions change its LIVE
+            # rows — read exactly the newly-masked (resp. unmasked)
+            # positions from the shared file. (On the chain path the
+            # resurrect arm is structurally empty: mask shrink only
+            # happens via remove+add, which lands the file in both
+            # only-lists instead.)
+            common = set(m0["files"]) & set(m1["files"])
+            dv_deleted = self._dv_delta_rows(common, schema, dv0, dv1)
+            dv_inserted = self._dv_delta_rows(common, schema, dv1, dv0)
         # each side reads through ITS OWN deletion vectors: the feed
         # compares live rows as of each version, not raw file bytes
         before = self._scan(only0, schema, dv0)
         after = self._scan(only1, schema, dv1)
         deleted = before.exceptAll(after)
         inserted = after.exceptAll(before)
-        # DV-delta arms: a file carried by BOTH versions never enters
-        # the file diff, but sidecars added (or, via restore, dropped)
-        # between the versions change its LIVE rows — read exactly the
-        # newly-masked (resp. unmasked) positions from the shared file.
-        # Arms are attached ONLY when a delta exists: unioning an empty
+        # arms are attached ONLY when a delta exists: unioning an empty
         # relation onto every feed cost ~0.5 s/call of pure plan
         # overhead on DV-free tables (the r10->r11
         # stage_versioned_delete regression, isolated A/B in
-        # DRIFT_r11.md).
-        common = set(m0["files"]) & set(m1["files"])
-        dv_deleted = self._dv_delta_rows(common, schema, dv0, dv1)
+        # DRIFT_r11.md)
         if dv_deleted is not None:
             deleted = deleted.unionByName(dv_deleted)
-        dv_inserted = self._dv_delta_rows(common, schema, dv1, dv0)
         if dv_inserted is not None:
             inserted = inserted.unionByName(dv_inserted)
         return deleted.withColumn(
@@ -3691,6 +3908,17 @@ class VersionedStageTable:
                 delta[f] = fresh
         if not delta:
             return None
+        return self._dv_fresh_rows(delta, schema, dv_base)
+
+    def _dv_fresh_rows(
+        self, delta: dict, schema: T.StructType, dv_base: dict
+    ) -> DataFrame:
+        """Read the rows at the positions ``delta``'s fresh sidecars
+        mask, minus positions ``dv_base`` already masked — the reading
+        core of :meth:`_dv_delta_rows`, shared with the chain-record
+        change feed (which passes ``dv_base={}``: along a remove-free
+        chain every new sidecar excludes previously-masked positions at
+        write time, so the base anti-join is provably a no-op)."""
         cols = schema.fieldNames()
         scan = self._read_physical(
             sorted(delta), schema,
@@ -3840,13 +4068,24 @@ class VersionedStageTable:
                 f"zorder_by — a plain bin-pack has no clustering "
                 f"anchor to be incremental against"
             )
-        prev = self._manifest(self.latest_version())
-        dv = prev.get("dv") or {}
+        head = self.latest_version()
         # ``where`` = Delta's OPTIMIZE WHERE: only files whose stats MAY
         # match the predicate enter the bin-pack (zero IO to decide) —
-        # scoped maintenance of a hot region without touching the rest
-        scope = prev["files"]
+        # scoped maintenance of a hot region without touching the rest.
+        # On a checkpoint-anchored table the scope comes from a PARTIAL
+        # snapshot (only candidates materialize driver-side); a plain
+        # full-table bin-pack inherently needs every file's size and
+        # keeps the full resolution.
+        prev = None
+        pre_pruned = False
         if where is not None:
+            prev = self._manifest_pruned(head, where)
+            pre_pruned = prev is not None
+        if prev is None:
+            prev = self._manifest(head)
+        dv = prev.get("dv") or {}
+        scope = prev["files"]
+        if where is not None and not pre_pruned:
             schema = T.StructType.fromJson(json.loads(prev["schema"]))
             scope = prune_candidate_files(
                 prev["files"], prev.get("stats") or {}, where,
@@ -3891,8 +4130,26 @@ class VersionedStageTable:
     ) -> int:
         from cdk_datalake_ingest_upeu_spark.sources.files import zorder_value
 
-        prev = self._manifest(self.latest_version())
-        if not prev["files"]:
+        head = self.latest_version()
+        # resolution ladder: predicate-pruned partial (where), header-
+        # only partial + chain-derived tail (incremental — the
+        # steady-state maintenance pass on a 10^6-file table resolves
+        # ZERO full manifests: singletons and live-count from the
+        # checkpoint footer, the tail and its masks from the delta
+        # records since the last cluster), full manifest otherwise.
+        prev = None
+        pre_pruned = False
+        header_only = False
+        if where is not None:
+            prev = self._manifest_pruned(head, where)
+            pre_pruned = prev is not None
+        if prev is None and incremental and where is None:
+            prev = self._resolve_pruned(head, None)
+            header_only = prev is not None
+        if prev is None:
+            prev = self._manifest(head)
+        files_total = prev.get("n_files_total", len(prev["files"]))
+        if files_total == 0:
             return prev["version"]
         hint = prev["version"] + 1
         schema = T.StructType.fromJson(json.loads(prev["schema"]))
@@ -3901,9 +4158,9 @@ class VersionedStageTable:
             raise ValueError(
                 f"{self.path}: zorder_by columns {missing} not in table"
             )
-        scope = list(prev["files"])
         phys = _physical_names(schema)
-        if where is not None:
+        scope = list(prev["files"])
+        if where is not None and not pre_pruned:
             # Delta's OPTIMIZE ... WHERE ZORDER BY: only files whose
             # manifest stats MAY match the predicate are re-clustered
             # (zero IO to decide); the cold rest carries over by name.
@@ -3913,9 +4170,10 @@ class VersionedStageTable:
                 stat_cols=set(_stat_columns(schema)),
                 rename=phys,
             )
-            if not scope:
-                return prev["version"]
+        if where is not None and not scope:
+            return prev["version"]
         anchor = None
+        scan_dv = prev.get("dv")
         if incremental:
             # the tail = files absent from the snapshot of the last
             # zorder commit on the SAME columns — compared by PHYSICAL
@@ -3935,12 +4193,40 @@ class VersionedStageTable:
                 ):
                     anchor = v
                     break
-            if anchor is not None:
+            delta = (
+                self._chain_delta(anchor, head)
+                if anchor is not None
+                else None
+            )
+            if anchor is not None and delta is not None:
+                # chain-derived tail: exactly the files added since the
+                # anchor and still live, with their chain-accumulated
+                # deletion vectors — no anchor manifest materializes
+                if header_only:
+                    scope = list(delta["only1"])
+                    scan_dv = delta["dv1"]
+                else:
+                    tset = set(delta["only1"])
+                    scope = [f for f in scope if f in tset]
+            elif anchor is not None:
+                # legacy snapshot mid-chain: the two-manifest diff
+                if header_only:
+                    prev = self._manifest(head)
+                    header_only = False
+                    scope = list(prev["files"])
+                    scan_dv = prev.get("dv")
                 base = set(self._manifest(anchor)["files"])
                 scope = [f for f in scope if f not in base]
+            elif header_only:
+                # never clustered: incremental degenerates to the full
+                # rewrite, which needs the full file list after all
+                prev = self._manifest(head)
+                header_only = False
+                scope = list(prev["files"])
+                scan_dv = prev.get("dv")
             if not scope:
                 return prev["version"]
-        cur = self._scan(scope, schema, prev.get("dv"))
+        cur = self._scan(scope, schema, scan_dv)
         # one column: Morton interleaving degenerates to a plain range
         # clustering on that column (Delta's ZORDER BY (c) likewise)
         z = (
@@ -3972,7 +4258,7 @@ class VersionedStageTable:
                     phys.get(c, c) for c in zorder_by
                 ],
                 "files_clustered": len(scope),
-                "files_carried": len(prev["files"]) - len(scope),
+                "files_carried": files_total - len(scope),
                 "incremental": bool(incremental and anchor is not None),
             },
             # rebases over pure appends (the appended file simply stays

@@ -43,6 +43,19 @@ class FeedTruncatedError(RuntimeError):
     failure). Re-seed the consumer — reprocess from a fresh snapshot."""
 
 
+class AmbiguousEpochError(RuntimeError):
+    """The DEFAULT applier identity's legacy bare-epoch probe hit a
+    commit that CANNOT be pre-upgrade applier residue: the bare epoch
+    was minted at a version NEWER than this applier's earliest
+    namespaced commit, so it must belong to some other raw-epoch
+    writer sharing the target. Treating it as "already landed" would
+    silently skip a live batch (the pre-r13 aliasing hazard); treating
+    it as absent could double-land a genuinely replayed one. The engine
+    refuses instead — pass an explicit ``app_id`` to
+    :func:`apply_cdf_batch` so the two writers' epoch counters live in
+    disjoint namespaces."""
+
+
 class SeedAheadError(ValueError):
     """``starting_version`` is newer than the producer's latest commit
     — an operator typo, or a consumer wired ahead of its producer.
@@ -158,6 +171,43 @@ class VersionedChangeFeedReader:
         return n
 
 
+def _legacy_epoch_hit(
+    target: VersionedStageTable, bare_epoch: int
+) -> int | None:
+    """Probe the legacy (anonymous) epoch space for the DEFAULT applier
+    identity, with the aliasing guard: a bare hit is accepted as
+    pre-upgrade applier residue ONLY when it predates the applier's
+    earliest NAMESPACED commit — the post-upgrade applier always
+    namespaces, so a bare epoch minted after that point must be a
+    foreign raw-epoch writer's, and silently treating it as "this batch
+    already landed" would drop the batch. Raises
+    :class:`AmbiguousEpochError` for that mix; the remedy is an
+    explicit ``app_id``."""
+    v = target._epoch_version(bare_epoch)
+    if v is None:
+        return None
+    # _epoch_version just refreshed the incremental (app_id, epoch) ->
+    # version scan, so the map is complete up to the head
+    first_namespaced = min(
+        (
+            ver
+            for (a, _e), ver in target._epoch_versions.items()
+            if a == "cdf-apply"
+        ),
+        default=None,
+    )
+    if first_namespaced is not None and v > first_namespaced:
+        raise AmbiguousEpochError(
+            f"{target.path}: bare epoch {bare_epoch} was committed at "
+            f"version {v}, AFTER this applier's first namespaced commit "
+            f"(version {first_namespaced}) — it belongs to another "
+            f"raw-epoch writer, not to a pre-upgrade replay. Refusing "
+            f"to alias it: pass an explicit app_id to apply_cdf_batch "
+            f"so the two writers' epoch namespaces are disjoint"
+        )
+    return v
+
+
 def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
                     key_columns: list[str], epoch: int,
                     app_id: str = "cdf-apply") -> int:
@@ -184,9 +234,14 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
     DISTINCT CDF pipelines feeding one target must pass distinct
     app_ids (one writer identity, one epoch counter). The DEFAULT
     identity additionally probes the legacy bare-epoch space for
-    upgrade continuity (pre-namespacing batches replay exactly-once),
-    so a target that mixes the default applier with raw-epoch writers
-    keeps the old aliasing hazard — pass an explicit app_id there."""
+    upgrade continuity (pre-namespacing batches replay exactly-once,
+    on BOTH legs — a pre-upgrade run that crashed between the delete
+    and final legs replays without re-executing or re-committing the
+    delete), GUARDED against the old aliasing hazard: a bare-epoch hit
+    minted after this applier's first namespaced commit cannot be
+    pre-upgrade residue and raises :class:`AmbiguousEpochError` rather
+    than silently skipping the batch — mixing the default applier with
+    a raw-epoch writer requires an explicit app_id."""
     delete_epoch, final_epoch = 2 * epoch, 2 * epoch + 1
     if target.versions():
         v = target._epoch_version(final_epoch, app_id)
@@ -195,10 +250,11 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
             # by the pre-namespacing applier recorded bare sub-epochs,
             # and that applier could only have been the default
             # identity (app_id did not exist). Probing the legacy space
-            # keeps a replay spanning the upgrade exactly-once. An
-            # EXPLICIT app_id is a new-style multi-pipeline setup and
-            # must never alias a bare-epoch writer's commits.
-            v = target._epoch_version(final_epoch)
+            # keeps a replay spanning the upgrade exactly-once; the
+            # guard inside refuses bare epochs that postdate this
+            # applier's own namespaced history. An EXPLICIT app_id is a
+            # new-style multi-pipeline setup and never probes at all.
+            v = _legacy_epoch_hit(target, final_epoch)
         if v is not None:
             return v
     pdf = df.persist()
@@ -218,9 +274,21 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
         if not target.versions():
             return target.append(inserts, epoch=final_epoch, app_id=app_id)
         if not gone.isEmpty():
-            target.delete_keys(
-                gone, key_columns, epoch=delete_epoch, app_id=app_id
+            # delete-leg upgrade continuity (mirror of the final-leg
+            # probe): a pre-upgrade run that crashed BETWEEN the legs
+            # recorded the delete leg as a bare sub-epoch; re-executing
+            # it under the new namespace would be semantically
+            # idempotent but would land an extra commit and orphan the
+            # legacy record — skip the leg instead (same guard applies)
+            legacy_delete_v = (
+                _legacy_epoch_hit(target, delete_epoch)
+                if app_id == "cdf-apply"
+                else None
             )
+            if legacy_delete_v is None:
+                target.delete_keys(
+                    gone, key_columns, epoch=delete_epoch, app_id=app_id
+                )
         if inserts.isEmpty():
             # nothing to merge: land the epoch as a zero-row append so
             # a re-delivery is still a no-op

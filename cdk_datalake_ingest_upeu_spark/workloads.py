@@ -16215,6 +16215,84 @@ QUERIES = {
 }
 
 
+# ===========================================================================
+# round-14 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) the three r8-vintage text kernels the _R13_WINDOW note deferred
+# lead, as promised: text_pii_redaction, text_quality_classifier,
+# topk_bigram_pmi — after this round NO query's newest driver evidence
+# predates r9; (b) 47 of the 50 queries whose newest driver-green is r9
+# (histogram after r13: r9x50, r10x50, r11x50, r12x50, r13x50). 3 + 47
+# fills the window exactly; the three r9-evidence queries deferred to
+# lead the r15 rotation are bpe_merge_pairs, text_bm25_topk,
+# text_repetition_stats — again pure text.py Column-expression kernels
+# whose module carries fresh driver evidence this very round via the
+# three leads, so they are the lowest-risk residue of the 50.
+_R14_WINDOW = [
+    # (a) last driver-green in r8 — the r13 deferrals, leading as owed
+    "text_pii_redaction",
+    "text_quality_classifier",
+    "topk_bigram_pmi",
+    # (b) last driver-green in r9 — 47 of 50
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "asof_join_tolerance",
+    "corpus_bpe_encode",
+    "corpus_quality_filter",
+    "corpus_unigram_logprob",
+    "corpus_vocab_coverage",
+    "curriculum_quality_quartiles",
+    "dedup_banding_sweep",
+    "dedup_cluster_components",
+    "dedup_minhash_pairs",
+    "dedup_paragraph_corpus",
+    "dedup_simhash_corpus",
+    "dsir_bigram_selection",
+    "embedding_kmeans_stats",
+    "embedding_matryoshka_quality",
+    "embedding_norm_outliers",
+    "embedding_quantize_stats",
+    "events_anomaly_zscore",
+    "events_hll_accuracy",
+    "events_skew_diagnostics",
+    "export_training_shards",
+    "multimodal_image_resize",
+    "pack_documents_stats",
+    "profile_drift_generations",
+    "referential_integrity_audit",
+    "sample_capped_per_source",
+    "sample_hash_deterministic",
+    "scd2_point_in_time_enrich",
+    "set_ops_customer_activity",
+    "skew_salted_join_segment",
+    "stage_catalog_sql_read",
+    "stage_change_feed_apply_evolution",
+    "stage_check_constraints",
+    "stage_compaction_roundtrip",
+    "stage_dpp_pruned_join",
+    "stage_merge_resolve_last",
+    "stage_retention_prune",
+    "stage_snapshot_diff",
+    "stage_stats_pruned_delete",
+    "stage_tagged_reads",
+    "stage_versioned_delete",
+    "stage_zorder_stats_pruning",
+    "streaming_anomaly_zscore",
+    "streaming_change_feed_ingest",
+    "streaming_quarantine_ingest",
+    "train_test_split_counts",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+QUERIES = {
+    name: QUERIES[name]
+    for name in (
+        *_R14_WINDOW,
+        *(n for n in QUERIES if n not in set(_R14_WINDOW)),
+    )
+}
+
+
 # Oracle twin of the _t documents normalization (NULL text ≡ ''): every
 # oracle reference to the documents table reads through this view, so
 # both engines see the identical corpus under hostile NULL-text drops.

@@ -9,6 +9,7 @@ from cdk_datalake_ingest_upeu_spark.operators.versioned import (
     VersionedStageTable,
 )
 from cdk_datalake_ingest_upeu_spark.streaming.cdf_tail import (
+    AmbiguousEpochError,
     FeedTruncatedError,
     VersionedChangeFeedReader,
     apply_cdf_batch,
@@ -171,7 +172,9 @@ def test_apply_cdf_batch_delete_leg_replay_is_log_lookup(spark, tmp_path):
         "_change_type"
     )
     gone = deletes.select("k").exceptAll(inserts.select("k")).distinct()
-    tgt.delete_keys(gone, ["k"], epoch=2 * head)
+    # the post-r13 applier commits its delete leg NAMESPACED; a bare
+    # epoch here would now (correctly) trip the foreign-writer guard
+    tgt.delete_keys(gone, ["k"], epoch=2 * head, app_id="cdf-apply")
     v_after_delete = tgt.latest_version()
 
     # re-delivery (cursor never advanced): the delete leg must NOT
@@ -396,3 +399,83 @@ def test_apply_cdf_batch_upgrade_probes_legacy_epoch_space(
     head = tgt.latest_version()
     assert apply_cdf_batch(tgt, batch, ["k"], epoch=7) == v_legacy
     assert tgt.latest_version() == head  # nothing re-landed
+
+
+def test_default_applier_refuses_foreign_bare_epoch(spark, tmp_path):
+    """The r13 residual: a target mixing the DEFAULT applier with a
+    raw-epoch writer. A bare epoch minted AFTER the applier's first
+    namespaced commit cannot be pre-upgrade residue — the engine must
+    REFUSE (AmbiguousEpochError) rather than silently skip the live
+    batch the probe would have aliased."""
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    tgt.overwrite(_df(spark, [(1, "a")]))
+    # post-upgrade default applier lands batch 3 (namespaced commits)
+    b3 = _df(spark, [(2, "b")]).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    apply_cdf_batch(tgt, b3, ["k"], epoch=3)
+    # a second, raw-epoch writer mints a bare epoch that collides with
+    # batch 9's final sub-epoch (2*9+1)
+    tgt.append(_df(spark, [(50, "raw")]), epoch=2 * 9 + 1)
+    b9 = _df(spark, [(7, "g")]).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    with pytest.raises(AmbiguousEpochError, match="raw-epoch writer"):
+        apply_cdf_batch(tgt, b9, ["k"], epoch=9)
+    # the batch did NOT silently vanish: an explicit app_id lands it
+    v = apply_cdf_batch(tgt, b9, ["k"], epoch=9, app_id="pipeline-b")
+    assert v == tgt.latest_version()
+    assert (7, "g") in _rows(tgt.read())
+    # pre-upgrade residue (bare epoch OLDER than the first namespaced
+    # commit) still aliases — upgrade continuity intact: epoch 0's
+    # final sub-epoch (1) maps to the overwrite-era merge below
+    tgt2 = VersionedStageTable(spark, str(tmp_path / "tgt2"))
+    tgt2.overwrite(_df(spark, [(1, "a")]))
+    v_legacy = tgt2.merge(_df(spark, [(2, "b")]), ["k"], epoch=1)
+    apply_cdf_batch(
+        tgt2,
+        _df(spark, [(9, "z")]).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        ["k"],
+        epoch=4,
+    )  # first namespaced commit AFTER the bare one
+    b0 = _df(spark, [(2, "b")]).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    head = tgt2.latest_version()
+    assert apply_cdf_batch(tgt2, b0, ["k"], epoch=0) == v_legacy
+    assert tgt2.latest_version() == head
+
+
+def test_delete_leg_upgrade_replay_skips_extra_commit(spark, tmp_path):
+    """ADVICE r13: a pre-upgrade run that crashed BETWEEN the delete
+    leg and the final leg recorded the delete as a BARE sub-epoch. The
+    post-upgrade replay must mirror the final-leg probe on the delete
+    leg: no re-executed delete, no extra commit, no orphaned legacy
+    record — the replay lands exactly ONE commit (the merge leg)."""
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    tgt.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # pre-upgrade applier executed the delete leg (bare epoch 2*5=10),
+    # then crashed before the final leg
+    tgt.delete_keys(
+        spark.createDataFrame([(2,)], "k int"), ["k"], epoch=10
+    )
+    head = tgt.latest_version()
+    batch = (
+        _df(spark, [(2, "gone")])
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            _df(spark, [(4, "d")]).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    )
+    v = apply_cdf_batch(tgt, batch, ["k"], epoch=5)
+    # exactly one new commit: the merge leg; the delete leg was a log
+    # lookup against the legacy bare sub-epoch
+    assert v == head + 1 and tgt.latest_version() == head + 1
+    assert _rows(tgt.read()) == [(1, "a"), (3, "c"), (4, "d")]
+    # replaying the whole batch again is a pure log lookup (no commit)
+    assert apply_cdf_batch(tgt, batch, ["k"], epoch=5) == v
+    assert tgt.latest_version() == head + 1

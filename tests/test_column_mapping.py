@@ -410,3 +410,27 @@ def test_rewrite_skips_backslash_escaped_literals(spark, table):
         r"key > 0 AND v != 'no\'t k'"
     )
     assert rw("v != 'unterminated", "k", "key") is None
+
+
+def test_rename_detects_case_variant_constraint_refs(spark, table):
+    """ADVICE r13: Spark resolves column references case-insensitively,
+    so a constraint written 'K > 0' binds column 'k'. The detector must
+    find it on rename (else post-rename appends fail unresolved), and
+    the rewriter fails CLOSED on the case-variant occurrence rather
+    than silently rewriting text the user didn't write."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.add_constraint("upper_ref", "K > 0")
+    with pytest.raises(ValueError, match="upper_ref"):
+        table.rename_column("k", "key")
+    # dropping the variant-case constraint unblocks the rename
+    table.drop_constraint("upper_ref")
+    table.add_constraint("exact_ref", "k > 0")
+    v = table.rename_column("k", "key")
+    assert table._manifest(v)["constraints"]["exact_ref"] == "key > 0"
+    # capture hazard is case-insensitive too: an identifier KEY in any
+    # case would collide with the new name under Spark resolution
+    rw = table._rewrite_constraint_expr
+    assert rw("k > 0 AND KEY2 > 0", "k", "key2") is None
+    assert rw("`K` > 0", "k", "key") is None  # quoted case-variant ref
+    # struct-member access in a case variant is NOT a column reference
+    assert rw("s.K > 0", "k", "key") == "s.K > 0"

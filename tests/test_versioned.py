@@ -2561,3 +2561,205 @@ def test_keyed_writes_materialize_only_candidate_files(spark, tmp_path):
     assert m2["files_total"] == len(t._manifest(v2 - 1)["files"])
     got2 = sorted(r["k"] for r in fresh2.read().collect())
     assert 400 not in got2 and 404 not in got2 and len(got2) == 23
+
+
+def _checkpointed_four_ranges(spark, tmp_path):
+    """Four disjoint single-file ranges with the checkpoint at v3, plus
+    one chain-delta file at v4 — the shared fixture shape of the
+    driver-width counter tests."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    for i, lo in enumerate((0, 100, 200, 300)):
+        rows = [(lo + j, f"v{lo + j}") for j in range(5)]
+        (t.overwrite if i == 0 else t.append)(_df(spark, rows).coalesce(1))
+    assert t.checkpoints() == [3]
+    t.append(_df(spark, [(400 + j, f"v{400 + j}") for j in range(5)])
+             .coalesce(1))
+    return t
+
+
+def test_conditional_delete_materializes_only_candidates(spark, tmp_path):
+    """delete(condition) on a checkpoint-anchored table resolves the
+    predicate-pruned PARTIAL snapshot: only bounds-surviving candidate
+    files become driver Python, while the commit's metrics still carry
+    the FULL live-file count — the same O(candidates) contract the
+    keyed writes pin, now on the predicate path."""
+    t = _checkpointed_four_ranges(spark, tmp_path)
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    v = fresh.delete("k >= 100 AND k <= 102")
+    # exactly ONE file (the 100-range) became driver Python
+    assert fresh._files_materialized == 1
+    m = fresh._commit_record(v)["metrics"]
+    assert m["files_total"] == 5 and m["files_candidate"] == 1
+    assert m["files_rewritten"] == 1
+    got = sorted(r["k"] for r in fresh.read().collect())
+    assert got == sorted(
+        k for k in range(0, 5)
+    ) + list(range(103, 105)) + list(range(200, 205)) + list(
+        range(300, 305)
+    ) + list(range(400, 405))
+
+    # DV mode prunes through the same partial snapshot
+    fresh2 = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    v2 = fresh2.delete("k = 201", mode="dv")
+    # the 200-range checkpoint file + possibly the delete's own chain
+    # rewrite judged by record stats
+    assert fresh2._files_materialized <= 2
+    m2 = fresh2._commit_record(v2)["metrics"]
+    assert m2["files_rewritten"] == 0 and m2["dv_rows"] == 1
+    assert m2["files_total"] == len(t._manifest(v2 - 1)["files"])
+    assert 201 not in {r["k"] for r in fresh2.read().collect()}
+
+
+def test_read_where_columns_scoped(spark, tmp_path):
+    """read(where=..., columns=...) scans only the stats-surviving
+    candidate files (partial manifest resolution) and projects the
+    listed columns; the predicate may reference non-projected columns,
+    and unknown columns raise."""
+    _checkpointed_four_ranges(spark, tmp_path)
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    out = fresh.read(where="k >= 100 AND k <= 102", columns=["v"])
+    assert out.columns == ["v"]
+    assert sorted(r["v"] for r in out.collect()) == ["v100", "v101", "v102"]
+    # only the 100-range file materialized driver-side and entered the plan
+    assert fresh._files_materialized == 1
+    assert len(out.inputFiles()) == 1
+    # projection without predicate; predicate without projection
+    assert fresh.read(columns=["k"]).columns == ["k"]
+    assert fresh.read(where="k = 401").count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nope"):
+        fresh.read(columns=["nope"])
+
+
+def test_changes_resolves_from_chain_records(spark, tmp_path):
+    """The change feed between two checkpoint-anchored versions comes
+    from the polled delta records alone: an append-only poll
+    materializes ZERO manifest entries into driver Python, and a poll
+    spanning a COW delete materializes exactly the removed files (their
+    m0 deletion vectors resolve as a path-filtered partial)."""
+    t = _checkpointed_four_ranges(spark, tmp_path)
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    feed = fresh.changes(3, 4)
+    rows = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {(400 + j, "insert") for j in range(5)}
+    assert fresh._files_materialized == 0  # pure chain diff
+
+    t.delete("k = 303")  # v5: COW rewrite of the 300-range file
+    fresh2 = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    feed2 = fresh2.changes(4, 5)
+    rows2 = {(r["k"], r["_change_type"]) for r in feed2.collect()}
+    assert rows2 == {(303, "delete")}
+    # exactly the removed 300-range file materialized (path-filtered m0)
+    assert fresh2._files_materialized == 1
+
+    # a DV delete surfaces through the fresh-sidecar arm, still O(delta)
+    t.delete("k = 101", mode="dv")  # v6
+    fresh3 = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    feed3 = fresh3.changes(5, 6)
+    assert {(r["k"], r["_change_type"]) for r in feed3.collect()} == {
+        (101, "delete")
+    }
+    assert fresh3._files_materialized == 0  # no file left either manifest
+
+
+def test_changes_chain_path_matches_two_manifest_diff(spark, tmp_path):
+    """Equivalence pin: across a mixed commit run (append, merge,
+    COW delete, DV delete, restore) every single-step feed computed by
+    the chain path equals the two-manifest diff the full path computes
+    (forced by caching the full snapshots first)."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    t.overwrite(_df(spark, [(i, f"a{i}") for i in range(6)]).coalesce(1))
+    t.append(_df(spark, [(10 + i, f"b{i}") for i in range(4)]).coalesce(1))
+    t.merge(_df(spark, [(2, "M2"), (99, "M99")]), ["k"])
+    t.delete("k = 11")
+    t.delete("k = 3", mode="dv")
+    t.restore(2)
+    head = t.latest_version()
+    for v in range(0, head):
+        fresh = VersionedStageTable(
+            spark, str(tmp_path / "vt"), checkpoint_interval=1000
+        )
+        got = sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in fresh.changes(v, v + 1).collect()
+        )
+        # force the full two-manifest path by pre-caching both snapshots
+        full = VersionedStageTable(
+            spark, str(tmp_path / "vt"), checkpoint_interval=1000
+        )
+        full._manifest(v)
+        full._manifest(v + 1)
+        want = sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in full.changes(v, v + 1).collect()
+        )
+        assert got == want, f"step {v}->{v + 1}"
+
+
+def test_incremental_zorder_header_only_resolution(spark, tmp_path):
+    """The steady-state maintenance pass — incremental ZORDER on a
+    checkpoint-anchored, previously-clustered table — resolves ZERO
+    manifest entries into driver Python: table singletons and the live
+    count come from the checkpoint footer (header-only partial), the
+    tail and its masks from the chain records since the last cluster."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    t.overwrite(_df(spark, [(i, f"a{i}") for i in range(20)]))
+    t.compact(zorder_by=["k"], target_files=2)  # v1: full cluster
+    t.append(_df(spark, [(100 + i, f"b{i}") for i in range(6)])
+             .coalesce(1))  # v2
+    t.append(_df(spark, [(200 + i, f"c{i}") for i in range(6)])
+             .coalesce(1))  # v3 -> checkpoint at 3
+    assert t.checkpoints() == [3]
+    t.append(_df(spark, [(300 + i, f"d{i}") for i in range(6)])
+             .coalesce(1))  # v4: chain delta past the anchor
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    v = fresh.compact(zorder_by=["k"], incremental=True, target_files=2)
+    assert fresh._files_materialized == 0
+    met = fresh._commit_record(v)["metrics"]
+    assert met["incremental"] is True
+    assert met["files_clustered"] == 3  # the three post-cluster appends
+    full = t._manifest(v - 1)["files"]
+    assert met["files_carried"] == len(full) - 3
+    got = sorted(r["k"] for r in fresh.read().collect())
+    assert got == sorted(
+        list(range(20)) + [100 + i for i in range(6)]
+        + [200 + i for i in range(6)] + [300 + i for i in range(6)]
+    )
+
+
+def test_compact_where_materializes_only_candidates(spark, tmp_path):
+    """OPTIMIZE ... WHERE on a checkpoint-anchored table scopes the
+    bin-pack through the predicate-pruned partial snapshot: only the
+    hot region's candidate files ever become driver Python."""
+    _checkpointed_four_ranges(spark, tmp_path)
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    # both the 100- and 200-range files are small; only they qualify
+    v = fresh.compact(where="k >= 100 AND k <= 204")
+    assert fresh._files_materialized == 2
+    met = fresh._commit_record(v)["metrics"]
+    assert met["files_compacted"] == 2
+    got = sorted(r["k"] for r in fresh.read().collect())
+    assert len(got) == 25
