@@ -844,6 +844,9 @@ class VersionedStageTable:
         # carry the same in its checkpoints.
         self._epoch_versions: dict[tuple[str | None, int], int] = {}
         self._epoch_scan_upto = -1
+        # lazily seed the map from the newest checkpoint's txn footer
+        # (see _seed_epochs_from_checkpoint) before the first probe
+        self._epoch_seeded = False
 
     # -- log bookkeeping ---------------------------------------------------
 
@@ -917,6 +920,38 @@ class VersionedStageTable:
         files = snap["files"]
         stats = snap.get("stats") or {}
         dv = snap.get("dv") or {}
+        # accumulated (app_id, epoch) -> version map, Delta's checkpoint
+        # txn actions: without it, vacuum dropping old commit records
+        # would forget their epochs and a late-replayed batch whose
+        # epoch lived only in a dropped record double-lands. Seeded from
+        # the PREVIOUS checkpoint's footer (chained accumulation — one
+        # O(interval) record walk per checkpoint, never O(log)), then
+        # extended with the records since it.
+        txn_map: dict = {}
+        anchor = -1
+        prior = [c for c in self.checkpoints() if c < version]
+        if prior:
+            prior_path = self._checkpoint_path(prior[-1])
+            if os.path.exists(prior_path):
+                try:
+                    pmeta = (
+                        pq.ParquetFile(prior_path).schema_arrow.metadata
+                        or {}
+                    )
+                    raw = pmeta.get(b"txn")
+                    if raw is not None:
+                        txn_map = {
+                            (a, int(e)): int(v)
+                            for a, e, v in json.loads(raw.decode())
+                        }
+                        anchor = prior[-1]
+                except (OSError, ValueError):
+                    pass  # unreadable/legacy prior: full record walk
+        for u in self.versions():
+            if anchor < u <= version:
+                key = _rec_epoch_key(self._commit_record(u))
+                if key is not None:
+                    txn_map[key] = u
         if isinstance(stats, _LazyCheckpointStats):
             # passthrough: re-checkpoint raw JSON strings without a
             # decode/encode round-trip per file
@@ -943,6 +978,12 @@ class VersionedStageTable:
                 ).encode(),
                 b"protocol": json.dumps(
                     snap.get("protocol") or {}
+                ).encode(),
+                b"txn": json.dumps(
+                    [[a, e, v] for (a, e), v in sorted(
+                        txn_map.items(),
+                        key=lambda kv: (kv[0][0] or "", kv[0][1]),
+                    )]
                 ).encode(),
             }
         )
@@ -1428,7 +1469,14 @@ class VersionedStageTable:
         commit records is incremental per instance — only records
         newer than the previous check are read, so a streaming writer's
         per-batch idempotence probe costs O(commits since last batch),
-        never O(log)."""
+        never O(log). The first probe on an instance additionally seeds
+        the map from the newest checkpoint's txn footer — epochs whose
+        commit records were vacuumed stay visible (Delta reads txn
+        state from its checkpoints the same way), so exactly-once
+        survives retention."""
+        if not self._epoch_seeded:
+            self._epoch_seeded = True
+            self._seed_epochs_from_checkpoint()
         vs = self.versions()
         for v in vs:
             if v > self._epoch_scan_upto:
@@ -1440,6 +1488,32 @@ class VersionedStageTable:
                 self._epoch_scan_upto, vs[-1]
             )
         return self._epoch_versions.get((app_id, epoch))
+
+    def _seed_epochs_from_checkpoint(self) -> None:
+        """Load the accumulated (app_id, epoch) -> version map from the
+        newest columnar checkpoint's ``txn`` footer into the in-memory
+        map and fast-forward the incremental record scan past the
+        checkpoint. Checkpoints without the footer (pre-txn format)
+        leave the full record walk in place — legacy tables keep their
+        old (record-scan-only) visibility."""
+        import pyarrow.parquet as pq
+
+        for cp in reversed(self.checkpoints()):
+            p = self._checkpoint_path(cp)
+            if not os.path.exists(p):
+                continue  # legacy JSON checkpoint: no txn footer
+            try:
+                meta = pq.ParquetFile(p).schema_arrow.metadata or {}
+                raw = meta.get(b"txn")
+            except (OSError, ValueError):
+                continue  # racing vacuum/corrupt: older cp or records
+            if raw is None:
+                return  # pre-txn checkpoint format
+            self._log_reads += 1
+            for a, e, v in json.loads(raw.decode()):
+                self._epoch_versions[(a, int(e))] = int(v)
+            self._epoch_scan_upto = max(self._epoch_scan_upto, cp)
+            return
 
     def _commit(
         self,

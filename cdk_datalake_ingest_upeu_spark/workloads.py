@@ -7590,30 +7590,85 @@ JOIN wav ON wav.doc_id = d.doc_id
 
 
 def multimodal_image_resize(spark, sf_dir):
-    """Batch image-resize plumbing (operators/multimodal.py
-    resize_images): binary payloads through byte-budget partitioning and
-    an Arrow mapInPandas resample to a fixed 16x16 target. The codec is
-    the registered deterministic stub (no image libs in this runtime;
-    the nearest-neighbor math is pinned exactly by unit test); the
-    oracle checks the structural contract — per-doc input bytes and the
-    fixed output geometry — like the other multimodal rows."""
+    """REAL image resize through the codec registry (round 14,
+    ``operators/multimodal.py`` resize_ppm — the resize twin of the
+    r13 decode codecs): per selected document the query SYNTHESIZES a
+    genuine 12x6 binary P6 PPM (pixel law ``(doc_id*7 + i) % 256``
+    over the row-major interleaved-RGB raster), resizes it to 6x3
+    through the registered numpy box-filter codec (separable
+    rows-then-columns integer floor averaging over the 2x2 buckets) on
+    the byte-budget-partitioned Arrow ``mapInPandas`` path, then
+    DECODES the resized payload with the real P6 decoder so each
+    output row carries the exact resized pixel sum. The oracle
+    recomputes the two-stage floor average in closed form — a wrong
+    bucket bound, channel swap, or rounding change is a value
+    mismatch, not just a geometry change."""
     from cdk_datalake_ingest_upeu_spark.operators.multimodal import (
+        extract_image_features,
         resize_images,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    out = resize_images(media, 16, 16)
-    return out.select(
-        "doc_id", "width", "height", "n_bytes_in", "n_bytes_out"
-    ).orderBy("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 17 == 0)
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ppm = [
+                b"P6\n12 6\n255\n"
+                + bytes((int(d) * 7 + i) % 256 for i in range(3 * 12 * 6))
+                for d in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": ppm,
+                }
+            )
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+    resized = resize_images(media, 6, 3, codec="image/ppm_resize")
+    dec = extract_image_features(
+        resized.select("doc_id", "payload"), media_type="image/ppm"
+    ).select(
+        "doc_id", F.col("feature")[6].cast("bigint").alias("px_out")
+    )
+    return (
+        resized.select(
+            "doc_id", "width", "height", "n_bytes_in", "n_bytes_out"
+        )
+        .join(dec, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 _RESIZE_SQL = """
-SELECT doc_id, 16 AS width, 16 AS height,
-       octet_length(encode(text)) AS n_bytes_in,
-       CAST(256 AS BIGINT) AS n_bytes_out
-FROM documents ORDER BY doc_id
+WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 17 = 0
+), px AS (
+  SELECT doc_id, unnest(range(0, 216)) AS i FROM docs
+), g AS (
+  SELECT doc_id, (doc_id * 7 + i) % 256 AS v,
+         (i // 3) // 12 AS y, (i // 3) % 12 AS x, i % 3 AS c
+  FROM px
+), s1 AS (
+  SELECT doc_id, y // 2 AS oy, x, c, sum(v) // 2 AS v1
+  FROM g GROUP BY doc_id, y // 2, x, c
+), s2 AS (
+  SELECT doc_id, oy, x // 2 AS ox, c, sum(v1) // 2 AS v2
+  FROM s1 GROUP BY doc_id, oy, x // 2, c
+)
+SELECT doc_id, CAST(6 AS INT) AS width, CAST(3 AS INT) AS height,
+       CAST(228 AS BIGINT) AS n_bytes_in,
+       CAST(65 AS BIGINT) AS n_bytes_out,
+       CAST(sum(v2) AS BIGINT) AS px_out
+FROM s2
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 

@@ -395,9 +395,11 @@ def test_delete_keys_equals_predicate_delete(spark, tmp_path):
 def run_vocab_sequence(spark, path, seed, steps=16):
     """Randomized two-writer interleavings over the FULL op vocabulary
     — data ops (append / delete / delete_keys / merge), maintenance
-    (bin-pack + zorder OPTIMIZE), epoch retries, and ALL schema ops
-    (rename_column / drop_column / re-add-after-drop / widen_column) —
-    against a sequential pure-Python oracle. The interloper fires at
+    (bin-pack + zorder OPTIMIZE), epoch retries under MIXED writer
+    identities (two app_ids plus the bare legacy namespace, with
+    cross-identity same-epoch probes that must never alias), and ALL
+    schema ops (rename_column / drop_column / re-add-after-drop /
+    widen_column) — against a sequential pure-Python oracle. The interloper fires at
     the victim's commit point and always wins; the oracle therefore
     applies interloper-then-victim SEQUENTIALLY (victim skipped when it
     raised a typed conflict). After every step the table must read back
@@ -441,7 +443,11 @@ def run_vocab_sequence(spark, path, seed, steps=16):
     wnull: set = set()  # keys whose w is NULL (pre-re-add rows)
     other.overwrite(_frame(state))
     nxt = [1000]  # interloper keys: disjoint from victim predicates
-    committed_epochs = {}  # epoch -> (batch, version)
+    # per-IDENTITY epoch map — the oracle's twin of the engine's
+    # (app_id, epoch) -> version txn discipline: None is the legacy
+    # bare namespace, the two app_ids are independent writers
+    APP_IDS = [None, "app-a", "app-b"]
+    committed_epochs = {}  # (app_id, epoch) -> (batch, version)
 
     def _interlope(o, step):
         roll = rng.random()
@@ -486,10 +492,13 @@ def run_vocab_sequence(spark, path, seed, steps=16):
             if op == "append":
                 batch = {100 + step: f"a{step}"}
                 e = rng.choice([None, 10_000 + step])
-                v = t.append(_frame(batch, col_at_start), epoch=e)
+                aid = rng.choice(APP_IDS) if e is not None else None
+                v = t.append(
+                    _frame(batch, col_at_start), epoch=e, app_id=aid
+                )
                 pending = ("upsert", batch)
                 if e is not None:
-                    committed_epochs[e] = (batch, v)
+                    committed_epochs[(aid, e)] = (batch, v)
             elif op == "delete":
                 cut = rng.randrange(40)
                 t.delete(f"k < {cut}")
@@ -540,17 +549,51 @@ def run_vocab_sequence(spark, path, seed, steps=16):
                     pending = ("widen_w", None)
                 else:
                     applied = False
-            else:  # epoch_retry: replay a committed batch verbatim
+            else:  # epoch_retry: replay / cross-identity probe
+                applied = False  # same-identity replay changes nothing
                 if committed_epochs:
-                    e, (batch, v0) = rng.choice(
-                        sorted(committed_epochs.items())
+                    (aid, e), (batch, v0) = rng.choice(
+                        sorted(
+                            committed_epochs.items(),
+                            key=lambda kv: (kv[0][0] or "", kv[0][1]),
+                        )
                     )
-                    # the idempotence probe returns BEFORE any schema
-                    # validation, so the replay frame's current shape
-                    # is never inspected — exactly Delta txn semantics
-                    v = t.append(_frame(batch, col_at_start), epoch=e)
-                    assert v == v0, "epoch replay must adopt the original"
-                applied = False  # replay never changes state
+                    if rng.random() < 0.5:
+                        # same identity: the idempotence probe returns
+                        # BEFORE any schema validation, so the replay
+                        # frame's current shape is never inspected —
+                        # exactly Delta txn semantics
+                        v = t.append(
+                            _frame(batch, col_at_start),
+                            epoch=e, app_id=aid,
+                        )
+                        assert v == v0, (
+                            "epoch replay must adopt the original"
+                        )
+                    else:
+                        # CROSS identity, same epoch number: namespaces
+                        # are disjoint, so the probe must NOT alias —
+                        # either it adopts that identity's OWN prior
+                        # commit, or it lands as a genuinely new one
+                        aid2 = rng.choice(
+                            [a for a in APP_IDS if a != aid]
+                        )
+                        v = t.append(
+                            _frame(batch, col_at_start),
+                            epoch=e, app_id=aid2,
+                        )
+                        prior = committed_epochs.get((aid2, e))
+                        if prior is not None:
+                            assert v == prior[1], (
+                                "must adopt own-namespace commit"
+                            )
+                        else:
+                            assert v != v0, (
+                                "cross-identity epoch must not alias"
+                            )
+                            committed_epochs[(aid2, e)] = (batch, v)
+                            pending = ("upsert", batch)
+                            applied = True  # landed: oracle upserts
         except (ConcurrentCommitError, TableFeatureError, ValueError):
             applied = False
         # sequential oracle: interloper first (it won), then the victim

@@ -2763,3 +2763,40 @@ def test_compact_where_materializes_only_candidates(spark, tmp_path):
     assert met["files_compacted"] == 2
     got = sorted(r["k"] for r in fresh.read().collect())
     assert len(got) == 25
+
+
+def test_epoch_map_survives_vacuum_via_checkpoint_txn(spark, tmp_path):
+    """ADVICE r13: the (app_id, epoch) -> version idempotence map used
+    to be rebuilt from raw commit records only, so vacuum dropping an
+    old record forgot its epoch and a late-replayed batch double-
+    landed. Checkpoints now persist the accumulated map in their txn
+    footer (Delta's checkpoint txn actions) and fresh instances seed
+    from it — exactly-once survives retention."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    t.overwrite(_df(spark, [(0, "base")]))                     # v0
+    t.append(_df(spark, [(1, "a")]), epoch=1, app_id="w")      # v1
+    t.append(_df(spark, [(2, "b")]), epoch=2, app_id="w")      # v2 cp
+    t.append(_df(spark, [(3, "c")]), epoch=3)                  # v3 bare
+    t.append(_df(spark, [(4, "d")]))                           # v4 cp
+    t.append(_df(spark, [(5, "e")]))                           # v5
+    dropped = t.vacuum(retain_last=1, data_grace_seconds=0.0)
+    assert dropped["versions_dropped"]                         # records gone
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    head = fresh.latest_version()
+    n = fresh.read().count()
+    # replayed batches whose epochs live ONLY in vacuumed records are
+    # still no-ops — namespaced and bare alike
+    assert fresh.append(
+        _df(spark, [(1, "a")]), epoch=1, app_id="w"
+    ) in (1, head)
+    assert fresh.latest_version() == head
+    assert fresh.append(_df(spark, [(3, "c")]), epoch=3) in (3, head)
+    assert fresh.latest_version() == head
+    assert fresh.read().count() == n
+    # a genuinely NEW epoch still lands
+    v = fresh.append(_df(spark, [(6, "f")]), epoch=9, app_id="w")
+    assert v == head + 1 and fresh.read().count() == n + 1
