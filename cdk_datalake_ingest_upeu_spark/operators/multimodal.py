@@ -241,6 +241,32 @@ def register_decoder(media_type: str, fn: Callable[[bytes], list[float]]) -> Non
     MEDIA_DECODERS[media_type] = fn
 
 
+def _require_arity(fn, n: int, media_type: str, surface: str) -> None:
+    """Driver-side shape check: the registry holds both 1-arg decoders
+    (``bytes -> feature``) and 5-arg resize codecs under one namespace,
+    so looking up the wrong kind for an API would otherwise surface as
+    an opaque executor-side TypeError mid-job. Uninspectable callables
+    (C extensions) skip the check."""
+    import inspect
+
+    try:
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        ]
+    except (TypeError, ValueError):
+        return
+    if len(params) != n:
+        raise TypeError(
+            f"codec {media_type!r} takes {len(params)} required "
+            f"positional argument(s) but {surface} needs a {n}-argument "
+            f"callable; register the right codec kind for this API"
+        )
+
+
 def partition_by_bytes(
     df: DataFrame, bytes_col: str = "payload", target_mb: int = 256
 ) -> DataFrame:
@@ -270,6 +296,7 @@ def extract_image_features(
             "register one with register_decoder() (real codec libs are "
             "not present in this runtime image)"
         )
+    _require_arity(decoder, 1, media_type, "extract_image_features")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -436,14 +463,21 @@ def resize_images(
                 "one with register_decoder()"
             )
         fn = _stub_image_resize
+    _require_arity(fn, 5, codec, "resize_images")
 
     cols = [id_col, payload_col]
     if width_col:
         cols.append(width_col)
     if height_col:
         cols.append(height_col)
+    # partition_by_bytes takes MEGABYTES; passing the raw byte budget
+    # would ask for partitions of target_partition_bytes MB (2^46
+    # bytes) and collapse any real media table into ONE partition —
+    # the exact wide-row OOM this repartition exists to prevent
     work = partition_by_bytes(
-        df.select(*cols), payload_col, target_partition_bytes
+        df.select(*cols),
+        payload_col,
+        max(1, target_partition_bytes // (1024 * 1024)),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1505,13 +1505,18 @@ class VersionedStageTable:
             try:
                 meta = pq.ParquetFile(p).schema_arrow.metadata or {}
                 raw = meta.get(b"txn")
+                if raw is None:
+                    return  # pre-txn checkpoint format
+                entries = [
+                    (a, int(e), int(v))
+                    for a, e, v in json.loads(raw.decode())
+                ]
             except (OSError, ValueError):
-                continue  # racing vacuum/corrupt: older cp or records
-            if raw is None:
-                return  # pre-txn checkpoint format
+                continue  # racing vacuum / corrupt footer: degrade to
+                # an older checkpoint or the full record walk
             self._log_reads += 1
-            for a, e, v in json.loads(raw.decode()):
-                self._epoch_versions[(a, int(e))] = int(v)
+            for a, e, v in entries:
+                self._epoch_versions[(a, e)] = v
             self._epoch_scan_upto = max(self._epoch_scan_upto, cp)
             return
 
@@ -2835,13 +2840,27 @@ class VersionedStageTable:
             schema = T.StructType.fromJson(json.loads(m["schema"]))
             out = self._scan(m["files"], schema, m.get("dv"))
         if columns is not None:
-            missing = [c for c in columns if c not in out.columns]
-            if missing:
-                raise ValueError(
-                    f"{self.path}: read columns {missing} not in table "
-                    f"(have {out.columns})"
+            # resolve CASE-INSENSITIVELY, like Spark's own column
+            # resolution (and this engine's constraint binding); the
+            # projection emits the table's canonical names
+            by_fold: dict[str, list[str]] = {}
+            for c in out.columns:
+                by_fold.setdefault(c.lower(), []).append(c)
+            resolved = []
+            for c in columns:
+                hits = (
+                    [c]
+                    if c in out.columns
+                    else by_fold.get(c.lower(), [])
                 )
-            out = out.select(*[F.col(f"`{c}`") for c in columns])
+                if len(hits) != 1:
+                    raise ValueError(
+                        f"{self.path}: read column {c!r} "
+                        f"{'is ambiguous among' if hits else 'not in table'}"
+                        f" {hits or out.columns}"
+                    )
+                resolved.append(hits[0])
+            out = out.select(*[F.col(f"`{c}`") for c in resolved])
         return out
 
     def lookup(
@@ -3772,26 +3791,43 @@ class VersionedStageTable:
         BOTH lists; the caller's exceptAll then nets its live-row delta
         exactly, which is precisely the dv-delta/resurrect arm's
         semantics. Returns None — caller falls back to the two-manifest
-        diff — when a legacy full-snapshot record interrupts the chain.
-        Raises :class:`VersionNotFoundError` when either endpoint or an
-        intermediate record was vacuumed, identical to the full path
-        (the feed reader's truncation signal depends on it)."""
+        diff — when a legacy full-snapshot record interrupts the chain
+        or an INTERMEDIATE record was vacuumed (a tag-pinned history
+        can retain checkpointed endpoints across a dropped middle; the
+        full path resolves those via their anchors, so a raise here
+        would regress previously-working calls). Raises
+        :class:`VersionNotFoundError` only when an ENDPOINT record is
+        gone — exactly when the full path's own _commit_record probe
+        raises (the feed reader's truncation signal depends on it)."""
         vs = self.versions()
-        if from_version not in vs:
-            raise VersionNotFoundError(
-                f"{self.path}: version {from_version} not found "
-                f"(have {vs})"
-            )
+        for endpoint in (from_version, to_version):
+            if endpoint not in vs:
+                raise VersionNotFoundError(
+                    f"{self.path}: version {endpoint} not found "
+                    f"(have {vs})"
+                )
         chain = [u for u in vs if from_version < u <= to_version]
         if chain != list(range(from_version + 1, to_version + 1)):
-            raise VersionNotFoundError(
-                f"{self.path}: versions {from_version}..{to_version} "
-                f"are not resolvable — commit chain {chain} has gaps "
-                f"(vacuumed past retention?)"
-            )
+            return None  # mid-chain vacuum gap: two-manifest fallback
         recs = [self._commit_record(u) for u in chain]
         if any("files" in r for r in recs):
             return None  # legacy snapshot resets resolution: fall back
+        # reader-feature gate, exactly the full path's: commits in the
+        # polled range may REQUIRE features this engine lacks, and a
+        # feed computed while ignoring them could misread masked data
+        unknown = set().union(
+            *(
+                set((r.get("protocol") or {}).get("reader", ()))
+                for r in recs
+            )
+        ) - _READER_FEATURES if recs else set()
+        if unknown:
+            raise TableFeatureError(
+                f"{self.path}: versions {from_version}..{to_version} "
+                f"require reader feature(s) {sorted(unknown)} this "
+                f"engine does not implement; reading the change feed "
+                f"anyway could corrupt results — upgrade the engine"
+            )
         added: set = set()
         removed0: set = set()  # removed files that were live at m0
         dv_added: dict = {}  # fresh sidecars per still-live file
@@ -4273,14 +4309,22 @@ class VersionedStageTable:
                 else None
             )
             if anchor is not None and delta is not None:
-                # chain-derived tail: exactly the files added since the
-                # anchor and still live, with their chain-accumulated
-                # deletion vectors — no anchor manifest materializes
+                # chain-derived tail: the files added since the anchor
+                # and still live, with their chain-accumulated deletion
+                # vectors — no anchor manifest materializes. Files in
+                # BOTH delta lists were removed and re-added BY NAME
+                # (consolidate_dv / restore resetting a mask): their
+                # bytes — and layout — never changed, so they stay in
+                # the clustered base exactly as the anchor-manifest
+                # diff (`f not in base`) carried them; only a COW
+                # rewrite (new file name) re-enters the tail.
+                readded = set(delta["only0"])
+                tail = [f for f in delta["only1"] if f not in readded]
                 if header_only:
-                    scope = list(delta["only1"])
+                    scope = tail
                     scan_dv = delta["dv1"]
                 else:
-                    tset = set(delta["only1"])
+                    tset = set(tail)
                     scope = [f for f in scope if f in tset]
             elif anchor is not None:
                 # legacy snapshot mid-chain: the two-manifest diff

@@ -172,7 +172,9 @@ class VersionedChangeFeedReader:
 
 
 def _legacy_epoch_hit(
-    target: VersionedStageTable, bare_epoch: int
+    target: VersionedStageTable,
+    bare_epoch: int,
+    require_op: str | None = None,
 ) -> int | None:
     """Probe the legacy (anonymous) epoch space for the DEFAULT applier
     identity, with the aliasing guard: a bare hit is accepted as
@@ -182,10 +184,24 @@ def _legacy_epoch_hit(
     foreign raw-epoch writer's, and silently treating it as "this batch
     already landed" would drop the batch. Raises
     :class:`AmbiguousEpochError` for that mix; the remedy is an
-    explicit ``app_id``."""
+    explicit ``app_id``.
+
+    ``require_op`` narrows the probe to hits whose commit record
+    carries that op — the DELETE-leg probe passes ``"delete"``, so a
+    foreign bare-epoch APPEND that happens to collide with a delete
+    sub-epoch is treated as absent (the leg then executes — at worst
+    the pre-probe behavior of one redundant-but-idempotent commit,
+    never a silently skipped live delete)."""
     v = target._epoch_version(bare_epoch)
     if v is None:
         return None
+    if require_op is not None:
+        try:
+            rec_op = target._commit_record(v).get("op")
+        except Exception:
+            rec_op = None  # record vacuumed: cannot attest, be safe
+        if rec_op != require_op:
+            return None
     # _epoch_version just refreshed the incremental (app_id, epoch) ->
     # version scan, so the map is complete up to the head
     first_namespaced = min(
@@ -281,7 +297,9 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
             # idempotent but would land an extra commit and orphan the
             # legacy record — skip the leg instead (same guard applies)
             legacy_delete_v = (
-                _legacy_epoch_hit(target, delete_epoch)
+                _legacy_epoch_hit(
+                    target, delete_epoch, require_op="delete"
+                )
                 if app_id == "cdf-apply"
                 else None
             )

@@ -479,3 +479,28 @@ def test_delete_leg_upgrade_replay_skips_extra_commit(spark, tmp_path):
     # replaying the whole batch again is a pure log lookup (no commit)
     assert apply_cdf_batch(tgt, batch, ["k"], epoch=5) == v
     assert tgt.latest_version() == head + 1
+
+
+def test_delete_leg_probe_ignores_foreign_bare_append(spark, tmp_path):
+    """Review r14: a raw-epoch writer's bare APPEND that collides with
+    a delete sub-epoch (2e), minted before the applier ever ran, must
+    not make the applier skip a live delete leg — the probe requires
+    the hit's op to be 'delete' (the only op the pre-upgrade applier's
+    delete leg could have committed)."""
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    tgt.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # foreign raw-epoch writer: bare epoch 10 == 2*5, op='append'
+    tgt.append(_df(spark, [(50, "raw")]), epoch=10)
+    batch = (
+        _df(spark, [(2, "gone")])
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            _df(spark, [(4, "d")]).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    )
+    apply_cdf_batch(tgt, batch, ["k"], epoch=5)
+    rows = _rows(tgt.read())
+    assert (2, "b") not in rows  # the delete leg EXECUTED
+    assert (4, "d") in rows and (50, "raw") in rows

@@ -413,7 +413,8 @@ def run_vocab_sequence(spark, path, seed, steps=16):
         TableFeatureError,
     )
 
-    # append keys are 100+step and readd_w keys 140+step; past 40 steps
+    # append keys are 100+step, readd_w keys 140+step, cross-identity
+    # epoch landings 180+step; past 40 steps
     # the ranges collide and a plain append would duplicate a key the
     # oracle dict upserts — a false failure, not an engine bug
     assert steps <= 40, "key ranges collide past 40 steps"
@@ -574,25 +575,36 @@ def run_vocab_sequence(spark, path, seed, steps=16):
                         # CROSS identity, same epoch number: namespaces
                         # are disjoint, so the probe must NOT alias —
                         # either it adopts that identity's OWN prior
-                        # commit, or it lands as a genuinely new one
+                        # commit, or it lands as a genuinely new one.
+                        # The landed content is a FRESH key: re-landing
+                        # the original batch would blind-append a
+                        # duplicate row, which the keyed oracle dict
+                        # cannot represent (and whose two copies can
+                        # legitimately disagree on w-visibility across
+                        # a drop/re-add — seed 46's lesson)
                         aid2 = rng.choice(
                             [a for a in APP_IDS if a != aid]
                         )
-                        v = t.append(
-                            _frame(batch, col_at_start),
-                            epoch=e, app_id=aid2,
-                        )
                         prior = committed_epochs.get((aid2, e))
                         if prior is not None:
+                            v = t.append(
+                                _frame(prior[0], col_at_start),
+                                epoch=e, app_id=aid2,
+                            )
                             assert v == prior[1], (
                                 "must adopt own-namespace commit"
                             )
                         else:
+                            batch2 = {180 + step: f"x{step}"}
+                            v = t.append(
+                                _frame(batch2, col_at_start),
+                                epoch=e, app_id=aid2,
+                            )
                             assert v != v0, (
                                 "cross-identity epoch must not alias"
                             )
-                            committed_epochs[(aid2, e)] = (batch, v)
-                            pending = ("upsert", batch)
+                            committed_epochs[(aid2, e)] = (batch2, v)
+                            pending = ("upsert", batch2)
                             applied = True  # landed: oracle upserts
         except (ConcurrentCommitError, TableFeatureError, ValueError):
             applied = False

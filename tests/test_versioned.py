@@ -2800,3 +2800,122 @@ def test_epoch_map_survives_vacuum_via_checkpoint_txn(spark, tmp_path):
     # a genuinely NEW epoch still lands
     v = fresh.append(_df(spark, [(6, "f")]), epoch=9, app_id="w")
     assert v == head + 1 and fresh.read().count() == n + 1
+
+
+def test_changes_across_vacuum_gap_falls_back(spark, tmp_path):
+    """Review r14: a tag-pinned old version survives vacuum while the
+    untagged middle is dropped — the chain between the endpoints has a
+    gap, but both endpoints stay resolvable via checkpoints. changes()
+    must fall back to the two-manifest diff (as it always did), not
+    raise; a genuinely vacuumed ENDPOINT still raises (the feed
+    truncation signal)."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    t.overwrite(_df(spark, [(1, "a")]))               # v0
+    t.append(_df(spark, [(2, "b")]).coalesce(1))      # v1
+    t.tag("gold", 1)
+    for i in range(3, 7):
+        t.append(_df(spark, [(i, f"x{i}")]).coalesce(1))  # v2..v5
+    dropped = t.vacuum(retain_last=2, data_grace_seconds=0.0)
+    vs = t.versions()
+    assert 1 in vs and dropped["versions_dropped"], (vs, dropped)
+    assert vs != list(range(vs[0], vs[-1] + 1))  # a real gap
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    feed = fresh.changes(1, vs[-1])
+    got = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(i, "insert") for i in range(3, 7)}
+    # vacuumed endpoint still raises
+    import pytest as _pytest
+
+    gone = dropped["versions_dropped"][0]
+    with _pytest.raises(VersionNotFoundError):
+        fresh.changes(gone, vs[-1])
+
+
+def test_changes_chain_path_gates_reader_features(spark, table):
+    """Review r14: the chain fast path must enforce the same reader-
+    feature gate the two-manifest path gets from _manifest — a commit
+    in the polled range requiring an unknown reader feature fails
+    loudly instead of computing a feed that ignores it."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        TableFeatureError,
+    )
+
+    v0 = table.overwrite(_df(spark, [(1, "a")]))
+    v1 = _plant_future_record(table, reader=["v9-frobnicated-masks"])
+    with pytest.raises(TableFeatureError, match="v9-frobnicated-masks"):
+        table.changes(v0, v1).collect()
+
+
+def test_incremental_zorder_carries_readded_files(spark, tmp_path):
+    """Review r14: consolidate_dv / restore re-commit files by NAME
+    (remove+add, the mask-reset mechanism) — their bytes and layout
+    never changed, so an incremental ZORDER must keep carrying them in
+    the clustered base (as the anchor-manifest diff did), not re-cluster
+    the whole masked base."""
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=3
+    )
+    t.overwrite(_df(spark, [(i, f"a{i}") for i in range(20)]))
+    t.compact(zorder_by=["k"], target_files=4)        # v1: full cluster
+    t.delete("k = 2", mode="dv")                      # v2: mask
+    t.delete("k = 11", mode="dv")                     # v3: mask
+    t.consolidate_dv()                                # v4: remove+add
+    t.append(_df(spark, [(100 + i, f"b{i}") for i in range(5)])
+             .coalesce(1))                            # v5: real tail
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    v = fresh.compact(zorder_by=["k"], incremental=True, target_files=1)
+    met = fresh._commit_record(v)["metrics"]
+    assert met["incremental"] is True
+    assert met["files_clustered"] == 1  # ONLY the appended tail file
+    got = sorted(r["k"] for r in fresh.read().collect())
+    assert got == sorted(
+        [i for i in range(20) if i not in (2, 11)]
+        + [100 + i for i in range(5)]
+    )
+
+
+def test_read_columns_resolve_case_insensitively(spark, tmp_path):
+    """Review r14: read(columns=...) resolves names the way Spark and
+    this engine's constraint binding do — case-insensitively, emitting
+    the table's canonical names; unknown names still raise."""
+    t = VersionedStageTable(spark, str(tmp_path / "vt"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    out = t.read(columns=["K", "V"])
+    assert out.columns == ["k", "v"]
+    assert _rows(out) == [(1, "a")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nope"):
+        t.read(columns=["nope"])
+
+
+def test_seed_epochs_tolerates_corrupt_txn_footer(spark, tmp_path):
+    """Review r14: a corrupt checkpoint txn footer must degrade (older
+    checkpoint or full record walk), not poison every epoch probe."""
+    import pyarrow.parquet as pq
+
+    t = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=2
+    )
+    t.overwrite(_df(spark, [(0, "base")]))
+    t.append(_df(spark, [(1, "a")]), epoch=1, app_id="w")
+    t.append(_df(spark, [(2, "b")]), epoch=2, app_id="w")  # cp at 2
+    cp = t._checkpoint_path(t.checkpoints()[-1])
+    tbl = pq.read_table(cp)
+    meta = dict(tbl.schema.metadata or {})
+    meta[b"txn"] = b'[["w", 1, '  # truncated JSON
+    pq.write_table(tbl.replace_schema_metadata(meta), cp)
+    fresh = VersionedStageTable(
+        spark, str(tmp_path / "vt"), checkpoint_interval=1000
+    )
+    # the record walk still answers (records not vacuumed here)
+    assert fresh.append(
+        _df(spark, [(1, "a")]), epoch=1, app_id="w"
+    ) == 1
+    assert fresh.latest_version() == 2
