@@ -12864,6 +12864,77 @@ FROM final
 """
 
 
+def stage_scoped_read(spark, sf_dir):
+    """Predicate- and column-scoped versioned read
+    (``operators/versioned.py read(where=..., columns=...)`` — round
+    14's read-side twin of the pruned DELETE/MERGE: Delta readers get
+    this scoping from the log automatically). Three single-file
+    commits over DISJOINT o_orderkey thirds with a columnar checkpoint
+    anchoring resolution; a fresh instance then reads a range strictly
+    inside the middle third, projected to one column requested in the
+    WRONG case (``O_TOTALPRICE`` — resolution is case-insensitive like
+    Spark's, emitting the canonical name). The partial snapshot must
+    materialize exactly ONE file into driver Python — pinned as an
+    output column via the ``_files_materialized`` counter — and the
+    scan plan must touch exactly one file (``inputFiles``). The oracle
+    rebuilds the thirds arithmetic and the scoped aggregate. Scale
+    shape: a selective read of a 10^6-file table is O(candidates) on
+    the driver and O(files-touched) in IO."""
+    from cdk_datalake_ingest_upeu_spark.operators.versioned import (
+        VersionedStageTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = int(orders.agg(F.max(k.cast("long"))).first()[0])
+    b1, b2 = mx // 3, (2 * mx) // 3
+    mid = b1 + (b2 - b1) // 2
+    path = os.path.join(_tmpdir("vscoped"), "orders_scoped")
+    t = VersionedStageTable(spark, path, checkpoint_interval=2)
+    t.overwrite(orders.filter(k <= b1).coalesce(1))
+    t.append(orders.filter((k > b1) & (k <= b2)).coalesce(1))
+    t.append(orders.filter(k > b2).coalesce(1))
+    fresh = VersionedStageTable(spark, path, checkpoint_interval=1000)
+    out = fresh.read(
+        where=f"o_orderkey > {b1} AND o_orderkey <= {mid}",
+        columns=["O_TOTALPRICE"],
+    )
+    n_scan_files = len(out.inputFiles())
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(_fp_c(F.col("o_totalprice"), 100)) / 100.0).alias(
+            "price_sum"
+        ),
+    )
+    return agg.select(
+        F.lit(fresh._files_materialized).cast("long").alias(
+            "files_materialized"
+        ),
+        F.lit(n_scan_files).cast("long").alias("files_scanned"),
+        "*",
+    )
+
+
+_SCOPED_READ_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(max(o_orderkey) AS BIGINT) // 3 AS b1,
+         (2 * CAST(max(o_orderkey) AS BIGINT)) // 3 AS b2
+  FROM orders
+), mids AS (
+  SELECT b1, b2, b1 + (b2 - b1) // 2 AS mid FROM bounds
+), scoped AS (
+  SELECT o_totalprice FROM orders, mids
+  WHERE o_orderkey > b1 AND o_orderkey <= mid
+)
+SELECT CAST(1 AS BIGINT) AS files_materialized,
+       CAST(1 AS BIGINT) AS files_scanned,
+       count(*) AS n_rows,
+       CAST(sum({_cents_sum_sql('o_totalprice', 100)}) AS BIGINT) / 100.0
+         AS price_sum
+FROM scoped
+"""
+
+
 def stage_zorder_stats_pruning(spark, sf_dir):
     """Layout x stats = skipping (``versioned.compact(zorder_by=...)``
     — Delta OPTIMIZE ZORDER's analog feeding the manifest stats the
@@ -15031,6 +15102,7 @@ QUERIES = {
     "events_unpivot_daily": events_unpivot_daily,
     "multimodal_codec_roundtrip": multimodal_codec_roundtrip,
     "multimodal_image_resize": multimodal_image_resize,
+    "stage_scoped_read": stage_scoped_read,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q12_priority_shipping": q12_priority_shipping,
     "dedup_paragraph_corpus": dedup_paragraph_corpus,
@@ -15433,6 +15505,7 @@ ORACLES = {
     "events_unpivot_daily": _UNPIVOT_SQL,
     "multimodal_codec_roundtrip": _CODEC_ROUNDTRIP_SQL,
     "multimodal_image_resize": _RESIZE_SQL,
+    "stage_scoped_read": _SCOPED_READ_SQL,
     "sketch_weekly_rollup": _SKETCH_WEEKLY_SQL,
     "pack_documents_stats": _PACK_STATS_SQL,
     "ann_topk_lsh": _ANN_RECALL_SQL,
@@ -15574,6 +15647,7 @@ _MICRO_CANON_COLS = {
     "stage_check_constraints": ['final_price_sum'],
     "stage_merge_resolve_last": ['value_sum'],
     "stage_stats_pruned_delete": ['price_sum'],
+    "stage_scoped_read": ['price_sum'],
     "stage_zorder_stats_pruning": ['price_sum'],
     "events_skew_diagnostics": ['skew_factor'],
     "embedding_matryoshka_quality": ['mean_cos'],
@@ -16279,11 +16353,12 @@ QUERIES = {
 # topk_bigram_pmi — after this round NO query's newest driver evidence
 # predates r9; (b) 47 of the 50 queries whose newest driver-green is r9
 # (histogram after r13: r9x50, r10x50, r11x50, r12x50, r13x50). 3 + 47
-# fills the window exactly; the three r9-evidence queries deferred to
-# lead the r15 rotation are bpe_merge_pairs, text_bm25_topk,
-# text_repetition_stats — again pure text.py Column-expression kernels
-# whose module carries fresh driver evidence this very round via the
-# three leads, so they are the lowest-risk residue of the 50.
+# fills the window exactly; the r15 window should LEAD with the
+# never-driver-checked r14 addition stage_scoped_read, then the three
+# r9-evidence queries deferred here: bpe_merge_pairs, text_bm25_topk,
+# text_repetition_stats — pure text.py Column-expression kernels whose
+# module carries fresh driver evidence this very round via the three
+# leads, so they are the lowest-risk residue of the 50.
 _R14_WINDOW = [
     # (a) last driver-green in r8 — the r13 deferrals, leading as owed
     "text_pii_redaction",
