@@ -1196,7 +1196,11 @@ class VersionedStageTable:
         return self._resolve_pruned(version, build, memo_key=condition)
 
     def _manifest_pruned_keys(
-        self, version: int, source: DataFrame, key_columns: list[str]
+        self,
+        version: int,
+        source: DataFrame,
+        key_columns: list[str],
+        envelope: dict | None = None,
     ) -> dict | None:
         """Checkpoint-anchored PARTIAL snapshot for a KEYED write
         (MERGE / delete_keys): the pruning judge is the source batch's
@@ -1207,7 +1211,12 @@ class VersionedStageTable:
         keyed write against a 10^6-file table materializes only its
         candidate files driver-side. One bounded aggregation over the
         batch (2 scalars per key column); not memoized — every batch
-        has its own envelope."""
+        has its own envelope. ``envelope`` (col -> (min, max), raw
+        aggregate values) lets a caller that already paid a pass over
+        the source (merge's multiple-match probe) hand the bounds in
+        instead of paying a second aggregation — only columns the
+        CHECKPOINT schema types as stat atoms are used, exactly the
+        set the in-house aggregation would have covered."""
 
         def build(schema: T.StructType):
             by_name = {f.name: f.dataType for f in schema.fields}
@@ -1216,19 +1225,32 @@ class VersionedStageTable:
                 c for c in key_columns
                 if isinstance(by_name.get(c), _STAT_ATOMS)
             ]
+            if envelope is not None:
+                # a key column the checkpoint types as a stat atom but
+                # the caller's envelope lacks (source typed it outside
+                # _STAT_ATOMS) simply contributes no predicate — less
+                # pruning, never a fabricated exclusion
+                cols = [c for c in cols if c in envelope]
             if not cols:
                 return None
-            aggs = []
-            for i, c in enumerate(cols):
-                aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
-                aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
-            row = source.agg(*aggs).first()
+            if envelope is not None:
+                vals = {c: envelope[c] for c in cols}
+            else:
+                aggs = []
+                for i, c in enumerate(cols):
+                    aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
+                    aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+                row = source.agg(*aggs).first()
+                vals = {
+                    c: (row[f"__mn{i}"], row[f"__mx{i}"])
+                    for i, c in enumerate(cols)
+                }
             parsed: list[tuple[str, str, object]] = []
             pset = set()
-            for i, c in enumerate(cols):
+            for c in cols:
                 pc = phys.get(c, c)
-                mn = _stat_value(row[f"__mn{i}"])
-                mx = _stat_value(row[f"__mx{i}"])
+                mn = _stat_value(vals[c][0])
+                mx = _stat_value(vals[c][1])
                 if mn is not None:
                     parsed.append((pc, ">=", mn))
                 if mx is not None:
@@ -2390,8 +2412,19 @@ class VersionedStageTable:
         with Spark/Python semantics. A row group without usable stats
         degrades that column to [None, None] (unknown — never pruned
         on), EXCEPT the all-NULL case, which contributes nothing by the
-        same rule Spark's min/max use. Float/double columns never take
-        this path: footers exclude NaN, Spark's max is NaN-greatest."""
+        same rule Spark's min/max use.
+
+        Float/double columns (r14): this engine only ever collects
+        stats for files IT just wrote, and Spark's parquet writer
+        emits NaN-GREATEST chunk stats (a chunk containing NaN carries
+        max=NaN; an all-NaN chunk carries min=max=NaN — pinned by
+        test_footer_stats_float_nan_poisons_upper_bound against the
+        bundled writer). A NaN max therefore marks the chunk, and the
+        file's upper bound degrades to None (unknown) exactly like the
+        Spark scan's ``_stat_value(NaN)`` did; an all-NaN chunk
+        contributes no finite values, like an all-NULL one. This moved
+        float stats off a per-commit Spark re-scan of every written
+        file and onto the same footer walk ints/strings use."""
         if not footer_cols:
             return True
         try:
@@ -2407,6 +2440,7 @@ class VersionedStageTable:
                     continue
                 bounds = {c: [None, None, True] for c in footer_cols}
                 # [lo, hi, empty_so_far]
+                nan_hi: set[str] = set()  # float cols with a NaN chunk
                 for rg_i in range(md.num_row_groups):
                     rg = md.row_group(rg_i)
                     seen = set()
@@ -2445,6 +2479,21 @@ class VersionedStageTable:
                             b[0] = b[1] = None
                             b[2] = False
                             continue
+                        if isinstance(
+                            by_name[name], (T.FloatType, T.DoubleType)
+                        ) and (
+                            (hi is not None and math.isnan(hi))
+                            or (lo is not None and math.isnan(lo))
+                        ):
+                            # NaN-greatest writer stats: max=NaN marks a
+                            # NaN-bearing chunk — the file's upper bound
+                            # is unknowable (Spark's max would be NaN).
+                            nan_hi.add(name)
+                            if lo is not None and math.isnan(lo):
+                                # all-NaN chunk: no finite values —
+                                # contributes nothing, like all-NULL
+                                continue
+                            hi = None
                         if b[2]:
                             b[0], b[1], b[2] = lo, hi, False
                         else:
@@ -2462,6 +2511,11 @@ class VersionedStageTable:
                         # bounds unknowable from here
                         bounds[name] = [None, None, False]
                 st_out = {}
+                for c in nan_hi:
+                    # sticky across chunk order: a clean later chunk
+                    # must not resurrect an upper bound a NaN chunk
+                    # already invalidated
+                    bounds[c][1] = None
                 for c, (lo, hi, empty) in bounds.items():
                     # empty==True means every chunk was all-NULL: bounds
                     # stay unknown (matches the Spark scan: min/max of
@@ -2481,12 +2535,15 @@ class VersionedStageTable:
 
     def _collect_stats(self, rels: list[str], schema_json: str) -> dict:
         """Per-file [min, max] bounds for the stat-supported columns of
-        the NEW files ``rels``. Integer and string bounds come from the
-        parquet FOOTERS (milliseconds per file, no Spark job — Delta
-        likewise reads stats off the write path); float/double bounds
-        need a Spark scan because footer stats EXCLUDE NaN while
-        Spark's max() is NaN-greatest — a footer upper bound below NaN
-        would make pruning unsound (the r9 soundness note). Files whose
+        the NEW files ``rels``. ALL bounds come from the parquet
+        FOOTERS (milliseconds per file, no Spark job — Delta likewise
+        reads stats off the write path). Float/double joined the
+        footer path in r14: the bundled Spark writer emits NaN-greatest
+        chunk stats, so a NaN chunk is detectable from the footer and
+        the upper bound degrades to None exactly as the old per-commit
+        Spark re-scan's ``_stat_value(NaN)`` did (soundness note at
+        :meth:`_footer_stats`); the Spark scan survives only as the
+        fallback for unreadable footers / missing pyarrow. Files whose
         footer shows zero rows keep an empty dict — by convention
         "provably empty", prunable under stat_cols."""
         out: dict = {r: {} for r in rels}
@@ -2504,19 +2561,11 @@ class VersionedStageTable:
         if not cols:
             return out
         by_name_all = {f.name: f.dataType for f in schema.fields}
-        float_cols = [
-            c for c in cols
-            if isinstance(by_name_all[c], (T.FloatType, T.DoubleType))
-        ]
-        footer_cols = [c for c in cols if c not in float_cols]
-        footer_ok = self._footer_stats(out, rels, footer_cols, by_name_all)
-        if not footer_ok:
-            # pyarrow unavailable / unreadable footer: everything falls
-            # back to the Spark scan
-            float_cols = cols
-        cols = float_cols
-        if not cols:
+        footer_ok = self._footer_stats(out, rels, cols, by_name_all)
+        if footer_ok:
             return out
+        # pyarrow unavailable / unreadable footer: everything falls
+        # back to the Spark scan
         df = self.spark.read.schema(schema).parquet(
             *[self._abs(r) for r in rels]
         )
@@ -3273,14 +3322,36 @@ class VersionedStageTable:
         self, source: DataFrame, key_columns: list[str],
         epoch: int | None = None, app_id: str | None = None,
     ) -> int:
-        dup = (
+        # ONE pass over the source covers both pre-flight needs (r14 —
+        # they used to be two jobs): the per-key counts for Delta's
+        # multiple-match probe, and the per-key-column [min, max]
+        # envelope the keyed pruned resolution judges files with (the
+        # group keys of the count rollup ARE the distinct key values,
+        # so their min/max equal the source's).
+        env_cols = [
+            c for c in key_columns
+            if isinstance(source.schema[c].dataType, _STAT_ATOMS)
+        ]
+        aggs = [F.max("__n").alias("__dupmax")]
+        for i, c in enumerate(env_cols):
+            aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
+            aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+        pre = (
             source.groupBy(*key_columns)
             .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
-            .limit(1)
-            .collect()
+            .agg(*aggs)
+            .first()
         )
-        if dup:
+        if pre["__dupmax"] is not None and pre["__dupmax"] > 1:
+            # error path only: re-run the probe to NAME the offending
+            # key in the message
+            dup = (
+                source.groupBy(*key_columns)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
             key_repr = {k: dup[0][k] for k in key_columns}
             raise ValueError(
                 f"{self.path}: merge source has multiple distinct rows "
@@ -3288,6 +3359,10 @@ class VersionedStageTable:
                 f"matches; de-duplicate the source to one row per key "
                 f"first"
             )
+        envelope = {
+            c: (pre[f"__mn{i}"], pre[f"__mx{i}"])
+            for i, c in enumerate(env_cols)
+        }
         if not self.versions():
             # genesis merge: commit directly so ``epoch`` is recorded
             # (overwrite() would drop it and a replay would re-land)
@@ -3302,7 +3377,9 @@ class VersionedStageTable:
         # keyed pruned resolution: on a checkpoint-anchored table only
         # the envelope-surviving candidate files materialize driver-side
         # (O(candidates) at 10^6 files); full resolution is the fallback
-        prev = self._manifest_pruned_keys(head, source, key_columns)
+        prev = self._manifest_pruned_keys(
+            head, source, key_columns, envelope=envelope
+        )
         pre_pruned = prev is not None
         if not pre_pruned:
             prev = self._manifest(head)
@@ -3355,7 +3432,9 @@ class VersionedStageTable:
         candidates = (
             prev["files"]
             if pre_pruned
-            else self._prune_merge_candidates(prev, source, key_columns)
+            else self._prune_merge_candidates(
+                prev, source, key_columns, envelope=envelope
+            )
         )
         metrics = {
             "files_total": files_total,
@@ -3508,13 +3587,20 @@ class VersionedStageTable:
             kdf.unpersist()
 
     def _prune_merge_candidates(
-        self, prev: dict, source: DataFrame, key_columns: list[str]
+        self,
+        prev: dict,
+        source: DataFrame,
+        key_columns: list[str],
+        envelope: dict | None = None,
     ) -> list[str]:
         """Files that may hold a key present in ``source``, judged by
         overlap of per-file key bounds with the source's key envelope —
         one bounded aggregation over the batch (2 scalars per key
-        column), zero table IO. Conservative: files without stats, and
-        key columns without a usable envelope, never exclude."""
+        column), zero table IO; a caller that already aggregated the
+        batch can hand the bounds in via ``envelope`` (col ->
+        (min, max)) and skip that job. Conservative: files without
+        stats, and key columns without a usable envelope, never
+        exclude."""
         stats = prev.get("stats") or {}
         if not stats:
             return list(prev["files"])
@@ -3525,16 +3611,28 @@ class VersionedStageTable:
             c for c in key_columns
             if isinstance(by_name.get(c), _STAT_ATOMS)
         ]
+        if envelope is not None:
+            # a column missing from the caller's envelope contributes
+            # no bound — and must not exclude files via the
+            # missing-column rule below either, so drop it entirely
+            cols = [c for c in cols if c in envelope]
         if not cols:
             return list(prev["files"])
-        aggs = []
-        for i, c in enumerate(cols):
-            aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
-            aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
-        row = source.agg(*aggs).first()
+        if envelope is not None:
+            vals = {c: envelope[c] for c in cols}
+        else:
+            aggs = []
+            for i, c in enumerate(cols):
+                aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn{i}"))
+                aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx{i}"))
+            row = source.agg(*aggs).first()
+            vals = {
+                c: (row[f"__mn{i}"], row[f"__mx{i}"])
+                for i, c in enumerate(cols)
+            }
         # per-file stats are keyed by PHYSICAL name (stable across
         # renames); the source envelope above is logical
-        pcols = [phys.get(c, c) for c in cols]
+        pcols = [(phys.get(c, c), c) for c in cols]
         out = []
         for f in prev["files"]:
             st = stats.get(f)
@@ -3542,9 +3640,9 @@ class VersionedStageTable:
                 out.append(f)
                 continue
             excluded = False
-            for i, c in enumerate(pcols):
-                smn, smx = _stat_value(row[f"__mn{i}"]), _stat_value(
-                    row[f"__mx{i}"]
+            for c, lc in pcols:
+                smn, smx = _stat_value(vals[lc][0]), _stat_value(
+                    vals[lc][1]
                 )
                 if c not in st:
                     # file predates the key column: all NULL there,

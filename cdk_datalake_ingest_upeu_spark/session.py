@@ -59,6 +59,17 @@ def get_spark(
         # already plentiful and capped by maxPartitionBytes).
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.files.openCostInBytes", "131072")
+        # explicit-file-list scans (the versioned table passes every
+        # live file as its own path) launch a DISTRIBUTED listing job
+        # once the path count exceeds this threshold (default 32) —
+        # for a ~100-file manifest that job costs more than statting
+        # the paths on the driver ever could. Raise the cutoff so
+        # driver-side listing (itself thread-pooled) covers manifest-
+        # scale path lists; truly huge path lists still distribute.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "2048"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config(

@@ -198,6 +198,12 @@ def _prepare_session(spark: SparkSession) -> None:
         "spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism)
     )
     spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+    # manifest-scale explicit file lists stay on driver-side listing
+    # (see session.py — avoids a distributed listing job per read)
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "2048"),
+    )
 
 
 class _stream_shuffle_partitions:
@@ -12063,9 +12069,20 @@ def quarantine_replay_roundtrip(spark, sf_dir):
     direct_good = tagged.filter(~F.col("__bad_new"))
     final_good = good1.unionByName(recovered)
     cols = ev.columns
+    # count(a\b) + count(b\a) == sum over row groups of |n_a - n_b|:
+    # ONE signed-count pass over both sides instead of two exceptAll
+    # jobs that each re-shuffled both relations (r14 optimization)
     n_diff = (
-        final_good.select(cols).exceptAll(direct_good.select(cols)).count()
-        + direct_good.select(cols).exceptAll(final_good.select(cols)).count()
+        final_good.select(cols)
+        .withColumn("__s", F.lit(1))
+        .unionByName(
+            direct_good.select(cols).withColumn("__s", F.lit(-1))
+        )
+        .groupBy(cols)
+        .agg(F.sum("__s").alias("__d"))
+        .agg(F.sum(F.abs(F.col("__d"))).alias("n"))
+        .first()["n"]
+        or 0
     )
     return finalize(
         tagged.groupBy("event_type")
@@ -14582,6 +14599,21 @@ def streaming_cdf_tail(spark, sf_dir):
     def handler(df, f, t):
         apply_cdf_batch(tgt, df, ["doc_id"], epoch=t)
 
+    def _multiset_equal(a, b):
+        # ONE pass over both sides: equal multisets iff no row group
+        # has a nonzero signed count — exactly (count(a) == count(b)
+        # AND a.exceptAll(b).isEmpty()), which used to cost three jobs
+        # and two extra scans of each table (r14 optimization)
+        cols = a.columns
+        return (
+            a.withColumn("__s", F.lit(1))
+            .unionByName(b.select(*cols).withColumn("__s", F.lit(-1)))
+            .groupBy(*cols)
+            .agg(F.sum("__s").alias("__d"))
+            .filter(F.col("__d") != 0)
+            .isEmpty()
+        )
+
     src.overwrite(docs.filter(F.col("doc_id") % 3 == 0))
     rdr.poll(handler)  # initial snapshot
     src.append(docs.filter(F.col("doc_id") % 3 == 1))
@@ -14592,10 +14624,7 @@ def streaming_cdf_tail(spark, sf_dir):
         ["doc_id"],
     )
     rdr.drain(handler)
-    mid_match = bool(
-        tgt.read().count() == src.read().count()
-        and tgt.read().exceptAll(src.read()).isEmpty()
-    )
+    mid_match = bool(_multiset_equal(tgt.read(), src.read()))
     src.delete("doc_id % 6 = 0")
     # crash between handler and cursor advance: work lands, cursor not
     # advanced — the NEXT poll re-delivers and the epoch no-ops it
@@ -14613,12 +14642,14 @@ def streaming_cdf_tail(spark, sf_dir):
     rdr2.poll(handler)
     redelivery_noop = bool(tgt.latest_version() == v_before)
     idle_empty = bool(rdr2.poll(handler)["delivered"] is False)
-    n_final = tgt.read().count()
-    n_merged = tgt.read().filter(F.col("source") == "merged").count()
-    final_match = bool(
-        n_final == src.read().count()
-        and tgt.read().exceptAll(src.read()).isEmpty()
-    )
+    # n_final + n_merged in ONE aggregation job (was two full scans)
+    crow = tgt.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("source") == "merged", 1)).alias("m"),
+    ).first()
+    n_final, n_merged = crow["n"], crow["m"]
+    # multiset equality == (counts equal AND exceptAll empty)
+    final_match = bool(_multiset_equal(tgt.read(), src.read()))
     return spark.createDataFrame(
         [
             (

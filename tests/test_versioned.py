@@ -1139,10 +1139,11 @@ def test_enforce_probes_all_constraints_in_one_job(spark, table):
 
 
 def test_footer_stats_match_spark_scan_for_nan_free_types(spark, table):
-    """Footer-collected bounds (int + string, no Spark job) must equal
-    what the Spark scan would compute — including NULL handling, the
-    64-char string truncation discipline, and zero-row files; doubles
-    stay on the Spark scan (NaN-greatest vs footers excluding NaN)."""
+    """Footer-collected bounds (no Spark job) must equal what the old
+    Spark scan computed — including NULL handling, the 64-char string
+    truncation discipline, zero-row files, and (r14) doubles: a NaN in
+    the data degrades the upper bound to None exactly as
+    ``_stat_value(NaN)`` did on the scan path."""
     df = spark.createDataFrame(
         [
             (1, "apple", 1.5),
@@ -1166,6 +1167,77 @@ def test_footer_stats_match_spark_scan_for_nan_free_types(spark, table):
     t2.overwrite(df2)
     st2 = next(iter(t2._manifest(0)["stats"].values()))
     assert st2["k"] == [None, None] and st2["s"] == [None, None]
+
+
+def test_footer_stats_float_nan_poisons_upper_bound(spark, table):
+    """Pins the two properties the r14 footer-path float stats rest on:
+
+    (a) the BUNDLED Spark parquet writer emits NaN-GREATEST chunk
+        stats — a chunk containing NaN carries max=NaN in its footer
+        (if a Spark upgrade ever reverts to NaN-ignoring stats this
+        assertion fails and float stats must go back to the scan);
+    (b) ``_footer_stats`` turns that marker into a sticky None upper
+        bound across row groups in EITHER order — a clean later chunk
+        must not resurrect a bound a NaN chunk invalidated — while the
+        lower bound stays exact, and an all-NaN file degrades to
+        [None, None] like the Spark scan's min=max=NaN did.
+    """
+    import math as _math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    # one row group with NaN, written by Spark itself
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (-4.0,)], "d double"
+    ).coalesce(1)
+    table.overwrite(df)
+    rel = table._manifest(0)["files"][0]
+    st = pq.ParquetFile(table._abs(rel)).metadata.row_group(0).column(0).statistics
+    assert st.has_min_max and _math.isnan(st.max), (
+        "Spark's parquet writer no longer emits NaN-greatest float "
+        "stats — footer-path float bounds are UNSOUND; revert "
+        "_collect_stats to the Spark scan for float/double"
+    )
+    assert table._manifest(0)["stats"][rel]["d"] == [-4.0, None]
+
+    # direct _footer_stats probe over the same file: upper bound must
+    # stay None (the nan_hi sticky set), lower bound must stay exact
+    out = {rel: {}}
+    ok = table._footer_stats(out, [rel], ["d"], {"d": T.DoubleType()})
+    assert ok and out[rel]["d"] == [-4.0, None]
+    # all-NaN file: no finite values — both bounds unknown
+    t2 = VersionedStageTable(spark, table.path + "_allnan")
+    t2.overwrite(
+        spark.createDataFrame(
+            [(float("nan"),), (float("nan"),)], "d double"
+        ).coalesce(1)
+    )
+    rel2 = t2._manifest(0)["files"][0]
+    assert t2._manifest(0)["stats"][rel2]["d"] == [None, None]
+
+    # chunk-order stickiness: NaN chunk first, clean chunks after — the
+    # clean chunks must not resurrect the upper bound. Tiny block size
+    # forces multiple row groups from one Spark write.
+    t3 = VersionedStageTable(spark, table.path + "_rgorder")
+    rows = [(float("nan"),)] * 150 + [(float(i),) for i in range(10000)]
+    df3 = spark.createDataFrame(rows, "d double").coalesce(1)
+    # route through the table's own writer but with a small row-group
+    # target so the NaN rows land in their own leading chunk
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        t3.overwrite(df3)
+    finally:
+        if old is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old)
+    rel3 = t3._manifest(0)["files"][0]
+    md3 = pq.ParquetFile(t3._abs(rel3)).metadata
+    if md3.num_row_groups >= 2:  # writer split as intended
+        assert t3._manifest(0)["stats"][rel3]["d"] == [0.0, None]
 
 
 def test_split_top_and_respects_spark_string_escapes():
