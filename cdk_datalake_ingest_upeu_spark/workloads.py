@@ -204,6 +204,12 @@ def _prepare_session(spark: SparkSession) -> None:
         "spark.sql.sources.parallelPartitionDiscovery.threshold",
         os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "2048"),
     )
+    # shuffled hash join where the build side fits (see session.py)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"),
+    )
 
 
 class _stream_shuffle_partitions:
@@ -216,7 +222,10 @@ class _stream_shuffle_partitions:
     cardinality you raise this instead — same knob, sized to the data."""
 
     def __init__(self, spark: SparkSession, n: int):
-        self.spark, self.n = spark, n
+        # env override so the state-task count can be A/B'd (and sized
+        # per deployment) without editing every stream wrapper
+        self.spark = spark
+        self.n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", n))
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
