@@ -1794,6 +1794,8 @@ def forget_exact_content(
     forget_ids: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    persist_flagged: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Content-level forget (takedown / right-to-be-forgotten): remove
     the listed documents AND every exact duplicate of their normalized
@@ -1809,17 +1811,36 @@ def forget_exact_content(
 
     Scale shape: one fingerprint groupBy-free pass — the forget list is
     tiny, so its fingerprint set broadcasts; the corpus is filtered by
-    one broadcast LEFT ANTI join at the scan, no corpus shuffle at all.
+    one broadcast join at the scan, no corpus shuffle at all. Both
+    returned frames are filters over ONE flagged relation, so a caller
+    that materializes both (takedown loops purge with ``forgotten`` and
+    rebuild from ``kept``) pays the normalize+md5 text pass once when
+    ``persist_flagged=True`` (the flagged relation enters the scratch
+    registry; leave False for callers that only consume one side —
+    persisting a corpus-sized relation they don't reuse costs more
+    than the pass it saves).
     """
+    from cdk_datalake_ingest_upeu_spark.operators.scratch import (
+        scratch_persist,
+    )
+
     fp = F.md5(normalized_text(F.col(text_col))).alias("__fp")
     del_fps = (
         df.join(F.broadcast(forget_ids.select(id_col)), id_col)
         .select(fp)
         .distinct()
     )
-    tagged = df.select("*", fp)
-    forgotten = tagged.join(F.broadcast(del_fps), "__fp").select(id_col)
-    kept = tagged.join(F.broadcast(del_fps), "__fp", "left_anti").drop("__fp")
+    flagged = df.select("*", fp).join(
+        F.broadcast(del_fps.withColumn("__forget", F.lit(True))),
+        "__fp",
+        "left",
+    )
+    if persist_flagged:
+        flagged = scratch_persist(flagged)
+    forgotten = flagged.filter(F.col("__forget")).select(id_col)
+    kept = flagged.filter(F.col("__forget").isNull()).drop(
+        "__fp", "__forget"
+    )
     return kept, forgotten
 
 

@@ -5481,8 +5481,11 @@ def forget_everywhere(spark, sf_dir):
     )
 
     forget_req = docs.orderBy("doc_id").limit(5).select("doc_id")
-    kept, forgotten = forget_exact_content(docs, forget_req)
-    kept = scratch_persist(kept)
+    # one persisted flagged relation feeds both sides: the
+    # normalize+md5 pass over the corpus runs once, not once per side
+    kept, forgotten = forget_exact_content(
+        docs, forget_req, persist_flagged=True
+    )
     forgotten = scratch_persist(forgotten)
     n_requested = forget_req.count()
     n_forgotten = forgotten.count()
@@ -5720,8 +5723,10 @@ def corpus_forget_documents(spark, sf_dir):
     sigs = scratch_persist(minhash_signature_table(docs))
     bands = minhash_band_table(sigs)
     forget = docs.orderBy("doc_id").limit(10).select("doc_id")
-    kept, forgotten = forget_exact_content(docs, forget)
-    kept = scratch_persist(kept)
+    # one persisted flagged relation; md5-normalize pass runs once
+    kept, forgotten = forget_exact_content(
+        docs, forget, persist_flagged=True
+    )
     forgotten = scratch_persist(forgotten)
     n_requested = forget.count()
     n_forgotten = forgotten.count()
