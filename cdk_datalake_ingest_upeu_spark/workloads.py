@@ -13165,25 +13165,42 @@ def referential_integrity_audit(spark, sf_dir):
         ("customer.c_nationkey->nation", "customer", "c_nationkey",
          "nation", "n_nationkey"),
     ]
-    rows = []
+    # r14: one LEFT join + one aggregation per relation covers all
+    # three counts (row / NULL-FK / orphan) in a single child scan —
+    # the old shape scanned each child three times — and the relations
+    # union into ONE finalized plan, so all five audits execute in one
+    # action with their stages overlapping instead of 15 serial jobs.
+    frames = []
     for name, child_t, fk, parent_t, pk in checks:
         child = _t(spark, sf_dir, child_t)
-        parent = _t(spark, sf_dir, parent_t).select(pk).distinct()
-        n_rows = child.count()
-        n_null = child.filter(F.col(fk).isNull()).count()
-        n_orphans = (
-            child.filter(F.col(fk).isNotNull())
-            .join(parent, child[fk] == parent[pk], "left_anti")
-            .count()
+        parent = (
+            _t(spark, sf_dir, parent_t)
+            .select(pk)
+            .distinct()
+            .withColumn("__p", F.lit(True))
         )
-        rows.append((name, n_rows, n_null, n_orphans))
-    return finalize(
-        spark.createDataFrame(
-            rows,
-            "relation string, n_rows bigint, n_null_fk bigint, "
-            "n_orphans bigint",
-        ).orderBy("relation")
-    )
+        frames.append(
+            child.join(parent, child[fk] == parent[pk], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col(fk).isNull(), 1)).alias("n_null_fk"),
+                F.count(
+                    F.when(
+                        F.col(fk).isNotNull() & F.col("__p").isNull(), 1
+                    )
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_null_fk").cast("long").alias("n_null_fk"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return finalize(out.orderBy("relation"))
 
 
 _RI_AUDIT_SQL = """
