@@ -212,6 +212,23 @@ def _prepare_session(spark: SparkSession) -> None:
     )
 
 
+def _union_counts(frames):
+    """Count several DataFrames in ONE Spark action: each frame
+    reduces to a labelled 1-row count and the union executes as a
+    single job whose branches overlap — k independent ``.count()``
+    calls cost k serial job launches for the same work (r14
+    optimization; guide §2.6's overlap-independent-jobs point applied
+    at the plan level). ``frames`` is [(label, df), ...]; returns
+    {label: count}."""
+    out = None
+    for lbl, df in frames:
+        c = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(lbl).alias("k"), "n"
+        )
+        out = c if out is None else out.unionByName(c)
+    return {r["k"]: r["n"] for r in out.collect()}
+
+
 class _stream_shuffle_partitions:
     """Temporarily size shuffle partitions for a streaming query.
 
@@ -10450,14 +10467,17 @@ def stage_compact_small_files(spark, sf_dir):
         )
         .first()
     )
+    cc = _union_counts(
+        [("feed", t.changes(pre_v, v)), ("pre", t.read(pre_v))]
+    )
     return spark.createDataFrame(
         [
             (
                 t._manifest(v)["op"],
                 bool(files_after < files_before),
                 files_after,
-                int(t.changes(pre_v, v).count()),
-                bool(t.read(pre_v).count() == n_pre),
+                int(cc["feed"]),
+                bool(cc["pre"] == n_pre),
                 int(agg["n"]),
                 int(agg["ks"]),
                 float(agg["ps"]),
@@ -13908,18 +13928,28 @@ def stage_incremental_commit_log(spark, sf_dir):
         for v in t.versions()
     )
     checkpoints_on_interval = t.checkpoints() == [4, 8]
-    n_rows_latest = t.read().count()
-    n_rows_v2 = t.read(2).count()
+    # one action for both pre-vacuum reads, one for all four
+    # post-vacuum reads (r14 — was six serial count jobs)
+    pre = _union_counts([("latest", t.read()), ("v2", t.read(2))])
+    n_rows_latest, n_rows_v2 = pre["latest"], pre["v2"]
     stats_complete = set(t._manifest(9).get("stats") or {}) == set(
         t._manifest(9)["files"]
     )
     t.tag("keep3", 3)
     t.vacuum(retain_last=2, data_grace_seconds=0.0)
-    n_rows_v3 = t.read(tag="keep3").count()
+    post = _union_counts(
+        [
+            ("tag3", t.read(tag="keep3")),
+            ("v3", t.read(3)),
+            ("v8", t.read(8)),
+            ("v9", t.read(9)),
+        ]
+    )
+    n_rows_v3 = post["tag3"]
     survivors_readable = (
-        n_rows_v3 == t.read(3).count()
-        and t.read(8).count() < n_rows_latest
-        and t.read(9).count() == n_rows_latest
+        n_rows_v3 == post["v3"]
+        and post["v8"] < n_rows_latest
+        and post["v9"] == n_rows_latest
     )
     try:
         t.read(5)
@@ -13988,18 +14018,30 @@ def stage_deletion_vectors(spark, sf_dir):
     n_after = t.read().count()
     n_lookup = t.lookup("doc_id >= 0 AND doc_id <= 79").count()
     feed = t.changes(0, v_dv)
-    feed_deletes = feed.filter(F.col("_change_type") == "delete").count()
+    # both feed counts from ONE pass (r14 — was two scans of the feed)
+    frow = feed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("_change_type") == "delete", 1)
+        ).alias("d"),
+    ).first()
+    feed_deletes = frow["d"]
     feed_row_exact = bool(
-        feed.count() == feed_deletes and feed_deletes == n_total - n_after
+        frow["n"] == feed_deletes and feed_deletes == n_total - n_after
     )
     time_travel_intact = bool(t.read(0).count() == n_total)
     v_opt = t.compact()
+    # post-compact total + masked-range probe in ONE aggregation
+    prow = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when((F.col("doc_id") >= 10) & (F.col("doc_id") < 60), 1)
+        ).alias("masked"),
+    ).first()
     purge_equivalent = bool(
-        t.read().count() == n_after
+        prow["n"] == n_after
         and "dv" not in t._manifest(v_opt)
-        and t.read().filter(
-            (F.col("doc_id") >= 10) & (F.col("doc_id") < 60)
-        ).count() == 0
+        and prow["masked"] == 0
     )
     return spark.createDataFrame(
         [
@@ -14210,8 +14252,13 @@ def stage_checkpoint_columnar(spark, sf_dir):
     v = t.latest_version()
     t.read(v).count()  # warm: resolves v once
     before = t._log_reads
-    n_rows_latest = t.read(v).count()
-    n_lookup = t.lookup("doc_id % 10 <= 4", v).count()
+    # one action for both memoized-resolution probes (r14); plan
+    # CONSTRUCTION still resolves v twice, which is what the
+    # _log_reads contract observes
+    wc = _union_counts(
+        [("latest", t.read(v)), ("lookup", t.lookup("doc_id % 10 <= 4", v))]
+    )
+    n_rows_latest, n_lookup = wc["latest"], wc["lookup"]
     resolved_once = bool(t._log_reads == before)
     n_rows_v2 = t.read(2).count()
     return spark.createDataFrame(
@@ -14288,11 +14335,14 @@ def stage_dv_rle_sidecar(spark, sf_dir):
         f"doc_id >= {lo} AND doc_id < {hi}"
     ).count()
     feed = t.changes(0, v)
-    feed_exact = bool(
-        feed.count() == n_deleted
-        and feed.filter(F.col("_change_type") == "delete").count()
-        == n_deleted
-    )
+    # both feed counts from ONE pass (r14)
+    frow = feed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("_change_type") == "delete", 1)
+        ).alias("d"),
+    ).first()
+    feed_exact = bool(frow["n"] == n_deleted and frow["d"] == n_deleted)
     return spark.createDataFrame(
         [
             (
@@ -14449,12 +14499,18 @@ def stage_concurrent_rebase(spark, sf_dir):
         spark, path, log_store=_RaceOnce(lambda: other.append(b2))
     )
     v_app = victim.append(b1)
-    n_both = victim.read().count()
+    rc = _union_counts(
+        [
+            ("both", victim.read()),
+            ("dist", victim.read().select("doc_id").distinct()),
+        ]
+    )
+    n_both = rc["both"]
     append_rebased = bool(
         v_app == 2
         and [h["op"] for h in victim.history()]
         == ["overwrite", "append", "append"]
-        and victim.read().select("doc_id").distinct().count() == n_both
+        and rc["dist"] == n_both
     )
 
     # (2) DELETE racing a stats-provably-DISJOINT append: rebases
@@ -14814,16 +14870,22 @@ def stage_optimize_where_cdc(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    n_hi = hi.count()
-    n_lo = lo.count()
+    # one docs pass for both halves; one action for total + hot (r14)
+    hrow = docs.agg(
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("hi"),
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("lo"),
+    ).first()
+    n_hi, n_lo = hrow["hi"], hrow["lo"]
     compact_feed_empty = bool(
         v_opt not in per_commit
         and per_commit.get(1) == n_lo
         and per_commit.get(2) == n_hi
         and per_commit.get(3) == n_hi
     )
-    n_total = t.read().count()
-    n_hot = t.lookup("doc_id >= 1000000").count()
+    tc = _union_counts(
+        [("total", t.read()), ("hot", t.lookup("doc_id >= 1000000"))]
+    )
+    n_total, n_hot = tc["total"], tc["hot"]
     return spark.createDataFrame(
         [(n_total, n_hot, cold_untouched, compact_feed_empty)],
         "n_total long, n_hot long, cold_untouched boolean, "
