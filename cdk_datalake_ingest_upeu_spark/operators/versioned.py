@@ -3344,7 +3344,9 @@ class VersionedStageTable:
         )
         if pre["__dupmax"] is not None and pre["__dupmax"] > 1:
             # error path only: re-run the probe to NAME the offending
-            # key in the message
+            # key in the message. A nondeterministic source can make
+            # the re-probe miss (review r14) — the error still raises,
+            # just without a concrete key.
             dup = (
                 source.groupBy(*key_columns)
                 .agg(F.count(F.lit(1)).alias("__n"))
@@ -3352,7 +3354,11 @@ class VersionedStageTable:
                 .limit(1)
                 .collect()
             )
-            key_repr = {k: dup[0][k] for k in key_columns}
+            key_repr = (
+                {k: dup[0][k] for k in key_columns}
+                if dup
+                else "<source nondeterministic between probes>"
+            )
             raise ValueError(
                 f"{self.path}: merge source has multiple distinct rows "
                 f"for key {key_repr} — Delta MERGE raises on multiple "

@@ -70,13 +70,18 @@ def get_spark(
             "spark.sql.sources.parallelPartitionDiscovery.threshold",
             os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "2048"),
         )
-        # let the planner (and AQE, below the local-map threshold) pick
-        # a shuffled HASH join where the per-partition build side fits:
-        # same results as sort-merge minus both sorts. Measured on the
-        # r14 join subset: q18 -23%, q5 -12%, subset total -4%. The
-        # threshold is per-partition build memory, env-tunable for
-        # cluster memory budgets; sort-merge remains the fallback above
-        # it (and spills stay graceful there).
+        # let the planner pick a shuffled HASH join where the build
+        # side fits: same results as sort-merge minus both sorts.
+        # Measured on the r14 join subset: q18 -23%, q5 -12%, subset
+        # total -4%. Two independent gates open up: (a) the STATIC
+        # planner's size-estimate rule (canBuildLocalHashMap — bounded
+        # by autoBroadcastJoinThreshold x shuffle partitions, so its
+        # memory exposure follows those knobs, NOT the env var below,
+        # and estimates can be off after filters); (b) AQE's runtime
+        # rewrite, which uses EXACT post-shuffle sizes and is bounded
+        # by the env-tunable threshold below. Deployments that must
+        # cap build memory strictly should ALSO lower
+        # autoBroadcastJoinThreshold or re-enable preferSortMergeJoin.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

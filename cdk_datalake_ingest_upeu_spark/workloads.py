@@ -220,6 +220,10 @@ def _union_counts(frames):
     optimization; guide §2.6's overlap-independent-jobs point applied
     at the plan level). ``frames`` is [(label, df), ...]; returns
     {label: count}."""
+    labels = [lbl for lbl, _ in frames]
+    assert len(set(labels)) == len(labels), (
+        f"_union_counts labels must be unique, got {labels}"
+    )
     out = None
     for lbl, df in frames:
         c = df.agg(F.count(F.lit(1)).alias("n")).select(

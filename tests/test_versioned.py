@@ -1206,6 +1206,25 @@ def test_footer_stats_float_nan_poisons_upper_bound(spark, table):
     out = {rel: {}}
     ok = table._footer_stats(out, [rel], ["d"], {"d": T.DoubleType()})
     assert ok and out[rel]["d"] == [-4.0, None]
+
+    # FLOAT (32-bit) takes the same footer path — pin the writer's
+    # NaN-greatest behavior for it too (review r14: double alone left
+    # float stats unpinned)
+    tf = VersionedStageTable(spark, table.path + "_f32")
+    tf.overwrite(
+        spark.createDataFrame(
+            [(1.25,), (float("nan"),), (-3.5,)], "f float"
+        ).coalesce(1)
+    )
+    relf = tf._manifest(0)["files"][0]
+    stf = (
+        pq.ParquetFile(tf._abs(relf)).metadata.row_group(0).column(0).statistics
+    )
+    assert stf.has_min_max and _math.isnan(stf.max), (
+        "Spark's parquet writer no longer emits NaN-greatest FLOAT "
+        "stats — revert _collect_stats to the Spark scan for floats"
+    )
+    assert tf._manifest(0)["stats"][relf]["f"] == [-3.5, None]
     # all-NaN file: no finite values — both bounds unknown
     t2 = VersionedStageTable(spark, table.path + "_allnan")
     t2.overwrite(

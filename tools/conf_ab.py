@@ -1,14 +1,14 @@
-"""A/B a session config over a query subset — one fresh SparkSession
-per variant, same query list, warmup pass + best-of-2.
+"""Time a query subset under ONE session config (warmup pass +
+best-of-2 per query) and print the per-query bests and subset total.
 
 Usage:
   python tools/conf_ab.py '<json: {"conf.key": "value", ...}>' <query ...>
 
-Prints per-query best seconds and the subset total for (A) the stock
-get_spark session and (B) stock + overrides, interleaved A,B in one
-process is impossible (one JVM per session config), so run this twice
-— once with '{}' and once with the overrides — in the same sitting and
-compare totals.
+One run measures one variant only (a session config needs its own
+JVM). To A/B, run it twice in the same sitting — once with '{}' for
+the stock baseline and once with the overrides — and compare the
+printed totals; running the two legs from different checkouts A/Bs
+code instead of config.
 """
 
 from __future__ import annotations

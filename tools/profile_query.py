@@ -75,34 +75,38 @@ def main() -> None:
     else:
         if not os.path.exists(log_path):
             cands = [p for p in os.listdir(EVDIR) if p.startswith(app_id)]
+            if not cands:
+                sys.exit(
+                    f"no event log for {app_id} under {EVDIR} — did the "
+                    f"query run any job before failing?"
+                )
             log_path = os.path.join(EVDIR, cands[0])
         with open(log_path) as f:
             lines = f.readlines()
 
     jobs: dict[int, dict] = {}
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
+    for line in lines:
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            if jid < first_job:
                 continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                if jid < first_job:
-                    continue
-                props = ev.get("Properties") or {}
-                stages = ev.get("Stage Infos") or []
-                jobs[jid] = {
-                    "start": ev["Submission Time"],
-                    "desc": props.get("spark.job.description", ""),
-                    "stage": stages[-1]["Stage Name"] if stages else "",
-                    "n_stages": len(stages),
-                }
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["end"] = ev["Completion Time"]
+            props = ev.get("Properties") or {}
+            stages = ev.get("Stage Infos") or []
+            jobs[jid] = {
+                "start": ev["Submission Time"],
+                "desc": props.get("spark.job.description", ""),
+                "stage": stages[-1]["Stage Name"] if stages else "",
+                "n_stages": len(stages),
+            }
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["end"] = ev["Completion Time"]
 
     order = sorted(jobs)
     total_job = 0.0
