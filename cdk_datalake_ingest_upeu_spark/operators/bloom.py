@@ -44,6 +44,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 # xxhash64 seeds: odd constants derived from the golden ratio, the same
 # public trick Spark's own BloomFilterImpl uses to derive k hashes
@@ -89,7 +90,7 @@ class BloomFilter:
         """Sparse (word_idx, word) relation for join-mode probing —
         zero words omitted."""
         rows = [(i, w) for i, w in enumerate(self.words) if w != 0]
-        return spark.createDataFrame(rows, "word_idx int, word long")
+        return _rows_df(spark, rows, "word_idx int, word long")
 
     def prefilter_join(
         self,
@@ -134,7 +135,7 @@ class BloomFilter:
     def to_df(self, spark: SparkSession) -> DataFrame:
         """One-row persistable form (write as parquet next to the data
         it summarizes; reload with :func:`bloom_load`)."""
-        return spark.createDataFrame(
+        return _rows_df(spark, 
             [(self.n_bits, self.seeds, self.words)],
             "n_bits long, seeds array<long>, words array<long>",
         )

@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 
 class ExpectationFailure(Exception):
@@ -165,5 +166,5 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     ]
     if failures:
         raise ExpectationFailure(failures)
-    out = df.sparkSession.createDataFrame(rows, report.schema)
+    out = _rows_df(df.sparkSession, rows, report.schema)
     return out.orderBy("rule")

@@ -43,6 +43,7 @@ scale first.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 
 class EdgeTableTooLargeError(ValueError):
@@ -99,7 +100,7 @@ def domain_pagerank(
         {r[0] for r in rows} | {r[1] for r in rows}
     )
     if not nodes:
-        return edges.sparkSession.createDataFrame(
+        return _rows_df(edges.sparkSession, 
             [], "node string, pr_scaled long"
         )
     outw: dict = {}
@@ -122,7 +123,7 @@ def domain_pagerank(
             )
         rank = nxt
     out = [(v, rank[v]) for v in nodes]
-    return edges.sparkSession.createDataFrame(
+    return _rows_df(edges.sparkSession, 
         out, "node string, pr_scaled long"
     )
 
@@ -165,5 +166,5 @@ def domain_reach(
         frontier = nxt
     out = sorted(hops.items())
     if not out:
-        return edges.sparkSession.createDataFrame([], "node string, hops int")
-    return edges.sparkSession.createDataFrame(out, "node string, hops int")
+        return _rows_df(edges.sparkSession, [], "node string, hops int")
+    return _rows_df(edges.sparkSession, out, "node string, hops int")

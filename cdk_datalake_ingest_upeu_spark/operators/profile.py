@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_upeu_spark.functions.stable import fp_canon
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 _PROFILE_COLS = [
     "column_name",
@@ -351,7 +352,7 @@ def robust_outlier_stats(
     )
     n = sum(c for _, c in hist)
     if n == 0:
-        return spark.createDataFrame(
+        return _rows_df(spark, 
             [(0, None, None, 0, 0)],
             "n long, median double, mad double, n_outliers long, "
             "outlier_frac_q6 long",
@@ -374,7 +375,7 @@ def robust_outlier_stats(
     mad = _lower_median(sorted(dev.items()), n)
     n_out = sum(c for d, c in dev.items() if d > k_mad * mad)
     frac_q6 = (n_out * 1_000_000) // n
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n, med / float(scale), mad / float(scale), n_out, frac_q6)],
         "n long, median double, mad double, n_outliers long, "
         "outlier_frac_q6 long",
@@ -430,7 +431,7 @@ def theil_sen_daily_trend(
         F.max("__d").alias("d1"),
     ).first()
     if n_pairs == 0:
-        return spark.createDataFrame(
+        return _rows_df(spark, 
             [(int(bounds["nd"]), 0, None, bounds["d0"], bounds["d1"])],
             "n_days long, n_pairs long, slope_per_day_q6 long, "
             "first_day date, last_day date",
@@ -442,7 +443,7 @@ def theil_sen_daily_trend(
         if cum >= target:
             med = v
             break
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(int(bounds["nd"]), n_pairs, med, bounds["d0"], bounds["d1"])],
         "n_days long, n_pairs long, slope_per_day_q6 long, "
         "first_day date, last_day date",
@@ -506,7 +507,7 @@ def grouped_robust_stats(
              (n_out * 1_000_000) // n)
         )
     gtype = dict(df.dtypes)[group_col]
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         sorted(out, key=lambda t: (t[0] is None, t[0])),
         f"{group_col} {gtype}, n long, median double, mad double, "
         "n_outliers long, outlier_frac_q6 long",
@@ -566,7 +567,7 @@ def two_sample_rank_stats(
         cum_b += cb
         ks_num = max(ks_num, abs(cum_a * nb - cum_b * na))
     ks_ppm = (ks_num * 1_000_000) // (na * nb) if na and nb else None
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(na, nb, u2, ks_ppm)],
         "n_a long, n_b long, u2_a long, ks_ppm long",
     )
@@ -606,7 +607,7 @@ def chi_square_independence(
     cb = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
     n = cells.agg(F.sum("__o")).first()[0]
     if n is None:
-        return df.sparkSession.createDataFrame([], out_schema)
+        return _rows_df(df.sparkSession, [], out_schema)
     # dense grid: every (observed a, observed b) pair, absent cells o=0.
     # Both margins are category-grain (KB); broadcast the column margin
     # so the grid is a broadcast nested-loop, never a shuffle.

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 from cdk_datalake_ingest_upeu_spark.operators.dedup import (
     _band_bucket_structs,
     _hyperplanes,
@@ -462,7 +463,7 @@ def ivf_index_probe(
     # same argsort the index-side Pandas UDF runs — identical cells
     order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe]
     id_f, vec_f = q_sel.schema.fields
-    q_local = index.sparkSession.createDataFrame(
+    q_local = _rows_df(index.sparkSession, 
         [
             (r[0], list(r[1]), int(c))
             for r, cells in zip(q_rows, order)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 # Top whitespace-tokenized stopwords per language, used for both the
 # quality score and the language-ID heuristic. Deliberately small and
@@ -1235,7 +1236,7 @@ def bigram_pmi_topk(
     tails = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
     nb = int(bg.agg(F.sum("c12")).first()[0] or 0)
     if nb == 0:
-        return df.sparkSession.createDataFrame(
+        return _rows_df(df.sparkSession, 
             [], "w1 string, w2 string, c12 long, pmi_q9 long"
         )
     return (

@@ -85,6 +85,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 _MANIFEST_RE = re.compile(r"\d{8}\.json")
 _CHECKPOINT_RE = re.compile(r"\d{8}\.checkpoint\.(parquet|json)")
@@ -2784,7 +2785,7 @@ class VersionedStageTable:
         ``input_file_name()``, which cannot bind over the DV arm's
         two-source join."""
         if not rels:
-            out = self.spark.createDataFrame([], schema)
+            out = _rows_df(self.spark, [], schema)
             if file_col:
                 out = out.withColumn(file_col, F.lit(None).cast("string"))
             return out
@@ -2952,7 +2953,7 @@ class VersionedStageTable:
                 rename=_physical_names(schema),
             )
         if not candidates:
-            return self.spark.createDataFrame([], schema)
+            return _rows_df(self.spark, [], schema)
         return self._scan(candidates, schema, m.get("dv")).filter(
             F.expr(condition).cast("boolean")
         )

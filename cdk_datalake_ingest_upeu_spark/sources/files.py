@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 
 
 def read_raw_parquet(
@@ -146,7 +147,7 @@ def parquet_column_bounds(path: str, column: str):
 
 def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Schema-only DataFrame so downstream consumers see a stable schema."""
-    return spark.createDataFrame([], schema)
+    return _rows_df(spark, [], schema)
 
 
 def dedupe_column_names(df: DataFrame) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from cdk_datalake_ingest_upeu_spark.config.models import ColumnSpec, TableSpec
 from cdk_datalake_ingest_upeu_spark.functions.engine import TransformationEngine
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df as _rows_df
 from cdk_datalake_ingest_upeu_spark.operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -1419,7 +1420,7 @@ def minmax_bounds(spark, sf_dir):
     _prepare_session(spark)
     src = ParquetTableSource(spark, os.path.join(sf_dir, "lineitem.parquet"))
     lo, hi = src.min_max("l_orderkey")
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(int(lo), int(hi))], "min_val bigint, max_val bigint"
     )
 
@@ -2339,7 +2340,7 @@ def load_mode_lifecycle(spark, sf_dir):
     n_distinct = (
         spark.read.parquet(land_dir).select("event_id").distinct().count()
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_initial, n_reprocess, n_normal, n_reset, n_distinct)],
         "n_initial long, n_reprocess long, n_normal long, n_reset long, n_distinct_landed long",
     )
@@ -2578,7 +2579,7 @@ def pipeline_group_run(spark, sf_dir):
         (spec.stage_table_name, processor.stage_table(spec, cols).read().count())
         for spec, cols in [(o_spec, o_cols), (c_spec, c_cols)]
     ]
-    return spark.createDataFrame(summary, "stage_table string, n_rows long").orderBy(
+    return _rows_df(spark, summary, "stage_table string, n_rows long").orderBy(
         "stage_table"
     )
 
@@ -2611,7 +2612,7 @@ def streaming_watermarked_rollup(spark, sf_dir):
     src_dir = os.path.dirname(src_glob)
     _lo, hi = _event_ts_bounds(spark, sf_dir, ev)
     p = os.path.join(src_dir, "batch_3")
-    spark.createDataFrame(
+    _rows_df(spark, 
         [(hi + dt_timedelta(days=10), "__sentinel__", 0.0)], ev.schema
     ).coalesce(1).write.mode("overwrite").parquet(p)
     for root, _dirs, files in os.walk(p):
@@ -2665,7 +2666,7 @@ def streaming_session_window(spark, sf_dir):
     _lo, hi = _event_ts_bounds(spark, sf_dir, ev)
     sentinel_ts = hi + dt_timedelta(days=10)
     p = os.path.join(src_dir, "batch_3")
-    spark.createDataFrame([(-1, sentinel_ts, 0.0)], ev.schema).coalesce(
+    _rows_df(spark, [(-1, sentinel_ts, 0.0)], ev.schema).coalesce(
         1
     ).write.mode("overwrite").parquet(p)
     for root, _dirs, files in os.walk(p):
@@ -2917,7 +2918,7 @@ def dedup_cluster_components(spark, sf_dir):
     )
     n_bad_labels = comp.filter(F.col("component") > F.col("node")).count()
     release_scratch()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 bool(n_bad_edges == 0),
@@ -3589,7 +3590,7 @@ def embedding_kmeans_stats(spark, sf_dir):
         np.allclose(np.linalg.norm(np.asarray(C), axis=1), 1.0, atol=1e-6)
     )
     n_points = emb.count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_points,
@@ -4416,7 +4417,7 @@ def dedup_simhash_corpus(spark, sf_dir):
     n_planted = clone_ids.count()
     clones_kept = kept.join(clone_ids, "doc_id").count()
     strays = kept.join(universe, "doc_id", "left_anti").count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_docs,
@@ -5406,7 +5407,7 @@ def stage_forget_roundtrip(spark, sf_dir):
     n_readable = rows.count()
     n_after = st.read().count()
     n_requested = forget_req.count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_requested,
@@ -5600,7 +5601,7 @@ def forget_everywhere(spark, sf_dir):
     n_shard_readable = rows.count()
     shard_delete_bounded = int(0 <= n_rewritten < n_shard_files)
     release_scratch()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_requested,
@@ -5769,7 +5770,7 @@ def corpus_forget_documents(spark, sf_dir):
     sig_rows = sigs_purged.count()
     band_docs = bands_purged.select("doc_id").distinct().count()
     release_scratch()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_requested,
@@ -5831,7 +5832,7 @@ def dedup_minhash_pairs(spark, sf_dir):
         n_found = finalize(
             minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
         ).count()
-        return spark.createDataFrame(
+        return _rows_df(spark, 
             [(-1, True, bool(n_found >= 0))],
             "n_exact_pairs long, subset_ok boolean, recall_ok boolean",
         )
@@ -5853,7 +5854,7 @@ def dedup_minhash_pairs(spark, sf_dir):
     n_exact = exact.count()
     n_inter = approx.join(exact, ["id_a", "id_b"]).count()
     release_scratch()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_exact,
@@ -5913,7 +5914,7 @@ def dedup_simhash_pairs(spark, sf_dir):
         & F.col("id_a").isin(list(seed_ids))
     ).select("id_a", "hamming").collect()
     n_planted = len(seed_ids)
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_planted,
@@ -6086,7 +6087,7 @@ def _ann_recall_report(spark, approx, exact, n_queries, k, floor):
 
     if _skip_contracts():  # bench mode: time the operator, not the oracle
         n_approx = finalize(approx.select("query_id", "neighbor_id")).count()
-        return spark.createDataFrame(
+        return _rows_df(spark, 
             [(-1, n_approx, bool(n_approx == n_queries * k), True)],
             "n_queries long, n_results long, full_k boolean, recall_ok boolean",
         )
@@ -6097,7 +6098,7 @@ def _ann_recall_report(spark, approx, exact, n_queries, k, floor):
     n_hits = hits.count()
     release_scratch()
     recall = n_hits / (n_queries * k)
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_queries,
@@ -7077,7 +7078,7 @@ def dedup_incremental_minhash(spark, sf_dir):
         n_batch = batch.count()
         n_kept = kept.count()
         release_scratch()
-        return spark.createDataFrame(
+        return _rows_df(spark, 
             [(n_batch, -1, bool(n_kept >= 0))],
             "n_batch long, n_history_matched_batch_docs long, "
             "no_kept_matches_history boolean",
@@ -7097,7 +7098,7 @@ def dedup_incremental_minhash(spark, sf_dir):
     n_cross = cross.count()
     n_kept_matched = kept.join(cross, "doc_id").count()
     release_scratch()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_batch, n_cross, bool(n_kept_matched == 0))],
         "n_batch long, n_history_matched_batch_docs long, "
         "no_kept_matches_history boolean",
@@ -7728,7 +7729,7 @@ def vocab_typo_pairs(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("text")
-    planted = spark.createDataFrame(
+    planted = _rows_df(spark, 
         [("tabl spak qury joinn streem windw",)], "text string"
     )
     return edit_distance_pairs(docs.unionAll(planted)).orderBy(
@@ -9528,7 +9529,7 @@ def semantic_semdedup(spark, sf_dir):
     planted_resolved = bool(
         pairs_all_planted and pairs_disjoint and n_kept == n_vectors - n_pairs
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_vectors,
@@ -9625,7 +9626,7 @@ def embedding_pca_variance(spark, sf_dir):
                 bool(cum <= 1.0 + 1e-9),
             )
         )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         rows,
         "component int, variance_agrees boolean, evr_nonincreasing boolean, "
         "cum_evr_le_one boolean",
@@ -9788,7 +9789,7 @@ def cms_event_type_totals(spark, sf_dir):
         )
         for r in exact_rows
     ]
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         out,
         "event_type string, n_exact long, cms_ge_exact boolean, "
         "cms_within_eps boolean",
@@ -10394,7 +10395,7 @@ def stage_version_vacuum(spark, sf_dir):
         )
         .first()
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_before,
@@ -10474,7 +10475,7 @@ def stage_compact_small_files(spark, sf_dir):
     cc = _union_counts(
         [("feed", t.changes(pre_v, v)), ("pre", t.read(pre_v))]
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 t._manifest(v)["op"],
@@ -10874,7 +10875,7 @@ def stage_constraint_rename(spark, sf_dir):
     literal_untouched = bool(
         cons["status_lit"] == "o_orderstatus != 'o_totalprice'"
     )
-    bad = spark.createDataFrame(
+    bad = _rows_df(spark, 
         [(-1, -5.0, "F")], "o_orderkey long, price double, o_orderstatus string"
     )
     try:
@@ -12678,7 +12679,7 @@ def stage_tagged_reads(spark, sf_dir):
         ).first()
 
     b, cur = _agg(t.read(tag="baseline")), _agg(t.read())
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 int(t.tags()["baseline"]),
@@ -12789,7 +12790,7 @@ def stage_check_constraints(spark, sf_dir):
         .first()
     )
     ops = [h["op"] for h in t.history()]
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 refused,
@@ -13436,7 +13437,7 @@ def embedding_matryoshka_quality(spark, sf_dir):
         )
         prev = means[d]
     return finalize(
-        spark.createDataFrame(
+        _rows_df(spark, 
             rows,
             "prefix_dims int, n_vectors bigint, mean_cos double, "
             "monotone_ok boolean",
@@ -13549,7 +13550,7 @@ def dedup_banding_sweep(spark, sf_dir):
             )
         )
     return finalize(
-        spark.createDataFrame(
+        _rows_df(spark, 
             rows,
             "bands int, rows_per_band int, planted_expected bigint, "
             "planted_recall_1 boolean, superset_of_coarser boolean",
@@ -13960,7 +13961,7 @@ def stage_incremental_commit_log(spark, sf_dir):
         dropped_unreadable = False
     except VersionNotFoundError:
         dropped_unreadable = True
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_rows_latest,
@@ -14047,7 +14048,7 @@ def stage_deletion_vectors(spark, sf_dir):
         and "dv" not in t._manifest(v_opt)
         and prow["masked"] == 0
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_total,
@@ -14188,7 +14189,7 @@ def streaming_dv_takedown(spark, sf_dir):
         and sidecars_after == 1
         and m_cons["files"] == m0["files"]
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_total,
@@ -14265,7 +14266,7 @@ def stage_checkpoint_columnar(spark, sf_dir):
     n_rows_latest, n_lookup = wc["latest"], wc["lookup"]
     resolved_once = bool(t._log_reads == before)
     n_rows_v2 = t.read(2).count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_rows_latest,
@@ -14347,7 +14348,7 @@ def stage_dv_rle_sidecar(spark, sf_dir):
         ).alias("d"),
     ).first()
     feed_exact = bool(frow["n"] == n_deleted and frow["d"] == n_deleted)
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_total,
@@ -14427,7 +14428,7 @@ def stage_delete_epoch_replay(spark, sf_dir):
     v3 = t.delete("doc_id % 7 = 3", mode="dv", epoch=13)
     fresh_epoch_empty = bool(v3 == v2)
     n_after = t.read().count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_after,
@@ -14544,7 +14545,7 @@ def stage_concurrent_rebase(spark, sf_dir):
     other.delete("doc_id < 50")
 
     # (4) same-epoch double-commit: one version, rows land once
-    tiny = spark.createDataFrame(
+    tiny = _rows_df(spark, 
         [(30_000_000, "epoch-batch")], victim.read().schema
     )
     victim4 = VersionedStageTable(
@@ -14553,7 +14554,7 @@ def stage_concurrent_rebase(spark, sf_dir):
     v_a = victim4.append(tiny, epoch=42)
     epoch_once = bool(v_a == other.latest_version())
     n_final = victim4.read().count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_both,
@@ -14641,7 +14642,7 @@ def stage_incremental_clustering(spark, sf_dir):
     noop_when_clean = bool(
         t.compact(zorder_by=["doc_id"], incremental=True) == v_inc
     )
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_total, n_hi, base_carried, base_pruned, noop_when_clean)],
         "n_total long, n_hi long, base_carried boolean, "
         "base_pruned boolean, noop_when_clean boolean",
@@ -14741,7 +14742,7 @@ def streaming_cdf_tail(spark, sf_dir):
     n_final, n_merged = crow["n"], crow["m"]
     # multiset equality == (counts equal AND exceptAll empty)
     final_match = bool(_multiset_equal(tgt.read(), src.read()))
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [
             (
                 n_final,
@@ -14816,7 +14817,7 @@ def stage_clustered_append(spark, sf_dir):
     pruned_sharp = bool(set(cand) <= set(new) and len(cand) == 1)
     n_hi = t.lookup("doc_id >= 1000000").count()
     n_total = t.read().count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_total, n_hi, disjoint, pruned_sharp)],
         "n_total long, n_hi long, disjoint boolean, pruned_sharp boolean",
     )
@@ -14890,7 +14891,7 @@ def stage_optimize_where_cdc(spark, sf_dir):
         [("total", t.read()), ("hot", t.lookup("doc_id >= 1000000"))]
     )
     n_total, n_hot = tc["total"], tc["hot"]
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_total, n_hot, cold_untouched, compact_feed_empty)],
         "n_total long, n_hot long, cold_untouched boolean, "
         "compact_feed_empty boolean",
@@ -14957,7 +14958,7 @@ def stage_protocol_features(spark, sf_dir):
         fails_closed = True
     n_old = fresh.read(v_dv).count()  # pre-future versions readable
     n_v0 = fresh.read(v0).count()
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_v0, n_old, n_after, clean_start, dv_declares, fails_closed)],
         "n_rows_v0 long, n_rows_old long, n_rows_after long, "
         "clean_start boolean, dv_declares boolean, fails_closed boolean",
@@ -15028,7 +15029,7 @@ def stage_lookup_multipredicate_pruned(spark, sf_dir):
     n_lookup = t.lookup(cond).count()
     n_fullscan = t.read().filter(F.expr(cond)).count()
     prune_sound = bool(n_lookup == n_fullscan)
-    return spark.createDataFrame(
+    return _rows_df(spark, 
         [(n_lookup, pruned_some, prune_sound)],
         "n_rows long, pruned_some boolean, prune_sound boolean",
     )

@@ -1,0 +1,41 @@
+"""rows_df must be EXACTLY createDataFrame(list, schema): same schema,
+same values — including the hazards the Arrow path could plausibly get
+wrong (numeric NULL vs NaN, naive timestamps under the UTC session,
+arrays with NULL elements, empty row lists). A drift here would flip
+oracle hashes on every wrapper that assembles literal result rows."""
+
+from datetime import date, datetime
+
+import pytest
+
+from cdk_datalake_ingest_upeu_spark.functions.localrel import rows_df
+
+CASES = [
+    ([(-1, 5, 0.0)], "a long, b long, c double"),
+    # NULL stays NULL, NaN stays NaN (the pandas route would merge them)
+    ([(None, float("nan"), 1.5), (2, None, None)], "a long, b double, c double"),
+    ([("x", None), (None, "y")], "a string, b string"),
+    ([(datetime(2024, 5, 1, 12, 30), date(2024, 5, 1))], "ts timestamp, d date"),
+    ([(1, [1.0, 2.0, None]), (2, None)], "id long, v array<double>"),
+    ([(True, False, None)], "a boolean, b boolean, c boolean"),
+    ([(1, 2)], "a int, b smallint"),
+    ([], "a long, b string"),
+]
+
+
+@pytest.mark.parametrize("rows,schema", CASES, ids=[c[1] for c in CASES])
+def test_rows_df_matches_classic_createDataFrame(spark, rows, schema):
+    new = rows_df(spark, rows, schema)
+    old = spark.createDataFrame(rows, schema)
+    assert new.schema == old.schema
+    assert repr(sorted(new.collect(), key=repr)) == repr(
+        sorted(old.collect(), key=repr)
+    )
+
+
+def test_rows_df_is_not_python_rdd_backed(spark):
+    """The whole point: the frame must be a JVM local relation, not a
+    parallelized Python RDD that re-pays a Python worker per job."""
+    df = rows_df(spark, [(-1, 0.0)], "a long, b double")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan

@@ -30,6 +30,10 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     warm = "--warm" in sys.argv
+    # --warmfull: warm with a full pass at the MEASURED sf_dir first, so
+    # session-scoped caches (the staged-drop cache) are populated and the
+    # profiled pass shows the bench's warm best-of-2 shape
+    warmfull = "--warmfull" in sys.argv
 
     os.makedirs(EVDIR, exist_ok=True)
     from cdk_datalake_ingest_upeu_spark import get_spark
@@ -50,6 +54,11 @@ def main() -> None:
     if warm:
         try:
             fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+    if warmfull:
+        try:
+            fn(spark, sf_dir).count()
         except Exception:
             pass
 
