@@ -26,6 +26,22 @@ from cdk_datalake_ingest_upeu_spark.plans.strategy import LoadMode
 from cdk_datalake_ingest_upeu_spark.plans.watermark import WatermarkStore
 
 
+def _overlap(*thunks) -> None:
+    """Run independent Spark actions concurrently (guide §2.6: actions
+    are only sequential because driver code calls them sequentially).
+    Used for the per-micro-batch sink pairs below — each batch lands an
+    output write AND an index/partner write that share no dependency,
+    so overlapping them cuts the per-batch serial floor roughly in
+    half. Exceptions propagate (first failure wins), so a failed write
+    still fails the epoch exactly as the serial form did."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 class IncrementalRunner:
     def __init__(
         self,
@@ -233,12 +249,17 @@ def stream_quarantine_ingest(
         bad = tagged.filter(F.size("__failed") > 0).withColumn(
             "failed_rules", F.array_join("__failed", ",")
         )
-        bad.drop("__failed").write.mode("overwrite").parquet(
-            os.path.join(quarantine_dir, f"epoch={epoch_id}")
+        # quarantine and good sinks are independent filters of the same
+        # batch — land them concurrently (§2.6)
+        _overlap(
+            lambda: bad.drop("__failed").write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"epoch={epoch_id}")
+            ),
+            lambda: tagged.filter(F.size("__failed") == 0)
+            .drop("__failed")
+            .write.mode("overwrite")
+            .parquet(os.path.join(good_dir, f"epoch={epoch_id}")),
         )
-        tagged.filter(F.size("__failed") == 0).drop("__failed").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(good_dir, f"epoch={epoch_id}"))
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
@@ -382,9 +403,6 @@ def stream_paragraph_dedup(
             window_tokens=window_tokens,
             seen=seen,
         ).localCheckpoint(eager=True)  # compute ONCE; both sinks reuse it
-        result.write.mode("overwrite").parquet(
-            _os.path.join(out_dir, f"epoch={epoch_id}")
-        )
         # kept chunks = units of the batch's surviving text; re-chunking
         # the deduped output is exact — every unit is exactly
         # window_tokens long except a document's final one, which stays
@@ -394,6 +412,13 @@ def stream_paragraph_dedup(
             paragraph_chunks,
         )
 
+        # NOTE r15: overlapping these two sinks with _overlap was
+        # measured WORSE (+6..10% on the wrapper, two interleaved A/B
+        # samples) — the out write of the checkpointed result is near
+        # free, so the thread fan-out only adds contention. Serial.
+        result.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
         paragraph_chunks(
             result.filter(F.col("n_kept") > 0).select(
                 F.col(id_col), F.col("text_dedup").alias(text_col)
@@ -475,19 +500,24 @@ def stream_span_dedup(
         ]
         if prior:
             seen = spark.read.parquet(*prior)
-        substring_span_dedup(
-            batch_df,
-            id_col,
-            text_col,
-            window_tokens=window_tokens,
-            seen=seen,
-        ).write.mode("overwrite").parquet(
-            _os.path.join(out_dir, f"epoch={epoch_id}")
-        )
-        substring_span_index(
-            batch_df, id_col, text_col, window_tokens=window_tokens
-        ).write.mode("overwrite").parquet(
-            _os.path.join(index_dir, f"epoch={epoch_id}")
+        # the deduped output and the raw-digest index share no
+        # dependency — land them concurrently (one serial write each
+        # was ~half this handler's wall time per batch)
+        _overlap(
+            lambda: substring_span_dedup(
+                batch_df,
+                id_col,
+                text_col,
+                window_tokens=window_tokens,
+                seen=seen,
+            ).write.mode("overwrite").parquet(
+                _os.path.join(out_dir, f"epoch={epoch_id}")
+            ),
+            lambda: substring_span_index(
+                batch_df, id_col, text_col, window_tokens=window_tokens
+            ).write.mode("overwrite").parquet(
+                _os.path.join(index_dir, f"epoch={epoch_id}")
+            ),
         )
 
     reader = spark.readStream.schema(schema)
@@ -560,6 +590,10 @@ def stream_dsir_scoring(
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # NOTE r15: overlapping these two sinks with _overlap was
+        # measured WORSE (-4..5% on the wrapper, two interleaved A/B
+        # samples) — both legs are shuffle-heavy over the same batch
+        # and contend; kept serial deliberately.
         dsir_score_batch(
             batch_df,
             lam,

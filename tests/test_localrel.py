@@ -39,3 +39,19 @@ def test_rows_df_is_not_python_rdd_backed(spark):
     df = rows_df(spark, [(-1, 0.0)], "a long, b double")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LocalRelation" in plan, plan
+
+
+def test_overlap_runs_all_and_propagates_errors():
+    from cdk_datalake_ingest_upeu_spark.streaming.incremental import _overlap
+
+    hits = []
+    _overlap(lambda: hits.append("a"), lambda: hits.append("b"))
+    assert sorted(hits) == ["a", "b"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        _overlap(
+            lambda: None,
+            lambda: (_ for _ in ()).throw(ValueError("boom")),
+        )
