@@ -5509,53 +5509,63 @@ def forget_everywhere(spark, sf_dir):
         docs, forget_req, persist_flagged=True
     )
     forgotten = scratch_persist(forgotten)
-    n_requested = forget_req.count()
-    n_forgotten = forgotten.count()
-    n_kept = kept.count()
 
-    # near-dup artifacts: broadcast anti-join purge, row-per-doc grain
-    n_sig_after = sigs.join(forgotten, "doc_id", "left_anti").count()
-    n_band_docs_after = (
-        bands.join(forgotten, "doc_id", "left_anti")
-        .select("doc_id")
-        .distinct()
-        .count()
-    )
+    # Every per-artifact audit below is an independent count over the
+    # persisted flagged/forgotten relations — collected as (label,
+    # frame) pairs and executed as ONE _union_counts action at the end
+    # (r15; guide §1.2/§2.6 — eight serial job launches collapsed into
+    # one whose branches overlap). Phase discipline: a union whose
+    # branches SHARE a not-yet-materialized persisted subtree races —
+    # each branch computes the persist concurrently before any caches
+    # (measured 16.4 -> 35.3 s when everything went into one job), so
+    # the expensive shared persists (flagged/forgotten, sigs, packed)
+    # are materialized FIRST in one overlapping job of their own, and
+    # only then does the audit union reuse them.
+    audit_frames = [
+        ("n_requested", forget_req),
+        ("n_forgotten", forgotten),
+        ("n_kept", kept),
+        # near-dup artifacts: broadcast anti-join purge, row-per-doc
+        ("n_sig_after", sigs.join(forgotten, "doc_id", "left_anti")),
+        (
+            "n_band_docs_after",
+            bands.join(forgotten, "doc_id", "left_anti")
+            .select("doc_id")
+            .distinct(),
+        ),
+    ]
 
     # boilerplate index: negative-delta retract (+contract vs rebuild)
     f_docs = docs.join(forgotten, "doc_id")
     freq2, gdocs2 = forget_boilerplate_index(bp_freq, bp_gdocs, f_docs)
-    if _skip_contracts():
-        bp_retract_diff = -1
-    else:
+    if not _skip_contracts():
         # (source, chunk) / (source) are KEYS of these relations, so a
         # keyed full-outer null-safe compare equals the multiset diff at
         # ONE join per artifact (exceptAll pairs would scan each side
         # twice more)
         rb_freq, rb_gdocs = boilerplate_index(kept)
-        bp_retract_diff = (
+        audit_frames.append((
+            "bp_freq_diff",
             freq2.withColumnRenamed("df", "__a")
             .join(
                 rb_freq.withColumnRenamed("df", "__b"),
                 ["source", "chunk"],
                 "full_outer",
             )
-            .filter(~F.col("__a").eqNullSafe(F.col("__b")))
-            .count()
-            + gdocs2.withColumnRenamed("gdocs", "__a")
+            .filter(~F.col("__a").eqNullSafe(F.col("__b"))),
+        ))
+        audit_frames.append((
+            "bp_gdocs_diff",
+            gdocs2.withColumnRenamed("gdocs", "__a")
             .join(
                 rb_gdocs.withColumnRenamed("gdocs", "__b"),
                 ["source"],
                 "full_outer",
             )
-            .filter(~F.col("__a").eqNullSafe(F.col("__b")))
-            .count()
-        )
+            .filter(~F.col("__a").eqNullSafe(F.col("__b"))),
+        ))
 
-    # packs: rebuild from kept; contract = untouched groups unchanged
-    if _skip_contracts():
-        pack_nonlocal_diff = -1
-    else:
+        # packs: rebuild from kept; contract = untouched groups unchanged
         packed = scratch_persist(packed)  # read twice below
         kept_toks = toks.join(forgotten, "doc_id", "left_anti")
         packed2 = pack_documents(
@@ -5584,11 +5594,35 @@ def forget_everywhere(spark, sf_dir):
             )
         )
         # doc_id is a key on both sides: keyed null-safe compare == diff
-        pack_nonlocal_diff = (
+        audit_frames.append((
+            "pack_nonlocal_diff",
             old_a.join(new_a, ["doc_id"], "full_outer")
-            .filter(~F.col("__a").eqNullSafe(F.col("__b")))
-            .count()
-        )
+            .filter(~F.col("__a").eqNullSafe(F.col("__b"))),
+        ))
+
+    # phase 1: materialize the shared persisted relations concurrently
+    # (their builds are independent: md5-flag pass, minhash signatures,
+    # packing) — n_forgotten doubles as the forgotten materialization
+    phase1 = [("n_forgotten", forgotten), ("__sigs", sigs)]
+    if not _skip_contracts():
+        phase1.append(("__packed", packed))
+    seed_counts = _union_counts(phase1)
+    # phase 2: every audit branch now reuses the cached persists
+    audit = _union_counts(
+        [(lbl, f) for lbl, f in audit_frames if lbl != "n_forgotten"]
+    )
+    audit["n_forgotten"] = seed_counts["n_forgotten"]
+    n_requested = audit["n_requested"]
+    n_forgotten = audit["n_forgotten"]
+    n_kept = audit["n_kept"]
+    n_sig_after = audit["n_sig_after"]
+    n_band_docs_after = audit["n_band_docs_after"]
+    if _skip_contracts():
+        bp_retract_diff = -1
+        pack_nonlocal_diff = -1
+    else:
+        bp_retract_diff = audit["bp_freq_diff"] + audit["bp_gdocs_diff"]
+        pack_nonlocal_diff = audit["pack_nonlocal_diff"]
 
     # shard table: CDC delete, bloom-bounded; lookup must read nothing
     feed = (
