@@ -2063,10 +2063,19 @@ class BandBucketTooLargeError(ValueError):
     with :func:`exact_dedup` first."""
 
 
+def _check_band_guard(mx, max_band_bucket: int) -> None:
+    if mx is not None and mx > max_band_bucket:
+        raise BandBucketTooLargeError(
+            f"band bucket of {mx} members exceeds the sweep guard "
+            f"{max_band_bucket} ({mx*mx} pairs on one key)"
+        )
+
+
 def band_candidate_pairs(
     band_table: DataFrame,
     *,
     max_band_bucket: int = 4096,
+    _deferred_guards: list | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from a
     ``(doc_id, band, bhash)`` band table — the bucket-aggregation shape
@@ -2087,12 +2096,15 @@ def band_candidate_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    mx = buckets.agg(F.max(F.size("ids")).alias("m")).first()["m"]
-    if mx is not None and mx > max_band_bucket:
-        raise BandBucketTooLargeError(
-            f"band bucket of {mx} members exceeds the sweep guard "
-            f"{max_band_bucket} ({mx*mx} pairs on one key)"
-        )
+    guard_frame = buckets.agg(F.max(F.size("ids")).alias("m"))
+    if _deferred_guards is not None:
+        # sweep mode (r15): the caller fuses the per-config guard
+        # aggregates into one action and runs _check_band_guard on each
+        # max BEFORE any pair set materializes — same fail-loudly
+        # contract, one job instead of one per config
+        _deferred_guards.append(guard_frame)
+    else:
+        _check_band_guard(guard_frame.first()["m"], max_band_bucket)
     all_pairs = F.flatten(
         F.expr(
             "transform(ids, (x, i) -> transform("
@@ -2134,32 +2146,68 @@ def minhash_banding_sweep(
     prices candidate volume against recall before committing a banding
     to a 100 TB dedup run. At corpus scale it runs on a sample; the
     bucket guard raises rather than going quadratic."""
-    out: list[dict] = []
-    prev_pairs = None
+    from cdk_datalake_ingest_upeu_spark.operators.actions import (
+        union_counts,
+        union_scalars,
+    )
+
+    # r15 job-fusion shape (guide §1.2/§2.6): the loop used to run 3
+    # serial jobs per config (bucket guard, pair count, nesting probe).
+    # All configs' frames are built first, then the independent
+    # aggregates fuse: ONE guard action for the first config (which
+    # also materializes the shared upstream signature persist — fusing
+    # it with the others would race that persist), ONE for the
+    # remaining guards, ONE for all pair counts (disjoint pair
+    # persists), ONE for all nesting probes (cached pair sets). The
+    # fail-loudly guard contract is unchanged — every config's guard is
+    # checked before any pair set materializes.
+    guards: list = []
+    built: list[tuple[int, DataFrame]] = []
     for bands in bands_list:
         _band_rows(num_hashes, bands)  # validates divisibility
         bt = minhash_band_table(sigs, num_hashes=num_hashes, bands=bands)
-        pairs = band_candidate_pairs(bt, max_band_bucket=max_band_bucket)
-        n = pairs.count()
-        if prev_pairs is None:
-            superset = True
-        else:
-            superset = (
-                prev_pairs.join(
-                    pairs, ["id_a", "id_b"], "left_anti"
-                ).limit(1).count()
-                == 0
+        built.append((
+            bands,
+            band_candidate_pairs(
+                bt,
+                max_band_bucket=max_band_bucket,
+                _deferred_guards=guards,
+            ),
+        ))
+    maxes = union_scalars([(f"g{bands_list[0]}", guards[0])])
+    if len(guards) > 1:
+        maxes.update(
+            union_scalars(
+                [
+                    (f"g{b}", g)
+                    for b, g in zip(bands_list[1:], guards[1:])
+                ]
             )
+        )
+    for bands in bands_list:
+        _check_band_guard(maxes[f"g{bands}"], max_band_bucket)
+    ns = union_counts([(f"n{b}", pairs) for b, pairs in built])
+    probes = [
+        (
+            f"s{b}",
+            prev.join(pairs, ["id_a", "id_b"], "left_anti").limit(1),
+        )
+        for (_pb, prev), (b, pairs) in zip(built, built[1:])
+    ]
+    sups = union_counts(probes) if probes else {}
+    out: list[dict] = []
+    for i, (bands, pairs) in enumerate(built):
         out.append(
             {
                 "bands": bands,
                 "rows": num_hashes // bands,
-                "n_candidates": n,
-                "superset_of_coarser": superset,
+                "n_candidates": ns[f"n{bands}"],
+                "superset_of_coarser": (
+                    True if i == 0 else sups[f"s{bands}"] == 0
+                ),
                 # the persisted pair set itself — callers audit against
                 # planted duplicates / ground truth without re-banding
                 "pairs": pairs,
             }
         )
-        prev_pairs = pairs
     return out

@@ -213,25 +213,12 @@ def _prepare_session(spark: SparkSession) -> None:
     )
 
 
-def _union_counts(frames):
-    """Count several DataFrames in ONE Spark action: each frame
-    reduces to a labelled 1-row count and the union executes as a
-    single job whose branches overlap — k independent ``.count()``
-    calls cost k serial job launches for the same work (r14
-    optimization; guide §2.6's overlap-independent-jobs point applied
-    at the plan level). ``frames`` is [(label, df), ...]; returns
-    {label: count}."""
-    labels = [lbl for lbl, _ in frames]
-    assert len(set(labels)) == len(labels), (
-        f"_union_counts labels must be unique, got {labels}"
-    )
-    out = None
-    for lbl, df in frames:
-        c = df.agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(lbl).alias("k"), "n"
-        )
-        out = c if out is None else out.unionByName(c)
-    return {r["k"]: r["n"] for r in out.collect()}
+# r15: moved to operators/actions.py so operator modules can fuse
+# their own serial counts without importing workloads; the wrapper-side
+# name is kept as an alias.
+from cdk_datalake_ingest_upeu_spark.operators.actions import (  # noqa: E402
+    union_counts as _union_counts,
+)
 
 
 class _stream_shuffle_partitions:
@@ -13566,20 +13553,31 @@ def dedup_banding_sweep(spark, sf_dir):
             ).alias("id_b"),
         )
     )
+    # planted count first (materializes the persisted pair list), then
+    # the three per-config recall probes in ONE fused action over the
+    # cached pair sets (r15; was 4 serial count jobs)
     n_planted = planted_pairs.count()
+    detected = _union_counts(
+        [
+            (
+                f"d{cfg['bands']}",
+                cfg["pairs"].join(
+                    F.broadcast(planted_pairs),
+                    ["id_a", "id_b"],
+                    "left_semi",
+                ),
+            )
+            for cfg in configs
+        ]
+    )
     rows = []
     for cfg in configs:
-        detected = (
-            cfg["pairs"]
-            .join(F.broadcast(planted_pairs), ["id_a", "id_b"], "left_semi")
-            .count()
-        )
         rows.append(
             (
                 cfg["bands"],
                 cfg["rows"],
                 n_planted,
-                detected == n_planted,
+                detected[f"d{cfg['bands']}"] == n_planted,
                 cfg["superset_of_coarser"],
             )
         )
