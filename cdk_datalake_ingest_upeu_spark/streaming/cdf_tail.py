@@ -274,22 +274,39 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
         if v is not None:
             return v
     pdf = df.persist()
+    key_stats = None
     try:
         inserts = pdf.filter(F.col("_change_type") == "insert").drop(
             "_change_type"
         )
-        deletes = pdf.filter(F.col("_change_type") == "delete").drop(
-            "_change_type"
-        )
-        # keys deleted and NOT re-inserted in the same range vanish —
-        # applied as ONE keyed anti-delete (one pruned rewrite, one
-        # commit), never a per-key DELETE loop
-        gone = deletes.select(*key_columns).exceptAll(
-            inserts.select(*key_columns)
-        ).distinct()
         if not target.versions():
             return target.append(inserts, epoch=final_epoch, app_id=app_id)
-        if not gone.isEmpty():
+        # keys deleted and NOT re-inserted in the same range vanish —
+        # applied as ONE keyed anti-delete (one pruned rewrite, one
+        # commit), never a per-key DELETE loop. The old shape probed
+        # gone.isEmpty() (an exceptAll scan) and inserts.isEmpty() as
+        # two serial jobs; per-key insert/delete counts give both
+        # answers AND the gone set in one aggregation pass (r15, guide
+        # §1.2): exceptAll-then-distinct on the key projection is
+        # exactly "keys whose delete multiplicity exceeds their insert
+        # multiplicity".
+        key_stats = pdf.groupBy(*key_columns).agg(
+            F.count(F.when(F.col("_change_type") == "insert", 1)).alias(
+                "__ins"
+            ),
+            F.count(F.when(F.col("_change_type") == "delete", 1)).alias(
+                "__del"
+            ),
+        ).persist()
+        tot = key_stats.agg(
+            F.sum("__ins").alias("i"),
+            F.count(F.when(F.col("__del") > F.col("__ins"), 1)).alias("g"),
+        ).first()
+        has_inserts = (tot["i"] or 0) > 0
+        gone = key_stats.filter(F.col("__del") > F.col("__ins")).select(
+            *key_columns
+        )
+        if tot["g"] > 0:
             # delete-leg upgrade continuity (mirror of the final-leg
             # probe): a pre-upgrade run that crashed BETWEEN the legs
             # recorded the delete leg as a bare sub-epoch; re-executing
@@ -307,7 +324,7 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
                 target.delete_keys(
                     gone, key_columns, epoch=delete_epoch, app_id=app_id
                 )
-        if inserts.isEmpty():
+        if not has_inserts:
             # nothing to merge: land the epoch as a zero-row append so
             # a re-delivery is still a no-op
             return target.append(inserts, epoch=final_epoch, app_id=app_id)
@@ -315,4 +332,6 @@ def apply_cdf_batch(target: VersionedStageTable, df: DataFrame,
             inserts, key_columns, epoch=final_epoch, app_id=app_id
         )
     finally:
+        if key_stats is not None:
+            key_stats.unpersist()
         pdf.unpersist()

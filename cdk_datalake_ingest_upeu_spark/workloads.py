@@ -9522,8 +9522,8 @@ def semantic_semdedup(spark, sf_dir):
         allv, k=8, threshold=0.99, iters=3, max_pair_work_factor=4.0
     )
     pairs = scratch_persist(pairs.select("id_a", "id_b"))
-    n_vectors = allv.count()
-    # one action for all pair-grain flags, one for the degree bound
+    # action 1: all pair-grain flags — also materializes the pairs
+    # persist the next action's branches reuse
     ps = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(
@@ -9537,16 +9537,30 @@ def semantic_semdedup(spark, sf_dir):
     ).collect()[0]
     n_pairs = ps.n_pairs
     pairs_all_planted = (ps.n_bad or 0) == 0
-    max_deg = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionAll(pairs.select(F.col("id_b").alias("id")))
-        .groupBy("id")
-        .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
+    # action 2 (r15: was 3 serial actions): corpus size, the degree
+    # bound over the CACHED pairs, and the survivor count fused into
+    # one job — all independent aggregates (guide §1.2/§2.6)
+    from cdk_datalake_ingest_upeu_spark.operators.actions import (
+        union_scalars,
     )
-    pairs_disjoint = (max_deg or 0) <= 1
-    n_kept = kept.count()
+
+    audit = union_scalars(
+        [
+            ("n_vectors", allv.agg(F.count(F.lit(1)).alias("v"))),
+            (
+                "max_deg",
+                pairs.select(F.col("id_a").alias("id"))
+                .unionAll(pairs.select(F.col("id_b").alias("id")))
+                .groupBy("id")
+                .count()
+                .agg(F.max("count")),
+            ),
+            ("n_kept", kept.agg(F.count(F.lit(1)).alias("v"))),
+        ]
+    )
+    n_vectors = audit["n_vectors"]
+    pairs_disjoint = (audit["max_deg"] or 0) <= 1
+    n_kept = audit["n_kept"]
     planted_resolved = bool(
         pairs_all_planted and pairs_disjoint and n_kept == n_vectors - n_pairs
     )

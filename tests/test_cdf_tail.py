@@ -504,3 +504,40 @@ def test_delete_leg_probe_ignores_foreign_bare_append(spark, tmp_path):
     rows = _rows(tgt.read())
     assert (2, "b") not in rows  # the delete leg EXECUTED
     assert (4, "d") in rows and (50, "raw") in rows
+
+
+def test_apply_cdf_batch_gone_set_respects_multiplicity(spark, tmp_path):
+    """r15 pin for the fused gone-set computation: the one-pass per-key
+    count rewrite (gone iff delete multiplicity EXCEEDS insert
+    multiplicity) must reproduce the old exceptAll-then-distinct
+    semantics exactly, including the re-insert interplay: deletes apply
+    FIRST, then every insert row merges — so any key carrying an insert
+    in the range survives, a key with only deletes vanishes, and
+    duplicate delete rows for one key still land as ONE keyed delete."""
+    tgt = VersionedStageTable(spark, str(tmp_path / "tgt"))
+    tgt.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (5, "e")]))
+    feed = spark.createDataFrame(
+        [
+            # key 1: delete then re-insert (update) -> stays, new value
+            (1, "a", "delete"),
+            (1, "A", "insert"),
+            # key 2: insert + 2x delete -> in the gone set (del > ins),
+            # but the merge leg re-lands its insert row: final state B
+            (2, "B", "insert"),
+            (2, "B", "delete"),
+            (2, "b", "delete"),
+            # key 5: two redundant delete rows, no insert -> gone
+            (5, "e", "delete"),
+            (5, "e", "delete"),
+            # key 3: untouched by the feed -> stays as-is
+            # key 4: plain new insert
+            (4, "d", "insert"),
+        ],
+        "k int, v string, _change_type string",
+    )
+    apply_cdf_batch(tgt, feed, ["k"], epoch=7)
+    assert _rows(tgt.read()) == [(1, "A"), (2, "B"), (3, "c"), (4, "d")]
+    # replay of the same epoch is a no-op (exactly-once probe intact)
+    v = tgt.latest_version()
+    apply_cdf_batch(tgt, feed, ["k"], epoch=7)
+    assert tgt.latest_version() == v
