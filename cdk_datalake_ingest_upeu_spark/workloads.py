@@ -4400,10 +4400,18 @@ def dedup_simhash_corpus(spark, sf_dir):
     # at 100x this data)
     clone_ids = planted.select("doc_id")
     universe = docs.select("doc_id").unionByName(clone_ids)
-    n_docs = docs.count()
-    n_planted = clone_ids.count()
-    clones_kept = kept.join(clone_ids, "doc_id").count()
-    strays = kept.join(universe, "doc_id", "left_anti").count()
+    # one fused action (r15): kept is already checkpointed by finalize,
+    # so all four set-algebra counts are independent branches
+    c = _union_counts(
+        [
+            ("n_docs", docs),
+            ("n_planted", clone_ids),
+            ("clones_kept", kept.join(clone_ids, "doc_id")),
+            ("strays", kept.join(universe, "doc_id", "left_anti")),
+        ]
+    )
+    n_docs, n_planted = c["n_docs"], c["n_planted"]
+    clones_kept, strays = c["clones_kept"], c["strays"]
     return _rows_df(spark, 
         [
             (
@@ -5388,12 +5396,16 @@ def stage_forget_roundtrip(spark, sf_dir):
         .withColumn("op", F.lit("D"))
         .withColumn("seq", F.lit(1))
     )
-    n_forgotten = feed.count()
+    # r15 fusion: pre-commit counts in one action, post-commit audits
+    # in another (4 serial jobs -> 2)
+    pre = _union_counts(
+        [("n_forgotten", feed), ("n_requested", forget_req)]
+    )
+    n_forgotten, n_requested = pre["n_forgotten"], pre["n_requested"]
     n_rewritten = st.apply_change_feed(feed, ["doc_id"], seq_column="seq")
     rows, scanned, total = st.lookup(forget_req, "doc_id")
-    n_readable = rows.count()
-    n_after = st.read().count()
-    n_requested = forget_req.count()
+    post = _union_counts([("n_readable", rows), ("n_after", st.read())])
+    n_readable, n_after = post["n_readable"], post["n_after"]
     return _rows_df(spark, 
         [
             (
@@ -5771,9 +5783,6 @@ def corpus_forget_documents(spark, sf_dir):
         docs, forget, persist_flagged=True
     )
     forgotten = scratch_persist(forgotten)
-    n_requested = forget.count()
-    n_forgotten = forgotten.count()
-    n_kept = kept.count()
     sigs_purged = sigs.join(forgotten, "doc_id", "left_anti")
     bands_purged = bands.join(forgotten, "doc_id", "left_anti")
     # invariant 1: no kept row carries deleted content (fingerprint join)
@@ -5782,14 +5791,36 @@ def corpus_forget_documents(spark, sf_dir):
         .select(fingerprint(F.col("text")).alias("fp"))
         .distinct()
     )
-    residual = (
-        kept.select(fingerprint(F.col("text")).alias("fp"))
-        .join(F.broadcast(del_fps), "fp")
-        .count()
+    # r15 fusion, two phases (6 serial jobs -> 2): phase 1 materializes
+    # the disjoint persists (flagged/forgotten via its count, sigs via
+    # its row count — discarded), phase 2 runs every audit against the
+    # cached relations
+    p1 = _union_counts([("n_forgotten", forgotten), ("__sigs", sigs)])
+    n_forgotten = p1["n_forgotten"]
+    p2 = _union_counts(
+        [
+            ("n_requested", forget),
+            ("n_kept", kept),
+            (
+                "residual",
+                kept.select(fingerprint(F.col("text")).alias("fp")).join(
+                    F.broadcast(del_fps), "fp"
+                ),
+            ),
+            # invariant 2: artifact purges track the table exactly
+            ("sig_rows", sigs_purged),
+            (
+                "band_docs",
+                bands_purged.select("doc_id").distinct(),
+            ),
+        ]
     )
-    # invariant 2: artifact purges track the table exactly
-    sig_rows = sigs_purged.count()
-    band_docs = bands_purged.select("doc_id").distinct().count()
+    n_requested, n_kept = p2["n_requested"], p2["n_kept"]
+    residual, sig_rows, band_docs = (
+        p2["residual"],
+        p2["sig_rows"],
+        p2["band_docs"],
+    )
     release_scratch()
     return _rows_df(spark, 
         [
@@ -5871,8 +5902,11 @@ def dedup_minhash_pairs(spark, sf_dir):
             "id_a", "id_b"
         )
     )
-    n_found = approx.count()
-    n_exact = exact.count()
+    # phase 1 (r15): the two pair-set counts fuse — disjoint persists,
+    # so the branches materialize them concurrently without racing;
+    # phase 2 overlaps the cached sets
+    sizes = _union_counts([("n_found", approx), ("n_exact", exact)])
+    n_found, n_exact = sizes["n_found"], sizes["n_exact"]
     n_inter = approx.join(exact, ["id_a", "id_b"]).count()
     release_scratch()
     return _rows_df(spark, 
@@ -7115,8 +7149,14 @@ def dedup_incremental_minhash(spark, sf_dir):
         )
         .distinct()
     )
-    n_batch = batch.count()
-    n_cross = cross.count()
+    # phase 1 (r15): batch size, the exact cross-set, and the kept-set
+    # materialization fuse — the kept/cross persists are disjoint so
+    # the branches overlap without racing; phase 2 joins the cached
+    # sets
+    c = _union_counts(
+        [("n_batch", batch), ("n_cross", cross), ("__kept", kept)]
+    )
+    n_batch, n_cross = c["n_batch"], c["n_cross"]
     n_kept_matched = kept.join(cross, "doc_id").count()
     release_scratch()
     return _rows_df(spark, 
