@@ -43,8 +43,13 @@ from pyspark.sql import types as T
 from cdk_datalake_ingest_upeu_spark.operators.bloom import _buckets, _seeds
 
 
-def _latest_version(filter_dir: str) -> str | None:
-    """Newest committed (``_SUCCESS``-marked) filter version dir."""
+def _latest_version(filter_dir: str) -> tuple[str, int] | None:
+    """Newest committed (``_SUCCESS``-marked) filter version dir, as
+    ``(path, epoch)`` — the directory name encodes the epoch the
+    version committed under, so the replay short-circuit needs no Spark
+    job to learn it (r15: the per-batch ``last_epoch`` lookup was one
+    driver job per micro-batch; the column still rides in the data for
+    auditability)."""
     if not os.path.isdir(filter_dir):
         return None
     best, best_epoch = None, -1
@@ -60,7 +65,7 @@ def _latest_version(filter_dir: str) -> str | None:
             continue
         if epoch > best_epoch:
             best, best_epoch = path, epoch
-    return best
+    return None if best is None else (best, best_epoch)
 
 
 def _sparse_words(df: DataFrame, key_col: str, n_bits: int, seeds: list[int]) -> DataFrame:
@@ -143,15 +148,13 @@ def stream_bloom_dedup(
         if not batch_df.take(1):
             return
         latest = _latest_version(filter_dir)
-        words = spark.read.parquet(latest) if latest else None
-        if words is not None:
-            last_epoch = int(words.select("last_epoch").first().last_epoch)
-            if last_epoch >= epoch_id:
-                # replayed epoch AFTER its filter commit: the filter
-                # already holds this batch's keys — re-probing would
-                # call every row a duplicate and clobber the committed
-                # epoch output with an empty overwrite
-                return
+        words = spark.read.parquet(latest[0]) if latest else None
+        if latest is not None and latest[1] >= epoch_id:
+            # replayed epoch AFTER its filter commit: the filter
+            # already holds this batch's keys — re-probing would
+            # call every row a duplicate and clobber the committed
+            # epoch output with an empty overwrite
+            return
         batch_unique = batch_df.dropDuplicates([key_col])
         novel = _novel_rows(batch_unique, key_col, words, n_bits, seeds)
         novel.write.mode("overwrite").parquet(

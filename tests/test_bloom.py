@@ -182,8 +182,12 @@ def test_stream_bloom_dedup_and_epoch_replay(spark, sf_dir, tmp_path):
     # and overwrites the epoch directory with an empty frame
     latest = _latest_version(filter_dir)
     assert latest is not None
-    words = spark.read.parquet(latest)
-    assert int(words.select("last_epoch").first().last_epoch) >= 1
+    path, epoch = latest
+    words = spark.read.parquet(path)
+    # the directory name carries the commit epoch (what the replay
+    # short-circuit now reads) and must agree with the data column
+    assert epoch >= 1
+    assert int(words.select("last_epoch").first().last_epoch) == epoch
     pre = spark.read.parquet(os.path.join(out_dir, "epoch=0")).count()
     assert pre > 0
     # the filter now contains epoch 0's keys — a fresh probe finds no
