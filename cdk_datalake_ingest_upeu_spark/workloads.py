@@ -16638,6 +16638,94 @@ QUERIES = {
 }
 
 
+# ===========================================================================
+# round-15 driver window (first 50 entries of QUERIES)
+# ===========================================================================
+
+# (a) stage_scoped_read leads — the ONE never-driver-checked query
+# (r14-inherited build continuation); (b) the three r9-vintage text
+# kernels the _R14_WINDOW note deferred, as promised: bpe_merge_pairs,
+# text_bm25_topk, text_repetition_stats — after this round NO query's
+# newest driver evidence predates r10; (c) 46 of the 50 queries whose
+# newest driver-green is r10 (histogram after r14: r9x3, r10x50,
+# r11x50, r12x50, r13x50, r14x50). 4 + 46 fills the window exactly;
+# the four r10-evidence queries deferred to lead the r16 rotation are
+# asof_join_last_purchase (its tolerance twin is r14-green),
+# events_funnel (the events family carries r13/r14 evidence via
+# anomaly_zscore / hll_accuracy / skew_diagnostics),
+# merge_upsert_current_state (the merge path is r14-green via
+# stage_merge_resolve_last), and q1_pricing_summary (the TPC-H
+# relational core is r12-green via q4/q13/q16/q21) — all four are
+# UNTOUCHED by this optimization round, so their r10 evidence still
+# describes the shipped code; every r15-touched r10-vintage query
+# (streaming_bloom_dedup, corpus_forget_documents, stage_forget_
+# roundtrip, dedup_incremental_minhash, streaming_paragraph_dedup,
+# ann_rebalance, ...) keeps its slot.
+_R15_WINDOW = [
+    # (a) never driver-checked
+    "stage_scoped_read",
+    # (b) last driver-green in r9 — the r14 deferrals, leading as owed
+    "bpe_merge_pairs",
+    "text_bm25_topk",
+    "text_repetition_stats",
+    # (c) last driver-green in r10 — 46 of 50
+    "ann_incremental_probe",
+    "ann_rebalance",
+    "bloom_semi_join_lineitems",
+    "cms_event_type_totals",
+    "config_csv_pipeline",
+    "copurchase_part_pairs",
+    "corpus_bigram_logprob",
+    "corpus_boilerplate_strip",
+    "corpus_filter_attrition",
+    "corpus_forget_documents",
+    "corpus_ngram_decontaminate",
+    "corpus_token_fertility",
+    "dedup_cluster_jaccard",
+    "dedup_exact_keep_best",
+    "dedup_incremental_minhash",
+    "dedup_incremental_paragraph",
+    "dedup_ngram_containment",
+    "dedup_simhash_pairs",
+    "embedding_dim_stats",
+    "embedding_pca_variance",
+    "events_transition_bigrams",
+    "events_unpivot_daily",
+    "events_value_histogram",
+    "expectations_report_events",
+    "global_ids_documents",
+    "incremental_watermark_2phase",
+    "mixture_token_budget",
+    "q12_priority_shipping",
+    "sample_weighted_quality",
+    "sketch_weekly_rollup",
+    "split_leakage_audit",
+    "sqlgen_projection_filter",
+    "stage_bloom_indexed_write_lookup",
+    "stage_bloom_pruned_lookup",
+    "stage_deletion_vectors",
+    "stage_forget_roundtrip",
+    "stage_incremental_commit_log",
+    "stage_partition_pruned_read",
+    "stage_pipeline_e2e",
+    "stage_schema_evolution",
+    "streaming_bloom_dedup",
+    "streaming_dv_takedown",
+    "streaming_merge_ingest",
+    "streaming_paragraph_dedup",
+    "text_winnow_fingerprints",
+    "vocab_typo_pairs",
+]
+assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
+QUERIES = {
+    name: QUERIES[name]
+    for name in (
+        *_R15_WINDOW,
+        *(n for n in QUERIES if n not in set(_R15_WINDOW)),
+    )
+}
+
+
 # Oracle twin of the _t documents normalization (NULL text ≡ ''): every
 # oracle reference to the documents table reads through this view, so
 # both engines see the identical corpus under hostile NULL-text drops.
