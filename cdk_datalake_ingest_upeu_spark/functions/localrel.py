@@ -34,17 +34,29 @@ def rows_df(spark: SparkSession, rows, schema) -> DataFrame:
     lists, via one Arrow batch (no Python-worker re-evaluation in
     downstream jobs). ``schema`` is a DDL string or StructType;
     ``rows`` a list of tuples/Rows."""
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import TimestampType, _parse_datatype_string
 
     st = (
         schema
         if isinstance(schema, StructType)
         else _parse_datatype_string(schema)
     )
+    rows = list(rows)  # one-shot iterables must survive the fallback
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        # Equivalence caveats (review-pinned): dict rows would zip into
+        # their KEYS, and naive datetimes are read as UTC by Arrow but
+        # as session-local by classic createDataFrame — both engines
+        # here pin session tz to UTC, but this is a general utility, so
+        # fall back rather than silently diverge.
+        if any(isinstance(r, dict) for r in rows):
+            return spark.createDataFrame(rows, st)
+        if any(
+            isinstance(f.dataType, TimestampType) for f in st.fields
+        ) and spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
+            return spark.createDataFrame(rows, st)
         arrow_schema = to_arrow_schema(st)
         names = st.names
         tbl = pa.Table.from_pylist(

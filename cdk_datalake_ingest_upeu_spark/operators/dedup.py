@@ -2161,6 +2161,8 @@ def minhash_banding_sweep(
     # persists), ONE for all nesting probes (cached pair sets). The
     # fail-loudly guard contract is unchanged — every config's guard is
     # checked before any pair set materializes.
+    if not bands_list:
+        return []
     guards: list = []
     built: list[tuple[int, DataFrame]] = []
     for bands in bands_list:

@@ -148,13 +148,14 @@ def stream_bloom_dedup(
         if not batch_df.take(1):
             return
         latest = _latest_version(filter_dir)
-        words = spark.read.parquet(latest[0]) if latest else None
         if latest is not None and latest[1] >= epoch_id:
             # replayed epoch AFTER its filter commit: the filter
             # already holds this batch's keys — re-probing would
             # call every row a duplicate and clobber the committed
-            # epoch output with an empty overwrite
+            # epoch output with an empty overwrite. Short-circuit
+            # BEFORE opening the filter parquet (review finding).
             return
+        words = spark.read.parquet(latest[0]) if latest else None
         batch_unique = batch_df.dropDuplicates([key_col])
         novel = _novel_rows(batch_unique, key_col, words, n_bits, seeds)
         novel.write.mode("overwrite").parquet(

@@ -55,3 +55,30 @@ def test_overlap_runs_all_and_propagates_errors():
             lambda: None,
             lambda: (_ for _ in ()).throw(ValueError("boom")),
         )
+
+
+def test_rows_df_review_hazards(spark):
+    """Review-pinned fallback paths: dict rows and one-shot iterables
+    must match the classic path exactly (not silently corrupt/empty)."""
+    out = rows_df(spark, [{"a": "x", "b": "y"}], "a string, b string")
+    assert [tuple(r) for r in out.collect()] == [("x", "y")]
+
+    gen = ((i, float(i)) for i in range(3))
+    out = rows_df(spark, gen, "a long, b double")
+    assert out.count() == 3
+
+
+def test_banding_sweep_empty_and_single_config(spark):
+    from cdk_datalake_ingest_upeu_spark.operators.dedup import (
+        minhash_banding_sweep,
+        minhash_signature_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common text tail here" % (i % 3)) for i in range(12)],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signature_table(docs)
+    assert minhash_banding_sweep(sigs, bands_list=()) == []
+    one = minhash_banding_sweep(sigs, bands_list=(4,))
+    assert len(one) == 1 and one[0]["superset_of_coarser"] is True
